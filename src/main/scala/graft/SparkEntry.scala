@@ -1,13 +1,208 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.RelationalOps._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the scale
+  * extensions) registers one entry in [[queries]]; each entry that is
+  * ANSI-SQL-expressible registers matching DuckDB SQL in [[oracleSql]].
+  * Column names are aliased identically on both sides (the driver's
+  * compare sorts columns by name before hashing).
+  *
+  * Double-typed aggregates are rounded on BOTH sides so summation-order
+  * differences between Spark and DuckDB (last-ulp fp noise) cannot flip
+  * the hash.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private val propsSchema = new StructType().add("k", IntegerType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Flagship: TPC-H-style pricing summary (G-1 batch shape at scale) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- P-1..P-3: cast + from_json + struct flatten (spark_stream.py:50–52) ----
+    "p2_json_parse" -> ((s, dir) => {
+      parseJson(Tables.events(s, dir), "props", propsSchema, keep = Seq("event_id"))
+    }),
+
+    // ---- P-5: to_json(struct(...)) encode (spark_stream.py:67,77) ----
+    "p5_json_encode" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), encodeJson(Seq(col("event_id"), col("event_type"))).as("js"))
+    }),
+
+    // ---- G-1: grouped SUM w/ carried dims (spark_stream.py:58–59) ----
+    "g1_votes_per_type" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value")), 4).as("total_value"),
+             count(lit(1)).as("total_votes"))
+    }),
+
+    // ---- G-2: grouped COUNT + rename over a broadcast dim join (spark_stream.py:62–64) ----
+    "g2_turnout_by_nation" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      groupedCount(
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey")),
+        Seq("n_name"), "total_voters")
+    }),
+
+    // ---- G-3: scalar COUNT(*) (streamlit-app.py:27–32) ----
+    "g3_scalar_count" -> ((s, dir) => scalarCount(Tables.events(s, dir), "n")),
+
+    // ---- G-4: argmax / leading candidate (streamlit-app.py:96) ----
+    "g4_leading_type" -> ((s, dir) => {
+      val agg = Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("total_votes"))
+      argmax(agg, "total_votes", "event_type")
+    }),
+
+    // ---- G-6: share-of-total via unpartitioned window (streamlit-app.py:57–64) ----
+    "g6_share_of_total" -> ((s, dir) => {
+      val agg = Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("total_votes"))
+      shareOfTotal(agg, "total_votes", "share")
+        .withColumn("share", round(col("share"), 6))
+    }),
+
+    // ---- J-1: broadcast enrichment join on a synthesized key (voting.py:68–74) ----
+    "j1_enrichment_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val n = Tables.nation(s, dir)
+      enrichmentJoin(e, n, e("user_id") % 25, n("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("n_name").as("assigned_nation"))
+    }),
+
+    // ---- S-6: keyed dedup, first-write-wins (main.py:77; voting.py:78–96) ----
+    "s6_dedup_first" -> ((s, dir) => {
+      dedupFirst(Tables.events(s, dir), Seq("user_id", "event_type"),
+                 Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    }),
+
+    // ---- O-1: global sort, rank-observable (streamlit-app.py:72–74) ----
+    "o1_ranked_sort" -> ((s, dir) => {
+      rankedSort(Tables.events(s, dir).select(col("event_id"), col("value")),
+                 Seq(col("value").desc, col("event_id").asc), "rank")
+        .filter(col("rank") <= 1000)
+    }),
+
+    // ---- O-2: LIMIT/OFFSET pagination (streamlit-app.py:75–77) ----
+    "o2_pagination" -> ((s, dir) => {
+      paginate(Tables.events(s, dir).select(col("event_id"), col("value")),
+               Seq(col("value").desc, col("event_id").asc), page = 3, size = 10)
+    }),
+
+    // ---- O-3: top-k (TakeOrderedAndProject) ----
+    "o3_top5" -> ((s, dir) => {
+      topK(Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+           Seq(col("value").desc, col("event_id").asc), 5)
+    }),
+
+    // ---- S-1/G-1 windowed: event-time bucketed aggregation (batch equivalent
+    //      of the watermarked streaming agg, spark_stream.py:55–59) ----
+    "s1_hourly_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "p2_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events""",
+
+    "p5_json_encode" ->
+      """SELECT event_id,
+         CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS js
+         FROM events""",
+
+    "g1_votes_per_type" ->
+      """SELECT event_type, round(sum(value), 4) AS total_value, count(*) AS total_votes
+         FROM events GROUP BY event_type""",
+
+    "g2_turnout_by_nation" ->
+      """SELECT n_name, count(*) AS total_voters
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "g3_scalar_count" -> "SELECT count(*) AS n FROM events",
+
+    "g4_leading_type" ->
+      """SELECT event_type, count(*) AS total_votes
+         FROM events GROUP BY event_type
+         ORDER BY total_votes DESC, event_type ASC LIMIT 1""",
+
+    "g6_share_of_total" ->
+      """SELECT event_type, total_votes,
+         round(CAST(total_votes AS DOUBLE) / sum(total_votes) OVER (), 6) AS share
+         FROM (SELECT event_type, count(*) AS total_votes FROM events GROUP BY event_type)""",
+
+    "j1_enrichment_join" ->
+      """SELECT event_id, user_id, n_name AS assigned_nation
+         FROM events JOIN nation ON user_id % 25 = n_nationkey""",
+
+    "s6_dedup_first" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+           SELECT user_id, event_type, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts ASC, event_id ASC) AS rn
+           FROM events) WHERE rn = 1""",
+
+    "o1_ranked_sort" ->
+      """SELECT event_id, value, rank FROM (
+           SELECT event_id, value,
+                  row_number() OVER (ORDER BY value DESC, event_id ASC) AS rank
+           FROM events) WHERE rank <= 1000""",
+
+    "o2_pagination" ->
+      """SELECT event_id, value FROM events
+         ORDER BY value DESC, event_id ASC LIMIT 10 OFFSET 20""",
+
+    "o3_top5" ->
+      """SELECT event_id, event_type, value FROM events
+         ORDER BY value DESC, event_id ASC LIMIT 5""",
+
+    "s1_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch relational operators covering the reference's query surface
+  * (SURVEY.md §2). Each combinator is a pure `DataFrame => DataFrame`
+  * so Catalyst sees one declarative plan: filters/projections push to
+  * the parquet scan, partial aggregation happens map-side, and small
+  * dimension sides broadcast.
+  *
+  * Streaming parity (the reference's `spark_stream.py` pipeline) lives
+  * in [[graft.streaming.VotePipeline]]; these are the batch-equivalent
+  * semantics that the DuckDB oracle can check (prefix-consistency of
+  * Structured Streaming makes the batch check sound — SURVEY.md §5).
+  */
+object RelationalOps {
+
+  /** P-1..P-3 — JSON decode + struct flatten.
+    * Reference: `spark_stream.py:50–52` (`CAST(value AS STRING)` →
+    * `from_json(value, schema)` → `select("data.*")`). Catalyst fuses
+    * the three projections into one `Project(JsonToStructs)`.
+    */
+  def parseJson(df: DataFrame, jsonCol: String, schema: StructType, keep: Seq[String] = Nil): DataFrame = {
+    val parsed = df.withColumn("data", from_json(col(jsonCol).cast("string"), schema))
+    parsed.select(keep.map(col) :+ col("data.*"): _*)
+  }
+
+  /** P-5 — JSON encode of selected columns back to one string value.
+    * Reference: `to_json(struct(*))` at `spark_stream.py:67,77`.
+    * `ignoreNullFields=false` keeps nulls explicit so the encoded
+    * payload is schema-stable across rows.
+    */
+  def encodeJson(cols: Seq[Column]): Column =
+    to_json(struct(cols: _*), Map("ignoreNullFields" -> "false"))
+
+  /** G-1 — grouped SUM carrying functionally-dependent dimension columns
+    * in the key (reference `spark_stream.py:58–59`: groupBy candidate
+    * dims, sum(vote)). Plans as partial+final `HashAggregate` — map-side
+    * combine bounds the shuffle by |keys|, not |rows|, so it scales to
+    * 100 TB as long as key cardinality does.
+    */
+  def groupedSum(df: DataFrame, keys: Seq[String], valueCol: String, alias: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(sum(col(valueCol)).as(alias))
+
+  /** G-2 — grouped COUNT with rename (reference `spark_stream.py:62–64`). */
+  def groupedCount(df: DataFrame, keys: Seq[String], alias: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(alias))
+
+  /** G-3 — scalar COUNT(*) (reference `streamlit-app.py:27–32`). */
+  def scalarCount(df: DataFrame, alias: String): DataFrame =
+    df.agg(count(lit(1)).as(alias))
+
+  /** G-4/O-3 — argmax: top-1 row by measure with a deterministic
+    * tiebreak (reference `streamlit-app.py:96` pandas `idxmax`).
+    * Plans as `TakeOrderedAndProject` — no global sort, each partition
+    * keeps 1 row, driver merges; scale-safe.
+    */
+  def argmax(df: DataFrame, measure: String, tiebreak: String): DataFrame =
+    df.orderBy(col(measure).desc, col(tiebreak).asc).limit(1)
+
+  /** G-6 — share-of-total via an unpartitioned window aggregate
+    * (reference donut chart `streamlit-app.py:57–64`). The window has
+    * no partition key so Spark plans a single-partition exchange — fine
+    * here because the input is an already-aggregated frame with
+    * |groups| rows, never the raw fact table.
+    */
+  def shareOfTotal(df: DataFrame, measure: String, alias: String): DataFrame =
+    df.withColumn(alias, col(measure).cast("double") / sum(col(measure)).over(Window.partitionBy()))
+
+  /** J-1 — enrichment join against a small static dimension on a
+    * synthesized key (reference `voting.py:68–74`: each streamed voter
+    * gets one candidate via `random.choice`; we synthesize the key
+    * deterministically so the oracle can replay it). The dimension side
+    * is explicitly broadcast: `BroadcastHashJoinExec`, zero shuffle of
+    * the fact side — the shape that survives a 100 TB fact table.
+    */
+  def enrichmentJoin(fact: DataFrame, dim: DataFrame, factKey: Column, dimKey: Column): DataFrame =
+    fact.join(broadcast(dim), factKey === dimKey)
+
+  /** S-6 — keyed dedup keeping the FIRST row per key in a deterministic
+    * order (reference: the `votes` PK at `main.py:77` makes the first
+    * insert win and later duplicates are swallowed, `voting.py:78–96`).
+    * `row_number` over (key, order) — one shuffle on the key, state
+    * bounded per key. Streaming variant: `dropDuplicatesWithinWatermark`
+    * in [[graft.streaming.VotePipeline.dedupVotes]].
+    */
+  def dedupFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** O-1 — global sort made hash-observable: attach the rank so the
+    * row order is part of the row values (reference dashboard sort,
+    * `streamlit-app.py:72–74`). Range-partitioned `SortExec`.
+    */
+  def rankedSort(df: DataFrame, order: Seq[Column], rankAlias: String): DataFrame =
+    df.withColumn(rankAlias, row_number().over(Window.orderBy(order: _*)))
+
+  /** O-2 — LIMIT/OFFSET pagination over a total order (reference
+    * `streamlit-app.py:75–77`). Spark ≥3.4 plans offset natively.
+    */
+  def paginate(df: DataFrame, order: Seq[Column], page: Int, size: Int): DataFrame =
+    df.orderBy(order: _*).offset((page - 1) * size).limit(size)
+
+  /** O-3 — top-k (reference leading-candidate argmax generalized).
+    * `TakeOrderedAndProject`: per-partition heap of k, no global sort.
+    */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+}

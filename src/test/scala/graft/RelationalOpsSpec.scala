@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the parity operators (SURVEY.md §2) beyond the
+  * driver's DuckDB oracle: invariants, not just row hashes.
+  */
+class RelationalOpsSpec extends SparkTestBase {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("every registered query executes and most return rows") {
+    SparkEntry.queries.keys.foreach { name =>
+      val df = run(name)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("g6 shares sum to 1") {
+    val total = run("g6_share_of_total").agg(sum("share")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-4)
+  }
+
+  test("s6 dedup keeps the earliest event per key and is idempotent") {
+    val deduped = run("s6_dedup_first")
+    val keys = deduped.select("user_id", "event_type").distinct().count()
+    assert(keys == deduped.count(), "one row per key")
+    // first-write-wins: the kept ts must equal the min ts of the key
+    val ev = Tables.events(spark, sfDir)
+    val mins = ev.groupBy("user_id", "event_type").agg(min("ts").as("min_ts"))
+    val bad = deduped.join(mins, Seq("user_id", "event_type"))
+      .filter(col("ts") =!= col("min_ts")).count()
+    assert(bad == 0)
+  }
+
+  test("o2 pagination slices the same total order as o1 rank") {
+    val page3 = run("o2_pagination").collect().map(_.getLong(0))
+    val ranked = run("o1_ranked_sort")
+      .filter(col("rank") > 20 && col("rank") <= 30)
+      .orderBy("rank").collect().map(_.getLong(0))
+    assert(page3.toSeq == ranked.toSeq)
+  }
+
+  test("j1 enrichment assigns every event exactly one nation") {
+    val n = run("j1_enrichment_join").count()
+    assert(n == Tables.events(spark, sfDir).count())
+  }
+
+  test("g4 argmax agrees with max of g1 counts") {
+    val top = run("g4_leading_type").head
+    val maxCount = run("g1_votes_per_type").agg(max("total_votes")).head.getLong(0)
+    assert(top.getAs[Long]("total_votes") == maxCount)
+  }
+
+  test("p2 json parse extracts props.k as int") {
+    val df = run("p2_json_parse")
+    assert(df.schema("k").dataType.typeName == "integer")
+    assert(df.filter(col("k").isNull).count() == 0)
+  }
+
+  test("flagship q1 plan broadcasts nothing and aggregates hash-based") {
+    val plan = run("q1_pricing_summary").queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
+  }
+}

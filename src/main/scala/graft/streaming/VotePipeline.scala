@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, TimestampType}
+import org.apache.spark.sql.Row
+
+/** The reference's analytics engine re-expressed Spark-first
+  * (`spark_stream.py:41–88`): Kafka JSON stream → parse → watermark →
+  * two unwindowed stateful aggregations → JSON-encoded sinks in
+  * `update` output mode.
+  *
+  * Transport is pluggable: [[fromKafka]] builds the production source
+  * (reference `spark_stream.py:41–47`); tests inject a `MemoryStream`
+  * DataFrame with the same `value: string` column. The operators are
+  * identical either way — the transport is infra, the semantics are
+  * the engine.
+  *
+  * Scale notes (100 TB / 1000-executor stance):
+  *  - both aggregations are unwindowed with low-cardinality keys
+  *    (|candidates|, |states|), so state is bounded and the shuffle is
+  *    map-side-combined down to |keys| rows per micro-batch;
+  *  - streaming dedup keyed by (voter, candidate) is UNBOUNDED state —
+  *    [[dedupVotes]] therefore uses `dropDuplicatesWithinWatermark`,
+  *    which evicts state once the watermark passes (SURVEY.md §7.4);
+  *  - the watermark on the unwindowed aggs is inert (declared for
+  *    parity with `spark_stream.py:55`) — it does NOT evict agg state;
+  *    windowed eviction variants belong to [[graft.SparkEntry]]'s
+  *    `s1_hourly_agg` shape.
+  */
+object VotePipeline {
+
+  /** A-1 — Kafka streaming source (`spark_stream.py:41–47`).
+    * Compiles against the DataSource V2 string API; needs the
+    * spark-sql-kafka connector on the classpath at runtime.
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** P-1..P-4 + S-1 — the parse chain (`spark_stream.py:50–55`):
+    * CAST(value AS STRING) → from_json(schema) → flatten → re-casts →
+    * 1-minute event-time watermark. Catalyst collapses the projections
+    * into a single codegen'd stage.
+    */
+  def parse(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), VoteSchema.schema).as("data"))
+      .select("data.*")
+      .withColumn("voting_time", col("voting_time").cast(TimestampType))
+      .withColumn("vote", col("vote").cast(IntegerType))
+      .withWatermark("voting_time", "1 minute")
+
+  /** G-1 — running votes per candidate, dimension columns carried in
+    * the grouping key (`spark_stream.py:58–59`).
+    */
+  def votesPerCandidate(parsed: DataFrame): DataFrame =
+    parsed.groupBy("candidate_id", "candidate_name", "party_affiliation", "photo_url")
+      .agg(sum("vote").as("total_votes"))
+
+  /** G-2 — turnout per location (`spark_stream.py:62–64`). */
+  def turnoutByLocation(parsed: DataFrame): DataFrame =
+    parsed.groupBy("address_state")
+      .count()
+      .withColumnRenamed("count", "total_voters")
+
+  /** S-6 — one vote per (voter, candidate), the reference's PK-as-dedup
+    * (`main.py:77`, `voting.py:78–96`). Within-watermark variant keeps
+    * state bounded at scale; duplicates later than the lateness bound
+    * were already rejected upstream in the reference's model.
+    */
+  def dedupVotes(parsed: DataFrame): DataFrame =
+    parsed.dropDuplicatesWithinWatermark("voter_id", "candidate_id")
+
+  /** Batch flavor of S-6 for bounded replays (exact semantics, no
+    * watermark needed).
+    */
+  def dedupVotesBatch(parsed: DataFrame): DataFrame =
+    parsed.dropDuplicates("voter_id", "candidate_id")
+
+  /** P-5 + A-2 — JSON-encode and write to a Kafka topic in update mode
+    * with a per-query checkpoint (`spark_stream.py:66–84`).
+    */
+  def toKafka(df: DataFrame, bootstrap: String, topic: String,
+              checkpoint: String): DataStreamWriter[Row] =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+
+  /** Test/dev sink: same update-mode semantics into an in-memory table. */
+  def toMemory(df: DataFrame, name: String): DataStreamWriter[Row] =
+    df.writeStream.format("memory").queryName(name).outputMode("update")
+
+  /** A-3 — JDBC-style sink for streams via foreachBatch (reference
+    * inserts into Postgres, `main.py:184–208`): each micro-batch is
+    * appended with the supplied batch writer. With a JDBC URL the
+    * writer body is `batch.write.format("jdbc")…mode("append").save()`.
+    */
+  def toForeachBatch(df: DataFrame)(writer: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.outputMode("update").foreachBatch(writer)
+
+  /** S-5 — the reference's two-query topology (`spark_stream.py:66–88`):
+    * both aggregations run as independent streaming queries off the
+    * same parsed stream, each with its own checkpoint/state.
+    */
+  def runTopology(parsed: DataFrame,
+                  sink: (DataFrame, String) => DataStreamWriter[Row],
+                  trigger: Trigger = Trigger.ProcessingTime(0)): Seq[StreamingQuery] = Seq(
+    sink(votesPerCandidate(parsed), "aggregated_votes_per_candidate").trigger(trigger).start(),
+    sink(turnoutByLocation(parsed), "aggregated_turnout_per_location").trigger(trigger).start()
+  )
+}

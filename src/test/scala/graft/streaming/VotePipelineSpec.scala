@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics pinned against the reference pipeline
+  * (`spark_stream.py`): drift-tolerant JSON parse, update-mode stateful
+  * aggregation ≡ batch on the same prefix, two-query topology, keyed
+  * dedup, and the (deliberately inert) watermark behavior.
+  */
+class VotePipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def streamOf(rows: Seq[String]) = {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    ms.addData(rows)
+    (ms, ms.toDF().withColumnRenamed("value", "value"))
+  }
+
+  test("parse preserves the reference's schema-drift semantics") {
+    val events = VoteGenerator.votes(50)
+    val df = VotePipeline.parse(spark.createDataset(events).toDF("value"))
+    assert(df.columns.length == 22)
+    assert(!df.columns.contains("email"), "email must be silently dropped (main.py:165 vs vote_schema)")
+    assert(!df.columns.contains("registered_age"))
+    assert(df.filter(col("registered_date").isNotNull).count() == 0,
+      "registered_date declared but never produced -> always null (spark_stream.py:36)")
+    assert(df.schema("voting_time").dataType.typeName == "timestamp")
+    assert(df.schema("vote").dataType.typeName == "integer")
+    assert(df.filter(col("voter_id").isNull).count() == 0)
+  }
+
+  test("streaming votes-per-candidate (update mode) converges to the batch aggregate") {
+    val events = VoteGenerator.votes(200)
+    val (_, streamDf) = streamOf(events)
+    val q = VotePipeline.toMemory(
+      VotePipeline.votesPerCandidate(VotePipeline.parse(streamDf)), "vpc").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("vpc")
+      .groupBy("candidate_id").agg(max("total_votes").as("total_votes")) // latest update per key
+    val want = VotePipeline.votesPerCandidate(
+      VotePipeline.parse(spark.createDataset(events).toDF("value")))
+      .select("candidate_id", "total_votes")
+    val diff = got.join(want, Seq("candidate_id"))
+      .filter(got("total_votes") =!= want("total_votes")).count()
+    assert(diff == 0, "streaming final state must equal batch aggregate (prefix consistency)")
+    assert(want.count() == 3)
+  }
+
+  test("two-query topology (S-5) runs both aggregations off one parsed stream") {
+    val (_, streamDf) = streamOf(VoteGenerator.votes(100))
+    val qs = VotePipeline.runTopology(VotePipeline.parse(streamDf), VotePipeline.toMemory)
+    qs.foreach(_.processAllAvailable()); qs.foreach(_.stop())
+    assert(spark.table("aggregated_votes_per_candidate").count() > 0)
+    val turnout = spark.table("aggregated_turnout_per_location")
+      .groupBy("address_state").agg(max("total_voters").as("total_voters"))
+    assert(turnout.agg(sum("total_voters")).head.getLong(0) == 100)
+  }
+
+  test("streaming dedup (S-6) drops replayed (voter,candidate) pairs like the votes PK") {
+    val events = VoteGenerator.votes(50, duplicates = 20)
+    val (_, streamDf) = streamOf(events)
+    val q = VotePipeline.toMemory(
+      VotePipeline.dedupVotes(VotePipeline.parse(streamDf)).select("voter_id", "candidate_id"),
+      "deduped").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("deduped").distinct().count()
+    val batch = VotePipeline.dedupVotesBatch(
+      VotePipeline.parse(spark.createDataset(events).toDF("value"))).count()
+    assert(got == batch, "streaming dedup must match batch dropDuplicates on bounded input")
+    assert(got < events.length, "the fixture must actually contain duplicate pairs")
+  }
+
+  test("watermark on the unwindowed agg is inert: late rows still counted (spark_stream.py:55)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val cands = VoteGenerator.candidates()
+    val rng = new scala.util.Random(7)
+    // batch 1: events at t+1000s; batch 2: one event 1000s EARLIER —
+    // far beyond the 1-minute watermark, yet it must still be counted
+    // because unwindowed update-mode aggregation never evicts keys.
+    val q = VotePipeline.toMemory(
+      VotePipeline.turnoutByLocation(VotePipeline.parse(ms.toDF())), "late").start()
+    ms.addData((0 until 10).map(i =>
+      VoteGenerator.voteJson(i, rng, cands, tsOffsetSec = Some(1000L))))
+    q.processAllAvailable()
+    ms.addData(Seq(VoteGenerator.voteJson(99, rng, cands, tsOffsetSec = Some(0L))))
+    q.processAllAvailable(); q.stop()
+
+    val total = spark.table("late")
+      .groupBy("address_state").agg(max("total_voters").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(total == 11, s"late row must be included (got $total)")
+  }
+}

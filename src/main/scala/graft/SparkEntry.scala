@@ -26,7 +26,92 @@ object SparkEntry {
 
   private val propsSchema = new StructType().add("k", IntegerType)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ textQueries
+
+  def oracleSql: Map[String, String] = coreOracle ++ textOracle
+
+  /** Text-analysis extensions over `documents` (north star): token
+    * stats, quality scoring, language-ID heuristic, fingerprinting.
+    * All per-row codegen'd expressions — no shuffle, embarrassingly
+    * parallel at any scale.
+    */
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.functions.TextFunctions._
+    Map(
+      "txt_token_stats" -> ((s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          nTokens(col("text")).as("n_tokens"),
+          nBpeTokens(col("text")).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars_calc"))
+      }),
+      "txt_quality" -> ((s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(avgTokenLen(col("text")), 6).as("avg_token_len"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(qualityScore(col("text")), 6).as("quality_score"))
+      }),
+      "txt_langid" -> ((s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"), langId(col("text")).as("lang_pred"))
+      }),
+      "txt_fingerprint" -> ((s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      })
+    )
+  }
+
+  private def textOracle: Map[String, String] = Map(
+    "txt_token_stats" ->
+      """SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+         length(text) AS n_chars_calc
+         FROM documents""",
+
+    "txt_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks) END AS sr,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS atl,
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END AS pr,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lenscore
+           FROM t)
+         SELECT doc_id, round(sr, 6) AS stopword_ratio, round(atl, 6) AS avg_token_len,
+                round(pr, 6) AS punct_ratio,
+                round(lenscore * 0.4 + greatest(0.0, 1.0 - pr * 5) * 0.3 + least(sr * 4, 1.0) * 0.3, 6) AS quality_score
+         FROM m""",
+
+    "txt_langid" ->
+      """SELECT doc_id, CASE
+           WHEN ' ' || lower(text) || ' ' LIKE '% der %' OR ' ' || lower(text) || ' ' LIKE '% und %' OR ' ' || lower(text) || ' ' LIKE '% nicht %' THEN 'de'
+           WHEN ' ' || lower(text) || ' ' LIKE '% el %' OR ' ' || lower(text) || ' ' LIKE '% los %' OR ' ' || lower(text) || ' ' LIKE '% una %' THEN 'es'
+           WHEN ' ' || lower(text) || ' ' LIKE '% le %' OR ' ' || lower(text) || ' ' LIKE '% et %' OR ' ' || lower(text) || ' ' LIKE '% les %' THEN 'fr'
+           WHEN ' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %' THEN 'en'
+           ELSE 'unknown' END AS lang_pred
+         FROM documents""",
+
+    "txt_fingerprint" ->
+      """SELECT doc_id, CAST(sum(i * h) AS BIGINT) AS fingerprint FROM (
+           SELECT doc_id,
+                  generate_subscripts(toks, 1) AS i,
+                  CAST('0x' || substr(md5(unnest(toks)), 1, 7) AS BIGINT) AS h
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents))
+         GROUP BY doc_id"""
+  )
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Flagship: TPC-H-style pricing summary (G-1 batch shape at scale) ----
     "q1_pricing_summary" -> ((s, dir) => {
@@ -133,7 +218,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

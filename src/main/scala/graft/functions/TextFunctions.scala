@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data-pipeline extensions
+  * (builder north star; operates on the `documents` table).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql
+  * .functions` higher-order/array/string expressions — no UDFs, no
+  * shuffles: each document's features are computed per-row inside
+  * whole-stage codegen, which is exactly the shape that scales to
+  * 100 TB (embarrassingly parallel over the scan).
+  *
+  * Hashing is PORTABLE by construction: `h7` is the first 7 hex chars
+  * of md5 reinterpreted as a long (< 2^28). md5 is identical across
+  * engines, so a DuckDB oracle can reproduce every derived feature
+  * bit-for-bit — which is what makes MinHash/SimHash/fingerprints
+  * oracle-checkable instead of "trust me" operators.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed (multi-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Portable 28-bit token hash: md5 prefix as integer. */
+  def h7(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** Document fingerprint: position-weighted rolling hash
+    * Σ (i+1)·h7(token_i). Exact integer math (terms < 2^38, sums of
+    * ~1e3 tokens < 2^48), so engines agree exactly.
+    */
+  def fingerprint(text: Column): Column = {
+    val weighted = transform(tokens(text), (t, i) => (i + lit(1)).cast("long") * h7(t))
+    aggregate(weighted, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Rule-based language ID — an n-gram/marker-word heuristic that is
+    * deterministic and SQL-expressible (same CASE ladder in the
+    * oracle). Real pipelines would swap in fastText etc.; the engine
+    * contract is the per-row classify shape, not the model.
+    */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    when(t.contains(" der ") || t.contains(" und ") || t.contains(" nicht "), "de")
+      .when(t.contains(" el ") || t.contains(" los ") || t.contains(" una "), "es")
+      .when(t.contains(" le ") || t.contains(" et ") || t.contains(" les "), "fr")
+      .when(t.contains(" the ") || t.contains(" and "), "en")
+      .otherwise("unknown")
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Number of whitespace tokens. */
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: alpha runs, digit runs, and single
+    * non-space symbols each count as one token.
+    */
+  def nBpeTokens(text: Column): Column =
+    size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+
+  /** Stopword ratio over nonempty tokens (null-safe on empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_).cast("string")): _*))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    val total = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    when(size(toks) === 0, 0.0).otherwise(total.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Composite quality score in [0,1]: long-enough, low-punctuation,
+    * sane stopword density. Deterministic arithmetic over the above.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5)
+    val stopScore = least(stopwordRatio(text) * 4, lit(1.0))
+    (lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "der schnelle braune fuchs und nicht mehr"),
+    (3L, ""),
+    (4L, "a  b   c"),                      // multi-space
+    (5L, "hello, world! 42 tokens?? #tag") // punctuation + digits
+  ).toDF("doc_id", "text")
+
+  test("tokens drops empties and nTokens counts them") {
+    val got = docs.select(col("doc_id"), nTokens(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 9); assert(got(3L) == 0); assert(got(4L) == 3)
+  }
+
+  test("langId applies the marker-word ladder deterministically") {
+    val got = docs.select(col("doc_id"), langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "de"); assert(got(3L) == "unknown")
+  }
+
+  test("quality score is bounded [0,1] and zero-safe on empty docs") {
+    val stats = docs.select(qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val fp = Seq(("a b c"), ("c b a"), ("a b c")).toDF("text")
+      .select(fingerprint(col("text")).as("f")).collect().map(_.getLong(0))
+    assert(fp(0) != fp(1), "position weighting must distinguish permutations")
+    assert(fp(0) == fp(2), "deterministic")
+  }
+
+  test("h7 is non-negative and below 2^28 (portable md5 prefix)") {
+    val vals = Tables.documents(spark, sfDir)
+      .select(h7(col("text")).as("h")).agg(min("h"), max("h")).head
+    assert(vals.getLong(0) >= 0L && vals.getLong(1) < (1L << 28))
+  }
+
+  test("text feature queries stay in whole-stage codegen (no shuffle)") {
+    val plan = SparkEntry.queries("txt_quality")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-row features must not shuffle:\n$plan")
+  }
+}

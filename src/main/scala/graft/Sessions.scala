@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session config every graft entry point needs, so
+  * Bench / Verify / tests cannot drift apart and no loader has to
+  * mutate config at call time.
+  */
+object Sessions {
+
+  /** Apply graft's required SQL configs to a session builder:
+    *  - UTC session time zone (reference produces UTC wall-clock
+    *    strings, `voting.py:72` — parsing shifts otherwise);
+    *  - shuffle partitions = cores (local harness; a real cluster
+    *    tunes this to data volume / relies on AQE coalescing);
+    *  - nanosAsLong so the TIMESTAMP(NANOS) `events.ts` column reads
+    *    as a long (see [[Tables.events]]).
+    */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -101,14 +101,18 @@ object SparkEntry {
            ELSE 'unknown' END AS lang_pred
          FROM documents""",
 
+    // LEFT JOIN + COALESCE so zero-token docs yield fingerprint 0,
+    // matching Spark's aggregate-over-empty-array semantics (ADVICE r1).
     "txt_fingerprint" ->
-      """SELECT doc_id, CAST(sum(i * h) AS BIGINT) AS fingerprint FROM (
-           SELECT doc_id,
-                  generate_subscripts(toks, 1) AS i,
-                  CAST('0x' || substr(md5(unnest(toks)), 1, 7) AS BIGINT) AS h
-           FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-                 FROM documents))
-         GROUP BY doc_id"""
+      """SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint
+         FROM documents d LEFT JOIN (
+           SELECT doc_id, CAST(sum(i * h) AS BIGINT) AS fp FROM (
+             SELECT doc_id,
+                    generate_subscripts(toks, 1) AS i,
+                    CAST('0x' || substr(md5(unnest(toks)), 1, 7) AS BIGINT) AS h
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                   FROM documents))
+           GROUP BY doc_id) f ON d.doc_id = f.doc_id"""
   )
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -187,11 +191,11 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
     }),
 
-    // ---- O-1: global sort, rank-observable (streamlit-app.py:72–74) ----
+    // ---- O-1: global sort, rank-observable (streamlit-app.py:72–74).
+    //      TakeOrderedAndProject bounds the rank window to k rows. ----
     "o1_ranked_sort" -> ((s, dir) => {
-      rankedSort(Tables.events(s, dir).select(col("event_id"), col("value")),
-                 Seq(col("value").desc, col("event_id").asc), "rank")
-        .filter(col("rank") <= 1000)
+      topKRanked(Tables.events(s, dir).select(col("event_id"), col("value")),
+                 Seq(col("value").desc, col("event_id").asc), 1000, "rank")
     }),
 
     // ---- O-2: LIMIT/OFFSET pagination (streamlit-app.py:75–77) ----

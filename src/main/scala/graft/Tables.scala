@@ -31,12 +31,15 @@ object Tables {
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
     * and floor-convert to a micros timestamp — the same truncation
     * DuckDB's reader applies, so oracle comparisons agree.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session (set by [[Sessions.configure]] in Bench/Verify/tests);
+    * deliberately NOT set here — a loader must not mutate global
+    * session config as a side effect (ADVICE r1).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

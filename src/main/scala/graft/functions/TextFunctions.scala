@@ -60,7 +60,7 @@ object TextFunctions {
     * non-space symbols each count as one token.
     */
   def nBpeTokens(text: Column): Column =
-    size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
   /** Stopword ratio over nonempty tokens (null-safe on empty docs). */
   def stopwordRatio(text: Column): Column = {

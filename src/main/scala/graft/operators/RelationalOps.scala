@@ -94,10 +94,23 @@ object RelationalOps {
 
   /** O-1 — global sort made hash-observable: attach the rank so the
     * row order is part of the row values (reference dashboard sort,
-    * `streamlit-app.py:72–74`). Range-partitioned `SortExec`.
+    * `streamlit-app.py:72–74`).
+    *
+    * NOTE: an unpartitioned `row_number` window forces ALL rows into a
+    * single partition — fine only for small already-aggregated inputs.
+    * For ranking a fact table, use [[topKRanked]] (bounded) instead.
     */
   def rankedSort(df: DataFrame, order: Seq[Column], rankAlias: String): DataFrame =
     df.withColumn(rankAlias, row_number().over(Window.orderBy(order: _*)))
+
+  /** O-1 at scale — top-k with ranks attached. The limit plans as
+    * `TakeOrderedAndProject` (per-partition heap of k, no global sort,
+    * no full-table shuffle); the single-partition rank window then runs
+    * over only k rows, so the plan survives an arbitrarily large input.
+    */
+  def topKRanked(df: DataFrame, order: Seq[Column], k: Int, rankAlias: String): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankAlias, row_number().over(Window.orderBy(order: _*)))
 
   /** O-2 — LIMIT/OFFSET pagination over a total order (reference
     * `streamlit-app.py:75–77`). Spark ≥3.4 plans offset natively.

@@ -11,12 +11,7 @@ trait SparkTestBase extends AnyFunSuite {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = Sessions.configure(SparkSession.builder().appName("graft-test"), "4")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

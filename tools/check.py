@@ -7,18 +7,36 @@ query's result set against the parquet Verify wrote. Usage:
     sbt 'runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out'
     python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, os, sys
+import json, math, os, sys
+from collections import Counter
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def norm(v):
+    # Dtype-insensitive canonical form: unwrap numpy scalars to Python
+    # (np.int32(1) vs int 1 would repr-differ), render all ints/floats
+    # the same way regardless of width.
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(int(v))
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return repr(v)
+
+
 def canon(df):
-    # sort columns by name, then rows by all columns; stringify for hashing
+    # sort columns by name; rows as a multiset of normalized tuples
     cols = sorted(df.columns)
     df = df[cols]
-    rows = sorted(tuple(repr(v) for v in row) for row in df.itertuples(index=False))
+    rows = Counter(tuple(norm(v) for v in row) for row in df.itertuples(index=False))
     return cols, rows
 
 
@@ -50,11 +68,15 @@ def main(sf_dir, out_dir):
             print(f"SCHEMA   {name}: spark={gc} oracle={wc}")
             n_fail += 1
         elif gr != wr:
-            diff = [(a, b) for a, b in zip(gr, wr) if a != b][:3]
-            print(f"ROWS     {name}: {len(gr)} vs {len(wr)} rows; first diffs: {diff}")
+            # multiset diff: rows only-in-spark / only-in-oracle (no
+            # zip truncation hiding extras when counts differ)
+            only_spark = list((gr - wr).elements())[:3]
+            only_oracle = list((wr - gr).elements())[:3]
+            print(f"ROWS     {name}: {sum(gr.values())} vs {sum(wr.values())} rows; "
+                  f"spark-only: {only_spark}; oracle-only: {only_oracle}")
             n_fail += 1
         else:
-            print(f"OK       {name} ({len(gr)} rows)")
+            print(f"OK       {name} ({sum(gr.values())} rows)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0

@@ -216,6 +216,52 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    }),
+
+    // ---- P-7..P-12: scalar expression battery (concat, split/substring,
+    //      conditional, modulo+format, literal — main.py:96–168) ----
+    "p7_scalar_exprs" -> ((s, dir) => {
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat_ws(" ", col("c_name"), col("c_mktsegment")).as("full_label"),
+        split(col("c_name"), "#").getItem(1).as("cust_num"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        when(col("c_acctbal") < 0, lit("delinquent")).otherwise(lit("ok")).as("acct_status"),
+        format_string("Party %d", pmod(col("c_custkey"), lit(3)) + 1).as("party"),
+        lit(1).as("vote"))
+    }),
+
+    // ---- O-4: top-k per group (partitioned window — scale-safe rank) ----
+    "o4_topk_per_group" -> ((s, dir) => {
+      topKPerGroup(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), Seq(col("value").desc, col("event_id").asc), 3, "rnk")
+    }),
+
+    // ---- Q3: multi-table join + grouped agg + top-k (shipping priority) ----
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- S-2 extension: gap-based sessionization (6h gap), rolled up ----
+    "s2_sessionize" -> ((s, dir) => {
+      sessionize(Tables.events(s, dir), "user_id", "ts",
+                 Seq(col("event_id").asc), gapSec = 21600L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"),
+             round(sum(col("value")), 4).as("total_value"))
     })
   )
 
@@ -292,6 +338,54 @@ object SparkEntry {
     "s1_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 4) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "p7_scalar_exprs" ->
+      """SELECT c_custkey,
+         concat_ws(' ', c_name, c_mktsegment) AS full_label,
+         string_split(c_name, '#')[2] AS cust_num,
+         substr(c_name, 1, 8) AS name_prefix,
+         CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'ok' END AS acct_status,
+         printf('Party %d', (c_custkey % 3) + 1) AS party,
+         1 AS vote
+         FROM customer""",
+
+    "o4_topk_per_group" ->
+      """SELECT event_id, event_type, value, rnk FROM (
+           SELECT event_id, event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id ASC) AS rnk
+           FROM events) WHERE rnk <= 3""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "s2_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts, value,
+                  sum(CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 21600
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS session_seq
+           FROM g)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end,
+                round(sum(value), 4) AS total_value
+         FROM s GROUP BY user_id, session_seq"""
   )
 }

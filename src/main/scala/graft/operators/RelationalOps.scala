@@ -123,4 +123,41 @@ object RelationalOps {
     */
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** O-4 — top-k PER GROUP (the per-group generalization of the
+    * dashboard argmax, `streamlit-app.py:96`). A window partitioned by
+    * the group key shuffles once on that key and ranks within each
+    * partition — unlike the unpartitioned O-1 window, this is
+    * scale-safe: state per task is bounded by the largest group, and
+    * groups spread across executors.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                   k: Int, rankAlias: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankAlias, row_number().over(w)).filter(col(rankAlias) <= k)
+  }
+
+  /** S-2 extension — gap-based sessionization: assign each row a
+    * per-user session sequence number that increments whenever the gap
+    * to the previous event exceeds `gapSec`. One shuffle on the user
+    * key; per-task state is one user's event list — the classic
+    * lag + running-sum formulation, identical to what
+    * `flatMapGroupsWithState` computes incrementally in
+    * [[graft.streaming.SessionPipeline]].
+    *
+    * `tiebreak` must make (ts, tiebreak) unique per user so the lag
+    * order (and therefore session numbering) is deterministic.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 tiebreak: Seq[Column], gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc +: tiebreak: _*)
+    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_ts").isNull ||
+             (unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev_ts"))) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("__new_sess")).over(w))
+      .drop("__prev_ts", "__new_sess")
+  }
 }

@@ -27,9 +27,98 @@ object SparkEntry {
   private val propsSchema = new StructType().add("k", IntegerType)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ textQueries
+    coreQueries ++ textQueries ++ dedupQueries
 
-  def oracleSql: Map[String, String] = coreOracle ++ textOracle
+  def oracleSql: Map[String, String] = coreOracle ++ textOracle ++ dedupOracle
+
+  /** Dedup extensions over `documents` (north star): exact normalized
+    * content dedup, MinHash+LSH near-dup candidates, SimHash
+    * fingerprints, exact n-gram Jaccard pairs. See
+    * [[graft.operators.DedupOps]] for the scale rationale.
+    */
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.operators.DedupOps._
+    Map(
+      "dd_exact" -> ((s, dir) =>
+        exactDedupSummary(Tables.documents(s, dir), "doc_id", "text")),
+      "dd_minhash_lsh" -> ((s, dir) =>
+        lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")),
+      "dd_simhash" -> ((s, dir) =>
+        spread(Tables.documents(s, dir))
+          .select(col("doc_id"), simhash(col("text")).as("simhash"))),
+      "dd_ngram_jaccard" -> ((s, dir) =>
+        ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5))
+    )
+  }
+
+  /** Shared DuckDB CTE fragments mirroring DedupOps's portable hash
+    * pipeline: tokens → shingles (whole-doc fallback under 3 tokens) →
+    * 28-bit md5-prefix hashes → 16 affine-permutation minima.
+    */
+  private val duckShingleCtes =
+    """t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+       sh AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                     ELSE [array_to_string(toks, ' ')] END AS shingles
+              FROM t),
+       hs AS (SELECT doc_id,
+                list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+              FROM sh),
+       sig AS (SELECT doc_id,
+                 list_transform(range(0, 16),
+                   j -> list_min(list_transform(hs,
+                          h -> ((1000003 + j*7919) * h + 12345 + j*104729) % 2147483647))) AS sig
+               FROM hs)"""
+
+  private def dedupOracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                        ' +', ' ', 'g'))) AS content_key,
+         min(doc_id) AS kept_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "dd_minhash_lsh" ->
+      s"""WITH $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, sig, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys)
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           round(CAST(list_sum(list_transform(range(1, 17),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16, 4)
+             AS sig_agree
+         FROM k2 a JOIN k2 b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+
+    "dd_simhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(toks, tk -> CAST('0x' || substr(md5(tk), 1, 7) AS BIGINT)) AS hs
+               FROM t)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 28),
+             b -> CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) > 0
+                       THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+         FROM h""",
+
+    "dd_ngram_jaccard" ->
+      s"""WITH $duckShingleCtes,
+         ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+         cnt AS (SELECT doc_id, len(sh) AS n FROM ds),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM ds),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT d1, d2, round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS jaccard
+         FROM common
+         JOIN cnt n1 ON d1 = n1.doc_id
+         JOIN cnt n2 ON d2 = n2.doc_id
+         WHERE round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) >= 0.5"""
+  )
 
   /** Text-analysis extensions over `documents` (north star): token
     * stats, quality scoring, language-ID heuristic, fingerprinting.

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{h7, tokens}
+
+/** Deduplication operators for the training-data-pipeline extensions
+  * (builder north star): exact content dedup, MinHash+LSH near-dup
+  * candidate generation, SimHash fingerprints, and exact n-gram
+  * Jaccard similarity.
+  *
+  * Scale design. Signatures (MinHash, SimHash) are per-row
+  * codegen'd higher-order-function expressions — no UDF, no shuffle;
+  * at 100 TB they ride the parquet scan. The only shuffles are the
+  * ones the algorithms require: LSH shuffles on (band, bandKey) — by
+  * construction a near-uniform key space — and n-gram Jaccard shuffles
+  * on the shingle. Pairwise work never touches the full cross product:
+  * LSH banding restricts comparisons to hash-bucket collisions, the
+  * standard MinHash/LSH scheme (Broder 1997; Leskovec et al., Mining
+  * of Massive Datasets ch. 3).
+  *
+  * Hashing is PORTABLE by construction (md5 prefix via
+  * [[graft.functions.TextFunctions.h7]], then explicit integer
+  * arithmetic), so a DuckDB oracle reproduces every signature
+  * bit-for-bit — near-dup detection stays hash-checkable rather than
+  * "trust me".
+  *
+  * The reference has only exact keyed dedup (the `votes` PK,
+  * `main.py:77`, re-expressed as [[RelationalOps.dedupFirst]]); this
+  * module generalizes it to content-level and near-duplicate dedup.
+  */
+object DedupOps {
+
+  /** Spread a small-file input across the cluster before heavy per-row
+    * compute. Parquet splits by file/row-group, so a table that is
+    * small in BYTES but expensive per ROW (signature pipelines are
+    * ~10^3 hash ops/doc) can land on one task and serialize the whole
+    * stage. If the scan already yields at least `defaultParallelism`
+    * splits — always true for a 100 TB table — this is the identity;
+    * the round-robin shuffle only triggers for under-split inputs,
+    * where it costs as little as the data is small.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Modulus for the MinHash permutation family: 2^31 - 1 (prime).
+    * With 28-bit input hashes and coefficients < 2^21 the products stay
+    * < 2^49 — exact in BIGINT on every engine, no overflow divergence.
+    */
+  val MinhashPrime = 2147483647L
+
+  /** j-th permutation coefficients: small odd constants, affinely
+    * spread so the 16 permutations are distinct but reproducible in
+    * plain SQL (`(a_j * h + b_j) mod p`).
+    */
+  def aCoef(j: Int): Long = 1000003L + j.toLong * 7919L
+  def bCoef(j: Int): Long = 12345L + j.toLong * 104729L
+
+  /** Let-binding for Column expressions: evaluate `arr` ONCE and refer
+    * to it via a lambda variable inside `f`. Without this, reusing a
+    * Scala `val` holding a Column COPIES the expression subtree into
+    * every use site — for an O(|text|) subexpression referenced per
+    * shingle that silently turns tokenization into O(tokens²) per row
+    * (observed 8× slowdown on the minhash pipeline). Expressions have
+    * no native let; a 1-element array + transform + element_at is the
+    * standard workaround and stays null-safe.
+    */
+  private def bindArray(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), a => f(a)), 1)
+
+  /** Word n-gram shingles ("w1 w2 w3" strings). Documents shorter than
+    * `n` tokens collapse to a single whole-document shingle, so empty
+    * and tiny docs still participate (and exact-duplicate tiny docs
+    * still collide). The token array is lambda-bound so each shingle's
+    * `element_at` is an O(1) index, not a re-tokenization.
+    */
+  def shingles(text: Column, n: Int = 3): Column = bindArray(tokens(text)) { toks =>
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*))
+    when(size(toks) >= n, grams).otherwise(array(array_join(toks, " ")))
+  }
+
+  /** MinHash signature: array of `numHashes` minima of affine
+    * permutations of the shingle hashes.
+    *
+    * Shape matters: higher-order functions evaluate interpreted (no
+    * whole-stage codegen), so the naive "one array_min per hash
+    * function" recomputes the md5 of every shingle `numHashes` times.
+    * Instead this folds the shingle-hash array ONCE, carrying a
+    * running array of `numHashes` minima — md5 evaluates once per
+    * shingle regardless of signature width.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 16, n: Int = 3): Column = {
+    val hs = transform(shingles(text, n), s => h7(s))
+    aggregate(
+      hs,
+      array_repeat(lit(MinhashPrime), numHashes),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until numHashes).map(j =>
+          (lit(aCoef(j)) * h + lit(bCoef(j))) % MinhashPrime): _*),
+        (m, p) => least(m, p)))
+  }
+
+  /** MinHash + LSH banding: near-duplicate CANDIDATE pairs plus the
+    * fraction of agreeing signature components (`sig_agree`, an
+    * unbiased estimate of Jaccard similarity).
+    *
+    * Plan shape: signature projection (no shuffle) → posexplode to
+    * `bands` rows per doc → shuffle on (band, bandKey) → equi-join →
+    * distinct. Only documents sharing an entire band key ever meet, so
+    * join fan-out is governed by the LSH collision probability
+    * (s^rowsPerBand per band), not |docs|^2. With the default 16
+    * hashes in 4 bands of 4, a pair at Jaccard s collides with
+    * probability 1-(1-s^4)^4 — steep around s≈0.5.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPer = numHashes / bands
+    val sigd = spread(docs).select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), numHashes, n).as("__sig"))
+    val bandKeys = array((0 until bands).map { b =>
+      array_join(transform(slice(col("__sig"), b * rowsPer + 1, rowsPer),
+        _.cast("string")), ",")
+    }: _*)
+    val banded = sigd.select(col("__id"), col("__sig"),
+      posexplode(bandKeys).as(Seq("__band", "__key")))
+    val agree = aggregate(
+      zip_with(col("a.__sig"), col("b.__sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    // The merge hint forces a sort-merge self-join: both sides then sit
+    // behind IDENTICAL shuffle subtrees, which ReuseExchange dedupes —
+    // signatures are computed once, not once per join side (a broadcast
+    // join would re-evaluate the whole signature pipeline for the
+    // broadcast copy).
+    banded.alias("a").hint("merge")
+      .join(banded.alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        round(agree.cast("double") / numHashes, 4).as("sig_agree"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint over whitespace tokens: bit b of the result
+    * is set iff the b-th bits of the token hashes, mapped to ±1, sum
+    * positive (Charikar 2002). 28 bits to match the portable hash
+    * width. Single fold over the token hashes carrying all 28 bit
+    * counters (same one-pass rationale as [[minhashSignature]]), with
+    * the bit-vector collapse in the aggregate's finish lambda.
+    */
+  def simhash(text: Column, bits: Int = 28): Column = {
+    val hs = transform(tokens(text), t => h7(t))
+    aggregate(
+      hs,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until bits).map(b => (shiftright(h, b) % 2L) * 2L - 1L): _*),
+        (c, d) => c + d),
+      acc => (0 until bits)
+        .map(b => when(element_at(acc, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair sharing ≥1
+    * shingle, thresholded. The inverted-index formulation: explode
+    * distinct shingles, self-equi-join on the shingle (the ONLY
+    * shuffle touches shingle keys), count common shingles per pair,
+    * then |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Skew note for 100 TB: a stop-shingle appearing in k docs fans out
+    * k² pairs. Production runs should drop shingles above a document-
+    * frequency cap first (they carry no discriminating signal); wire
+    * that as a `HAVING count(*) <= cap` on a DF pre-aggregation. Left
+    * out here so the oracle stays the textbook definition.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double, n: Int = 3): DataFrame = {
+    val sh = spread(docs).select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), n)).as("__sh"))
+    // Carry each doc's shingle-set size through the explode so the
+    // union size |A|+|B|-|A∩B| falls out of the pair aggregation —
+    // no extra joins back to a per-doc count table (which would
+    // re-evaluate the shingle pipeline once per join). The merge hint
+    // keeps the self-join sort-merge so both sides share one shuffle
+    // subtree via ReuseExchange.
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    ex.alias("a").hint("merge")
+      .join(ex.alias("b"), col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .agg(count(lit(1)).as("__c"), max(col("a.__n")).as("__n1"), max(col("b.__n")).as("__n2"))
+      .select(col("d1"), col("d2"),
+        round(col("__c").cast("double") /
+          (col("__n1") + col("__n2") - col("__c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Canonical text form for exact dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact (normalized) content dedup summary: one row per distinct
+    * normalized content, the kept (minimum) id, and the duplicate
+    * count. groupBy on the content hash — map-side partial aggregation
+    * bounds the shuffle by |distinct contents|.
+    */
+  def exactDedupSummary(docs: DataFrame, idCol: String, contentCol: String): DataFrame =
+    docs.groupBy(md5(normalizeText(col(contentCol))).as("content_key"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+}

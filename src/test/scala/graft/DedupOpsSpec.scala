@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps._
+
+class DedupOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and scale"),
+    (4L, "The quick, brown fox jumps over the lazy dog!"), // 1 up to case/punct
+    (5L, "hi")                                             // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("shingles are word 3-grams with whole-doc fallback for short texts") {
+    val out = corpus.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).head === "the quick brown")
+    assert(out(1L).length === 7) // 9 tokens -> 7 shingles
+    assert(out(5L) === Seq("hi"))
+  }
+
+  test("minhash signatures: equal docs agree fully, near-dups mostly, distinct docs differ") {
+    val sig = corpus.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L).length === 16)
+    assert(sig.values.forall(_.forall(v => v >= 0 && v < MinhashPrime)))
+    def agree(a: Seq[Long], b: Seq[Long]): Int = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sig(1L), sig(1L)) === 16)
+    // docs 1 and 2 share 6 of 8 distinct shingles; expect most components equal
+    assert(agree(sig(1L), sig(2L)) >= 8)
+    assert(agree(sig(1L), sig(3L)) <= 4)
+  }
+
+  test("lshCandidatePairs surfaces the near-dup pair and skips unrelated docs") {
+    val pairs = lshCandidatePairs(corpus, "doc_id", "text")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated docs are not") {
+    val sh = corpus.select(col("doc_id"), simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 28)))
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    // empty text hashes to 0 deterministically
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+      .select(simhash(col("text"))).as[Long].head()
+    assert(empty === 0L)
+  }
+
+  test("ngramJaccardPairs computes the textbook set Jaccard") {
+    val pairs = ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.1)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // docs 1,2: 7 shingles each, 6 common -> 6 / (7+7-6) = 0.75
+    assert(pairs((1L, 2L)) === 0.75)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("exactDedupSummary collapses case/punctuation variants, keeps min id") {
+    val out = exactDedupSummary(corpus, "doc_id", "text")
+      .select("kept_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L))) // docs 1 and 4 normalize identically
+    assert(out.count(_ => true) === 4)
+  }
+
+  test("signature computation stays shuffle-free (scan-side expressions only)") {
+    val plan = corpus.select(minhashSignature(col("text")), simhash(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}

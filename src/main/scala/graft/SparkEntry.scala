@@ -27,9 +27,82 @@ object SparkEntry {
   private val propsSchema = new StructType().add("k", IntegerType)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ textQueries ++ dedupQueries
+    coreQueries ++ textQueries ++ dedupQueries ++ simQueries
 
-  def oracleSql: Map[String, String] = coreOracle ++ textOracle ++ dedupOracle
+  def oracleSql: Map[String, String] = coreOracle ++ textOracle ++ dedupOracle ++ simOracle
+
+  /** Similarity-search extensions over `embeddings` (north star):
+    * brute-force cosine pairs and top-k (correctness baseline), and
+    * the LSH-bucketed ANN scale path. Even the approximate operator is
+    * exactly oracle-checked: hyperplanes derive from md5 so DuckDB
+    * reproduces the same buckets. See [[graft.operators.VectorOps]].
+    */
+  private def simQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.operators.VectorOps._
+    Map(
+      "sim_cosine_pairs" -> ((s, dir) =>
+        cosinePairsBruteForce(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)),
+      "sim_topk" -> ((s, dir) =>
+        topKNeighbors(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, k = 10)),
+      "sim_ann_lsh" -> ((s, dir) =>
+        annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4))
+    )
+  }
+
+  /** DuckDB fragments mirroring VectorOps's double-precision,
+    * index-ordered vector arithmetic. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def duckPlaneDot(t: Int, b: Int): String =
+    s"""list_sum(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) *
+             (CASE WHEN CAST('0x' || substr(md5('${t}_${b}_' || CAST(i - 1 AS VARCHAR)), 1, 7)
+                        AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END)))"""
+
+  private def simOracle: Map[String, String] = {
+    val pairCos = s"round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)"
+    val buckets = (0 until 4).map { t =>
+      (0 until 4).map { b =>
+        s"(CASE WHEN ${duckPlaneDot(t, b)} >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+    }.mkString("[", ", ", "]")
+    Map(
+      "sim_cosine_pairs" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)
+           SELECT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM p a JOIN p b ON a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.45""",
+
+      "sim_topk" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm FROM p
+                 WHERE vec_id % 100 = 0),
+           s AS (SELECT qid, vec_id,
+                   round(${duckDot("qe", "embedding")} / (qnrm * nrm), 6) AS cosine
+                 FROM q, p WHERE vec_id <> qid)
+           SELECT qid, vec_id, cosine, rnk FROM (
+             SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+             FROM s) WHERE rnk <= 10""",
+
+      "sim_ann_lsh" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM embeddings),
+           e AS (SELECT vec_id, embedding, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM e a JOIN e b
+             ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.4"""
+    )
+  }
 
   /** Dedup extensions over `documents` (north star): exact normalized
     * content dedup, MinHash+LSH near-dup candidates, SimHash

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expression: double-precision dot product over two
+  * array<float>/array<double> columns.
+  *
+  * Why a native expression instead of `zip_with` + `aggregate`:
+  * higher-order functions evaluate INTERPRETED — per-element lambda
+  * dispatch and boxing. A brute-force similarity pass does
+  * |pairs| × dim multiply-adds (128M at just 2k × 2k × 64), which is
+  * pure arithmetic and belongs in generated code. This expression
+  * emits a tight primitive loop via `doGenCode` (and a matching
+  * interpreted `nullSafeEval` fallback), keeping vector similarity
+  * inside whole-stage codegen — the preference order is built-in
+  * functions > native codegen Expression > UDF.
+  *
+  * Semantics (chosen to be oracle-reproducible): elements are widened
+  * to double BEFORE multiply; products accumulate left-to-right in
+  * index order (bitwise-identical to DuckDB's
+  * `list_sum(list_transform(...))` over the same values); null
+  * elements contribute 0, matching SQL `list_sum`'s null-skipping;
+  * length mismatch truncates to the shorter array.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isNumericArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumericArray(left.dataType) && isNumericArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires array<float>/array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        sum += xv * yv
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(arr: String, t: DataType): String = t match {
+      case FloatType => s"(double) $arr.getFloat(i)"
+      case _         => s"$arr.getDouble(i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    $sum += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{h7, tokens}
+import graft.operators.RelationalOps.spread
 
 /** Deduplication operators for the training-data-pipeline extensions
   * (builder north star): exact content dedup, MinHash+LSH near-dup
@@ -31,20 +32,6 @@ import graft.functions.TextFunctions.{h7, tokens}
   * module generalizes it to content-level and near-duplicate dedup.
   */
 object DedupOps {
-
-  /** Spread a small-file input across the cluster before heavy per-row
-    * compute. Parquet splits by file/row-group, so a table that is
-    * small in BYTES but expensive per ROW (signature pipelines are
-    * ~10^3 hash ops/doc) can land on one task and serialize the whole
-    * stage. If the scan already yields at least `defaultParallelism`
-    * splits — always true for a 100 TB table — this is the identity;
-    * the round-robin shuffle only triggers for under-split inputs,
-    * where it costs as little as the data is small.
-    */
-  def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
 
   /** Modulus for the MinHash permutation family: 2^31 - 1 (prime).
     * With 28-bit input hashes and coefficients < 2^21 the products stay

@@ -18,6 +18,21 @@ import org.apache.spark.sql.types.StructType
   */
 object RelationalOps {
 
+  /** Spread a small-file input across the cluster before heavy per-row
+    * compute. Parquet splits by file/row-group, so a table that is
+    * small in BYTES but expensive per ROW (signature pipelines are
+    * ~10^3 hash ops/doc) can land on one task and serialize the whole
+    * stage. If the scan already yields at least `defaultParallelism`
+    * splits — always true for a 100 TB table — this is the identity;
+    * the round-robin shuffle only triggers for under-split inputs,
+    * where it costs as little as the data is small.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+
   /** P-1..P-3 — JSON decode + struct flatten.
     * Reference: `spark_stream.py:50–52` (`CAST(value AS STRING)` →
     * `from_json(value, schema)` → `select("data.*")`). Catalyst fuses

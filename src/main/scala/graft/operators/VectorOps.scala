@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over an embedding column
+  * (`array<float>`), for the training-data-pipeline extensions:
+  * brute-force cosine pairs / top-k (the correctness baseline) and a
+  * random-hyperplane LSH-bucketed variant (the 100 TB scale path).
+  *
+  * All vector arithmetic goes through the native codegen'd
+  * [[graft.functions.DotProductD]] (`graft_dot`), registered by
+  * [[graft.GraftExtensions]] — interpreted higher-order functions
+  * would put ~100 ns of lambda dispatch on every multiply-add.
+  *
+  * Determinism contract: hyperplanes derive from md5 (same
+  * [[planeSign]] arithmetic is reproducible in the DuckDB oracle),
+  * sums accumulate in index order, cosines are rounded before
+  * thresholding/ranking — so even the APPROXIMATE operator is
+  * bit-for-bit checkable.
+  */
+object VectorOps {
+
+  /** Double-precision dot product (native codegen expression). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Project id/vector/precomputed-norm. Norms are computed ONCE per
+    * row here; recomputing inside a pair comparison would double the
+    * flops of every join below.
+    */
+  private def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    RelationalOps.spread(vecs).select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__nrm"))
+
+  /** Exact cosine near-dup pairs by brute force: O(n²) pair loop via a
+    * broadcast nested-loop self-join. This is the CORRECTNESS BASELINE
+    * and the right choice only when one side fits in memory (e.g.
+    * probing a corpus against a small query set). For corpus-scale
+    * near-dup at 100 TB use [[annCosinePairs]] — same output contract,
+    * LSH-bounded work.
+    */
+  def cosinePairsBruteForce(vecs: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    p.alias("a")
+      .join(p.alias("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (queries =
+    * rows matching `queryPred`). The query set broadcasts; the corpus
+    * streams past it — one scan of the corpus, no corpus self-join,
+    * per-group top-k via a partitioned rank window. Scales with
+    * |corpus| × |queries|; for huge query sets, batch the queries or
+    * move to the LSH path.
+    */
+  def topKNeighbors(vecs: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val q = vecs.filter(queryPred)
+    val qn = withNorm(q, idCol, vecCol)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__nrm").as("__qnrm"))
+    val scored = p.crossJoin(broadcast(qn))
+      .filter(col("__id") =!= col("__qid"))
+      .select(col("__qid").as("qid"), col("__id").as("vec_id"),
+        round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")), 6).as("cosine"))
+    RelationalOps.topKPerGroup(scored, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
+  }
+
+  /** Deterministic ±1 hyperplane component for (table, bit, dim):
+    * parity of the 28-bit md5 prefix of "t_b_i" — the exact integer a
+    * SQL oracle recovers with
+    * `CAST('0x' || substr(md5(...), 1, 7) AS BIGINT) % 2`.
+    */
+  def planeSign(table: Int, bit: Int, dim: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"${table}_${bit}_$dim".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 2 == 1) 1.0 else -1.0
+  }
+
+  /** ANN cosine pairs — the scale path. Random-hyperplane LSH
+    * (Charikar 2002): `tables` independent hash tables, each keying on
+    * `bitsPerTable` sign bits of hyperplane projections; vectors
+    * meeting in any table's bucket become candidates, then exact
+    * cosine filters. Two vectors at angle θ share one table's bucket
+    * with probability (1-θ/π)^bitsPerTable, so recall is tuned by
+    * (tables, bitsPerTable) — work stays |buckets| × bucket² instead
+    * of n².
+    *
+    * Plan shape: per-row projections (codegen, no shuffle) →
+    * posexplode to `tables` rows → shuffle on (table, bucket) →
+    * sort-merge self-join (merge hint ⇒ ReuseExchange computes the
+    * projection pipeline once) → exact-cosine filter → distinct.
+    */
+  def annCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
+                     dim: Int = 64): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val buckets = array((0 until tables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        val plane = typedlit((0 until dim).map(i => planeSign(t, b, i)))
+        when(dot(col("__v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+      }.reduce(concat(_, _))
+    }: _*)
+    val banded = p.select(col("__id"), col("__v"), col("__nrm"),
+      posexplode(buckets).as(Seq("__tbl", "__bucket")))
+    banded.alias("a").hint("merge")
+      .join(banded.alias("b"),
+        col("a.__tbl") === col("b.__tbl") && col("a.__bucket") === col("b.__bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

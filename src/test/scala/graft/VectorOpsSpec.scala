@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps._
+
+class VectorOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4-dim toy corpus: 1≈2 (near-dup), 3 orthogonal-ish, 4 antipodal to 1
+  private def corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.1f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, -0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("graft_dot computes the double-precision dot product over float arrays") {
+    val d = corpus.filter($"vec_id" === 1L)
+      .select(dot(col("embedding"), col("embedding"))).as[Double].head()
+    assert(math.abs(d - (1.0 + 0.1f.toDouble * 0.1f.toDouble)) < 1e-12)
+    // also resolvable from SQL text via the extension-registered name
+    val viaSql = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .as[Double].head()
+    assert(viaSql === 11.0)
+  }
+
+  test("graft_dot stays inside whole-stage codegen") {
+    // parquet-backed input: a local relation would constant-fold away
+    val plan = Tables.embeddings(spark, sfDir)
+      .select(dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the tree dump
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+  }
+
+  test("cosinePairsBruteForce finds the near-dup pair and respects the threshold") {
+    val pairs = cosinePairsBruteForce(corpus, "vec_id", "embedding", 0.9)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("topKNeighbors ranks by cosine with deterministic tiebreak and excludes self") {
+    val out = topKNeighbors(corpus, "vec_id", "embedding", col("vec_id") === 1L, k = 3)
+      .orderBy("rnk").select("vec_id", "rnk").as[(Long, Int)].collect()
+    assert(out.map(_._1).toSeq === Seq(2L, 3L, 4L)) // by descending cosine
+    assert(out.map(_._2).toSeq === Seq(1, 2, 3))
+  }
+
+  test("planeSign is deterministic ±1") {
+    val s = (0 until 8).map(i => planeSign(0, 0, i))
+    assert(s === (0 until 8).map(i => planeSign(0, 0, i))) // stable
+    assert(s.forall(v => v == 1.0 || v == -1.0))
+    assert((0 until 4).flatMap(t => (0 until 4).map(b => planeSign(t, b, 0))).distinct.size == 2)
+  }
+
+  test("annCosinePairs returns a subset of brute-force pairs with exact cosines") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val brute = cosinePairsBruteForce(vecs, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    val ann = annCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(ann.nonEmpty, "LSH should recover at least one true pair at sf0.001")
+    assert(ann.keySet.subsetOf(brute.keySet), "ANN candidates must be true pairs")
+    ann.foreach { case (k, c) => assert(c === brute(k)) }
+  }
+
+  private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+}

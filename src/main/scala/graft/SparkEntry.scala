@@ -27,9 +27,65 @@ object SparkEntry {
   private val propsSchema = new StructType().add("k", IntegerType)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ textQueries ++ dedupQueries ++ simQueries
+    coreQueries ++ textQueries ++ dedupQueries ++ simQueries ++ multimodalQueries
 
-  def oracleSql: Map[String, String] = coreOracle ++ textOracle ++ dedupOracle ++ simOracle
+  def oracleSql: Map[String, String] =
+    coreOracle ++ textOracle ++ dedupOracle ++ simOracle ++ multimodalOracle
+
+  /** Multimodal-column extensions: binary assets + typed metadata with
+    * a stubbed (deterministic, md5-derived) decode — the Spark
+    * plumbing (binary columns, per-partition decoder amortization,
+    * narrow typed transforms, frame fan-out) is real and oracle-
+    * checked; only the codec math is fake. See
+    * [[graft.multimodal.MultimodalOps]].
+    */
+  private def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.multimodal._
+    Map(
+      "mm_decode_features" -> ((s, dir) => {
+        import s.implicits._
+        MultimodalOps.decodeFeatures(
+          MultimodalOps.documentsAsAssets(Tables.documents(s, dir)).as[RawAsset]
+        ).toDF()
+      }),
+      "mm_frame_sample" -> ((s, dir) => {
+        import s.implicits._
+        MultimodalOps.sampleFrames(
+          MultimodalOps.documentsAsAssets(Tables.documents(s, dir)).as[RawAsset]
+        ).toDF()
+      })
+    )
+  }
+
+  private def multimodalOracle: Map[String, String] = Map(
+    // md5(VARCHAR) hashes the UTF-8 bytes — identical to the stub's
+    // digest of CAST(text AS BINARY); octet_length(encode(...)) is the
+    // byte length of the same payload.
+    "mm_decode_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+                      octet_length(encode(text)) AS n_bytes,
+                      CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS h
+                    FROM documents)
+         SELECT asset_id, n_bytes,
+                16 + h % 1024 AS width,
+                16 + (h // 1024) % 1024 AS height,
+                1 + (h // 1048576) % 4 AS channels,
+                h AS feature_hash
+         FROM a""",
+
+    "mm_frame_sample" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+                      octet_length(encode(text)) AS n_bytes,
+                      CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS h
+                    FROM documents),
+         f AS (SELECT asset_id, n_bytes, h, 1 + h % 8 AS n_frames FROM a),
+         u AS (SELECT asset_id, n_bytes, h, n_frames,
+                      unnest(range(0, n_frames)) AS frame_idx FROM f)
+         SELECT asset_id, frame_idx,
+                frame_idx * (n_bytes // n_frames) AS byte_offset,
+                (h * 31 + frame_idx) % 2147483647 AS frame_hash
+         FROM u"""
+  )
 
   /** Similarity-search extensions over `embeddings` (north star):
     * brute-force cosine pairs and top-k (correctness baseline), and

@@ -471,6 +471,64 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- Set operations: UNION / INTERSECT / EXCEPT over per-type
+    //      user sets. Each plans as aggregate-on-key after shuffle —
+    //      same scale shape as a distinct groupBy. ----
+    "set_union" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .union(e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .distinct()
+    }),
+    "set_intersect" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+    }),
+    "set_except" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+    }),
+
+    // ---- G-7: exact distinct aggregation (two-phase: expand + partial
+    //      dedup per partition before the final shuffle) ----
+    "g7_distinct_users" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"))
+    }),
+
+    // ---- G-8: approximate distinct (HyperLogLog++). Estimates are
+    //      engine-specific, so no SQL oracle — the driver records the
+    //      weaker rows-only check; the error bound vs exact is pinned
+    //      in RelationalOpsSpec instead. At 100 TB this is THE way to
+    //      count distincts: fixed-size sketch, single shuffle of
+    //      sketches, no expand. ----
+    "g8_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+    }),
+
+    // ---- G-9: hierarchical rollup (event_type × day → type → grand
+    //      total) — one pass, Expand feeds the same hash aggregate ----
+    "g9_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .rollup(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    }),
+
+    // ---- W-1: framed analytic window — 3-event moving average per
+    //      user (partitioned by user: one shuffle, bounded task state) ----
+    "w1_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, 0)
+      Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts"),
+        round(avg(col("value")).over(w), 4).as("mavg3"))
+    }),
+
     // ---- S-2 extension: gap-based sessionization (6h gap), rolled up ----
     "s2_sessionize" -> ((s, dir) => {
       sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -586,6 +644,37 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "set_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+
+    "g7_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+
+    "g9_rollup" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+         count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY ROLLUP (event_type, date_trunc('day', ts))""",
+
+    "w1_moving_avg" ->
+      """SELECT user_id, event_id, ts,
+         round(avg(value) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+         FROM events""",
 
     "s2_sessionize" ->
       """WITH g AS (

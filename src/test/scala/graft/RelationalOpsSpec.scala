@@ -72,4 +72,25 @@ class RelationalOpsSpec extends SparkTestBase {
     val plan = run("q1_pricing_summary").queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
   }
+
+  test("g8 approx distinct stays within the configured 2% rsd of exact") {
+    val approx = run("g8_approx_distinct").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_approx")).toMap
+    val exact = run("g7_distinct_users").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k).toDouble - ex) / ex
+      assert(err < 0.06, s"$k: approx=${approx(k)} exact=$ex err=$err (3x rsd bound)")
+    }
+  }
+
+  test("set operations match ground-truth user sets") {
+    def users(t: String): Set[Long] = Tables.events(spark, sfDir)
+      .filter(col("event_type") === t).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    val (c, p) = (users("click"), users("purchase"))
+    assert(run("set_union").count() == (c union p).size)
+    assert(run("set_intersect").count() == (c intersect p).size)
+    assert(run("set_except").count() == (c diff p).size)
+  }
 }

@@ -27,10 +27,63 @@ object SparkEntry {
   private val propsSchema = new StructType().add("k", IntegerType)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ textQueries ++ dedupQueries ++ simQueries ++ multimodalQueries
+    coreQueries ++ textQueries ++ dedupQueries ++ simQueries ++
+      multimodalQueries ++ corpusQueries
 
   def oracleSql: Map[String, String] =
-    coreOracle ++ textOracle ++ dedupOracle ++ simOracle ++ multimodalOracle
+    coreOracle ++ textOracle ++ dedupOracle ++ simOracle ++
+      multimodalOracle ++ corpusOracle
+
+  /** Corpus curation extensions: deterministic hash sampling, per-class
+    * caps, vocabulary, TF-IDF. See [[graft.operators.CorpusOps]].
+    */
+  private def corpusQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.operators.CorpusOps._
+    Map(
+      "samp_hash_mod" -> ((s, dir) =>
+        hashModSample(Tables.documents(s, dir), col("doc_id"), pct = 10)
+          .select(col("doc_id"), col("lang"), col("n_chars"))),
+      "samp_per_class_cap" -> ((s, dir) =>
+        perClassCap(Tables.documents(s, dir), "lang", col("doc_id"), cap = 20)
+          .select(col("doc_id"), col("lang"), col("rnk"))),
+      "txt_vocab_topk" -> ((s, dir) =>
+        vocabTopK(Tables.documents(s, dir), "text", k = 50)),
+      "txt_tfidf" -> ((s, dir) =>
+        tfIdf(Tables.documents(s, dir), "doc_id", "text"))
+    )
+  }
+
+  private def corpusOracle: Map[String, String] = Map(
+    "samp_hash_mod" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 10""",
+
+    "samp_per_class_cap" ->
+      """SELECT doc_id, lang, rnk FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) ASC,
+                             doc_id ASC) AS rnk
+           FROM documents) WHERE rnk <= 20""",
+
+    "txt_vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+
+    "txt_tfidf" ->
+      """WITH ex AS (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                     FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         idf AS (SELECT term, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, tf.term AS term, tf,
+                round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n"""
+  )
 
   /** Multimodal-column extensions: binary assets + typed metadata with
     * a stubbed (deterministic, md5-derived) decode — the Spark

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{h7, tokens}
+
+/** Corpus-level text operators (multi-document aggregation) and
+  * deterministic sampling — the curation half of a training-data
+  * pipeline. Sampling here is HASH-BASED, never `rand()`: a sample
+  * defined by `h(key) mod 100 < pct` is reproducible across runs,
+  * engines, and retries (and therefore oracle-checkable), which is
+  * what production data curation needs — re-running the pipeline must
+  * not re-roll the dice.
+  */
+object CorpusOps {
+
+  /** Deterministic p% sample: keep rows whose 28-bit md5 key-hash
+    * falls in [0, pct) mod 100. Embarrassingly parallel filter at the
+    * scan — no shuffle, no RNG state, stable under retries/replays.
+    */
+  def hashModSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame =
+    df.filter(pmod(h7(keyCol.cast("string")), lit(100)) < pct)
+
+  /** Per-class cap: keep at most `cap` rows per class, chosen in
+    * deterministic hash order (NOT "first seen" — that depends on
+    * partition layout). One shuffle on the class key; per-task state
+    * bounded by the largest class. The standard tool for balancing
+    * skewed class distributions in a training set.
+    */
+  def perClassCap(df: DataFrame, classCol: String, keyCol: Column, cap: Int,
+                  rankAlias: String = "rnk"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(h7(keyCol.cast("string")).asc, keyCol.asc)
+    df.withColumn(rankAlias, row_number().over(w)).filter(col(rankAlias) <= cap)
+  }
+
+  /** Global top-k vocabulary by token frequency. Explode → partial
+    * count per partition (map-side combine bounds the shuffle by
+    * |vocab| per partition, not |tokens|) → final count → bounded
+    * top-k (TakeOrderedAndProject, no global sort).
+    */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** TF-IDF weights per (doc, term): tf × ln(N / df). Two aggregations
+    * (doc-term tf, term df) over one exploded projection plus a
+    * broadcast scalar for N — shuffles only on term keys. Weights are
+    * the classic relevance/quality signal for corpus filtering.
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = RelationalOps.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = ex.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{CorpusOps, RelationalOps}
+
+/** Property-based checks (SURVEY.md §5.3) over ScalaCheck-generated
+  * relations with FIXED seeds — deterministic in CI, still exercising
+  * arbitrary shapes (dup-heavy keys, empty groups, ties).
+  */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val eventGen: Gen[List[(Long, String, Long, Long)]] =
+    Gen.listOfN(300, for {
+      user <- Gen.choose(0L, 20L)
+      typ <- Gen.oneOf("a", "b", "c")
+      value <- Gen.choose(-1000L, 1000L)
+      ts <- Gen.choose(1000L, 100000L)
+    } yield (user, typ, value, ts))
+
+  private def events(seed: Long) = {
+    val rows = sample(eventGen, seed).zipWithIndex
+      .map { case ((u, t, v, ts), i) => (i.toLong, u, t, v, ts) }
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts_sec")
+  }
+
+  test("sum of per-group sums equals the global sum (exact, integer values)") {
+    for (seed <- 1L to 3L) {
+      val df = events(seed)
+      val grouped = RelationalOps.groupedSum(df, Seq("event_type"), "value", "s")
+        .agg(sum("s")).as[Long].head()
+      val global = df.agg(sum("value")).as[Long].head()
+      assert(grouped === global, s"seed=$seed")
+    }
+  }
+
+  test("dedupFirst is idempotent, keyed-unique, and a subset of its input") {
+    for (seed <- 4L to 6L) {
+      val df = events(seed)
+      val once = RelationalOps.dedupFirst(df, Seq("user_id", "event_type"),
+        Seq(col("ts_sec").asc, col("event_id").asc))
+      val twice = RelationalOps.dedupFirst(once, Seq("user_id", "event_type"),
+        Seq(col("ts_sec").asc, col("event_id").asc))
+      assert(once.count() === twice.count(), s"seed=$seed idempotence")
+      assert(once.select("user_id", "event_type").distinct().count() === once.count())
+      assert(once.join(df, Seq("event_id"), "left_anti").isEmpty)
+    }
+  }
+
+  test("pagination partitions the top of the sorted relation") {
+    for (seed <- 7L to 9L) {
+      val df = events(seed)
+      val order = Seq(col("value").desc, col("event_id").asc)
+      val pages = (1 to 3).map(p =>
+        RelationalOps.paginate(df, order, page = p, size = 20)
+          .select("event_id").as[Long].collect().toSeq)
+      assert(pages.flatten.distinct.size === pages.map(_.size).sum, s"seed=$seed disjoint")
+      val top = RelationalOps.topK(df, order, 60).select("event_id").as[Long].collect().toSeq
+      assert(pages.flatten === top, s"seed=$seed pages concat == top-60 in order")
+    }
+  }
+
+  test("sessionize preserves rows and numbers sessions contiguously per user") {
+    for (seed <- 10L to 12L) {
+      val df = events(seed).withColumn("ts", timestamp_seconds(col("ts_sec")))
+      val sess = RelationalOps.sessionize(df, "user_id", "ts",
+        Seq(col("event_id").asc), gapSec = 5000L)
+      assert(sess.count() === df.count(), s"seed=$seed row preservation")
+      val bad = sess.groupBy("user_id")
+        .agg(max("session_seq").as("mx"), count_distinct(col("session_seq")).as("d"))
+        .filter(col("mx") =!= col("d"))
+      assert(bad.isEmpty, s"seed=$seed session_seq must be 1..k with no holes")
+    }
+  }
+
+  test("hashModSample is monotone in pct and exact at the extremes") {
+    val df = events(13L)
+    def ids(pct: Int) = CorpusOps.hashModSample(df, col("event_id"), pct)
+      .select("event_id").as[Long].collect().toSet
+    assert(ids(0).isEmpty)
+    assert(ids(100).size === df.count())
+    val (s20, s50) = (ids(20), ids(50))
+    assert(s20.subsetOf(s50), "raising pct only adds rows — stable sample membership")
+  }
+}

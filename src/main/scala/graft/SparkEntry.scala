@@ -582,6 +582,36 @@ object SparkEntry {
         round(avg(col("value")).over(w), 4).as("mavg3"))
     }),
 
+    // ---- J-2: as-of join — each purchase picks up the most recent
+    //      prior error event_id for the same user (composed from
+    //      union + ignore-nulls window; no native Spark asof) ----
+    "j2_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      asofJoin(
+        left = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        right = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        keyCol = "user_id", tsCol = "ts", valueCol = "event_id",
+        alias = "last_err", tiebreak = Seq(col("event_id").asc))
+    }),
+
+    // ---- G-1 under skew: salted two-stage aggregation, identical
+    //      results to the direct groupBy (oracle is the plain SQL) ----
+    "g1_salted_skew" -> ((s, dir) => {
+      groupedSumSalted(Tables.events(s, dir), Seq("event_type"), "value",
+        "total_value", saltSource = col("event_id"), buckets = 16)
+        .select(col("event_type"), round(col("total_value"), 4).as("total_value"),
+          col("total_value_n").as("total_votes"))
+    }),
+
+    // ---- G-10: exact interpolated percentiles per group ----
+    "g10_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"))
+    }),
+
     // ---- S-2 extension: gap-based sessionization (6h gap), rolled up ----
     "s2_sessionize" -> ((s, dir) => {
       sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -728,6 +758,32 @@ object SparkEntry {
                                 ORDER BY ts ASC, event_id ASC
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
          FROM events""",
+
+    "j2_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value,
+                      CAST(NULL AS BIGINT) AS le, 1 AS src
+                    FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS value,
+                 event_id AS le, 0 AS src
+               FROM events WHERE event_type = 'error'),
+         u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+         c AS (SELECT user_id, ts, event_id, value, src,
+                 last_value(le IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, src ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err
+               FROM u)
+         SELECT user_id, ts, event_id, value, last_err FROM c WHERE src = 1""",
+
+    "g1_salted_skew" ->
+      """SELECT event_type, round(sum(value), 4) AS total_value, count(*) AS total_votes
+         FROM events GROUP BY event_type""",
+
+    "g10_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90
+         FROM events GROUP BY event_type""",
 
     "s2_sessionize" ->
       """WITH g AS (

@@ -152,6 +152,49 @@ object RelationalOps {
     df.withColumn(rankAlias, row_number().over(w)).filter(col(rankAlias) <= k)
   }
 
+  /** J-2 extension — AS-OF JOIN, an operator Spark has no native node
+    * for, composed from existing ops (preference order: composition
+    * before custom plans). For each left row, attach the most recent
+    * right-side `valueCol` with `right.ts <= left.ts` for the same
+    * key: union the tagged sides, then carry the last non-null value
+    * forward with an ignore-nulls window running (unbounded, current].
+    *
+    * One shuffle on the key — same cost as the sort-merge join an
+    * engine-native as-of would do. Right rows order BEFORE left rows
+    * at equal timestamps (ties are "inclusive"); `tiebreak` must make
+    * the total order deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, alias: String, tiebreak: Seq[Column]): DataFrame = {
+    val l = left.withColumn("__src", lit(1))
+    val r = right.select(col(keyCol), col(tsCol), col(valueCol).as(alias))
+      .withColumn("__src", lit(0))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc +: col("__src").asc +: tiebreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(alias, last(col(alias), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .drop("__src")
+  }
+
+  /** G-1 under skew — salted two-stage aggregation. A single hot key
+    * at 100 TB turns groupBy into one straggler task; salting splits
+    * each key into `buckets` deterministic sub-keys (hash of
+    * `saltSource`, NOT rand(): retries must re-produce the same
+    * partials), partially aggregates, then merges. Results are
+    * identical to the direct groupBy; only the shuffle skew changes.
+    * AQE's skew handling covers joins, but aggregation salting still
+    * has to be expressed in the plan.
+    */
+  def groupedSumSalted(df: DataFrame, keys: Seq[String], valueCol: String,
+                       alias: String, saltSource: Column, buckets: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(alias), sum(col("__n")).as(s"${alias}_n"))
+
   /** S-2 extension — gap-based sessionization: assign each row a
     * per-user session sequence number that increments whenever the gap
     * to the previous event exceeds `gapSec`. One shuffle on the user

@@ -70,6 +70,18 @@ object VotePipeline {
       .count()
       .withColumnRenamed("count", "total_voters")
 
+  /** S-1 WINDOWED variant — tumbling 1-hour event-time windows in
+    * APPEND mode: unlike the reference's inert watermark on the
+    * unwindowed aggs, here the watermark does real work — a window
+    * emits exactly once, after the watermark passes its end, and its
+    * state is evicted. This is the shape whose state stays bounded at
+    * 100 TB regardless of key cardinality over time.
+    */
+  def hourlyVotesPerType(parsed: DataFrame): DataFrame =
+    parsed.groupBy(window(col("voting_time"), "1 hour"), col("candidate_id"))
+      .agg(count(lit(1)).as("n_votes"))
+      .select(col("window.start").as("window_start"), col("candidate_id"), col("n_votes"))
+
   /** S-6 — one vote per (voter, candidate), the reference's PK-as-dedup
     * (`main.py:77`, `voting.py:78–96`). Within-watermark variant keeps
     * state bounded at scale; duplicates later than the lateness bound

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.RelationalOps
+
 /** Semantics checks for the parity operators (SURVEY.md §2) beyond the
   * driver's DuckDB oracle: invariants, not just row hashes.
   */
@@ -92,5 +94,20 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(run("set_union").count() == (c union p).size)
     assert(run("set_intersect").count() == (c intersect p).size)
     assert(run("set_except").count() == (c diff p).size)
+  }
+
+  test("asofJoin picks the latest right value at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 90L, 900L), (1L, 200L, 901L), (1L, 300L, 902L))
+      .toDF("k", "ts", "rid")
+    val out = RelationalOps.asofJoin(left, right, "k", "ts", "rid", "last_rid",
+        Seq(col("lid").asc))
+      .select("lid", "last_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out(10L) === Some(900L), "90 <= 100: most recent prior")
+    assert(out(11L) === Some(901L), "equal ts is inclusive, 300 is future")
+    assert(out(12L) === None, "no right row at or before -> null")
   }
 }

@@ -96,4 +96,26 @@ class VotePipelineSpec extends SparkTestBase {
       .agg(sum("n")).head.getLong(0)
     assert(total == 11, s"late row must be included (got $total)")
   }
+
+  test("windowed agg in append mode evicts state: a window emits once, after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val cands = VoteGenerator.candidates()
+    val rng = new scala.util.Random(11)
+    val q = VotePipeline.hourlyVotesPerType(VotePipeline.parse(ms.toDF()))
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    // 10 votes inside hour H (t ~ 5000s), nothing emitted until the
+    // watermark passes H's end
+    ms.addData((0 until 10).map(i =>
+      VoteGenerator.voteJson(i, rng, cands, tsOffsetSec = Some(5000L))))
+    q.processAllAvailable()
+    assert(spark.table("hourly").count() == 0,
+      "append mode must hold the window open until the watermark passes")
+    // an event 2 hours later closes hour H
+    ms.addData(Seq(VoteGenerator.voteJson(50, rng, cands, tsOffsetSec = Some(12200L))))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hourly")
+    assert(rows.agg(sum("n_votes")).head.getLong(0) == 10,
+      "exactly the closed hour's votes emit, once")
+  }
 }

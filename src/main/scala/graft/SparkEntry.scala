@@ -582,6 +582,76 @@ object SparkEntry {
         round(avg(col("value")).over(w), 4).as("mavg3"))
     }),
 
+    // ---- J-3..J-5: outer / semi / anti joins (library completeness;
+    //      the reference needs only inner, a user switching needs all) ----
+    "j3_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+    "j4_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+    "j5_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // ---- J-6: banded range self-join — error events of the same user
+    //      within 10 s of each other (equi-key + range predicate, so
+    //      the shuffle stays on user_id and the band filter runs
+    //      inside each key group) ----
+    "j6_range_self" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      e.alias("a").join(e.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_id") < col("b.event_id") &&
+            abs(unix_timestamp(col("a.ts")) - unix_timestamp(col("b.ts"))) <= 10)
+        .select(col("a.user_id").as("user_id"),
+          col("a.event_id").as("e1"), col("b.event_id").as("e2"))
+    }),
+
+    // ---- P-9: datetime expression battery ----
+    "p9_datetime_exprs" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        (col("ts") + expr("INTERVAL 7 DAYS")).as("ts_plus7"),
+        datediff(col("ts").cast("date"), lit("1998-01-01").cast("date")).as("days_since"),
+        unix_timestamp(col("ts")).as("epoch_sec"))
+    }),
+
+    // ---- P-10: null-handling battery ----
+    "p10_null_exprs" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("type_or_none"),
+        greatest(col("value"), lit(0.0)).as("v_pos"),
+        least(col("value"), lit(0.0)).as("v_neg"),
+        when(col("value").isNull, -1.0).otherwise(col("value")).as("v_filled"))
+    }),
+
+    // ---- G-11: pivot — per-user event-type count matrix (fixed column
+    //      set so the plan is a single pass, no distinct-values job) ----
+    "g11_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+    }),
+
     // ---- J-2: as-of join — each purchase picks up the most recent
     //      prior error event_id for the same user (composed from
     //      union + ignore-nulls window; no native Spark asof) ----
@@ -758,6 +828,51 @@ object SparkEntry {
                                 ORDER BY ts ASC, event_id ASC
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
          FROM events""",
+
+    "j3_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "j6_range_self" ->
+      """SELECT a.user_id AS user_id, a.event_id AS e1, b.event_id AS e2
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') a
+         JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 10""",
+
+    "p9_datetime_exprs" ->
+      """SELECT event_id,
+         year(ts) AS y, month(ts) AS mo, day(ts) AS d, hour(ts) AS h,
+         ts + INTERVAL 7 DAY AS ts_plus7,
+         date_diff('day', DATE '1998-01-01', CAST(ts AS DATE)) AS days_since,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
+         FROM events""",
+
+    "p10_null_exprs" ->
+      """SELECT event_id,
+         coalesce(nullif(event_type, 'error'), 'none') AS type_or_none,
+         greatest(value, 0.0) AS v_pos,
+         least(value, 0.0) AS v_neg,
+         CASE WHEN value IS NULL THEN -1.0 ELSE value END AS v_filled
+         FROM events""",
+
+    "g11_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'error') AS error,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
 
     "j2_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id, value,

@@ -96,6 +96,27 @@ object VotePipeline {
   def dedupVotesBatch(parsed: DataFrame): DataFrame =
     parsed.dropDuplicates("voter_id", "candidate_id")
 
+  /** J-1 extension — STREAM-STREAM interval join: correlate the
+    * reference's two topics (`voters_topic` registrations,
+    * `votes_topic` votes) on voter within an event-time window. Both
+    * sides carry watermarks and the join condition bounds event time
+    * on both sides, so each side's buffered state is evicted once the
+    * watermark passes the interval — the only stream-stream join shape
+    * whose state stays bounded at 100 TB.
+    *
+    * Expects `registrations(voter_id, reg_time)` and
+    * `votes(vote_voter_id, voting_time, …)`; emits matches where
+    * `reg_time <= voting_time <= reg_time + maxDelay`.
+    */
+  def registrationVoteJoin(registrations: DataFrame, votes: DataFrame,
+                           maxDelay: String = "1 hour",
+                           watermark: String = "1 minute"): DataFrame =
+    registrations.withWatermark("reg_time", watermark)
+      .join(votes.withWatermark("voting_time", watermark),
+        col("voter_id") === col("vote_voter_id") &&
+          col("voting_time") >= col("reg_time") &&
+          col("voting_time") <= col("reg_time") + expr(s"INTERVAL $maxDelay"))
+
   /** P-5 + A-2 — JSON-encode and write to a Kafka topic in update mode
     * with a per-query checkpoint (`spark_stream.py:66–84`).
     */

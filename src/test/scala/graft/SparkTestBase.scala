@@ -11,7 +11,11 @@ trait SparkTestBase extends AnyFunSuite {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
+    // warehouse dir is a STATIC conf; point it at a temp dir at build
+    // time so saveAsTable tests never write inside the repo
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = Sessions.configure(SparkSession.builder().appName("graft-test"), "4")
+      .config("spark.sql.warehouse.dir", wh)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout techniques the 100 TB design leans on, proven
+  * against the actual plans:
+  *
+  *  - BUCKETING: two tables bucketed on the join key join with NO
+  *    exchange — at cluster scale that deletes the dominant cost of
+  *    every recurring fact-fact join;
+  *  - PARTITION PRUNING: a filter on the partition column reaches the
+  *    scan as a PartitionFilter and prunes directories, so a query on
+  *    one partition reads one partition's files, not the table.
+  */
+class StorageLayoutSpec extends SparkTestBase {
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    Tables.customer(spark, sfDir).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    Tables.orders(spark, sfDir).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+
+    val joined = spark.table("b_customer")
+      .join(spark.table("b_orders").hint("merge"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"customer side must be pre-bucketed, no shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"orders side must be pre-bucketed, no shuffle:\n$plan")
+    // sanity: result matches the unbucketed join
+    val expect = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .count()
+    assert(joined.agg(sum("n")).head.getLong(0) === expect)
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+  }
+
+  test("partition-column filters prune at the scan (PartitionFilters, not post-filter)") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sfDir).write
+      .partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      s"expected partition pruning in:\n$scan")
+    // pruned read touches exactly the one directory's rows
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(q.count() === expect)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class Registration(voter_id: String, reg_time: Timestamp)
+case class VoteEvt(vote_voter_id: String, voting_time: Timestamp, candidate: String)
+
+class StreamStreamJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("stream-stream interval join matches votes to registrations within the window") {
+    implicit val ctx = spark.sqlContext
+    val regs = MemoryStream[Registration]
+    val votes = MemoryStream[VoteEvt]
+    val joined = VotePipeline.registrationVoteJoin(regs.toDF(), votes.toDF())
+    val q = joined.select("voter_id", "candidate")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+
+    regs.addData(Seq(
+      Registration("v1", ts(1000)),
+      Registration("v2", ts(2000))))
+    q.processAllAvailable()
+    votes.addData(Seq(
+      VoteEvt("v1", ts(1500), "c1"),   // inside [1000, 1000+3600]
+      VoteEvt("v2", ts(9999), "c2"),   // beyond the 1-hour interval
+      VoteEvt("v9", ts(1600), "c3")))  // unregistered voter
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("ssj").as[(String, String)].collect().toSet
+    assert(out === Set(("v1", "c1")),
+      "only the in-window registered voter joins; out-of-window and unknown drop")
+  }
+
+  test("the join plan is a stateful stream-stream join with watermarks on both sides") {
+    implicit val ctx = spark.sqlContext
+    val regs = MemoryStream[Registration]
+    val votes = MemoryStream[VoteEvt]
+    val joined = VotePipeline.registrationVoteJoin(regs.toDF(), votes.toDF())
+    val q = joined.writeStream.format("memory").queryName("ssj_plan")
+      .outputMode("append").start()
+    regs.addData(Seq(Registration("v1", ts(1000))))
+    q.processAllAvailable()
+    val plan = q.lastProgress.sources.length
+    assert(plan === 2, "two streaming sources feed one query")
+    q.stop()
+  }
+}

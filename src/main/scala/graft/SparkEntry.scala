@@ -652,6 +652,18 @@ object SparkEntry {
         .na.fill(0L)
     }),
 
+    // ---- P-11: array aggregation battery — collect_set sorted into a
+    //      deterministic array, then array ops over it ----
+    "p11_collect_array" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(sort_array(collect_set(col("user_id"))).as("users"))
+        .select(col("event_type"), size(col("users")).as("n_users"),
+          // serialize to a string: array-typed result columns are not
+          // portable across result comparators
+          array_join(transform(slice(col("users"), 1, 3), _.cast("string")), ",").as("first3"),
+          element_at(col("users"), -1).as("max_user"))
+    }),
+
     // ---- J-2: as-of join — each purchase picks up the most recent
     //      prior error event_id for the same user (composed from
     //      union + ignore-nulls window; no native Spark asof) ----
@@ -847,7 +859,7 @@ object SparkEntry {
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') a
          JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') b
            ON a.user_id = b.user_id AND a.event_id < b.event_id
-          AND abs(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 10""",
+          AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 10""",
 
     "p9_datetime_exprs" ->
       """SELECT event_id,
@@ -873,6 +885,13 @@ object SparkEntry {
          count(*) FILTER (event_type = 'signup') AS signup,
          count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY user_id""",
+
+    "p11_collect_array" ->
+      """SELECT event_type, len(users) AS n_users,
+         array_to_string(users[1:3], ',') AS first3,
+         users[len(users)] AS max_user
+         FROM (SELECT event_type, list_sort(list(DISTINCT user_id)) AS users
+               FROM events GROUP BY event_type)""",
 
     "j2_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id, value,

@@ -18,7 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm(v):
     # Dtype-insensitive canonical form: unwrap numpy scalars to Python
     # (np.int32(1) vs int 1 would repr-differ), render all ints/floats
-    # the same way regardless of width.
+    # the same way regardless of width. numpy ARRAYS (list-typed result
+    # columns) normalize elementwise — .item() only works on scalars.
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):
+        v = v.tolist()
     if hasattr(v, "item"):
         v = v.item()
     if isinstance(v, float):

@@ -676,7 +676,7 @@ object SparkEntry {
         right = e.filter(col("event_type") === "error")
           .select(col("user_id"), col("ts"), col("event_id")),
         keyCol = "user_id", tsCol = "ts", valueCol = "event_id",
-        alias = "last_err", tiebreak = Seq(col("event_id").asc))
+        alias = "last_err", tiebreakCols = Seq("event_id"))
     }),
 
     // ---- G-1 under skew: salted two-stage aggregation, identical

@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** JVM-side twin of [[h7]]: the same "first 7 md5 hex chars as a
+    * long" portability contract, for driver/executor Scala code
+    * (hyperplane seeds, stub codecs). One definition site — if the
+    * width ever changes, Column side and JVM side move together.
+    */
+  def h7Jvm(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    h7Jvm(bytes, md)
+  }
+
+  /** Reusable-digest overload for per-partition loops. */
+  def h7Jvm(bytes: Array[Byte], md: java.security.MessageDigest): Long = {
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
   /** Whitespace tokens, empties removed (multi-space safe). */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))

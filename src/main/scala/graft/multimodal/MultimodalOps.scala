@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -50,9 +49,7 @@ object MultimodalOps {
     * integer DuckDB computes.
     */
   def stubDecode(bytes: Array[Byte], md: MessageDigest): (Long, Int, Int, Int) = {
-    md.reset()
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    val h = graft.functions.TextFunctions.h7Jvm(bytes, md)
     val width = 16 + (h % 1024).toInt
     val height = 16 + ((h / 1024) % 1024).toInt
     val channels = 1 + ((h / 1048576) % 4).toInt
@@ -103,6 +100,4 @@ object MultimodalOps {
     }
   }
 
-  private[multimodal] def utf8(s: String): Array[Byte] =
-    s.getBytes(StandardCharsets.UTF_8)
 }

@@ -29,7 +29,11 @@ object RelationalOps {
     */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // inputFiles is a cheap proxy for scan splits (file listing is
+    // cached per session); df.rdd would force full physical planning
+    // at query-construction time
+    val files = df.inputFiles.length
+    if (files > 0 && files < p) df.repartition(p) else df
   }
 
 
@@ -161,16 +165,22 @@ object RelationalOps {
     *
     * One shuffle on the key — same cost as the sort-merge join an
     * engine-native as-of would do. Right rows order BEFORE left rows
-    * at equal timestamps (ties are "inclusive"); `tiebreak` must make
-    * the total order deterministic.
+    * at equal timestamps (ties are "inclusive"). `tiebreakCols` are
+    * column NAMES present on BOTH sides and are projected into the
+    * union from each side, so equal-timestamp rows of either side
+    * order deterministically (projecting only the value column would
+    * leave the right side's tiebreaks NULL and the order
+    * partition-dependent).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-               valueCol: String, alias: String, tiebreak: Seq[Column]): DataFrame = {
+               valueCol: String, alias: String, tiebreakCols: Seq[String]): DataFrame = {
     val l = left.withColumn("__src", lit(1))
-    val r = right.select(col(keyCol), col(tsCol), col(valueCol).as(alias))
+    val r = right.select(
+        col(keyCol) +: col(tsCol) +: col(valueCol).as(alias) +:
+          tiebreakCols.filterNot(Set(keyCol, tsCol)).map(col): _*)
       .withColumn("__src", lit(0))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc +: col("__src").asc +: tiebreak: _*)
+      .orderBy(col(tsCol).asc +: col("__src").asc +: tiebreakCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(alias, last(col(alias), ignoreNulls = true).over(w))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -83,10 +82,9 @@ object VectorOps {
     * `CAST('0x' || substr(md5(...), 1, 7) AS BIGINT) % 2`.
     */
   def planeSign(table: Int, bit: Int, dim: Int): Double = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"${table}_${bit}_$dim".getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 2 == 1) 1.0 else -1.0
+    val h = graft.functions.TextFunctions.h7Jvm(
+      s"${table}_${bit}_$dim".getBytes(StandardCharsets.UTF_8))
+    if (h % 2 == 1) 1.0 else -1.0
   }
 
   /** ANN cosine pairs — the scale path. Random-hyperplane LSH

@@ -19,9 +19,8 @@ case class SessionAgg(user_id: Long, session_start: Timestamp,
                       session_end: Timestamp, n_events: Long, total_value: Double)
 
 /** Incremental gap-based sessionization — the streaming counterpart of
-  * [[graft.operators.RelationalOps.sessionize]] (same gap semantics,
-  * prefix-consistent outputs), built on `flatMapGroupsWithState` with
-  * EVENT-TIME timeout:
+  * [[graft.operators.RelationalOps.sessionize]] (same gap semantics),
+  * built on `flatMapGroupsWithState` with EVENT-TIME timeout:
   *
   *  - state per user is ONE open session (4 numbers) — not the event
   *    list; 100 TB of traffic with 10^9 users stays ~GBs of state;
@@ -32,16 +31,34 @@ case class SessionAgg(user_id: Long, session_start: Timestamp,
   *  - late events beyond the watermark are dropped by the runtime
   *    before the function sees them — the lateness bound is the
   *    watermark delay, exactly as in the reference's
-  *    `withWatermark` declaration (`spark_stream.py:55`).
+  *    `withWatermark` declaration (`spark_stream.py:55`);
+  *  - a late event OLDER than the open session's start (but inside
+  *    the watermark) merges BACKWARD, extending `session_start` down
+  *    — with the required `watermarkDelaySec <= gapSec` such an event
+  *    is always within the gap of the open session, so the merge is
+  *    exactly what the batch formulation computes.
+  *
+  * CONSISTENCY CONTRACT: outputs equal the batch lag+running-sum
+  * rollup for every closed session, except the one irreducible case
+  * of an emit-on-close design — a late "bridge" event that would have
+  * JOINED two sessions already separated by more than the gap arrives
+  * after the earlier one was emitted. Holding O(1) state per user,
+  * the earlier emission cannot be retracted; exactly-merged output
+  * would need all sessions buffered until the watermark (Spark's
+  * built-in `session_window` aggregation makes that trade — see
+  * `RelationalOps.sessionize` for the batch path).
   */
 object SessionPipeline {
 
   def sessionize(events: Dataset[SessionInput], gapSec: Long,
-                 watermarkDelay: String = "10 seconds"): Dataset[SessionAgg] = {
+                 watermarkDelaySec: Long = 10L): Dataset[SessionAgg] = {
+    require(watermarkDelaySec <= gapSec,
+      "lateness bound must not exceed the session gap: a late event could " +
+        "otherwise precede the open session by more than the gap")
     import events.sparkSession.implicits._
     val gapMs = gapSec * 1000L
     events
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark("ts", s"$watermarkDelaySec seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -63,7 +80,9 @@ object SessionPipeline {
                   closed += toAgg(uid, s)
                   cur = Some(SessionState(t, t, 1L, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                  // covers late arrivals too: t may precede s.start
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1L, e.value))
               }

@@ -103,11 +103,25 @@ class RelationalOpsSpec extends SparkTestBase {
     val right = Seq((1L, 90L, 900L), (1L, 200L, 901L), (1L, 300L, 902L))
       .toDF("k", "ts", "rid")
     val out = RelationalOps.asofJoin(left, right, "k", "ts", "rid", "last_rid",
-        Seq(col("lid").asc))
+        Seq("rid"))
       .select("lid", "last_rid").collect()
       .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
     assert(out(10L) === Some(900L), "90 <= 100: most recent prior")
     assert(out(11L) === Some(901L), "equal ts is inclusive, 300 is future")
     assert(out(12L) === None, "no right row at or before -> null")
+  }
+
+  test("asofJoin is deterministic when multiple right rows share a timestamp") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
+    // two right rows at the SAME ts: the higher tiebreak must win,
+    // independent of partition layout
+    val right = Seq((1L, 90L, 900L), (1L, 90L, 901L)).toDF("k", "ts", "rid")
+    (1 to 3).foreach { _ =>
+      val out = RelationalOps.asofJoin(
+          left, right.repartition(7), "k", "ts", "rid", "last_rid", Seq("rid"))
+        .select("last_rid").as[Long].collect().toSeq
+      assert(out === Seq(901L), "right-side tiebreak column must order the window")
+    }
   }
 }

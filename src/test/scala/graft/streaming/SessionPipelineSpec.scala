@@ -62,6 +62,27 @@ class SessionPipelineSpec extends SparkTestBase {
     assert(streamed.size === 3, "expected 2 sessions for user 1 + 1 for user 2")
   }
 
+
+  test("a late event inside the watermark merges backward, extending session_start") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[SessionInput]
+    val q = SessionPipeline.sessionize(ms.toDS(), gapSec)
+      .writeStream.format("memory").queryName("late_merge").outputMode("append").start()
+    ms.addData(Seq(SessionInput(7L, 1L, ts(200), 1.0)))
+    q.processAllAvailable() // watermark now 190s
+    ms.addData(Seq(SessionInput(7L, 2L, ts(195), 2.0))) // late but accepted
+    q.processAllAvailable()
+    ms.addData(Seq(SessionInput(99L, 999L, ts(100000), 0.0))) // close via timeout
+    q.processAllAvailable()
+    ms.addData(Seq(SessionInput(99L, 1000L, ts(100001), 0.0)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("late_merge").as[SessionAgg].collect()
+      .filter(_.user_id == 7L)
+    assert(out.length === 1)
+    assert(out.head.session_start === ts(195) && out.head.n_events === 2,
+      "the late event must fold into the open session and pull session_start back")
+  }
+
   test("mid-batch gap closure emits without waiting for the timeout") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[SessionInput]

@@ -695,6 +695,22 @@ object SparkEntry {
              round(expr("percentile(value, 0.9)"), 4).as("p90"))
     }),
 
+    // ---- S-3: Spark-native session_window aggregation — same 6h gap
+    //      as s2 but computed by the built-in merging-window operator
+    //      (one aggregation, no analytic window pass; the operator is
+    //      also directly usable in streaming with watermark eviction).
+    //      NOTE the boundary difference vs the lag formulation: a
+    //      session_window session spans [start, last + gap), so a gap
+    //      of EXACTLY 6h splits — the oracle encodes >= rather
+    //      than >. ----
+    "s3_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"), col("total_value"))
+    }),
+
     // ---- S-2 extension: gap-based sessionization (6h gap), rolled up ----
     "s2_sessionize" -> ((s, dir) => {
       sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -919,6 +935,24 @@ object SparkEntry {
          round(quantile_cont(value, 0.5), 4) AS p50,
          round(quantile_cont(value, 0.9), 4) AS p90
          FROM events GROUP BY event_type""",
+
+    "s3_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) >= 21600
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts ASC) AS seq
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                round(sum(value), 4) AS total_value
+         FROM s GROUP BY user_id, seq""",
 
     "s2_sessionize" ->
       """WITH g AS (

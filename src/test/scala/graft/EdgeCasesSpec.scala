@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.operators.{CorpusOps, DedupOps, RelationalOps, VectorOps}
+
+/** Degenerate-input behavior: empty relations, empty strings, and null
+  * text must flow through every operator without exceptions and with
+  * defensible semantics — at 100 TB some partition somewhere WILL be
+  * empty and some document WILL be null.
+  */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("dedup and corpus operators return empty on empty input (no crash)") {
+    assert(DedupOps.lshCandidatePairs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(DedupOps.ngramJaccardPairs(emptyDocs, "doc_id", "text", 0.5).isEmpty)
+    assert(DedupOps.exactDedupSummary(emptyDocs, "doc_id", "text").isEmpty)
+    assert(CorpusOps.vocabTopK(emptyDocs, "text", 5).isEmpty)
+    assert(CorpusOps.tfIdf(emptyDocs, "doc_id", "text").isEmpty)
+  }
+
+  test("relational operators return empty on empty input") {
+    val e = emptyDocs.withColumnRenamed("doc_id", "user_id")
+      .withColumn("ts", col("user_id").cast("timestamp"))
+      .withColumn("event_id", col("user_id"))
+    assert(RelationalOps.sessionize(e, "user_id", "ts", Seq(col("event_id")), 60L).isEmpty)
+    assert(RelationalOps.dedupFirst(e, Seq("user_id"), Seq(col("event_id"))).isEmpty)
+    assert(RelationalOps.topKPerGroup(e, Seq("user_id"), Seq(col("event_id")), 3, "r").isEmpty)
+  }
+
+  test("null and empty text produce defined signatures, not exceptions") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "), (4L, "one"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        DedupOps.simhash(col("text")).as("sh"),
+        DedupOps.minhashSignature(col("text")).as("sig"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1), "null text -> null simhash (null in, null out)")
+    assert(out(2L).getLong(1) === 0L, "empty text -> simhash 0")
+    assert(out(3L).getLong(1) === 0L, "whitespace-only -> simhash 0")
+    assert(out(4L).getLong(1) > 0L)
+    assert(out(2L).getLong(3) === 0L, "empty text -> fingerprint 0")
+    // empty text: len score 0, stopword score 0, punct score 1 (no
+    // punctuation) * 0.3 weight — defined, not NaN/div-by-zero
+    assert(out(2L).getDouble(4) === 0.3)
+  }
+
+  test("asofJoin with an empty right side yields all-null attachments") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "rid")
+    val out = RelationalOps.asofJoin(left, right, "k", "ts", "rid", "last_rid", Seq("rid"))
+    assert(out.count() === 1 && out.filter(col("last_rid").isNull).count() === 1)
+  }
+
+  test("vector ops tolerate an empty corpus") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(VectorOps.cosinePairsBruteForce(empty, "vec_id", "embedding", 0.5).isEmpty)
+    assert(VectorOps.annCosinePairs(empty, "vec_id", "embedding", 0.5).isEmpty)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, VectorOps}
+
+/** Empirical scaling probe: replicate the corpus k× and measure the
+  * heavy operators, because "would this hold at 1000×?" deserves a
+  * measurement, not a hope.
+  *
+  *   sbt 'runMain graft.ScaleProbe [sfDir] [maxK]'
+  *
+  * Documents are SALTED per copy (every token suffixed with the copy
+  * index) so copies don't near-dup each other — the pair structure
+  * stays constant per copy and signature/join cost is what scales.
+  * Embeddings replicate verbatim: a dup-heavy corpus is exactly the
+  * adversarial load for LSH ANN (buckets grow k-fold, candidate pairs
+  * k²-fold within identical groups), which is worth seeing honestly.
+  *
+  * Prints one JSON line per (op, k): {"op":…,"k":…,"rows":…,"sec":…}.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxK = args.lift(1).map(_.toInt).getOrElse(16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.configure(SparkSession.builder(), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicateDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        Tables.documents(spark, sfDir).select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "), t => concat(t, lit("_" + i))), " ")
+            .as("text"))
+      }.reduce(_ union _)
+
+    def replicateVecs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        Tables.embeddings(spark, sfDir).select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"), col("embedding"))
+      }.reduce(_ union _)
+
+    def time(op: String, k: Int)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$op","k":$k,"rows":$rows,"sec":$sec%.2f}""")
+    }
+
+    val ks = Iterator.iterate(1)(_ * 4).takeWhile(_ <= maxK).toSeq
+    ks.foreach { k =>
+      time("dd_minhash_lsh", k)(
+        DedupOps.lshCandidatePairs(replicateDocs(k), "doc_id", "text"))
+      time("dd_ngram_jaccard", k)(
+        DedupOps.ngramJaccardPairs(replicateDocs(k), "doc_id", "text", 0.5))
+      time("sim_ann_lsh", k)(
+        VectorOps.annCosinePairs(replicateVecs(k), "vec_id", "embedding", 0.4))
+    }
+    spark.stop()
+  }
+}

@@ -80,14 +80,15 @@ object RelationalOps {
   def argmax(df: DataFrame, measure: String, tiebreak: String): DataFrame =
     df.orderBy(col(measure).desc, col(tiebreak).asc).limit(1)
 
-  /** G-6 — share-of-total via an unpartitioned window aggregate
-    * (reference donut chart `streamlit-app.py:57–64`). The window has
-    * no partition key so Spark plans a single-partition exchange — fine
-    * here because the input is an already-aggregated frame with
-    * |groups| rows, never the raw fact table.
+  /** G-6 — share-of-total (reference donut chart
+    * `streamlit-app.py:57–64`): a broadcast scalar total instead of an
+    * unpartitioned window — no single-partition exchange at all, so
+    * the shape is safe even if someone feeds it a fact table.
     */
   def shareOfTotal(df: DataFrame, measure: String, alias: String): DataFrame =
-    df.withColumn(alias, col(measure).cast("double") / sum(col(measure)).over(Window.partitionBy()))
+    df.crossJoin(broadcast(df.agg(sum(col(measure)).as("__total"))))
+      .withColumn(alias, col(measure).cast("double") / col("__total"))
+      .drop("__total")
 
   /** J-1 — enrichment join against a small static dimension on a
     * synthesized key (reference `voting.py:68–74`: each streamed voter
@@ -129,6 +130,11 @@ object RelationalOps {
     */
   def topKRanked(df: DataFrame, order: Seq[Column], k: Int, rankAlias: String): DataFrame =
     df.orderBy(order: _*).limit(k)
+      // the rank window IS single-partition (WindowExec warns so), but
+      // over at most k rows — the limit above plans as
+      // TakeOrderedAndProject, so no fact-table row ever reaches it.
+      // (A constant partition key would silence the warning but the
+      // EliminateWindowPartitions rule folds it away again.)
       .withColumn(rankAlias, row_number().over(Window.orderBy(order: _*)))
 
   /** O-2 — LIMIT/OFFSET pagination over a total order (reference

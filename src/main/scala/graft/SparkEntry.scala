@@ -695,6 +695,29 @@ object SparkEntry {
              round(expr("percentile(value, 0.9)"), 4).as("p90"))
     }),
 
+    // ---- Q5: local-supplier volume — six-table join chain. Small dims
+    //      (region→nation) broadcast; the lineitem fact streams through
+    //      hash joins with both date filters pushed to the scans. ----
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
     // ---- S-3: Spark-native session_window aggregation — same 6h gap
     //      as s2 but computed by the built-in merging-window operator
     //      (one aggregation, no analytic window pass; the operator is
@@ -935,6 +958,20 @@ object SparkEntry {
          round(quantile_cont(value, 0.5), 4) AS p50,
          round(quantile_cont(value, 0.9), 4) AS p90
          FROM events GROUP BY event_type""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name""",
 
     "s3_session_window" ->
       """WITH g AS (

@@ -718,6 +718,18 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // ---- G-12: approximate percentiles (Greenwald-Khanna sketch).
+    //      Engine-specific estimates -> no SQL oracle (rows-only
+    //      check); the error bound vs exact g10 is pinned in
+    //      RelationalOpsSpec. THE scale path for quantiles: the exact
+    //      percentile buffers every value per group, the sketch is
+    //      fixed-size and merges map-side. ----
+    "g12_approx_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+             expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"))
+    }),
+
     // ---- S-3: Spark-native session_window aggregation — same 6h gap
     //      as s2 but computed by the built-in merging-window operator
     //      (one aggregation, no analytic window pass; the operator is

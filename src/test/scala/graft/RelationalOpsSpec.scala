@@ -75,6 +75,19 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
   }
 
+  test("g12 approx percentiles stay close to the exact interpolated values") {
+    val approx = run("g12_approx_percentiles").collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = run("g10_percentiles").collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      // value domain is roughly [-1000, 1000]; accuracy 1000 gives a
+      // tight rank error, allow a small absolute tolerance
+      assert(math.abs(approx(k)._1 - p50) < 25.0, s"$k p50 ${approx(k)._1} vs $p50")
+      assert(math.abs(approx(k)._2 - p90) < 25.0, s"$k p90 ${approx(k)._2} vs $p90")
+    }
+  }
+
   test("g8 approx distinct stays within the configured 2% rsd of exact") {
     val approx = run("g8_approx_distinct").collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_approx")).toMap

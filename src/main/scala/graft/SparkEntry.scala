@@ -642,6 +642,20 @@ object SparkEntry {
         when(col("value").isNull, -1.0).otherwise(col("value")).as("v_filled"))
     }),
 
+    // ---- P-13: string function battery #2 (regex extract, padding,
+    //      translate, repeat/reverse, substring search, edit distance) ----
+    "p13_string_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("cust_digits"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_translated"),
+        repeat(lit("*"), pmod(col("c_custkey"), lit(4)).cast("int")).as("stars"),
+        reverse(col("c_name")).as("name_rev"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"))
+    }),
+
     // ---- G-11: pivot — per-user event-type count matrix. Expressed as
     //      conditional aggregation (count of when()) rather than
     //      .pivot(): one hash aggregate, no pivot machinery, no
@@ -928,6 +942,17 @@ object SparkEntry {
          least(value, 0.0) AS v_neg,
          CASE WHEN value IS NULL THEN -1.0 ELSE value END AS v_filled
          FROM events""",
+
+    "p13_string_funcs" ->
+      """SELECT c_custkey,
+         regexp_extract(c_name, '[0-9]+') AS cust_digits,
+         lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+         translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+         repeat('*', c_custkey % 4) AS stars,
+         reverse(c_name) AS name_rev,
+         instr(c_name, '#') AS hash_pos,
+         levenshtein(c_mktsegment, 'BUILDING') AS seg_dist
+         FROM customer""",
 
     "g11_pivot" ->
       """SELECT user_id,

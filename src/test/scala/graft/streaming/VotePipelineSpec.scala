@@ -118,4 +118,20 @@ class VotePipelineSpec extends SparkTestBase {
     assert(rows.agg(sum("n_votes")).head.getLong(0) == 10,
       "exactly the closed hour's votes emit, once")
   }
+
+  test("S-7 source throttling: maxFilesPerTrigger bounds each micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-throttle").toString
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"f$i.json"),
+        String.join("\n", VoteGenerator.votes(10, seed = i): _*).getBytes)
+    }
+    val parsed = VotePipeline.parse(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(dir))
+    val q = parsed.groupBy().count()
+      .writeStream.format("memory").queryName("throttled").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("throttled").head.getLong(0) == 30, "all rows eventually arrive")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "rate limit forces at least one micro-batch per file (reference voting.py:93 throttle)")
+  }
 }

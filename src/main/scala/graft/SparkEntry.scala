@@ -732,6 +732,20 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // ---- G-13: typed Aggregator (Dataset custom aggregation surface)
+    //      registered as a UDAF — min/max/count/sum fused in one pass,
+    //      constant-size buffer per group ----
+    "g13_typed_stats" -> ((s, dir) => {
+      val stats = udaf(graft.functions.StatsAggregator)
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(stats(col("value")).as("st"))
+        .select(col("event_type"),
+          round(col("st.vmin"), 6).as("vmin"),
+          round(col("st.vmax"), 6).as("vmax"),
+          col("st.n").as("n"),
+          round(col("st.sum"), 4).as("vsum"))
+    }),
+
     // ---- G-12: approximate percentiles (Greenwald-Khanna sketch).
     //      Engine-specific estimates -> no SQL oracle (rows-only
     //      check); the error bound vs exact g10 is pinned in
@@ -988,6 +1002,12 @@ object SparkEntry {
 
     "g1_salted_skew" ->
       """SELECT event_type, round(sum(value), 4) AS total_value, count(*) AS total_votes
+         FROM events GROUP BY event_type""",
+
+    "g13_typed_stats" ->
+      """SELECT event_type,
+         round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+         count(*) AS n, round(sum(value), 4) AS vsum
          FROM events GROUP BY event_type""",
 
     "g10_percentiles" ->

@@ -1056,11 +1056,11 @@ object SparkEntry {
            FROM events),
          s AS (
            SELECT user_id, event_id, ts, value,
-                  sum(CASE WHEN prev_ts IS NULL
+                  CAST(sum(CASE WHEN prev_ts IS NULL
                             OR date_diff('second', prev_ts, ts) > 21600
                            THEN 1 ELSE 0 END)
                     OVER (PARTITION BY user_id
-                          ORDER BY ts ASC, event_id ASC) AS session_seq
+                          ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_seq
            FROM g)
          SELECT user_id, session_seq, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end,

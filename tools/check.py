@@ -37,6 +37,17 @@ def norm(v):
     return repr(v)
 
 
+def dtype_sig(df):
+    # Coarse dtype class per column: the driver's hasher is dtype-sensitive
+    # (int64 vs float64 mismatch is a red row even when values agree), so
+    # an int-vs-float disagreement must fail locally too.
+    def cls(dt):
+        k = getattr(dt, "kind", "O")
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "ts", "m": "td"}.get(k, "obj")
+    return {c: cls(df[c].dtype) for c in df.columns}
+
+
 def canon(df):
     # sort columns by name; rows as a multiset of normalized tuples
     cols = sorted(df.columns)
@@ -69,8 +80,19 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = canon(got)
         wc, wr = canon(want)
+        gd, wd = dtype_sig(got), dtype_sig(want)
+        dtype_mismatch = {c: (gd[c], wd[c]) for c in gd
+                          if c in wd and gd[c] != wd[c]
+                          # obj (decimal/string/list) vs numeric is often a
+                          # DuckDB decimal artifact norm() handles; int-vs-
+                          # float is the driver-red case — always flag it.
+                          and {gd[c], wd[c]} == {"int", "float"}}
         if gc != wc:
             print(f"SCHEMA   {name}: spark={gc} oracle={wc}")
+            n_fail += 1
+        elif dtype_mismatch:
+            print(f"DTYPE    {name}: int-vs-float disagreement {dtype_mismatch} "
+                  f"(driver hasher would mark this red)")
             n_fail += 1
         elif gr != wr:
             # multiset diff: rows only-in-spark / only-in-oracle (no

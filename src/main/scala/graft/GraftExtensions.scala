@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, MinHashSig, ShinglesExpr}
 
 /** Session extensions registering graft's native Catalyst expressions,
   * wired via `spark.sql.extensions` in [[Sessions.configure]] — the
@@ -13,6 +14,17 @@ import graft.functions.DotProductD
   * from the application jar).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Hyper-parameters (signature width, shingle size) are baked into
+    * the expression instance at resolution time, so they must be
+    * integer literals in the call.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -20,6 +32,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(a, b) takes exactly 2 arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_minhash(text, numHashes, n) takes exactly 3 arguments")
+        MinHashSig(children.head,
+          litInt(children(1), "graft_minhash", "numHashes"),
+          litInt(children(2), "graft_minhash", "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_shingles(text, n) takes exactly 2 arguments")
+        ShinglesExpr(children.head, litInt(children(1), "graft_shingles", "n"))
       }))
   }
 }

@@ -1,0 +1,208 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native text-hash expressions, shared by the
+  * interpreted `nullSafeEval` path and the generated code (the codegen
+  * emits a single static call, which keeps the surrounding operators
+  * inside whole-stage codegen while the heavy loop runs as plain JVM
+  * bytecode the JIT compiles once).
+  *
+  * PORTABILITY CONTRACT (must match [[TextFunctions.h7]] and the
+  * DuckDB oracles bit-for-bit):
+  *  - tokens = maximal runs of non-space bytes (split on 0x20 only —
+  *    exactly `split(text, " ")` + drop-empties; multibyte UTF-8 never
+  *    contains 0x20 so byte-level splitting is exact);
+  *  - shingle = n consecutive tokens joined by a single space; a
+  *    document with fewer than n tokens collapses to ONE whole-doc
+  *    shingle (empty string for an empty doc);
+  *  - hash = first 7 md5 hex chars as a long (< 2^28), read straight
+  *    off the digest bytes (hex char i is nibble i of the digest);
+  *  - MinHash component j = min over shingles of
+  *    `(aCoef(j)·h + bCoef(j)) mod P`, P = 2^31-1, initialized to P.
+  */
+object PortableHash {
+
+  /** Modulus for the MinHash permutation family: 2^31 - 1 (prime).
+    * With 28-bit input hashes and coefficients < 2^21 the products stay
+    * < 2^49 — exact in BIGINT on every engine, no overflow divergence.
+    */
+  val MinhashPrime = 2147483647L
+
+  /** j-th permutation coefficients: small odd constants, affinely
+    * spread so the permutations are distinct but reproducible in plain
+    * SQL (`(a_j * h + b_j) mod p`).
+    */
+  def aCoef(j: Int): Long = 1000003L + j.toLong * 7919L
+  def bCoef(j: Int): Long = 12345L + j.toLong * 104729L
+
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 7 hex chars of the digest as a long: hex char i is nibble i,
+    * so the value is the top 28 bits of the first 4 digest bytes.
+    */
+  private def h7FromDigest(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
+
+  /** Token spans (start offsets, end offsets, count) over the raw
+    * UTF-8 bytes. A run of spaces yields no empty tokens, matching
+    * `filter(split(text, " "), _ =!= "")`.
+    */
+  private def tokenSpans(b: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val cap = b.length / 2 + 1
+    val starts = new Array[Int](cap)
+    val ends = new Array[Int](cap)
+    var nt = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) != 0x20) {
+        starts(nt) = i
+        while (i < b.length && b(i) != 0x20) i += 1
+        ends(nt) = i
+        nt += 1
+      } else i += 1
+    }
+    (starts, ends, nt)
+  }
+
+  /** MinHash signature in one pass: digest each shingle once, fold the
+    * `numHashes` affine-permutation minima in a primitive loop. Called
+    * from generated code — must stay allocation-light.
+    */
+  def minhash(s: UTF8String, numHashes: Int, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, nt) = tokenSpans(bytes)
+    val md = localMd.get()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, MinhashPrime)
+
+    def hashWindow(from: Int, until: Int): Unit = {
+      md.reset()
+      var k = from
+      while (k < until) {
+        if (k > from) md.update(0x20.toByte)
+        md.update(bytes, starts(k), ends(k) - starts(k))
+        k += 1
+      }
+      val h = h7FromDigest(md.digest())
+      var j = 0
+      while (j < numHashes) {
+        val p = (aCoef(j) * h + bCoef(j)) % MinhashPrime
+        if (p < mins(j)) mins(j) = p
+        j += 1
+      }
+    }
+
+    if (nt >= n) {
+      var i = 0
+      while (i <= nt - n) { hashWindow(i, i + n); i += 1 }
+    } else hashWindow(0, nt)
+    new GenericArrayData(mins)
+  }
+
+  /** Word n-gram shingles as UTF8Strings. Each shingle's bytes are
+    * rebuilt with single-space separators (a raw slice would preserve
+    * multi-space runs that `concat_ws` collapses).
+    */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, nt) = tokenSpans(bytes)
+
+    def joined(from: Int, until: Int): UTF8String = {
+      var len = if (until > from) until - from - 1 else 0
+      var k = from
+      while (k < until) { len += ends(k) - starts(k); k += 1 }
+      val out = new Array[Byte](len)
+      var pos = 0
+      k = from
+      while (k < until) {
+        if (k > from) { out(pos) = 0x20; pos += 1 }
+        val tl = ends(k) - starts(k)
+        System.arraycopy(bytes, starts(k), out, pos, tl)
+        pos += tl
+        k += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+
+    if (nt >= n) {
+      val out = new Array[Any](nt - n + 1)
+      var i = 0
+      while (i <= nt - n) { out(i) = joined(i, i + n); i += 1 }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array[Any](joined(0, nt)))
+    }
+  }
+}
+
+/** Shared shape for the native text-hash expressions: string in,
+  * array out, codegen = one static call into [[PortableHash]].
+  */
+trait PortableHashExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+}
+
+/** Native MinHash signature — the codegen replacement for the
+  * interpreted `aggregate`/`zip_with` fold in
+  * [[graft.operators.DedupOps.minhashSignatureHof]] (same output,
+  * bit-for-bit; that HOF version and the DuckDB oracle are the
+  * executable spec). Registered as `graft_minhash(text, numHashes, n)`
+  * by [[graft.GraftExtensions]].
+  */
+case class MinHashSig(child: Expression, numHashes: Int, n: Int)
+    extends PortableHashExpression {
+
+  require(numHashes > 0 && n > 0, "graft_minhash: numHashes and n must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.minhash(input.asInstanceOf[UTF8String], numHashes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHash.minhash($c, $numHashes, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native word n-gram shingles — codegen replacement for the
+  * interpreted `transform`/`sequence` build in
+  * [[graft.operators.DedupOps.shinglesHof]]. Registered as
+  * `graft_shingles(text, n)` by [[graft.GraftExtensions]].
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends PortableHashExpression {
+
+  require(n > 0, "graft_shingles: n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHash.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}

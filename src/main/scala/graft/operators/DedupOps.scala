@@ -11,9 +11,11 @@ import graft.operators.RelationalOps.spread
   * candidate generation, SimHash fingerprints, and exact n-gram
   * Jaccard similarity.
   *
-  * Scale design. Signatures (MinHash, SimHash) are per-row
-  * codegen'd higher-order-function expressions — no UDF, no shuffle;
-  * at 100 TB they ride the parquet scan. The only shuffles are the
+  * Scale design. Signatures are per-row expressions — no UDF, no
+  * shuffle; at 100 TB they ride the parquet scan. MinHash and shingles
+  * run as native codegen Catalyst expressions
+  * ([[graft.functions.MinHashSig]], [[graft.functions.ShinglesExpr]]);
+  * SimHash remains a one-pass higher-order-function fold. The only shuffles are the
   * ones the algorithms require: LSH shuffles on (band, bandKey) — by
   * construction a near-uniform key space — and n-gram Jaccard shuffles
   * on the shingle. Pairwise work never touches the full cross product:
@@ -33,18 +35,15 @@ import graft.operators.RelationalOps.spread
   */
 object DedupOps {
 
-  /** Modulus for the MinHash permutation family: 2^31 - 1 (prime).
-    * With 28-bit input hashes and coefficients < 2^21 the products stay
-    * < 2^49 — exact in BIGINT on every engine, no overflow divergence.
+  /** Modulus for the MinHash permutation family — see
+    * [[graft.functions.PortableHash.MinhashPrime]] (one definition
+    * site, shared with the native expressions).
     */
-  val MinhashPrime = 2147483647L
+  val MinhashPrime: Long = graft.functions.PortableHash.MinhashPrime
 
-  /** j-th permutation coefficients: small odd constants, affinely
-    * spread so the 16 permutations are distinct but reproducible in
-    * plain SQL (`(a_j * h + b_j) mod p`).
-    */
-  def aCoef(j: Int): Long = 1000003L + j.toLong * 7919L
-  def bCoef(j: Int): Long = 12345L + j.toLong * 104729L
+  /** j-th permutation coefficients (see [[graft.functions.PortableHash]]). */
+  def aCoef(j: Int): Long = graft.functions.PortableHash.aCoef(j)
+  def bCoef(j: Int): Long = graft.functions.PortableHash.bCoef(j)
 
   /** Let-binding for Column expressions: evaluate `arr` ONCE and refer
     * to it via a lambda variable inside `f`. Without this, reusing a
@@ -61,27 +60,44 @@ object DedupOps {
   /** Word n-gram shingles ("w1 w2 w3" strings). Documents shorter than
     * `n` tokens collapse to a single whole-document shingle, so empty
     * and tiny docs still participate (and exact-duplicate tiny docs
-    * still collide). The token array is lambda-bound so each shingle's
-    * `element_at` is an O(1) index, not a re-tokenization.
+    * still collide). Backed by the native codegen
+    * [[graft.functions.ShinglesExpr]] — [[shinglesHof]] is the
+    * built-ins-only executable spec it must match bit-for-bit.
     */
-  def shingles(text: Column, n: Int = 3): Column = bindArray(tokens(text)) { toks =>
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_shingles", text, lit(n))
+
+  /** [[shingles]] expressed purely in built-in higher-order functions.
+    * Kept as the cross-check spec for the native expression (and for
+    * sessions without GraftExtensions). The token array is lambda-bound
+    * so each shingle's `element_at` is an O(1) index, not a
+    * re-tokenization.
+    */
+  def shinglesHof(text: Column, n: Int = 3): Column = bindArray(tokens(text)) { toks =>
     val grams = transform(sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*))
     when(size(toks) >= n, grams).otherwise(array(array_join(toks, " ")))
   }
 
   /** MinHash signature: array of `numHashes` minima of affine
-    * permutations of the shingle hashes.
-    *
-    * Shape matters: higher-order functions evaluate interpreted (no
-    * whole-stage codegen), so the naive "one array_min per hash
-    * function" recomputes the md5 of every shingle `numHashes` times.
-    * Instead this folds the shingle-hash array ONCE, carrying a
-    * running array of `numHashes` minima — md5 evaluates once per
-    * shingle regardless of signature width.
+    * permutations of the shingle hashes. Backed by the native codegen
+    * [[graft.functions.MinHashSig]]: one JVM pass that digests each
+    * shingle once and folds all minima in a primitive loop —
+    * interpreted higher-order functions put lambda dispatch and
+    * boxing on every element (the round-2 driver bench measured the
+    * HOF fold at ~8× the DuckDB oracle on this query).
     */
-  def minhashSignature(text: Column, numHashes: Int = 16, n: Int = 3): Column = {
-    val hs = transform(shingles(text, n), s => h7(s))
+  def minhashSignature(text: Column, numHashes: Int = 16, n: Int = 3): Column =
+    call_function("graft_minhash", text, lit(numHashes), lit(n))
+
+  /** [[minhashSignature]] expressed purely in built-in higher-order
+    * functions — the executable spec the native expression must match
+    * bit-for-bit (asserted in DedupOpsSpec). Folds the shingle-hash
+    * array ONCE, carrying a running array of `numHashes` minima, so
+    * md5 evaluates once per shingle regardless of signature width.
+    */
+  def minhashSignatureHof(text: Column, numHashes: Int = 16, n: Int = 3): Column = {
+    val hs = transform(shinglesHof(text, n), s => h7(s))
     aggregate(
       hs,
       array_repeat(lit(MinhashPrime), numHashes),

@@ -70,6 +70,34 @@ class DedupOpsSpec extends SparkTestBase {
     assert(out.count(_ => true) === 4)
   }
 
+  test("native minhash/shingles match the HOF executable spec bit-for-bit") {
+    // Edge cases the byte-level tokenizer must get right: multi-space
+    // runs, leading/trailing spaces, empty doc, sub-shingle doc,
+    // multibyte UTF-8, and exactly-n tokens.
+    val edge = (corpus.as[(Long, String)].collect().toSeq ++ Seq(
+      (10L, ""),
+      (11L, "   "),
+      (12L, "a  b   cد and déjà vu ünïcode"),
+      (13L, " leading and trailing  "),
+      (14L, "one two three"),
+      (15L, "αβγ δεζ ηθι κλμ")
+    )).toDF("doc_id", "text")
+    val rows = edge.select(
+      shingles(col("text")).as("sh_native"),
+      shinglesHof(col("text")).as("sh_hof"),
+      minhashSignature(col("text")).as("mh_native"),
+      minhashSignatureHof(col("text")).as("mh_hof"),
+      minhashSignature(col("text"), numHashes = 5, n = 2).as("mh5_native"),
+      minhashSignatureHof(col("text"), numHashes = 5, n = 2).as("mh5_hof")
+    ).as[(Seq[String], Seq[String], Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+      .collect()
+    rows.foreach { case (sn, sh, mn, mh, m5n, m5h) =>
+      assert(sn === sh)
+      assert(mn === mh)
+      assert(m5n === m5h)
+    }
+  }
+
   test("signature computation stays shuffle-free (scan-side expressions only)") {
     val plan = corpus.select(minhashSignature(col("text")), simhash(col("text")))
       .queryExecution.executedPlan.toString

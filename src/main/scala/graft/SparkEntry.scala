@@ -155,7 +155,10 @@ object SparkEntry {
         topKNeighbors(Tables.embeddings(s, dir), "vec_id", "embedding",
           col("vec_id") % 100 === 0, k = 10)),
       "sim_ann_lsh" -> ((s, dir) =>
-        annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4))
+        annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
+      "sim_ann_capped" -> ((s, dir) =>
+        annCosinePairsCapped(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4, bucketCap = 8))
     )
   }
 
@@ -209,6 +212,27 @@ object SparkEntry {
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
            FROM e a JOIN e b
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.4""",
+
+      // Capped variant: each (table, bucket) keeps only its 8 lowest-
+      // ranked members under the portable md5-hash-of-id order.
+      "sim_ann_capped" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM embeddings),
+           e AS (SELECT vec_id, embedding, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
+           ek AS (SELECT vec_id, embedding, nrm, bucket, tbl FROM (
+                    SELECT vec_id, embedding, nrm, bucket, tbl,
+                           row_number() OVER (PARTITION BY tbl, bucket
+                             ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)
+                                           AS BIGINT) ASC,
+                                      vec_id ASC) AS rnk
+                    FROM e) WHERE rnk <= 8)
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM ek a JOIN ek b
+             ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4"""
     )
   }
@@ -229,7 +253,10 @@ object SparkEntry {
         spread(Tables.documents(s, dir))
           .select(col("doc_id"), simhash(col("text")).as("simhash"))),
       "dd_ngram_jaccard" -> ((s, dir) =>
-        ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5))
+        ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5)),
+      "dd_ngram_capped" -> ((s, dir) =>
+        ngramJaccardPairsCapped(Tables.documents(s, dir), "doc_id", "text",
+          minJaccard = 0.5, dfCap = 25))
     )
   }
 
@@ -294,6 +321,26 @@ object SparkEntry {
          ex AS (SELECT doc_id, unnest(sh) AS s FROM ds),
          common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
                     FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT d1, d2, round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS jaccard
+         FROM common
+         JOIN cnt n1 ON d1 = n1.doc_id
+         JOIN cnt n2 ON d2 = n2.doc_id
+         WHERE round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) >= 0.5""",
+
+    // Capped variant: shingles with document frequency above 25 are
+    // dropped BEFORE the pair join (df = 1 shingles too — they cannot
+    // form a pair); set sizes n still count full shingle sets.
+    "dd_ngram_capped" ->
+      s"""WITH $duckShingleCtes,
+         ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+         cnt AS (SELECT doc_id, len(sh) AS n FROM ds),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM ds),
+         exk AS (SELECT doc_id, s FROM (
+                   SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex)
+                 WHERE df BETWEEN 2 AND 25),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                    FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
          SELECT d1, d2, round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS jaccard
          FROM common

@@ -204,6 +204,44 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[ngramJaccardPairs]] with the shingle document-frequency cap that
+    * makes the inverted-index join safe at 100 TB: a stop-shingle
+    * present in k documents fans out k² join pairs under the textbook
+    * formulation, and high-DF shingles carry no discriminating signal
+    * anyway (standard practice in large-scale near-dup mining, e.g.
+    * the CCNet/RefinedWeb pipelines). Shingles with document frequency
+    * above `dfCap` are dropped BEFORE the self-join; intersection
+    * counts therefore exclude them while set sizes |A|,|B| still count
+    * the full shingle sets, so reported similarity is a lower bound of
+    * textbook Jaccard — the deliberate trade of the capped variant.
+    *
+    * Plan shape: the document frequency is a `count(*)` window over
+    * the shingle key — the SAME key the self-join shuffles on, so the
+    * cap adds no extra shuffle: explode → one exchange on `__s` →
+    * window count → filter → sort-merge self-join on already-
+    * partitioned data. Shingles with df = 1 are also dropped (they
+    * cannot form a pair — pure optimization, result-identical).
+    */
+  def ngramJaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                              minJaccard: Double, dfCap: Int, n: Int = 3): DataFrame = {
+    val sh = spread(docs).select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), n)).as("__sh"))
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__s"))
+    val exk = ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap)
+      .drop("__df")
+    exk.alias("a").hint("merge")
+      .join(exk.alias("b"), col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .agg(count(lit(1)).as("__c"), max(col("a.__n")).as("__n1"), max(col("b.__n")).as("__n2"))
+      .select(col("d1"), col("d2"),
+        round(col("__c").cast("double") /
+          (col("__n1") + col("__n2") - col("__c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Canonical text form for exact dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace. */
   def normalizeText(c: Column): Column =

@@ -123,4 +123,50 @@ object VectorOps {
       .filter(col("cosine") >= minCosine)
       .distinct()
   }
+
+  /** [[annCosinePairs]] with a per-(table, bucket) candidate cap — the
+    * guard a dup-heavy corpus needs at 100 TB: a bucket holding k
+    * identical (or near-identical) vectors generates k² candidate
+    * pairs, and the ScaleProbe replication run showed exactly that
+    * quadratic growth. Each bucket keeps only its `bucketCap`
+    * lowest-ranked members under a DETERMINISTIC order (portable md5
+    * hash of the id, then id — reproducible in the SQL oracle, stable
+    * across retries), so candidate work per bucket is bounded by
+    * bucketCap² regardless of corpus duplication. Recall loss is
+    * confined to over-full buckets — precisely the ones whose members
+    * are near-duplicates of each other, where any survivor still
+    * represents the group.
+    *
+    * The rank is a row_number window over (table, bucket) — the same
+    * key the self-join shuffles on, so the cap adds no extra shuffle.
+    */
+  def annCosinePairsCapped(vecs: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double, bucketCap: Int, tables: Int = 4,
+                           bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val buckets = array((0 until tables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        val plane = typedlit((0 until dim).map(i => planeSign(t, b, i)))
+        when(dot(col("__v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+      }.reduce(concat(_, _))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tbl"), col("__bucket"))
+      .orderBy(graft.functions.TextFunctions.h7(col("__id").cast("string")).asc,
+        col("__id").asc)
+    val banded = p.select(col("__id"), col("__v"), col("__nrm"),
+      posexplode(buckets).as(Seq("__tbl", "__bucket")))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= bucketCap)
+      .drop("__rnk")
+    banded.alias("a").hint("merge")
+      .join(banded.alias("b"),
+        col("a.__tbl") === col("b.__tbl") && col("a.__bucket") === col("b.__bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
 }

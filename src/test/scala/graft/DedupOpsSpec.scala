@@ -63,6 +63,26 @@ class DedupOpsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("ngramJaccardPairsCapped drops stop-shingle fan-out, matches textbook under a loose cap") {
+    // salt every doc with the same leading stop-phrase: its shingles
+    // appear in all 30 docs and would alone connect every pair
+    val salted = (1L to 30L).map(i =>
+      (i, s"common header boilerplate text distinct body $i about topic $i"))
+      .toDF("doc_id", "text")
+    val uncapped = ngramJaccardPairs(salted, "doc_id", "text", minJaccard = 0.2)
+      .count()
+    val capped = ngramJaccardPairsCapped(salted, "doc_id", "text",
+      minJaccard = 0.2, dfCap = 10).count()
+    assert(uncapped === 30L * 29 / 2, "stop-shingles connect every pair uncapped")
+    assert(capped === 0, "capped variant drops the df=30 stop-shingles")
+    // loose cap ⇒ bit-identical to the textbook definition
+    val textbook = ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    val loose = ngramJaccardPairsCapped(corpus, "doc_id", "text",
+      minJaccard = 0.1, dfCap = 1000).as[(Long, Long, Double)].collect().toSet
+    assert(loose === textbook)
+  }
+
   test("exactDedupSummary collapses case/punctuation variants, keeps min id") {
     val out = exactDedupSummary(corpus, "doc_id", "text")
       .select("kept_id", "n_copies").as[(Long, Long)].collect().toSet

@@ -65,6 +65,31 @@ class VectorOpsSpec extends SparkTestBase {
     ann.foreach { case (k, c) => assert(c === brute(k)) }
   }
 
+  test("annCosinePairsCapped bounds bucket fan-out and is a subset of uncapped") {
+    // duplicate-heavy corpus: 20 copies of the same vector land in the
+    // same bucket in every table — uncapped generates 190 pairs from
+    // that group, cap=4 at most C(4,2)=6 per table
+    val dups = (1L to 20L).map(i => (i, Array.fill(64)(0.5f))) ++
+      Seq((100L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+    val df = dups.toDF("vec_id", "embedding")
+    val uncapped = annCosinePairs(df, "vec_id", "embedding", minCosine = 0.9, dim = 64)
+      .as[(Long, Long, Double)].collect().toMap2
+    val capped = annCosinePairsCapped(df, "vec_id", "embedding", minCosine = 0.9,
+      bucketCap = 4, dim = 64)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(uncapped.size === 190) // all C(20,2) identical-vector pairs
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    assert(capped.size <= 6 && capped.nonEmpty)
+    // deterministic: same survivors on re-run
+    val again = annCosinePairsCapped(df, "vec_id", "embedding", minCosine = 0.9,
+      bucketCap = 4, dim = 64).as[(Long, Long, Double)].collect().toMap2
+    assert(again === capped)
+    // a generous cap reproduces the uncapped result exactly
+    val loose = annCosinePairsCapped(df, "vec_id", "embedding", minCosine = 0.9,
+      bucketCap = 1000, dim = 64).as[(Long, Long, Double)].collect().toMap2
+    assert(loose === uncapped)
+  }
+
   private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap

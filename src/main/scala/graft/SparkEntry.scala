@@ -28,11 +28,51 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ textQueries ++ dedupQueries ++ simQueries ++
-      multimodalQueries ++ corpusQueries
+      multimodalQueries ++ corpusQueries ++ ioQueries
 
   def oracleSql: Map[String, String] =
     coreOracle ++ textOracle ++ dedupOracle ++ simOracle ++
-      multimodalOracle ++ corpusOracle
+      multimodalOracle ++ corpusOracle ++ ioOracle
+
+  /** IO/catalog surface as driver-checked queries (SURVEY §2 A-4/A-8):
+    * a catalog-DDL-backed join (external parquet tables queried by
+    * name) and a JDBC round trip through embedded Derby. Table names /
+    * DB paths are tagged with the sf dir so warm-up at sf0.001 cannot
+    * leak a stale location into the measured run.
+    */
+  private def ioQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.sources.{CatalogDDL, JdbcIO}
+    Map(
+      "cat_external_join" -> ((s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        CatalogDDL.recreateExternalTable(s, s"ext_nation_$tag", s"$dir/nation.parquet")
+        CatalogDDL.recreateExternalTable(s, s"ext_region_$tag", s"$dir/region.parquet")
+        s.sql(
+          s"""SELECT r.r_name, count(*) AS n_nations
+              FROM ext_nation_$tag n
+              JOIN ext_region_$tag r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name""")
+      }),
+      "io_jdbc_roundtrip" -> ((s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val url = JdbcIO.derbyUrl(
+          s"${System.getProperty("java.io.tmpdir")}/graft_derby_$tag/db")
+        JdbcIO.write(Tables.nation(s, dir), url, "nation_rt")
+        JdbcIO.read(s, url, "nation_rt")
+          .select("n_nationkey", "n_name", "n_regionkey")
+      })
+    )
+  }
+
+  private def ioOracle: Map[String, String] = Map(
+    "cat_external_join" ->
+      """SELECT r_name, count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "io_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+  )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class
     * caps, vocabulary, TF-IDF. See [[graft.operators.CorpusOps]].

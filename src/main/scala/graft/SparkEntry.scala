@@ -499,6 +499,43 @@ object SparkEntry {
         .select(col("event_id"), encodeJson(Seq(col("event_id"), col("event_type"))).as("js"))
     }),
 
+    // ---- P-14: 3-level nested extraction (main.py:100–107: the
+    // randomuser payload's name.first / location.street.number paths).
+    // Builds the nested JSON, parses it with an explicit 3-level
+    // schema, and extracts leaves BOTH ways Spark offers — struct
+    // dotted paths (typed, Catalyst-pruned) and get_json_object
+    // (string JSONPath) — while the oracle computes the expected leaf
+    // values directly from the base columns, checking the whole
+    // build→parse→extract chain end-to-end. ----
+    "p14_nested_extract" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val js = to_json(struct(
+        struct(col("c_name").as("full")).as("name"),
+        struct(
+          struct((col("c_custkey") % 1000).as("number"),
+            col("c_mktsegment").as("name")).as("street"),
+          col("n_name").as("city")).as("location")))
+      val nestedSchema = new StructType()
+        .add("name", new StructType().add("full", StringType))
+        .add("location", new StructType()
+          .add("street", new StructType()
+            .add("number", LongType).add("name", StringType))
+          .add("city", StringType))
+      Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), js.as("json_str"))
+        .select(col("c_custkey"),
+          from_json(col("json_str"), nestedSchema).as("u"), col("json_str"))
+        .select(
+          col("c_custkey"),
+          col("u.location.street.number").as("street_number"),
+          col("u.location.street.name").as("street_name"),
+          col("u.location.city").as("city"),
+          get_json_object(col("json_str"), "$.name.full").as("full_name"),
+          get_json_object(col("json_str"), "$.location.street.number")
+            .cast("long").as("street_number_json"))
+    }),
+
     // ---- G-1: grouped SUM w/ carried dims (spark_stream.py:58–59) ----
     "g1_votes_per_type" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -896,6 +933,18 @@ object SparkEntry {
       """SELECT event_id,
          CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS js
          FROM events""",
+
+    // p14: the oracle computes the expected leaf values straight from
+    // the base columns — if Spark's build→from_json→extract chain
+    // mangles any level, the hash diverges.
+    "p14_nested_extract" ->
+      """SELECT c_custkey,
+         c_custkey % 1000 AS street_number,
+         c_mktsegment AS street_name,
+         n_name AS city,
+         c_name AS full_name,
+         c_custkey % 1000 AS street_number_json
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
 
     "g1_votes_per_type" ->
       """SELECT event_type, round(sum(value), 4) AS total_value, count(*) AS total_votes

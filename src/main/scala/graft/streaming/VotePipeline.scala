@@ -134,6 +134,48 @@ object VotePipeline {
   def toMemory(df: DataFrame, name: String): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode("update")
 
+  /** A-2 stand-in without a broker: an append-only JSON file "topic".
+    * Each update-mode micro-batch appends its changed rows as
+    * `to_json(struct(*))` values tagged with the batch id — the same
+    * message stream the Kafka sink produces, with `batch_id` standing
+    * in for the topic offset order.
+    */
+  def toFileTopic(df: DataFrame, dir: String): DataStreamWriter[Row] =
+    toForeachBatch(df) { (batch, id) =>
+      batch.selectExpr("to_json(struct(*)) AS value")
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").json(dir)
+    }
+
+  /** A-7 — BATCH re-read of a topic: the dashboard's poll-and-recompute
+    * path (`streamlit-app.py:37–43` polls the aggregation topic and
+    * recomputes its view from the messages). With a broker this is
+    * `spark.read.format("kafka").option("startingOffsets", "earliest")`
+    * + the same CAST/from_json decode as [[parse]]; the stand-in reads
+    * the file topic's raw messages.
+    */
+  def readFileTopic(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("value STRING, batch_id BIGINT").json(dir)
+
+  /** S-8 — consumer-side catch-up over an update-mode topic: decode
+    * every message and keep each key's LATEST one (per-key last-write-
+    * wins is exactly what a poller derives from an update stream).
+    * The rank window partitions on the same key the downstream
+    * dashboard aggregates group on, so at scale this is one shuffle
+    * shared with the consumer's own grouping.
+    */
+  def latestPerKey(messages: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                   keyCols: Seq[String]): DataFrame = {
+    val decoded = messages
+      .select(from_json(col("value"), schema).as("m"), col("batch_id"))
+      .select(col("m.*"), col("batch_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)
+    decoded.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") === 1)
+      .drop("__rnk", "batch_id")
+  }
+
   /** A-3 — JDBC-style sink for streams via foreachBatch (reference
     * inserts into Postgres, `main.py:184–208`): each micro-batch is
     * appended with the supplied batch writer. With a JDBC URL the

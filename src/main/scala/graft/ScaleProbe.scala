@@ -49,14 +49,27 @@ object ScaleProbe {
       println(f"""{"op":"$op","k":$k,"rows":$rows,"sec":$sec%.2f}""")
     }
 
+    // Adversarial corpus for the DF cap: every doc gets the SAME
+    // (unsalted) leading phrase, so its shingles sit in all n·k docs —
+    // the textbook formulation would fan out (n·k)² pairs from them;
+    // the capped variant must stay ~linear in k.
+    def stopSalted(k: Int): DataFrame =
+      replicateDocs(k).withColumn("text",
+        concat(lit("common header boilerplate text follows here "), col("text")))
+
     val ks = Iterator.iterate(1)(_ * 4).takeWhile(_ <= maxK).toSeq
     ks.foreach { k =>
       time("dd_minhash_lsh", k)(
         DedupOps.lshCandidatePairs(replicateDocs(k), "doc_id", "text"))
       time("dd_ngram_jaccard", k)(
         DedupOps.ngramJaccardPairs(replicateDocs(k), "doc_id", "text", 0.5))
+      time("dd_ngram_capped_stop", k)(
+        DedupOps.ngramJaccardPairsCapped(stopSalted(k), "doc_id", "text", 0.5, dfCap = 25))
       time("sim_ann_lsh", k)(
         VectorOps.annCosinePairs(replicateVecs(k), "vec_id", "embedding", 0.4))
+      time("sim_ann_capped", k)(
+        VectorOps.annCosinePairsCapped(replicateVecs(k), "vec_id", "embedding", 0.4,
+          bucketCap = 32))
     }
     spark.stop()
   }

@@ -196,9 +196,12 @@ object SparkEntry {
           col("vec_id") % 100 === 0, k = 10)),
       "sim_ann_lsh" -> ((s, dir) =>
         annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
+      // bucketCap sized to the bucket geometry: 4 sign bits = 16
+      // buckets/table, so 32 keeps typical buckets whole and only
+      // truncates pathological (dup-heavy) ones.
       "sim_ann_capped" -> ((s, dir) =>
         annCosinePairsCapped(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, bucketCap = 8))
+          minCosine = 0.4, bucketCap = 32))
     )
   }
 
@@ -254,7 +257,7 @@ object SparkEntry {
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
 
-      // Capped variant: each (table, bucket) keeps only its 8 lowest-
+      // Capped variant: each (table, bucket) keeps only its 32 lowest-
       // ranked members under the portable md5-hash-of-id order.
       "sim_ann_capped" ->
         s"""WITH p AS (SELECT vec_id, embedding,
@@ -269,7 +272,7 @@ object SparkEntry {
                              ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)
                                            AS BIGINT) ASC,
                                       vec_id ASC) AS rnk
-                    FROM e) WHERE rnk <= 8)
+                    FROM e) WHERE rnk <= 32)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
            FROM ek a JOIN ek b
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -296,7 +299,28 @@ object SparkEntry {
         ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5)),
       "dd_ngram_capped" -> ((s, dir) =>
         ngramJaccardPairsCapped(Tables.documents(s, dir), "doc_id", "text",
-          minJaccard = 0.5, dfCap = 25))
+          minJaccard = 0.5, dfCap = 25)),
+      // Fuzzy dedup's last mile: candidate pairs -> connected
+      // components -> min-id survivor election (GraphOps).
+      "dd_cluster_keep_first" -> ((s, dir) =>
+        graft.operators.GraphOps.dedupClusters(
+          lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text"))),
+      // End-to-end curation composition: quality-score -> language +
+      // quality filter -> exact-dedup keep-first -> deterministic
+      // hash-mod sample. One declarative plan; Catalyst fuses the
+      // scalar stages into the scan projection.
+      "cur_pipeline" -> ((s, dir) => {
+        import graft.functions.TextFunctions.qualityScore
+        val scored = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("text"),
+          round(qualityScore(col("text")), 6).as("quality"))
+        val filtered = scored.filter(col("lang") === "en" && col("quality") >= 0.4)
+        val deduped = dedupFirst(
+          filtered.withColumn("content_key", md5(normalizeText(col("text")))),
+          Seq("content_key"), Seq(col("doc_id").asc))
+        graft.operators.CorpusOps.hashModSample(deduped, col("doc_id"), pct = 50)
+          .select(col("doc_id"), col("lang"), col("quality"))
+      })
     )
   }
 
@@ -386,7 +410,61 @@ object SparkEntry {
          FROM common
          JOIN cnt n1 ON d1 = n1.doc_id
          JOIN cnt n2 ON d2 = n2.doc_id
-         WHERE round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) >= 0.5"""
+         WHERE round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) >= 0.5""",
+
+    // Connected components over the LSH candidate pairs via a
+    // recursive reachability CTE; min reachable id = component.
+    "dd_cluster_keep_first" ->
+      s"""WITH RECURSIVE $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, sig, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                   FROM k2 a JOIN k2 b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+         SELECT node AS doc_id, min(r) AS kept_id,
+                (node = min(r)) AS is_kept
+         FROM reach GROUP BY node""",
+
+    // Curation pipeline: the quality formula mirrors txt_quality's
+    // oracle; filter on the ROUNDED score keeps both engines'
+    // threshold decisions identical.
+    "cur_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, text,
+             round(
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+               greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(n_punct AS DOUBLE) / length(text) END) * 5) * 0.3 +
+               least((CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks,
+                   x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS DOUBLE)
+                   / len(toks) END) * 4, 1.0) * 0.3,
+             6) AS quality
+           FROM t),
+         f AS (SELECT * FROM q WHERE lang = 'en' AND quality >= 0.4),
+         d AS (SELECT doc_id, lang, quality,
+                 row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                   ORDER BY doc_id ASC) AS rn
+               FROM f)
+         SELECT doc_id, lang, quality FROM d
+         WHERE rn = 1
+           AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 50"""
   )
 
   /** Text-analysis extensions over `documents` (north star): token

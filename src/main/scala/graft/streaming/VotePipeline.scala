@@ -147,6 +147,22 @@ object VotePipeline {
         .write.mode("append").json(dir)
     }
 
+  /** A-7 — batch Kafka topic read over the real transport: the
+    * dashboard's catch-up poll (`streamlit-app.py:37–43`) as one
+    * bounded read of the whole topic. Compiles against the DataSource
+    * V2 string API like [[fromKafka]]; needs the spark-sql-kafka
+    * connector on the classpath at runtime. [[readFileTopic]] is the
+    * broker-less stand-in with the identical downstream decode.
+    */
+  def fromKafkaBatch(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load()
+
   /** A-7 — BATCH re-read of a topic: the dashboard's poll-and-recompute
     * path (`streamlit-app.py:37–43` polls the aggregation topic and
     * recomputes its view from the messages). With a broker this is

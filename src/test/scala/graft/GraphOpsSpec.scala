@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{DedupOps, GraphOps}
+
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connectedComponents labels a path, a clique, and keeps components separate") {
+    // path 1-2-3-4-5 (diameter 4), triangle 20-21-22, duplicate+reversed
+    // edges 10-11
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("d1", "d2")
+    val cc = GraphOps.connectedComponents(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) === 1L))
+    assert(Seq(10L, 11L).forall(cc(_) === 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) === 20L))
+    assert(cc.size === 10)
+  }
+
+  test("maxIter bounds propagation (diameter > maxIter stops early)") {
+    val path = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val bounded = GraphOps.connectedComponents(path, "d1", "d2", maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    // one round: each node only sees immediate neighbors' initial labels
+    assert(bounded(6L) === 5L)
+    val full = GraphOps.connectedComponents(path, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.toSet === Set(1L))
+  }
+
+  test("dedupClusters elects the min doc id per near-dup group") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content about spark engines and scale"),
+      (4L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.lshCandidatePairs(corpus, "doc_id", "text")
+    val clusters = GraphOps.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (d, k, kept) => d -> (k, kept) }.toMap
+    // 1,2,4 are mutually near-dup candidates; 3 has no pair -> absent
+    assert(!clusters.contains(3L))
+    assert(clusters.keySet === Set(1L, 2L, 4L))
+    assert(clusters.values.map(_._1).toSet === Set(1L))
+    assert(clusters.collect { case (d, (_, true)) => d }.toSet === Set(1L))
+  }
+}

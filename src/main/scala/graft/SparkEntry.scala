@@ -394,12 +394,16 @@ object SparkEntry {
 
     // Capped variant: shingles with document frequency above 25 are
     // dropped BEFORE the pair join (df = 1 shingles too — they cannot
-    // form a pair); set sizes n still count full shingle sets.
+    // form a pair); set sizes n still count full shingle sets. Join
+    // key is the portable 56-bit md5 prefix of the shingle (fixed-
+    // width longs through every shuffle/sort).
     "dd_ngram_capped" ->
       s"""WITH $duckShingleCtes,
          ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
          cnt AS (SELECT doc_id, len(sh) AS n FROM ds),
-         ex AS (SELECT doc_id, unnest(sh) AS s FROM ds),
+         ex AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(unnest(sh)), 1, 14) AS BIGINT) AS s
+                FROM ds),
          exk AS (SELECT doc_id, s FROM (
                    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex)
                  WHERE df BETWEEN 2 AND 25),

@@ -221,13 +221,25 @@ object DedupOps {
     * window count → filter → sort-merge self-join on already-
     * partitioned data. Shingles with df = 1 are also dropped (they
     * cannot form a pair — pure optimization, result-identical).
+    *
+    * Production detail: the join key is the 56-bit md5 prefix of the
+    * shingle, not the string — every downstream sort/shuffle then
+    * moves fixed-width longs instead of ~25-byte strings (ScaleProbe
+    * measured the string sort dominating at 16× replication). The
+    * hash is portable (`CAST('0x' || substr(md5(s),1,14) AS BIGINT)`
+    * in the oracle), so results stay bit-checked; a 56-bit collision
+    * (≈2⁻⁴⁰ at 10M distinct shingles) would add one spurious shared
+    * shingle to one pair — the textbook-exact uncapped query remains
+    * the semantic baseline.
     */
   def ngramJaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
                               minJaccard: Double, dfCap: Int, n: Int = 3): DataFrame = {
     val sh = spread(docs).select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), n)).as("__sh"))
     val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
-      explode(col("__sh")).as("__s"))
+      explode(col("__sh")).as("__s0"))
+      .select(col("__id"), col("__n"),
+        conv(substring(md5(col("__s0")), 1, 14), 16, 10).cast("long").as("__s"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__s"))
     val exk = ex.withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") >= 2 && col("__df") <= dfCap)

@@ -201,7 +201,10 @@ object SparkEntry {
       // truncates pathological (dup-heavy) ones.
       "sim_ann_capped" -> ((s, dir) =>
         annCosinePairsCapped(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, bucketCap = 32))
+          minCosine = 0.4, bucketCap = 32)),
+      "sim_ivf_pairs" -> ((s, dir) =>
+        ivfCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4))
     )
   }
 
@@ -276,6 +279,28 @@ object SparkEntry {
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
            FROM ek a JOIN ek b
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.4""",
+
+      // IVF: codebook = 16 smallest-id-hash vectors; each vector joins
+      // its 2 nearest cells; candidates share a cell.
+      "sim_ivf_pairs" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+            FROM embeddings),
+           c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm,
+                   row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell
+                 FROM (SELECT * FROM p ORDER BY h ASC, vec_id ASC LIMIT 16)),
+           s AS (SELECT p.vec_id, p.embedding, p.nrm, c.cell,
+                   ${duckDot("p.embedding", "c.cv")} / (p.nrm * c.cnrm) AS sim
+                 FROM p, c),
+           asn AS (SELECT vec_id, embedding, nrm, cell FROM (
+                     SELECT vec_id, embedding, nrm, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rnk
+                     FROM s) WHERE rnk <= 2)
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4"""
     )
   }

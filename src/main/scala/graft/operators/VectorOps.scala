@@ -124,6 +124,54 @@ object VectorOps {
       .distinct()
   }
 
+  /** IVF (inverted-file) ANN cosine pairs — the codebook-based scale
+    * path, complementing the hyperplane LSH of [[annCosinePairs]].
+    * Production IVF trains centroids with k-means; for a deterministic,
+    * oracle-checkable engine the codebook is the `nlist` corpus vectors
+    * with the smallest portable id-hash (a random-but-reproducible
+    * sample — the standard no-training fallback). Every vector is
+    * assigned to its `nprobe` nearest cells; vectors sharing a cell
+    * become candidates; exact cosine filters.
+    *
+    * Plan shape: the codebook is collected driver-side (nlist rows —
+    * the same small-artifact pattern as the LSH hyperplanes) and
+    * enters the plan as literals, so cell assignment is a per-row
+    * 16-element array sort inside the scan projection — NO
+    * corpus × nlist shuffle. The only shuffle is the (cell) self-join,
+    * and multi-probe assignment buys recall the way IVF nprobe always
+    * does.
+    */
+  def ivfCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val cents = p.select(col("__id"), col("__v"), col("__nrm"),
+        graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
+      .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
+      .collect() // nlist rows: the codebook is a driver-side artifact
+    val cells = array(cents.zipWithIndex.map { case (r, i) =>
+      val cv = typedlit(r.getSeq[Float](1))
+      val cnrm = lit(r.getDouble(2))
+      struct((dot(col("__v"), cv) / (col("__nrm") * cnrm)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)
+    // top-nprobe cells: sort by sim desc, cell asc (deterministic ties)
+    val bySimDesc = (l: Column, r: Column) =>
+      when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .otherwise(l.getField("cell") - r.getField("cell"))
+    val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
+        explode(slice(array_sort(cells, bySimDesc), 1, nprobe)).as("__t"))
+      .select(col("__id"), col("__v"), col("__nrm"), col("__t.cell").as("__cell"))
+    assigned.alias("a").hint("merge")
+      .join(assigned.alias("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+
   /** [[annCosinePairs]] with a per-(table, bucket) candidate cap — the
     * guard a dup-heavy corpus needs at 100 TB: a bucket holding k
     * identical (or near-identical) vectors generates k² candidate

@@ -42,6 +42,27 @@ class JdbcIOSpec extends SparkTestBase {
       .filter(col("n_regionkey") === 2).count())
   }
 
+  test("streaming foreachBatch JDBC sink round-trips (A-3 complete)") {
+    // the reference's stream -> Postgres path (main.py:184-208):
+    // per-micro-batch appends through the JDBC writer, then a batch
+    // read sees every ingested row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val votes = streaming.VoteGenerator.votes(60, seed = 7)
+    val parsed = streaming.VotePipeline.parse(ms.toDF())
+      .select("voter_id", "candidate_id", "vote")
+    val q = streaming.VotePipeline.toForeachBatch(parsed) { (batch, _) =>
+      batch.write.mode("append").jdbc(url, "votes_stream", JdbcIO.props())
+    }.start()
+    ms.addData(votes.take(40)); q.processAllAvailable()
+    ms.addData(votes.drop(40)); q.processAllAvailable()
+    q.stop()
+    val back = JdbcIO.read(spark, url, "votes_stream")
+    assert(back.count() === 60)
+    assert(back.agg(sum("vote")).head.getLong(0) === 60) // vote = lit(1) each
+  }
+
   test("range-partitioned read splits into parallel bounded queries") {
     JdbcIO.write(Tables.customer(spark, sfDir), url, "customer_rt")
     val part = JdbcIO.readPartitioned(spark, url, "customer_rt",

@@ -65,6 +65,20 @@ class VectorOpsSpec extends SparkTestBase {
     ann.foreach { case (k, c) => assert(c === brute(k)) }
   }
 
+  test("ivfCosinePairs: candidates are true pairs; multi-probe beats single-probe recall") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val brute = cosinePairsBruteForce(vecs, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    val ivf2 = ivfCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.4, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toMap2
+    val ivf1 = ivfCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.4, nprobe = 1)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(ivf2.nonEmpty, "IVF should recover pairs at sf0.001")
+    assert(ivf2.keySet.subsetOf(brute.keySet), "IVF candidates must be true pairs")
+    ivf2.foreach { case (k, c) => assert(c === brute(k)) }
+    assert(ivf1.keySet.subsetOf(ivf2.keySet), "probing more cells only adds candidates")
+  }
+
   test("annCosinePairsCapped bounds bucket fan-out and is a subset of uncapped") {
     // duplicate-heavy corpus: 20 copies of the same vector land in the
     // same bucket in every table — uncapped generates 190 pairs from

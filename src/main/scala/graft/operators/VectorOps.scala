@@ -148,19 +148,19 @@ object VectorOps {
         graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
       .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
       .collect() // nlist rows: the codebook is a driver-side artifact
+    // struct(-sim, cell): the DEFAULT array_sort (lexicographic struct
+    // ascending) then orders by sim desc with cell-asc ties — no
+    // comparator lambda, whose per-instantiation variable ids would
+    // defeat plan canonicalization and break ReuseExchange on the
+    // self-join below.
     val cells = array(cents.zipWithIndex.map { case (r, i) =>
       val cv = typedlit(r.getSeq[Float](1))
       val cnrm = lit(r.getDouble(2))
-      struct((dot(col("__v"), cv) / (col("__nrm") * cnrm)).as("sim"),
+      struct((-(dot(col("__v"), cv) / (col("__nrm") * cnrm))).as("negsim"),
         lit(i).as("cell"))
     }: _*)
-    // top-nprobe cells: sort by sim desc, cell asc (deterministic ties)
-    val bySimDesc = (l: Column, r: Column) =>
-      when(l.getField("sim") > r.getField("sim"), -1)
-        .when(l.getField("sim") < r.getField("sim"), 1)
-        .otherwise(l.getField("cell") - r.getField("cell"))
     val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
-        explode(slice(array_sort(cells, bySimDesc), 1, nprobe)).as("__t"))
+        explode(slice(array_sort(cells), 1, nprobe)).as("__t"))
       .select(col("__id"), col("__v"), col("__nrm"), col("__t.cell").as("__cell"))
     assigned.alias("a").hint("merge")
       .join(assigned.alias("b"),

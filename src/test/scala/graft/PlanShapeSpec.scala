@@ -31,7 +31,8 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("LSH and inverted-index self-joins compute their signature pipeline once (ReusedExchange)") {
-    Seq("dd_minhash_lsh", "dd_ngram_jaccard", "dd_ngram_capped", "sim_ann_lsh")
+    Seq("dd_minhash_lsh", "dd_ngram_jaccard", "dd_ngram_capped", "sim_ann_lsh",
+        "sim_ivf_pairs")
       .foreach { q =>
         val plan = executedPlan(q)
         assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),

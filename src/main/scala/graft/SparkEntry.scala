@@ -204,7 +204,12 @@ object SparkEntry {
           minCosine = 0.4, bucketCap = 32)),
       "sim_ivf_pairs" -> ((s, dir) =>
         ivfCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4))
+          minCosine = 0.4)),
+      "vec_quantize" -> ((s, dir) => {
+        val (scale, q) = quantizeInt8(col("embedding"))
+        Tables.embeddings(s, dir).select(
+          col("vec_id"), round(scale, 6).as("scale"), q.as("qvec"))
+      })
     )
   }
 
@@ -301,7 +306,21 @@ object SparkEntry {
                      FROM s) WHERE rnk <= 2)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
            FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE $pairCos >= 0.4"""
+           WHERE $pairCos >= 0.4""",
+
+      // int8 quantization: scale rounded for display only; the
+      // quantized values use the unrounded scale on both engines.
+      "vec_quantize" ->
+        """WITH a AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+            FROM embeddings),
+           s AS (SELECT vec_id, embedding,
+              CASE WHEN amax = 0 THEN 1.0 ELSE 127.0 / amax END AS sc FROM a)
+           SELECT vec_id, round(sc, 6) AS scale,
+              list_transform(embedding,
+                x -> CAST(least(greatest(round(CAST(x AS DOUBLE) * sc), -127.0), 127.0)
+                          AS INT)) AS qvec
+           FROM s"""
     )
   }
 
@@ -813,6 +832,27 @@ object SparkEntry {
         round(avg(col("value")).over(w), 4).as("mavg3"))
     }),
 
+    // ---- W-2: analytic-function battery over one partitioned window —
+    //      lead/lag/row_number/ntile/cume_dist/first_value + running
+    //      sum. ONE shuffle on user_id serves every function (a single
+    //      Window node); running sum rounded because DuckDB's
+    //      segment-tree accumulation orders additions differently. ----
+    "w2_window_battery" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first(col("event_id")).over(wRun).as("first_event"),
+        round(sum(col("value")).over(wRun), 4).as("running_value"))
+    }),
+
     // ---- J-3..J-5: outer / semi / anti joins (library completeness;
     //      the reference needs only inner, a user switching needs all) ----
     "j3_outer_join" -> ((s, dir) => {
@@ -1163,6 +1203,20 @@ object SparkEntry {
                                 ORDER BY ts ASC, event_id ASC
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
          FROM events""",
+
+    "w2_window_battery" ->
+      """SELECT user_id, event_id,
+         lag(value, 1) OVER w AS prev_value,
+         lead(value, 1) OVER w AS next_value,
+         row_number() OVER w AS rn,
+         ntile(4) OVER w AS quartile,
+         round(cume_dist() OVER w, 6) AS cdist,
+         first_value(event_id) OVER wr AS first_event,
+         round(sum(value) OVER wr, 4) AS running_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                wr AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "j3_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders

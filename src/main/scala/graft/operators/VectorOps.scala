@@ -26,6 +26,30 @@ object VectorOps {
   /** Double-precision dot product (native codegen expression). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Expression-level let-binding (see DedupOps.bindArray): evaluate
+    * `c` once, reference it many times inside `f` — a Scala `val`
+    * would copy the subtree into every use site.
+    */
+  private def bindScalar(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
+  /** Symmetric int8 quantization of an embedding: scale = 127 / max|v|
+    * (1.0 for the zero vector), q_i = round(v_i · scale) clamped to
+    * [-127, 127]. The storage/compute trade every large-scale vector
+    * store makes; per-row, shuffle-free, and exactly reproducible in
+    * SQL (identical double arithmetic + half-away-from-zero rounding
+    * on both engines). Returns (scale, quantized) columns; amax is
+    * let-bound so the O(dim) max runs once, not once per element.
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val amax = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = bindScalar(amax)(a => when(a === 0.0, 1.0).otherwise(lit(127.0) / a))
+    val q = bindScalar(scale)(sc =>
+      transform(vec, x =>
+        least(greatest(round(x.cast("double") * sc), lit(-127.0)), lit(127.0)).cast("int")))
+    (scale, q)
+  }
+
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

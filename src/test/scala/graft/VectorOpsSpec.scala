@@ -65,6 +65,16 @@ class VectorOpsSpec extends SparkTestBase {
     ann.foreach { case (k, c) => assert(c === brute(k)) }
   }
 
+  test("quantizeInt8 clamps to [-127,127], maps max|v| to ±127, zero vector to zeros") {
+    val df = Seq((1L, Array(0f, 0f)), (2L, Array(1f, -2f))).toDF("vec_id", "embedding")
+    val (scale, q) = quantizeInt8(col("embedding"))
+    val out = df.select(col("vec_id"), scale.as("s"), q.as("q"))
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((1.0, Seq(0, 0))))
+    assert(out(2L)._1 === 63.5)
+    assert(out(2L)._2 === Seq(64, -127)) // 63.5 rounds half-away-from-zero
+  }
+
   test("ivfCosinePairs: candidates are true pairs; multi-probe beats single-probe recall") {
     val vecs = Tables.embeddings(spark, sfDir)
     val brute = cosinePairsBruteForce(vecs, "vec_id", "embedding", 0.4)

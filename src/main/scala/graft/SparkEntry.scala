@@ -542,6 +542,12 @@ object SparkEntry {
         Tables.documents(s, dir).select(
           col("doc_id"), langId(col("text")).as("lang_pred"))
       }),
+      "txt_repetition" -> ((s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          round(repetitionRatio(col("text"), 2), 6).as("rep2"),
+          round(repetitionRatio(col("text"), 3), 6).as("rep3"))
+      }),
       "txt_fingerprint" -> ((s, dir) => {
         Tables.documents(s, dir).select(
           col("doc_id"), fingerprint(col("text")).as("fingerprint"))
@@ -584,6 +590,27 @@ object SparkEntry {
            WHEN ' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %' THEN 'en'
            ELSE 'unknown' END AS lang_pred
          FROM documents""",
+
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [array_to_string(toks, ' ')] END AS g2,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [array_to_string(toks, ' ')] END AS g3
+               FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(toks) < 2 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6) AS rep2,
+           round(CASE WHEN len(toks) < 3 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6) AS rep3
+         FROM g""",
 
     // LEFT JOIN + COALESCE so zero-token docs yield fingerprint 0,
     // matching Spark's aggregate-over-empty-array semantics (ADVICE r1).

@@ -100,6 +100,21 @@ object TextFunctions {
       (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double")
         / length(text).cast("double"))
 
+  /** Intra-document repetition ratio (Gopher/MassiveText-style
+    * repetition filter): fraction of word n-grams that are duplicates
+    * of an earlier n-gram in the same document,
+    * `1 - distinct/total` over the n-gram multiset (0.0 for docs with
+    * fewer than n tokens). High values flag boilerplate/spam. Per-row,
+    * shuffle-free; the n-gram build rides [[graft.functions
+    * .ShinglesExpr]] so tokenization runs once in native code.
+    */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val grams = call_function("graft_shingles", text, lit(n))
+    when(size(tokens(text)) < n, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
+
   /** Composite quality score in [0,1]: long-enough, low-punctuation,
     * sane stopword density. Deterministic arithmetic over the above.
     */

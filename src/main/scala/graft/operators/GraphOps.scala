@@ -28,25 +28,53 @@ object GraphOps {
 
   /** Connected components over an undirected edge list.
     *
+    * Size-adaptive: a near-dup candidate graph is tiny RELATIVE to the
+    * corpus (edges ≈ duplicate pairs, not documents), so when the
+    * symmetrized edge list fits under `localThreshold` it is collected
+    * and solved with union-find on the driver — one job instead of
+    * O(diameter) iterative rounds of shuffles (the rounds cost ~0.5 s
+    * of scheduling each regardless of data size). Graphs above the
+    * threshold, or with non-integral node ids, run the distributed
+    * min-label propagation. Both paths produce the identical
+    * (node, min-reachable-id) fixpoint.
+    *
     * @param edges   two-column DataFrame of (src, dst) pairs; direction
     *                ignored, self-loops and duplicates tolerated
     * @param maxIter safety bound on propagation rounds (components with
     *                diameter > maxIter would stop early — callers pick
     *                a bound ≥ the plausible diameter; dedup cliques
     *                have diameter ≤ 2)
+    * @param localThreshold max symmetrized edge count for the driver-
+    *                side union-find (2M edges ≈ 32 MB of longs)
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 10): DataFrame = {
+                          maxIter: Int = 10, localThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     // undirected: keep both orientations so each node sees every neighbor
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .cache()
+    val integral = sym.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integral && sym.count() <= localThreshold) {
+      val out = localUnionFind(sym.collect().map(r =>
+        (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())))
+      sym.unpersist()
+      import spark.implicits._
+      return out.toSeq.toDF("node", "component")
+    }
+    // localCheckpoint (eager) after every round: each iteration's plan
+    // references the previous labels TWICE (union + convergence join),
+    // so without lineage truncation the logical plan doubles per round
+    // — 2^iter nodes, an OOM in the optimizer long before any data
+    // volume matters. Checkpointing pins the round's result and resets
+    // the plan to a leaf.
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .cache()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -56,19 +84,42 @@ object GraphOps {
         .select(col("a").as("node"), col("label"))
       val next = labels.union(neighborLabels)
         .groupBy("node").agg(min("label").as("label"))
-        .cache()
-      next.count() // materialize before comparing / unpersisting
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() // existence check, not a full count
-      labels.unpersist()
+        .agg(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)))
+        .head.getLong(0)
       labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Union-find with path halving; component label = min node id, so
+    * the result matches the distributed fixpoint exactly.
+    */
+  private def localUnionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.putIfAbsent(x, x)
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp)
+        x = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val it = parent.keySet().iterator()
+    val out = Array.newBuilder[(Long, Long)]
+    while (it.hasNext) { val n = it.next(); out += ((n, find(n))) }
+    out.result()
   }
 
   /** Fuzzy-dedup keep-one decision: cluster near-duplicate candidate

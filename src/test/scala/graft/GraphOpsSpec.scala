@@ -21,15 +21,28 @@ class GraphOpsSpec extends SparkTestBase {
     assert(cc.size === 10)
   }
 
-  test("maxIter bounds propagation (diameter > maxIter stops early)") {
+  test("maxIter bounds distributed propagation (diameter > maxIter stops early)") {
+    // localThreshold = 0 forces the iterative distributed path
     val path = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val bounded = GraphOps.connectedComponents(path, "d1", "d2", maxIter = 1)
-      .as[(Long, Long)].collect().toMap
+    val bounded = GraphOps.connectedComponents(path, "d1", "d2", maxIter = 1,
+      localThreshold = 0L).as[(Long, Long)].collect().toMap
     // one round: each node only sees immediate neighbors' initial labels
     assert(bounded(6L) === 5L)
-    val full = GraphOps.connectedComponents(path, "d1", "d2")
+    val full = GraphOps.connectedComponents(path, "d1", "d2", localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(full.values.toSet === Set(1L))
+  }
+
+  test("local union-find and distributed propagation agree exactly") {
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (20L, 21L),
+      (21L, 22L), (20L, 22L), (30L, 30L)) ++
+      (100L to 140L by 2).map(i => (i, i + 2))).toDF("d1", "d2")
+    val local = GraphOps.connectedComponents(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    // the long path needs > 10 rounds; give the distributed run room
+    val dist = GraphOps.connectedComponents(edges, "d1", "d2", maxIter = 30,
+      localThreshold = 0L).as[(Long, Long)].collect().toSet
+    assert(local === dist)
   }
 
   test("dedupClusters elects the min doc id per near-dup group") {

@@ -89,7 +89,19 @@ object SparkEntry {
       "txt_vocab_topk" -> ((s, dir) =>
         vocabTopK(Tables.documents(s, dir), "text", k = 50)),
       "txt_tfidf" -> ((s, dir) =>
-        tfIdf(Tables.documents(s, dir), "doc_id", "text"))
+        tfIdf(Tables.documents(s, dir), "doc_id", "text")),
+      // eval-set hygiene: drop docs sharing any 3-gram with the
+      // (deterministic 5%) contamination sample
+      "cur_decontaminate" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val contam = hashModSample(docs, col("doc_id"), pct = 5)
+        decontaminate(docs, contam, "doc_id", "text")
+          .select(col("doc_id"), col("lang"))
+      }),
+      "corp_len_histogram" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(expr("n_chars div 100 * 100").as("bucket"))
+          .agg(count(lit(1)).as("n_docs")))
     )
   }
 
@@ -122,7 +134,32 @@ object SparkEntry {
          n AS (SELECT count(*) AS n_docs FROM documents)
          SELECT doc_id, tf.term AS term, tf,
                 round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
-         FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n"""
+         FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n""",
+
+    "cur_decontaminate" ->
+      """WITH t AS (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM t),
+         ds AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(unnest(list_distinct(shingles))), 1, 14)
+                       AS BIGINT) AS s
+                FROM sh),
+         c AS (SELECT DISTINCT s FROM ds
+               WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                     % 100 < 5),
+         bad AS (SELECT DISTINCT doc_id FROM ds JOIN c USING (s))
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "corp_len_histogram" ->
+      """SELECT n_chars // 100 * 100 AS bucket, count(*) AS n_docs
+         FROM documents GROUP BY 1"""
   )
 
   /** Multimodal-column extensions: binary assets + typed metadata with

@@ -47,6 +47,35 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Benchmark decontamination: drop corpus documents sharing ANY word
+    * n-gram with a contamination set (eval-set hygiene — a training
+    * corpus must not contain benchmark text; n-gram overlap is the
+    * standard detector, e.g. GPT-3 appendix C / PaLM's 13-gram rule;
+    * here n is a parameter since the synthetic docs are short).
+    *
+    * Plan shape: both sides explode to (id, shingle-hash) — 56-bit
+    * md5-prefix keys, fixed-width through the shuffle — and a
+    * LEFT ANTI join on the hash removes any document with at least one
+    * hit. The anti join shuffles on the shingle hash only; the
+    * contamination side is typically small (an eval set) and Spark
+    * broadcasts it when so.
+    */
+  def decontaminate(docs: DataFrame, contamination: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def hashed(df: DataFrame): Column =
+      explode(array_distinct(DedupOps.shingles(col(textCol), n)))
+    val docShingles = docs.select(col(idCol), hashed(docs).as("__s0"))
+      .select(col(idCol), conv(substring(md5(col("__s0")), 1, 14), 16, 10)
+        .cast("long").as("__sh"))
+    val contamShingles = contamination
+      .select(hashed(contamination).as("__s0"))
+      .select(conv(substring(md5(col("__s0")), 1, 14), 16, 10).cast("long").as("__sh"))
+      .distinct()
+    val contaminatedIds = docShingles.join(contamShingles, Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** TF-IDF weights per (doc, term): tf × ln(N / df). SINGLE
     * tokenization pass: explode once, aggregate tf per (doc, term) —
     * after which the frame has exactly one row per (doc, term), so

@@ -838,6 +838,34 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- Q6 analog: pure scan-side filter + scalar agg — the
+    //      pushdown showcase (every predicate reaches the parquet
+    //      scan; zero shuffles before the final 1-row reduce) ----
+    "q6_forecast_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // ---- Q18 analog: large-volume customers — aggregate-then-join
+    //      with a HAVING-style threshold; the qualifying-orderkey set
+    //      is aggregated BEFORE joining back (semi-join on a shrunken
+    //      key set, not a fact-fact join) ----
+    "q18_large_orders" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+    }),
+
     // ---- Set operations: UNION / INTERSECT / EXCEPT over per-type
     //      user sets. Each plans as aggregate-on-key after shuffle —
     //      same scale shape as a distinct groupBy. ----
@@ -1236,6 +1264,24 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING round(sum(l_quantity), 2) > 150)
+         SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+         FROM orders
+         JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
 
     "set_union" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

@@ -59,6 +59,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema"), plan)
   }
 
+  test("q6: every predicate pushes to the scan; no shuffle before the scalar agg") {
+    val plan = initialPlan("q6_forecast_revenue")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(plan.contains(c), s"missing pushed predicate on $c:\n$plan"))
+    assert(plan.contains("PushedFilters"), plan)
+    // partial agg map-side, single exchange feeding the final 1-row agg
+    assert(plan.split("Exchange").length <= 3, s"too many exchanges:\n$plan")
+  }
+
   test("scalar-count and argmax aggregate map-side before the final exchange") {
     // partial_count / partial aggregation markers show map-side combine
     val g3 = initialPlan("g3_scalar_count")

@@ -401,6 +401,16 @@ object SparkEntry {
           Seq("content_key"), Seq(col("doc_id").asc))
         graft.operators.CorpusOps.hashModSample(deduped, col("doc_id"), pct = 50)
           .select(col("doc_id"), col("lang"), col("quality"))
+      }),
+      // Full fuzzy-dedup prune: LSH candidates -> components -> drop
+      // every non-survivor; docs with no near-dup pass through.
+      "cur_neardup_prune" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val losers = graft.operators.GraphOps.dedupClusters(
+          lshCandidatePairs(docs, "doc_id", "text"))
+          .filter(!col("is_kept")).select(col("doc_id"))
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
       })
     )
   }
@@ -518,6 +528,29 @@ object SparkEntry {
          SELECT node AS doc_id, min(r) AS kept_id,
                 (node = min(r)) AS is_kept
          FROM reach GROUP BY node""",
+
+    // Near-dup prune: keep docs that are either untouched by any
+    // candidate pair or the min-id survivor of their component.
+    "cur_neardup_prune" ->
+      s"""WITH RECURSIVE $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, sig, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                   FROM k2 a JOIN k2 b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         losers AS (SELECT node AS doc_id FROM reach
+                    GROUP BY node HAVING node <> min(r))
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
 
     // Curation pipeline: the quality formula mirrors txt_quality's
     // oracle; filter on the ROUNDED score keeps both engines'

@@ -64,4 +64,36 @@ object JdbcIO {
                       numPartitions: Int): DataFrame =
     spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
       numPartitions, props())
+
+  /** Idempotent per-micro-batch writer for `foreachBatch` streaming
+    * sinks (A-3 with replay safety): after a failure Structured
+    * Streaming RE-RUNS the last uncommitted batch, so a plain append
+    * duplicates its rows. Stamp every row with the batch id and delete
+    * that batch's previous attempt before inserting — replays then
+    * converge instead of duplicating (the standard JDBC exactly-once
+    * recipe; full atomicity would need delete+insert in one
+    * transaction, which Spark's jdbc writer doesn't expose — a crash
+    * between the two steps is healed by the next replay of the same
+    * batch).
+    */
+  def idempotentBatchWriter(url: String, table: String)
+                           (batch: DataFrame, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // metadata probe instead of a swallowed SQLException: a real
+      // DELETE failure must surface, or replays silently duplicate
+      val t = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = t.next()
+      t.close()
+      if (exists) {
+        val st = conn.createStatement()
+        // Spark's jdbc writer QUOTES column identifiers at CREATE, so
+        // the column is case-sensitive lowercase — quote it here too
+        st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        st.close()
+      }
+    } finally conn.close()
+    batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("append").jdbc(url, table, props())
+  }
 }

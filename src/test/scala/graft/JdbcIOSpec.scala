@@ -63,6 +63,19 @@ class JdbcIOSpec extends SparkTestBase {
     assert(back.agg(sum("vote")).head.getLong(0) === 60) // vote = lit(1) each
   }
 
+  test("idempotent batch writer converges under batch replay") {
+    val rows = Tables.region(spark, sfDir) // 5 rows
+    val write = JdbcIO.idempotentBatchWriter(url, "region_idem") _
+    write(rows, 0L)
+    write(rows, 0L) // streaming replay of the same uncommitted batch
+    assert(JdbcIO.read(spark, url, "region_idem").count() === 5,
+      "replaying a batch must not duplicate its rows")
+    write(rows, 1L) // a NEW batch appends
+    val back = JdbcIO.read(spark, url, "region_idem")
+    assert(back.count() === 10)
+    assert(back.select("batch_id").distinct().count() === 2)
+  }
+
   test("range-partitioned read splits into parallel bounded queries") {
     JdbcIO.write(Tables.customer(spark, sfDir), url, "customer_rt")
     val part = JdbcIO.readPartitioned(spark, url, "customer_rt",

@@ -946,6 +946,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // ---- G-14: CUBE — all 2^k grouping sets in one Expand pass
+    //      (rollup's completion; same single-shuffle scale shape).
+    //      err_code is a deterministic NULLABLE dimension (nullif), so
+    //      the cube exercises null grouping keys too ----
+    "g14_cube" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("err_code", expr("nullif(event_type, 'click')"))
+        .cube(col("event_type"), col("err_code"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    }),
+
+    // ---- J-7: null-safe equality join (<=>) — null keys MATCH each
+    //      other instead of disappearing; the join stays an equi-join
+    //      (hash/sort-merge-able) because <=> is a deterministic key
+    //      comparison, not a residual predicate ----
+    "j7_null_safe_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("err_code", expr("nullif(event_type, 'click')"))
+      val errCounts = e.groupBy(col("err_code").as("err_key"))
+        .agg(count(lit(1)).as("n_events"))
+      e.select(col("event_id"), col("err_code"))
+        .join(errCounts, col("err_code") <=> col("err_key"))
+        .select(col("event_id"), col("err_code"), col("n_events"))
+    }),
+
     // ---- W-1: framed analytic window — 3-event moving average per
     //      user (partitioned by user: one shuffle, bounded task state) ----
     "w1_moving_avg" -> ((s, dir) => {
@@ -1339,6 +1364,19 @@ object SparkEntry {
       """SELECT event_type, date_trunc('day', ts) AS day,
          count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY ROLLUP (event_type, date_trunc('day', ts))""",
+
+    "g14_cube" ->
+      """SELECT event_type, nullif(event_type, 'click') AS err_code,
+         count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY CUBE (event_type, nullif(event_type, 'click'))""",
+
+    "j7_null_safe_join" ->
+      """WITH e AS (SELECT event_id, nullif(event_type, 'click') AS err_code
+                    FROM events),
+         ec AS (SELECT err_code AS err_key, count(*) AS n_events
+                FROM e GROUP BY err_code)
+         SELECT event_id, err_code, n_events
+         FROM e JOIN ec ON e.err_code IS NOT DISTINCT FROM ec.err_key""",
 
     "w1_moving_avg" ->
       """SELECT user_id, event_id, ts,

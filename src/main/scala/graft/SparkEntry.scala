@@ -946,6 +946,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // ---- G-15: min_by/max_by aggregates — the one-pass argmin/argmax
+    //      surface (vs G-4's join-back argmax); deterministic because
+    //      the ordering key event_id is unique ----
+    "g15_argminmax" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }),
+
     // ---- G-14: CUBE — all 2^k grouping sets in one Expand pass
     //      (rollup's completion; same single-shuffle scale shape).
     //      err_code is a deterministic NULLABLE dimension (nullif), so
@@ -1364,6 +1377,14 @@ object SparkEntry {
       """SELECT event_type, date_trunc('day', ts) AS day,
          count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY ROLLUP (event_type, date_trunc('day', ts))""",
+
+    "g15_argminmax" ->
+      """SELECT user_id,
+         arg_min(event_type, event_id) AS first_type,
+         arg_max(event_type, event_id) AS last_type,
+         min(event_id) AS first_event,
+         max(event_id) AS last_event
+         FROM events GROUP BY user_id""",
 
     "g14_cube" ->
       """SELECT event_type, nullif(event_type, 'click') AS err_code,

@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
 class TopicReplaySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("Trigger.AvailableNow drains all pending input then self-terminates") {
+    // the bounded catch-up shape: process everything available as
+    // micro-batches, then stop — what a scheduled (cron-style) refresh
+    // of the dashboard topic runs instead of a resident stream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    ms.addData(VoteGenerator.votes(80, seed = 3))
+    val q = VotePipeline.toMemory(
+      VotePipeline.votesPerCandidate(VotePipeline.parse(ms.toDF())), "catchup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow must self-terminate after draining")
+    val total = spark.table("catchup")
+      .groupBy("candidate_id").agg(max("total_votes").as("tv"))
+      .agg(sum("tv")).head.getLong(0)
+    assert(total === 80)
+  }
+
   test("batch topic re-read reconstructs latest state and feeds the dashboard queries") {
     implicit val ctx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-topic").toString + "/agg_topic"

@@ -172,6 +172,17 @@ object VectorOps {
         graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
       .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
       .collect() // nlist rows: the codebook is a driver-side artifact
+    if (cents.isEmpty) {
+      // empty corpus: a zero-element array() literal would type as
+      // VOID and break the cell extraction — return the empty result
+      // with the contract schema instead
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val s = vecs.sparkSession
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("v1", vecs.schema(idCol).dataType),
+          StructField("v2", vecs.schema(idCol).dataType),
+          StructField("cosine", DoubleType))))
+    }
     // struct(-sim, cell): the DEFAULT array_sort (lexicographic struct
     // ascending) then orders by sim desc with cell-asc ties — no
     // comparator lambda, whose per-instantiation variable ids would

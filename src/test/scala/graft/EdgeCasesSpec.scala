@@ -68,5 +68,38 @@ class EdgeCasesSpec extends SparkTestBase {
         StructField("embedding", ArrayType(FloatType)))))
     assert(VectorOps.cosinePairsBruteForce(empty, "vec_id", "embedding", 0.5).isEmpty)
     assert(VectorOps.annCosinePairs(empty, "vec_id", "embedding", 0.5).isEmpty)
+    assert(VectorOps.annCosinePairsCapped(empty, "vec_id", "embedding", 0.5,
+      bucketCap = 8).isEmpty)
+    assert(VectorOps.ivfCosinePairs(empty, "vec_id", "embedding", 0.5).isEmpty)
+  }
+
+  test("round-3 operators tolerate degenerate inputs") {
+    // capped ngram on empty corpus
+    assert(DedupOps.ngramJaccardPairsCapped(emptyDocs, "doc_id", "text",
+      0.5, dfCap = 10).isEmpty)
+    // connected components on an empty edge list (both solve paths)
+    val noEdges = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(graft.operators.GraphOps.connectedComponents(noEdges, "d1", "d2").isEmpty)
+    assert(graft.operators.GraphOps.connectedComponents(noEdges, "d1", "d2",
+      localThreshold = 0L).isEmpty)
+    // decontamination against an empty contamination set keeps all docs
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "wholly different text here"))
+      .toDF("doc_id", "text")
+    assert(CorpusOps.decontaminate(docs, emptyDocs, "doc_id", "text").count() === 2)
+    // quantization of null/empty embeddings: null in, null out; empty in, empty out
+    val vecs = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val (sc, q) = VectorOps.quantizeInt8(col("embedding"))
+    val out = vecs.select(col("vec_id"), sc.as("s"), q.as("q")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1) && out(1L).isNullAt(2))
+    assert(out(2L).getSeq[Int](2).isEmpty)
+    // repetition ratio: null propagates, empty/short docs score 0
+    val rr = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "one two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rr(1L).isNullAt(1))
+    assert(rr(2L).getDouble(1) === 0.0 && rr(3L).getDouble(1) === 0.0)
   }
 }

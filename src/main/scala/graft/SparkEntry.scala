@@ -101,7 +101,10 @@ object SparkEntry {
       "corp_len_histogram" -> ((s, dir) =>
         Tables.documents(s, dir)
           .groupBy(expr("n_chars div 100 * 100").as("bucket"))
-          .agg(count(lit(1)).as("n_docs")))
+          .agg(count(lit(1)).as("n_docs"))),
+      "samp_split" -> ((s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          assignSplit(col("doc_id"), trainPct = 80, valPct = 10).as("split")))
     )
   }
 
@@ -159,7 +162,16 @@ object SparkEntry {
 
     "corp_len_histogram" ->
       """SELECT n_chars // 100 * 100 AS bucket, count(*) AS n_docs
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+
+    "samp_split" ->
+      """SELECT doc_id, lang,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                   % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents"""
   )
 
   /** Multimodal-column extensions: binary assets + typed metadata with

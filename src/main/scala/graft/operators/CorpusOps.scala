@@ -22,6 +22,21 @@ object CorpusOps {
   def hashModSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame =
     df.filter(pmod(h7(keyCol.cast("string")), lit(100)) < pct)
 
+  /** Deterministic train/val/test split: hash ranges over the same
+    * 28-bit key-hash as [[hashModSample]], so membership is a pure
+    * function of the key — stable across runs/engines/retries, and a
+    * document can never migrate between splits when the corpus grows
+    * (the property random splits lose on every re-shuffle).
+    * `trainPct + valPct` must be ≤ 100; the remainder is test.
+    */
+  def assignSplit(keyCol: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val bucket = pmod(h7(keyCol.cast("string")), lit(100))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Per-class cap: keep at most `cap` rows per class, chosen in
     * deterministic hash order (NOT "first seen" — that depends on
     * partition layout). One shuffle on the class key; per-task state

@@ -30,10 +30,14 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole line inside the driver's tail
+    // capture (the r3 full-precision doubles truncated 14 of 78
+    // per-query numbers out of BENCH_r03.json).
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

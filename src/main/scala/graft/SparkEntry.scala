@@ -254,10 +254,20 @@ object SparkEntry {
       "sim_ivf_pairs" -> ((s, dir) =>
         ivfCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4)),
+      // quantize-then-search: the whole ANN pipeline (bucketing AND
+      // exact-cosine verify) runs on the int8-quantized coordinates
+      "sim_ann_int8" -> ((s, dir) =>
+        annCosinePairsInt8(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4)),
+      // qvec is serialized to a CSV string for the driver comparison:
+      // array-typed result columns are not portable across result
+      // comparators (the p11_collect_array rule — the r3 driver died
+      // sorting a raw array<int> column).
       "vec_quantize" -> ((s, dir) => {
         val (scale, q) = quantizeInt8(col("embedding"))
         Tables.embeddings(s, dir).select(
-          col("vec_id"), round(scale, 6).as("scale"), q.as("qvec"))
+          col("vec_id"), round(scale, 6).as("scale"),
+          array_join(transform(q, _.cast("string")), ",").as("qvec"))
       })
     )
   }
@@ -357,8 +367,35 @@ object SparkEntry {
            FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
 
+      // int8 ANN: quantize exactly as vec_quantize does, then run the
+      // sim_ann_lsh pipeline over the quantized ints (the bucket/pairCos
+      // fragments reference a column named `embedding`, which the qq
+      // CTE provides). Int dots are exact in double, so the hash check
+      // is bit-for-bit like the float path.
+      "sim_ann_int8" ->
+        s"""WITH q0 AS (SELECT vec_id, embedding AS raw,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+            FROM embeddings),
+           qq AS (SELECT vec_id,
+              list_transform(raw, x -> CAST(least(greatest(
+                  round(CAST(x AS DOUBLE) *
+                        (CASE WHEN amax = 0 THEN 1.0 ELSE 127.0 / amax END)),
+                  -127.0), 127.0) AS INT)) AS embedding
+            FROM q0),
+           p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM qq),
+           e AS (SELECT vec_id, embedding, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM e a JOIN e b
+             ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.4""",
+
       // int8 quantization: scale rounded for display only; the
       // quantized values use the unrounded scale on both engines.
+      // qvec is CSV-serialized on both sides (portable-comparator rule).
       "vec_quantize" ->
         """WITH a AS (SELECT vec_id, embedding,
               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
@@ -366,9 +403,9 @@ object SparkEntry {
            s AS (SELECT vec_id, embedding,
               CASE WHEN amax = 0 THEN 1.0 ELSE 127.0 / amax END AS sc FROM a)
            SELECT vec_id, round(sc, 6) AS scale,
-              list_transform(embedding,
+              array_to_string(list_transform(embedding,
                 x -> CAST(least(greatest(round(CAST(x AS DOUBLE) * sc), -127.0), 127.0)
-                          AS INT)) AS qvec
+                          AS INT)), ',') AS qvec
            FROM s"""
     )
   }
@@ -1065,6 +1102,50 @@ object SparkEntry {
           col("a.event_id").as("e1"), col("b.event_id").as("e2"))
     }),
 
+    // ---- J-8: interval join — the BATCH equivalent of the
+    //      stream-stream interval join (VotePipeline.registrationVoteJoin,
+    //      run here through the SAME operator: withWatermark is
+    //      analyzer-eliminated on batch inputs). signup events play the
+    //      registrations topic, purchases the votes topic; each vote
+    //      matches registrations of the same user within the prior
+    //      hour. Equi-key on user + residual time band, so the shuffle
+    //      stays on the user key — no cartesian. ----
+    "j8_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val reg = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("voter_id"), col("ts").as("reg_time"),
+          col("event_id").as("reg_event"))
+      val votes = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("vote_voter_id"), col("ts").as("voting_time"),
+          col("event_id").as("vote_event"))
+      graft.streaming.VotePipeline.registrationVoteJoin(reg, votes, maxDelay = "1 hour")
+        .select(col("voter_id"), col("reg_event"), col("vote_event"),
+          col("voting_time"))
+    }),
+
+    // ---- S-8: consumer catch-up poll as a driver query — write the
+    //      file topic INSIDE the query (every event row becomes an
+    //      update-mode message stamped with a monotone batch_id), re-
+    //      read it, and keep each key's LATEST message
+    //      (VotePipeline.latestPerKey — the io_jdbc_roundtrip pattern
+    //      applied to the topic transport). Topic dir is tagged with
+    //      the sf dir so sf0.001 warm-up can't leak into the run. ----
+    "s8_latest_per_key" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val topicDir = s"${System.getProperty("java.io.tmpdir")}/graft_topic_$tag"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))).as("value"),
+          col("event_id").as("batch_id"))
+        .write.mode("overwrite").json(topicDir)
+      val msgSchema = new StructType()
+        .add("event_id", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType)
+      graft.streaming.VotePipeline.latestPerKey(
+        graft.streaming.VotePipeline.readFileTopic(s, topicDir),
+        msgSchema, Seq("user_id", "event_type"))
+    }),
+
     // ---- P-9: datetime expression battery ----
     "p9_datetime_exprs" -> ((s, dir) => {
       Tables.events(s, dir).select(
@@ -1514,6 +1595,23 @@ object SparkEntry {
     "g1_salted_skew" ->
       """SELECT event_type, round(sum(value), 4) AS total_value, count(*) AS total_votes
          FROM events GROUP BY event_type""",
+
+    "j8_interval_join" ->
+      """SELECT r.user_id AS voter_id, r.event_id AS reg_event,
+              v.event_id AS vote_event, v.ts AS voting_time
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') r
+         JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') v
+           ON r.user_id = v.user_id
+          AND v.ts >= r.ts AND v.ts <= r.ts + INTERVAL 1 HOUR""",
+
+    // batch_id = event_id, so "latest message per key" is the max-
+    // event_id row per (user_id, event_type)
+    "s8_latest_per_key" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+           SELECT event_id, user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
 
     "g13_typed_stats" ->
       """SELECT event_type,

@@ -63,6 +63,7 @@ object GraphOps {
       val out = localUnionFind(sym.collect().map(r =>
         (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())))
       sym.unpersist()
+      lastRunRounds = 0
       import spark.implicits._
       return out.toSeq.toDF("node", "component")
     }
@@ -85,17 +86,43 @@ object GraphOps {
       val next = labels.union(neighborLabels)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
+      // coalesce: sum over zero rows is NULL (empty/disjoint label
+      // sets), which a bare getLong would NPE on
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("node"))
-        .agg(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)))
+        .agg(coalesce(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)),
+          lit(0L)))
         .head.getLong(0)
       labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("node"), col("label").as("component"))
+    lastRunRounds = iter
+    if (!converged) {
+      // a non-fixpoint labeling is WRONG (components silently split) —
+      // surface it instead of returning it
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "raise maxIter (component diameter exceeds the bound)")
+    }
+    // match the local path's schema: union-find emits LongType ids, so
+    // widen integral ids here too — output type must not depend on
+    // which path the data size selected
+    if (integral) {
+      labels.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("component"))
+    } else {
+      labels.select(col("node"), col("label").as("component"))
+    }
   }
+
+  /** Probe instrumentation: rounds the LAST [[connectedComponents]]
+    * call took on the distributed label-propagation path (0 = the
+    * driver-side union-find shortcut ran instead). Written, not read,
+    * by the operator — ScaleProbe records it next to wall time.
+    */
+  @volatile var lastRunRounds: Int = -1
 
   /** Union-find with path halving; component label = min node id, so
     * the result matches the distributed fixpoint exactly.

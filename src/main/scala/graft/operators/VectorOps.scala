@@ -207,6 +207,27 @@ object VectorOps {
       .distinct()
   }
 
+  /** LSH ANN over int8-QUANTIZED vectors — turns [[quantizeInt8]] from
+    * a stored artifact into a working compute path (the reason
+    * production stores int8: 4× less memory/IO than float32 while the
+    * search still runs on the compressed form). Cosine is invariant
+    * under each vector's positive quantization scale, so the quantized
+    * ints are usable DIRECTLY as coordinates — no dequantization
+    * multiply per element; the integer dot products run exactly in
+    * double registers (|q| ≤ 127, so dim · 127² ≪ 2^53). Hyperplane
+    * bucketing happens on the quantized coordinates too; recall
+    * differs from the float path only where quantization noise flips a
+    * sign near a hyperplane. Over the quantized corpus the result is
+    * exact and fully oracle-checkable.
+    */
+  def annCosinePairsInt8(vecs: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
+                         dim: Int = 64): DataFrame = {
+    val (_, q) = quantizeInt8(col(vecCol))
+    annCosinePairs(vecs.select(col(idCol), q.cast("array<double>").as(vecCol)),
+      idCol, vecCol, minCosine, tables, bitsPerTable, dim)
+  }
+
   /** [[annCosinePairs]] with a per-(table, bucket) candidate cap — the
     * guard a dup-heavy corpus needs at 100 TB: a bucket holding k
     * identical (or near-identical) vectors generates k² candidate

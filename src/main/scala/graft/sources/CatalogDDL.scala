@@ -22,11 +22,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CatalogDDL {
 
+  /** Caller-supplied strings are interpolated into DDL text, so they
+    * must not be able to break out of their syntactic slot: names are
+    * restricted to plain (optionally dotted) identifiers, and location
+    * paths have single quotes doubled per SQL string-literal rules.
+    */
+  private def checkedName(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"illegal table name: $name")
+    name
+  }
+
+  private def quotedPath(path: String): String =
+    "'" + path.replace("'", "''") + "'"
+
   /** `CREATE TABLE IF NOT EXISTS name USING parquet LOCATION path` —
     * idempotent, mirroring the reference's create-if-absent DDL.
     */
   def createExternalTable(spark: SparkSession, name: String, path: String): Unit =
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${checkedName(name)} USING parquet " +
+      s"LOCATION ${quotedPath(path)}")
 
   /** Drop-and-recreate: the non-idempotent variant for when the
     * location may have CHANGED (e.g. repointing a table at a new
@@ -34,8 +49,9 @@ object CatalogDDL {
     * serving the old location.
     */
   def recreateExternalTable(spark: SparkSession, name: String, path: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(s"DROP TABLE IF EXISTS ${checkedName(name)}")
+    spark.sql(s"CREATE TABLE ${checkedName(name)} USING parquet " +
+      s"LOCATION ${quotedPath(path)}")
   }
 
   /** Managed-table write (parquet under the warehouse dir). */

@@ -81,9 +81,16 @@ object JdbcIO {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       // metadata probe instead of a swallowed SQLException: a real
-      // DELETE failure must surface, or replays silently duplicate
-      val t = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      val exists = t.next()
+      // DELETE failure must surface, or replays silently duplicate.
+      // Case-INSENSITIVE name match: unquoted identifiers fold UPPER on
+      // Derby but lower on Postgres — probing one folding would miss
+      // the table on the other dialect, skip the DELETE, and let a
+      // replayed batch silently duplicate rows.
+      val t = conn.getMetaData.getTables(null, null, "%", null)
+      var exists = false
+      while (!exists && t.next()) {
+        exists = table.equalsIgnoreCase(t.getString("TABLE_NAME"))
+      }
       t.close()
       if (exists) {
         val st = conn.createStatement()

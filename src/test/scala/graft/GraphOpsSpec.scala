@@ -21,16 +21,35 @@ class GraphOpsSpec extends SparkTestBase {
     assert(cc.size === 10)
   }
 
-  test("maxIter bounds distributed propagation (diameter > maxIter stops early)") {
+  test("maxIter exhaustion raises instead of returning a non-fixpoint labeling") {
     // localThreshold = 0 forces the iterative distributed path
     val path = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val bounded = GraphOps.connectedComponents(path, "d1", "d2", maxIter = 1,
-      localThreshold = 0L).as[(Long, Long)].collect().toMap
-    // one round: each node only sees immediate neighbors' initial labels
-    assert(bounded(6L) === 5L)
+    // diameter 5 > maxIter 1: a silent return here would hand back
+    // WRONG (split) components — the operator must refuse
+    val ex = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(path, "d1", "d2", maxIter = 1,
+        localThreshold = 0L).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
     val full = GraphOps.connectedComponents(path, "d1", "d2", localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(full.values.toSet === Set(1L))
+    assert(GraphOps.lastRunRounds > 0) // distributed path actually ran
+  }
+
+  test("empty edge list converges on the distributed path (null-safe changed count)") {
+    val empty = Seq.empty[(String, String)].toDF("d1", "d2")
+    // non-integral ids skip the union-find shortcut; sum over zero rows
+    // is NULL — must not NPE
+    assert(GraphOps.connectedComponents(empty, "d1", "d2").collect().isEmpty)
+  }
+
+  test("output id type is LongType on both paths for integral inputs") {
+    val edges = Seq((1, 2), (2, 3)).toDF("d1", "d2") // IntegerType input
+    val local = GraphOps.connectedComponents(edges, "d1", "d2")
+    val dist = GraphOps.connectedComponents(edges, "d1", "d2", localThreshold = 0L)
+    assert(local.schema.map(_.dataType) === dist.schema.map(_.dataType))
+    assert(local.as[(Long, Long)].collect().toSet === dist.as[(Long, Long)].collect().toSet)
   }
 
   test("local union-find and distributed propagation agree exactly") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupOps, VectorOps}
+import graft.operators.{DedupOps, GraphOps, VectorOps}
 
 /** Empirical scaling probe: replicate the corpus k× and measure the
   * heavy operators, because "would this hold at 1000×?" deserves a
@@ -57,19 +57,37 @@ object ScaleProbe {
       replicateDocs(k).withColumn("text",
         concat(lit("common header boilerplate text follows here "), col("text")))
 
+    // optional 3rd arg: comma-separated op filter (default: all)
+    val only = args.lift(2).map(_.split(",").toSet)
+    def enabled(op: String): Boolean = only.forall(_.contains(op))
+
     val ks = Iterator.iterate(1)(_ * 4).takeWhile(_ <= maxK).toSeq
     ks.foreach { k =>
-      time("dd_minhash_lsh", k)(
+      if (enabled("dd_minhash_lsh")) time("dd_minhash_lsh", k)(
         DedupOps.lshCandidatePairs(replicateDocs(k), "doc_id", "text"))
-      time("dd_ngram_jaccard", k)(
+      if (enabled("dd_ngram_jaccard")) time("dd_ngram_jaccard", k)(
         DedupOps.ngramJaccardPairs(replicateDocs(k), "doc_id", "text", 0.5))
-      time("dd_ngram_capped_stop", k)(
+      if (enabled("dd_ngram_capped_stop")) time("dd_ngram_capped_stop", k)(
         DedupOps.ngramJaccardPairsCapped(stopSalted(k), "doc_id", "text", 0.5, dfCap = 25))
-      time("sim_ann_lsh", k)(
+      if (enabled("sim_ann_lsh")) time("sim_ann_lsh", k)(
         VectorOps.annCosinePairs(replicateVecs(k), "vec_id", "embedding", 0.4))
-      time("sim_ann_capped", k)(
+      if (enabled("sim_ann_capped")) time("sim_ann_capped", k)(
         VectorOps.annCosinePairsCapped(replicateVecs(k), "vec_id", "embedding", 0.4,
           bucketCap = 32))
+      // Distributed CC forced (localThreshold=0): every driver query's
+      // candidate graph takes the union-find shortcut, so this probe is
+      // where the label-propagation path is actually exercised at
+      // scale. Rounds must track component DIAMETER (~constant for
+      // dedup cliques), NOT corpus size k — that O(diameter) bound is
+      // the whole scale argument for min-label propagation.
+      if (enabled("cc_distributed")) {
+        val pairs = DedupOps.lshCandidatePairs(replicateDocs(k), "doc_id", "text")
+        val t0 = System.nanoTime()
+        val rows = GraphOps.connectedComponents(pairs, "d1", "d2",
+          localThreshold = 0L).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"cc_distributed","k":$k,"rows":$rows,"sec":$sec%.2f,"rounds":${GraphOps.lastRunRounds}}""")
+      }
     }
     spark.stop()
   }

@@ -79,6 +79,49 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  /** Skewed id stream: heavy hitters + a long tail — the distribution
+    * approximate sketches earn their keep on (and the one that breaks
+    * naive samplers). Cardinality varies with the seed.
+    */
+  private val skewGen: Gen[List[Long]] =
+    Gen.listOfN(4000, Gen.frequency(
+      8 -> Gen.choose(0L, 50L),
+      2 -> Gen.choose(0L, 1000000L)))
+
+  test("g8 HLL estimate stays within 3x its configured rsd across generated skews") {
+    for (seed <- 20L to 27L) {
+      val xs = sample(skewGen, seed)
+      val approx = xs.toDF("user_id")
+        .agg(approx_count_distinct(col("user_id"), 0.02)).as[Long].head()
+      val exact = xs.distinct.size
+      val err = math.abs(approx.toDouble - exact) / exact
+      // 0.02 rsd is a standard deviation, not a hard cap — 3 sigma
+      // holds across seeds without flaking (same bound RelationalOpsSpec
+      // pins on the fixture)
+      assert(err < 0.06, s"seed=$seed approx=$approx exact=$exact err=$err")
+    }
+  }
+
+  test("g12 approx_percentile honors its rank-error bound across generated skews") {
+    for (seed <- 30L to 37L) {
+      val xs = sample(skewGen, seed).map(_.toDouble)
+      val sorted = xs.sorted
+      val n = sorted.size
+      val df = xs.toDF("value")
+      for (q <- Seq(0.5, 0.9)) {
+        // GK returns an ELEMENT of the dataset whose rank is within
+        // n/accuracy of the target rank — check the rank, not the value
+        val est = df.agg(expr(s"approx_percentile(value, $q, 1000)")).as[Double].head()
+        val lo = sorted.count(_ < est)
+        val hi = sorted.count(_ <= est)
+        val target = q * n
+        val tol = n / 1000.0 + 1
+        assert(lo - tol <= target && target <= hi + tol,
+          s"seed=$seed q=$q est=$est rankRange=[$lo,$hi] target=$target tol=$tol")
+      }
+    }
+  }
+
   test("hashModSample is monotone in pct and exact at the extremes") {
     val df = events(13L)
     def ids(pct: Int) = CorpusOps.hashModSample(df, col("event_id"), pct)

@@ -110,7 +110,15 @@ object CorpusOps {
     val ex = RelationalOps.spread(docs)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // sum(least(tf, 1)), not count(*): every tf is ≥ 1, so the value
+    // IS the per-term document count — but the expression genuinely
+    // consumes the tf column, which pins this branch's child aggregate
+    // to the same (doc, term) count subtree as the tf output branch.
+    // A plain count(*) lets Catalyst prune tf and strip the inner
+    // count (RemoveRedundantAggregates), de-canonicalizing the two
+    // subtrees — observed: the exchange stopped being reused and
+    // scan+tokenize ran twice.
+    val df = tf.groupBy(col("term")).agg(sum(least(col("tf"), lit(1L))).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))

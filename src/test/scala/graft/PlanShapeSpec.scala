@@ -32,12 +32,26 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("LSH and inverted-index self-joins compute their signature pipeline once (ReusedExchange)") {
     Seq("dd_minhash_lsh", "dd_ngram_jaccard", "dd_ngram_capped", "sim_ann_lsh",
-        "sim_ivf_pairs")
+        "sim_ivf_pairs", "sim_ann_int8")
       .foreach { q =>
         val plan = executedPlan(q)
         assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
           s"$q must reuse the banded/exploded exchange, got:\n$plan")
       }
+  }
+
+  test("txt_tfidf tokenizes once: the tf exchange is shared by the df branch") {
+    // the df aggregate consumes the tf column specifically so its child
+    // subtree stays canonically equal to the tf branch (CorpusOps.tfIdf)
+    val plan = executedPlan("txt_tfidf")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"txt_tfidf must reuse the (doc, term) count exchange, got:\n$plan")
+  }
+
+  test("j8 interval join stays an equi-join with a residual time band") {
+    val plan = initialPlan("j8_interval_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"interval join must key on voter, not cross:\n$plan")
   }
 
   test("no query plans a cartesian product") {

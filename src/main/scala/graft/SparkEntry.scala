@@ -104,7 +104,12 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_docs"))),
       "samp_split" -> ((s, dir) =>
         Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-          assignSplit(col("doc_id"), trainPct = 80, valPct = 10).as("split")))
+          assignSplit(col("doc_id"), trainPct = 80, valPct = 10).as("split"))),
+      // training-batch assembly: 2048-token bins, 8 parallel shards
+      "cur_pack_sequences" -> ((s, dir) =>
+        packSequences(Tables.documents(s, dir), col("doc_id"),
+          graft.functions.TextFunctions.nTokens(col("text")).cast("long"),
+          budget = 2048, shards = 8))
     )
   }
 
@@ -171,7 +176,25 @@ object SparkEntry {
               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
                    % 100 < 90 THEN 'val'
               ELSE 'test' END AS split
-         FROM documents"""
+         FROM documents""",
+
+    // sharded hash-order packing: bin = exclusive running token sum
+    // integer-divided by the budget, per shard
+    "cur_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                           AS BIGINT) AS n_tokens,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                           AS BIGINT) AS h
+                    FROM documents),
+         s AS (SELECT doc_id, n_tokens, h, h % 8 AS shard FROM t),
+         c AS (SELECT doc_id, n_tokens, shard,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM s)
+         SELECT doc_id, shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+                n_tokens
+         FROM c"""
   )
 
   /** Multimodal-column extensions: binary assets + typed metadata with
@@ -259,6 +282,21 @@ object SparkEntry {
       "sim_ann_int8" -> ((s, dir) =>
         annCosinePairsInt8(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4)),
+      // per-label centroids: the shuffle carries (label, dim) partial
+      // means, never the vectors
+      "vec_centroids" -> ((s, dir) =>
+        groupCentroids(Tables.embeddings(s, dir), "label", "embedding")),
+      // embedding-cosine near-dup prune: ANN candidate pairs ->
+      // connected components -> keep the min-id survivor per group
+      // (the embedding-space twin of cur_neardup_prune's text LSH)
+      "cur_embed_prune" -> ((s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val losers = graft.operators.GraphOps.dedupClusters(
+          annCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.45), "v1", "v2")
+          .filter(!col("is_kept")).select(col("doc_id").as("vec_id"))
+        vecs.join(losers, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label"))
+      }),
       // qvec is serialized to a CSV string for the driver comparison:
       // array-typed result columns are not portable across result
       // comparators (the p11_collect_array rule — the r3 driver died
@@ -392,6 +430,43 @@ object SparkEntry {
            FROM e a JOIN e b
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
+
+      // centroids: same distribute-over-dimensions aggregation; CSV of
+      // integer micro-units sidesteps double→string format divergence
+      "vec_centroids" ->
+        """WITH ex AS (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS pos
+                       FROM embeddings),
+           c AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS cv, count(*) AS n
+                 FROM ex GROUP BY 1, 2)
+           SELECT label, min(n) AS n_vecs,
+                  array_to_string(list(CAST(round(cv * 1000000) AS BIGINT)
+                                       ORDER BY pos), ',') AS centroid
+           FROM c GROUP BY label""",
+
+      // embedding-space near-dup prune: LSH candidate pairs at 0.45,
+      // recursive reachability for components, min-id survivor
+      "cur_embed_prune" ->
+        s"""WITH RECURSIVE p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM embeddings),
+           e AS (SELECT vec_id, embedding, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
+           pairs AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+                     FROM e a JOIN e b
+                       ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                     WHERE $pairCos >= 0.45),
+           edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+                     UNION SELECT v2, v1 FROM pairs),
+           nodes AS (SELECT DISTINCT a AS node FROM edges),
+           reach(node, r) AS (
+             SELECT node, node FROM nodes
+             UNION
+             SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.node),
+           losers AS (SELECT node FROM reach GROUP BY node HAVING node <> min(r))
+           SELECT vec_id, label FROM embeddings
+           WHERE vec_id NOT IN (SELECT node FROM losers)""",
 
       // int8 quantization: scale rounded for display only; the
       // quantized values use the unrounded scale on both engines.

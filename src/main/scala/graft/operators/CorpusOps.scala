@@ -51,6 +51,37 @@ object CorpusOps {
     df.withColumn(rankAlias, row_number().over(w)).filter(col(rankAlias) <= cap)
   }
 
+  /** Deterministic sequence packing: assign documents to fixed
+    * token-budget bins — the step that turns a filtered corpus into
+    * training batches (pack short documents together so every training
+    * sequence is ~budget tokens; unpacked short docs waste the
+    * attention window as padding). The global-greedy formulation is
+    * inherently sequential, so the scale shape SHARDS FIRST: each
+    * document lands in one of `shards` hash-derived shards
+    * (embarrassingly parallel), and packing runs independently per
+    * shard as a running token sum in deterministic hash order — one
+    * shuffle on the shard key, per-task state = one counter. The
+    * (shard, bin) pair is the pack id. Hash-ordered packing is also
+    * stable: re-running over the same corpus reproduces identical
+    * bins (RNG-shuffled packers re-deal every run).
+    *
+    * Bin ids derive from the EXCLUSIVE running sum, so a document
+    * larger than the budget occupies its bin alone and packing
+    * continues — no document is dropped.
+    */
+  def packSequences(docs: DataFrame, keyCol: Column, nTokensCol: Column,
+                    budget: Int, shards: Int): DataFrame = {
+    val h = h7(keyCol.cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(h.asc, keyCol.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(keyCol, nTokensCol.as("n_tokens"),
+        pmod(h, lit(shards)).as("__shard"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(keyCol, col("__shard").as("shard"),
+        expr(s"(__cum - n_tokens) div $budget").as("bin"), col("n_tokens"))
+  }
+
   /** Global top-k vocabulary by token frequency. Explode → partial
     * count per partition (map-side combine bounds the shuffle by
     * |vocab| per partition, not |tokens|) → final count → bounded

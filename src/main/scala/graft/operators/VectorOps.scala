@@ -207,6 +207,34 @@ object VectorOps {
       .distinct()
   }
 
+  /** Per-group embedding centroids (elementwise mean) — the classifier
+    * prototype / cluster-summary op every embedding pipeline needs
+    * (nearest-centroid labeling, IVF codebook training, drift
+    * monitoring). The scale shape DISTRIBUTES OVER DIMENSIONS:
+    * posexplode to (group, dim) rows, hash-aggregate the mean per
+    * (group, dim) — map-side combined, so the shuffle carries
+    * |groups| × dim rows per partition, never the vectors themselves —
+    * then reassemble each centroid with an ordered collect over its
+    * ≤ dim elements. A whole-vector `aggregate()` fold per group would
+    * instead funnel every vector through a single reducer per group.
+    *
+    * Returns (group, n_vecs, centroid) with the centroid serialized as
+    * CSV micro-units (round(mean·1e6) per dimension): integer strings
+    * are portable across engines/comparators, where raw double→string
+    * diverges in scientific-notation formatting.
+    */
+  def groupCentroids(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val ex = RelationalOps.spread(vecs).select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    ex.groupBy(col(groupCol), col("__pos"))
+      .agg(avg(col("__v").cast("double")).as("__cv"), count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__n")).as("n_vecs"),
+        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__cv")))),
+          s => round(s.getField("__cv") * 1e6).cast("long").cast("string")), ",")
+          .as("centroid"))
+  }
+
   /** LSH ANN over int8-QUANTIZED vectors — turns [[quantizeInt8]] from
     * a stored artifact into a working compute path (the reason
     * production stores int8: 4× less memory/IO than float32 while the

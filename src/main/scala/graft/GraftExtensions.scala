@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductD, MinHashSig, ShinglesExpr}
+import graft.functions.{DotProductD, MinHashSig, ShinglesExpr, SimHashExpr}
 
 /** Session extensions registering graft's native Catalyst expressions,
   * wired via `spark.sql.extensions` in [[Sessions.configure]] — the
@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head,
           litInt(children(1), "graft_minhash", "numHashes"),
           litInt(children(2), "graft_minhash", "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_simhash(text, bits) takes exactly 2 arguments")
+        SimHashExpr(children.head, litInt(children(1), "graft_simhash", "bits"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),

@@ -110,6 +110,40 @@ object PortableHash {
     new GenericArrayData(mins)
   }
 
+  /** SimHash fingerprint in one pass (Charikar 2002): digest each
+    * token once, accumulate the ±1 bit counters in a primitive array,
+    * collapse to the bit vector at the end. Bit b is set iff the b-th
+    * bits of the token hashes, mapped to ±1, sum strictly positive —
+    * exactly [[graft.operators.DedupOps.simhashHof]]'s fold. Repeated
+    * tokens count once per occurrence (multiset semantics, like the
+    * HOF spec). Empty document → 0L.
+    */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val bytes = s.getBytes
+    val (starts, ends, nt) = tokenSpans(bytes)
+    val md = localMd.get()
+    val counters = new Array[Int](bits)
+    var i = 0
+    while (i < nt) {
+      md.reset()
+      md.update(bytes, starts(i), ends(i) - starts(i))
+      val h = h7FromDigest(md.digest())
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (counters(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** Word n-gram shingles as UTF8Strings. Each shingle's bytes are
     * rebuilt with single-space separators (a raw slice would preserve
     * multi-space runs that `concat_ws` collapses).
@@ -180,6 +214,33 @@ case class MinHashSig(child: Expression, numHashes: Int, n: Int)
       s"graft.functions.PortableHash.minhash($c, $numHashes, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native SimHash fingerprint — codegen replacement for the
+  * interpreted `aggregate`/`zip_with` fold in
+  * [[graft.operators.DedupOps.simhashHof]] (same output, bit-for-bit;
+  * the HOF version and the DuckDB oracle are the executable spec).
+  * Registered as `graft_simhash(text, bits)` by
+  * [[graft.GraftExtensions]].
+  */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends PortableHashExpression {
+
+  require(bits > 0 && bits <= 28,
+    "graft_simhash: bits must be in [1, 28] (the portable hash carries 28 bits)")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHash.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
 

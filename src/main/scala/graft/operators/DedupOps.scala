@@ -12,10 +12,10 @@ import graft.operators.RelationalOps.spread
   * Jaccard similarity.
   *
   * Scale design. Signatures are per-row expressions — no UDF, no
-  * shuffle; at 100 TB they ride the parquet scan. MinHash and shingles
-  * run as native codegen Catalyst expressions
-  * ([[graft.functions.MinHashSig]], [[graft.functions.ShinglesExpr]]);
-  * SimHash remains a one-pass higher-order-function fold. The only shuffles are the
+  * shuffle; at 100 TB they ride the parquet scan. MinHash, shingles,
+  * and SimHash all run as native codegen Catalyst expressions
+  * ([[graft.functions.MinHashSig]], [[graft.functions.ShinglesExpr]],
+  * [[graft.functions.SimHashExpr]]). The only shuffles are the
   * ones the algorithms require: LSH shuffles on (band, bandKey) — by
   * construction a near-uniform key space — and n-gram Jaccard shuffles
   * on the shingle. Pairwise work never touches the full cross product:
@@ -152,11 +152,22 @@ object DedupOps {
   /** SimHash fingerprint over whitespace tokens: bit b of the result
     * is set iff the b-th bits of the token hashes, mapped to ±1, sum
     * positive (Charikar 2002). 28 bits to match the portable hash
-    * width. Single fold over the token hashes carrying all 28 bit
-    * counters (same one-pass rationale as [[minhashSignature]]), with
-    * the bit-vector collapse in the aggregate's finish lambda.
+    * width. Backed by the native codegen
+    * [[graft.functions.SimHashExpr]] — one JVM pass digesting each
+    * token once and folding the bit counters in a primitive loop;
+    * [[simhashHof]] is the built-ins-only executable spec it must
+    * match bit-for-bit (asserted in DedupOpsSpec).
     */
-  def simhash(text: Column, bits: Int = 28): Column = {
+  def simhash(text: Column, bits: Int = 28): Column =
+    call_function("graft_simhash", text, lit(bits))
+
+  /** [[simhash]] expressed purely in built-in higher-order functions —
+    * a single fold over the token hashes carrying all `bits` bit
+    * counters (same one-pass rationale as [[minhashSignatureHof]]),
+    * with the bit-vector collapse in the aggregate's finish lambda.
+    * Kept as the cross-check spec for the native expression.
+    */
+  def simhashHof(text: Column, bits: Int = 28): Column = {
     val hs = transform(tokens(text), t => h7(t))
     aggregate(
       hs,

@@ -116,6 +116,16 @@ class DedupOpsSpec extends SparkTestBase {
       assert(mn === mh)
       assert(m5n === m5h)
     }
+    val simRows = edge.select(
+      simhash(col("text")).as("s_native"),
+      simhashHof(col("text")).as("s_hof"),
+      simhash(col("text"), bits = 12).as("s12_native"),
+      simhashHof(col("text"), bits = 12).as("s12_hof")
+    ).as[(Long, Long, Long, Long)].collect()
+    simRows.foreach { case (sn, sh, s12n, s12h) =>
+      assert(sn === sh)
+      assert(s12n === s12h)
+    }
   }
 
   test("signature computation stays shuffle-free (scan-side expressions only)") {

@@ -301,6 +301,13 @@ object SparkEntry {
       "sim_topk" -> ((s, dir) =>
         topKNeighbors(Tables.embeddings(s, dir), "vec_id", "embedding",
           col("vec_id") % 100 === 0, k = 10)),
+      // ANN-routed top-k retrieval: same contract as sim_topk, but each
+      // probe meets only the corpus vectors sharing one of its LSH
+      // buckets — the production retrieval path (sim_topk stays as the
+      // brute-force correctness baseline).
+      "sim_topk_ann" -> ((s, dir) =>
+        topKNeighborsAnn(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, k = 10)),
       "sim_ann_lsh" -> ((s, dir) =>
         annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
       // bucketCap sized to the bucket geometry: 4 sign bits = 16
@@ -379,6 +386,33 @@ object SparkEntry {
            s AS (SELECT qid, vec_id,
                    round(${duckDot("qe", "embedding")} / (qnrm * nrm), 6) AS cosine
                  FROM q, p WHERE vec_id <> qid)
+           SELECT qid, vec_id, cosine, rnk FROM (
+             SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+             FROM s) WHERE rnk <= 10""",
+
+      // ANN top-k: candidates = corpus vectors sharing any of the
+      // probe's (table, bucket) LSH keys; exact cosine + rank over the
+      // candidate set only.
+      "sim_topk_ann" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM embeddings),
+           e AS (SELECT vec_id, unnest(buckets) AS bucket,
+                   unnest(range(0, 4)) AS tbl FROM p),
+           qe AS (SELECT vec_id AS qid, bucket, tbl FROM e
+                  WHERE vec_id % 100 = 0),
+           cand AS (SELECT DISTINCT qe.qid, e.vec_id
+                    FROM qe JOIN e ON qe.tbl = e.tbl AND qe.bucket = e.bucket
+                    WHERE e.vec_id <> qe.qid),
+           s AS (SELECT c.qid, c.vec_id,
+                   round(${duckDot("pq.embedding", "pv.embedding")} /
+                         (pq.nrm * pv.nrm), 6) AS cosine
+                 FROM cand c
+                 JOIN p pq ON c.qid = pq.vec_id
+                 JOIN p pv ON c.vec_id = pv.vec_id)
            SELECT qid, vec_id, cosine, rnk FROM (
              SELECT qid, vec_id, cosine,
                     row_number() OVER (PARTITION BY qid
@@ -540,6 +574,17 @@ object SparkEntry {
       "dd_ngram_capped" -> ((s, dir) =>
         ngramJaccardPairsCapped(Tables.documents(s, dir), "doc_id", "text",
           minJaccard = 0.5, dfCap = 25)),
+      // Incremental corpus-delta dedup: docs with doc_id % 10 = 0 play
+      // the incoming ingest batch, the rest the existing corpus; each
+      // incoming doc is kept iff it shares no MinHash band key with the
+      // corpus's band index (the production path persists that index).
+      "dd_incremental" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 10 === 0
+        incrementalDedup(
+          bandIndex(docs.filter(!isNew), "doc_id", "text"),
+          docs.filter(isNew), "doc_id", "text")
+      }),
       // Fuzzy dedup's last mile: candidate pairs -> connected
       // components -> min-id survivor election (GraphOps).
       "dd_cluster_keep_first" -> ((s, dir) =>
@@ -615,6 +660,22 @@ object SparkEntry {
              AS sig_agree
          FROM k2 a JOIN k2 b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+
+    // Incremental dedup: same banding as dd_minhash_lsh; incoming =
+    // doc_id % 10 = 0, existing = the rest; dup_of = min colliding
+    // existing id (NULL → kept).
+    "dd_incremental" ->
+      s"""WITH $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         inc AS (SELECT doc_id, band, bkey FROM k2 WHERE doc_id % 10 = 0),
+         ex AS (SELECT doc_id, band, bkey FROM k2 WHERE doc_id % 10 <> 0)
+         SELECT i.doc_id, min(e.doc_id) AS dup_of,
+                (min(e.doc_id) IS NULL) AS is_kept
+         FROM inc i LEFT JOIN ex e ON i.band = e.band AND i.bkey = e.bkey
+         GROUP BY i.doc_id""",
 
     "dd_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

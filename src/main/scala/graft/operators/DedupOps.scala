@@ -120,8 +120,12 @@ object DedupOps {
     * hashes in 4 bands of 4, a pair at Jaccard s collides with
     * probability 1-(1-s^4)^4 — steep around s≈0.5.
     */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+  /** (__id, __sig, __band, __key) banding frame shared by the LSH
+    * operators: signature projection (no shuffle) → posexplode to
+    * `bands` rows per doc, each keyed by its band's signature slice.
+    */
+  private def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, bands: Int, n: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
     val sigd = spread(docs).select(col(idCol).as("__id"),
@@ -130,8 +134,13 @@ object DedupOps {
       array_join(transform(slice(col("__sig"), b * rowsPer + 1, rowsPer),
         _.cast("string")), ",")
     }: _*)
-    val banded = sigd.select(col("__id"), col("__sig"),
+    sigd.select(col("__id"), col("__sig"),
       posexplode(bandKeys).as(Seq("__band", "__key")))
+  }
+
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    val banded = bandedKeys(docs, idCol, textCol, numHashes, bands, n)
     val agree = aggregate(
       zip_with(col("a.__sig"), col("b.__sig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
@@ -147,6 +156,58 @@ object DedupOps {
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
         round(agree.cast("double") / numHashes, 4).as("sig_agree"))
       .distinct()
+  }
+
+  /** The MinHash band-key index of a corpus: (doc_id, band, band_key),
+    * `bands` rows per document. This is the artifact a 100 TB pipeline
+    * PERSISTS (partitioned/bucketed by (band, band_key)) so each ingest
+    * batch deduplicates against the corpus WITHOUT re-reading or
+    * re-hashing it — see [[incrementalDedup]]. Keys are the same
+    * banding as [[lshCandidatePairs]], so index-based and full-corpus
+    * dedup agree on what counts as a near-dup candidate.
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame =
+    bandedKeys(docs, idCol, textCol, numHashes, bands, n)
+      .select(col("__id").as("doc_id"), col("__band").as("band"),
+        col("__key").as("band_key"))
+
+  /** Incremental (corpus-delta) near-dup dedup: decide keep/drop for
+    * each INCOMING document against an existing corpus's [[bandIndex]]
+    * — nobody re-deduplicates 100 TB per ingest batch. An incoming doc
+    * is a duplicate iff it shares any MinHash band key with an existing
+    * doc (the same collision rule [[lshCandidatePairs]] uses to
+    * nominate candidate pairs); `dup_of` reports the minimum colliding
+    * existing id, null for novel docs.
+    *
+    * Plan shape: incoming-side signatures ride the scan; the only
+    * shuffle is the (band, band_key) left join against the index — and
+    * when the index is a table bucketed on that key, the existing-side
+    * shuffle disappears entirely. Work per batch is O(|batch| · bands)
+    * rows joined against index buckets, independent of corpus size.
+    *
+    * Intra-batch near-dups are NOT decided here (batch ∧ batch is
+    * [[lshCandidatePairs]] over the batch — the standard two-step:
+    * dedup the batch, then delta it against the corpus); this operator
+    * is the batch-ingest twin of the reference's streaming PK dedup
+    * (`main.py:77`, S-6).
+    *
+    * @return one row per incoming doc: (doc_id, dup_of, is_kept)
+    */
+  def incrementalDedup(index: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String, numHashes: Int = 16,
+                       bands: Int = 4, n: Int = 3): DataFrame = {
+    val ib = bandedKeys(incoming, idCol, textCol, numHashes, bands, n)
+      .select(col("__id"), col("__band"), col("__key"))
+    // no spread() here: the index is cheap fixed-width columns (no
+    // per-row signature compute) and the join's own (band, key)
+    // exchange redistributes it anyway
+    val ex = index.select(col("doc_id").as("__eid"),
+      col("band").as("__band"), col("band_key").as("__key"))
+    ib.join(ex, Seq("__band", "__key"), "left")
+      .groupBy(col("__id").as("doc_id"))
+      .agg(min(col("__eid")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("is_kept"))
   }
 
   /** SimHash fingerprint over whitespace tokens: bit b of the result

@@ -83,8 +83,9 @@ object VectorOps {
     * rows matching `queryPred`). The query set broadcasts; the corpus
     * streams past it — one scan of the corpus, no corpus self-join,
     * per-group top-k via a partitioned rank window. Scales with
-    * |corpus| × |queries|; for huge query sets, batch the queries or
-    * move to the LSH path.
+    * |corpus| × |queries| — this is the CORRECTNESS BASELINE; the
+    * production retrieval path with the same output contract is
+    * [[topKNeighborsAnn]], whose per-probe work is bucket-bounded.
     */
   def topKNeighbors(vecs: DataFrame, idCol: String, vecCol: String,
                     queryPred: Column, k: Int): DataFrame = {
@@ -94,6 +95,51 @@ object VectorOps {
       .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__nrm").as("__qnrm"))
     val scored = p.crossJoin(broadcast(qn))
       .filter(col("__id") =!= col("__qid"))
+      .select(col("__qid").as("qid"), col("__id").as("vec_id"),
+        round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")), 6).as("cosine"))
+    RelationalOps.topKPerGroup(scored, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
+  }
+
+  /** ANN-routed top-k retrieval — the scale path for [[topKNeighbors]]
+    * with the SAME (qid, vec_id, cosine, rnk) output contract.
+    * Production similarity search is "nearest neighbors of these probe
+    * vectors", and the brute-force form scans |corpus| × |queries| —
+    * dead at 100 TB once the probe set grows with the corpus. Here a
+    * probe meets only the corpus vectors sharing one of its LSH
+    * (table, bucket) keys across `tables` hash tables (union of the
+    * probe's buckets = classic multi-table LSH retrieval), so per-probe
+    * work is bounded by its bucket populations, not the corpus.
+    *
+    * Plan shape: corpus banding carries ONLY (id, table, bucket) — no
+    * vectors ride the bucket shuffle; candidate (qid, vec_id) pairs are
+    * deduped across tables, then vectors join back by id for the exact
+    * cosine (one hash join on the corpus id), queries re-enter via
+    * broadcast, and the final rank window partitions by qid. Ranking
+    * only candidates (not the full corpus) is what makes it
+    * approximate; recall vs the exact top-k is pinned in VectorOpsSpec.
+    */
+  def topKNeighborsAnn(vecs: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int, tables: Int = 4,
+                       bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val banded = p.select(col("__id"),
+      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
+    // Bucket keys are a deterministic function of the vector, so
+    // banding the pre-filtered query frame yields exactly the probe
+    // rows of the corpus banding.
+    val qn = withNorm(vecs.filter(queryPred), idCol, vecCol)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__nrm").as("__qnrm"))
+    val qbanded = qn.select(col("__qid"),
+      posexplode(lshBuckets(col("__qv"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
+    val cand = qbanded.join(banded, Seq("__tbl", "__bucket"))
+      .filter(col("__qid") =!= col("__id"))
+      .select(col("__qid"), col("__id"))
+      .distinct()
+    val scored = cand.join(p, Seq("__id"))
+      .join(broadcast(qn), Seq("__qid"))
       .select(col("__qid").as("qid"), col("__id").as("vec_id"),
         round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")), 6).as("cosine"))
     RelationalOps.topKPerGroup(scored, Seq("qid"),
@@ -110,6 +156,20 @@ object VectorOps {
       s"${table}_${bit}_$dim".getBytes(StandardCharsets.UTF_8))
     if (h % 2 == 1) 1.0 else -1.0
   }
+
+  /** The `tables` LSH bucket keys of vector `v`: element t is the
+    * concatenation of `bitsPerTable` hyperplane sign bits for table t.
+    * Shared by every hyperplane-LSH operator below so they bucket
+    * identically (and so the DuckDB oracle's `$buckets` fragment has
+    * exactly one Spark-side definition to mirror).
+    */
+  private def lshBuckets(v: Column, tables: Int, bitsPerTable: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        val plane = typedlit((0 until dim).map(i => planeSign(t, b, i)))
+        when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
+      }.reduce(concat(_, _))
+    }: _*)
 
   /** ANN cosine pairs — the scale path. Random-hyperplane LSH
     * (Charikar 2002): `tables` independent hash tables, each keying on
@@ -129,14 +189,9 @@ object VectorOps {
                      minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
                      dim: Int = 64): DataFrame = {
     val p = withNorm(vecs, idCol, vecCol)
-    val buckets = array((0 until tables).map { t =>
-      (0 until bitsPerTable).map { b =>
-        val plane = typedlit((0 until dim).map(i => planeSign(t, b, i)))
-        when(dot(col("__v"), plane) >= 0, lit("1")).otherwise(lit("0"))
-      }.reduce(concat(_, _))
-    }: _*)
     val banded = p.select(col("__id"), col("__v"), col("__nrm"),
-      posexplode(buckets).as(Seq("__tbl", "__bucket")))
+      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
     banded.alias("a").hint("merge")
       .join(banded.alias("b"),
         col("a.__tbl") === col("b.__tbl") && col("a.__bucket") === col("b.__bucket") &&
@@ -276,18 +331,13 @@ object VectorOps {
                            minCosine: Double, bucketCap: Int, tables: Int = 4,
                            bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
     val p = withNorm(vecs, idCol, vecCol)
-    val buckets = array((0 until tables).map { t =>
-      (0 until bitsPerTable).map { b =>
-        val plane = typedlit((0 until dim).map(i => planeSign(t, b, i)))
-        when(dot(col("__v"), plane) >= 0, lit("1")).otherwise(lit("0"))
-      }.reduce(concat(_, _))
-    }: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__tbl"), col("__bucket"))
       .orderBy(graft.functions.TextFunctions.h7(col("__id").cast("string")).asc,
         col("__id").asc)
     val banded = p.select(col("__id"), col("__v"), col("__nrm"),
-      posexplode(buckets).as(Seq("__tbl", "__bucket")))
+      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
       .withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= bucketCap)
       .drop("__rnk")

@@ -42,6 +42,34 @@ class DedupOpsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("incrementalDedup flags batch docs colliding with the corpus band index") {
+    val existing = corpus // docs 1..5
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy cat"),   // = 2 (and near 1)
+      (12L, "novel text with entirely fresh vocabulary here") // no collision
+    ).toDF("doc_id", "text")
+    val out = incrementalDedup(bandIndex(existing, "doc_id", "text"),
+      batch, "doc_id", "text")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L)) // one verdict per batch doc
+    assert(out(10L) === ((Some(1L), false)))  // min colliding existing id
+    assert(out(11L)._2 === false)
+    assert(out(12L) === ((None, true)))
+    // agreement with the full-corpus candidate rule: a batch doc is
+    // dropped iff lshCandidatePairs over existing+batch pairs it with
+    // an existing doc
+    val pairs = lshCandidatePairs(existing.union(batch), "doc_id", "text")
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val batchIds = Set(10L, 11L, 12L)
+    val collided = pairs.collect {
+      case (a, b) if batchIds(b) && !batchIds(a) => b
+      case (a, b) if batchIds(a) && !batchIds(b) => a
+    }.toSet
+    assert(out.filter(!_._2._2).keySet === collided)
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated docs are not") {
     val sh = corpus.select(col("doc_id"), simhash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap

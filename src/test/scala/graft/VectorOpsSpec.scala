@@ -47,6 +47,32 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out.map(_._2).toSeq === Seq(1, 2, 3))
   }
 
+  test("topKNeighborsAnn: candidates carry exact cosines, ranks are dense, recall pinned") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") % 100 === 0
+    val k = 10
+    val exact = topKNeighbors(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    val ann = topKNeighborsAnn(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine", "rnk").as[(Long, Long, Double, Int)].collect()
+    assert(ann.nonEmpty)
+    // every ANN hit's cosine is the exact cosine (verify-on-candidates)
+    val exactCos = topKNeighbors(vecs, "vec_id", "embedding", pred, Int.MaxValue)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    ann.foreach { case (q, v, c, _) => assert(c === exactCos((q, v))) }
+    // ranks are dense and start at 1 per qid
+    ann.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // recall@10 vs the exact top-k: pin the floor so bucket-routing
+    // regressions surface (measured ~0.5+ at sf0.001 with 4x4 tables)
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val annSet = ann.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet & annSet).size.toDouble / exactSet.size
+    assert(recall >= 0.3, f"ANN top-k recall $recall%.3f fell below the pinned floor")
+  }
+
   test("planeSign is deterministic ±1") {
     val s = (0 until 8).map(i => planeSign(0, 0, i))
     assert(s === (0 until 8).map(i => planeSign(0, 0, i))) // stable

@@ -319,6 +319,11 @@ object SparkEntry {
       "sim_ivf_pairs" -> ((s, dir) =>
         ivfCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4)),
+      // trained codebook: 2 deterministic Lloyd rounds (micro-unit
+      // centroids) before the multi-probe assignment
+      "sim_ivf_trained" -> ((s, dir) =>
+        ivfCosinePairsTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4)),
       // quantize-then-search: the whole ANN pipeline (bucketing AND
       // exact-cosine verify) runs on the int8-quantized coordinates
       "sim_ann_int8" -> ((s, dir) =>
@@ -473,6 +478,51 @@ object SparkEntry {
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
            FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
+
+      // trained IVF: 2 unrolled Lloyd rounds — rank-1 assignment
+      // against the previous codebook, per-(cell, dim) mean quantized
+      // to integer micro-units (exact on both engines), empty cells
+      // carry forward — then the untrained query's multi-probe tail.
+      "sim_ivf_trained" -> {
+        def lloydRound(prev: String, i: Int): String =
+          s"""a$i AS (SELECT vec_id, embedding, cell FROM (
+                SELECT p.vec_id, p.embedding, k.cell,
+                       row_number() OVER (PARTITION BY p.vec_id
+                         ORDER BY ${duckDot("p.embedding", "k.cv")} / (p.nrm * k.cnrm)
+                                    DESC,
+                                  k.cell ASC) AS rnk
+                FROM p, $prev k) WHERE rnk = 1),
+             m$i AS (SELECT cell, pos,
+                       round(avg(CAST(v AS DOUBLE)) * 1000000) / 1000000 AS mv
+                     FROM (SELECT cell, unnest(embedding) AS v,
+                                  generate_subscripts(embedding, 1) AS pos FROM a$i)
+                     GROUP BY cell, pos),
+             g$i AS (SELECT cell, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cell),
+             cb$i AS (SELECT cell, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM (
+                       SELECT c.cell, coalesce(g.cv, c.cv) AS cv
+                       FROM $prev c LEFT JOIN g$i g ON c.cell = g.cell))"""
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+            FROM embeddings),
+           cb0 AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+                     nrm AS cnrm
+                   FROM (SELECT * FROM p ORDER BY h ASC, vec_id ASC LIMIT 16)),
+           ${lloydRound("cb0", 1)},
+           ${lloydRound("cb1", 2)},
+           s AS (SELECT p.vec_id, p.embedding, p.nrm, k.cell,
+                   ${duckDot("p.embedding", "k.cv")} / (p.nrm * k.cnrm) AS sim
+                 FROM p, cb2 k),
+           asn AS (SELECT vec_id, embedding, nrm, cell FROM (
+                     SELECT vec_id, embedding, nrm, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rnk
+                     FROM s) WHERE rnk <= 2)
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.4"""
+      },
 
       // int8 ANN: quantize exactly as vec_quantize does, then run the
       // sim_ann_lsh pipeline over the quantized ints (the bucket/pairCos

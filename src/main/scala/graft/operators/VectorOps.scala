@@ -262,6 +262,97 @@ object VectorOps {
       .distinct()
   }
 
+  /** [[ivfCosinePairs]] with a TRAINED codebook: `lloydIters` rounds of
+    * deterministic k-means (Lloyd) refinement over the hash-sampled
+    * initial codebook before the final multi-probe assignment.
+    * Production IVF always trains its centroids — a random sample
+    * leaves cells unbalanced (hot cells → quadratic candidate blow-up,
+    * empty cells → wasted probes); even 2 Lloyd rounds substantially
+    * evens cell populations and improves recall at the same nprobe.
+    *
+    * Determinism contract (what makes a TRAINED ANN index still
+    * oracle-checkable): each Lloyd round assigns every vector to its
+    * single nearest cell (sim desc, cell asc tie-break) and recomputes
+    * centroids as per-(cell, dim) means QUANTIZED TO INTEGER MICRO-UNITS
+    * inside the engine (`round(avg·1e6)` — exact integers on both
+    * engines, the vec_centroids trick), so the refined codebook is
+    * bit-identical in Spark and the SQL oracle; empty cells keep their
+    * previous centroid. Assignment distributes (codebook enters the
+    * plan as literals, as in [[ivfCosinePairs]]); only the
+    * nlist × dim micro-unit means are collected per round — the
+    * codebook is a driver-side artifact by design. Each round costs
+    * one scan + one (cell, dim) hash aggregation; at 100 TB you train
+    * on a [[graft.operators.CorpusOps.hashModSample]] of the corpus
+    * instead of the full scan — the operator is sample-agnostic.
+    */
+  def ivfCosinePairsTrained(vecs: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, nlist: Int = 16, nprobe: Int = 2,
+                            lloydIters: Int = 2): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val init = p.select(col("__id"), col("__v"), col("__nrm"),
+        graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
+      .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
+      .collect()
+    if (init.isEmpty) {
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val s = vecs.sparkSession
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("v1", vecs.schema(idCol).dataType),
+          StructField("v2", vecs.schema(idCol).dataType),
+          StructField("cosine", DoubleType))))
+    }
+    // index-ordered norm, matching sqrt(list_sum(...)) in the oracle
+    def normOf(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    var codebook: Array[(Array[Double], Double)] = init.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      (v, r.getDouble(2))
+    }
+    // negated sim so the DEFAULT array_sort order is (sim desc, cell
+    // asc) — same no-lambda rationale as ivfCosinePairs
+    def cellsExpr: Column = array(codebook.zipWithIndex.map { case ((cv, cnrm), i) =>
+      struct((-(dot(col("__v"), typedlit(cv.toSeq)) / (col("__nrm") * lit(cnrm)))).as("negsim"),
+        lit(i).as("cell"))
+    }: _*)
+    for (_ <- 0 until lloydIters) {
+      // rank-1 assignment -> per-(cell, dim) mean in integer micro-units
+      // (round() half-away-from-zero matches DuckDB's; the micro ints
+      // are then exact on both engines, and micro/1e6 is the same IEEE
+      // division everywhere)
+      val micros = p
+        .select(element_at(array_sort(cellsExpr), 1).getField("cell").as("__cell"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(round(avg(col("__x").cast("double")) * 1e6).cast("long").as("__micro"))
+        .collect()
+      val dim = codebook.head._1.length
+      val byCell = micros.groupBy(_.getInt(0))
+      codebook = codebook.zipWithIndex.map { case (prev, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val cv = new Array[Double](dim)
+            rows.foreach(r => cv(r.getInt(1)) = r.getLong(2) / 1e6)
+            (cv, normOf(cv))
+          case None => prev // empty cell: keep its previous centroid
+        }
+      }
+    }
+    val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
+        explode(slice(array_sort(cellsExpr), 1, nprobe)).as("__t"))
+      .select(col("__id"), col("__v"), col("__nrm"), col("__t.cell").as("__cell"))
+    assigned.alias("a").hint("merge")
+      .join(assigned.alias("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+
   /** Per-group embedding centroids (elementwise mean) — the classifier
     * prototype / cluster-summary op every embedding pipeline needs
     * (nearest-centroid labeling, IVF codebook training, drift

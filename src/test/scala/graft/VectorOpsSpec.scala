@@ -115,6 +115,28 @@ class VectorOpsSpec extends SparkTestBase {
     assert(ivf1.keySet.subsetOf(ivf2.keySet), "probing more cells only adds candidates")
   }
 
+  test("ivfCosinePairsTrained: true pairs only, deterministic, recall >= untrained") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val brute = cosinePairsBruteForce(vecs, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    val untrained = ivfCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    val trained = ivfCosinePairsTrained(vecs, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(trained.nonEmpty)
+    assert(trained.keySet.subsetOf(brute.keySet), "trained-IVF candidates must be true pairs")
+    trained.foreach { case (k, c) => assert(c === brute(k)) }
+    // Lloyd refinement must not lose recall vs the hash-sampled codebook
+    val rTrained = trained.size.toDouble / brute.size
+    val rUntrained = untrained.size.toDouble / brute.size
+    assert(rTrained >= rUntrained,
+      f"trained recall $rTrained%.3f < untrained $rUntrained%.3f")
+    // deterministic across invocations (fresh Lloyd run, same codebook)
+    val again = ivfCosinePairsTrained(vecs, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(again === trained)
+  }
+
   test("annCosinePairsCapped bounds bucket fan-out and is a subset of uncapped") {
     // duplicate-heavy corpus: 20 copies of the same vector land in the
     // same bucket in every table — uncapped generates 190 pairs from

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
 class CheckpointRecoverySpec extends SparkTestBase {
   import spark.implicits._
 
-  test("update-mode aggregation resumes from checkpoint across a restart") {
-    val root = Files.createTempDirectory("graft-recovery").toString
+  private def recoveryScenario(tag: String): Unit = {
+    val root = Files.createTempDirectory(s"graft-recovery-$tag").toString
     val (srcDir, chkDir, outDir) = (s"$root/src", s"$root/chk", s"$root/out")
     Files.createDirectories(Paths.get(srcDir))
 
@@ -59,5 +59,20 @@ class CheckpointRecoverySpec extends SparkTestBase {
     assert(mismatches === 0,
       "restarted query must carry prior state (no zero-restart, no double count)")
     assert(latest.agg(sum("total_votes")).head.getLong(0) === 100L)
+  }
+
+  test("update-mode aggregation resumes from checkpoint across a restart") {
+    recoveryScenario("hdfs")
+  }
+
+  test("checkpoint recovery holds under the RocksDB state store") {
+    // same scenario, state backed by RocksDB -- the provider a 100 TB
+    // stream deploys with (keyed state off-heap, spillable); recovery
+    // must restore RocksDB snapshots + changelog identically
+    withStateStoreProvider(RocksDbProvider) {
+      recoveryScenario("rocksdb")
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == RocksDbProvider)
+    }
   }
 }

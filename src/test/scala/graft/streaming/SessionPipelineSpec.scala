@@ -29,18 +29,21 @@ class SessionPipelineSpec extends SparkTestBase {
   // session times out and closes
   private val sentinel = Seq(SessionInput(99L, 999L, ts(100000), 0.0))
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def runStream(): Map[(Long, Long), (Long, Long, Double)] = {
     implicit val ctx = spark.sqlContext
+    val name = s"sessions_${runSeq.incrementAndGet()}"
     val ms = MemoryStream[SessionInput]
     val q = SessionPipeline.sessionize(ms.toDS(), gapSec)
-      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
     ms.addData(eventsB1); q.processAllAvailable()
     ms.addData(eventsB2); q.processAllAvailable()
     ms.addData(sentinel); q.processAllAvailable()
     // one more batch so timeouts fired by the sentinel's watermark emit
     ms.addData(Seq(SessionInput(99L, 1000L, ts(100001), 0.0))); q.processAllAvailable()
     q.stop()
-    spark.table("sessions").as[SessionAgg].collect()
+    spark.table(name).as[SessionAgg].collect()
       .filter(_.user_id != 99L)
       .map(s => (s.user_id, s.session_start.getTime / 1000) ->
         ((s.session_end.getTime / 1000, s.n_events, s.total_value))).toMap
@@ -62,6 +65,15 @@ class SessionPipelineSpec extends SparkTestBase {
     assert(streamed.size === 3, "expected 2 sessions for user 1 + 1 for user 2")
   }
 
+
+  test("closed sessions are identical under the RocksDB state store") {
+    // flatMapGroupsWithState's custom state object must round-trip
+    // through RocksDB (serialized off-heap) exactly as through the
+    // default in-memory store — the config a 100 TB stream ships with
+    val rocks = withStateStoreProvider(RocksDbProvider) { runStream() }
+    assert(rocks === runStream(), "session output must not depend on the state backend")
+    assert(rocks.size === 3)
+  }
 
   test("a late event inside the watermark merges backward, extending session_start") {
     implicit val ctx = spark.sqlContext

@@ -89,6 +89,50 @@ object ScaleProbe {
         println(f"""{"op":"cc_distributed","k":$k,"rows":$rows,"sec":$sec%.2f,"rounds":${GraphOps.lastRunRounds}}""")
       }
     }
+
+    // Graph-SHAPE probes for distributed CC (forced, localThreshold=0),
+    // k-independent: the r4 probe ran on near-dup cliques (diameter
+    // 3–4); these are the two adversarial shapes that bound the design.
+    // - cc_star: one hub node in 100k edges — the hot-key load. The
+    //   min label floods the whole component in one round; what the
+    //   probe checks is that the hub's 100k-row neighborhood aggregates
+    //   map-side (partial min per partition) instead of funneling
+    //   through one reducer.
+    // - cc_path32: a 32-edge chain — worst-case diameter per node
+    //   count. Min-label propagation moves one hop per round, so
+    //   rounds ≈ path length: the honest O(diameter) cost, which is
+    //   why the operator suits dedup cliques (tiny diameter) and a
+    //   diameter-proportional bound must be chosen for skinny graphs.
+    def timeCC(op: String, edges: DataFrame, maxIter: Int): Unit = {
+      val t0 = System.nanoTime()
+      val rows = GraphOps.connectedComponents(edges, "src", "dst",
+        maxIter = maxIter, localThreshold = 0L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$op","k":1,"rows":$rows,"sec":$sec%.2f,"rounds":${GraphOps.lastRunRounds}}""")
+    }
+    // Native-vs-HOF simhash A/B (warm: one untimed pass each first) —
+    // the r5 rewrite's measured justification, same protocol as the r4
+    // txt_tfidf A/B in BASELINE.md.
+    if (enabled("simhash_ab")) {
+      val docs = replicateDocs(4).cache()
+      docs.count()
+      def run(tag: String, c: org.apache.spark.sql.Column): Unit = {
+        val df = docs.select(col("doc_id"), c.as("simhash"))
+        df.write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"""{"op":"simhash_$tag","k":4,"rows":${docs.count()},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+      run("native", DedupOps.simhash(col("text")))
+      run("hof", DedupOps.simhashHof(col("text")))
+      docs.unpersist()
+    }
+    if (enabled("cc_star"))
+      timeCC("cc_star",
+        spark.range(1, 100001).select(lit(0L).as("src"), col("id").as("dst")), 8)
+    if (enabled("cc_path32"))
+      timeCC("cc_path32",
+        spark.range(0, 32).select(col("id").as("src"), (col("id") + 1).as("dst")), 40)
     spark.stop()
   }
 }

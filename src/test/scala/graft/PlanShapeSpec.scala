@@ -32,7 +32,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("LSH and inverted-index self-joins compute their signature pipeline once (ReusedExchange)") {
     Seq("dd_minhash_lsh", "dd_ngram_jaccard", "dd_ngram_capped", "sim_ann_lsh",
-        "sim_ivf_pairs", "sim_ann_int8")
+        "sim_ivf_pairs", "sim_ann_int8", "sim_ivf_trained")
       .foreach { q =>
         val plan = executedPlan(q)
         assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
@@ -46,6 +46,24 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = executedPlan("txt_tfidf")
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"txt_tfidf must reuse the (doc, term) count exchange, got:\n$plan")
+  }
+
+  test("sim_topk_ann: no vectors ride the bucket shuffle; queries re-enter by broadcast") {
+    val plan = initialPlan("sim_topk_ann")
+    // the probe-corpus bucket join must be an equi-join on (tbl, bucket),
+    // never a nested-loop over the corpus like the brute-force baseline
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // query vectors re-enter the scored join via broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dd_incremental: one (band, key) join, existing side never re-hashed per band") {
+    val plan = initialPlan("dd_incremental")
+    // left join on the band key stays a shuffled equi-join (the shape
+    // a bucketed index table would make exchange-free on its side)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // final verdict is a map-side-combined min per incoming doc
+    assert(plan.contains("HashAggregate"), plan)
   }
 
   test("j8 interval join stays an equi-join with a residual time band") {

@@ -110,6 +110,54 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"$op","k":1,"rows":$rows,"sec":$sec%.2f,"rounds":${GraphOps.lastRunRounds}}""")
     }
+    // Top-k retrieval scale A/B: FIXED probe set (100 base vectors, a
+    // predicate replication never matches) against a k×-replicated
+    // corpus. The brute path's work is |corpus| × |probes| (linear in k
+    // here, but linear in |probes| too — the killer when probes grow);
+    // the ANN path only touches the probes' bucket populations.
+    ks.foreach { k =>
+      if (enabled("topk_brute")) time("topk_brute", k)(
+        VectorOps.topKNeighbors(replicateVecs(k), "vec_id", "embedding",
+          col("vec_id") < 100, 10))
+      if (enabled("topk_ann")) time("topk_ann", k)(
+        VectorOps.topKNeighborsAnn(replicateVecs(k), "vec_id", "embedding",
+          col("vec_id") < 100, 10))
+      // the production knob: bits/table grows with log(corpus) so
+      // bucket population — and with it per-probe candidate work —
+      // stays bounded as the corpus scales (the driver query keeps
+      // 4×4 only because its oracle must enumerate the hyperplanes)
+      if (enabled("topk_ann8")) time("topk_ann8", k)(
+        VectorOps.topKNeighborsAnn(replicateVecs(k), "vec_id", "embedding",
+          col("vec_id") < 100, 10, bitsPerTable = 8))
+      // GROWING probe set (1% of the corpus, so probes scale with k):
+      // the regime that kills brute force — its scored-row count is
+      // |corpus| × |probes| = k² — while ANN work per probe stays
+      // bucket-bounded
+      if (enabled("topk_brute_g")) time("topk_brute_g", k)(
+        VectorOps.topKNeighbors(replicateVecs(k), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, 10))
+      if (enabled("topk_ann_g")) time("topk_ann_g", k)(
+        VectorOps.topKNeighborsAnn(replicateVecs(k), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, 10, bitsPerTable = 8))
+    }
+
+    // Incremental-dedup scale probe: the ingest batch is FIXED (the
+    // base corpus's doc_id % 10 = 0 slice); the existing corpus's band
+    // index grows k× but is MATERIALIZED first (cached), exactly as a
+    // production pipeline persists it — so the timed body is what an
+    // ingest batch actually pays: signature the batch + one (band, key)
+    // join against the index.
+    if (enabled("dd_incremental")) ks.foreach { k =>
+      val idx = DedupOps.bandIndex(
+        replicateDocs(k).filter(col("doc_id") % 10 =!= 0), "doc_id", "text").cache()
+      idx.count() // materialize outside the timed body
+      val batch = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      time("dd_incremental", k)(
+        DedupOps.incrementalDedup(idx, batch, "doc_id", "text"))
+      idx.unpersist()
+    }
+
     // Native-vs-HOF simhash A/B (warm: one untimed pass each first) —
     // the r5 rewrite's measured justification, same protocol as the r4
     // txt_tfidf A/B in BASELINE.md.

@@ -144,7 +144,16 @@ object SparkEntry {
       "cur_pack_sequences" -> ((s, dir) =>
         packSequences(Tables.documents(s, dir), col("doc_id"),
           graft.functions.TextFunctions.nTokens(col("text")).cast("long"),
-          budget = 2048, shards = 8))
+          budget = 2048, shards = 8)),
+      // context-length chunking: 64-token windows, stride 48 (overlap
+      // 16) — one row per window, scan-side explode
+      "cur_chunk" -> ((s, dir) =>
+        chunkDocuments(Tables.documents(s, dir), "doc_id", "text")),
+      // quality-weighted sampling (Efraimidis–Spirakis with a
+      // hash-derived uniform): weight = token count + 1, keep top 100
+      "samp_weighted" -> ((s, dir) =>
+        weightedSample(Tables.documents(s, dir), "doc_id",
+          size(graft.functions.TextFunctions.tokens(col("text"))) + 1, n = 100))
     )
   }
 
@@ -212,6 +221,33 @@ object SparkEntry {
                    % 100 < 90 THEN 'val'
               ELSE 'test' END AS split
          FROM documents""",
+
+    // chunking: starts at multiples of 48 while < n_tokens (empty and
+    // short docs yield one chunk); idx = start / stride
+    "cur_chunk" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 48)) AS chunk_start
+               FROM t)
+         SELECT doc_id, CAST(chunk_start // 48 AS INT) AS chunk_idx,
+                CAST(chunk_start AS INT) AS chunk_start,
+                CAST(least(64, len(toks) - chunk_start) AS INT) AS n_tokens,
+                array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64), ' ')
+                  AS chunk_text
+         FROM s""",
+
+    // weighted sampling: u = (h7(id)+1)/(2^28+1), key = u^(1/w),
+    // top 100 by key
+    "samp_weighted" ->
+      """WITH t AS (SELECT doc_id,
+                      len(list_filter(string_split(text, ' '), x -> x <> '')) + 1 AS w,
+                      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                       + 1) / 268435457.0 AS u
+                    FROM documents)
+         SELECT doc_id, round(pow(u, 1.0 / w), 6) AS score
+         FROM t ORDER BY pow(u, 1.0 / w) DESC, doc_id ASC LIMIT 100""",
 
     // sharded hash-order packing: bin = exclusive running token sum
     // integer-divided by the budget, per shard
@@ -870,6 +906,19 @@ object SparkEntry {
           nBpeTokens(col("text")).as("n_bpe_tokens"),
           length(col("text")).as("n_chars_calc"))
       }),
+      // PII scrub: the corpus text itself is synthetic, so the query
+      // splices a deterministic email + phone per doc into it — the
+      // redactor must strip exactly those (plus any phone-ish digit
+      // run already present), identically to the oracle's RE2 pass.
+      "txt_redact" -> ((s, dir) => {
+        val enriched = concat(col("text"), lit(" contact voter"),
+          col("doc_id").cast("string"), lit("@example.com or +44-7700-900"),
+          (col("doc_id") % 1000).cast("string"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          piiCount(enriched).as("n_pii"),
+          redactPii(enriched).as("clean_text"))
+      }),
       "txt_quality" -> ((s, dir) => {
         Tables.documents(s, dir).select(
           col("doc_id"),
@@ -896,6 +945,24 @@ object SparkEntry {
   }
 
   private def textOracle: Map[String, String] = Map(
+    // same email/phone automata (Java regex ∩ RE2 dialect), same
+    // order: emails first, then phones; n_pii counted pre-redaction
+    "txt_redact" ->
+      """WITH t AS (SELECT doc_id,
+             text || ' contact voter' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +44-7700-900' || CAST(doc_id % 1000 AS VARCHAR) AS et
+           FROM documents),
+         r AS (SELECT doc_id, et,
+                 regexp_replace(et, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g') AS no_email
+               FROM t)
+         SELECT doc_id,
+                len(regexp_extract_all(et, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(no_email, '\+?[0-9][0-9-]{7,}[0-9]')) AS n_pii,
+                regexp_replace(no_email, '\+?[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g')
+                  AS clean_text
+         FROM r""",
+
     "txt_token_stats" ->
       """SELECT doc_id,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,

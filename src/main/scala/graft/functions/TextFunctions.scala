@@ -115,6 +115,40 @@ object TextFunctions {
         size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
   }
 
+  /** Email-address pattern, portable across Java regex and RE2 (no
+    * backrefs/lookaround): the pragmatic PII-scrub pattern, not RFC
+    * 5322. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-ish pattern: optional +, then 9+ digits allowing dashes
+    * between them. Anchored on digits at both ends so trailing
+    * punctuation is not consumed; deliberately space-free so the
+    * match spans are trivially identical between Java regex and RE2
+    * (no greedy-across-separators ambiguity). */
+  val PhonePattern = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  /** PII redaction — the scrub pass every training corpus runs before
+    * anything else sees the text: replace email addresses and phone
+    * numbers with typed placeholder tags. Emails first (a phone-like
+    * digit run inside an email must not be half-replaced), then
+    * phones. Pure per-row regexp_replace chain: fuses into the scan
+    * projection, no shuffle, and both patterns stay inside the
+    * Java-regex ∩ RE2 dialect so a SQL oracle applies the identical
+    * automaton.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII hits (emails + phones) in the ORIGINAL text —
+    * the audit metric that decides whether a source needs review. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(PhonePattern), lit(0)))
+
   /** Composite quality score in [0,1]: long-enough, low-punctuation,
     * sane stopword density. Deterministic arithmetic over the above.
     */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{h7, tokens}
+import graft.operators.RelationalOps.spread
 
 /** Corpus-level text operators (multi-document aggregation) and
   * deterministic sampling — the curation half of a training-data
@@ -87,6 +88,56 @@ object CorpusOps {
     * |vocab| per partition, not |tokens|) → final count → bounded
     * top-k (TakeOrderedAndProject, no global sort).
     */
+  /** Token-window document chunking — the context-length op every
+    * pretraining pipeline runs: split each document into windows of
+    * `size` tokens advancing by `stride` (< size ⇒ overlapping chunks,
+    * the standard trick so no span is ever cut mid-context at a chunk
+    * boundary). Per-row explode, no shuffle: chunking rides the scan at
+    * 100 TB. Window starts are 0, stride, 2·stride, … while < n_tokens
+    * (short/empty docs yield exactly one chunk), so the tail is always
+    * covered; trailing windows may be shorter than `size`.
+    *
+    * @return one row per chunk:
+    *         (doc_id, chunk_idx, chunk_start, n_tokens, chunk_text)
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = tokens(col(textCol))
+    spread(docs).select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        least(lit(chunkSize), size(col("__toks")) - col("chunk_start"))
+          .as("n_tokens"),
+        array_join(slice(col("__toks"), col("chunk_start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Deterministic weighted sampling without replacement — the
+    * quality-weighted selection step of data curation (sample harder
+    * from high-quality docs), via the Efraimidis–Spirakis A-Res scheme:
+    * key = u^(1/w) with u uniform in (0,1), keep the n largest keys.
+    * u derives from the portable id hash instead of RNG state, so the
+    * sample is a pure function of the ids — reproducible across runs,
+    * engines, and retries, and the oracle replays it exactly.
+    *
+    * Scale shape: per-row score inside the scan, then a bounded
+    * top-n (TakeOrderedAndProject — per-partition heads merged on the
+    * driver side of the exchange), never a full sort.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+                     n: Int): DataFrame = {
+    // (h+1) / (2^28 + 1) ∈ (0, 1) — strictly inside the open interval,
+    // so pow(u, 1/w) is never 0 or 1 and log-free ordering is exact
+    val u = (h7(col(idCol).cast("string")) + 1).cast("double") / lit(268435457.0)
+    val score = pow(u, lit(1.0) / weight.cast("double"))
+    spread(docs).select(col(idCol), score.as("__s"))
+      .orderBy(col("__s").desc, col(idCol).asc).limit(n)
+      .select(col(idCol), round(col("__s"), 6).as("score"))
+  }
+
   def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))

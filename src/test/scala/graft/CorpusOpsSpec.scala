@@ -26,6 +26,46 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.filter(col("rnk") > 5).isEmpty)
   }
 
+  test("chunkDocuments windows with stride, covers the tail, one chunk for short docs") {
+    val toy = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"),                                   // shorter than one window
+      (3L, "")                                         // empty
+    ).toDF("doc_id", "text")
+    val out = chunkDocuments(toy, "doc_id", "text", chunkSize = 64, stride = 48)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0, 48, 96; window at 48 covers tokens 49..100
+    assert(out(1L).map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0, 0, 64), (1, 48, 52), (2, 96, 4)))
+    assert(out(1L).head._5.startsWith("t1 t2 ") && out(1L).head._5.endsWith(" t64"))
+    assert(out(1L).last._5 === "t97 t98 t99 t100")
+    // every token index is covered by some chunk
+    val covered = out(1L).flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (0 until 100).toSet)
+    assert(out(2L).toSeq === Seq((2L, 0, 0, 3, "a b c")))
+    assert(out(3L).toSeq === Seq((3L, 0, 0, 0, "")))
+  }
+
+  test("weightedSample prefers heavy weights and is a deterministic pure function") {
+    // two docs with identical hashes would need u ties; instead check
+    // the distributional property exactly: with weight >> 1 the key
+    // u^(1/w) -> 1, so the max-weight doc must outrank a weight-1 doc
+    // with the same-or-smaller u
+    val toy = (1L to 200L).map(i => (i, if (i <= 100) 1 else 1000)).toDF("doc_id", "w")
+    val picked = weightedSample(toy, "doc_id", col("w"), n = 50)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val heavy = picked.count(_ > 100L)
+    assert(heavy >= 40, s"heavy-weight docs should dominate the sample, got $heavy/50")
+    val again = weightedSample(toy, "doc_id", col("w"), n = 50)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(again === picked)
+    // top-n stays a bounded TakeOrdered, never a global sort
+    val plan = weightedSample(docs, "doc_id", lit(2), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("vocabTopK counts tokens exactly on a toy corpus") {
     val toy = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val out = vocabTopK(toy, "text", 10).as[(String, Long)].collect().toSeq

@@ -45,6 +45,22 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(vals.getLong(0) >= 0L && vals.getLong(1) < (1L << 28))
   }
 
+  test("redactPii strips emails then phones; piiCount audits pre-redaction hits") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or +44-7700-900123 thanks"),
+      (2L, "digits 123-456-7890 and an email a@b.io trailing"),
+      (3L, "no pii here at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), piiCount(col("text")).as("n"),
+        redactPii(col("text")).as("clean"))
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((2, "reach me at <EMAIL> or <PHONE> thanks")))
+    assert(out(2L) === ((2, "digits <PHONE> and an email <EMAIL> trailing")))
+    assert(out(3L) === ((0, "no pii here at all")))
+    assert(out(4L) === ((0, "")))
+  }
+
   test("text feature queries stay in whole-stage codegen (no shuffle)") {
     val plan = SparkEntry.queries("txt_quality")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -34,14 +34,34 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal rounding keeps the whole line inside the driver's tail
-    // capture (the r3 full-precision doubles truncated 14 of 78
-    // per-query numbers out of BENCH_r03.json).
+    // The driver captures only the LAST ~2000 chars of stdout; a full
+    // 90-query map (~2.6 KB) overflows that and the head of the line —
+    // including the "metric" key — gets chopped, so BENCH_r{3,4,5}.json
+    // all ended up with parsed=null. Emit a compact stdout line that
+    // always fits (battery subtotals + the heaviest individual queries)
+    // and write the complete per-query map to BENCH_FULL.json in the
+    // repo root, where the round snapshot commits it.
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}") }
+
+    // battery = query-name prefix with trailing digits stripped
+    // (q1/q18 -> "q", g14 -> "g", txt_tfidf -> "txt")
+    val batteries = results
+      .groupBy { case (k, _) => k.split('_').head.filterNot(_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (b, rs) => "\"" + b + "\":" + r3(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val top = results.sortBy(-_._2).take(20).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$top,"batteries":$batteries,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

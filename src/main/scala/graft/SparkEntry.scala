@@ -344,6 +344,16 @@ object SparkEntry {
       "sim_topk_ann" -> ((s, dir) =>
         topKNeighborsAnn(Tables.embeddings(s, dir), "vec_id", "embedding",
           col("vec_id") % 100 === 0, k = 10)),
+      // IVF-routed top-k: corpus in exactly one cell, probes fan out
+      // to nprobe cells — the cell-partitioned retrieval sibling
+      "sim_topk_ivf" -> ((s, dir) =>
+        topKNeighborsIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, k = 10)),
+      // two-stage retrieval: LSH candidates -> int8 coarse scores ->
+      // exact float rerank of the 40-row shortlist per probe
+      "sim_rerank" -> ((s, dir) =>
+        topKNeighborsRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, k = 10)),
       "sim_ann_lsh" -> ((s, dir) =>
         annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
       // bucketCap sized to the bucket geometry: 4 sign bits = 16
@@ -356,10 +366,12 @@ object SparkEntry {
         ivfCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4)),
       // trained codebook: 2 deterministic Lloyd rounds (micro-unit
-      // centroids) before the multi-probe assignment
+      // centroids) over a 25% hash-mod training sample — the 100 TB
+      // shape (train on a slice, assign the full corpus) — before the
+      // multi-probe assignment
       "sim_ivf_trained" -> ((s, dir) =>
         ivfCosinePairsTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4)),
+          minCosine = 0.4, trainPct = 25)),
       // quantize-then-search: the whole ANN pipeline (bucketing AND
       // exact-cosine verify) runs on the int8-quantized coordinates
       "sim_ann_int8" -> ((s, dir) =>
@@ -460,6 +472,84 @@ object SparkEntry {
                                        ORDER BY cosine DESC, vec_id ASC) AS rnk
              FROM s) WHERE rnk <= 10""",
 
+      // IVF top-k: corpus rows take their rank-1 cell, probes their 3
+      // nearest cells; exact cosine + rank over cell-mates only.
+      "sim_topk_ivf" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+            FROM embeddings),
+           c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm,
+                   row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell
+                 FROM (SELECT * FROM p ORDER BY h ASC, vec_id ASC LIMIT 16)),
+           s AS (SELECT p.vec_id, p.embedding, p.nrm, c.cell,
+                   ${duckDot("p.embedding", "c.cv")} / (p.nrm * c.cnrm) AS sim
+                 FROM p, c),
+           corp AS (SELECT vec_id, embedding, nrm, cell FROM (
+                     SELECT vec_id, embedding, nrm, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rnk
+                     FROM s) WHERE rnk = 1),
+           probe AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm, cell FROM (
+                     SELECT vec_id, embedding, nrm, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rnk
+                     FROM s WHERE vec_id % 100 = 0) WHERE rnk <= 3),
+           sc AS (SELECT q.qid, t.vec_id,
+                    round(${duckDot("q.qe", "t.embedding")} / (q.qnrm * t.nrm), 6) AS cosine
+                  FROM probe q JOIN corp t ON q.cell = t.cell AND t.vec_id <> q.qid)
+           SELECT qid, vec_id, cosine, rnk FROM (
+             SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+             FROM sc) WHERE rnk <= 10""",
+
+      // two-stage rerank: LSH candidates, int8 coarse scores (exact
+      // integer dots in double), 40-row shortlist per probe, exact
+      // float rerank. Coarse score8 is deliberately UNROUNDED — it is
+      // bit-identical across engines, and only its ORDER matters.
+      "sim_rerank" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM embeddings),
+           e AS (SELECT vec_id, unnest(buckets) AS bucket,
+                   unnest(range(0, 4)) AS tbl FROM p),
+           qe AS (SELECT vec_id AS qid, bucket, tbl FROM e
+                  WHERE vec_id % 100 = 0),
+           cand AS (SELECT DISTINCT qe.qid, e.vec_id
+                    FROM qe JOIN e ON qe.tbl = e.tbl AND qe.bucket = e.bucket
+                    WHERE e.vec_id <> qe.qid),
+           q0 AS (SELECT vec_id, embedding AS raw,
+                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+                  FROM embeddings),
+           qq AS (SELECT vec_id,
+                    list_transform(raw, x -> CAST(least(greatest(
+                        round(CAST(x AS DOUBLE) *
+                              (CASE WHEN amax = 0 THEN 1.0 ELSE 127.0 / amax END)),
+                        -127.0), 127.0) AS INT)) AS q8
+                  FROM q0),
+           n8 AS (SELECT vec_id, q8, sqrt(${duckDot("q8", "q8")}) AS n8 FROM qq),
+           coarse AS (SELECT c.qid, c.vec_id,
+                        ${duckDot("a.q8", "b.q8")} / (a.n8 * b.n8) AS score8
+                      FROM cand c JOIN n8 a ON c.qid = a.vec_id
+                                  JOIN n8 b ON c.vec_id = b.vec_id),
+           short AS (SELECT qid, vec_id FROM (
+                       SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY score8 DESC, vec_id ASC) AS crnk
+                       FROM coarse) WHERE crnk <= 40),
+           ex AS (SELECT s.qid, s.vec_id,
+                    round(${duckDot("pq.embedding", "pv.embedding")} /
+                          (pq.nrm * pv.nrm), 6) AS cosine
+                  FROM short s JOIN p pq ON s.qid = pq.vec_id
+                               JOIN p pv ON s.vec_id = pv.vec_id)
+           SELECT qid, vec_id, cosine, rnk FROM (
+             SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+             FROM ex) WHERE rnk <= 10""",
+
       "sim_ann_lsh" ->
         s"""WITH p AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
@@ -519,6 +609,8 @@ object SparkEntry {
       // against the previous codebook, per-(cell, dim) mean quantized
       // to integer micro-units (exact on both engines), empty cells
       // carry forward — then the untrained query's multi-probe tail.
+      // Training (init + Lloyd) reads only the 25% hash-mod sample
+      // `pt`; the final assignment covers the full corpus `p`.
       "sim_ivf_trained" -> {
         def lloydRound(prev: String, i: Int): String =
           s"""a$i AS (SELECT vec_id, embedding, cell FROM (
@@ -527,7 +619,7 @@ object SparkEntry {
                          ORDER BY ${duckDot("p.embedding", "k.cv")} / (p.nrm * k.cnrm)
                                     DESC,
                                   k.cell ASC) AS rnk
-                FROM p, $prev k) WHERE rnk = 1),
+                FROM pt p, $prev k) WHERE rnk = 1),
              m$i AS (SELECT cell, pos,
                        round(avg(CAST(v AS DOUBLE)) * 1000000) / 1000000 AS mv
                      FROM (SELECT cell, unnest(embedding) AS v,
@@ -541,10 +633,11 @@ object SparkEntry {
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
             FROM embeddings),
+           pt AS (SELECT * FROM p WHERE h % 100 < 25),
            cb0 AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
                      nrm AS cnrm
-                   FROM (SELECT * FROM p ORDER BY h ASC, vec_id ASC LIMIT 16)),
+                   FROM (SELECT * FROM pt ORDER BY h ASC, vec_id ASC LIMIT 16)),
            ${lloydRound("cb0", 1)},
            ${lloydRound("cb1", 2)},
            s AS (SELECT p.vec_id, p.embedding, p.nrm, k.cell,

@@ -146,6 +146,115 @@ object VectorOps {
       Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
   }
 
+  /** IVF-routed top-k retrieval — the cell-partitioned sibling of
+    * [[topKNeighborsAnn]], same (qid, vec_id, cosine, rnk) contract.
+    * Corpus vectors assign to their single nearest codebook cell; each
+    * probe fans out to its `nprobe` nearest cells (classic multi-probe
+    * IVF), so a probe meets only the corpus vectors living in the cells
+    * it probes — per-probe work is bounded by cell populations, never
+    * the corpus. The codebook is the same driver-side hash-sample
+    * artifact as [[ivfCosinePairs]]; cell assignment happens inside the
+    * scan projection (codebook literals, no shuffle), and the only
+    * shuffles are the cell-key join and the per-qid rank window. A
+    * corpus vector lives in exactly one cell, so a (probe, vector) pair
+    * can form in at most one probed cell — no dedup step needed, unlike
+    * the multi-table LSH route.
+    */
+  def topKNeighborsIvf(vecs: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int, nlist: Int = 16,
+                       nprobe: Int = 3): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val cents = p.select(col("__id"), col("__v"), col("__nrm"),
+        graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
+      .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
+      .collect()
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+      val s = vecs.sparkSession
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("qid", vecs.schema(idCol).dataType),
+          StructField("vec_id", vecs.schema(idCol).dataType),
+          StructField("cosine", DoubleType), StructField("rnk", IntegerType))))
+    }
+    // same no-lambda (negsim, cell) sort trick as ivfCosinePairs
+    val cells = array(cents.zipWithIndex.map { case (r, i) =>
+      val cv = typedlit(r.getSeq[Float](1))
+      val cnrm = lit(r.getDouble(2))
+      struct((-(dot(col("__v"), cv) / (col("__nrm") * cnrm))).as("negsim"),
+        lit(i).as("cell"))
+    }: _*)
+    val corpus = p.select(col("__id"), col("__v"), col("__nrm"),
+      element_at(array_sort(cells), 1).getField("cell").as("__cell"))
+    val probes = p.filter(queryPred)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__nrm").as("__qnrm"),
+        explode(slice(array_sort(cells), 1, nprobe)).as("__t"))
+      .select(col("__qid"), col("__qv"), col("__qnrm"), col("__t").getField("cell").as("__cell"))
+    val scored = corpus.join(broadcast(probes), Seq("__cell"))
+      .filter(col("__qid") =!= col("__id"))
+      .select(col("__qid").as("qid"), col("__id").as("vec_id"),
+        round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")), 6).as("cosine"))
+    RelationalOps.topKPerGroup(scored, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
+  }
+
+  /** Two-stage retrieval — LSH candidates, int8 COARSE scoring, exact
+    * float rerank of the shortlist; the production memory hierarchy
+    * (compressed vectors stay hot for scoring, full-precision vectors
+    * are fetched only for the few rows that survive the coarse cut).
+    * Same (qid, vec_id, cosine, rnk) contract as [[topKNeighbors]];
+    * `cosine` is the EXACT float cosine of the reranked survivors.
+    *
+    * Plan shape: candidate generation is [[topKNeighborsAnn]]'s bucket
+    * join (no vectors on the bucket shuffle); the coarse stage joins
+    * candidates to the int8 corpus (4 B/dim payload instead of 8) and
+    * rank-prunes to `shortlist` per probe; only those rows join back to
+    * the float corpus for the exact cosine. Coarse scores are exact
+    * integer dots in double (the [[quantizeInt8]] determinism), so the
+    * shortlist — and therefore the final result — is oracle-checkable.
+    */
+  def topKNeighborsRerank(vecs: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, k: Int, shortlist: Int = 40,
+                          tables: Int = 4, bitsPerTable: Int = 4,
+                          dim: Int = 64): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val banded = p.select(col("__id"),
+      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
+    val qn = withNorm(vecs.filter(queryPred), idCol, vecCol)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__nrm").as("__qnrm"))
+    val qbanded = qn.select(col("__qid"),
+      posexplode(lshBuckets(col("__qv"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
+    val cand = qbanded.join(banded, Seq("__tbl", "__bucket"))
+      .filter(col("__qid") =!= col("__id"))
+      .select(col("__qid"), col("__id"))
+      .distinct()
+    // int8 forms: quantized coordinates as double arrays (int dots are
+    // exact in double — the annCosinePairsInt8 trick)
+    val q8 = {
+      val (_, q) = quantizeInt8(col(vecCol))
+      RelationalOps.spread(vecs)
+        .select(col(idCol).as("__id"), q.cast("array<double>").as("__v8"))
+        .select(col("__id"), col("__v8"), norm(col("__v8")).as("__n8"))
+    }
+    val probe8 = q8.join(broadcast(qn.select(col("__qid"))),
+        col("__id") === col("__qid"))
+      .select(col("__qid"), col("__v8").as("__qv8"), col("__n8").as("__qn8"))
+    val coarse = cand.join(q8, Seq("__id"))
+      .join(broadcast(probe8), Seq("__qid"))
+      .select(col("__qid"), col("__id"),
+        (dot(col("__qv8"), col("__v8")) / (col("__qn8") * col("__n8"))).as("__score8"))
+    val short = RelationalOps.topKPerGroup(coarse, Seq("__qid"),
+      Seq(col("__score8").desc, col("__id").asc), shortlist, "__crnk")
+      .select(col("__qid"), col("__id"))
+    val exact = short.join(p, Seq("__id"))
+      .join(broadcast(qn), Seq("__qid"))
+      .select(col("__qid").as("qid"), col("__id").as("vec_id"),
+        round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")), 6).as("cosine"))
+    RelationalOps.topKPerGroup(exact, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
+  }
+
   /** Deterministic ±1 hyperplane component for (table, bit, dim):
     * parity of the 28-bit md5 prefix of "t_b_i" — the exact integer a
     * SQL oracle recovers with
@@ -281,15 +390,21 @@ object VectorOps {
     * plan as literals, as in [[ivfCosinePairs]]); only the
     * nlist × dim micro-unit means are collected per round — the
     * codebook is a driver-side artifact by design. Each round costs
-    * one scan + one (cell, dim) hash aggregation; at 100 TB you train
-    * on a [[graft.operators.CorpusOps.hashModSample]] of the corpus
-    * instead of the full scan — the operator is sample-agnostic.
+    * one scan + one (cell, dim) hash aggregation over the TRAINING
+    * sample: `trainPct` < 100 restricts training (init + Lloyd) to the
+    * [[graft.operators.CorpusOps.hashModSample]] slice of the corpus —
+    * at 100 TB nobody trains 16 centroids on every vector; the final
+    * multi-probe assignment still covers the full corpus.
     */
   def ivfCosinePairsTrained(vecs: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double, nlist: Int = 16, nprobe: Int = 2,
-                            lloydIters: Int = 2): DataFrame = {
+                            lloydIters: Int = 2, trainPct: Int = 100): DataFrame = {
     val p = withNorm(vecs, idCol, vecCol)
-    val init = p.select(col("__id"), col("__v"), col("__nrm"),
+    val pt =
+      if (trainPct >= 100) p
+      else p.filter(pmod(graft.functions.TextFunctions.h7(col("__id").cast("string")),
+        lit(100)) < trainPct)
+    val init = pt.select(col("__id"), col("__v"), col("__nrm"),
         graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
       .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
       .collect()
@@ -322,7 +437,7 @@ object VectorOps {
       // (round() half-away-from-zero matches DuckDB's; the micro ints
       // are then exact on both engines, and micro/1e6 is the same IEEE
       // division everywhere)
-      val micros = p
+      val micros = pt
         .select(element_at(array_sort(cellsExpr), 1).getField("cell").as("__cell"),
           posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("__cell"), col("__pos"))

@@ -73,6 +73,54 @@ class VectorOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, f"ANN top-k recall $recall%.3f fell below the pinned floor")
   }
 
+  test("topKNeighborsIvf: exact cosines, dense ranks, recall pinned") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") % 100 === 0
+    val k = 10
+    val exact = topKNeighbors(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    val ivf = topKNeighborsIvf(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine", "rnk").as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    val exactCos = topKNeighbors(vecs, "vec_id", "embedding", pred, Int.MaxValue)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    ivf.foreach { case (q, v, c, _) => assert(c === exactCos((q, v))) }
+    // one cell per corpus row + nprobe probe fan-out => a pair can form
+    // at most once
+    assert(ivf.map(r => (r._1, r._2)).distinct.length === ivf.length)
+    ivf.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet & ivf.map(r => (r._1, r._2)).toSet).size.toDouble / exactSet.size
+    assert(recall >= 0.3, f"IVF top-k recall $recall%.3f fell below the pinned floor")
+  }
+
+  test("topKNeighborsRerank: shortlist rerank returns exact cosines; tracks ANN route") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") % 100 === 0
+    val k = 10
+    val rr = topKNeighborsRerank(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine", "rnk").as[(Long, Long, Double, Int)].collect()
+    assert(rr.nonEmpty)
+    val exactCos = topKNeighbors(vecs, "vec_id", "embedding", pred, Int.MaxValue)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    // the reported cosine is the EXACT float cosine, not the coarse score
+    rr.foreach { case (q, v, c, _) => assert(c === exactCos((q, v))) }
+    rr.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // rerank draws from the same LSH candidate pool as the ANN route —
+    // with a 40-row shortlist over ~int8-faithful scores, the top-k
+    // should largely agree with ranking the full candidate set exactly
+    val ann = topKNeighborsAnn(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val agree = (ann & rr.map(r => (r._1, r._2)).toSet).size.toDouble / ann.size
+    assert(agree >= 0.6, f"rerank agreement with ANN route $agree%.3f below floor")
+  }
+
   test("planeSign is deterministic ±1") {
     val s = (0 until 8).map(i => planeSign(0, 0, i))
     assert(s === (0 until 8).map(i => planeSign(0, 0, i))) // stable
@@ -135,6 +183,18 @@ class VectorOpsSpec extends SparkTestBase {
     val again = ivfCosinePairsTrained(vecs, "vec_id", "embedding", minCosine = 0.4)
       .as[(Long, Long, Double)].collect().toMap2
     assert(again === trained)
+    // the 100 TB shape: train (init + Lloyd) on the 25% hash-mod
+    // sample, assign the full corpus — results stay true pairs and
+    // recall stays in the trained ballpark
+    val sampled = ivfCosinePairsTrained(vecs, "vec_id", "embedding",
+        minCosine = 0.4, trainPct = 25)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(sampled.nonEmpty)
+    assert(sampled.keySet.subsetOf(brute.keySet),
+      "sample-trained candidates must be true pairs")
+    sampled.foreach { case (k, c) => assert(c === brute(k)) }
+    assert(sampled.size.toDouble / brute.size >= 0.5 * rUntrained,
+      "sample training must not collapse recall")
   }
 
   test("annCosinePairsCapped bounds bucket fan-out and is a subset of uncapped") {

@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** Per-JVM warehouse location (see the saveAsTable note below). */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
+
   /** Apply graft's required SQL configs to a session builder:
     *  - UTC session time zone (reference produces UTC wall-clock
     *    strings, `voting.py:72` — parsing shifts otherwise);
@@ -23,5 +27,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // managed tables (the j9 bucketed layout) land in tmp, not
+      // ./spark-warehouse — and in a PER-JVM dir: the in-memory catalog
+      // dies with the JVM, and saveAsTable refuses to overwrite a
+      // location the (fresh) catalog has no table for
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 }

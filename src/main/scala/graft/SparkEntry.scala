@@ -59,13 +59,40 @@ object SparkEntry {
     topicDir
   }
 
-  /** One-time side-artifact materialization for `dir` (currently: the
-    * s8 file topic). Bench calls this before its timed loop so query
-    * timings measure operators, not setup IO; Verify and ad-hoc callers
-    * need not call it — each query lazily materializes what it needs.
+  /** Bucketed-table pairs already materialized by
+    * [[ensureBucketedTables]] this JVM. */
+  private val materializedBuckets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write customer/orders as managed tables bucketed (and sorted) on
+    * the join key, once per (JVM, dir). Bucketing is a LAYOUT contract
+    * recorded in the catalog: both sides pre-hashed into the same 8
+    * buckets on the key means the recurring fact-fact join needs no
+    * exchange at all — the cost that dominates every repeated join at
+    * 100 TB is paid once at write time instead of per query. The write
+    * itself is setup IO ([[prepare]] pays it before Bench's clock).
+    */
+  private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (cust, ord) = (s"b_customer_$tag", s"b_orders_$tag")
+    if (materializedBuckets.add(tag)) {
+      Tables.customer(s, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cust)
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ord)
+    }
+    (cust, ord)
+  }
+
+  /** One-time side-artifact materialization for `dir` (the s8 file
+    * topic, the j9 bucketed tables). Bench calls this before its timed
+    * loop so query timings measure operators, not setup IO; Verify and
+    * ad-hoc callers need not call it — each query lazily materializes
+    * what it needs.
     */
   def prepare(s: SparkSession, dir: String): Unit = {
     ensureFileTopic(s, dir)
+    ensureBucketedTables(s, dir)
     ()
   }
 
@@ -153,7 +180,14 @@ object SparkEntry {
       // hash-derived uniform): weight = token count + 1, keep top 100
       "samp_weighted" -> ((s, dir) =>
         weightedSample(Tables.documents(s, dir), "doc_id",
-          size(graft.functions.TextFunctions.tokens(col("text"))) + 1, n = 100))
+          size(graft.functions.TextFunctions.tokens(col("text"))) + 1, n = 100)),
+      // domain-mix rebalancing toward a target lang distribution:
+      // en is down-sampled (natural ~41% -> target 30%), the rest are
+      // at/under target and keep all rows (rate caps at 1)
+      "cur_domain_mix" -> ((s, dir) =>
+        domainMix(Tables.documents(s, dir), "lang", col("doc_id"),
+          Map("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "de" -> 0.15))
+          .select(col("doc_id"), col("lang")))
     )
   }
 
@@ -161,6 +195,29 @@ object SparkEntry {
     "samp_hash_mod" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 10""",
+
+    // domain mix: per-class keep rate = min(1, target·total/count),
+    // selection by h7(doc_id) mod 1e6 under the floored micro-rate.
+    // Every fractional literal is CAST to DOUBLE — DuckDB would
+    // otherwise run the arithmetic in DECIMAL and disagree with
+    // Spark's IEEE doubles in the last bit.
+    "cur_domain_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         t AS (SELECT sum(cnt) AS total FROM n),
+         r AS (SELECT lang,
+                 CAST(floor(least(CAST(1.0 AS DOUBLE),
+                   (CASE lang WHEN 'en' THEN CAST(0.30 AS DOUBLE)
+                              WHEN 'zh' THEN CAST(0.20 AS DOUBLE)
+                              WHEN 'es' THEN CAST(0.20 AS DOUBLE)
+                              WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                              WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END) * t.total / n.cnt)
+                   * 1000000) AS BIGINT) AS thr
+               FROM n, t)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                 % 1000000 < r.thr""",
 
     "samp_per_class_cap" ->
       """SELECT doc_id, lang, rnk FROM (
@@ -1504,6 +1561,21 @@ object SparkEntry {
           col("voting_time"))
     }),
 
+    // ---- J-9: bucketed co-located join — customer and orders are
+    //      written ONCE as managed tables bucketed (and sorted) into 8
+    //      buckets on the join key; the recurring join then runs with
+    //      NO exchange on either side (StorageLayoutSpec pins the plan).
+    //      Money is aggregated in exact integer cents so the oracle
+    //      hash cannot drift on double summation order. ----
+    "j9_bucketed_join" -> ((s, dir) => {
+      val (cust, ord) = ensureBucketedTables(s, dir)
+      s.table(cust)
+        .join(s.table(ord).hint("merge"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    }),
+
     // ---- S-8: consumer catch-up poll as a driver query — every event
     //      row becomes an update-mode message stamped with a monotone
     //      batch_id on a file topic; the query re-reads the topic and
@@ -1981,6 +2053,14 @@ object SparkEntry {
          JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') v
            ON r.user_id = v.user_id
           AND v.ts >= r.ts AND v.ts <= r.ts + INTERVAL 1 HOUR""",
+
+    // the bucketed tables hold byte-identical copies of customer/
+    // orders, so the oracle joins the raw parquet; cents are exact ints
+    "j9_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
 
     // batch_id = event_id, so "latest message per key" is the max-
     // event_id row per (user_id, event_type)

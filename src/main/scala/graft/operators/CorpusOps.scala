@@ -23,6 +23,41 @@ object CorpusOps {
   def hashModSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame =
     df.filter(pmod(h7(keyCol.cast("string")), lit(100)) < pct)
 
+  /** Rebalance a corpus toward a TARGET class mix — the domain-mixing
+    * step of every training-data recipe ("30% web, 20% code, …"):
+    * classes over-represented relative to `targets` are down-sampled
+    * to the target share of the CURRENT total, classes at or under
+    * their target keep every row (rate capped at 1 — this operator
+    * never up-samples), classes absent from `targets` are dropped.
+    *
+    * Selection is hash-based like [[hashModSample]] (keep iff
+    * `h7(key) mod 1e6 < floor(rate·1e6)`), so membership is a pure
+    * function of (key, targets, class counts) — reproducible across
+    * runs/engines and oracle-checkable. Scale shape: one map-side-
+    * combined count per class (tiny), rates broadcast back, then a
+    * shuffle-free scan filter — the corpus itself is never shuffled.
+    */
+  def domainMix(df: DataFrame, classCol: String, keyCol: Column,
+                targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(v => v >= 0 && v <= 1),
+      "domainMix: target fractions must be in [0, 1]")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n")).as("__total"))
+    // CASE chain rather than a map literal: the oracle mirrors it as
+    // the same CASE, and lookup misses default to 0 (drop the class)
+    val target = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (cls, frac)) =>
+        when(col(classCol) === cls, lit(frac)).otherwise(acc)
+      }
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col(classCol),
+        floor(least(lit(1.0), target * col("__total") / col("__n")) * 1e6)
+          .cast("long").as("__thr"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(pmod(h7(keyCol.cast("string")), lit(1000000)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic train/val/test split: hash ranges over the same
     * 28-bit key-hash as [[hashModSample]], so membership is a pure
     * function of the key — stable across runs/engines/retries, and a

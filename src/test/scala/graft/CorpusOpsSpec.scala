@@ -72,6 +72,38 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out === Seq(("a", 3L), ("b", 1L), ("c", 1L)))
   }
 
+  test("domainMix downsamples over-represented classes, keeps under-target ones whole") {
+    val docs = Tables.documents(spark, sfDir)
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = natural.values.sum.toDouble
+    val targets = Map("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "de" -> 0.15)
+    val mixed = domainMix(docs, "lang", col("doc_id"), targets)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val got = mixed.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // classes at/under their target keep every row
+    targets.foreach { case (cls, frac) =>
+      if (natural(cls) <= frac * total)
+        assert(got.getOrElse(cls, 0L) === natural(cls),
+          s"$cls is under target; must keep all rows")
+    }
+    // over-represented classes land near target share of the ORIGINAL total
+    targets.foreach { case (cls, frac) =>
+      if (natural(cls) > frac * total) {
+        val want = frac * total
+        val g = got.getOrElse(cls, 0L).toDouble
+        assert(g < natural(cls), s"$cls must shrink")
+        assert(math.abs(g - want) / want < 0.35,
+          s"$cls: got $g, want ~$want (hash-mod sampling noise bound)")
+      }
+    }
+    // classes absent from targets are dropped entirely
+    assert(got.keySet.subsetOf(targets.keySet))
+    // deterministic: same inputs, same membership
+    val again = domainMix(docs, "lang", col("doc_id"), targets)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq === mixed.sortBy(_._1).toSeq)
+  }
+
   test("tfIdf computes tf * ln(N/df) exactly") {
     val toy = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
     val out = tfIdf(toy, "doc_id", "text")

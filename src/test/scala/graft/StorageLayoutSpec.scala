@@ -42,6 +42,24 @@ class StorageLayoutSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS b_orders")
   }
 
+  test("j9_bucketed_join driver query joins with no exchange on either side") {
+    val df = SparkEntry.queries("j9_bucketed_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"customer side must come pre-bucketed:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"orders side must come pre-bucketed:\n$plan")
+    // and it returns the same answer as the raw-parquet join
+    val expect = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
   test("partition-column filters prune at the scan (PartitionFilters, not post-filter)") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sfDir).write

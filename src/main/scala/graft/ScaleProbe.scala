@@ -139,6 +139,19 @@ object ScaleProbe {
       if (enabled("topk_ann_g")) time("topk_ann_g", k)(
         VectorOps.topKNeighborsAnn(replicateVecs(k), "vec_id", "embedding",
           col("vec_id") % 100 === 0, 10, bitsPerTable = 8))
+      // IVF route under the growing-probe regime; nlist scales with the
+      // corpus (the production knob) so cell populations stay bounded —
+      // capped at 64 here because the codebook enters the plan as
+      // literals and a 256-cell expression would measure codegen, not
+      // retrieval
+      if (enabled("topk_ivf_g")) time("topk_ivf_g", k)(
+        VectorOps.topKNeighborsIvf(replicateVecs(k), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, 10, nlist = math.min(16 * k, 64), nprobe = 3))
+      // two-stage rerank under the same regime (8-bit tables like
+      // topk_ann_g, so the A/B isolates the coarse+rerank overhead)
+      if (enabled("topk_rerank_g")) time("topk_rerank_g", k)(
+        VectorOps.topKNeighborsRerank(replicateVecs(k), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, 10, bitsPerTable = 8))
     }
 
     // Incremental-dedup scale probe: the ingest batch is FIXED (the

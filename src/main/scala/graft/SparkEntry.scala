@@ -187,7 +187,12 @@ object SparkEntry {
       "cur_domain_mix" -> ((s, dir) =>
         domainMix(Tables.documents(s, dir), "lang", col("doc_id"),
           Map("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "de" -> 0.15))
-          .select(col("doc_id"), col("lang")))
+          .select(col("doc_id"), col("lang"))),
+      // corpus-priced quality: per-doc average unigram -ln(p), the
+      // perplexity-proxy filter signal (micro-nat integer sums keep
+      // it oracle-exact)
+      "txt_unigram_nll" -> ((s, dir) =>
+        unigramNll(Tables.documents(s, dir), "doc_id", "text"))
     )
   }
 
@@ -218,6 +223,26 @@ object SparkEntry {
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
                  % 1000000 < r.thr""",
+
+    // unigram NLL: corpus term counts price each token; per-token
+    // -ln(p) quantized to micro-nats so the doc sum is an exact
+    // integer, and the average stays integer (floored micro-nats —
+    // a rounded decimal average is rational-by-construction and sits
+    // on exact half boundaries where rounders disagree)
+    "txt_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                      FROM documents),
+         c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         m AS (SELECT tok.doc_id,
+                 CAST(round(-ln(CAST(c.cnt AS DOUBLE) / t.total) * 1000000) AS BIGINT)
+                   AS micro
+               FROM tok JOIN c USING (term), t)
+         SELECT doc_id,
+                CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro,
+                count(*) AS n_tokens
+         FROM m GROUP BY doc_id""",
 
     "samp_per_class_cap" ->
       """SELECT doc_id, lang, rnk FROM (
@@ -1246,6 +1271,27 @@ object SparkEntry {
             .cast("long").as("street_number_json"))
     }),
 
+    // ---- P-2 robustness: malformed-record quarantine. Real ingest
+    //      ALWAYS carries corrupt lines; from_json's PERMISSIVE mode
+    //      nulls them instead of failing the job, and the pipeline
+    //      routes them to a quarantine count. Corruption here is
+    //      deterministic (every event_id % 10 = 0 line gets a
+    //      non-JSON prefix) so the oracle can replay the split. ----
+    "p15_corrupt_quarantine" -> ((s, dir) => {
+      val raw = Tables.events(s, dir).select(col("event_id"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"))).as("line"))
+      val wire = raw.select(
+        when(col("event_id") % 10 === 0, concat(lit("!corrupt!"), col("line")))
+          .otherwise(col("line")).as("line"))
+      val schema = new StructType()
+        .add("event_id", LongType).add("user_id", StringType)
+        .add("value", DoubleType)
+      wire.select(from_json(col("line"), schema).as("data"))
+        .select(when(col("data").isNull || col("data.event_id").isNull,
+          "quarantined").otherwise("ok").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---- G-1: grouped SUM w/ carried dims (spark_stream.py:58–59) ----
     "g1_votes_per_type" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -1798,6 +1844,13 @@ object SparkEntry {
          c_name AS full_name,
          c_custkey % 1000 AS street_number_json
          FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+
+    // corruption is a pure function of event_id, so the oracle only
+    // replays the classification rule
+    "p15_corrupt_quarantine" ->
+      """SELECT CASE WHEN event_id % 10 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+              count(*) AS n
+         FROM events GROUP BY 1""",
 
     "g1_votes_per_type" ->
       """SELECT event_type, round(sum(value), 4) AS total_value, count(*) AS total_votes

@@ -242,4 +242,39 @@ object CorpusOps {
       .select(col("doc_id"), col("term"), col("tf"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
   }
+
+  /** Per-document average unigram negative log-likelihood — the
+    * KenLM-style "perplexity proxy" quality signal: score(doc) =
+    * (1/n) Σ −ln(count(term)/T) over the doc's tokens, with counts
+    * taken from the corpus itself. Low = made of common words; high =
+    * rare-token soup (OCR noise, codes, mojibake). Unlike
+    * [[graft.functions.TextFunctions.qualityScore]] (per-row, corpus-
+    * blind) this one prices each token against the corpus distribution.
+    *
+    * Determinism: per-token −ln(p) is quantized to integer MICRO-NATS
+    * (`round(·1e6)` — the vec_centroids trick) so the per-doc sum is an
+    * exact long on both engines, and the reported average STAYS an
+    * integer (floored micro-nats): a rounded decimal average here is
+    * rational-by-construction, so exact half-boundary values are
+    * common and Spark's decimal HALF_UP disagrees with a binary
+    * rounder on them — floor of an exact-int ratio never does.
+    * Scale shape: one tokenize pass feeds both the term counts and the
+    * doc-term rows (same subtree-canonicalization care as [[tfIdf]]),
+    * the only shuffles are on `term` and `doc`, T broadcasts as a
+    * scalar.
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = RelationalOps.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val counts = ex.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val micro = round(-log(col("cnt").cast("double") / col("total")) * 1e6)
+      .cast("long")
+    ex.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(floor(sum(micro).cast("double") / count(lit(1))).cast("long")
+          .as("avg_nll_micro"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

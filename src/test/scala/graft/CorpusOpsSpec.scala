@@ -104,6 +104,23 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again.sortBy(_._1).toSeq === mixed.sortBy(_._1).toSeq)
   }
 
+  test("unigramNll prices tokens against corpus counts in exact micro-nats") {
+    val toy = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = unigramNll(toy, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // counts: a=2, b=2, c=1, T=5; average = floored micro-nats (an
+    // exact-integer contract — no decimal rounding to disagree on)
+    def micro(cnt: Long): Long = math.round(-math.log(cnt / 5.0) * 1e6)
+    def score(ms: Seq[Long]): Long = ms.sum / ms.length
+    assert(out(1L) === ((score(Seq(micro(2), micro(2), micro(2))), 3L)))
+    assert(out(2L) === ((score(Seq(micro(2), micro(1))), 2L)))
+    // common-word docs score lower than rare-token docs
+    assert(out(1L)._1 < out(2L)._1)
+    // empty/null docs yield no row, not a crash
+    val degenerate = Seq((3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(unigramNll(toy.union(degenerate), "doc_id", "text").count() === 2)
+  }
+
   test("tfIdf computes tf * ln(N/df) exactly") {
     val toy = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
     val out = tfIdf(toy, "doc_id", "text")

@@ -71,6 +71,29 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(VectorOps.annCosinePairsCapped(empty, "vec_id", "embedding", 0.5,
       bucketCap = 8).isEmpty)
     assert(VectorOps.ivfCosinePairs(empty, "vec_id", "embedding", 0.5).isEmpty)
+    assert(VectorOps.ivfCosinePairsTrained(empty, "vec_id", "embedding", 0.5).isEmpty)
+    assert(VectorOps.topKNeighborsIvf(empty, "vec_id", "embedding",
+      col("vec_id") >= 0, 5).isEmpty)
+    assert(VectorOps.topKNeighborsRerank(empty, "vec_id", "embedding",
+      col("vec_id") >= 0, 5).isEmpty)
+  }
+
+  test("r6 retrieval/curation operators tolerate degenerate inputs") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    // probe predicate matching nothing: empty result, contract schema
+    val noProbe = VectorOps.topKNeighborsIvf(vecs, "vec_id", "embedding",
+      col("vec_id") < 0, 5)
+    assert(noProbe.isEmpty)
+    assert(noProbe.columns.toSeq === Seq("qid", "vec_id", "cosine", "rnk"))
+    assert(VectorOps.topKNeighborsRerank(vecs, "vec_id", "embedding",
+      col("vec_id") < 0, 5).isEmpty)
+    // domainMix: empty target map drops everything; a class at target 1.0
+    // keeps all of its rows
+    val docs = Tables.documents(spark, sfDir)
+    assert(CorpusOps.domainMix(docs, "lang", col("doc_id"), Map.empty).isEmpty)
+    val only = CorpusOps.domainMix(docs, "lang", col("doc_id"), Map("en" -> 1.0))
+    assert(only.select("lang").distinct().as[String].collect().toSeq === Seq("en"))
+    assert(only.count() === docs.filter(col("lang") === "en").count())
   }
 
   test("round-3 operators tolerate degenerate inputs") {

@@ -57,6 +57,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sim_topk_ivf: probes broadcast; the corpus is never key-shuffled") {
+    val plan = initialPlan("sim_topk_ivf")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // the cell join builds on the (small, exploded) probe side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // corpus rows never shuffle on the cell key — the only hash
+    // exchange in the plan is the final per-qid rank window's
+    assert(!plan.contains("Exchange hashpartitioning(__cell"),
+      s"corpus must not shuffle on cell:\n$plan")
+  }
+
+  test("sim_rerank: candidate pairs are equi-joins; only the shortlist reaches float vectors") {
+    val plan = initialPlan("sim_rerank")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // two rank prunings: the coarse shortlist and the final top-k —
+    // both must carry the WindowGroupLimit map-side pre-prune
+    assert(plan.split("WindowGroupLimit").length - 1 >= 2,
+      s"expected two group-limited rank windows (coarse + final):\n$plan")
+  }
+
   test("dd_incremental: one (band, key) join, existing side never re-hashed per band") {
     val plan = initialPlan("dd_incremental")
     // left join on the band key stays a shuffled equi-join (the shape

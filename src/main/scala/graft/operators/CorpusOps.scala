@@ -258,23 +258,26 @@ object CorpusOps {
     * rational-by-construction, so exact half-boundary values are
     * common and Spark's decimal HALF_UP disagrees with a binary
     * rounder on them — floor of an exact-int ratio never does.
-    * Scale shape: one tokenize pass feeds both the term counts and the
-    * doc-term rows (same subtree-canonicalization care as [[tfIdf]]),
-    * the only shuffles are on `term` and `doc`, T broadcasts as a
-    * scalar.
+    * Scale shape: everything derives from ONE tokenize pass through
+    * the (doc, term) tf aggregate — corpus counts re-aggregate tf by
+    * term (the [[tfIdf]] subtree-canonicalization trick, so the tf
+    * exchange is shared), per-doc pricing is Σ tf·micro / Σ tf (equal,
+    * term by term, to summing over raw tokens), and T broadcasts as a
+    * scalar. Shuffles: (doc, term), term, doc — never the text.
     */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = RelationalOps.spread(docs)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-    val counts = ex.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
     val micro = round(-log(col("cnt").cast("double") / col("total")) * 1e6)
       .cast("long")
-    ex.join(counts, Seq("term"))
+    tf.join(cnt, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(floor(sum(micro).cast("double") / count(lit(1))).cast("long")
-          .as("avg_nll_micro"),
-        count(lit(1)).as("n_tokens"))
+      .agg(floor(sum(col("tf") * micro).cast("double") / sum(col("tf")))
+          .cast("long").as("avg_nll_micro"),
+        sum(col("tf")).as("n_tokens"))
   }
 }

@@ -57,6 +57,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("txt_unigram_nll tokenizes once: the tf exchange feeds counts, total, and pricing") {
+    val plan = executedPlan("txt_unigram_nll")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"txt_unigram_nll must reuse the (doc, term) tf exchange, got:\n$plan")
+  }
+
   test("sim_topk_ivf: probes broadcast; the corpus is never key-shuffled") {
     val plan = initialPlan("sim_topk_ivf")
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)

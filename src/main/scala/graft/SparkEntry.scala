@@ -192,7 +192,14 @@ object SparkEntry {
       // perplexity-proxy filter signal (micro-nat integer sums keep
       // it oracle-exact)
       "txt_unigram_nll" -> ((s, dir) =>
-        unigramNll(Tables.documents(s, dir), "doc_id", "text"))
+        unigramNll(Tables.documents(s, dir), "doc_id", "text")),
+      // stable global sequence numbers (shard-ready contiguous ids) —
+      // the scalable two-level row_number, ordered by (n_chars, doc_id)
+      "cur_assign_ids" -> ((s, dir) =>
+        graft.operators.RelationalOps.globalRowNumber(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").asc, col("doc_id").asc), "seq")
+          .select(col("doc_id"), col("seq")))
     )
   }
 
@@ -243,6 +250,12 @@ object SparkEntry {
                 CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro,
                 count(*) AS n_tokens
          FROM m GROUP BY doc_id""",
+
+    // the two-level Spark plan must equal the textbook single window
+    "cur_assign_ids" ->
+      """SELECT doc_id,
+              row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS seq
+         FROM documents""",
 
     "samp_per_class_cap" ->
       """SELECT doc_id, lang, rnk FROM (
@@ -1503,6 +1516,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // ---- G: explicit GROUPING SETS — the general form behind
+    //      rollup/cube; picks exactly the aggregation levels a
+    //      dashboard needs ((type), (type, user-bucket), ()) in one
+    //      Expand pass / one shuffle ----
+    "g16_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("gs_events")
+      s.sql(
+        """SELECT event_type, user_id % 10 AS user_bucket,
+                count(*) AS n, round(sum(value), 4) AS total_value
+           FROM gs_events
+           GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 10), ())""")
+    }),
+
     // ---- J-7: null-safe equality join (<=>) — null keys MATCH each
     //      other instead of disappearing; the join stays an equi-join
     //      (hash/sort-merge-able) because <=> is a deterministic key
@@ -1986,6 +2012,12 @@ object SparkEntry {
       """SELECT event_type, nullif(event_type, 'click') AS err_code,
          count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY CUBE (event_type, nullif(event_type, 'click'))""",
+
+    "g16_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+              count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 10), ())""",
 
     "j7_null_safe_join" ->
       """WITH e AS (SELECT event_id, nullif(event_type, 'click') AS err_code

@@ -162,6 +162,44 @@ object RelationalOps {
     df.withColumn(rankAlias, row_number().over(w)).filter(col(rankAlias) <= k)
   }
 
+  /** Global sequence assignment — `row_number() OVER (ORDER BY …)`
+    * WITHOUT the single-partition window that kills it at scale (one
+    * task sorts the world). The classic two-level recipe, in one
+    * declarative plan:
+    *
+    *  1. range-partition on the total order (`order` must be a strict
+    *     total order — end it with a unique key — or ranks at
+    *     partition boundaries are undefined);
+    *  2. per-partition counts → prefix-sum offsets. This window IS
+    *     unpartitioned, but over ≤ numPartitions rows — bounded by
+    *     cluster width, not data;
+    *  3. local row_number per partition id + broadcast offset.
+    *
+    * The partitioned subtree feeds both the counts branch and the rank
+    * branch of the same plan; range sampling is deterministic for a
+    * given input, so both branches see identical boundaries. Ranks are
+    * boundary-independent anyway: a strict total order makes
+    * offset + local rank equal the global position no matter where the
+    * cuts fall.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], alias: String,
+                      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .select(col("__pid"), coalesce(sum(col("__n")).over(offW), lit(0L)).as("__off"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    parted.withColumn("__local", row_number().over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(df.columns.map(col) :+
+        (col("__off") + col("__local")).as(alias): _*)
+  }
+
   /** J-2 extension — AS-OF JOIN, an operator Spark has no native node
     * for, composed from existing ops (preference order: composition
     * before custom plans). For each left row, attach the most recent

@@ -137,4 +137,28 @@ class RelationalOpsSpec extends SparkTestBase {
       assert(out === Seq(901L), "right-side tiebreak column must order the window")
     }
   }
+
+  test("globalRowNumber equals the single-partition window at any partition count") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val order = Seq(col("n_chars").asc, col("doc_id").asc)
+    val expect = docs
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .select("doc_id", "seq").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    def collectSeq(n: Int): Map[Long, Long] =
+      RelationalOps.globalRowNumber(docs, order, "seq", numPartitions = n)
+        .select("doc_id", "seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1, 3, 16).foreach { n =>
+      assert(collectSeq(n) === expect, s"two-level ranks diverge at numPartitions=$n")
+    }
+    // deterministic across runs (range sampling is stable per input)
+    val again = RelationalOps.globalRowNumber(docs, order, "seq")
+      .select("doc_id", "seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === expect)
+    // sequence is dense 1..N
+    assert(again.values.toSeq.sorted === (1L to docs.count()).toSeq)
+  }
 }

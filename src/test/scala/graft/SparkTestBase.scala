@@ -17,14 +17,18 @@ trait SparkTestBase extends AnyFunSuite {
   /** Run `body` with the given streaming state store provider, then
     * restore the previous setting (the conf is read at query START, so
     * scoping it around the whole scenario is sufficient). */
-  def withStateStoreProvider[T](providerClass: String)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, providerClass)
+  def withStateStoreProvider[T](providerClass: String)(body: => T): T =
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" -> providerClass)(body)
+
+  /** Run `body` with the given SQL confs set, restoring previous
+    * values after (the shared session outlives each suite). */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 }

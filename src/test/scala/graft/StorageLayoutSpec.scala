@@ -60,6 +60,48 @@ class StorageLayoutSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("schema evolution: mergeSchema reads old and new file generations as one table") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (doc_id, lang); generation 2 adds quality
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .write.mode("append").parquet(dir)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id") + 1000000L as "doc_id", col("lang"),
+        lit(0.5).as("quality"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "lang", "quality"))
+    val n = Tables.documents(spark, sfDir).count()
+    // old-generation rows surface the new column as null — no rewrite
+    // of 100 TB of history to add a column
+    assert(merged.filter(col("quality").isNull).count() === n)
+    assert(merged.filter(col("quality") === 0.5).count() === n)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective SMJ") {
+    // big-to-big join where broadcast is off: the optimizer should
+    // inject a bloom filter built from the selective orders slice and
+    // semi-prune lineitem rows BEFORE the join shuffle — at 100 TB
+    // that is the difference between shuffling the table and shuffling
+    // the matching fraction
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val sel = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, sfDir)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side:\n$optimized")
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    }
+  }
+
   test("partition-column filters prune at the scan (PartitionFilters, not post-filter)") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sfDir).write

@@ -1832,6 +1832,69 @@ object SparkEntry {
              min(col("ts")).as("session_start"),
              max(col("ts")).as("session_end"),
              round(sum(col("value")), 4).as("total_value"))
+    }),
+
+    // ---- Correlated-subquery battery: the SQL surface a warehouse
+    //      user actually writes. Catalyst DECORRELATES each of these
+    //      into joins (RewriteCorrelatedScalarSubquery /
+    //      RewritePredicateSubquery) — the plan must contain no
+    //      nested-loop re-execution per outer row, which is the
+    //      difference between O(n) and O(n²) at 100 TB. Plan shape
+    //      pinned in PlanShapeSpec (semi/anti/agg joins, no
+    //      per-row subquery nodes). ----
+
+    // q4 analog: EXISTS — orders in a quarter having at least one
+    // returned lineitem. Decorrelates to a LEFT SEMI join on
+    // l_orderkey; the lineitem side prunes to (l_orderkey) after the
+    // returnflag filter is pushed to the scan.
+    "q4_priority_exists" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q4_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q4_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM q4_orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+             AND EXISTS (SELECT 1 FROM q4_lineitem
+                         WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           GROUP BY o_orderpriority""")
+    }),
+
+    // q17 analog: correlated SCALAR subquery — lineitems of one brand
+    // below half their part's average quantity. Decorrelates to an
+    // aggregate-then-join: ONE avg-per-partkey pass, not one avg per
+    // outer row. The threshold is exact cross-engine because
+    // l_quantity is integral (sum exact in double at any order).
+    "q17_small_qty" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q17_part")
+      s.sql(
+        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+           FROM q17_lineitem, q17_part
+           WHERE p_partkey = l_partkey
+             AND p_brand = 'Brand#23'
+             AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                               FROM q17_lineitem l2
+                               WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // q22 analog: uncorrelated scalar threshold + NOT EXISTS —
+    // above-average-balance customers with no recent orders. The
+    // scalar avg becomes a broadcast one-row join; NOT EXISTS becomes
+    // a LEFT ANTI join against the date-filtered orders.
+    "q22_idle_rich" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q22_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q22_orders")
+      s.sql(
+        """SELECT c_mktsegment AS segment, count(*) AS n_cust,
+                  round(sum(c_acctbal), 2) AS total_bal
+           FROM q22_customer
+           WHERE c_acctbal > (SELECT avg(c_acctbal) FROM q22_customer
+                              WHERE c_acctbal > 0)
+             AND NOT EXISTS (SELECT 1 FROM q22_orders
+                             WHERE o_custkey = c_custkey
+                               AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+           GROUP BY c_mktsegment""")
     })
   )
 
@@ -2217,6 +2280,35 @@ object SparkEntry {
          SELECT user_id, session_seq, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end,
                 round(sum(value), 4) AS total_value
-         FROM s GROUP BY user_id, session_seq"""
+         FROM s GROUP BY user_id, session_seq""",
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand = 'Brand#23'
+           AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+
+    "q22_idle_rich" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_cust,
+                round(sum(c_acctbal), 2) AS total_bal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY c_mktsegment"""
   )
 }

@@ -131,4 +131,27 @@ class PlanShapeSpec extends SparkTestBase {
     val g3 = initialPlan("g3_scalar_count")
     assert(g3.contains("partial_count") || g3.contains("HashAggregate"), g3)
   }
+
+  test("correlated subqueries decorrelate into joins, never per-row re-execution") {
+    // q4 EXISTS → LEFT SEMI; q22 NOT EXISTS → LEFT ANTI; q17's
+    // correlated scalar avg → ONE aggregate-then-join pass. A plan
+    // that kept a correlated subquery node would re-run the inner
+    // query per outer row — O(n²) at scale.
+    val q4 = initialPlan("q4_priority_exists")
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS must plan a semi join:\n$q4")
+
+    val q22 = initialPlan("q22_idle_rich")
+    assert(q22.contains("LeftAnti"), s"q22 NOT EXISTS must plan an anti join:\n$q22")
+    assert(q22.contains("Subquery") || q22.contains("BroadcastHashJoin"),
+      s"q22 scalar threshold should be a one-row subquery stage:\n$q22")
+
+    val q17 = initialPlan("q17_small_qty")
+    // decorrelated: avg-per-partkey appears as a plain aggregate joined
+    // back on the key — so exactly one avg aggregate, and a join on
+    // l_partkey/p_partkey; no nested-loop over lineitem
+    assert(q17.contains("avg("), s"q17 must aggregate avg once:\n$q17")
+    assert(!q17.contains("CartesianProduct"), q17)
+    Seq(q4, q22, q17).foreach(p =>
+      assert(!p.contains("InSubqueryExec") || !p.contains("CartesianProduct"), p))
+  }
 }

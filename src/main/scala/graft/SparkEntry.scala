@@ -1834,6 +1834,30 @@ object SparkEntry {
              round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // ---- Column profiler: the first query anyone runs on a new
+    //      100 TB table. ONE scan — each row explodes into
+    //      (col_name, canonical string) entries, then a single grouped
+    //      aggregate computes rows/nulls/distinct/min/max per column.
+    //      Canonical forms are chosen engine-portable: zero-padded
+    //      integers (so lexicographic min/max == numeric order), exact
+    //      IEEE floor for the double (no decimal-tie rounding
+    //      divergence), fixed-pattern timestamps. n_distinct is the
+    //      only non-map-side-combining term — the comment on
+    //      profileColumns names approx_count_distinct as the 100 TB
+    //      swap. ----
+    "prof_columns" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      graft.operators.RelationalOps.profileColumns(o, Seq(
+        "o_orderkey" -> lpad(col("o_orderkey").cast("string"), 12, "0"),
+        "o_custkey" -> lpad(col("o_custkey").cast("string"), 12, "0"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice_floor" ->
+          lpad(floor(col("o_totalprice")).cast("long").cast("string"), 12, "0"),
+        "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_priority_nonlow" -> expr("nullif(o_orderpriority, '5-LOW')")))
+    }),
+
     // ---- Correlated-subquery battery: the SQL surface a warehouse
     //      user actually writes. Catalyst DECORRELATES each of these
     //      into joins (RewriteCorrelatedScalarSubquery /
@@ -2281,6 +2305,27 @@ object SparkEntry {
                 min(ts) AS session_start, max(ts) AS session_end,
                 round(sum(value), 4) AS total_value
          FROM s GROUP BY user_id, session_seq""",
+
+    "prof_columns" ->
+      """WITH s AS (
+           SELECT 'o_orderkey' AS col_name,
+                  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS val FROM orders
+           UNION ALL SELECT 'o_custkey',
+                  lpad(CAST(o_custkey AS VARCHAR), 12, '0') FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_totalprice_floor',
+                  lpad(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 12, '0')
+                  FROM orders
+           UNION ALL SELECT 'o_orderdate',
+                  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL SELECT 'o_priority_nonlow',
+                  nullif(o_orderpriority, '5-LOW') FROM orders)
+         SELECT col_name, count(*) AS n_rows,
+                count(*) - count(val) AS n_nulls,
+                count(DISTINCT val) AS n_distinct,
+                min(val) AS min_val, max(val) AS max_val
+         FROM s GROUP BY col_name""",
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -272,4 +272,34 @@ object RelationalOps {
       .withColumn("session_seq", sum(col("__new_sess")).over(w))
       .drop("__prev_ts", "__new_sess")
   }
+
+  /** Column profiler — per-column row/null/distinct counts and
+    * lexicographic min/max over caller-supplied CANONICAL string
+    * renderings, in ONE scan of the table. Each row explodes into
+    * |cols| (name, value) entries (a single Generate, no per-column
+    * re-scan), then one grouped aggregate on the column name.
+    *
+    * The caller picks the string form per column (e.g. `%.2f` for
+    * doubles, `yyyy-MM-dd HH:mm:ss` for timestamps) so renderings are
+    * engine-portable and min/max are well-defined.
+    *
+    * Scale note: counts and min/max combine map-side; the exact
+    * `n_distinct` is the one term that shuffles per-column value sets
+    * — at 100 TB swap it for `approx_count_distinct` (HLL++, fixed
+    * size, mergeable) and keep everything else identical.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val entries = array(cols.map { case (name, c) =>
+      struct(lit(name).as("col_name"), c.cast("string").as("val"))
+    }: _*)
+    df.select(explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.val").as("val"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("val"))).as("n_nulls"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
+  }
 }

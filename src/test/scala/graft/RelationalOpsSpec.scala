@@ -161,4 +161,35 @@ class RelationalOpsSpec extends SparkTestBase {
     // sequence is dense 1..N
     assert(again.values.toSeq.sorted === (1L to docs.count()).toSeq)
   }
+
+  test("profileColumns accounts rows, nulls, distincts and min/max in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, 20.5),
+      (3L, Some("b"), 10.0),
+      (4L, Some("a"), -3.2)
+    ).toDF("id", "tag", "v")
+    val prof = RelationalOps.profileColumns(df, Seq(
+      "id" -> lpad(col("id").cast("string"), 4, "0"),
+      "tag" -> col("tag"),
+      "v_floor" -> lpad(floor(col("v")).cast("long").cast("string"), 4, "0")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(prof("id") === ((4L, 0L, 4L, "0001", "0004")))
+    assert(prof("tag") === ((4L, 1L, 2L, "a", "b")))
+    // floor(-3.2) = -4; lpad("-4") keeps the sign char — lexicographic
+    // min is the padded positive "0010" vs "-004": '-' < '0' in ASCII,
+    // so min is the negative rendering (documented canonical-form
+    // contract: the CALLER chooses a rendering whose lex order is the
+    // order they want)
+    assert(prof("v_floor")._3 === 3L)
+    // the profile plan is one Generate (explode) + one aggregate
+    // exchange — no per-column re-scan of the input
+    val plan = RelationalOps.profileColumns(df, Seq(
+      "id" -> col("id").cast("string"),
+      "tag" -> col("tag"))).queryExecution.executedPlan.toString
+    assert(plan.split("Generate").length - 1 === 1, plan)
+    assert(plan.split("Scan|LocalTableScan").length - 1 <= 1, plan)
+  }
 }

@@ -496,7 +496,21 @@ object SparkEntry {
         Tables.embeddings(s, dir).select(
           col("vec_id"), round(scale, 6).as("scale"),
           array_join(transform(q, _.cast("string")), ",").as("qvec"))
-      })
+      }),
+
+      // ---- Deterministic ±1 random projection 64 → 8 dims (the
+      //      dimensionality-reduction stage ahead of ANN indexing /
+      //      clustering at 100 TB: 8× less data rides every downstream
+      //      shuffle). No stored matrix — executors regenerate sign
+      //      columns from (seed, j, i) md5 arithmetic, which is also
+      //      what makes the op oracle-checkable. Output is exploded to
+      //      (vec_id, j, comp) scalar rows so the compare stays on
+      //      scalar doubles. ----
+      "vec_project" -> ((s, dir) =>
+        graft.operators.VectorOps.randomProject(
+            Tables.embeddings(s, dir), "vec_id", "embedding", rdim = 8)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "comp")))
+          .select(col("vec_id"), col("j").cast("long").as("j"), col("comp")))
     )
   }
 
@@ -824,7 +838,19 @@ object SparkEntry {
               array_to_string(list_transform(embedding,
                 x -> CAST(least(greatest(round(CAST(x AS DOUBLE) * sc), -127.0), 127.0)
                           AS INT)), ',') AS qvec
-           FROM s"""
+           FROM s""",
+
+      // ±1 random projection: the sign matrix regenerates from
+      // (seed=101, j, i) md5 parity — same arithmetic as planeSign
+      "vec_project" ->
+        """SELECT vec_id, j,
+             round(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) *
+                    (CASE WHEN CAST('0x' || substr(md5(
+                              '101_' || CAST(j AS VARCHAR) || '_' ||
+                              CAST(i - 1 AS VARCHAR)), 1, 7)
+                          AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END))), 6) AS comp
+           FROM embeddings, (SELECT unnest(range(0, 8)) AS j)"""
     )
   }
 

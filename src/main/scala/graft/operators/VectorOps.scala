@@ -53,6 +53,28 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Deterministic ±1 random projection (Achlioptas 2003 /
+    * Johnson-Lindenstrauss flavor): component j of the output is
+    * `Σ_i sign(seed, j, i) · v_i` — a dense sign matrix derived from
+    * the same md5 arithmetic as [[planeSign]], so the whole projection
+    * is reproducible in a SQL oracle and needs NO stored matrix,
+    * shuffle, or RNG state: any executor regenerates column j's signs
+    * from (seed, j, i) alone. Per-row, scan-fused, O(dim · rdim).
+    *
+    * No 1/√rdim scaling is applied: downstream cosine/LSH consumers
+    * are scale-invariant, and skipping the divide keeps the oracle's
+    * float trace one op shorter. `seed` is offset away from the LSH
+    * tables' (t, b) space so projection planes never alias bucket
+    * hyperplanes. Components are rounded to 6 decimals — same
+    * determinism contract as every cosine in this module.
+    */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+                    rdim: Int, dim: Int = 64, seed: Int = 101): DataFrame =
+    vecs.select(col(idCol), array((0 until rdim).map { j =>
+      val plane = typedlit((0 until dim).map(i => planeSign(seed, j, i)))
+      round(dot(col(vecCol), plane), 6)
+    }: _*).as("proj"))
+
   /** Project id/vector/precomputed-norm. Norms are computed ONCE per
     * row here; recomputing inside a pair comparison would double the
     * flops of every join below.

@@ -107,15 +107,24 @@ object VotePipeline {
     * Expects `registrations(voter_id, reg_time)` and
     * `votes(vote_voter_id, voting_time, …)`; emits matches where
     * `reg_time <= voting_time <= reg_time + maxDelay`.
+    *
+    * `joinType = "left_outer"` keeps every registration: a
+    * registration with NO vote in its window emits a null-padded row —
+    * but only once the watermark has passed the end of its interval,
+    * because that is the moment the engine can PROVE no match will
+    * ever arrive (the outer row is a statement about the whole window,
+    * so it must wait for state eviction; see StreamStreamJoinSpec).
     */
   def registrationVoteJoin(registrations: DataFrame, votes: DataFrame,
                            maxDelay: String = "1 hour",
-                           watermark: String = "1 minute"): DataFrame =
+                           watermark: String = "1 minute",
+                           joinType: String = "inner"): DataFrame =
     registrations.withWatermark("reg_time", watermark)
       .join(votes.withWatermark("voting_time", watermark),
         col("voter_id") === col("vote_voter_id") &&
           col("voting_time") >= col("reg_time") &&
-          col("voting_time") <= col("reg_time") + expr(s"INTERVAL $maxDelay"))
+          col("voting_time") <= col("reg_time") + expr(s"INTERVAL $maxDelay"),
+        joinType)
 
   /** P-5 + A-2 — JSON-encode and write to a Kafka topic in update mode
     * with a per-query checkpoint (`spark_stream.py:66–84`).

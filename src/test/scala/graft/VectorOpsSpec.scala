@@ -222,6 +222,35 @@ class VectorOpsSpec extends SparkTestBase {
     assert(loose === uncapped)
   }
 
+  test("randomProject: deterministic, linear, and JL error shrinks as 1/sqrt(rdim)") {
+    val e = Tables.embeddings(spark, sfDir)
+    def cosStats(rdim: Int): Double = {
+      val pr = randomProject(e, "vec_id", "embedding", rdim = rdim)
+      val withProj = e.join(pr, "vec_id")
+      val a = withProj.select(col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("proj").as("p1"))
+      val b = withProj.select(col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("proj").as("p2"))
+      def cos(x: String, y: String) =
+        dot(col(x), col(y)) / (sqrt(dot(col(x), col(x))) * sqrt(dot(col(y), col(y))))
+      a.join(b, col("id1") < col("id2"))
+        .select(avg(abs(cos("e1", "e2") - cos("p1", "p2"))).as("mae"))
+        .head.getDouble(0)
+    }
+    val maes = Seq(8, 16, 32).map(r => r -> cosStats(r))
+    // distortion decreases monotonically with rdim…
+    assert(maes.sliding(2).forall { case Seq((_, hi), (_, lo)) => lo < hi },
+      s"cosine MAE must shrink as rdim grows: $maes")
+    // …at the JL rate: mae·√rdim is a bounded constant (≈0.8 here)
+    maes.foreach { case (r, mae) =>
+      assert(mae * math.sqrt(r.toDouble) < 1.2,
+        s"rdim=$r mae=$mae violates the JL error-rate bound") }
+    // deterministic: re-running the projection is bit-identical
+    val p1 = randomProject(e, "vec_id", "embedding", rdim = 8).collect().toSeq
+    val p2 = randomProject(e, "vec_id", "embedding", rdim = 8).collect().toSeq
+    assert(p1 === p2)
+  }
+
   private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap

@@ -36,6 +36,42 @@ class StreamStreamJoinSpec extends SparkTestBase {
       "only the in-window registered voter joins; out-of-window and unknown drop")
   }
 
+  test("left-outer interval join emits null-padded rows only after watermark proves no match") {
+    implicit val ctx = spark.sqlContext
+    val regs = MemoryStream[Registration]
+    val votes = MemoryStream[VoteEvt]
+    val joined = VotePipeline.registrationVoteJoin(
+      regs.toDF(), votes.toDF(), joinType = "left_outer")
+    val q = joined.select("voter_id", "candidate")
+      .writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
+
+    regs.addData(Seq(
+      Registration("v1", ts(1000)),    // will match
+      Registration("v2", ts(2000))))   // will never match
+    votes.addData(Seq(VoteEvt("v1", ts(1500), "c1")))
+    q.processAllAvailable()
+
+    def rows = spark.table("ssj_outer").as[(String, Option[String])].collect().toSet
+    // v2's interval [2000, 5600] is still open: its outer row MUST NOT
+    // have been emitted yet (a premature null row would be wrong — a
+    // vote could still arrive)
+    assert(rows === Set(("v1", Some("c1"))), s"premature outer emit: $rows")
+
+    // advance BOTH watermarks past 2000 + 3600 + 60s slack; the next
+    // batches evict v2's state and release the null-padded row
+    val far = 2000L + 3600L + 1200L
+    regs.addData(Seq(Registration("v_late", ts(far + 100000))))
+    votes.addData(Seq(VoteEvt("v_nobody", ts(far + 100000), "cx")))
+    q.processAllAvailable()
+    votes.addData(Seq(VoteEvt("v_nobody2", ts(far + 200000), "cy")))
+    regs.addData(Seq(Registration("v_late2", ts(far + 200000))))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(rows.contains(("v2", None)),
+      s"watermark passed v2's whole interval — the outer row is due: $rows")
+  }
+
   test("the join plan is a stateful stream-stream join with watermarks on both sides") {
     implicit val ctx = spark.sqlContext
     val regs = MemoryStream[Registration]

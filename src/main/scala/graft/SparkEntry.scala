@@ -451,6 +451,12 @@ object SparkEntry {
           col("vec_id") % 100 === 0, k = 10)),
       "sim_ann_lsh" -> ((s, dir) =>
         annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
+      // project 64→8 dims first, band in projected space, exact cosine
+      // in the original space — index artifacts shrink 8×, precision
+      // stays exact (projection costs recall only)
+      "sim_ann_projected" -> ((s, dir) =>
+        annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4)),
       // bucketCap sized to the bucket geometry: 4 sign bits = 16
       // buckets/table, so 32 keeps typical buckets whole and only
       // truncates pathological (dup-heavy) ones.
@@ -530,6 +536,26 @@ object SparkEntry {
     val buckets = (0 until 4).map { t =>
       (0 until 4).map { b =>
         s"(CASE WHEN ${duckPlaneDot(t, b)} >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+    }.mkString("[", ", ", "]")
+    // the 64→8 ±1 projection (seed 101) and the 8-dim bucket planes —
+    // mirrors VectorOps.annCosinePairsProjected's two md5 domains
+    val projList =
+      """list_transform(range(0, 8), j ->
+           round(list_sum(list_transform(range(1, 65),
+             i -> CAST(embedding[i] AS DOUBLE) *
+                  (CASE WHEN CAST('0x' || substr(md5(
+                            '101_' || CAST(j AS VARCHAR) || '_' ||
+                            CAST(i - 1 AS VARCHAR)), 1, 7)
+                        AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END))), 6))"""
+    def projPlaneDot(t: Int, b: Int): String =
+      s"""list_sum(list_transform(range(1, 9),
+          i -> proj[i] *
+               (CASE WHEN CAST('0x' || substr(md5('${t}_${b}_' || CAST(i - 1 AS VARCHAR)), 1, 7)
+                          AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END)))"""
+    val projBuckets = (0 until 4).map { t =>
+      (0 until 4).map { b =>
+        s"(CASE WHEN ${projPlaneDot(t, b)} >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
     }.mkString("[", ", ", "]")
     Map(
@@ -664,6 +690,19 @@ object SparkEntry {
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
               $buckets AS buckets
             FROM embeddings),
+           e AS (SELECT vec_id, embedding, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM e a JOIN e b
+             ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.4""",
+
+      "sim_ann_projected" ->
+        s"""WITH p0 AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $projList AS proj
+            FROM embeddings),
+           p AS (SELECT vec_id, embedding, nrm, $projBuckets AS buckets FROM p0),
            e AS (SELECT vec_id, embedding, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine

@@ -334,6 +334,45 @@ object VectorOps {
       .distinct()
   }
 
+  /** Projected-space LSH ANN — [[randomProject]] composed in front of
+    * [[annCosinePairs]]: band on the LSH buckets of the rdim-projected
+    * vector, score the surviving candidates with the EXACT cosine in
+    * the original space. Same output contract as [[annCosinePairs]].
+    *
+    * Why project first at 100 TB: banding cost drops from
+    * O(tables·bits·dim) to O(dim·rdim + tables·bits·rdim) per row and
+    * — the real win — every index-maintenance artifact (stored
+    * signatures, incremental-ingest band keys) is rdim/dim the size.
+    * Since final scoring is exact on full vectors, projection
+    * distortion costs RECALL only, never precision — the same
+    * candidates-then-exact-filter guarantee as every ANN op here.
+    * Projection planes (seed space) and bucket planes (table space)
+    * are disjoint md5 domains, so the composition stays
+    * oracle-checkable end to end.
+    */
+  def annCosinePairsProjected(vecs: DataFrame, idCol: String, vecCol: String,
+                              minCosine: Double, rdim: Int = 8, tables: Int = 4,
+                              bitsPerTable: Int = 4, dim: Int = 64,
+                              seed: Int = 101): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    val projected = array((0 until rdim).map { j =>
+      val plane = typedlit((0 until dim).map(i => planeSign(seed, j, i)))
+      round(dot(col("__v"), plane), 6)
+    }: _*)
+    val banded = p.select(col("__id"), col("__v"), col("__nrm"),
+      posexplode(lshBuckets(projected, tables, bitsPerTable, rdim))
+        .as(Seq("__tbl", "__bucket")))
+    banded.alias("a").hint("merge")
+      .join(banded.alias("b"),
+        col("a.__tbl") === col("b.__tbl") && col("a.__bucket") === col("b.__bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+
   /** IVF (inverted-file) ANN cosine pairs — the codebook-based scale
     * path, complementing the hyperplane LSH of [[annCosinePairs]].
     * Production IVF trains centroids with k-means; for a deterministic,

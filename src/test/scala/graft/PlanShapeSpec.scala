@@ -32,7 +32,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("LSH and inverted-index self-joins compute their signature pipeline once (ReusedExchange)") {
     Seq("dd_minhash_lsh", "dd_ngram_jaccard", "dd_ngram_capped", "sim_ann_lsh",
-        "sim_ivf_pairs", "sim_ann_int8", "sim_ivf_trained")
+        "sim_ivf_pairs", "sim_ann_int8", "sim_ivf_trained", "sim_ann_projected")
       .foreach { q =>
         val plan = executedPlan(q)
         assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),

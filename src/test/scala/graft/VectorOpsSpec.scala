@@ -222,6 +222,25 @@ class VectorOpsSpec extends SparkTestBase {
     assert(loose === uncapped)
   }
 
+  test("annCosinePairsProjected: exact cosines (subset of brute force), recall reported") {
+    val e = Tables.embeddings(spark, sfDir)
+    import spark.implicits._
+    val exact = cosinePairsBruteForce(e, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    val proj = annCosinePairsProjected(e, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    // precision is EXACT: projection can only lose candidates, never
+    // admit a below-threshold pair or distort a cosine
+    assert(proj.keySet.subsetOf(exact.keySet), "projected ANN admitted a false pair")
+    proj.foreach { case (k, c) => assert(c === exact(k), s"cosine drifted for $k") }
+    assert(proj.nonEmpty, "projected ANN found nothing at sf0.001")
+    // determinism: the md5 sign matrices are pure functions
+    val again = annCosinePairsProjected(e, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(again === proj)
+    info(s"recall vs brute force at 0.4: ${proj.size}/${exact.size}")
+  }
+
   test("randomProject: deterministic, linear, and JL error shrinks as 1/sqrt(rdim)") {
     val e = Tables.embeddings(spark, sfDir)
     def cosStats(rdim: Int): Double = {

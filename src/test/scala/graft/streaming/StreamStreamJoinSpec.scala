@@ -72,6 +72,39 @@ class StreamStreamJoinSpec extends SparkTestBase {
       s"watermark passed v2's whole interval — the outer row is due: $rows")
   }
 
+  test("stream-STATIC enrichment join broadcasts the dim inside a streaming query") {
+    // the reference's voting.py shape: consumed votes enriched with
+    // static candidate metadata. The SAME batch operator
+    // (RelationalOps.enrichmentJoin) applies unchanged to a streaming
+    // frame — the static side broadcasts per micro-batch, no state
+    // store involved (unlike the stream-stream joins above).
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val votes = MemoryStream[VoteEvt]
+    val dim = Seq(("c1", "PartyA"), ("c2", "PartyB")).toDF("cand_id", "party")
+    val joined = graft.operators.RelationalOps.enrichmentJoin(
+      votes.toDF(), dim, col("candidate"), col("cand_id"))
+    val q = joined.select("vote_voter_id", "party")
+      .writeStream.format("memory").queryName("ss_static").outputMode("append").start()
+    votes.addData(Seq(VoteEvt("v1", ts(1000), "c1"), VoteEvt("v2", ts(1001), "c2")))
+    q.processAllAvailable()
+    votes.addData(Seq(VoteEvt("v3", ts(1002), "c1")))
+    q.processAllAvailable()
+    val out = spark.table("ss_static").as[(String, String)].collect().toSet
+    // the executed micro-batch plan must be a broadcast join — a
+    // shuffled dim side per micro-batch would be the silent scale
+    // regression
+    val lastPlan = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.lastExecution.executedPlan.toString
+    }
+    q.stop()
+    assert(out === Set(("v1", "PartyA"), ("v2", "PartyB"), ("v3", "PartyA")))
+    assert(joined.isStreaming, "join of stream × static must stay streaming")
+    assert(lastPlan.contains("BroadcastHashJoin"),
+      s"static dim must broadcast per micro-batch:\n$lastPlan")
+  }
+
   test("the join plan is a stateful stream-stream join with watermarks on both sides") {
     implicit val ctx = spark.sqlContext
     val regs = MemoryStream[Registration]

@@ -74,6 +74,11 @@ object ScaleProbe {
       if (enabled("sim_ann_capped")) time("sim_ann_capped", k)(
         VectorOps.annCosinePairsCapped(replicateVecs(k), "vec_id", "embedding", 0.4,
           bucketCap = 32))
+      // A/B vs sim_ann_lsh: band on 8-dim projections instead of the
+      // full 64-dim vectors — isolates what the narrower banding stage
+      // buys (and what recall it costs) on the same dup-heavy load
+      if (enabled("sim_ann_projected")) time("sim_ann_projected", k)(
+        VectorOps.annCosinePairsProjected(replicateVecs(k), "vec_id", "embedding", 0.4))
       // Distributed CC forced (localThreshold=0): every driver query's
       // candidate graph takes the union-find shortcut, so this probe is
       // where the label-propagation path is actually exercised at

@@ -349,6 +349,14 @@ object VectorOps {
     * Projection planes (seed space) and bucket planes (table space)
     * are disjoint md5 domains, so the composition stays
     * oracle-checkable end to end.
+    *
+    * Measured limit (BASELINE.md r6): rdim-dim buckets are COARSER, so
+    * near-miss vectors that full-width banding separates collide here
+    * — on a dup-heavy corpus the inflated candidate set costs more
+    * than the cheaper banding saves (3× slower at the 16× adversarial
+    * probe, 2.7× faster at base scale). Use when index size / banding
+    * throughput is the bottleneck; prefer [[annCosinePairs]] or the
+    * capped variant when candidate volume is.
     */
   def annCosinePairsProjected(vecs: DataFrame, idCol: String, vecCol: String,
                               minCosine: Double, rdim: Int = 8, tables: Int = 4,

@@ -193,6 +193,10 @@ object SparkEntry {
       // it oracle-exact)
       "txt_unigram_nll" -> ((s, dir) =>
         unigramNll(Tables.documents(s, dir), "doc_id", "text")),
+      // n=2 joint surprise: catches templated/repetitive pair reuse
+      // that unigram pricing cannot see
+      "txt_bigram_nll" -> ((s, dir) =>
+        bigramNll(Tables.documents(s, dir), "doc_id", "text")),
       // stable global sequence numbers (shard-ready contiguous ids) —
       // the scalable two-level row_number, ordered by (n_chars, doc_id)
       "cur_assign_ids" -> ((s, dir) =>
@@ -249,6 +253,29 @@ object SparkEntry {
          SELECT doc_id,
                 CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro,
                 count(*) AS n_tokens
+         FROM m GROUP BY doc_id""",
+
+    // bigrams = 2-gram shingles (whole-doc collapse under 2 tokens),
+    // then the same micro-nat pricing as txt_unigram_nll
+    "txt_bigram_nll" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1])
+                         ELSE [array_to_string(toks, ' ')] END) AS bigram
+                FROM t),
+         c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+         tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         m AS (SELECT bg.doc_id,
+                 CAST(round(-ln(CAST(c.cnt AS DOUBLE) / tt.total) * 1000000) AS BIGINT)
+                   AS micro
+               FROM bg JOIN c USING (bigram), tt)
+         SELECT doc_id,
+                CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro,
+                count(*) AS n_bigrams
          FROM m GROUP BY doc_id""",
 
     // the two-level Spark plan must equal the textbook single window

@@ -280,4 +280,31 @@ object CorpusOps {
           .cast("long").as("avg_nll_micro"),
         sum(col("tf")).as("n_tokens"))
   }
+
+  /** Per-document average BIGRAM negative log-likelihood — the n=2
+    * joint-surprise sibling of [[unigramNll]]: repetitive or templated
+    * text reuses the same word PAIRS, which unigram pricing cannot
+    * see. Bigrams are [[DedupOps.shingles]](n=2) strings (native
+    * codegen, whole-doc collapse for sub-2-token docs keeps every doc
+    * priced), and the plan is identical to unigram's: one
+    * tokenize+count pass, corpus counts joined back, broadcast 1-row
+    * total, micro-nat integers end to end so the oracle compare is
+    * exact — no float summation-order hazard.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = RelationalOps.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.shingles(col(textCol), 2)).as("bigram"))
+    val bf = ex.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("bf"))
+    val cnt = bf.groupBy(col("bigram")).agg(sum(col("bf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    val micro = round(-log(col("cnt").cast("double") / col("total")) * 1e6)
+      .cast("long")
+    bf.join(cnt, Seq("bigram"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(floor(sum(col("bf") * micro).cast("double") / sum(col("bf")))
+          .cast("long").as("avg_nll_micro"),
+        sum(col("bf")).as("n_bigrams"))
+  }
 }

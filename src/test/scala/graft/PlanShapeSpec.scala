@@ -58,9 +58,11 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("txt_unigram_nll tokenizes once: the tf exchange feeds counts, total, and pricing") {
-    val plan = executedPlan("txt_unigram_nll")
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-      s"txt_unigram_nll must reuse the (doc, term) tf exchange, got:\n$plan")
+    Seq("txt_unigram_nll", "txt_bigram_nll").foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"$q must reuse the (doc, gram) frequency exchange, got:\n$plan")
+    }
   }
 
   test("sim_topk_ivf: probes broadcast; the corpus is never key-shuffled") {

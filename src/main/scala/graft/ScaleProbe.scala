@@ -79,6 +79,9 @@ object ScaleProbe {
       // buys (and what recall it costs) on the same dup-heavy load
       if (enabled("sim_ann_projected")) time("sim_ann_projected", k)(
         VectorOps.annCosinePairsProjected(replicateVecs(k), "vec_id", "embedding", 0.4))
+      if (enabled("sim_ann_proj_capped")) time("sim_ann_proj_capped", k)(
+        VectorOps.annCosinePairsProjected(replicateVecs(k), "vec_id", "embedding", 0.4,
+          bucketCap = 32))
       // Distributed CC forced (localThreshold=0): every driver query's
       // candidate graph takes the union-find shortcut, so this probe is
       // where the label-propagation path is actually exercised at

@@ -484,6 +484,11 @@ object SparkEntry {
       "sim_ann_projected" -> ((s, dir) =>
         annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4)),
+      // coarse projected buckets + the hash-order cap: the dup-heavy
+      // guard the r6 probe showed projected banding needs
+      "sim_ann_proj_capped" -> ((s, dir) =>
+        annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4, bucketCap = 32)),
       // bucketCap sized to the bucket geometry: 4 sign bits = 16
       // buckets/table, so 32 keeps typical buckets whole and only
       // truncates pathological (dup-heavy) ones.
@@ -734,6 +739,26 @@ object SparkEntry {
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
            FROM e a JOIN e b
+             ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE $pairCos >= 0.4""",
+
+      "sim_ann_proj_capped" ->
+        s"""WITH p0 AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $projList AS proj
+            FROM embeddings),
+           p AS (SELECT vec_id, embedding, nrm, $projBuckets AS buckets FROM p0),
+           e AS (SELECT vec_id, embedding, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
+           ek AS (SELECT vec_id, embedding, nrm, bucket, tbl FROM (
+                    SELECT vec_id, embedding, nrm, bucket, tbl,
+                           row_number() OVER (PARTITION BY tbl, bucket
+                             ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)
+                                           AS BIGINT) ASC,
+                                      vec_id ASC) AS rnk
+                    FROM e) WHERE rnk <= 32)
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
+           FROM ek a JOIN ek b
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
 

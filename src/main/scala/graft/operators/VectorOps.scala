@@ -361,15 +361,30 @@ object VectorOps {
   def annCosinePairsProjected(vecs: DataFrame, idCol: String, vecCol: String,
                               minCosine: Double, rdim: Int = 8, tables: Int = 4,
                               bitsPerTable: Int = 4, dim: Int = 64,
-                              seed: Int = 101): DataFrame = {
+                              seed: Int = 101,
+                              bucketCap: Int = Int.MaxValue): DataFrame = {
     val p = withNorm(vecs, idCol, vecCol)
     val projected = array((0 until rdim).map { j =>
       val plane = typedlit((0 until dim).map(i => planeSign(seed, j, i)))
       round(dot(col("__v"), plane), 6)
     }: _*)
-    val banded = p.select(col("__id"), col("__v"), col("__nrm"),
+    val banded0 = p.select(col("__id"), col("__v"), col("__nrm"),
       posexplode(lshBuckets(projected, tables, bitsPerTable, rdim))
         .as(Seq("__tbl", "__bucket")))
+    // The coarser rdim-dim buckets make dup-heavy candidate blowup
+    // MORE likely than in full-width banding (measured 3× at the 16×
+    // probe — BASELINE.md r6), so the same deterministic-hash-order
+    // cap as [[annCosinePairsCapped]] is the intended pairing on such
+    // corpora; uncapped skips the window entirely.
+    val banded = if (bucketCap == Int.MaxValue) banded0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__tbl"), col("__bucket"))
+        .orderBy(graft.functions.TextFunctions.h7(col("__id").cast("string")).asc,
+          col("__id").asc)
+      banded0.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= bucketCap)
+        .drop("__rnk")
+    }
     banded.alias("a").hint("merge")
       .join(banded.alias("b"),
         col("a.__tbl") === col("b.__tbl") && col("a.__bucket") === col("b.__bucket") &&

@@ -239,6 +239,13 @@ class VectorOpsSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toMap2
     assert(again === proj)
     info(s"recall vs brute force at 0.4: ${proj.size}/${exact.size}")
+    // the dup-heavy guard: capped ⊆ uncapped, generous cap ≡ uncapped
+    val capped = annCosinePairsProjected(e, "vec_id", "embedding", minCosine = 0.4,
+      bucketCap = 4).as[(Long, Long, Double)].collect().toMap2
+    assert(capped.keySet.subsetOf(proj.keySet))
+    val loose = annCosinePairsProjected(e, "vec_id", "embedding", minCosine = 0.4,
+      bucketCap = 1000000).as[(Long, Long, Double)].collect().toMap2
+    assert(loose === proj)
   }
 
   test("randomProject: deterministic, linear, and JL error shrinks as 1/sqrt(rdim)") {

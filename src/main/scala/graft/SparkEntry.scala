@@ -1671,6 +1671,22 @@ object SparkEntry {
         round(avg(col("value")).over(w), 4).as("mavg3"))
     }),
 
+    // ---- W-3: RANGE frame — "events in the trailing hour", a frame
+    //      defined by VALUE distance (epoch seconds), not row count:
+    //      rows with ties enter together and sparse/bursty streams get
+    //      the correct physical window, which rowsBetween cannot
+    //      express. Count (integer) keeps the contract exact; ordering
+    //      key must be unique-enough only for the ROWS case, not
+    //      RANGE. ----
+    "w3_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600L, 0)
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"))
+    }),
+
     // ---- W-2: analytic-function battery over one partitioned window —
     //      lead/lag/row_number/ntile/cume_dist/first_value + running
     //      sum. ONE shuffle on user_id serves every function (a single
@@ -2236,6 +2252,13 @@ object SparkEntry {
          round(avg(value) OVER (PARTITION BY user_id
                                 ORDER BY ts ASC, event_id ASC
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+         FROM events""",
+
+    "w3_range_frame" ->
+      """SELECT user_id, event_id,
+         count(*) OVER (PARTITION BY user_id
+                        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
          FROM events""",
 
     "w2_window_battery" ->

@@ -285,20 +285,26 @@ object RelationalOps {
     *
     * Scale note: counts and min/max combine map-side; the exact
     * `n_distinct` is the one term that shuffles per-column value sets
-    * — at 100 TB swap it for `approx_count_distinct` (HLL++, fixed
-    * size, mergeable) and keep everything else identical.
+    * — `approxDistinct = true` swaps it for `approx_count_distinct`
+    * (HLL++: fixed-size, mergeable, map-side-combining sketch), which
+    * is the 100 TB mode; everything else is identical. Error vs exact
+    * is pinned in RelationalOpsSpec.
     */
-  def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+  def profileColumns(df: DataFrame, cols: Seq[(String, Column)],
+                     approxDistinct: Boolean = false): DataFrame = {
     val entries = array(cols.map { case (name, c) =>
       struct(lit(name).as("col_name"), c.cast("string").as("val"))
     }: _*)
+    val nDistinct =
+      if (approxDistinct) approx_count_distinct(col("val"))
+      else countDistinct(col("val"))
     df.select(explode(entries).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.val").as("val"))
       .groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("val"))).as("n_nulls"),
-        countDistinct(col("val")).as("n_distinct"),
+        nDistinct.as("n_distinct"),
         min(col("val")).as("min_val"),
         max(col("val")).as("max_val"))
   }

@@ -192,4 +192,25 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(plan.split("Generate").length - 1 === 1, plan)
     assert(plan.split("Scan|LocalTableScan").length - 1 <= 1, plan)
   }
+
+  test("profileColumns approx mode: HLL distinct within 10% of exact, rest identical") {
+    val specs = Seq(
+      "o_orderkey" -> col("o_orderkey").cast("string"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    def collectProfile(approx: Boolean) =
+      RelationalOps.profileColumns(Tables.orders(spark, sfDir), specs, approx)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+        .toMap
+    val exact = collectProfile(approx = false)
+    val approx = collectProfile(approx = true)
+    exact.foreach { case (name, (nRows, nNulls, nd, mn, mx)) =>
+      val (aRows, aNulls, and_, aMn, aMx) = approx(name)
+      assert((aRows, aNulls, aMn, aMx) === ((nRows, nNulls, mn, mx)),
+        s"$name: non-distinct terms must be identical in approx mode")
+      assert(math.abs(and_ - nd) <= math.max(1L, (nd * 0.10).toLong),
+        s"$name: HLL distinct $and_ strays >10% from exact $nd")
+    }
+  }
 }

@@ -1967,6 +1967,39 @@ object SparkEntry {
              round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // ---- Q14 analog: promo revenue share — conditional aggregation
+    //      over a fact×dim join, the classic one-pass share-of-revenue
+    //      shape (no second scan, no self-join; both sums ride one
+    //      aggregate) ----
+    "q14_promo_share" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = Tables.part(s, dir)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_share"))
+    }),
+
+    // ---- P-16: UNPIVOT/melt — wide metrics to long (metric, val)
+    //      rows, the transpose every feature-store export needs. The
+    //      native unpivot plans as one Expand pass (like cube) — 4×
+    //      the rows, ONE scan, no join. Values pass through untouched,
+    //      so the compare is bit-exact. ----
+    "p16_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "val")),
+
     // ---- Column profiler: the first query anyone runs on a new
     //      100 TB table. ONE scan — each row explodes into
     //      (col_name, canonical string) entries, then a single grouped
@@ -2445,6 +2478,27 @@ object SparkEntry {
                 min(ts) AS session_start, max(ts) AS session_end,
                 round(sum(value), 4) AS total_value
          FROM s GROUP BY user_id, session_seq""",
+
+    "q14_promo_share" ->
+      """SELECT round(
+           100.0 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""",
+
+    "p16_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
 
     "prof_columns" ->
       """WITH s AS (

@@ -24,6 +24,16 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every query has an oracle, except the two documented engine-specific sketches") {
+    // g8/g12 return HLL/GK estimates no other engine reproduces; their
+    // error bounds are property-tested instead (PropertiesSpec). Any
+    // OTHER query landing here would ship driver-unverified — fail
+    // loudly rather than discover a silent no_oracle row in the gate.
+    val sketchExempt = Set("g8_approx_distinct", "g12_approx_percentiles")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchExempt
+    assert(missing.isEmpty, s"queries without oracle coverage: $missing")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

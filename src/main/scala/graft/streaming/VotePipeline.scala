@@ -209,6 +209,29 @@ object VotePipeline {
   def toForeachBatch(df: DataFrame)(writer: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.outputMode("update").foreachBatch(writer)
 
+  /** Fan ONE micro-batch out to several sinks. There is no cross-sink
+    * transaction in this world — the honest exactly-once contract for
+    * dual writes is per-sink IDEMPOTENCE keyed by batch id: if the
+    * query dies between sink writes, the restarted query replays the
+    * whole batch to every sink and each converges (delete-before-
+    * insert, overwrite-by-batch-path, …). Pass writers with that
+    * property — e.g. [[graft.sources.JdbcIO.idempotentBatchWriter]] —
+    * and the composition is end-to-end exactly-once per sink
+    * (proved across an injected mid-batch crash in MultiSinkSpec).
+    *
+    * The batch is persisted so N sinks trigger ONE computation of the
+    * micro-batch lineage, not N re-executions — at scale the
+    * recompute, not the write, is the cost.
+    */
+  def toMultiSink(df: DataFrame)(writers: ((DataFrame, Long) => Unit)*): DataStreamWriter[Row] =
+    toForeachBatch(df) { (batch, id) =>
+      val cached = batch.persist()
+      try {
+        cached.count() // materialize once
+        writers.foreach(w => w(cached, id))
+      } finally cached.unpersist()
+    }
+
   /** S-5 — the reference's two-query topology (`spark_stream.py:66–88`):
     * both aggregations run as independent streaming queries off the
     * same parsed stream, each with its own checkpoint/state.

@@ -122,6 +122,23 @@ object SparkEntry {
         JdbcIO.write(Tables.nation(s, dir), url, "nation_rt")
         JdbcIO.read(s, url, "nation_rt")
           .select("n_nationkey", "n_name", "n_regionkey")
+      }),
+
+      // ---- MERGE/upsert snapshot rewrite: every 10th order is
+      //      updated (priority overwritten), orders ending in 007 also
+      //      arrive as NEW keys (+10M) — one anti-join + union builds
+      //      the post-merge snapshot. Strings only in the contract, so
+      //      the compare is exact. ----
+      "io_upsert" -> ((s, dir) => {
+        val e = Tables.orders(s, dir)
+        val changed = e.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderpriority", lit("UPSERTED"))
+        val inserts = e.filter(col("o_orderkey") % 1000 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderpriority", lit("UPSERTED"))
+        graft.operators.RelationalOps
+          .mergeUpsert(e, changed.unionByName(inserts), Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
       })
     )
   }
@@ -133,7 +150,20 @@ object SparkEntry {
          GROUP BY r_name""",
 
     "io_jdbc_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "io_upsert" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_orderstatus, 'UPSERTED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_orderstatus, 'UPSERTED'
+           FROM orders WHERE o_orderkey % 1000 = 7)
+         SELECT o_orderkey, o_orderstatus, o_orderpriority FROM upd
+         UNION ALL
+         SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority
+         FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

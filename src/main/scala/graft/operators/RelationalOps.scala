@@ -273,6 +273,24 @@ object RelationalOps {
       .drop("__prev_ts", "__new_sess")
   }
 
+  /** MERGE/upsert as a snapshot rewrite — the batch CDC pattern on
+    * immutable storage: the new snapshot is every update row plus the
+    * existing rows whose key no update touched (last-write-wins whole-
+    * row replace; inserts are just update keys that matched nothing).
+    * One anti-join shuffle on the key + a union — no row-level mutation
+    * engine needed, which is exactly how parquet-backed tables merge at
+    * 100 TB (combined with partition pruning so only touched partitions
+    * rewrite).
+    *
+    * `updates` must be unique per key (pre-aggregate a CDC stream with
+    * latest-per-key first — see [[graft.streaming.VotePipeline
+    * .latestPerKey]], the streaming half of this contract).
+    */
+  def mergeUpsert(existing: DataFrame, updates: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      existing.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+
   /** Column profiler — per-column row/null/distinct counts and
     * lexicographic min/max over caller-supplied CANONICAL string
     * renderings, in ONE scan of the table. Each row explodes into

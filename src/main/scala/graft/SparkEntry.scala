@@ -124,6 +124,24 @@ object SparkEntry {
           .select("n_nationkey", "n_name", "n_regionkey")
       }),
 
+      // ---- SCD2 dimension history: segment changes for every 7th
+      //      customer close the open row at the change time and append
+      //      a new open version — validity intervals, not last-write-
+      //      wins (that's io_upsert). ----
+      "dim_scd2" -> ((s, dir) => {
+        val cur = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"),
+          lit("1995-01-01").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val chg = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
+            lit("1999-01-01").cast("timestamp").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"))
+        graft.operators.RelationalOps
+          .scd2Apply(cur, chg, "c_custkey", "valid_from", "valid_to")
+      }),
+
       // ---- MERGE/upsert snapshot rewrite: every 10th order is
       //      updated (priority overwritten), orders ending in 007 also
       //      arrive as NEW keys (+10M) — one anti-join + union builds
@@ -151,6 +169,25 @@ object SparkEntry {
 
     "io_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "dim_scd2" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment,
+                        TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to
+                      FROM customer),
+         chg AS (SELECT c_custkey, 'MOVED' AS c_mktsegment,
+                        TIMESTAMP '1999-01-01 00:00:00' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to
+                 FROM customer WHERE c_custkey % 7 = 0)
+         SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+                chg.valid_from AS valid_to
+         FROM cur c JOIN chg ON c.c_custkey = chg.c_custkey
+         UNION ALL
+         SELECT c.c_custkey, c.c_mktsegment, c.valid_from, c.valid_to
+         FROM cur c
+         WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.c_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM chg""",
 
     "io_upsert" ->
       """WITH upd AS (

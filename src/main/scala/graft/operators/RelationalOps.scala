@@ -291,6 +291,34 @@ object RelationalOps {
     updates.unionByName(
       existing.join(updates.select(keys.map(col): _*), keys, "left_anti"))
 
+  /** SCD TYPE-2 apply — dimension history with validity intervals,
+    * the warehouse sibling of [[mergeUpsert]] (which keeps no
+    * history). `current` holds closed rows plus ONE open row
+    * (`validTo` null) per key; `changes` carries the new version of
+    * each changed key with its effective time in `validFrom` and a
+    * null `validTo`, schema-identical to `current`.
+    *
+    * The new snapshot = closed history (untouched) ∪ open rows of
+    * changed keys CLOSED at their change's effective time ∪ open rows
+    * of unchanged keys ∪ the changes as the new open rows. Two
+    * shuffles on the key (one join, one anti-join), both against the
+    * small delta — at 100 TB the dimension is bucketed on the key and
+    * neither side re-shuffles.
+    */
+  def scd2Apply(current: DataFrame, changes: DataFrame, keyCol: String,
+                validFromCol: String, validToCol: String): DataFrame = {
+    val open = current.filter(col(validToCol).isNull)
+    val closedHist = current.filter(col(validToCol).isNotNull)
+    val newFrom = changes.select(col(keyCol).as("__k"),
+      col(validFromCol).as("__new_from"))
+    val closedNow = open.join(newFrom, col(keyCol) === col("__k"))
+      .withColumn(validToCol, col("__new_from"))
+      .drop("__k", "__new_from")
+    val stillOpen = open.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+    closedHist.unionByName(closedNow).unionByName(stillOpen)
+      .unionByName(changes)
+  }
+
   /** Column profiler — per-column row/null/distinct counts and
     * lexicographic min/max over caller-supplied CANONICAL string
     * renderings, in ONE scan of the table. Each row explodes into

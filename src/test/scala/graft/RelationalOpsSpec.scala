@@ -203,6 +203,33 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(plan.split("Scan|LocalTableScan").length - 1 <= 1, plan)
   }
 
+  test("scd2Apply accretes history across generations: each change closes the prior open row") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val t0 = ts("1995-01-01"); val t1 = ts("1997-01-01"); val t2 = ts("1999-01-01")
+    val cur = Seq((1L, "A", t0, None: Option[Timestamp]),
+                  (2L, "B", t0, None: Option[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val chg1 = Seq((1L, "A2", t1, None: Option[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val chg2 = Seq((1L, "A3", t2, None: Option[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val gen2 = RelationalOps.scd2Apply(
+      RelationalOps.scd2Apply(cur, chg1, "k", "valid_from", "valid_to"),
+      chg2, "k", "valid_from", "valid_to")
+    val rows = gen2.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(rows === Set(
+      (1L, "A", t0, Some(t1)),   // first version closed by chg1
+      (1L, "A2", t1, Some(t2)),  // second version closed by chg2
+      (1L, "A3", t2, None),      // current open version
+      (2L, "B", t0, None)))      // untouched key keeps its open row
+    // exactly one open row per key, always
+    assert(gen2.filter(col("valid_to").isNull).groupBy("k").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("profileColumns approx mode: HLL distinct within 10% of exact, rest identical") {
     val specs = Seq(
       "o_orderkey" -> col("o_orderkey").cast("string"),

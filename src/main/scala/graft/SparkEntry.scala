@@ -142,6 +142,17 @@ object SparkEntry {
           .scd2Apply(cur, chg, "c_custkey", "valid_from", "valid_to")
       }),
 
+      // ---- Point-in-time read over the SCD2 history: as of mid-1997
+      //      the 1999 changes haven't happened — every key must
+      //      resolve to its ORIGINAL segment (time travel as a pure
+      //      pushed filter over interval-stored history) ----
+      "dim_scd2_asof" -> ((s, dir) => {
+        val hist = queries("dim_scd2")(s, dir)
+        graft.operators.RelationalOps.scd2AsOf(hist,
+            lit("1997-06-01").cast("timestamp"), "valid_from", "valid_to")
+          .select(col("c_custkey"), col("c_mktsegment"))
+      }),
+
       // ---- MERGE/upsert snapshot rewrite: every 10th order is
       //      updated (priority overwritten), orders ending in 007 also
       //      arrive as NEW keys (+10M) — one anti-join + union builds
@@ -188,6 +199,11 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.c_custkey = c.c_custkey)
          UNION ALL
          SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM chg""",
+
+    // as of mid-1997 the 1999 changes are invisible: the point-in-time
+    // read must reconstruct exactly the original dimension
+    "dim_scd2_asof" ->
+      "SELECT c_custkey, c_mktsegment FROM customer",
 
     "io_upsert" ->
       """WITH upd AS (

@@ -319,6 +319,17 @@ object RelationalOps {
       .unionByName(changes)
   }
 
+  /** Point-in-time read over an SCD2 table — the version of each key
+    * that was current at `asOf`: `valid_from <= asOf < valid_to`
+    * (open rows have null `valid_to` = still current). A pure filter:
+    * pushes to the scan, no shuffle — time travel is free when history
+    * is stored as intervals.
+    */
+  def scd2AsOf(dim: DataFrame, asOf: Column,
+               validFromCol: String, validToCol: String): DataFrame =
+    dim.filter(col(validFromCol) <= asOf &&
+      (col(validToCol).isNull || col(validToCol) > asOf))
+
   /** Column profiler — per-column row/null/distinct counts and
     * lexicographic min/max over caller-supplied CANONICAL string
     * renderings, in ONE scan of the table. Each row explodes into

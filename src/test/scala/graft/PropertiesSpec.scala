@@ -131,4 +131,23 @@ class PropertiesSpec extends SparkTestBase {
     val (s20, s50) = (ids(20), ids(50))
     assert(s20.subsetOf(s50), "raising pct only adds rows — stable sample membership")
   }
+
+  test("count-min sketch never underestimates and stays within eps·N (heavy hitters)") {
+    // the mergeable fixed-size structure for streaming heavy-hitter
+    // counts at 100 TB (g8's HLL answers "how many distinct", CMS
+    // answers "how often does THIS key occur"). One-sided error by
+    // construction: estimate >= truth, overshoot bounded by eps·N.
+    val ev = Tables.events(spark, sfDir)
+    val eps = 0.01
+    val sketch = ev.stat.countMinSketch(col("event_type"), eps, 0.99, seed = 42)
+    val exact = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, c) =>
+      val est = sketch.estimateCount(k)
+      assert(est >= c, s"CMS must never undercount: $k est=$est exact=$c")
+      assert(est <= c + math.ceil(eps * n).toLong,
+        s"CMS overshoot for $k beyond eps*N: est=$est exact=$c n=$n")
+    }
+  }
 }

@@ -125,4 +125,41 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(rr(1L).isNullAt(1))
     assert(rr(2L).getDouble(1) === 0.0 && rr(3L).getDouble(1) === 0.0)
   }
+
+  test("round-6 operators tolerate degenerate inputs") {
+    import graft.operators.RelationalOps
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val emptyKV = Seq.empty[(Long, String)].toDF("k", "v")
+
+    // mergeUpsert: no updates -> identity snapshot; empty existing -> inserts only
+    assert(RelationalOps.mergeUpsert(base, emptyKV, Seq("k")).collect().toSet
+      === base.collect().toSet)
+    assert(RelationalOps.mergeUpsert(emptyKV, base, Seq("k")).collect().toSet
+      === base.collect().toSet)
+
+    // profileColumns: empty input yields an empty profile (not a crash
+    // or a zero-row-per-column fabrication)
+    assert(RelationalOps.profileColumns(emptyKV, Seq("v" -> col("v"))).isEmpty)
+
+    // scd2Apply with no changes is the identity on history
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("1995-01-01 00:00:00")
+    val hist = Seq((1L, "A", t0, None: Option[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val noChg = hist.limit(0)
+    assert(RelationalOps.scd2Apply(hist, noChg, "k", "valid_from", "valid_to")
+      .collect().toSet === hist.collect().toSet)
+
+    // randomProject of null/empty embeddings: null in -> null components
+    import graft.operators.VectorOps
+    val vecs = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val proj = VectorOps.randomProject(vecs, "vec_id", "embedding", rdim = 4)
+      .collect()(0)
+    assert(proj.isNullAt(1) || proj.getSeq[Any](1).forall(_ == null))
+
+    // bigramNll on an empty corpus: empty out
+    assert(graft.operators.CorpusOps.bigramNll(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+  }
 }

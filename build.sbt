@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain` as JSON;
+// sbt's default logger prefixes forked-process output with "[info] ",
+// which breaks that parse (BENCH_r{1..6}.json all show parsed:null).
+// StdoutOutput sends the forked JVM's stdout straight through, unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

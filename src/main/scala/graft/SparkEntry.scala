@@ -59,30 +59,38 @@ object SparkEntry {
     topicDir
   }
 
-  /** Bucketed-table pairs already materialized by
-    * [[ensureBucketedTables]] this JVM. */
-  private val materializedBuckets =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Serializes bucketed-table materialization: concurrent callers
+    * must block until the first caller's saveAsTable completes, or
+    * they would query a half-written table. */
+  private val bucketLock = new Object
 
   /** Write customer/orders as managed tables bucketed (and sorted) on
-    * the join key, once per (JVM, dir). Bucketing is a LAYOUT contract
-    * recorded in the catalog: both sides pre-hashed into the same 8
-    * buckets on the key means the recurring fact-fact join needs no
-    * exchange at all — the cost that dominates every repeated join at
-    * 100 TB is paid once at write time instead of per query. The write
-    * itself is setup IO ([[prepare]] pays it before Bench's clock).
+    * the join key, once per (SESSION, dir). Bucketing is a LAYOUT
+    * contract recorded in the catalog: both sides pre-hashed into the
+    * same 8 buckets on the key means the recurring fact-fact join needs
+    * no exchange at all — the cost that dominates every repeated join
+    * at 100 TB is paid once at write time instead of per query. The
+    * write itself is setup IO ([[prepare]] pays it before Bench's
+    * clock).
+    *
+    * The "already materialized" check is `catalog.tableExists` on the
+    * caller's session — NOT a JVM-wide memo: managed tables live in a
+    * per-SparkSession in-memory catalog, so a second session in the
+    * same JVM must re-register them, and a lock (not a lock-free set)
+    * makes concurrent callers wait out the write.
     */
-  private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val (cust, ord) = (s"b_customer_$tag", s"b_orders_$tag")
-    if (materializedBuckets.add(tag)) {
-      Tables.customer(s, dir).write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cust)
-      Tables.orders(s, dir).write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ord)
+  private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketLock.synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (cust, ord) = (s"b_customer_$tag", s"b_orders_$tag")
+      if (!s.catalog.tableExists(cust) || !s.catalog.tableExists(ord)) {
+        Tables.customer(s, dir).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cust)
+        Tables.orders(s, dir).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ord)
+      }
+      (cust, ord)
     }
-    (cust, ord)
-  }
 
   /** One-time side-artifact materialization for `dir` (the s8 file
     * topic, the j9 bucketed tables). Bench calls this before its timed
@@ -155,15 +163,24 @@ object SparkEntry {
 
       // ---- MERGE/upsert snapshot rewrite: every 10th order is
       //      updated (priority overwritten), orders ending in 007 also
-      //      arrive as NEW keys (+10M) — one anti-join + union builds
-      //      the post-merge snapshot. Strings only in the contract, so
-      //      the compare is exact. ----
+      //      arrive as NEW keys — one anti-join + union builds the
+      //      post-merge snapshot. The insert-key shift is DERIVED from
+      //      the data (next 10M multiple above max(o_orderkey)), not a
+      //      fixed +10M: a fixed shift collides with real keys once
+      //      max(key) exceeds it (TPC-H SF ≳ 1.7), silently turning
+      //      the insert leg into updates of unrelated rows. Strings
+      //      only in the contract, so the compare is exact. ----
       "io_upsert" -> ((s, dir) => {
         val e = Tables.orders(s, dir)
         val changed = e.filter(col("o_orderkey") % 10 === 0)
           .withColumn("o_orderpriority", lit("UPSERTED"))
+        val shift = e.agg(
+          expr("(max(CAST(o_orderkey AS BIGINT)) div 10000000 + 1) * 10000000")
+            .as("__shift"))
         val inserts = e.filter(col("o_orderkey") % 1000 === 7)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .crossJoin(broadcast(shift))
+          .withColumn("o_orderkey", col("o_orderkey") + col("__shift"))
+          .drop("__shift")
           .withColumn("o_orderpriority", lit("UPSERTED"))
         graft.operators.RelationalOps
           .mergeUpsert(e, changed.unionByName(inserts), Seq("o_orderkey"))
@@ -206,12 +223,16 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment FROM customer",
 
     "io_upsert" ->
-      """WITH upd AS (
+      """WITH sh AS (
+           SELECT (max(CAST(o_orderkey AS BIGINT)) // 10000000 + 1) * 10000000
+                  AS shift
+           FROM orders),
+         upd AS (
            SELECT o_orderkey, o_orderstatus, 'UPSERTED' AS o_orderpriority
            FROM orders WHERE o_orderkey % 10 = 0
            UNION ALL
-           SELECT o_orderkey + 10000000, o_orderstatus, 'UPSERTED'
-           FROM orders WHERE o_orderkey % 1000 = 7)
+           SELECT o_orderkey + sh.shift, o_orderstatus, 'UPSERTED'
+           FROM orders, sh WHERE o_orderkey % 1000 = 7)
          SELECT o_orderkey, o_orderstatus, o_orderpriority FROM upd
          UNION ALL
          SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority
@@ -334,7 +355,7 @@ object SparkEntry {
                    AS micro
                FROM tok JOIN c USING (term), t)
          SELECT doc_id,
-                CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro,
+                CAST((sum(micro) // count(*)) AS BIGINT) AS avg_nll_micro,
                 count(*) AS n_tokens
          FROM m GROUP BY doc_id""",
 
@@ -357,7 +378,7 @@ object SparkEntry {
                    AS micro
                FROM bg JOIN c USING (bigram), tt)
          SELECT doc_id,
-                CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro,
+                CAST((sum(micro) // count(*)) AS BIGINT) AS avg_nll_micro,
                 count(*) AS n_bigrams
          FROM m GROUP BY doc_id""",
 

@@ -276,9 +276,16 @@ object CorpusOps {
     tf.join(cnt, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(floor(sum(col("tf") * micro).cast("double") / sum(col("tf")))
-          .cast("long").as("avg_nll_micro"),
+      .agg(sum(col("tf") * micro).as("__micro_sum"),
         sum(col("tf")).as("n_tokens"))
+      // pure LONG integer division, never through double: floor of a
+      // non-negative integer ratio IS integer division, and longs stay
+      // exact at any magnitude — a double round-trip breaks the exact-
+      // integer contract once Σ tf·micro exceeds 2^53 (~4e8 tokens at
+      // ~20 nats/token)
+      .select(col("doc_id"),
+        expr("__micro_sum div n_tokens").as("avg_nll_micro"),
+        col("n_tokens"))
   }
 
   /** Per-document average BIGRAM negative log-likelihood — the n=2
@@ -303,8 +310,12 @@ object CorpusOps {
     bf.join(cnt, Seq("bigram"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(floor(sum(col("bf") * micro).cast("double") / sum(col("bf")))
-          .cast("long").as("avg_nll_micro"),
+      .agg(sum(col("bf") * micro).as("__micro_sum"),
         sum(col("bf")).as("n_bigrams"))
+      // long integer division — same exact-at-any-magnitude contract
+      // as unigramNll (see note there)
+      .select(col("doc_id"),
+        expr("__micro_sum div n_bigrams").as("avg_nll_micro"),
+        col("n_bigrams"))
   }
 }

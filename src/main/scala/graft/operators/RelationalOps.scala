@@ -176,11 +176,14 @@ object RelationalOps {
     *  3. local row_number per partition id + broadcast offset.
     *
     * The partitioned subtree feeds both the counts branch and the rank
-    * branch of the same plan; range sampling is deterministic for a
-    * given input, so both branches see identical boundaries. Ranks are
-    * boundary-independent anyway: a strict total order makes
-    * offset + local rank equal the global position no matter where the
-    * cuts fall.
+    * branch of the same plan. Correctness needs both branches to see
+    * the SAME partition assignment, so the shared subtree is persisted
+    * before branching — structural sharing, not a bet on exchange reuse
+    * or on range sampling determinism. (Even on cache eviction the
+    * recompute is safe: a strict total order makes offset + local rank
+    * equal the global position no matter where the range cuts fall,
+    * and per-branch consistency within one job is restored by the
+    * re-persisted blocks.)
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], alias: String,
                       numPartitions: Int = 0): DataFrame = {
@@ -188,6 +191,7 @@ object RelationalOps {
             else df.sparkSession.sparkContext.defaultParallelism
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -298,25 +302,40 @@ object RelationalOps {
     * each changed key with its effective time in `validFrom` and a
     * null `validTo`, schema-identical to `current`.
     *
+    * A batch may carry SEVERAL versions of one key (a CDC batch often
+    * does): versions are chained in `validFrom` order — each closes at
+    * the NEXT version's effective time (a per-key `lead` window over
+    * the delta), only the last stays open, and the pre-batch open row
+    * closes at the key's EARLIEST change. The single-open-row /
+    * non-overlapping-intervals invariant therefore holds for any batch
+    * shape; `(key, validFrom)` must be unique within the batch (two
+    * versions "effective at the same instant" have no defined order).
+    *
     * The new snapshot = closed history (untouched) ∪ open rows of
-    * changed keys CLOSED at their change's effective time ∪ open rows
-    * of unchanged keys ∪ the changes as the new open rows. Two
-    * shuffles on the key (one join, one anti-join), both against the
-    * small delta — at 100 TB the dimension is bucketed on the key and
-    * neither side re-shuffles.
+    * changed keys CLOSED at their key's first change ∪ open rows of
+    * unchanged keys ∪ the chained changes. Shuffles touch only the
+    * delta (one window + one aggregate on the key) plus the key-joins
+    * against `open` — at 100 TB the dimension is bucketed on the key
+    * and neither side re-shuffles.
     */
   def scd2Apply(current: DataFrame, changes: DataFrame, keyCol: String,
                 validFromCol: String, validToCol: String): DataFrame = {
     val open = current.filter(col(validToCol).isNull)
     val closedHist = current.filter(col(validToCol).isNotNull)
-    val newFrom = changes.select(col(keyCol).as("__k"),
-      col(validFromCol).as("__new_from"))
-    val closedNow = open.join(newFrom, col(keyCol) === col("__k"))
+    // chain intra-batch versions: each closes at the next one's from
+    val chainW = Window.partitionBy(col(keyCol)).orderBy(col(validFromCol))
+    val chained = changes
+      .withColumn(validToCol, lead(col(validFromCol), 1).over(chainW))
+    // the pre-batch open row closes at the key's FIRST change — an
+    // aggregate, not a join, so multiple changes cannot fan it out
+    val firstFrom = changes.groupBy(col(keyCol).as("__k"))
+      .agg(min(col(validFromCol)).as("__new_from"))
+    val closedNow = open.join(firstFrom, col(keyCol) === col("__k"))
       .withColumn(validToCol, col("__new_from"))
       .drop("__k", "__new_from")
     val stillOpen = open.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
     closedHist.unionByName(closedNow).unionByName(stillOpen)
-      .unionByName(changes)
+      .unionByName(chained)
   }
 
   /** Point-in-time read over an SCD2 table — the version of each key

@@ -230,6 +230,53 @@ class RelationalOpsSpec extends SparkTestBase {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("scd2Apply chains multiple versions of one key inside a single batch") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val t0 = ts("1995-01-01"); val t1 = ts("1997-01-01")
+    val t2 = ts("1999-01-01"); val t3 = ts("2001-01-01")
+    val cur = Seq((1L, "A", t0, None: Option[Timestamp]),
+                  (2L, "B", t0, None: Option[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    // one CDC batch carrying THREE versions of key 1 — the round-6
+    // shape that double-closed the open row and left multiple open
+    // rows per key
+    val batch = Seq(
+      (1L, "A2", t1, None: Option[Timestamp]),
+      (1L, "A3", t2, None: Option[Timestamp]),
+      (1L, "A4", t3, None: Option[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val out = RelationalOps.scd2Apply(cur, batch, "k", "valid_from", "valid_to")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(rows === Set(
+      (1L, "A", t0, Some(t1)),   // open row closed ONCE, at the FIRST change
+      (1L, "A2", t1, Some(t2)),  // intra-batch versions chain
+      (1L, "A3", t2, Some(t3)),
+      (1L, "A4", t3, None),      // only the last version stays open
+      (2L, "B", t0, None)))
+    // invariants: one open row per key; no overlapping intervals
+    assert(out.filter(col("valid_to").isNull).groupBy("k").count()
+      .filter(col("count") > 1).isEmpty)
+    val overlaps = out.as("a").join(out.as("b"),
+      col("a.k") === col("b.k") && col("a.valid_from") < col("b.valid_from") &&
+        (col("a.valid_to").isNull || col("a.valid_to") > col("b.valid_from")))
+    assert(overlaps.isEmpty, "validity intervals must not overlap")
+    // batch application ≡ sequential application change-by-change
+    val seq1 = batch.filter(col("attr") === "A2")
+    val seq2 = batch.filter(col("attr") === "A3")
+    val seq3 = batch.filter(col("attr") === "A4")
+    val sequential = RelationalOps.scd2Apply(
+      RelationalOps.scd2Apply(
+        RelationalOps.scd2Apply(cur, seq1, "k", "valid_from", "valid_to"),
+        seq2, "k", "valid_from", "valid_to"),
+      seq3, "k", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(sequential === rows, "one batch must equal change-by-change application")
+  }
+
   test("profileColumns approx mode: HLL distinct within 10% of exact, rest identical") {
     val specs = Seq(
       "o_orderkey" -> col("o_orderkey").cast("string"),

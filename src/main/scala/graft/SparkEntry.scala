@@ -28,11 +28,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ textQueries ++ dedupQueries ++ simQueries ++
-      multimodalQueries ++ corpusQueries ++ ioQueries
+      multimodalQueries ++ corpusQueries ++ ioQueries ++ TpchQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracle ++ textOracle ++ dedupOracle ++ simOracle ++
-      multimodalOracle ++ corpusOracle ++ ioOracle
+      multimodalOracle ++ corpusOracle ++ ioOracle ++ TpchQueries.oracleSql
 
   /** Topics already materialized by [[ensureFileTopic]] this JVM. */
   private val materializedTopics =

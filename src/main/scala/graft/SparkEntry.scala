@@ -580,6 +580,12 @@ object SparkEntry {
       "sim_rerank" -> ((s, dir) =>
         topKNeighborsRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
           col("vec_id") % 100 === 0, k = 10)),
+      // IVFADC (Jégou 2011): coarse cells route candidates, 8×4-bit
+      // product-quantization codes + integer micro-unit ADC tables
+      // rank them, exact cosine reranks the 40-row shortlist
+      "sim_pq_topk" -> ((s, dir) =>
+        topKNeighborsPq(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, k = 10)),
       "sim_ann_lsh" -> ((s, dir) =>
         annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
       // project 64→8 dims first, band in projected space, exact cosine
@@ -774,6 +780,83 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY qid
                                        ORDER BY cosine DESC, vec_id ASC) AS rnk
              FROM sc) WHERE rnk <= 10""",
+
+      // IVFADC: the oracle re-derives both codebooks relationally
+      // (hash-ordered 16-row sample; sub-centroid (seg, j) = segment
+      // seg of sample j), encodes the corpus via the same
+      // |c|² − 2·v_s·c argmin with (score, j) tie-break, builds each
+      // query's micro-unit ADC table, sums longs over the 8 codes, and
+      // reranks the 40-row shortlist with exact cosines — mirroring
+      // topKNeighborsPq stage for stage.
+      "sim_pq_topk" -> {
+        // dot of vector `v`'s segment `seg` (8 elems, 1-based) with an
+        // 8-elem double list `cv`, index-ordered like graft_dot
+        def segDot(v: String, seg: String, cv: String): String =
+          s"list_sum(list_transform(range(1, 9), i -> CAST($v[$seg * 8 + i] AS DOUBLE) * $cv[i]))"
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+            FROM embeddings),
+           sam AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS j,
+                     embedding, nrm
+                   FROM (SELECT * FROM p ORDER BY h ASC, vec_id ASC LIMIT 16)),
+           cb AS (SELECT j AS cell, embedding AS cv, nrm AS cnrm FROM sam),
+           pqcb AS (SELECT segs.seg, sam.j,
+                      list_transform(list_slice(sam.embedding, segs.seg * 8 + 1,
+                                                segs.seg * 8 + 8),
+                                     x -> CAST(x AS DOUBLE)) AS cv
+                    FROM sam, (SELECT unnest(range(0, 8)) AS seg) segs),
+           pq2 AS (SELECT seg, j, cv,
+                     list_sum(list_transform(range(1, 9),
+                       i -> cv[i] * cv[i])) AS c2 FROM pqcb),
+           enc AS (SELECT vec_id, seg, j AS code FROM (
+                     SELECT p.vec_id, q.seg, q.j,
+                       row_number() OVER (PARTITION BY p.vec_id, q.seg
+                         ORDER BY q.c2 - 2 * ${segDot("p.embedding", "q.seg", "q.cv")} ASC,
+                                  q.j ASC) AS rnk
+                     FROM p, pq2 q) WHERE rnk = 1),
+           cs AS (SELECT p.vec_id, c.cell,
+                    ${duckDot("p.embedding", "c.cv")} / (p.nrm * c.cnrm) AS sim
+                  FROM p, cb c),
+           corp AS (SELECT vec_id, cell FROM (
+                      SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell ASC) AS rnk
+                      FROM cs) WHERE rnk = 1),
+           qs AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm FROM p
+                  WHERE vec_id % 100 = 0),
+           pr AS (SELECT qid, cell FROM (
+                    SELECT vec_id AS qid, cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cell ASC) AS rnk
+                    FROM cs WHERE vec_id % 100 = 0) WHERE rnk <= 2),
+           qt AS (SELECT q.qid, pq.seg, pq.j,
+                    CAST(round(${segDot("q.qe", "pq.seg", "pq.cv")} * 1000000) AS BIGINT) AS w
+                  FROM qs q, pq2 pq),
+           cand AS (SELECT pr.qid, corp.vec_id
+                    FROM pr JOIN corp ON pr.cell = corp.cell
+                    WHERE corp.vec_id <> pr.qid),
+           adc AS (SELECT c.qid, c.vec_id, sum(qt.w) AS score
+                   FROM cand c
+                   JOIN enc e ON e.vec_id = c.vec_id
+                   JOIN qt ON qt.qid = c.qid AND qt.seg = e.seg AND qt.j = e.code
+                   GROUP BY c.qid, c.vec_id),
+           short AS (SELECT qid, vec_id FROM (
+                       SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY score DESC, vec_id ASC) AS rnk
+                       FROM adc) WHERE rnk <= 40),
+           sc AS (SELECT s.qid, s.vec_id,
+                    round(${duckDot("q.qe", "t.embedding")} / (q.qnrm * t.nrm), 6) AS cosine
+                  FROM short s
+                  JOIN qs q ON q.qid = s.qid
+                  JOIN p t ON t.vec_id = s.vec_id)
+           SELECT qid, vec_id, cosine, rnk FROM (
+             SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+             FROM sc) WHERE rnk <= 10"""
+      },
 
       // two-stage rerank: LSH candidates, int8 coarse scores (exact
       // integer dots in double), 40-row shortlist per probe, exact

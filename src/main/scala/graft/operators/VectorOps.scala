@@ -277,6 +277,122 @@ object VectorOps {
       Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
   }
 
+  /** IVFADC retrieval (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the architecture behind
+    * every billion-vector ANN store: a COARSE quantizer routes vectors
+    * into `nlist` inverted cells, and within candidates, distances are
+    * approximated from `m` PRODUCT-QUANTIZER codes (each sub-vector of
+    * dim/m dims encoded as its nearest of `ksub` sub-centroids — here
+    * 8 codes of 4 bits ≈ 8 B/vector instead of 256 B of floats).
+    * Queries score candidates with an ASYMMETRIC distance computation
+    * (ADC): one m × ksub table of query-to-sub-centroid dot products is
+    * built per query, and each candidate's approximate score is m table
+    * lookups — no float vectors touched until the final rerank.
+    *
+    * Plan shape (the 100 TB story): encoding is a pure per-row
+    * projection inside the scan (codebooks enter the plan as literals —
+    * nothing joins, nothing shuffles to encode); candidates exist only
+    * inside probed (cell) groups; ADC is an unrolled chain of
+    * `element_at` lookups (whole-stage codegen, no interpreted lambda
+    * per candidate); only the `k·rerankFactor` shortlist survivors per
+    * query join back to the float corpus for exact cosines.
+    *
+    * Determinism contract: sub-centroid scores use the algebraic form
+    * |c|² − 2·v_s·c (the v_s·v_s term is rank-constant) with index-order
+    * double sums, ties break to the lowest code; ADC table entries are
+    * INTEGER MICRO-UNITS (`round(dot·1e6)` as long) so candidate
+    * ranking sums longs — order-independent, bit-identical in SQL —
+    * never doubles, whose summation order differs across engines.
+    * Same (qid, vec_id, cosine, rnk) contract as [[topKNeighbors]].
+    */
+  def topKNeighborsPq(vecs: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, k: Int, nlist: Int = 16,
+                      nprobe: Int = 2, m: Int = 8, ksub: Int = 16,
+                      rerankFactor: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible into m=$m segments")
+    val ds = dim / m
+    val p = withNorm(vecs, idCol, vecCol)
+    val sample = p.select(col("__id"), col("__v"), col("__nrm"),
+        graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
+      .orderBy(col("__h").asc, col("__id").asc).limit(math.max(nlist, ksub))
+      .collect()
+    if (sample.isEmpty) {
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+      val s = vecs.sparkSession
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("qid", vecs.schema(idCol).dataType),
+          StructField("vec_id", vecs.schema(idCol).dataType),
+          StructField("cosine", DoubleType), StructField("rnk", IntegerType))))
+    }
+    // Sub-codebook (s, j) = segment s of hash-ordered sample j; |c|²
+    // accumulated in index order so the literal matches the oracle's
+    // list_sum bit-for-bit. A corpus smaller than ksub just gets a
+    // smaller sub-codebook (codes stay dense in [0, kEff)).
+    val kEff = math.min(ksub, sample.length)
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m, kEff) { (s, j) =>
+      sample(j).getSeq[Float](1)
+        .slice(s * ds, (s + 1) * ds).map(_.toDouble).toArray
+    }
+    val c2: Array[Array[Double]] = cb.map(_.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    })
+    // coarse cells: same (negsim, cell) default-array_sort trick as
+    // ivfCosinePairs (no comparator lambda -> plan canonicalization
+    // -> ReuseExchange stays eligible)
+    val coarse = sample.take(nlist)
+    def cells: Column = array(coarse.zipWithIndex.map { case (r, i) =>
+      struct((-(dot(col("__v"), typedlit(r.getSeq[Float](1))) /
+          (col("__nrm") * lit(r.getDouble(2))))).as("negsim"),
+        lit(i).as("cell"))
+    }: _*)
+    def seg(v: Column, s: Int): Column = slice(v, s * ds + 1, ds)
+    // PQ encode: argmin_j (|c|² − 2·v_s·c_j), ties -> lowest j — one
+    // pure projection per row, codebook as literals
+    val codes = array((0 until m).map { s =>
+      element_at(array_sort(array((0 until kEff).map { j =>
+        struct((lit(c2(s)(j)) -
+          lit(2.0) * dot(seg(col("__v"), s), typedlit(cb(s)(j).toSeq))).as("d"),
+          lit(j).as("j"))
+      }: _*)), 1).getField("j")
+    }: _*)
+    val corpus = p.select(col("__id"), codes.as("__codes"),
+      element_at(array_sort(cells), 1).getField("cell").as("__cell"))
+    val qn = p.filter(queryPred)
+    // per-query ADC table in integer micro-units: long sums rank
+    // identically on every engine
+    val qt = array((0 until m).map { s =>
+      array((0 until kEff).map { j =>
+        round(dot(seg(col("__v"), s), typedlit(cb(s)(j).toSeq)) * 1e6).cast("long")
+      }: _*)
+    }: _*)
+    val probes = qn.select(col("__id").as("__qid"), qt.as("__qt"),
+        explode(slice(array_sort(cells), 1, nprobe)).as("__t"))
+      .select(col("__qid"), col("__qt"), col("__t").getField("cell").as("__cell"))
+    // ADC score: unrolled Σ_s table[s][code_s] — m element_at lookups,
+    // fully inside whole-stage codegen
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("__qt"), s + 1),
+        element_at(col("__codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = corpus.join(broadcast(probes), Seq("__cell"))
+      .filter(col("__qid") =!= col("__id"))
+      .select(col("__qid"), col("__id"), adc.as("__adc"))
+    val short = RelationalOps.topKPerGroup(scored, Seq("__qid"),
+      Seq(col("__adc").desc, col("__id").asc), k * rerankFactor, "__crnk")
+      .select(col("__qid"), col("__id"))
+    val qv = qn.select(col("__id").as("__qid"), col("__v").as("__qv"),
+      col("__nrm").as("__qnrm"))
+    val exact = short.join(p, Seq("__id"))
+      .join(broadcast(qv), Seq("__qid"))
+      .select(col("__qid").as("qid"), col("__id").as("vec_id"),
+        round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")), 6)
+          .as("cosine"))
+    RelationalOps.topKPerGroup(exact, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
+  }
+
   /** Deterministic ±1 hyperplane component for (table, bit, dim):
     * parity of the 28-bit md5 prefix of "t_b_i" — the exact integer a
     * SQL oracle recovers with

@@ -97,6 +97,30 @@ class VectorOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, f"IVF top-k recall $recall%.3f fell below the pinned floor")
   }
 
+  test("topKNeighborsPq: exact reranked cosines, dense ranks, recall pinned") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") % 100 === 0
+    val k = 10
+    val exact = topKNeighbors(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    val pq = topKNeighborsPq(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine", "rnk").as[(Long, Long, Double, Int)].collect()
+    assert(pq.nonEmpty)
+    // the reported cosine is the EXACT one (ADC only ranks the shortlist)
+    val exactCos = topKNeighbors(vecs, "vec_id", "embedding", pred, Int.MaxValue)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    pq.foreach { case (q, v, c, _) => assert(c === exactCos((q, v))) }
+    // corpus rows live in exactly one coarse cell => no duplicate pairs
+    assert(pq.map(r => (r._1, r._2)).distinct.length === pq.length)
+    pq.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet & pq.map(r => (r._1, r._2)).toSet).size.toDouble / exactSet.size
+    assert(recall >= 0.3, f"PQ top-k recall $recall%.3f fell below the pinned floor")
+  }
+
   test("topKNeighborsRerank: shortlist rerank returns exact cosines; tracks ANN route") {
     val vecs = Tables.embeddings(spark, sfDir)
     val pred = col("vec_id") % 100 === 0

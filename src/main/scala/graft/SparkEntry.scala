@@ -123,6 +123,18 @@ object SparkEntry {
               JOIN ext_region_$tag r ON n.n_regionkey = r.r_regionkey
               GROUP BY r.r_name""")
       }),
+      // Z-order layout quality: per-file bounding boxes of orders
+      // clustered on (custkey, order-day) via Morton interleave — the
+      // min/max stats a reader prunes row groups with. Pure integer
+      // bit math + globalRowNumber, fully oracle-checkable.
+      "io_zorder" -> ((s, dir) =>
+        graft.operators.LayoutOps.zorderFileStats(
+          Tables.orders(s, dir).select(
+            pmod(col("o_custkey"), lit(65536)).as("x"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).as("y"),
+            col("o_orderkey")),
+          "x", "y", "o_orderkey", rowsPerFile = 1000)),
       "io_jdbc_roundtrip" -> ((s, dir) => {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         val url = JdbcIO.derbyUrl(
@@ -194,6 +206,40 @@ object SparkEntry {
       """SELECT r_name, count(*) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+
+    // Morton interleave written longhand over the affine-normalized
+    // dims: bit i of zx lands at position 2i, bit i of zy at 2i+1 —
+    // identical shifts + scaling to LayoutOps.zValue/withNormalizedDims
+    "io_zorder" -> {
+      val interleave = (0 until 16).map { i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})"
+      }.mkString("(", " | ", ")")
+      def scaled(c: String, lo: String, hi: String): String =
+        s"""CASE WHEN $hi = $lo THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((CAST($c AS DOUBLE) - CAST($lo AS DOUBLE))
+                                 * 65535.0 /
+                                 (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)))
+                           AS BIGINT) END"""
+      s"""WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS tb,
+              CAST(o_custkey % 65536 AS BIGINT) AS x,
+              CAST(date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+            FROM orders),
+         st AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                       min(y) AS ymin, max(y) AS ymax FROM b),
+         nb AS (SELECT b.tb, b.x, b.y,
+                  ${scaled("b.x", "st.xmin", "st.xmax")} AS zx,
+                  ${scaled("b.y", "st.ymin", "st.ymax")} AS zy
+                FROM b, st),
+         z AS (SELECT tb, x, y, $interleave AS z FROM nb),
+         r AS (SELECT x, y,
+                 row_number() OVER (ORDER BY z ASC, tb ASC) AS rn FROM z)
+         SELECT CAST((rn - 1) // 1000 AS BIGINT) AS file_id,
+                count(*) AS n,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM r GROUP BY 1"""
+    },
 
     "io_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",

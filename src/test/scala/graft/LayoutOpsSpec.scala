@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+
+class LayoutOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue interleaves bits (x even positions, y odd)") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (65535L, 65535L),
+      (12345L, 54321L))
+    val got = cases.toDF("x", "y")
+      .select(LayoutOps.zValue(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq === cases.map { case (x, y) => ref(x, y, 16) })
+    // interleave of 16-bit inputs stays within 32 bits
+    assert(ref(65535L, 65535L, 16) === 0xFFFFFFFFL)
+  }
+
+  test("z-ordered files bound BOTH dimensions tighter than a 1-D sort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val src = Tables.orders(spark, sfDir).select(
+      pmod(col("o_custkey"), lit(65536)).as("x"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("y"),
+      col("o_orderkey"))
+    val nFiles = 8
+    LayoutOps.zorderWrite(src, "x", "y", s"$dir/z", nFiles)
+    // 1-D baseline: same file count, sorted by x only
+    src.repartitionByRange(nFiles, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    // Skipping metric (NOT box area — total area is roughly conserved
+    // under any space partition): the expected fraction of files whose
+    // x-extent contains a random x-point, PLUS the same for y. This is
+    // what min/max pruning actually pays for a single-column predicate:
+    // an x-sorted layout scores ~1/F on x but ~1.0 on y (every file
+    // spans all of y); z-order bounds BOTH extents.
+    def skipCost(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"x") - min($"x")).cast("double").as("dx"),
+             (max($"y") - min($"y")).cast("double").as("dy"))
+      val Array(rx, ry) = src.agg(
+        (max($"x") - min($"x")).cast("double"),
+        (max($"y") - min($"y")).cast("double")).as[(Double, Double)]
+        .head() match { case (a, b) => Array(a, b) }
+      spans.agg(avg($"dx" / rx) + avg($"dy" / ry)).as[Double].head()
+    }
+    val zCost = skipCost(s"$dir/z")
+    val linCost = skipCost(s"$dir/linear")
+    assert(zCost < linCost * 0.85,
+      f"z-order skip cost $zCost%.3f not better than 1-D sort $linCost%.3f")
+
+    // layout preserves content exactly
+    val a = spark.read.parquet(s"$dir/z").select("o_orderkey")
+      .as[Long].collect().sorted
+    val b = src.select("o_orderkey").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("zorderFileStats files carry rowsPerFile rows and cover all rows") {
+    val src = Tables.orders(spark, sfDir).select(
+      pmod(col("o_custkey"), lit(65536)).as("x"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("y"),
+      col("o_orderkey"))
+    val stats = LayoutOps.zorderFileStats(src, "x", "y", "o_orderkey", 100)
+      .orderBy("file_id").collect()
+    val total = src.count()
+    assert(stats.map(_.getLong(1)).sum === total)
+    // every file but the last is full
+    stats.dropRight(1).foreach(r => assert(r.getLong(1) === 100L))
+    assert(stats.map(_.getLong(0)).toSeq === stats.indices.map(_.toLong))
+  }
+}

@@ -292,6 +292,11 @@ object SparkEntry {
   private def corpusQueries: Map[String, (SparkSession, String) => DataFrame] = {
     import graft.operators.CorpusOps._
     Map(
+      // feature-hashed linear scorer: tokenize -> bucket -> weighted
+      // sum -> threshold, all inside the scan projection (the
+      // run-a-classifier-over-100TB shape; weights are literals)
+      "cur_model_score" -> ((s, dir) =>
+        linearScore(Tables.documents(s, dir), "doc_id", "text")),
       "samp_hash_mod" -> ((s, dir) =>
         hashModSample(Tables.documents(s, dir), col("doc_id"), pct = 10)
           .select(col("doc_id"), col("lang"), col("n_chars"))),
@@ -358,6 +363,21 @@ object SparkEntry {
   }
 
   private def corpusOracle: Map[String, String] = Map(
+    // same Knuth-multiplicative bucket weights; empty docs coalesce
+    // to 0 (Spark's aggregate over an empty array returns the init)
+    "cur_model_score" ->
+      """WITH t AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+         SELECT doc_id, len(toks) AS n_toks,
+                CAST(COALESCE(list_sum(list_transform(toks, tok ->
+                  ((CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 1024)
+                   * 2654435761) % 2001 - 1000)), 0) AS BIGINT) AS score_micro,
+                COALESCE(list_sum(list_transform(toks, tok ->
+                  ((CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 1024)
+                   * 2654435761) % 2001 - 1000)), 0) > 0 AS keep
+         FROM t""",
+
     "samp_hash_mod" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 10""",

@@ -318,4 +318,33 @@ object CorpusOps {
         expr("__micro_sum div n_bigrams").as("avg_nll_micro"),
         col("n_bigrams"))
   }
+
+  /** Feature-hashed linear scorer — the shape of every fasttext-style
+    * quality/toxicity/language filter a training pipeline runs over
+    * the whole corpus: hash each token into one of `nBuckets` feature
+    * buckets (hashing trick, Weinberger 2009), dot the bucket counts
+    * with a weight vector, threshold the score. The weights here are a
+    * deterministic function of the bucket id (a Knuth multiplicative
+    * hash into integer micro-units) standing in for trained
+    * parameters: the PLUMBING under test — tokenize → hash → weighted
+    * sum → threshold, per row, shuffle-free, model applied inside the
+    * scan projection with NO weight-table join — is exactly what a
+    * real exported linear model needs at 100 TB; swapping in trained
+    * weights is a literal-array substitution.
+    *
+    * Scores are exact long micro-units end to end (weight ∈
+    * [-1000, 1000] micro, Σ over ~1e3 tokens ≪ 2^63), so the oracle
+    * compare has no float hazard anywhere.
+    */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 1024): DataFrame = {
+    def weight(t: Column): Column =
+      pmod(pmod(h7(t), lit(nBuckets.toLong)) * lit(2654435761L), lit(2001L)) -
+        lit(1000L)
+    spread(docs).select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).as("n_toks"),
+      aggregate(transform(tokens(col(textCol)), weight(_)), lit(0L), _ + _)
+        .as("score_micro"))
+      .withColumn("keep", col("score_micro") > 0)
+  }
 }

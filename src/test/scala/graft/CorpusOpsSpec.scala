@@ -104,6 +104,23 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again.sortBy(_._1).toSeq === mixed.sortBy(_._1).toSeq)
   }
 
+  test("linearScore: shuffle-free, deterministic, empty doc scores 0") {
+    val toy = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val r = linearScore(toy, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(1).getLong(2) === 0L && !r(1).getBoolean(3),
+      "empty doc: score 0, filtered")
+    assert(r(0).getLong(2) === r(2).getLong(2), "pure function of text")
+    assert(r(0).getInt(1) === 3)
+    // model application must stay inside the scan projection: the only
+    // allowed exchange is spread()'s round-robin input splitting — no
+    // hash/range (key) shuffle anywhere
+    val plan = linearScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      "scoring must not key-shuffle")
+  }
+
   test("unigramNll prices tokens against corpus counts in exact micro-nats") {
     val toy = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = unigramNll(toy, "doc_id", "text")

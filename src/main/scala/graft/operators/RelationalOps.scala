@@ -371,17 +371,34 @@ object RelationalOps {
     val entries = array(cols.map { case (name, c) =>
       struct(lit(name).as("col_name"), c.cast("string").as("val"))
     }: _*)
-    val nDistinct =
-      if (approxDistinct) approx_count_distinct(col("val"))
-      else countDistinct(col("val"))
-    df.select(explode(entries).as("e"))
+    val exploded = df.select(explode(entries).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.val").as("val"))
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col("val"))).as("n_nulls"),
-        nDistinct.as("n_distinct"),
-        min(col("val")).as("min_val"),
-        max(col("val")).as("max_val"))
+    if (approxDistinct)
+      // HLL sketches are fixed-size and map-side mergeable, so the
+      // single grouped aggregate is already the right 100 TB plan
+      exploded.groupBy(col("col_name"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("val"))).as("n_nulls"),
+          approx_count_distinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+    else
+      // EXACT distinct: aggregate (col_name, val) first — count(DISTINCT)
+      // mixed with plain aggregates makes Catalyst Expand-duplicate
+      // every exploded row (one copy per aggregate class) before the
+      // shuffle; pre-grouping dedups map-side instead, so the exchange
+      // carries one row per distinct (column, value) pair and every
+      // downstream stat derives from the compact per-value counts
+      exploded.groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("col_name"))
+        .agg(
+          sum(col("__cnt")).as("n_rows"),
+          coalesce(sum(when(col("val").isNull, col("__cnt"))), lit(0L))
+            .as("n_nulls"),
+          count(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
   }
 }

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The wide TPC-H-shaped battery (q2/q7/q9/q10/q12/q13/q15/q16/q19/
-  * q20/q21 analogs), adapted to the testdata star schema (no partsupp
+/** The wide TPC-H-shaped battery (q2/q7/q8/q9/q10/q11/q12/q13/q15/
+  * q16/q19/q20/q21 analogs — with q1/q3/q4/q5/q6/q14/q17/q18/q22 in
+  * SparkEntry, all 22 TPC-H query shapes are covered), adapted to the
+  * testdata star schema (no partsupp
   * table — `lineitem` doubles as the part-supplier relation; no
   * l_shipmode/commitdate — `l_returnflag`/`o_orderpriority` carry the
   * categorical axes).
@@ -16,6 +18,11 @@ import org.apache.spark.sql.functions._
   *         exchange reused between the two consumers of `offers`.
   *  - q7:  two independent broadcast joins against the SAME dim table
   *         (nation as supplier-nation and customer-nation).
+  *  - q8:  conditional-share ratio under a six-table star; exact
+  *         grouping on year, share rounded only at output.
+  *  - q11: grouped aggregate vs broadcast scalar-total HAVING, with
+  *         per-row integer-cent quantization so the threshold compare
+  *         is exact on both engines.
   *  - q9:  five-table star join with a LIKE filter pushed into the
   *         part scan before the join fans out.
   *  - q10: fact-side aggregation then global top-k
@@ -97,6 +104,30 @@ object TpchQueries {
           .as("revenue"))
     }),
 
+    // ---- Q8 analog: one nation's market share inside a region, by
+    //      year — the conditional-share pattern (q14's CASE-sum ratio)
+    //      under a six-table star: nation joins twice (customer region
+    //      membership and supplier identity), both broadcast. ----
+    "q8_market_share" -> ((s, dir) => {
+      val custNation = Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("cnk"))
+      val suppNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%widget%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0))) /
+            sum(vol), 4).as("mkt_share"))
+    }),
+
     // ---- Q9 analog: profit by supplier-nation and order year. The
     //      LIKE filter prunes part BEFORE the star join (broadcast);
     //      supply cost proxied as a retail-price fraction since the
@@ -138,6 +169,32 @@ object TpchQueries {
           round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // ---- Q11 analog: parts whose stocked value inside one nation
+    //      exceeds a fraction of that nation's total — the
+    //      aggregate-vs-scalar-subquery HAVING: the grouped aggregate
+    //      computes once, the global total broadcasts as a 1-row
+    //      scalar, and the filter compares — never a per-group
+    //      re-aggregation. ----
+    "q11_important_stock" -> ((s, dir) => {
+      // per-row value quantized to integer cents BEFORE summing: the
+      // threshold compare then runs on exact longs (pv·1000 > tv for a
+      // 0.1% cut), immune to cross-engine double summation order — a
+      // raw double sum could flip a borderline part's membership
+      val natl = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") === 3)
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * col("l_quantity") * 100)
+            .cast("long").as("cents"))
+      val perPart = natl.groupBy(col("l_partkey"))
+        .agg(sum(col("cents")).as("pv"))
+      val total = perPart.agg(sum(col("pv")).as("tv"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("pv") * 1000 > col("tv"))
+        .select(col("l_partkey"),
+          (col("pv").cast("double") / 100).as("part_value"))
     }),
 
     // ---- Q12 analog: priority mix per return flag — the case-sum
@@ -320,6 +377,33 @@ object TpchQueries {
                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00') t
          GROUP BY supp_nation, cust_nation, l_year""",
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+                round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END) /
+                      sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+         FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_name LIKE '%widget%' AND n1.n_regionkey = 0
+         GROUP BY year(o_orderdate)""",
+
+    "q11_important_stock" ->
+      """WITH pp AS (SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * l_quantity * 100)
+                                     AS BIGINT)) AS BIGINT) AS pv
+                     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                     WHERE s_nationkey = 3
+                     GROUP BY l_partkey),
+         tot AS (SELECT CAST(sum(pv) AS BIGINT) AS tv FROM pp)
+         SELECT l_partkey, CAST(pv AS DOUBLE) / 100 AS part_value
+         FROM pp, tot WHERE pv * 1000 > tv""",
 
     "q9_product_profit" ->
       """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit

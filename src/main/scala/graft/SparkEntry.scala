@@ -197,6 +197,26 @@ object SparkEntry {
         graft.operators.RelationalOps
           .mergeUpsert(e, changed.unionByName(inserts), Seq("o_orderkey"))
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      }),
+
+      // ---- Change-data-feed between snapshots (the inverse of
+      //      io_upsert): old = orders minus every 7th key, new = orders
+      //      minus every 5th key with every 3rd key's price bumped —
+      //      so the diff carries all three ops: I (in new only),
+      //      D (in old only), U (present in both, cents differ).
+      //      Cents keep the comparison exact. ----
+      "io_cdc_diff" -> ((s, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val oldSnap = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), cents.as("cents"))
+        val newSnap = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"),
+            (cents + when(col("o_orderkey") % 3 === 0, lit(500L))
+              .otherwise(lit(0L))).as("cents"))
+        graft.operators.RelationalOps.snapshotDiff(
+          oldSnap, newSnap, Seq("o_orderkey"), Seq("cents"))
       })
     )
   }
@@ -283,7 +303,24 @@ object SparkEntry {
          UNION ALL
          SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority
          FROM orders o
-         WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)"""
+         WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)""",
+
+    "io_cdc_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         n AS (
+           SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END AS c
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT coalesce(o.k, n.k) AS o_orderkey,
+                CASE WHEN o.k IS NULL THEN 'I'
+                     WHEN n.k IS NULL THEN 'D'
+                     ELSE 'U' END AS op,
+                o.c AS old_cents, n.c AS new_cents
+         FROM o FULL OUTER JOIN n ON o.k = n.k
+         WHERE o.k IS NULL OR n.k IS NULL OR o.c <> n.c"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class
@@ -314,6 +351,28 @@ object SparkEntry {
         val contam = hashModSample(docs, col("doc_id"), pct = 5)
         decontaminate(docs, contam, "doc_id", "text")
           .select(col("doc_id"), col("lang"))
+      }),
+      // graded decontamination: per-doc 3-gram CONTAINMENT score
+      // against the same 5% sample — the tunable-threshold sibling of
+      // cur_decontaminate's boolean drop
+      "cur_containment" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val contam = hashModSample(docs, col("doc_id"), pct = 5)
+        containmentScores(docs, contam, "doc_id", "text")
+      }),
+      // quality-decile binning per language: the curriculum/mixture
+      // knob (sample rate per decile) every curation pipeline exposes.
+      // One shuffle on lang; ordering on the ROUNDED score + doc_id
+      // keeps tie structure engine-portable.
+      "cur_quantile_bins" -> ((s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
+              .as("quality_score"))
+          .withColumn("decile", ntile(10).over(w))
       }),
       "corp_len_histogram" -> ((s, dir) =>
         Tables.documents(s, dir)
@@ -500,6 +559,62 @@ object SparkEntry {
          bad AS (SELECT DISTINCT doc_id FROM ds JOIN c USING (s))
          SELECT doc_id, lang FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // same shingle/hash CTEs as cur_decontaminate, but a LEFT join +
+    // per-doc aggregate instead of the anti-join: containment =
+    // hits / distinct shingles
+    "cur_containment" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM t),
+         ds AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(unnest(list_distinct(shingles))), 1, 14)
+                       AS BIGINT) AS s
+                FROM sh),
+         c AS (SELECT DISTINCT s FROM ds
+               WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                     % 100 < 5)
+         SELECT ds.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hit,
+                round(CAST(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) / count(*), 6) AS containment
+         FROM ds LEFT JOIN c ON ds.s = c.s
+         GROUP BY ds.doc_id""",
+
+    // txt_quality's score CTE + NTILE over (lang, score desc, doc_id)
+    "cur_quantile_bins" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                    AS n_punct
+           FROM documents),
+         m AS (
+           SELECT doc_id, lang,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','and','of','to','in','is','it'], x))) AS DOUBLE)
+               / len(toks) END AS sr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(n_punct AS DOUBLE) / length(text) END AS pr,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lenscore
+           FROM t),
+         q AS (
+           SELECT doc_id, lang,
+                  round(lenscore * 0.4 + greatest(0.0, 1.0 - pr * 5) * 0.3
+                        + least(sr * 4, 1.0) * 0.3, 6) AS quality_score
+           FROM m)
+         SELECT doc_id, lang, quality_score,
+                ntile(10) OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS decile
+         FROM q""",
 
     "corp_len_histogram" ->
       """SELECT n_chars // 100 * 100 AS bucket, count(*) AS n_docs
@@ -2054,6 +2169,37 @@ object SparkEntry {
         msgSchema, Seq("user_id", "event_type"))
     }),
 
+    // ---- Incremental materialized-view maintenance: the per-(user,
+    //      type) stats view is maintained by MERGING the delta's
+    //      aggregates into the pre-split snapshot (sum-of-sums /
+    //      min-of-mins), never re-reading base rows — how a 100 TB
+    //      view stays fresh per ingest batch. The oracle computes the
+    //      same view directly over all events: merged ≡ recomputed is
+    //      exactly the mergeable-partial-aggregate contract. ----
+    "mv_incremental" -> ((s, dir) => {
+      val split = lit("2024-01-15").cast("timestamp")
+      def aggOf(df: DataFrame) = df
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val ev = Tables.events(s, dir)
+      graft.operators.RelationalOps.mergeAggSnapshot(
+          aggOf(ev.filter(col("ts") < split)),
+          aggOf(ev.filter(col("ts") >= split)),
+          Seq("user_id", "event_type"), sumCols = Seq("n", "cents"),
+          minCols = Seq("first_ts"), maxCols = Seq("last_ts"))
+        .withColumn("avg_cents",
+          round(col("cents").cast("double") / col("n"), 6))
+    }),
+
+    // ---- Time-grid resample + LOCF gap fill: each user's hourly
+    //      buckets from their first to last event, empty hours carried
+    //      forward from the last observed bucket. ----
+    "ts_gapfill" -> ((s, dir) =>
+      graft.operators.RelationalOps.resampleGapFill(Tables.events(s, dir),
+        "user_id", "ts", round(col("value") * 100).cast("long"))),
+
     // ---- P-9: datetime expression battery ----
     "p9_datetime_exprs" -> ((s, dir) => {
       Tables.events(s, dir).select(
@@ -2668,6 +2814,35 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY user_id, event_type
                                      ORDER BY event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // the merged view must equal the view computed directly over ALL
+    // events — the mergeable-partial-aggregate contract
+    "mv_incremental" ->
+      """SELECT user_id, event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+              min(ts) AS first_ts, max(ts) AS last_ts,
+              round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    / count(*), 6) AS avg_cents
+         FROM events GROUP BY user_id, event_type""",
+
+    "ts_gapfill" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+                    FROM hourly GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+                  FROM bounds)
+         SELECT g.user_id, g.bucket_ts,
+                coalesce(h.n_events, 0) AS n_events, h.cents,
+                last_value(h.cents IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled
+         FROM grid g LEFT JOIN hourly h
+           ON g.user_id = h.user_id AND g.bucket_ts = h.bucket_ts""",
 
     "g13_typed_stats" ->
       """SELECT event_type,

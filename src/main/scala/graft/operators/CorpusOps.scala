@@ -208,6 +208,42 @@ object CorpusOps {
     docs.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** GRADED decontamination — per-document n-gram CONTAINMENT score
+    * instead of [[decontaminate]]'s boolean any-hit:
+    * `|distinct doc n-grams ∩ contamination n-grams| / |distinct doc
+    * n-grams|`. Containment (not Jaccard) is the right asymmetric
+    * measure here — a long document quoting one benchmark question is
+    * lightly contaminated, the verbatim benchmark doc scores 1.0 —
+    * and a threshold on the score replaces the all-or-nothing drop
+    * with a tunable policy (PaLM-style "≥70% of 8-grams seen" rules).
+    *
+    * Plan shape: docs explode once to distinct (id, 56-bit shingle
+    * hash); the contamination set collapses to distinct hashes
+    * (typically an eval set — small, so the hit-marking LEFT join
+    * broadcasts it); one map-side-combined aggregate back to the doc
+    * grain computes hit and total counts together. Nothing wider than
+    * (id, hash, flag) ever shuffles.
+    *
+    * @return (id, n_shingles, n_hit, containment) for every document
+    */
+  def containmentScores(docs: DataFrame, contamination: DataFrame,
+                        idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def hashed(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(array_distinct(DedupOps.shingles(col(textCol), n))).as("__s0"))
+        .select(col(idCol), conv(substring(md5(col("__s0")), 1, 14), 16, 10)
+          .cast("long").as("__sh"))
+    val contamShingles = hashed(contamination)
+      .select(col("__sh")).distinct().withColumn("__hit", lit(1))
+    hashed(docs)
+      .join(contamShingles, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        round(col("n_hit") / col("n_shingles"), 6).as("containment"))
+  }
+
   /** TF-IDF weights per (doc, term): tf × ln(N / df). SINGLE
     * tokenization pass: explode once, aggregate tf per (doc, term);
     * document frequency is then a hash aggregate `groupBy(term).count`

@@ -401,4 +401,114 @@ object RelationalOps {
           min(col("val")).as("min_val"),
           max(col("val")).as("max_val"))
   }
+
+  /** Snapshot differencing — compute the change-data feed BETWEEN two
+    * immutable snapshots: one row per changed key tagged `I`nsert /
+    * `U`pdate / `D`elete, with the old and new value of every compared
+    * column. This is the inverse of [[mergeUpsert]] (which APPLIES a
+    * change set): diff(old, merge(old, changes)) recovers the changes,
+    * and the pair gives parquet-backed tables the Delta-style CDF
+    * without a row-mutation engine — downstream consumers subscribe to
+    * diffs instead of re-reading snapshots.
+    *
+    * Plan shape: ONE full-outer sort-merge join on the key; the I/U/D
+    * classification and column comparison are residual expressions on
+    * the joined row. Unchanged keys (every compared column null-safe
+    * equal) drop out — at 100 TB the diff is proportional to the churn,
+    * not the table, and with both snapshots bucketed on the key the
+    * join needs no exchange at all (the [[graft.SparkEntry]] j9
+    * layout). Keys must be non-null and unique per snapshot.
+    *
+    * @return (keys*, op, old_<c>, new_<c> for each compared column)
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(1))
+    val n = newSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_new", lit(1))
+    val joined = o.alias("o").join(n.alias("n"),
+      keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _), "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    val op = when(col("o.__in_old").isNull, lit("I"))
+      .when(col("n.__in_new").isNull, lit("D"))
+      .when(changed, lit("U"))
+    joined.filter(op.isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++
+          Seq(op.as("op")) ++
+          compareCols.flatMap(c =>
+            Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
+  }
+
+  /** Incremental materialized-view maintenance — fold a delta's
+    * aggregates into an existing aggregate snapshot WITHOUT touching
+    * base rows, using the mergeability of the partial-agg algebra:
+    * counts and sums merge by SUM, min by MIN, max by MAX (averages
+    * and rates derive from the merged sums downstream). Both inputs
+    * carry the same (keys, sumCols, minCols, maxCols) schema — the
+    * snapshot IS a prior output of the same aggregation.
+    *
+    * This is how a 100 TB view stays fresh per ingest batch: the
+    * recompute touches |snapshot keys| + |delta| rows, not the base
+    * table — same story as [[graft.operators.DedupOps]]'
+    * `incrementalDedup` for the dedup index. The union re-aggregates
+    * map-side (two rows per touched key), so the shuffle carries the
+    * key space once; keys absent from the delta pass through
+    * unchanged, new keys appear with their delta aggregates.
+    */
+  def mergeAggSnapshot(snapshot: DataFrame, deltaAgg: DataFrame,
+                       keys: Seq[String], sumCols: Seq[String],
+                       minCols: Seq[String] = Nil,
+                       maxCols: Seq[String] = Nil): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    require(aggs.nonEmpty, "at least one aggregate column is required")
+    snapshot.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Time-grid resample + gap fill — regularize an event stream into
+    * per-key fixed `stepHours` buckets covering each key's own
+    * [min, max] span, with empty buckets carried FORWARD from the last
+    * observed bucket (last-observation-carried-forward): the
+    * time-series prep every monitoring/feature pipeline runs before
+    * windowed models, since downstream frame windows silently skip
+    * missing buckets otherwise.
+    *
+    * Plan shape: one map-side-combined aggregate to the (key, bucket)
+    * grain; per-key bounds are a second tiny aggregate; the dense grid
+    * is GENERATED cluster-side (`sequence` + explode — no driver loop,
+    * grid size |key| × span/step rows); a left join pins observations
+    * onto the grid and one per-key ordered window fills gaps with
+    * `last(ignoreNulls)`. Shuffles carry the (key, bucket) grain and
+    * the key grain — never raw events twice.
+    *
+    * @param valueCents exact-integer measure to aggregate per bucket
+    *        (cents-style; FP sums would be order-dependent)
+    * @return (key, bucket_ts, n_events, cents, cents_filled) — `cents`
+    *         null on generated gap rows, `cents_filled` the LOCF value
+    */
+  def resampleGapFill(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCents: Column, stepHours: Int = 1): DataFrame = {
+    val step = expr(s"INTERVAL $stepHours HOURS")
+    val bucket = date_trunc("hour", col(tsCol))
+    val hourly = events
+      .groupBy(col(keyCol), bucket.as("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCents).as("cents"))
+    val bounds = hourly.groupBy(col(keyCol))
+      .agg(min(col("bucket_ts")).as("__mn"), max(col("bucket_ts")).as("__mx"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__mn"), col("__mx"), step)).as("bucket_ts"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "bucket_ts"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("cents"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"))
+  }
 }

@@ -600,15 +600,19 @@ object VectorOps {
                             minCosine: Double, nlist: Int = 16, nprobe: Int = 2,
                             lloydIters: Int = 2, trainPct: Int = 100): DataFrame = {
     val p = withNorm(vecs, idCol, vecCol)
+    // The training slice is scanned eagerly once per Lloyd round plus
+    // once for init — cache it so rounds 2..n and init read memory, not
+    // parquet (it is the trainPct% sample: tiny relative to the corpus).
     val pt =
-      if (trainPct >= 100) p
-      else p.filter(pmod(graft.functions.TextFunctions.h7(col("__id").cast("string")),
-        lit(100)) < trainPct)
+      (if (trainPct >= 100) p
+       else p.filter(pmod(graft.functions.TextFunctions.h7(col("__id").cast("string")),
+         lit(100)) < trainPct)).persist()
     val init = pt.select(col("__id"), col("__v"), col("__nrm"),
         graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
       .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
       .collect()
     if (init.isEmpty) {
+      pt.unpersist()
       import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
       val s = vecs.sparkSession
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -655,6 +659,9 @@ object VectorOps {
         }
       }
     }
+    // Training is done (all its jobs were eager collects); the final
+    // assignment below scans the FULL corpus, not the slice.
+    pt.unpersist()
     val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
         explode(slice(array_sort(cellsExpr), 1, nprobe)).as("__t"))
       .select(col("__id"), col("__v"), col("__nrm"), col("__t.cell").as("__cell"))

@@ -148,4 +148,47 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out((1L, "y")) === ((1L, math.rint(math.log(2.0) * 1e6) / 1e6)))
     assert(out((2L, "z"))._2 === math.rint(math.log(2.0) * 1e6) / 1e6)
   }
+
+  test("containmentScores: verbatim contamination scores 1.0, disjoint docs 0, and hits agree with decontaminate") {
+    val contam = hashModSample(docs, col("doc_id"), pct = 5)
+    val scores = containmentScores(docs, contam, "doc_id", "text").cache()
+    try {
+      // every doc is scored, scores live in [0, 1]
+      assert(scores.count() === docs.count())
+      assert(scores.filter(col("containment") < 0 || col("containment") > 1).isEmpty)
+      // the contamination docs themselves are fully contained
+      val sampleIds = contam.select("doc_id")
+      assert(scores.join(sampleIds, "doc_id")
+        .filter(col("containment") < 1.0).isEmpty,
+        "a verbatim contamination member must score 1.0")
+      // boolean agreement: n_hit > 0 exactly when decontaminate drops
+      val kept = decontaminate(docs, contam, "doc_id", "text").select("doc_id")
+      val disagree = scores.join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("n_hit") > 0).count() +
+        scores.join(kept, Seq("doc_id"), "left_anti")
+          .filter(col("n_hit") === 0).count()
+      assert(disagree === 0, "containment > 0 must coincide with the anti-join drop set")
+    } finally scores.unpersist()
+  }
+
+  test("cur_quantile_bins: deciles 1..10 per language with near-equal populations") {
+    import spark.implicits._
+    val out = SparkEntry.queries("cur_quantile_bins")(spark, sfDir).cache()
+    try {
+      val sizes = out.groupBy("lang", "decile").count()
+        .as[(String, Int, Long)].collect()
+      assert(sizes.map(_._2).forall(d => d >= 1 && d <= 10))
+      // NTILE balance: within one lang, bucket sizes differ by at most 1
+      sizes.groupBy(_._1).foreach { case (lang, rows) =>
+        val counts = rows.map(_._3)
+        assert(counts.max - counts.min <= 1, s"$lang deciles unbalanced: ${counts.toSeq}")
+      }
+      // higher decile never has a higher score than a lower one (per lang)
+      val inverted = out.as("a").join(out.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.decile") < col("b.decile") &&
+          col("a.quality_score") < col("b.quality_score")).count()
+      assert(inverted === 0, "decile order must follow score order")
+    } finally out.unpersist()
+  }
 }

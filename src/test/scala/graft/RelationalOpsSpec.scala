@@ -297,4 +297,68 @@ class RelationalOpsSpec extends SparkTestBase {
         s"$name: HLL distinct $and_ strays >10% from exact $nd")
     }
   }
+
+  test("snapshotDiff is the inverse of mergeUpsert: diff(old, merge(old, changes)) recovers the changes") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val changes = Seq((2L, "b2", 99L), (9L, "new", 1L)).toDF("k", "s", "v")
+    val merged = RelationalOps.mergeUpsert(old, changes, Seq("k"))
+    val diff = RelationalOps.snapshotDiff(old, merged, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(2L -> "U", 9L -> "I"), "update + insert recovered, unchanged keys silent")
+  }
+
+  test("snapshotDiff classifies deletes and treats null columns null-safely") {
+    import spark.implicits._
+    val old = Seq((1L, Option("x")), (2L, None: Option[String]), (3L, Option("z")))
+      .toDF("k", "s")
+    val neu = Seq((2L, None: Option[String]), (3L, None: Option[String]))
+      .toDF("k", "s")
+    val diff = RelationalOps.snapshotDiff(old, neu, Seq("k"), Seq("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1 vanished -> D; key 2 null==null unchanged -> absent;
+    // key 3 z -> null is a real update, not a missing row
+    assert(diff === Map(1L -> "D", 3L -> "U"))
+  }
+
+  test("mergeAggSnapshot: merged view equals direct recompute; untouched and new keys both land") {
+    import spark.implicits._
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+    val delta = Seq(("a", 4L), ("c", 7L)).toDF("k", "v")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    val merged = RelationalOps.mergeAggSnapshot(aggOf(base), aggOf(delta),
+      Seq("k"), Seq("n", "s"), Seq("mn"), Seq("mx"))
+    val direct = aggOf(base.unionByName(delta))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merge of partials must equal the recomputed aggregate")
+  }
+
+  test("resampleGapFill: dense per-key grid, event counts conserved, LOCF fills gaps") {
+    val out = run("ts_gapfill").cache()
+    try {
+      // dense grid: per key, rows == hours between that key's min and max
+      val spans = out.groupBy("user_id")
+        .agg(count(lit(1)).as("rows"),
+          ((unix_timestamp(max("bucket_ts")) - unix_timestamp(min("bucket_ts"))) / 3600 + 1)
+            .cast("long").as("hours"))
+        .filter(col("rows") =!= col("hours")).count()
+      assert(spans == 0, "every key's grid must be gap-free")
+      // conservation: generated rows add no events
+      val total = out.agg(sum("n_events")).head.getLong(0)
+      assert(total == Tables.events(spark, sfDir).count())
+      // LOCF: a gap row's fill equals the previous non-gap bucket's cents
+      assert(out.filter(col("n_events") === 0 && col("cents").isNotNull).isEmpty)
+      val firstIsObserved = out
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("bucket_ts")))
+        .filter(col("rn") === 1 && col("cents").isNull).count()
+      assert(firstIsObserved == 0, "grids start at each key's first OBSERVED bucket")
+      assert(out.filter(col("cents_filled").isNull).isEmpty,
+        "with an observed first bucket, LOCF leaves no null fills")
+    } finally out.unpersist()
+  }
 }

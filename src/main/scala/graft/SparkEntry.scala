@@ -839,7 +839,15 @@ object SparkEntry {
         graft.operators.VectorOps.randomProject(
             Tables.embeddings(s, dir), "vec_id", "embedding", rdim = 8)
           .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "comp")))
-          .select(col("vec_id"), col("j").cast("long").as("j"), col("comp")))
+          .select(col("vec_id"), col("j").cast("long").as("j"), col("comp"))),
+
+      // ---- Per-dimension z-score standardization: global μ/σ from
+      //      one map-side-combined stats pass (collected as a 64-entry
+      //      driver artifact, the IVF-codebook pattern), then a
+      //      scan-fused shuffle-free transform. Micro-unit moments +
+      //      integer z output keep it engine-portable. ----
+      "vec_standardize" -> ((s, dir) =>
+        standardize(Tables.embeddings(s, dir), "vec_id", "embedding"))
     )
   }
 
@@ -1309,7 +1317,34 @@ object SparkEntry {
                               '101_' || CAST(j AS VARCHAR) || '_' ||
                               CAST(i - 1 AS VARCHAR)), 1, 7)
                           AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END))), 6) AS comp
-           FROM embeddings, (SELECT unnest(range(0, 8)) AS j)"""
+           FROM embeddings, (SELECT unnest(range(0, 8)) AS j)""",
+
+      // z-score standardization: micro-unit moments (round(avg·1e6))
+      // make μ/σ integer-derived on both engines; σ=0 dims emit z=0
+      // via the σ→1 substitution; z itself ships as round(z·1e4) ints
+      "vec_standardize" ->
+        """WITH ex AS (SELECT vec_id, CAST(v AS DOUBLE) AS x, pos
+                       FROM (SELECT vec_id, unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS pos
+                             FROM embeddings)),
+           st AS (SELECT pos,
+                    CAST(round(avg(x) * 1000000) AS BIGINT) AS mu6,
+                    CAST(round(avg(x * x) * 1000000) AS BIGINT) AS m26
+                  FROM ex GROUP BY pos),
+           sg AS (SELECT pos, mu6 / 1000000.0 AS mu,
+                    CASE WHEN sqrt(greatest(
+                             m26 / 1000000.0
+                             - (mu6 / 1000000.0) * (mu6 / 1000000.0), 0)) = 0
+                         THEN 1.0
+                         ELSE sqrt(greatest(
+                             m26 / 1000000.0
+                             - (mu6 / 1000000.0) * (mu6 / 1000000.0), 0)) END AS sigma
+                  FROM st)
+           SELECT ex.vec_id,
+                  array_to_string(list(
+                    CAST(CAST(round((ex.x - sg.mu) / sg.sigma * 10000) AS BIGINT)
+                         AS VARCHAR) ORDER BY ex.pos), ',') AS zvec
+           FROM ex JOIN sg USING (pos) GROUP BY ex.vec_id"""
     )
   }
 

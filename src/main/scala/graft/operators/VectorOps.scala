@@ -703,6 +703,51 @@ object VectorOps {
           .as("centroid"))
   }
 
+  /** Per-DIMENSION z-score standardization — the feature-prep pass
+    * before distance-based models (whitening makes every dimension
+    * contribute comparably; unstandardized scale differences dominate
+    * L2/centroid math): z_i = (x_i − μ_i) / σ_i with corpus-global
+    * per-dimension mean and population std.
+    *
+    * Scale shape, two stages: (1) stats are ONE map-side-combined
+    * aggregate over the posexploded corpus — the shuffle carries
+    * dim × partitions partial rows, and the result is `dim` rows
+    * collected as a DRIVER-SIDE ARTIFACT (same deliberate pattern as
+    * the IVF codebook: a 64-entry literal, not a join side); (2) the
+    * standardization itself is then a scan-fused per-row `transform`
+    * against the μ/σ literal arrays — shuffle-free, so at 100 TB the
+    * corpus is touched twice and moved zero times.
+    *
+    * Determinism contract: μ and E[x²] are quantized to integer
+    * micro-units (round(avg·1e6) — the vec_centroids trick), σ derives
+    * from those ints by fixed IEEE ops (σ of a constant dimension
+    * becomes 1 so z = 0), and z is emitted as round(z·1e4) integer CSV
+    * — bit-identical on any engine replaying the same arithmetic.
+    */
+  def standardize(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = RelationalOps.spread(vecs).select(
+      posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+    val stats = ex.groupBy(col("__pos"))
+      .agg(round(avg(col("__x").cast("double")) * 1e6).cast("long").as("__mu6"),
+        round(avg(col("__x").cast("double") * col("__x").cast("double")) * 1e6)
+          .cast("long").as("__m26"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dim = if (stats.isEmpty) 0 else stats.keys.max + 1
+    val mu = (0 until dim).map(i => stats(i)._1 / 1e6)
+    val sigma = (0 until dim).map { i =>
+      val m = stats(i)._1 / 1e6
+      val s = math.sqrt(math.max(stats(i)._2 / 1e6 - m * m, 0.0))
+      if (s == 0.0) 1.0 else s
+    }
+    val muLit = typedlit(mu)
+    val sgLit = typedlit(sigma)
+    vecs.select(col(idCol),
+      concat_ws(",", transform(col(vecCol), (x, i) =>
+        round((x.cast("double") - element_at(muLit, i + 1))
+          / element_at(sgLit, i + 1) * 1e4).cast("long").cast("string")))
+        .as("zvec"))
+  }
+
   /** LSH ANN over int8-QUANTIZED vectors — turns [[quantizeInt8]] from
     * a stored artifact into a working compute path (the reason
     * production stores int8: 4× less memory/IO than float32 while the

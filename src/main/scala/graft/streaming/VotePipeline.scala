@@ -185,21 +185,23 @@ object VotePipeline {
   /** S-8 — consumer-side catch-up over an update-mode topic: decode
     * every message and keep each key's LATEST one (per-key last-write-
     * wins is exactly what a poller derives from an update stream).
-    * The rank window partitions on the same key the downstream
-    * dashboard aggregates group on, so at scale this is one shuffle
-    * shared with the consumer's own grouping.
+    *
+    * Shape: a `max_by(payload, batch_id)` HASH AGGREGATE, not a rank
+    * window — max_by partials combine map-side, so each key's message
+    * history collapses within its scan partition before the exchange
+    * (an update topic carries one message per key per micro-batch; a
+    * long-lived topic is many batches deep, and the window form would
+    * shuffle and SORT that entire history). Deterministic because
+    * (key, batch_id) is unique by the update-mode contract: one
+    * changed-row message per key per batch.
     */
   def latestPerKey(messages: DataFrame, schema: org.apache.spark.sql.types.StructType,
-                   keyCols: Seq[String]): DataFrame = {
-    val decoded = messages
+                   keyCols: Seq[String]): DataFrame =
+    messages
       .select(from_json(col("value"), schema).as("m"), col("batch_id"))
-      .select(col("m.*"), col("batch_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)
-    decoded.withColumn("__rnk", row_number().over(w))
-      .filter(col("__rnk") === 1)
-      .drop("__rnk", "batch_id")
-  }
+      .groupBy(keyCols.map(k => col(s"m.$k")): _*)
+      .agg(max_by(col("m"), col("batch_id")).as("__m"))
+      .select(col("__m.*"))
 
   /** A-3 — JDBC-style sink for streams via foreachBatch (reference
     * inserts into Postgres, `main.py:184–208`): each micro-batch is

@@ -115,4 +115,72 @@ class StorageLayoutSpec extends SparkTestBase {
       .filter(col("event_type") === "click").count()
     assert(q.count() === expect)
   }
+
+  test("mergeUpsert + dynamic partition overwrite rewrites ONLY touched partitions") {
+    // The 100 TB MERGE recipe end-to-end: updates land in one
+    // partition, the existing side is read PRUNED to that partition,
+    // and the write-back (dynamic partitionOverwriteMode) replaces
+    // only that directory — merge cost tracks the touched partitions,
+    // never the table.
+    val snap = Files.createTempDirectory("graft-merge-prune").toString + "/orders"
+    Tables.orders(spark, sfDir)
+      .withColumn("p_month", substring(col("o_orderdate"), 1, 7))
+      .write.partitionBy("p_month").parquet(snap)
+    val before = spark.read.parquet(snap)
+    val wholeBefore = before.collect().length
+
+    val month = "1996-03"
+    val updates = before.filter(col("p_month") === month)
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderpriority", lit("RUSHED"))
+    val nUpdates = updates.count() // before the rewrite deletes old files
+    assert(nUpdates > 0, "fixture month must exist")
+
+    // existing side pruned to the touched partition — PartitionFilters
+    // at the scan, so the merge never reads untouched months
+    val pruned = spark.read.parquet(snap).filter(col("p_month") === month)
+    val scanStr = pruned.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("p_month"),
+      s"expected partition pruning in:\n$scanStr")
+
+    def fileInventory(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(snap))
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally s.close()
+    }
+    val beforeFiles = fileInventory()
+
+    // stage-then-swap: localCheckpoint materializes the merged rows and
+    // cuts the lineage back to the snapshot path, so the overwrite is
+    // not reading the path it replaces (the staging step every
+    // snapshot-rewriting table format performs)
+    val merged = graft.operators.RelationalOps
+      .mergeUpsert(pruned, updates, Seq("o_orderkey"))
+      .localCheckpoint(true)
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      merged.write.mode("overwrite").partitionBy("p_month").parquet(snap)
+    }
+
+    val afterFiles = fileInventory()
+    val (touchedBefore, untouchedBefore) =
+      beforeFiles.partition(_._1.contains(s"p_month=$month"))
+    val (touchedAfter, untouchedAfter) =
+      afterFiles.partition(_._1.contains(s"p_month=$month"))
+    assert(untouchedAfter === untouchedBefore,
+      "untouched partitions' files must survive byte-identically (same paths, same mtimes)")
+    assert(touchedAfter.keySet.intersect(touchedBefore.keySet).isEmpty,
+      "the touched partition must be fully rewritten")
+
+    // contents: identical to a whole-table merge
+    spark.catalog.refreshByPath(snap)
+    val after = spark.read.parquet(snap)
+    assert(after.count() === wholeBefore, "updates replace rows 1:1, no inserts here")
+    assert(after.filter(col("o_orderpriority") === "RUSHED").count() === nUpdates)
+    assert(after.filter(col("p_month") =!= month)
+      .filter(col("o_orderpriority") === "RUSHED").isEmpty)
+  }
 }

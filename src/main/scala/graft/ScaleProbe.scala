@@ -179,6 +179,40 @@ object ScaleProbe {
       idx.unpersist()
     }
 
+    // Incremental MV maintenance A/B: FIXED delta (the base corpus's
+    // event_id < 10k slice) against a k×-grown base. mv_merge reads
+    // the MATERIALIZED snapshot (|keys| rows, grows with k only
+    // through key cardinality) + the delta; mv_recompute re-aggregates
+    // every base row ever ingested — the cost the merge path exists to
+    // avoid. Both produce identical views (RelationalOpsSpec pins it).
+    if (enabled("mv_merge") || enabled("mv_recompute")) {
+      def replicateEvents(k: Int): DataFrame =
+        (0 until k).map { i =>
+          Tables.events(spark, sfDir).select(
+            (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+            (col("user_id") + lit(i.toLong * 100000L)).as("user_id"),
+            col("event_type"), col("value"))
+        }.reduce(_ union _)
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+      val delta = Tables.events(spark, sfDir)
+        .filter(col("event_id") < 10000)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ks.foreach { k =>
+        val snapDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_mv_probe_$k"
+        aggOf(replicateEvents(k)).write.mode("overwrite").parquet(snapDir)
+        if (enabled("mv_merge")) time("mv_merge", k)(
+          graft.operators.RelationalOps.mergeAggSnapshot(
+            spark.read.parquet(snapDir), aggOf(delta),
+            Seq("user_id", "event_type"), Seq("n", "cents")))
+        if (enabled("mv_recompute")) time("mv_recompute", k)(
+          aggOf(replicateEvents(k).unionByName(delta)))
+      }
+    }
+
     // Native-vs-HOF simhash A/B (warm: one untimed pass each first) —
     // the r5 rewrite's measured justification, same protocol as the r4
     // txt_tfidf A/B in BASELINE.md.

@@ -162,4 +162,55 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.operators.CorpusOps.bigramNll(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").isEmpty)
   }
+
+  test("round-7 operators tolerate degenerate inputs") {
+    val kv = Seq((1L, "a", 10L)).toDF("k", "s", "v")
+    val emptyKv = kv.limit(0)
+
+    // snapshotDiff: empty old -> all inserts; empty new -> all deletes;
+    // both empty -> empty
+    assert(RelationalOps.snapshotDiff(emptyKv, kv, Seq("k"), Seq("s", "v"))
+      .collect().map(_.getString(1)).toSeq == Seq("I"))
+    assert(RelationalOps.snapshotDiff(kv, emptyKv, Seq("k"), Seq("s", "v"))
+      .collect().map(_.getString(1)).toSeq == Seq("D"))
+    assert(RelationalOps.snapshotDiff(emptyKv, emptyKv, Seq("k"), Seq("s")).isEmpty)
+
+    // mergeAggSnapshot: empty delta -> snapshot unchanged; empty
+    // snapshot -> delta passes through
+    val snap = Seq(("a", 2L, 30L)).toDF("k", "n", "s")
+    val got = RelationalOps.mergeAggSnapshot(snap, snap.limit(0), Seq("k"), Seq("n", "s"))
+      .collect()
+    assert(got.length == 1 && got.head.getLong(1) == 2L && got.head.getLong(2) == 30L)
+    assert(RelationalOps.mergeAggSnapshot(snap.limit(0), snap, Seq("k"), Seq("n", "s"))
+      .count() == 1)
+
+    // resampleGapFill: empty input -> empty grid; single event -> one
+    // bucket, fill equals the observation
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "ts", "c")
+    assert(RelationalOps.resampleGapFill(emptyEv, "user_id", "ts", col("c")).isEmpty)
+    val oneEv = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 5L))
+      .toDF("user_id", "ts", "c")
+    val one = RelationalOps.resampleGapFill(oneEv, "user_id", "ts", col("c")).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 5L)
+
+    // containmentScores: empty contamination -> every doc scores 0;
+    // empty docs -> empty
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val zero = CorpusOps.containmentScores(docs, docs.limit(0), "doc_id", "text")
+      .collect()
+    assert(zero.length == 1 && zero.head.getLong(2) == 0L
+      && zero.head.getDouble(3) == 0.0)
+    assert(CorpusOps.containmentScores(docs.limit(0), docs, "doc_id", "text").isEmpty)
+
+    // standardize: empty corpus -> empty; constant dimension -> z = 0
+    // (sigma -> 1 substitution), never NaN/Inf
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorOps.standardize(emptyVecs, "vec_id", "embedding").isEmpty)
+    val constVecs = Seq((1L, Seq(3.0f, 1.0f)), (2L, Seq(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val z = VectorOps.standardize(constVecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.getString(1))
+    assert(z(0).split(",")(0) == "0" && z(1).split(",")(0) == "0",
+      s"constant dim must standardize to 0, got ${z.toSeq}")
+  }
 }

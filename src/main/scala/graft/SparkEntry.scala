@@ -801,6 +801,17 @@ object SparkEntry {
       "sim_ann_int8" -> ((s, dir) =>
         annCosinePairsInt8(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4)),
+      // incremental ingest dedup: the new-vector batch (every 10th id)
+      // bands itself and probes the EXISTING corpus's persisted
+      // postings index; dup_of = min existing id with cosine >= 0.45
+      // in a shared bucket (the embedding twin of dd_incremental)
+      "sim_incremental" -> ((s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val ex = vecs.filter(col("vec_id") % 10 =!= 0)
+        val nw = vecs.filter(col("vec_id") % 10 === 0)
+        incrementalAnnDedup(lshIndex(ex, "vec_id", "embedding"), ex, nw,
+          "vec_id", "embedding", minCosine = 0.45)
+      }),
       // per-label centroids: the shuffle carries (label, dim) partial
       // means, never the vectors
       "vec_centroids" -> ((s, dir) =>
@@ -1291,6 +1302,30 @@ object SparkEntry {
            losers AS (SELECT node FROM reach GROUP BY node HAVING node <> min(r))
            SELECT vec_id, label FROM embeddings
            WHERE vec_id NOT IN (SELECT node FROM losers)""",
+
+      // incremental ANN dedup: candidates only where a new (%10=0)
+      // vector shares a (table, bucket) with an existing one; exact
+      // cosine gates; dup_of = min qualifying existing id
+      "sim_incremental" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM embeddings),
+           e AS (SELECT vec_id, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
+           cand AS (SELECT DISTINCT n.vec_id AS nid, x.vec_id AS xid
+                    FROM e n JOIN e x ON n.tbl = x.tbl AND n.bucket = x.bucket
+                    WHERE n.vec_id % 10 = 0 AND x.vec_id % 10 <> 0),
+           sc AS (SELECT c.nid, c.xid
+                  FROM cand c
+                  JOIN p a ON a.vec_id = c.nid
+                  JOIN p b ON b.vec_id = c.xid
+                  WHERE round(${duckDot("a.embedding", "b.embedding")}
+                              / (a.nrm * b.nrm), 6) >= 0.45),
+           m AS (SELECT nid, min(xid) AS dup_of FROM sc GROUP BY nid)
+           SELECT v.vec_id, m.dup_of, (m.dup_of IS NULL) AS is_kept
+           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) v
+           LEFT JOIN m ON v.vec_id = m.nid""",
 
       // int8 quantization: scale rounded for display only; the
       // quantized values use the unrounded scale on both engines.

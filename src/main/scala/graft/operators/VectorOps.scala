@@ -168,6 +168,55 @@ object VectorOps {
       Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
   }
 
+  /** Persistable LSH POSTINGS of a corpus — one (id, table, bucket)
+    * row per hash table, the artifact an ingest pipeline stores so
+    * arriving vectors can be checked WITHOUT re-banding the corpus
+    * (the embedding twin of [[graft.operators.DedupOps.bandIndex]]).
+    * Vectors deliberately do not ride the index: postings are
+    * fixed-width rows bucketed cheaply at 100 TB; the exact-cosine
+    * stage reads vectors from the primary store by id.
+    */
+  def lshIndex(vecs: DataFrame, idCol: String, vecCol: String,
+               tables: Int = 4, bitsPerTable: Int = 4, dim: Int = 64): DataFrame =
+    withNorm(vecs, idCol, vecCol).select(col("__id"),
+      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
+
+  /** Incremental embedding ingest dedup — the vector-space twin of
+    * [[graft.operators.DedupOps.incrementalDedup]]: a batch of NEW
+    * vectors is scored against the EXISTING corpus through its
+    * persisted [[lshIndex]], emitting per new vector the minimum
+    * existing id with cosine ≥ `minCosine` in a shared bucket
+    * (`dup_of`, null ⇒ kept). Nobody re-embeds or re-bands 100 TB per
+    * ingest: the batch bands itself (tiny), joins the index on
+    * (table, bucket), and only the candidate ids fetch vectors for the
+    * exact cosine — per-ingest cost is O(|batch| + candidate bucket
+    * populations), independent of corpus size (probed in ScaleProbe,
+    * same protocol as dd_incremental).
+    */
+  def incrementalAnnDedup(index: DataFrame, existing: DataFrame,
+                          batch: DataFrame, idCol: String, vecCol: String,
+                          minCosine: Double, tables: Int = 4,
+                          bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val ex = withNorm(existing, idCol, vecCol)
+    val nw = withNorm(batch, idCol, vecCol)
+    val nwBand = nw.select(col("__id").as("__nid"),
+      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+        .as(Seq("__tbl", "__bucket")))
+    val cand = nwBand.join(index, Seq("__tbl", "__bucket"))
+      .select(col("__nid"), col("__id")).distinct()
+    val scored = cand
+      .join(ex, Seq("__id"))
+      .join(nw.select(col("__id").as("__nid"), col("__v").as("__nv"),
+        col("__nrm").as("__nnrm")), Seq("__nid"))
+      .filter(round(dot(col("__nv"), col("__v"))
+        / (col("__nnrm") * col("__nrm")), 6) >= minCosine)
+    nw.select(col("__id").as(idCol))
+      .join(scored.groupBy(col("__nid")).agg(min(col("__id")).as("dup_of")),
+        col(idCol) === col("__nid"), "left")
+      .select(col(idCol), col("dup_of"), col("dup_of").isNull.as("is_kept"))
+  }
+
   /** IVF-routed top-k retrieval — the cell-partitioned sibling of
     * [[topKNeighborsAnn]], same (qid, vec_id, cosine, rnk) contract.
     * Corpus vectors assign to their single nearest codebook cell; each

@@ -301,6 +301,29 @@ class VectorOpsSpec extends SparkTestBase {
     assert(p1 === p2)
   }
 
+  test("incrementalAnnDedup agrees with batch ANN pairs restricted to new×existing") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val isNew = col("vec_id") % 10 === 0
+    val ex = vecs.filter(!isNew)
+    val out = incrementalAnnDedup(lshIndex(ex, "vec_id", "embedding"),
+      ex, vecs.filter(isNew), "vec_id", "embedding", minCosine = 0.45).cache()
+    try {
+      // one verdict per new vector
+      assert(out.count() === vecs.filter(isNew).count())
+      // the dup set and its min-id election must equal the full batch
+      // ANN pair computation, reoriented to (new, existing)
+      val pairs = annCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.45)
+      val ne = pairs.select(col("v1").as("a"), col("v2").as("b"))
+        .union(pairs.select(col("v2").as("a"), col("v1").as("b")))
+        .filter(col("a") % 10 === 0 && col("b") % 10 =!= 0)
+      val want = ne.groupBy(col("a")).agg(min(col("b")).as("dup_of"))
+      val got = out.filter(col("dup_of").isNotNull)
+        .select(col("vec_id").as("a"), col("dup_of"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "incremental verdicts must match the batch pair computation")
+    } finally out.unpersist()
+  }
+
   private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap

@@ -179,6 +179,23 @@ object ScaleProbe {
       idx.unpersist()
     }
 
+    // Incremental ANN ingest probe, same protocol as dd_incremental:
+    // FIXED new-vector batch, k×-grown existing corpus whose postings
+    // index is materialized first. Embeddings replicate VERBATIM, so
+    // every copy of a base vector collides with the batch — candidate
+    // volume grows k-fold by construction; what the probe checks is
+    // that cost tracks that candidate volume, not the corpus scan.
+    if (enabled("sim_incremental")) ks.foreach { k =>
+      val ex = replicateVecs(k).filter(col("vec_id") % 10 =!= 0)
+      val idx = VectorOps.lshIndex(ex, "vec_id", "embedding").cache()
+      idx.count() // materialize outside the timed body
+      val batch = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 10 === 0)
+      time("sim_incremental", k)(
+        VectorOps.incrementalAnnDedup(idx, ex, batch, "vec_id", "embedding", 0.45))
+      idx.unpersist()
+    }
+
     // Incremental MV maintenance A/B: FIXED delta (the base corpus's
     // event_id < 10k slice) against a k×-grown base. mv_merge reads
     // the MATERIALIZED snapshot (|keys| rows, grows with k only

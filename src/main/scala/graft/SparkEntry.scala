@@ -362,8 +362,12 @@ object SparkEntry {
       }),
       // quality-decile binning per language: the curriculum/mixture
       // knob (sample rate per decile) every curation pipeline exposes.
-      // One shuffle on lang; ordering on the ROUNDED score + doc_id
-      // keeps tie structure engine-portable.
+      // Ordering on the ROUNDED score + doc_id keeps tie structure
+      // engine-portable. NOTE: ntile sorts each language inside one
+      // partition — this exact form is the oracle-checkable
+      // correctness baseline; the 100 TB path is
+      // CorpusOps.quantileBinsApprox (sketch boundaries, no per-class
+      // sort), agreement pinned in CorpusOpsSpec.
       "cur_quantile_bins" -> ((s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang"))

@@ -173,6 +173,39 @@ object CorpusOps {
       .select(col(idCol), round(col("__s"), 6).as("score"))
   }
 
+  /** Scale path for quality-decile binning. The exact form (`ntile`
+    * over `PARTITION BY lang ORDER BY score` — the `cur_quantile_bins`
+    * driver query) funnels EVERY row of one language through one
+    * partition's sort: correct, oracle-checkable, and unusable at
+    * 100 TB. This variant computes per-class decile BOUNDARIES with
+    * `approx_percentile` (Greenwald–Khanna sketch: fixed-size,
+    * mergeable, map-side-combined — the same scale argument as
+    * g12/X-G19) and assigns each row `1 + #boundaries above its
+    * score` — two map-side-combining scans and a broadcast of
+    * |classes| × (bins−1) doubles, no per-class sort anywhere.
+    *
+    * Differences from exact ntile are bounded by the sketch's rank
+    * error (ties also land in ONE bin here, where ntile splits them
+    * arbitrarily to equalize counts); agreement is pinned in
+    * CorpusOpsSpec rather than the DuckDB oracle — same precedent as
+    * the other sketch-backed operators.
+    *
+    * @return (idCol, classCol, score, decile) with decile 1 = highest
+    */
+  def quantileBinsApprox(docs: DataFrame, idCol: String, classCol: String,
+                         score: Column, bins: Int = 10,
+                         accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val b = docs.select(col(idCol), col(classCol), score.as("score"))
+    val bounds = b.groupBy(col(classCol))
+      .agg(percentile_approx(col("score"), typedlit(probs), lit(accuracy))
+        .as("__bounds"))
+    b.join(broadcast(bounds), Seq(classCol))
+      .select(col(idCol), col(classCol), col("score"),
+        (lit(1) + size(filter(col("__bounds"), x => x > col("score"))))
+          .as("decile"))
+  }
+
   def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))

@@ -171,6 +171,25 @@ class CorpusOpsSpec extends SparkTestBase {
     } finally scores.unpersist()
   }
 
+  test("quantileBinsApprox tracks exact ntile deciles within one bin") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("cur_quantile_bins")(spark, sfDir)
+      .select(col("doc_id"), col("decile").as("d_exact"))
+    val approx = quantileBinsApprox(
+      Tables.documents(spark, sfDir), "doc_id", "lang",
+      round(graft.functions.TextFunctions.qualityScore(col("text")), 6))
+      .select(col("doc_id"), col("decile").as("d_approx"))
+    val joined = exact.join(approx, "doc_id")
+      .select(abs(col("d_exact") - col("d_approx")).as("dev"))
+      .as[Int].collect()
+    assert(joined.length === exact.count())
+    val close = joined.count(_ <= 1).toDouble / joined.length
+    assert(close >= 0.9,
+      f"only $close%.2f of docs within one decile of the exact binning")
+    // sketch at this accuracy is near-exact: most rows agree outright
+    assert(joined.count(_ == 0).toDouble / joined.length >= 0.6)
+  }
+
   test("cur_quantile_bins: deciles 1..10 per language with near-equal populations") {
     import spark.implicits._
     val out = SparkEntry.queries("cur_quantile_bins")(spark, sfDir).cache()

@@ -94,6 +94,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("sim_incremental: postings probe is an equi-join; vectors enter only by id fetch") {
+    val plan = initialPlan("sim_incremental")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // the (table, bucket) probe and the by-id vector fetches are all
+    // equi-joins; the verdict is a map-side-combined min per new vector
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("j8 interval join stays an equi-join with a residual time band") {
     val plan = initialPlan("j8_interval_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),

@@ -1402,6 +1402,11 @@ object SparkEntry {
       "dd_simhash" -> ((s, dir) =>
         spread(Tables.documents(s, dir))
           .select(col("doc_id"), simhash(col("text")).as("simhash"))),
+      // Hamming-banded simhash pairs: EXACT near-dup detection at
+      // hamming <= 3 (pigeonhole over 4 chunks of 7 bits — complete
+      // candidates, no recall loss)
+      "dd_simhash_pairs" -> ((s, dir) =>
+        simhashPairs(Tables.documents(s, dir), "doc_id", "text")),
       "dd_ngram_jaccard" -> ((s, dir) =>
         ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5)),
       "dd_ngram_capped" -> ((s, dir) =>
@@ -1521,6 +1526,26 @@ object SparkEntry {
              b -> CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) > 0
                        THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
          FROM h""",
+
+    // same fingerprint CTE, then 4×7-bit chunk banding + hamming <= 3
+    "dd_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(toks, tk -> CAST('0x' || substr(md5(tk), 1, 7) AS BIGINT)) AS hs
+               FROM t),
+         f AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 28),
+                   b -> CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) > 0
+                             THEN 1 << b ELSE 0 END)) AS BIGINT) AS sh
+               FROM h),
+         k AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM f),
+         k2 AS (SELECT doc_id, sh, band, (sh >> (band * 7)) & 127 AS chunk FROM k)
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         FROM k2 a JOIN k2 b
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 
     "dd_ngram_jaccard" ->
       s"""WITH $duckShingleCtes,

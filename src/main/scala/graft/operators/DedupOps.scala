@@ -242,6 +242,40 @@ object DedupOps {
         .reduce(_ + _))
   }
 
+  /** SimHash near-dup PAIRS via Hamming banding (Manku–Jain–Sarma,
+    * WWW'07): every pair whose fingerprints differ in at most
+    * `maxHamming` bits. EXACT, not probabilistic — the fingerprint
+    * splits into `maxHamming + 1` chunks, and a pair within the
+    * Hamming budget must agree on at least one whole chunk
+    * (pigeonhole), so banding on chunks is a COMPLETE candidate
+    * generator and the final Hamming filter admits no false
+    * negatives. The contrast to MinHash LSH (probabilistic recall) is
+    * the point: when the fingerprint is this compact, exhaustive
+    * near-dup detection costs one (band, chunk) shuffle of
+    * (id, fingerprint) rows — nothing wider ever moves.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bits: Int = 28): DataFrame = {
+    val bands = maxHamming + 1
+    val chunk = bits / bands
+    require(bands * chunk == bits, s"bits=$bits must split evenly into $bands bands")
+    val f = RelationalOps.spread(docs)
+      .select(col(idCol), simhash(col(textCol)).as("__sh"))
+    val banded = f.select(col(idCol), col("__sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))): _*))
+        .as(Seq("__band", "__chunk")))
+    banded.alias("a").hint("merge")
+      .join(banded.alias("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__chunk") === col("b.__chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1
     * shingle, thresholded. The inverted-index formulation: explode
     * distinct shingles, self-equi-join on the shingle (the ONLY

@@ -161,4 +161,18 @@ class DedupOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("simhashPairs is COMPLETE: banding finds every pair within the Hamming budget") {
+    // pigeonhole guarantee, checked against the O(n²) ground truth
+    val docs = Tables.documents(spark, sfDir)
+    val f = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val brute = f.alias("a")
+      .join(f.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = simhashPairs(docs, "doc_id", "text")
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+      "banded pairs must equal the brute-force Hamming pairs exactly")
+  }
 }

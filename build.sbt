@@ -31,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 130+-query bench/verify mains accumulate
+  // broadcast relations faster than the ContextCleaner reclaims them
+  // at 8g, and the box has 128 GiB (override via SPARK_DRIVER_MEM)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1712,7 +1712,12 @@ object SparkEntry {
       "txt_fingerprint" -> ((s, dir) => {
         Tables.documents(s, dir).select(
           col("doc_id"), fingerprint(col("text")).as("fingerprint"))
-      })
+      }),
+      // character entropy (bits/char): gibberish/binary-junk detector;
+      // sorted-distinct fold keeps the double bit-identical cross-engine
+      "txt_entropy" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"), round(charEntropy(col("text")), 6).as("char_entropy")))
     )
   }
 
@@ -1802,7 +1807,22 @@ object SparkEntry {
                     CAST('0x' || substr(md5(unnest(toks)), 1, 7) AS BIGINT) AS h
              FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
                    FROM documents))
-           GROUP BY doc_id) f ON d.doc_id = f.doc_id"""
+           GROUP BY doc_id) f ON d.doc_id = f.doc_id""",
+
+    // entropy terms fold over SORTED distinct chars on both engines,
+    // so the double sum is bit-identical before the round
+    "txt_entropy" ->
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+         SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             round(-list_sum(list_transform(
+                 list_sort(list_distinct(string_split(text, ''))),
+                 c -> (CAST(len(list_filter(string_split(text, ''), x -> x = c))
+                            AS DOUBLE) / length(text))
+                      * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c))
+                                AS DOUBLE) / length(text))))
+               / ln(2), 6) END AS char_entropy
+         FROM t"""
   )
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -54,6 +54,33 @@ object TextFunctions {
     aggregate(weighted, lit(0L), (acc, x) => acc + x)
   }
 
+  /** Shannon character entropy in bits/char — the cheap gibberish /
+    * binary-junk / encoding-noise detector every quality battery
+    * carries (natural text sits ~3.5–4.5 bits/char; base64 blobs and
+    * key-mash are materially higher, repeated-char padding collapses
+    * toward 0). Per-row, shuffle-free: O(distinct·len) char counting
+    * inside the scan projection.
+    *
+    * Determinism: the fold runs over the SORTED distinct characters,
+    * so both engines sum the identical term sequence and the double
+    * result is bit-identical (unordered distinct would make the
+    * float-sum order engine-dependent). Empty/null text scores 0.
+    */
+  def charEntropy(text: Column): Column = {
+    val csRaw = filter(split(coalesce(text, lit("")), ""), c => c =!= lit(""))
+    // let-bind the char array (it feeds n, the distinct set, and every
+    // per-char count; a Scala val would clone the split per use site)
+    element_at(transform(array(csRaw), cs => {
+      val n = size(cs).cast("double")
+      val terms = transform(array_sort(array_distinct(cs)), c => {
+        val p = size(filter(cs, x => x === c)).cast("double") / n
+        -p * log(p)
+      })
+      when(size(cs) === 0, lit(0.0))
+        .otherwise(aggregate(terms, lit(0.0), (a, x) => a + x) / lit(math.log(2.0)))
+    }), 1)
+  }
+
   /** Rule-based language ID — an n-gram/marker-word heuristic that is
     * deterministic and SQL-expressible (same CASE ladder in the
     * oracle). Real pipelines would swap in fastText etc.; the engine

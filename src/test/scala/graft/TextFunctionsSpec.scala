@@ -66,4 +66,25 @@ class TextFunctionsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"per-row features must not shuffle:\n$plan")
   }
+
+  test("charEntropy matches hand-computed Shannon entropy; degenerate inputs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),       // known: 2.845351 bits/char
+      (2L, "aaaa"),              // single symbol -> 0
+      (3L, ""),                  // empty -> 0
+      (4L, null.asInstanceOf[String]), // null -> 0
+      (5L, "ab")                 // two equiprobable symbols -> exactly 1
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        round(graft.functions.TextFunctions.charEntropy(col("text")), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 2.845351)
+    assert(out(2L) === 0.0 && out(3L) === 0.0 && out(4L) === 0.0)
+    assert(out(5L) === 1.0)
+    // shuffle-free, like every per-row signal
+    val plan = docs.select(graft.functions.TextFunctions.charEntropy(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

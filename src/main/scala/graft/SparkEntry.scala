@@ -406,6 +406,12 @@ object SparkEntry {
         domainMix(Tables.documents(s, dir), "lang", col("doc_id"),
           Map("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "de" -> 0.15))
           .select(col("doc_id"), col("lang"))),
+      // DSIR importance scoring: target domain = English docs; score =
+      // sum over tokens of micro-quantized ln(p_target/p_source) over
+      // 1024 hashed-unigram buckets (add-1 smoothed); keep = score > 0
+      "cur_dsir" -> ((s, dir) =>
+        dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en")),
       // corpus-priced quality: per-doc average unigram -ln(p), the
       // perplexity-proxy filter signal (micro-nat integer sums keep
       // it oracle-exact)
@@ -467,6 +473,39 @@ object SparkEntry {
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
                  % 1000000 < r.thr""",
+
+    // DSIR importance scoring: dense 1024-bucket hashed-unigram
+    // counts (target = lang 'en' vs full corpus), add-1 smoothed,
+    // per-bucket ln ratio quantized to micro-nats BEFORE the per-doc
+    // sum — each engine rounds each bucket exactly once, so document
+    // scores are exact integer sums on both sides.
+    "cur_dsir" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+                      FROM documents),
+         b AS (SELECT tok.doc_id,
+                 CAST('0x' || substr(md5(tk), 1, 7) AS BIGINT) % 1024 AS b,
+                 (d.lang = 'en') AS t
+               FROM tok JOIN documents d ON tok.doc_id = d.doc_id),
+         c AS (SELECT b, count(*) AS n, count(CASE WHEN t THEN 1 END) AS nt
+               FROM b GROUP BY b),
+         dense AS (SELECT g.range AS b, COALESCE(c.n, 0) AS n,
+                          COALESCE(c.nt, 0) AS nt
+                   FROM range(0, 1024) g LEFT JOIN c ON g.range = c.b),
+         tt AS (SELECT sum(n) AS na, sum(nt) AS ntt FROM dense),
+         r AS (SELECT b,
+                 CAST(round(-ln(CAST(n + 1 AS DOUBLE) / CAST(na + 1024 AS DOUBLE))
+                            * 1000000) AS BIGINT)
+               - CAST(round(-ln(CAST(nt + 1 AS DOUBLE) / CAST(ntt + 1024 AS DOUBLE))
+                            * 1000000) AS BIGINT) AS w
+               FROM dense, tt),
+         sc AS (SELECT b.doc_id, count(*) AS n_toks, sum(r.w) AS s
+                FROM b JOIN r USING (b) GROUP BY b.doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(sc.n_toks, 0) AS BIGINT) AS n_toks,
+                CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro,
+                COALESCE(sc.s, 0) > 0 AS keep
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 
     // unigram NLL: corpus term counts price each token; per-token
     // -ln(p) quantized to micro-nats so the doc sum is an exact
@@ -1423,6 +1462,13 @@ object SparkEntry {
           bandIndex(docs.filter(!isNew), "doc_id", "text"),
           docs.filter(isNew), "doc_id", "text")
       }),
+      // Substring-level duplicate-span profile (Lee et al. ACL'22):
+      // per doc, how many of its distinct 8-token windows occur in
+      // >= 2 documents corpus-wide. Span df is a window count on the
+      // span hash's own exchange — no pair join, no k^2 fan-out.
+      "dd_span_dups" -> ((s, dir) =>
+        dupSpans(Tables.documents(s, dir), "doc_id", "text",
+          window = 8, minDocs = 2)),
       // Fuzzy dedup's last mile: candidate pairs -> connected
       // components -> min-id survivor election (GraphOps).
       "dd_cluster_keep_first" -> ((s, dir) =>
@@ -1584,6 +1630,30 @@ object SparkEntry {
          JOIN cnt n1 ON d1 = n1.doc_id
          JOIN cnt n2 ON d2 = n2.doc_id
          WHERE round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) >= 0.5""",
+
+    // Duplicate-span profile: distinct 8-token windows per doc, span
+    // document-frequency as a window count over the 56-bit span hash,
+    // per-doc rollup with the duplicated fraction in floored micro.
+    "dd_span_dups" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         sp AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 8
+                       THEN list_transform(range(1, len(toks) - 6),
+                              i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS spans
+                FROM t),
+         ds AS (SELECT doc_id, unnest(list_distinct(spans)) AS s FROM sp),
+         h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) AS hs
+               FROM ds),
+         d AS (SELECT doc_id, count(*) OVER (PARTITION BY hs) AS df FROM h)
+         SELECT doc_id, count(*) AS n_spans,
+                count(CASE WHEN df >= 2 THEN 1 END) AS n_dup_spans,
+                (count(CASE WHEN df >= 2 THEN 1 END) * 1000000) // count(*)
+                  AS dup_micro
+         FROM d GROUP BY doc_id""",
 
     // Connected components over the LSH candidate pairs via a
     // recursive reachability CTE; min reachable id = component.

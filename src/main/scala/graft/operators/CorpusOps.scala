@@ -416,4 +416,60 @@ object CorpusOps {
         .as("score_micro"))
       .withColumn("keep", col("score_micro") > 0)
   }
+
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its tokens are under a
+    * TARGET domain's hashed-unigram distribution than under the full
+    * corpus's — the standard recipe for steering a web-scale corpus
+    * toward a quality domain without a trained classifier. Per-token
+    * log importance = ln p̂_target(bucket) − ln p̂_source(bucket) over
+    * `nBuckets` hashed token buckets, add-1 smoothed so unseen buckets
+    * stay finite; a document's score is the sum over its tokens, in
+    * exact micro-nat integers (each bucket's ±ln quantized once, so
+    * sums are exact and the oracle compare has no float-order hazard).
+    * `keep` = score > 0 (reads closer to target than to source).
+    *
+    * Scale shape, two phases like the trained-IVF codebook:
+    * (1) ESTIMATE — one explode → map-side-combined count over
+    * `nBuckets` keys (shuffle bounded by the bucket count, not the
+    * corpus), completed to a dense bucket frame and collected as a
+    * driver-side artifact of `nBuckets` longs (the "model");
+    * (2) SCORE — the ratio table rides into the scan as a literal
+    * array and scoring is a per-row fold, shuffle-free, exactly the
+    * [[linearScore]] inference shape. The quantized per-bucket ratios
+    * are computed IN Spark SQL (not driver-side `math.log`) so the
+    * engine's `ln` is the one the oracle's `ln` is checked against.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val bucketOf = (t: Column) => pmod(h7(t), lit(nBuckets.toLong))
+    val tok = spread(docs).select(isTarget.as("__t"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col("__t"), bucketOf(col("__tok")).as("__b"))
+    val counts = tok.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), count(when(col("__t"), 1)).as("__nt"))
+    // dense 0..nBuckets-1 frame: absent buckets still need their
+    // smoothed prior priced, and totals must come from the same frame
+    val dense = spark.range(nBuckets).toDF("__b")
+      .join(counts, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__n"), lit(0L)).as("__n"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"))
+    val tot = dense.agg(sum(col("__n")), sum(col("__nt"))).head()
+    val (totAll, totT) = (tot.getLong(0), tot.getLong(1))
+    def microNll(cnt: Column, total: Long): Column =
+      round(-log((cnt + 1).cast("double") / lit((total + nBuckets).toDouble)) * 1e6)
+        .cast("long")
+    val ratio = dense.select(col("__b"),
+        (microNll(col("__n"), totAll) - microNll(col("__nt"), totT)).as("__w"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    val weights = lit((0 until nBuckets).map(b => ratio(b)).toArray)
+    spread(docs).select(col(idCol),
+        size(tokens(col(textCol))).as("n_toks"),
+        aggregate(transform(tokens(col(textCol)),
+          t => element_at(weights, (bucketOf(t) + 1).cast("int"))), lit(0L), _ + _)
+          .as("score_micro"))
+      .withColumn("keep", col("score_micro") > 0)
+  }
 }

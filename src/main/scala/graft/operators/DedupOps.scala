@@ -360,6 +360,43 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Substring-level (token-window) duplicate-span profile — the
+    * sequence-level dedup signal of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (ACL 2022): a
+    * document can be globally unique yet still carry long spans
+    * copied verbatim from other documents (boilerplate, licenses,
+    * quoted posts), and document-level MinHash/SimHash cannot see
+    * them. For every document, count its distinct `window`-token
+    * spans (stride 1) and how many of those spans also occur in at
+    * least `minDocs` documents overall (itself included), plus the
+    * duplicated fraction in exact micro units.
+    *
+    * Scale shape — deliberately NOT a pair join: span duplication is
+    * a per-span document frequency, so the plan is explode distinct
+    * spans → 56-bit fixed-width span hash → ONE exchange on the span
+    * hash with the df as a `count(*)` window on that same exchange
+    * (the [[ngramJaccardPairsCapped]] trick — no join-back, no second
+    * shuffle on the span) → per-doc aggregate. A boilerplate span in
+    * k documents costs k rows here, not the k² a candidate-pair
+    * formulation would fan out, so the operator has no stop-span
+    * failure mode at 100 TB. Spans shorter than `window` collapse to
+    * the whole document (same contract as [[shingles]]), so short
+    * docs still get a defined profile.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               window: Int = 8, minDocs: Int = 2): DataFrame = {
+    val ds = spread(docs).select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), window))).as("__s"))
+      .select(col(idCol),
+        conv(substring(md5(col("__s")), 1, 14), 16, 10).cast("long").as("__h"))
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    ds.withColumn("__df", count(lit(1)).over(dfW))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("__df") >= minDocs, 1)).as("n_dup_spans"))
+      .withColumn("dup_micro", expr("n_dup_spans * 1000000 div n_spans"))
+  }
+
   /** Canonical text form for exact dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace. */
   def normalizeText(c: Column): Column =

@@ -210,4 +210,28 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(inverted === 0, "decile order must follow score order")
     } finally out.unpersist()
   }
+
+  test("dsirWeights scores target-domain tokens positive, source-only negative") {
+    val toy = (
+      (1 to 6).map(i => (i.toLong, "alpha alpha alpha", "tgt")) ++
+      (7 to 12).map(i => (i.toLong, "beta beta beta", "src")) ++
+      Seq((13L, "", "src"))
+    ).toDF("doc_id", "text", "dom")
+    val out = dsirWeights(toy, "doc_id", "text", isTarget = col("dom") === "tgt")
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "alpha" appears only in target docs: ln p_target > ln p_source
+    // -> positive score, kept; "beta" never in target -> negative.
+    assert(out(1L)._3 === true && out(1L)._2 > 0)
+    assert(out(7L)._3 === false && out(7L)._2 < 0)
+    // all-alpha docs share one score (same tokens, same table)
+    assert((1 to 6).map(i => out(i.toLong)._2).toSet.size === 1)
+    // token-less doc: zero score, not kept, still present
+    assert(out(13L) === ((0, 0L, false)))
+    // deterministic: the two-phase estimate/score is a pure function
+    val again = dsirWeights(toy, "doc_id", "text", isTarget = col("dom") === "tgt")
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again === out)
+  }
 }

@@ -175,4 +175,25 @@ class DedupOpsSpec extends SparkTestBase {
     assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
       "banded pairs must equal the brute-force Hamming pairs exactly")
   }
+
+  test("dupSpans counts cross-doc duplicated token windows, not intra-doc repeats") {
+    // docs 1 and 2 are 9 tokens each -> two 8-token windows; they share
+    // exactly the first window ("the ... lazy"), so each has 1 of 2
+    // spans duplicated. doc 5 is shorter than the window -> one
+    // whole-doc span, unique. doc 3 is unique throughout.
+    val out = dupSpans(corpus, "doc_id", "text", window = 8, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L), "every doc gets a profile")
+    assert(out(1L) === ((2L, 1L, 500000L)))
+    assert(out(2L) === ((2L, 1L, 500000L)))
+    assert(out(3L)._2 === 0L && out(5L) === ((1L, 0L, 0L)))
+    // a doc REPEATING its own span corpus-uniquely is NOT duplication
+    // (spans are distinct per doc before the df count)
+    val rep = Seq((7L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val repOut = dupSpans(corpus.unionByName(rep), "doc_id", "text")
+      .filter(col("doc_id") === 7L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(repOut._3 === 0L, "self-repeated spans with no other doc stay non-dup")
+  }
 }

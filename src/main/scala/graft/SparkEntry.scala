@@ -2265,6 +2265,66 @@ object SparkEntry {
         round(sum(col("value")).over(wRun), 4).as("running_value"))
     }),
 
+    // ---- W-4: exponentially-weighted trailing mean with DYADIC decay
+    //      (half-life = 1 row): weights 128,64,…,1 over the last 8
+    //      rows per user. Powers of two on milli-unit longs keep every
+    //      product and the truncated quotient exact integers — an
+    //      EWMA the oracle can hash-check, where a float alpha^k
+    //      recurrence could not be (cross-engine summation order).
+    //      All 8 lags share ONE Window node / one shuffle on user. ----
+    "w4_ewma" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val base = Tables.events(s, dir)
+        .withColumn("__v", round(col("value") * 1000).cast("long"))
+      val lags = (0 to 7).map { d =>
+        val lv = if (d == 0) col("__v") else lag(col("__v"), d).over(w)
+        (coalesce(lv, lit(0L)) * lit(1L << (7 - d)),
+          when(lv.isNotNull, lit(1L << (7 - d))).otherwise(lit(0L)))
+      }
+      base.select(col("user_id"), col("event_id"), col("__v").as("v_milli"),
+          lags.map(_._1).reduce(_ + _).as("__num"),
+          lags.map(_._2).reduce(_ + _).as("__den"))
+        .withColumn("ewma_milli", expr("__num div __den"))
+        .drop("__num", "__den")
+    }),
+
+    // ---- Cohort retention: users bucketed by first-seen date, distinct
+    //      actives per (cohort, day offset) — the standard retention
+    //      triangle. The cohort join key IS the aggregation key
+    //      (user_id), so the min-date exchange is reused by the join. ----
+    "g17_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("__d"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("__d")).as("cohort_date"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_date"),
+          datediff(col("__d"), col("cohort_date")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- Ordered funnel: view → click → purchase, each stage's first
+    //      timestamp AT OR AFTER the previous stage's (not just "did
+    //      both happen" — order matters). Three aggregates + two joins,
+    //      all on user_id: one logical key, shared shuffle. ----
+    "g18_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val clicks = e.join(views, Seq("user_id"))
+        .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val buys = e.join(clicks, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      views.join(clicks, Seq("user_id"), "left")
+        .join(buys, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
     // ---- J-3..J-5: outer / semi / anti joins (library completeness;
     //      the reference needs only inner, a user switching needs all) ----
     "j3_outer_join" -> ((s, dir) => {
@@ -2588,6 +2648,28 @@ object SparkEntry {
             col("l_tax")),
           "metric", "val")),
 
+    // ---- P-17: higher-order array-function battery over the
+    //      embedding column — transform / filter / exists / aggregate /
+    //      zip_with / array_max / array_position, all evaluated inside
+    //      the scan projection (no explode, no shuffle, codegen'd).
+    //      Elements are micro-quantized to longs FIRST so every
+    //      aggregate is an exact integer — float fold order never
+    //      enters the compare. ----
+    "p17_array_hof" -> ((s, dir) => {
+      val qv = transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        size(filter(qv, _ > 0L)).as("n_pos"),
+        aggregate(qv, lit(0L), (a, x) => a + abs(x)).as("l1_micro"),
+        array_max(qv).as("max_micro"),
+        array_position(qv, array_max(qv)).as("argmax_pos"),
+        exists(qv, x => abs(x) > lit(2000000L)).as("has_big"),
+        aggregate(zip_with(qv, reverse(qv), _ * _), lit(0L), _ + _)
+          .as("dot_rev"))
+    }),
+
     // ---- Column profiler: the first query anyone runs on a new
     //      100 TB table. ONE scan — each row explodes into
     //      (col_name, canonical string) entries, then a single grouped
@@ -2874,6 +2956,74 @@ object SparkEntry {
                                 ORDER BY ts ASC, event_id ASC
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
          FROM events""",
+
+    // dyadic EWMA: integer milli-values, power-of-two weights over the
+    // trailing 8 rows, truncated integer quotient — exact on both sides
+    "w4_ewma" ->
+      """WITH v AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 1000) AS BIGINT) AS v
+                    FROM events),
+         l AS (SELECT user_id, event_id, v,
+                 lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+                 lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+                 lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+                 lag(v, 7) OVER w AS v7
+               FROM v
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+         SELECT user_id, event_id, v AS v_milli,
+                (v * 128 + COALESCE(v1, 0) * 64 + COALESCE(v2, 0) * 32
+                 + COALESCE(v3, 0) * 16 + COALESCE(v4, 0) * 8
+                 + COALESCE(v5, 0) * 4 + COALESCE(v6, 0) * 2 + COALESCE(v7, 0))
+                // (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+                   + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+                   + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+                   + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+                   + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+                   + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+                   + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END) AS ewma_milli
+         FROM l""",
+
+    "g17_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         c AS (SELECT user_id, min(d) AS cohort_date FROM e GROUP BY user_id)
+         SELECT c.cohort_date, date_diff('day', c.cohort_date, e.d) AS day_offset,
+                count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2""",
+
+    // ordered funnel: each stage's first timestamp at or after the
+    // previous stage's first timestamp
+    "g18_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts >= v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+               GROUP BY e.user_id)
+         SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+
+    // array HOF battery: micro-quantized longs so every fold is exact
+    "p17_array_hof" ->
+      """WITH q AS (SELECT vec_id, len(embedding) AS n_dims,
+                      list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                    FROM embeddings)
+         SELECT vec_id, n_dims,
+                len(list_filter(qv, x -> x > 0)) AS n_pos,
+                CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_micro,
+                list_max(qv) AS max_micro,
+                list_position(qv, list_max(qv)) AS argmax_pos,
+                len(list_filter(qv, x -> abs(x) > 2000000)) > 0 AS has_big,
+                CAST(list_sum(list_transform(range(1, n_dims + 1),
+                  i -> qv[i] * qv[n_dims + 1 - i])) AS BIGINT) AS dot_rev
+         FROM q""",
 
     "w3_range_frame" ->
       """SELECT user_id, event_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductD, MinHashSig, ShinglesExpr, SimHashExpr}
+import graft.functions.{AdcTable, CellTopN, DotProductD, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
 
 /** Session extensions registering graft's native Catalyst expressions,
   * wired via `spark.sql.extensions` in [[Sessions.configure]] — the
@@ -58,6 +58,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "graft_shingles(text, n) takes exactly 2 arguments")
         ShinglesExpr(children.head, litInt(children(1), "graft_shingles", "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cell_topn"),
+      new ExpressionInfo(classOf[CellTopN].getName, "graft_cell_topn"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "graft_cell_topn(vec, nrm, centsFlat, centNrms, n) takes exactly 5 arguments")
+        CellTopN(children.head, children(1), children(2), children(3),
+          litInt(children(4), "graft_cell_topn", "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_pq_encode(vec, cbFlat, m, ksub) takes exactly 4 arguments")
+        PqEncode(children.head, children(1),
+          litInt(children(2), "graft_pq_encode", "m"),
+          litInt(children(3), "graft_pq_encode", "ksub"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcTable].getName, "graft_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_adc(vec, cbFlat, m, ksub) takes exactly 4 arguments")
+        AdcTable(children.head, children(1),
+          litInt(children(2), "graft_adc", "m"),
+          litInt(children(3), "graft_adc", "ksub"))
       }))
   }
 }

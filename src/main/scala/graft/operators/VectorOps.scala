@@ -53,6 +53,20 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Top-n nearest codebook cells (best first) via the native
+    * [[graft.functions.CellTopN]]: rank-1 assignment (`n = 1`) and
+    * multi-probe fan-out (`n = nprobe`) share one operator. The flat
+    * centroid/norm arrays enter the plan as ARRAY literals — codegen
+    * REFERENCES, not inlined scalars — so the generated source is
+    * independent of the trained values and one janino compile serves
+    * every codebook/scale factor (the struct-sort formulation this
+    * replaced inlined nlist × dim data constants into the source and
+    * recompiled ~seconds on every dataset change).
+    */
+  private def cellTopN(v: Column, nrm: Column, centsFlat: Column,
+                       centNrms: Column, n: Int): Column =
+    call_function("graft_cell_topn", v, nrm, centsFlat, centNrms, lit(n))
+
   /** Deterministic ±1 random projection (Achlioptas 2003 /
     * Johnson-Lindenstrauss flavor): component j of the output is
     * `Σ_i sign(seed, j, i) · v_i` — a dense sign matrix derived from
@@ -247,19 +261,17 @@ object VectorOps {
           StructField("vec_id", vecs.schema(idCol).dataType),
           StructField("cosine", DoubleType), StructField("rnk", IntegerType))))
     }
-    // same no-lambda (negsim, cell) sort trick as ivfCosinePairs
-    val cells = array(cents.zipWithIndex.map { case (r, i) =>
-      val cv = typedlit(r.getSeq[Float](1))
-      val cnrm = lit(r.getDouble(2))
-      struct((-(dot(col("__v"), cv) / (col("__nrm") * cnrm))).as("negsim"),
-        lit(i).as("cell"))
-    }: _*)
+    // codebook as array-literal REFERENCES (see cellTopN): one rank-1
+    // assignment per corpus row, top-nprobe fan-out per probe row
+    val centsFlat = typedlit(cents.flatMap(_.getSeq[Float](1).map(_.toDouble)).toSeq)
+    val centNrms = typedlit(cents.map(_.getDouble(2)).toSeq)
     val corpus = p.select(col("__id"), col("__v"), col("__nrm"),
-      element_at(array_sort(cells), 1).getField("cell").as("__cell"))
+      element_at(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, 1), 1)
+        .as("__cell"))
     val probes = p.filter(queryPred)
       .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__nrm").as("__qnrm"),
-        explode(slice(array_sort(cells), 1, nprobe)).as("__t"))
-      .select(col("__qid"), col("__qv"), col("__qnrm"), col("__t").getField("cell").as("__cell"))
+        explode(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, nprobe))
+          .as("__cell"))
     val scored = corpus.join(broadcast(probes), Seq("__cell"))
       .filter(col("__qid") =!= col("__id"))
       .select(col("__qid").as("qid"), col("__id").as("vec_id"),
@@ -373,52 +385,35 @@ object VectorOps {
           StructField("vec_id", vecs.schema(idCol).dataType),
           StructField("cosine", DoubleType), StructField("rnk", IntegerType))))
     }
-    // Sub-codebook (s, j) = segment s of hash-ordered sample j; |c|²
-    // accumulated in index order so the literal matches the oracle's
-    // list_sum bit-for-bit. A corpus smaller than ksub just gets a
-    // smaller sub-codebook (codes stay dense in [0, kEff)).
+    // Sub-codebook (s, j) = segment s of hash-ordered sample j; the
+    // (s, j, i) row-major flattening feeds graft_pq_encode/graft_adc
+    // as ONE array literal (a codegen reference — generated source
+    // stays identical across codebooks, see CodebookExpressions).
+    // |c|² accumulates in index order INSIDE the expression, same
+    // doubles as the oracle's list_sum. A corpus smaller than ksub
+    // just gets a smaller sub-codebook (codes stay dense in [0, kEff)).
     val kEff = math.min(ksub, sample.length)
     val cb: Array[Array[Array[Double]]] = Array.tabulate(m, kEff) { (s, j) =>
       sample(j).getSeq[Float](1)
         .slice(s * ds, (s + 1) * ds).map(_.toDouble).toArray
     }
-    val c2: Array[Array[Double]] = cb.map(_.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      s
-    })
-    // coarse cells: same (negsim, cell) default-array_sort trick as
-    // ivfCosinePairs (no comparator lambda -> plan canonicalization
-    // -> ReuseExchange stays eligible)
+    val cbFlat = typedlit(cb.flatten.flatten.toSeq)
     val coarse = sample.take(nlist)
-    def cells: Column = array(coarse.zipWithIndex.map { case (r, i) =>
-      struct((-(dot(col("__v"), typedlit(r.getSeq[Float](1))) /
-          (col("__nrm") * lit(r.getDouble(2))))).as("negsim"),
-        lit(i).as("cell"))
-    }: _*)
-    def seg(v: Column, s: Int): Column = slice(v, s * ds + 1, ds)
+    val centsFlat = typedlit(coarse.flatMap(_.getSeq[Float](1).map(_.toDouble)).toSeq)
+    val centNrms = typedlit(coarse.map(_.getDouble(2)).toSeq)
     // PQ encode: argmin_j (|c|² − 2·v_s·c_j), ties -> lowest j — one
-    // pure projection per row, codebook as literals
-    val codes = array((0 until m).map { s =>
-      element_at(array_sort(array((0 until kEff).map { j =>
-        struct((lit(c2(s)(j)) -
-          lit(2.0) * dot(seg(col("__v"), s), typedlit(cb(s)(j).toSeq))).as("d"),
-          lit(j).as("j"))
-      }: _*)), 1).getField("j")
-    }: _*)
+    // native per-row projection, codebook in the references table
+    val codes = call_function("graft_pq_encode", col("__v"), cbFlat, lit(m), lit(kEff))
     val corpus = p.select(col("__id"), codes.as("__codes"),
-      element_at(array_sort(cells), 1).getField("cell").as("__cell"))
+      element_at(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, 1), 1)
+        .as("__cell"))
     val qn = p.filter(queryPred)
     // per-query ADC table in integer micro-units: long sums rank
     // identically on every engine
-    val qt = array((0 until m).map { s =>
-      array((0 until kEff).map { j =>
-        round(dot(seg(col("__v"), s), typedlit(cb(s)(j).toSeq)) * 1e6).cast("long")
-      }: _*)
-    }: _*)
+    val qt = call_function("graft_adc", col("__v"), cbFlat, lit(m), lit(kEff))
     val probes = qn.select(col("__id").as("__qid"), qt.as("__qt"),
-        explode(slice(array_sort(cells), 1, nprobe)).as("__t"))
-      .select(col("__qid"), col("__qt"), col("__t").getField("cell").as("__cell"))
+      explode(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, nprobe))
+        .as("__cell"))
     // ADC score: unrolled Σ_s table[s][code_s] — m element_at lookups,
     // fully inside whole-stage codegen
     val adc = (0 until m).map { s =>
@@ -596,20 +591,15 @@ object VectorOps {
           StructField("v2", vecs.schema(idCol).dataType),
           StructField("cosine", DoubleType))))
     }
-    // struct(-sim, cell): the DEFAULT array_sort (lexicographic struct
-    // ascending) then orders by sim desc with cell-asc ties — no
-    // comparator lambda, whose per-instantiation variable ids would
-    // defeat plan canonicalization and break ReuseExchange on the
-    // self-join below.
-    val cells = array(cents.zipWithIndex.map { case (r, i) =>
-      val cv = typedlit(r.getSeq[Float](1))
-      val cnrm = lit(r.getDouble(2))
-      struct((-(dot(col("__v"), cv) / (col("__nrm") * cnrm))).as("negsim"),
-        lit(i).as("cell"))
-    }: _*)
+    // top-nprobe cells via the native graft_cell_topn — the codebook
+    // rides in array literals (codegen references, plan-canonical: no
+    // comparator lambda whose per-instantiation variable ids would
+    // defeat ReuseExchange on the self-join below).
+    val centsFlat = typedlit(cents.flatMap(_.getSeq[Float](1).map(_.toDouble)).toSeq)
+    val centNrms = typedlit(cents.map(_.getDouble(2)).toSeq)
     val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
-        explode(slice(array_sort(cells), 1, nprobe)).as("__t"))
-      .select(col("__id"), col("__v"), col("__nrm"), col("__t.cell").as("__cell"))
+      explode(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, nprobe))
+        .as("__cell"))
     assigned.alias("a").hint("merge")
       .join(assigned.alias("b"),
         col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
@@ -679,19 +669,19 @@ object VectorOps {
       val v = r.getSeq[Float](1).map(_.toDouble).toArray
       (v, r.getDouble(2))
     }
-    // negated sim so the DEFAULT array_sort order is (sim desc, cell
-    // asc) — same no-lambda rationale as ivfCosinePairs
-    def cellsExpr: Column = array(codebook.zipWithIndex.map { case ((cv, cnrm), i) =>
-      struct((-(dot(col("__v"), typedlit(cv.toSeq)) / (col("__nrm") * lit(cnrm)))).as("negsim"),
-        lit(i).as("cell"))
-    }: _*)
+    // codebook re-flattened per Lloyd round (the centroids change):
+    // array literals = codegen references, so every round — and every
+    // retrain — reuses the same compiled source (see cellTopN)
+    def centsFlat: Column = typedlit(codebook.flatMap(_._1).toSeq)
+    def centNrms: Column = typedlit(codebook.map(_._2).toSeq)
     for (_ <- 0 until lloydIters) {
       // rank-1 assignment -> per-(cell, dim) mean in integer micro-units
       // (round() half-away-from-zero matches DuckDB's; the micro ints
       // are then exact on both engines, and micro/1e6 is the same IEEE
       // division everywhere)
       val micros = pt
-        .select(element_at(array_sort(cellsExpr), 1).getField("cell").as("__cell"),
+        .select(element_at(cellTopN(col("__v"), col("__nrm"),
+            centsFlat, centNrms, 1), 1).as("__cell"),
           posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("__cell"), col("__pos"))
         .agg(round(avg(col("__x").cast("double")) * 1e6).cast("long").as("__micro"))
@@ -712,8 +702,8 @@ object VectorOps {
     // assignment below scans the FULL corpus, not the slice.
     pt.unpersist()
     val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
-        explode(slice(array_sort(cellsExpr), 1, nprobe)).as("__t"))
-      .select(col("__id"), col("__v"), col("__nrm"), col("__t.cell").as("__cell"))
+      explode(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, nprobe))
+        .as("__cell"))
     assigned.alias("a").hint("merge")
       .join(assigned.alias("b"),
         col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))

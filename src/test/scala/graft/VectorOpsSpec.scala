@@ -15,6 +15,60 @@ class VectorOpsSpec extends SparkTestBase {
     (4L, Array(-1.0f, 0.0f, 0.0f, -0.1f))
   ).toDF("vec_id", "embedding")
 
+  test("graft_cell_topn / graft_pq_encode match the struct-sort executable spec") {
+    val p = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), col("embedding").as("__v"),
+        norm(col("embedding")).as("__nrm"))
+    val cents = p.orderBy(col("vec_id")).limit(4).collect()
+    val centsFlat = typedlit(cents.flatMap(_.getSeq[Float](1).map(_.toDouble)).toSeq)
+    val centNrms = typedlit(cents.map(_.getDouble(2)).toSeq)
+    // the (negsim, cell) struct-sort formulation the native expression
+    // replaced — kept here as its executable spec
+    val structs = array(cents.zipWithIndex.map { case (r, i) =>
+      struct((-(dot(col("__v"), typedlit(r.getSeq[Float](1))) /
+        (col("__nrm") * lit(r.getDouble(2))))).as("negsim"), lit(i).as("cell"))
+    }: _*)
+    val cells = p.select(col("vec_id"),
+      call_function("graft_cell_topn", col("__v"), col("__nrm"),
+        centsFlat, centNrms, lit(2)).as("native"),
+      transform(slice(array_sort(structs), 1, 2),
+        _.getField("cell")).as("spec"))
+    assert(cells.filter(col("native") =!= col("spec")).isEmpty,
+      "native top-n cell assignment must equal the struct-sort spec")
+
+    // PQ: m=2 segments of a 64-dim vector, ksub=4 codes from the same rows
+    val m = 2; val ksub = 4; val ds = 32
+    val cb = Array.tabulate(m, ksub) { (s, j) =>
+      cents(j).getSeq[Float](1).slice(s * ds, (s + 1) * ds).map(_.toDouble).toArray
+    }
+    val c2 = cb.map(_.map(v => v.foldLeft(0.0)((a, x) => a + x * x)))
+    val cbFlat = typedlit(cb.flatten.flatten.toSeq)
+    val specCodes = array((0 until m).map { s =>
+      element_at(array_sort(array((0 until ksub).map { j =>
+        struct((lit(c2(s)(j)) - lit(2.0) *
+          dot(slice(col("__v"), s * ds + 1, ds), typedlit(cb(s)(j).toSeq))).as("d"),
+          lit(j).as("j"))
+      }: _*)), 1).getField("j")
+    }: _*)
+    val codes = p.select(col("vec_id"),
+      call_function("graft_pq_encode", col("__v"), cbFlat, lit(m), lit(ksub)).as("native"),
+      specCodes.as("spec"))
+    assert(codes.filter(col("native") =!= col("spec")).isEmpty,
+      "native PQ codes must equal the struct-sort argmin spec")
+    // ADC table entries equal the round(dot·1e6) formulation
+    val specAdc = array((0 until m).map { s =>
+      array((0 until ksub).map { j =>
+        round(dot(slice(col("__v"), s * ds + 1, ds), typedlit(cb(s)(j).toSeq)) * 1e6)
+          .cast("long")
+      }: _*)
+    }: _*)
+    val adc = p.select(
+      call_function("graft_adc", col("__v"), cbFlat, lit(m), lit(ksub)).as("native"),
+      specAdc.as("spec"))
+    assert(adc.filter(col("native") =!= col("spec")).isEmpty,
+      "native ADC table must equal the round(dot*1e6) spec")
+  }
+
   test("graft_dot computes the double-precision dot product over float arrays") {
     val d = corpus.filter($"vec_id" === 1L)
       .select(dot(col("embedding"), col("embedding"))).as[Double].head()

@@ -69,6 +69,23 @@ object ScaleProbe {
         DedupOps.ngramJaccardPairs(replicateDocs(k), "doc_id", "text", 0.5))
       if (enabled("dd_ngram_capped_stop")) time("dd_ngram_capped_stop", k)(
         DedupOps.ngramJaccardPairsCapped(stopSalted(k), "doc_id", "text", 0.5, dfCap = 25))
+      // Span-duplication profile: clean load (copies salted, spans
+      // per-copy unique) vs adversarial boilerplate — a 12-token
+      // header shared by EVERY doc across copies puts 5 spans at
+      // df = 5000k each. The groupBy df partial-combines map-side, so
+      // the hot spans reach the reducer as partial counts and cost
+      // must track total span count, not fan out on the hot key.
+      if (enabled("dd_span_dups")) time("dd_span_dups", k)(
+        DedupOps.dupSpans(replicateDocs(k), "doc_id", "text"))
+      if (enabled("dd_span_boiler")) time("dd_span_boiler", k)(
+        DedupOps.dupSpans(replicateDocs(k).withColumn("text",
+          concat(lit("one two three four five six seven eight nine ten eleven twelve "),
+            col("text"))), "doc_id", "text"))
+      // DSIR estimate phase shuffles 1024 bucket keys regardless of
+      // corpus size; scoring is a scan fold — cost must stay ~linear
+      if (enabled("cur_dsir")) time("cur_dsir", k)(
+        graft.operators.CorpusOps.dsirWeights(replicateDocs(k), "doc_id", "text",
+          isTarget = col("doc_id") % 2 === 0))
       if (enabled("sim_ann_lsh")) time("sim_ann_lsh", k)(
         VectorOps.annCosinePairs(replicateVecs(k), "vec_id", "embedding", 0.4))
       if (enabled("sim_ann_capped")) time("sim_ann_capped", k)(

@@ -373,15 +373,21 @@ object DedupOps {
     *
     * Scale shape — deliberately NOT a pair join: span duplication is
     * a per-span document frequency, so the plan is explode distinct
-    * spans → 56-bit fixed-width span hash → ONE exchange on the span
-    * hash with the df as a `count(*)` window on that same exchange
-    * (the [[ngramJaccardPairsCapped]] trick — no join-back, no second
-    * shuffle on the span) → per-doc aggregate. A boilerplate span in
-    * k documents costs k rows here, not the k² a candidate-pair
-    * formulation would fan out, so the operator has no stop-span
-    * failure mode at 100 TB. Spans shorter than `window` collapse to
-    * the whole document (same contract as [[shingles]]), so short
-    * docs still get a defined profile.
+    * spans → 56-bit fixed-width span hash → df as a map-side-combined
+    * `groupBy(count)` joined back on the span hash → per-doc
+    * aggregate. A boilerplate span in k documents costs k rows here,
+    * not the k² a candidate-pair formulation would fan out, so the
+    * operator has no stop-span failure mode at 100 TB. The df is a
+    * groupBy + join-back rather than a `count(*) OVER (PARTITION BY
+    * hash)` on purpose: both shuffle once on the span hash (the two
+    * join inputs share one exchange via ReuseExchange), but a window
+    * must BUFFER a hot span's whole partition in one task, while the
+    * aggregate partial-combines map-side (a span in 10⁹ docs reaches
+    * the reducer as ≤ |maps| partial counts) and the join streams —
+    * the boilerplate-span straggler never materializes (probed k×16
+    * with an all-docs 12-token header, BASELINE r7). Spans shorter
+    * than `window` collapse to the whole document (same contract as
+    * [[shingles]]), so short docs still get a defined profile.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                window: Int = 8, minDocs: Int = 2): DataFrame = {
@@ -389,8 +395,8 @@ object DedupOps {
         explode(array_distinct(shingles(col(textCol), window))).as("__s"))
       .select(col(idCol),
         conv(substring(md5(col("__s")), 1, 14), 16, 10).cast("long").as("__h"))
-    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    ds.withColumn("__df", count(lit(1)).over(dfW))
+    val dfCounts = ds.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    ds.hint("merge").join(dfCounts, Seq("__h"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("__df") >= minDocs, 1)).as("n_dup_spans"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AdcTable, CellTopN, DotProductD, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
+import graft.functions.{AdcTable, CellTopN, DotProductD, EntropyExpr, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
 
 /** Session extensions registering graft's native Catalyst expressions,
   * wired via `spark.sql.extensions` in [[Sessions.configure]] — the
@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "graft_shingles(text, n) takes exactly 2 arguments")
         ShinglesExpr(children.head, litInt(children(1), "graft_shingles", "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[EntropyExpr].getName, "graft_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_entropy(text) takes exactly 1 argument")
+        EntropyExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_cell_topn"),

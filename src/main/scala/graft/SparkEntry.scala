@@ -1469,6 +1469,16 @@ object SparkEntry {
       "dd_span_dups" -> ((s, dir) =>
         dupSpans(Tables.documents(s, dir), "doc_id", "text",
           window = 8, minDocs = 2)),
+      // Span-profile for an ingest batch against the persisted span
+      // index (docs with doc_id % 10 = 0 play the batch): duplication
+      // vs the EXISTING corpus only, cost independent of corpus size.
+      "dd_span_incremental" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 10 === 0
+        incrementalSpanProfile(
+          spanIndex(docs.filter(!isNew), "doc_id", "text"),
+          docs.filter(isNew), "doc_id", "text")
+      }),
       // Fuzzy dedup's last mile: candidate pairs -> connected
       // components -> min-id survivor election (GraphOps).
       "dd_cluster_keep_first" -> ((s, dir) =>
@@ -1654,6 +1664,34 @@ object SparkEntry {
                 (count(CASE WHEN df >= 2 THEN 1 END) * 1000000) // count(*)
                   AS dup_micro
          FROM d GROUP BY doc_id""",
+
+    // Incremental span profile: corpus spans (doc_id % 10 <> 0) build
+    // the df index; batch docs (doc_id % 10 = 0) count a span dup iff
+    // corpus df + 1 (self) reaches the threshold.
+    "dd_span_incremental" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         sp AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 8
+                       THEN list_transform(range(1, len(toks) - 6),
+                              i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS spans
+                FROM t),
+         ds AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(unnest(list_distinct(spans))), 1, 14)
+                       AS BIGINT) AS hs
+                FROM sp),
+         idx AS (SELECT hs, count(*) AS df FROM ds
+                 WHERE doc_id % 10 <> 0 GROUP BY hs),
+         inc AS (SELECT ds.doc_id, COALESCE(idx.df, 0) AS df
+                 FROM ds LEFT JOIN idx USING (hs)
+                 WHERE ds.doc_id % 10 = 0)
+         SELECT doc_id, count(*) AS n_spans,
+                count(CASE WHEN df + 1 >= 2 THEN 1 END) AS n_dup_spans,
+                (count(CASE WHEN df + 1 >= 2 THEN 1 END) * 1000000) // count(*)
+                  AS dup_micro
+         FROM inc GROUP BY doc_id""",
 
     // Connected components over the LSH candidate pairs via a
     // recursive reachability CTE; min reachable id = component.
@@ -2325,6 +2363,25 @@ object SparkEntry {
             + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // ---- Co-occurrence matrix: which event types happen TOGETHER in
+    //      the same (user, hour) — the association signal behind
+    //      "users who err also retry" dashboards. DISTINCT types per
+    //      group FIRST (≤ |types| rows per group), so the pair
+    //      self-join fans out at most |types|² per group — bounded by
+    //      the type vocabulary, never by event volume. ----
+    "g19_cooccur" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("__hh"),
+          col("event_type"))
+        .distinct()
+      e.alias("a").hint("merge")
+        .join(e.alias("b"),
+          col("a.user_id") === col("b.user_id") && col("a.__hh") === col("b.__hh") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_cooccur"))
+    }),
+
     // ---- J-3..J-5: outer / semi / anti joins (library completeness;
     //      the reference needs only inner, a user switching needs all) ----
     "j3_outer_join" -> ((s, dir) => {
@@ -2982,6 +3039,16 @@ object SparkEntry {
                    + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
                    + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END) AS ewma_milli
          FROM l""",
+
+    "g19_cooccur" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hh, event_type
+                    FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_cooccur
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id AND a.hh = b.hh
+          AND a.event_type < b.event_type
+         GROUP BY 1, 2""",
 
     "g17_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

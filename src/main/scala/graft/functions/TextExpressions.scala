@@ -178,6 +178,44 @@ object PortableHash {
       new GenericArrayData(Array[Any](joined(0, nt)))
     }
   }
+
+  /** Shannon character entropy in bits/char — the JVM kernel behind
+    * `graft_entropy`, bit-identical to the HOF formulation
+    * ([[TextFunctions.charEntropyHof]]) it replaced: terms accumulate
+    * over code points in ASCENDING code-point order (= the UTF8String
+    * binary order `array_sort` produced), each term is
+    * `(-p) · ln(p)` with `p = count/n` in double, and the sum divides
+    * by `ln 2` last. Empty text scores 0. The HOF version cost
+    * O(distinct × n) interpreted lambda dispatches per row; this is
+    * one O(n log distinct) compiled pass.
+    */
+  def entropy(t: UTF8String): Double = {
+    val s = t.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+      i += Character.charCount(cp)
+      n += 1
+    }
+    val nd = n.toDouble
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / nd
+      // StrictMath, not Math: Spark's `log` expression evaluates via
+      // StrictMath.log, and the two differ in the last bit often
+      // enough (30/500 corpus docs) to break the bit-for-bit contract
+      sum += (-p) * java.lang.StrictMath.log(p)
+    }
+    // the divisor mirrors the HOF's `lit(math.log(2.0))` — a
+    // plan-build-time java.lang.Math constant, so Math here is correct
+    sum / java.lang.Math.log(2.0)
+  }
 }
 
 /** Shared shape for the native text-hash expressions: string in,
@@ -265,5 +303,27 @@ case class ShinglesExpr(child: Expression, n: Int)
       s"graft.functions.PortableHash.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Native character-entropy — codegen replacement for the interpreted
+  * per-distinct-char filter/fold in [[TextFunctions.charEntropyHof]]
+  * (same doubles, bit-for-bit; the HOF version and the DuckDB oracle
+  * are the executable spec). Registered as `graft_entropy(text)` by
+  * [[graft.GraftExtensions]].
+  */
+case class EntropyExpr(child: Expression) extends PortableHashExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHash.entropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): EntropyExpr =
     copy(child = newChild)
 }

@@ -66,7 +66,17 @@ object TextFunctions {
     * result is bit-identical (unordered distinct would make the
     * float-sum order engine-dependent). Empty/null text scores 0.
     */
-  def charEntropy(text: Column): Column = {
+  def charEntropy(text: Column): Column =
+    call_function("graft_entropy", coalesce(text, lit("")))
+
+  /** [[charEntropy]] expressed purely in built-in higher-order
+    * functions — the executable spec the native `graft_entropy` must
+    * match bit-for-bit (asserted in TextFunctionsSpec). O(distinct ×
+    * n) interpreted lambda dispatches per row (each sorted distinct
+    * char re-filters the whole char array), which is why the hot path
+    * uses the one-pass compiled kernel instead.
+    */
+  def charEntropyHof(text: Column): Column = {
     val csRaw = filter(split(coalesce(text, lit("")), ""), c => c =!= lit(""))
     // let-bind the char array (it feeds n, the distinct set, and every
     // per-char count; a Scala val would clone the split per use site)

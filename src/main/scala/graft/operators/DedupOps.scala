@@ -403,6 +403,47 @@ object DedupOps {
       .withColumn("dup_micro", expr("n_dup_spans * 1000000 div n_spans"))
   }
 
+  /** Persistable SPAN-FREQUENCY index: (span_key, df) over the
+    * corpus's distinct per-doc `window`-token spans — the artifact an
+    * ingest pipeline stores so arriving documents get a duplicate-span
+    * profile WITHOUT re-scanning the corpus (the span-level sibling of
+    * [[bandIndex]]). Map-side-combined groupBy on the 56-bit span
+    * hash; fixed-width rows, cheap to bucket at 100 TB.
+    */
+  def spanIndex(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 8): DataFrame =
+    spread(docs).select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), window))).as("__s"))
+      .select(conv(substring(md5(col("__s")), 1, 14), 16, 10).cast("long")
+        .as("span_key"))
+      .groupBy(col("span_key")).agg(count(lit(1)).as("df"))
+
+  /** [[dupSpans]] for an INGEST BATCH against a persisted
+    * [[spanIndex]]: each incoming document's spans look up their
+    * corpus document frequency (+1 for the document itself, matching
+    * [[dupSpans]]' self-inclusive df) — per-ingest cost is
+    * O(|batch spans|) plus one join against the index, independent of
+    * corpus size, and duplication is measured against the EXISTING
+    * corpus only (two new documents sharing a novel span are not each
+    * other's duplicates until one of them is indexed — the ingest
+    * contract, same as [[incrementalDedup]]).
+    */
+  def incrementalSpanProfile(index: DataFrame, incoming: DataFrame,
+                             idCol: String, textCol: String,
+                             window: Int = 8, minDocs: Int = 2): DataFrame = {
+    val ds = spread(incoming).select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), window))).as("__s"))
+      .select(col(idCol),
+        conv(substring(md5(col("__s")), 1, 14), 16, 10).cast("long")
+          .as("span_key"))
+    ds.join(index, Seq("span_key"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(coalesce(col("df"), lit(0L)) + 1 >= minDocs, 1))
+          .as("n_dup_spans"))
+      .withColumn("dup_micro", expr("n_dup_spans * 1000000 div n_spans"))
+  }
+
   /** Canonical text form for exact dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace. */
   def normalizeText(c: Column): Column =

@@ -87,4 +87,23 @@ class TextFunctionsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("native graft_entropy equals the HOF executable spec bit-for-bit") {
+    val both = Tables.documents(spark, sfDir).select(
+      graft.functions.TextFunctions.charEntropy(col("text")).as("native"),
+      graft.functions.TextFunctions.charEntropyHof(col("text")).as("spec"))
+    // UNROUNDED comparison: the native kernel must reproduce the HOF
+    // float trace exactly (sorted code-point fold, (-p)·ln(p), /ln 2)
+    assert(both.filter(col("native") =!= col("spec")).isEmpty,
+      "graft_entropy must match charEntropyHof exactly")
+    // multibyte coverage: the corpus langs are Latin-heavy, so pin zh
+    // text and an astral (surrogate-pair) char explicitly
+    import spark.implicits._
+    val hard = Seq("中文文本测试", "mixed 中 text", "emoji 😀😀 twice")
+      .toDF("text")
+    assert(hard.select(
+      graft.functions.TextFunctions.charEntropy(col("text")).as("native"),
+      graft.functions.TextFunctions.charEntropyHof(col("text")).as("spec"))
+      .filter(col("native") =!= col("spec")).isEmpty)
+  }
 }

@@ -901,7 +901,15 @@ object SparkEntry {
       //      scan-fused shuffle-free transform. Micro-unit moments +
       //      integer z output keep it engine-portable. ----
       "vec_standardize" -> ((s, dir) =>
-        standardize(Tables.embeddings(s, dir), "vec_id", "embedding"))
+        standardize(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+      // ---- Top principal direction by distributed power iteration
+      //      (3 rounds of y = Xᵀ(Xv), Gram-matrix-free): per-row
+      //      scalar against the iterate as a literal, one (dim, Σ)
+      //      map-side-combined aggregate per round, micro-int state
+      //      so the iterative float algorithm stays oracle-exact. ----
+      "vec_power_iter" -> ((s, dir) =>
+        powerIteration(Tables.embeddings(s, dir), "embedding"))
     )
   }
 
@@ -1308,6 +1316,40 @@ object SparkEntry {
            FROM e a JOIN e b
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
+
+      // power iteration: three unrolled y = Xᵀ(Xv) rounds. Per-row
+      // contributions quantize to micro BEFORE the cross-row sum (the
+      // only sums crossing rows are integer), the dot runs in list
+      // index order, and renormalization is fixed IEEE ops on exact
+      // longs — bit-exact per round, so three rounds stay bit-exact.
+      "vec_power_iter" -> {
+        def rnd(i: Int, prevV: String): String =
+          s"""s$i AS (SELECT e.vec_id,
+                   list_sum(list_transform(range(1, 65),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * ($prevV.vm[k] / 1000000.0))) AS s
+                 FROM embeddings e, $prevV),
+             y$i AS (SELECT ex.pos,
+                   CAST(sum(CAST(round((CAST(ex.x AS DOUBLE) * s$i.s) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS y
+                 FROM ex JOIN s$i USING (vec_id) GROUP BY ex.pos),
+             m$i AS (SELECT max(abs(y)) AS m FROM y$i),
+             v$i AS (SELECT list(CAST(CASE WHEN m$i.m = 0 THEN 0
+                          ELSE round(CAST(y AS DOUBLE) / m$i.m * 1000000) END
+                        AS BIGINT) ORDER BY pos) AS vm FROM y$i, m$i)"""
+        s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) - 1 AS pos
+                        FROM embeddings),
+           v0 AS (SELECT list_transform(range(0, 64),
+                    i -> CAST(1000000 AS BIGINT)) AS vm),
+           ${rnd(1, "v0")},
+           ${rnd(2, "v1")},
+           ${rnd(3, "v2")}
+           SELECT pos, y AS y_micro,
+                  CAST(CASE WHEN m3.m = 0 THEN 0
+                       ELSE round(CAST(y AS DOUBLE) / m3.m * 1000000) END
+                    AS BIGINT) AS v_micro
+           FROM y3, m3"""
+      },
 
       // centroids: same distribute-over-dimensions aggregation; CSV of
       // integer micro-units sidesteps double→string format divergence

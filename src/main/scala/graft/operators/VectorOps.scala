@@ -730,6 +730,67 @@ object VectorOps {
     * are portable across engines/comparators, where raw double→string
     * diverges in scientific-notation formatting.
     */
+  /** Distributed POWER ITERATION for the corpus's top principal
+    * direction — one Gram-matrix-free matvec per round: y = Xᵀ(Xv)
+    * needs only (a) a per-row scalar s = x·v against the current
+    * iterate as a LITERAL array (scan-fused, no join) and (b) one
+    * map-side-combined (dim, Σ) aggregation — the [[groupCentroids]]
+    * distribute-over-dimensions shape. The 64×64 covariance never
+    * materializes, X is never shuffled, and each round moves only
+    * `dim` partial sums per partition; rounds cost one corpus scan
+    * each — how truncated PCA/spectral embedding actually runs at
+    * 100 TB (the power method of Golub & Van Loan; same matvec
+    * structure as PageRank's).
+    *
+    * Determinism contract (what makes an ITERATIVE float algorithm
+    * oracle-checkable): the iterate lives as integer MICRO-UNITS.
+    * Per-row contributions quantize to micro-longs BEFORE the
+    * cross-row sum (integer addition is order-independent — the
+    * cross-row float sum a naive formulation needs is not), the dot
+    * against v is index-ordered ([[dot]]), and renormalization is
+    * fixed IEEE ops from exact longs: v'_j = round(y_j / max|y| ·
+    * 1e6) (max-norm, not L2 — max of ints is exact where a float L2
+    * norm would re-introduce summation order). Intermediate rounds
+    * post-process the collected 64-row y on the driver with the SAME
+    * HALF_UP rounding Spark and DuckDB apply; the FINAL round's
+    * normalization stays in-plan (broadcast max-abs scalar, the
+    * share-of-total shape), so the query output is distributed
+    * end-to-end. Sign follows the deterministic all-ones init.
+    *
+    * @return `dim` rows: (pos, y_micro, v_micro) of the last round.
+    */
+  def powerIteration(vecs: DataFrame, vecCol: String, dim: Int = 64,
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1, "powerIteration: iters must be >= 1")
+    def yFrame(vMicro: Array[Long]): DataFrame = {
+      val vLit = typedlit(vMicro.map(_ / 1e6).toSeq)
+      RelationalOps.spread(vecs)
+        .select(col(vecCol).as("__v"), dot(col(vecCol), vLit).as("__s"))
+        .select(posexplode(col("__v")).as(Seq("pos", "__x")), col("__s"))
+        .groupBy(col("pos"))
+        .agg(sum(round((col("__x").cast("double") * col("__s")) * 1e6).cast("long"))
+          .as("y_micro"))
+    }
+    var vMicro = Array.fill(dim)(1000000L)
+    for (_ <- 1 until iters) {
+      val y = yFrame(vMicro).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val m = (0 until dim).map(j => math.abs(y.getOrElse(j, 0L))).max
+      vMicro = (0 until dim).map { j =>
+        if (m == 0L) 0L
+        else java.math.BigDecimal.valueOf(y.getOrElse(j, 0L).toDouble / m * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.toArray
+    }
+    val y = yFrame(vMicro)
+    val mFrame = y.agg(max(abs(col("y_micro"))).as("__m"))
+    y.crossJoin(broadcast(mFrame))
+      .select(col("pos"), col("y_micro"),
+        when(col("__m") === 0L, lit(0L))
+          .otherwise(round(col("y_micro").cast("double") / col("__m") * 1e6)
+            .cast("long")).as("v_micro"))
+  }
+
   def groupCentroids(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame = {
     val ex = RelationalOps.spread(vecs).select(col(groupCol),
       posexplode(col(vecCol)).as(Seq("__pos", "__v")))

@@ -15,6 +15,30 @@ class VectorOpsSpec extends SparkTestBase {
     (4L, Array(-1.0f, 0.0f, 0.0f, -0.1f))
   ).toDF("vec_id", "embedding")
 
+  test("powerIteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // 200 vectors along e_2 (plus small deterministic off-axis terms):
+    // the top principal direction is e_2 up to sign
+    val planted = (1 to 200).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(2) = if (i % 2 == 0) 2.0f else -2.0f
+      v((i % 7) + 1) = 0.01f * (i % 5)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = powerIteration(planted, "embedding", dim = 8, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(math.abs(out(2)) === 1000000L,
+      "the planted axis must carry the max-norm component")
+    ((0 until 8).toSet - 2).foreach { j =>
+      assert(math.abs(out(j)) < 100000L,
+        s"off-axis dim $j should be small, got ${out(j)}")
+    }
+    // deterministic: same input -> bit-identical iterate
+    val again = powerIteration(planted, "embedding", dim = 8, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(again === out)
+  }
+
   test("graft_cell_topn / graft_pq_encode match the struct-sort executable spec") {
     val p = Tables.embeddings(spark, sfDir).limit(200)
       .select(col("vec_id"), col("embedding").as("__v"),

@@ -903,6 +903,14 @@ object SparkEntry {
       "vec_standardize" -> ((s, dir) =>
         standardize(Tables.embeddings(s, dir), "vec_id", "embedding")),
 
+      // ---- K-means clustering (assignment view): deterministic Lloyd
+      //      training on the 25% hash-mod slice (the sim_ivf_trained
+      //      codebook machinery), rank-1 cell per vector + cosine to
+      //      its centroid — embedding-space corpus stratification. ----
+      "vec_kmeans_assign" -> ((s, dir) =>
+        kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 16, lloydIters = 2, trainPct = 25)),
+
       // ---- Top principal direction by distributed power iteration
       //      (3 rounds of y = Xᵀ(Xv), Gram-matrix-free): per-row
       //      scalar against the iterate as a literal, one (dim, Σ)
@@ -917,6 +925,43 @@ object SparkEntry {
     * index-ordered vector arithmetic. */
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Shared trained-codebook CTEs (p, pt, cb0, two Lloyd rounds →
+    * cb2): hash-ordered init from the 25% training slice, rank-1
+    * assignment, per-(cell, dim) micro-unit means, empty cells carry
+    * forward — the SQL mirror of `VectorOps.trainCodebook`, used by
+    * both `sim_ivf_trained` and `vec_kmeans_assign`.
+    */
+  private def duckTrainedCbCtes: String = {
+    def lloydRound(prev: String, i: Int): String =
+      s"""a$i AS (SELECT vec_id, embedding, cell FROM (
+            SELECT p.vec_id, p.embedding, k.cell,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${duckDot("p.embedding", "k.cv")} / (p.nrm * k.cnrm)
+                                DESC,
+                              k.cell ASC) AS rnk
+            FROM pt p, $prev k) WHERE rnk = 1),
+         m$i AS (SELECT cell, pos,
+                   round(avg(CAST(v AS DOUBLE)) * 1000000) / 1000000 AS mv
+                 FROM (SELECT cell, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS pos FROM a$i)
+                 GROUP BY cell, pos),
+         g$i AS (SELECT cell, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cell),
+         cb$i AS (SELECT cell, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM (
+                   SELECT c.cell, coalesce(g.cv, c.cv) AS cv
+                   FROM $prev c LEFT JOIN g$i g ON c.cell = g.cell))"""
+    s"""p AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+          CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        FROM embeddings),
+       pt AS (SELECT * FROM p WHERE h % 100 < 25),
+       cb0 AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+                 nrm AS cnrm
+               FROM (SELECT * FROM pt ORDER BY h ASC, vec_id ASC LIMIT 16)),
+       ${lloydRound("cb0", 1)},
+       ${lloydRound("cb1", 2)}"""
+  }
 
   private def duckPlaneDot(t: Int, b: Int): String =
     s"""list_sum(list_transform(range(1, 65),
@@ -1249,35 +1294,8 @@ object SparkEntry {
       // carry forward — then the untrained query's multi-probe tail.
       // Training (init + Lloyd) reads only the 25% hash-mod sample
       // `pt`; the final assignment covers the full corpus `p`.
-      "sim_ivf_trained" -> {
-        def lloydRound(prev: String, i: Int): String =
-          s"""a$i AS (SELECT vec_id, embedding, cell FROM (
-                SELECT p.vec_id, p.embedding, k.cell,
-                       row_number() OVER (PARTITION BY p.vec_id
-                         ORDER BY ${duckDot("p.embedding", "k.cv")} / (p.nrm * k.cnrm)
-                                    DESC,
-                                  k.cell ASC) AS rnk
-                FROM pt p, $prev k) WHERE rnk = 1),
-             m$i AS (SELECT cell, pos,
-                       round(avg(CAST(v AS DOUBLE)) * 1000000) / 1000000 AS mv
-                     FROM (SELECT cell, unnest(embedding) AS v,
-                                  generate_subscripts(embedding, 1) AS pos FROM a$i)
-                     GROUP BY cell, pos),
-             g$i AS (SELECT cell, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cell),
-             cb$i AS (SELECT cell, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM (
-                       SELECT c.cell, coalesce(g.cv, c.cv) AS cv
-                       FROM $prev c LEFT JOIN g$i g ON c.cell = g.cell))"""
-        s"""WITH p AS (SELECT vec_id, embedding,
-              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
-              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
-            FROM embeddings),
-           pt AS (SELECT * FROM p WHERE h % 100 < 25),
-           cb0 AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-                     nrm AS cnrm
-                   FROM (SELECT * FROM pt ORDER BY h ASC, vec_id ASC LIMIT 16)),
-           ${lloydRound("cb0", 1)},
-           ${lloydRound("cb1", 2)},
+      "sim_ivf_trained" ->
+        s"""WITH $duckTrainedCbCtes,
            s AS (SELECT p.vec_id, p.embedding, p.nrm, k.cell,
                    ${duckDot("p.embedding", "k.cv")} / (p.nrm * k.cnrm) AS sim
                  FROM p, cb2 k),
@@ -1288,8 +1306,20 @@ object SparkEntry {
                      FROM s) WHERE rnk <= 2)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
            FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE $pairCos >= 0.4"""
-      },
+           WHERE $pairCos >= 0.4""",
+
+      // k-means cluster assignment: identical training CTEs, rank-1
+      // cell + cosine to the assigned centroid
+      "vec_kmeans_assign" ->
+        s"""WITH $duckTrainedCbCtes,
+           s AS (SELECT p.vec_id, k.cell,
+                   ${duckDot("p.embedding", "k.cv")} / (p.nrm * k.cnrm) AS sim
+                 FROM p, cb2 k)
+           SELECT vec_id, cell, round(sim, 6) AS sim FROM (
+             SELECT vec_id, cell, sim,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell ASC) AS rnk
+             FROM s) WHERE rnk = 1""",
 
       // int8 ANN: quantize exactly as vec_quantize does, then run the
       // sim_ann_lsh pipeline over the quantized ints (the bucket/pairCos

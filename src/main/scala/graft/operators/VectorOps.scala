@@ -635,10 +635,15 @@ object VectorOps {
     * at 100 TB nobody trains 16 centroids on every vector; the final
     * multi-probe assignment still covers the full corpus.
     */
-  def ivfCosinePairsTrained(vecs: DataFrame, idCol: String, vecCol: String,
-                            minCosine: Double, nlist: Int = 16, nprobe: Int = 2,
-                            lloydIters: Int = 2, trainPct: Int = 100): DataFrame = {
-    val p = withNorm(vecs, idCol, vecCol)
+  /** Deterministic Lloyd training over `p` (a [[withNorm]] frame):
+    * hash-ordered init, `lloydIters` rounds of rank-1 assignment +
+    * per-(cell, dim) micro-unit means, training restricted to the
+    * `trainPct`% hash-mod slice. Shared by [[ivfCosinePairsTrained]]
+    * and [[kmeansAssign]] — same codebook, same oracle CTEs. None on
+    * an empty corpus.
+    */
+  private def trainCodebook(p: DataFrame, nlist: Int, lloydIters: Int,
+                            trainPct: Int): Option[Array[(Array[Double], Double)]] = {
     // The training slice is scanned eagerly once per Lloyd round plus
     // once for init — cache it so rounds 2..n and init read memory, not
     // parquet (it is the trainPct% sample: tiny relative to the corpus).
@@ -646,72 +651,117 @@ object VectorOps {
       (if (trainPct >= 100) p
        else p.filter(pmod(graft.functions.TextFunctions.h7(col("__id").cast("string")),
          lit(100)) < trainPct)).persist()
-    val init = pt.select(col("__id"), col("__v"), col("__nrm"),
-        graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
-      .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
-      .collect()
-    if (init.isEmpty) {
-      pt.unpersist()
-      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-      val s = vecs.sparkSession
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("v1", vecs.schema(idCol).dataType),
-          StructField("v2", vecs.schema(idCol).dataType),
-          StructField("cosine", DoubleType))))
-    }
-    // index-ordered norm, matching sqrt(list_sum(...)) in the oracle
-    def normOf(v: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    var codebook: Array[(Array[Double], Double)] = init.map { r =>
-      val v = r.getSeq[Float](1).map(_.toDouble).toArray
-      (v, r.getDouble(2))
-    }
-    // codebook re-flattened per Lloyd round (the centroids change):
-    // array literals = codegen references, so every round — and every
-    // retrain — reuses the same compiled source (see cellTopN)
-    def centsFlat: Column = typedlit(codebook.flatMap(_._1).toSeq)
-    def centNrms: Column = typedlit(codebook.map(_._2).toSeq)
-    for (_ <- 0 until lloydIters) {
-      // rank-1 assignment -> per-(cell, dim) mean in integer micro-units
-      // (round() half-away-from-zero matches DuckDB's; the micro ints
-      // are then exact on both engines, and micro/1e6 is the same IEEE
-      // division everywhere)
-      val micros = pt
-        .select(element_at(cellTopN(col("__v"), col("__nrm"),
-            centsFlat, centNrms, 1), 1).as("__cell"),
-          posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy(col("__cell"), col("__pos"))
-        .agg(round(avg(col("__x").cast("double")) * 1e6).cast("long").as("__micro"))
+    try {
+      val init = pt.select(col("__id"), col("__v"), col("__nrm"),
+          graft.functions.TextFunctions.h7(col("__id").cast("string")).as("__h"))
+        .orderBy(col("__h").asc, col("__id").asc).limit(nlist)
         .collect()
-      val dim = codebook.head._1.length
-      val byCell = micros.groupBy(_.getInt(0))
-      codebook = codebook.zipWithIndex.map { case (prev, i) =>
-        byCell.get(i) match {
-          case Some(rows) =>
-            val cv = new Array[Double](dim)
-            rows.foreach(r => cv(r.getInt(1)) = r.getLong(2) / 1e6)
-            (cv, normOf(cv))
-          case None => prev // empty cell: keep its previous centroid
+      if (init.isEmpty) return None
+      // index-ordered norm, matching sqrt(list_sum(...)) in the oracle
+      def normOf(v: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      var codebook: Array[(Array[Double], Double)] = init.map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (v, r.getDouble(2))
+      }
+      // codebook re-flattened per Lloyd round (the centroids change):
+      // array literals = codegen references, so every round — and every
+      // retrain — reuses the same compiled source (see cellTopN)
+      def centsFlat: Column = typedlit(codebook.flatMap(_._1).toSeq)
+      def centNrms: Column = typedlit(codebook.map(_._2).toSeq)
+      for (_ <- 0 until lloydIters) {
+        // rank-1 assignment -> per-(cell, dim) mean in integer micro-units
+        // (round() half-away-from-zero matches DuckDB's; the micro ints
+        // are then exact on both engines, and micro/1e6 is the same IEEE
+        // division everywhere)
+        val micros = pt
+          .select(element_at(cellTopN(col("__v"), col("__nrm"),
+              centsFlat, centNrms, 1), 1).as("__cell"),
+            posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy(col("__cell"), col("__pos"))
+          .agg(round(avg(col("__x").cast("double")) * 1e6).cast("long").as("__micro"))
+          .collect()
+        val dim = codebook.head._1.length
+        val byCell = micros.groupBy(_.getInt(0))
+        codebook = codebook.zipWithIndex.map { case (prev, i) =>
+          byCell.get(i) match {
+            case Some(rows) =>
+              val cv = new Array[Double](dim)
+              rows.foreach(r => cv(r.getInt(1)) = r.getLong(2) / 1e6)
+              (cv, normOf(cv))
+            case None => prev // empty cell: keep its previous centroid
+          }
         }
       }
+      Some(codebook)
+    } finally pt.unpersist()
+  }
+
+  def ivfCosinePairsTrained(vecs: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, nlist: Int = 16, nprobe: Int = 2,
+                            lloydIters: Int = 2, trainPct: Int = 100): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    trainCodebook(p, nlist, lloydIters, trainPct) match {
+      case None =>
+        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+        val s = vecs.sparkSession
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("v1", vecs.schema(idCol).dataType),
+            StructField("v2", vecs.schema(idCol).dataType),
+            StructField("cosine", DoubleType))))
+      case Some(codebook) =>
+        val centsFlat = typedlit(codebook.flatMap(_._1).toSeq)
+        val centNrms = typedlit(codebook.map(_._2).toSeq)
+        // Training was eager; the final assignment scans the FULL
+        // corpus, not the slice.
+        val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
+          explode(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, nprobe))
+            .as("__cell"))
+        assigned.alias("a").hint("merge")
+          .join(assigned.alias("b"),
+            col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+            round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
+              .as("cosine"))
+          .filter(col("cosine") >= minCosine)
+          .distinct()
     }
-    // Training is done (all its jobs were eager collects); the final
-    // assignment below scans the FULL corpus, not the slice.
-    pt.unpersist()
-    val assigned = p.select(col("__id"), col("__v"), col("__nrm"),
-      explode(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, nprobe))
-        .as("__cell"))
-    assigned.alias("a").hint("merge")
-      .join(assigned.alias("b"),
-        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
-        round(dot(col("a.__v"), col("b.__v")) / (col("a.__nrm") * col("b.__nrm")), 6)
-          .as("cosine"))
-      .filter(col("cosine") >= minCosine)
-      .distinct()
+  }
+
+  /** K-MEANS clustering exposed as cluster assignment: the
+    * [[trainCodebook]] Lloyd machinery (hash-ordered deterministic
+    * init, micro-unit centroid means, train-on-a-slice) with the
+    * rank-1 cell per vector and its cosine to the assigned centroid
+    * as the output — embedding-space clustering for corpus
+    * stratification / topic bucketing. One scan for the assignment;
+    * the centroid lookup per row indexes the codebook literal by the
+    * assigned cell (no join, no shuffle).
+    */
+  def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 16, lloydIters: Int = 2,
+                   trainPct: Int = 100): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+    trainCodebook(p, k, lloydIters, trainPct) match {
+      case None =>
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+        val s = vecs.sparkSession
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(idCol, vecs.schema(idCol).dataType),
+            StructField("cell", IntegerType), StructField("sim", DoubleType))))
+      case Some(codebook) =>
+        val centsFlat = typedlit(codebook.flatMap(_._1).toSeq)
+        val centNrms = typedlit(codebook.map(_._2).toSeq)
+        val cents2d = typedlit(codebook.map(_._1.toSeq).toSeq)
+        p.select(col("__id"), col("__v"), col("__nrm"),
+            element_at(cellTopN(col("__v"), col("__nrm"), centsFlat, centNrms, 1), 1)
+              .as("cell"))
+          .select(col("__id").as(idCol), col("cell"),
+            round(dot(col("__v"), element_at(cents2d, col("cell") + 1)) /
+              (col("__nrm") * element_at(centNrms, col("cell") + 1)), 6).as("sim"))
+    }
   }
 
   /** Per-group embedding centroids (elementwise mean) — the classifier
@@ -730,6 +780,18 @@ object VectorOps {
     * are portable across engines/comparators, where raw double→string
     * diverges in scientific-notation formatting.
     */
+  def groupCentroids(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val ex = RelationalOps.spread(vecs).select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    ex.groupBy(col(groupCol), col("__pos"))
+      .agg(avg(col("__v").cast("double")).as("__cv"), count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__n")).as("n_vecs"),
+        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__cv")))),
+          s => round(s.getField("__cv") * 1e6).cast("long").cast("string")), ",")
+          .as("centroid"))
+  }
+
   /** Distributed POWER ITERATION for the corpus's top principal
     * direction — one Gram-matrix-free matvec per round: y = Xᵀ(Xv)
     * needs only (a) a per-row scalar s = x·v against the current
@@ -789,18 +851,6 @@ object VectorOps {
         when(col("__m") === 0L, lit(0L))
           .otherwise(round(col("y_micro").cast("double") / col("__m") * 1e6)
             .cast("long")).as("v_micro"))
-  }
-
-  def groupCentroids(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame = {
-    val ex = RelationalOps.spread(vecs).select(col(groupCol),
-      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-    ex.groupBy(col(groupCol), col("__pos"))
-      .agg(avg(col("__v").cast("double")).as("__cv"), count(lit(1)).as("__n"))
-      .groupBy(col(groupCol))
-      .agg(min(col("__n")).as("n_vecs"),
-        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__cv")))),
-          s => round(s.getField("__cv") * 1e6).cast("long").cast("string")), ",")
-          .as("centroid"))
   }
 
   /** Per-DIMENSION z-score standardization — the feature-prep pass

@@ -15,6 +15,23 @@ class VectorOpsSpec extends SparkTestBase {
     (4L, Array(-1.0f, 0.0f, 0.0f, -0.1f))
   ).toDF("vec_id", "embedding")
 
+  test("kmeansAssign: every vector gets one in-range cell; training evens clusters") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val out = kmeansAssign(vecs, "vec_id", "embedding", k = 8, lloydIters = 2)
+    val rows = out.collect()
+    assert(rows.length === vecs.count(), "exactly one assignment per vector")
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8), "cells in [0, k)")
+    assert(rows.forall(r => r.getDouble(2) <= 1.000001), "cosine bounded")
+    // trained codebook should populate most cells (hash-sample init
+    // plus 2 Lloyd rounds; a degenerate single-cell clustering would
+    // mean training collapsed)
+    val used = rows.map(_.getInt(1)).distinct.length
+    assert(used >= 4, s"expected >= 4 of 8 cells used, got $used")
+    // deterministic end to end
+    val again = kmeansAssign(vecs, "vec_id", "embedding", k = 8, lloydIters = 2)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("powerIteration recovers a planted dominant direction") {
     import spark.implicits._
     // 200 vectors along e_2 (plus small deterministic off-axis terms):

@@ -135,6 +135,23 @@ object SparkEntry {
               lit("1970-01-01").cast("date")).as("y"),
             col("o_orderkey")),
           "x", "y", "o_orderkey", rowsPerFile = 1000)),
+      // Reader-side pruning decision over the z-order stats: which
+      // files a (custkey-bucket × day) rectangle query actually scans.
+      // This is the metadata-only planning step — file stats in, scan
+      // set out, no data touched; the LayoutOpsSpec receipt shows the
+      // z-ordered layout scans a fraction of what an id-ordered
+      // layout must.
+      "io_prune_stats" -> ((s, dir) =>
+        graft.operators.LayoutOps.zorderFileStats(
+            Tables.orders(s, dir).select(
+              pmod(col("o_custkey"), lit(65536)).as("x"),
+              datediff(col("o_orderdate").cast("date"),
+                lit("1970-01-01").cast("date")).as("y"),
+              col("o_orderkey")),
+            "x", "y", "o_orderkey", rowsPerFile = 1000)
+          .select(col("file_id"), col("n"),
+            (!(col("max_x") < 1000 || col("min_x") > 3000 ||
+               col("max_y") < 10227 || col("min_y") > 10500)).as("scanned"))),
       "io_jdbc_roundtrip" -> ((s, dir) => {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         val url = JdbcIO.derbyUrl(
@@ -230,36 +247,15 @@ object SparkEntry {
     // Morton interleave written longhand over the affine-normalized
     // dims: bit i of zx lands at position 2i, bit i of zy at 2i+1 —
     // identical shifts + scaling to LayoutOps.zValue/withNormalizedDims
-    "io_zorder" -> {
-      val interleave = (0 until 16).map { i =>
-        s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})"
-      }.mkString("(", " | ", ")")
-      def scaled(c: String, lo: String, hi: String): String =
-        s"""CASE WHEN $hi = $lo THEN CAST(0 AS BIGINT)
-                 ELSE CAST(floor((CAST($c AS DOUBLE) - CAST($lo AS DOUBLE))
-                                 * 65535.0 /
-                                 (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)))
-                           AS BIGINT) END"""
-      s"""WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS tb,
-              CAST(o_custkey % 65536 AS BIGINT) AS x,
-              CAST(date_diff('day', DATE '1970-01-01',
-                             CAST(o_orderdate AS DATE)) AS BIGINT) AS y
-            FROM orders),
-         st AS (SELECT min(x) AS xmin, max(x) AS xmax,
-                       min(y) AS ymin, max(y) AS ymax FROM b),
-         nb AS (SELECT b.tb, b.x, b.y,
-                  ${scaled("b.x", "st.xmin", "st.xmax")} AS zx,
-                  ${scaled("b.y", "st.ymin", "st.ymax")} AS zy
-                FROM b, st),
-         z AS (SELECT tb, x, y, $interleave AS z FROM nb),
-         r AS (SELECT x, y,
-                 row_number() OVER (ORDER BY z ASC, tb ASC) AS rn FROM z)
-         SELECT CAST((rn - 1) // 1000 AS BIGINT) AS file_id,
-                count(*) AS n,
-                min(x) AS min_x, max(x) AS max_x,
-                min(y) AS min_y, max(y) AS max_y
-         FROM r GROUP BY 1"""
-    },
+    "io_zorder" -> duckZorderStats,
+
+    // pruning decision = a pure predicate over the same per-file stats
+    "io_prune_stats" ->
+      s"""WITH stats AS ($duckZorderStats)
+         SELECT file_id, n,
+                NOT (max_x < 1000 OR min_x > 3000 OR
+                     max_y < 10227 OR min_y > 10500) AS scanned
+         FROM stats""",
 
     "io_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -925,6 +921,39 @@ object SparkEntry {
     * index-ordered vector arithmetic. */
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Z-order per-file bounding-box stats (the io_zorder result),
+    * shared with the reader-side pruning decision (io_prune_stats). */
+  private def duckZorderStats: String = {
+    val interleave = (0 until 16).map { i =>
+      s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+    def scaled(c: String, lo: String, hi: String): String =
+      s"""CASE WHEN $hi = $lo THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor((CAST($c AS DOUBLE) - CAST($lo AS DOUBLE))
+                               * 65535.0 /
+                               (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)))
+                         AS BIGINT) END"""
+    s"""WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS tb,
+            CAST(o_custkey % 65536 AS BIGINT) AS x,
+            CAST(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+          FROM orders),
+       st AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                     min(y) AS ymin, max(y) AS ymax FROM b),
+       nb AS (SELECT b.tb, b.x, b.y,
+                ${scaled("b.x", "st.xmin", "st.xmax")} AS zx,
+                ${scaled("b.y", "st.ymin", "st.ymax")} AS zy
+              FROM b, st),
+       z AS (SELECT tb, x, y, $interleave AS z FROM nb),
+       r AS (SELECT x, y,
+               row_number() OVER (ORDER BY z ASC, tb ASC) AS rn FROM z)
+       SELECT CAST((rn - 1) // 1000 AS BIGINT) AS file_id,
+              count(*) AS n,
+              min(x) AS min_x, max(x) AS max_x,
+              min(y) AS min_y, max(y) AS max_y
+       FROM r GROUP BY 1"""
+  }
 
   /** Shared trained-codebook CTEs (p, pt, cb0, two Lloyd rounds →
     * cb2): hash-ordered init from the 25% training slice, rank-1
@@ -2799,6 +2828,25 @@ object SparkEntry {
           .as("dot_rev"))
     }),
 
+    // ---- Top-values profile: the frequency companion to
+    //      prof_columns — per column, the 3 most common values with
+    //      counts and rank. Pre-grouped per column (map-side-combined
+    //      groupBy on low-cardinality values — the prof_columns
+    //      speed-up pattern) then a bounded per-column rank. ----
+    "prof_topvalues" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cols = Seq(
+        "o_orderstatus" -> col("o_orderstatus").cast("string"),
+        "o_orderpriority" -> col("o_orderpriority").cast("string"),
+        "o_year" -> year(col("o_orderdate")).cast("string"))
+      val counts = cols.map { case (n, c) =>
+        o.groupBy(c.as("val")).agg(count(lit(1)).as("n"))
+          .select(lit(n).as("col_name"), col("val"), col("n"))
+      }.reduce(_ unionByName _)
+      graft.operators.RelationalOps.topKPerGroup(counts, Seq("col_name"),
+        Seq(col("n").desc, col("val").asc), 3, "rnk")
+    }),
+
     // ---- Column profiler: the first query anyone runs on a new
     //      100 TB table. ONE scan — each row explodes into
     //      (col_name, canonical string) entries, then a single grouped
@@ -3405,6 +3453,24 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+
+    "prof_topvalues" ->
+      """WITH u AS (
+           SELECT 'o_orderstatus' AS col_name,
+                  CAST(o_orderstatus AS VARCHAR) AS val, count(*) AS n
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR), count(*)
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 'o_year', CAST(year(o_orderdate) AS VARCHAR), count(*)
+           FROM orders GROUP BY 2)
+         SELECT col_name, val, n, rnk FROM (
+           SELECT col_name, val, n,
+                  row_number() OVER (PARTITION BY col_name
+                                     ORDER BY n DESC, val ASC) AS rnk
+           FROM u)
+         WHERE rnk <= 3""",
 
     "prof_columns" ->
       """WITH s AS (

@@ -64,6 +64,40 @@ class LayoutOpsSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("rectangle pruning over z-order stats scans fewer files than an id-ordered layout") {
+    val src = Tables.orders(spark, sfDir).select(
+      pmod(col("o_custkey"), lit(65536)).as("x"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("y"),
+      col("o_orderkey"))
+    // query rectangle = the inner quartile band of each dimension, so
+    // the receipt holds at any scale factor
+    val Array(xlo, xhi, ylo, yhi) = src.agg(
+      expr("percentile(x, 0.25)"), expr("percentile(x, 0.5)"),
+      expr("percentile(y, 0.25)"), expr("percentile(y, 0.5)"))
+      .head().toSeq.map(v => math.round(v.asInstanceOf[Double])).toArray
+    def scannedFraction(stats: org.apache.spark.sql.DataFrame): Double = {
+      val rows = stats.select(col("file_id"),
+        (!(col("max_x") < xlo || col("min_x") > xhi ||
+           col("max_y") < ylo || col("min_y") > yhi)).as("scanned"))
+        .collect()
+      rows.count(_.getBoolean(1)).toDouble / rows.length
+    }
+    val zFrac = scannedFraction(
+      LayoutOps.zorderFileStats(src, "x", "y", "o_orderkey", 100))
+    // id-ordered baseline: same file size, files cut by insertion key —
+    // min/max boxes then span both dimensions and nothing prunes
+    val idOrdered = graft.operators.RelationalOps.globalRowNumber(
+        src, Seq(col("o_orderkey").asc), "__rn")
+      .withColumn("file_id", ((col("__rn") - 1) / 100).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    val idFrac = scannedFraction(idOrdered)
+    assert(zFrac < idFrac * 0.7,
+      f"z-order should prune: scans $zFrac%.2f vs id-ordered $idFrac%.2f")
+  }
+
   test("zorderFileStats files carry rowsPerFile rows and cover all rows") {
     val src = Tables.orders(spark, sfDir).select(
       pmod(col("o_custkey"), lit(65536)).as("x"),

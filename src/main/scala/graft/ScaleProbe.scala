@@ -86,6 +86,14 @@ object ScaleProbe {
       if (enabled("cur_dsir")) time("cur_dsir", k)(
         graft.operators.CorpusOps.dsirWeights(replicateDocs(k), "doc_id", "text",
           isTarget = col("doc_id") % 2 === 0))
+      // Power iteration: per round = one scan + a (dim, Σ) aggregate —
+      // cost must track corpus size linearly, never dim²
+      if (enabled("vec_power_iter")) time("vec_power_iter", k)(
+        VectorOps.powerIteration(replicateVecs(k), "embedding"))
+      // K-means: training reads the 25% slice, assignment one scan
+      if (enabled("vec_kmeans")) time("vec_kmeans", k)(
+        VectorOps.kmeansAssign(replicateVecs(k), "vec_id", "embedding",
+          trainPct = 25))
       if (enabled("sim_ann_lsh")) time("sim_ann_lsh", k)(
         VectorOps.annCosinePairs(replicateVecs(k), "vec_id", "embedding", 0.4))
       if (enabled("sim_ann_capped")) time("sim_ann_capped", k)(

@@ -402,6 +402,10 @@ object SparkEntry {
         domainMix(Tables.documents(s, dir), "lang", col("doc_id"),
           Map("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "de" -> 0.15))
           .select(col("doc_id"), col("lang"))),
+      // RAKE keyword extraction: stopword-free phrase runs scored by
+      // corpus-wide word degree/frequency micro-ratios; top-3 per doc
+      "txt_rake" -> ((s, dir) =>
+        rakeKeywords(Tables.documents(s, dir), "doc_id", "text")),
       // DSIR importance scoring: target domain = English docs; score =
       // sum over tokens of micro-quantized ln(p_target/p_source) over
       // 1024 hashed-unigram buckets (add-1 smoothed); keep = score > 0
@@ -469,6 +473,37 @@ object SparkEntry {
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
                  % 1000000 < r.thr""",
+
+    // RAKE: running stopword count segments phrases; word score =
+    // degree*1e6 // freq (exact ints); phrase = ordered word join
+    "txt_rake" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+                        generate_subscripts(
+                          list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+                      FROM documents),
+         t2 AS (SELECT doc_id, pos, w,
+                  w IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it') AS is_stop
+                FROM tok),
+         ph AS (SELECT doc_id, pos, w, is_stop,
+                  sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+                FROM t2),
+         pl AS (SELECT doc_id, pid, pos, w,
+                  count(*) OVER (PARTITION BY doc_id, pid) AS plen
+                FROM ph WHERE NOT is_stop),
+         sc AS (SELECT w, (sum(plen) * 1000000) // count(*) AS ws
+                FROM pl GROUP BY w),
+         ps AS (SELECT pl.doc_id, pl.pid,
+                  string_agg(pl.w, ' ' ORDER BY pl.pos) AS phrase,
+                  CAST(sum(sc.ws) AS BIGINT) AS score_micro
+                FROM pl JOIN sc USING (w) GROUP BY 1, 2),
+         dd AS (SELECT DISTINCT doc_id, phrase, score_micro FROM ps)
+         SELECT doc_id, phrase, score_micro, rnk FROM (
+           SELECT doc_id, phrase, score_micro,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_micro DESC, phrase ASC) AS rnk
+           FROM dd) WHERE rnk <= 3""",
 
     // DSIR importance scoring: dense 1024-bucket hashed-unigram
     // counts (target = lang 'en' vs full corpus), add-1 smoothed,

@@ -417,6 +417,53 @@ object CorpusOps {
       .withColumn("keep", col("score_micro") > 0)
   }
 
+  /** RAKE keyword extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents", 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/frequency over the corpus's phrase co-occurrence (degree =
+    * Σ length of phrases containing the word — longer-phrase words
+    * score higher); a phrase scores the sum of its word scores; top
+    * `topK` distinct phrases per document win. Word scores are
+    * floored micro-ratios (`degree·1e6 div freq`, both positive ints),
+    * so every score is an exact integer.
+    *
+    * Scale shape: phrase segmentation is a running stopword count per
+    * doc (one shuffle on doc_id; the phrase-length window re-uses that
+    * exchange — partitioning on doc_id already clusters (doc, phrase)),
+    * word stats are one map-side-combined groupBy on the word, joined
+    * back on the word key, and the final rank is |topK|-bounded per
+    * doc. Nothing fans out beyond the token count.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   topK: Int = 3,
+                   stopwords: Seq[String] = Seq("the", "a", "and", "of",
+                     "to", "in", "is", "it")): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val byPhrase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__pid"))
+    val ph = spread(docs)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .withColumn("__stop", col("__w").isInCollection(stopwords))
+      .withColumn("__pid",
+        sum(when(col("__stop"), 1).otherwise(0)).over(byDoc))
+      .filter(!col("__stop"))
+      .withColumn("__plen", count(lit(1)).over(byPhrase))
+    val wordScore = ph.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .select(col("__w"), expr("__deg * 1000000 div __freq").as("__ws"))
+    val phrases = ph.join(wordScore, Seq("__w"))
+      .groupBy(col(idCol), col("__pid"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s.getField("__w")), " ").as("phrase"),
+        sum(col("__ws")).as("score_micro"))
+      .select(col(idCol), col("phrase"), col("score_micro"))
+      .distinct() // a phrase repeated within a doc is ONE candidate
+    RelationalOps.topKPerGroup(phrases, Seq(idCol),
+      Seq(col("score_micro").desc, col("phrase").asc), topK, "rnk")
+  }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by how much more likely its tokens are under a

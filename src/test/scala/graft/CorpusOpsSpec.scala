@@ -211,6 +211,25 @@ class CorpusOpsSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("rakeKeywords: stopword-split phrases, degree/freq scoring, top-k per doc") {
+    // "deep learning" appears as a 2-word phrase; "systems" stands
+    // alone. degree(deep)=degree(learning)=2, freq=1 -> ws=2e6 each;
+    // phrase score 4e6 beats systems' 1e6.
+    val toy = Seq(
+      (1L, "deep learning in the systems"),
+      (2L, "deep learning")
+    ).toDF("doc_id", "text")
+    val out = rakeKeywords(toy, "doc_id", "text", topK = 3)
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    // both docs contain the same top phrase with the corpus-wide score:
+    // deg(deep)=4 over freq 2 -> 2e6; same for learning -> phrase 4e6
+    assert(out(1L).head === (("deep learning", 4000000L)))
+    assert(out(2L) === Seq(("deep learning", 4000000L)))
+    // "systems": deg 1, freq 1 -> 1e6, ranked below
+    assert(out(1L) === Seq(("deep learning", 4000000L), ("systems", 1000000L)))
+  }
+
   test("dsirWeights scores target-domain tokens positive, source-only negative") {
     val toy = (
       (1 to 6).map(i => (i.toLong, "alpha alpha alpha", "tgt")) ++

@@ -385,7 +385,11 @@ object DedupOps {
     * aggregate partial-combines map-side (a span in 10⁹ docs reaches
     * the reducer as ≤ |maps| partial counts) and the join streams —
     * the boilerplate-span straggler never materializes (probed k×16
-    * with an all-docs 12-token header, BASELINE r7). Spans shorter
+    * with an all-docs 12-token header, BASELINE r7). The cost of this
+    * safety is that the explode subtree evaluates once per join input
+    * (the partial aggregate sits between the df side's scan and its
+    * exchange, so the exchanges are not reusable): a deliberate
+    * 2×-scan-compute-for-no-straggler trade. Spans shorter
     * than `window` collapse to the whole document (same contract as
     * [[shingles]]), so short docs still get a defined profile.
     */

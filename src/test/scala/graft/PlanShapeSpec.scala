@@ -108,6 +108,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"interval join must key on voter, not cross:\n$plan")
   }
 
+  test("bounded per-group ranks plan WindowGroupLimit (top-k never full-sorts groups)") {
+    // rnk <= k filters over row_number must push into the window as a
+    // group limit: each task keeps k rows per group instead of ranking
+    // every row — the difference between top-3 and a full sort at 100 TB
+    Seq("txt_rake", "prof_topvalues", "o4_topk_per_group").foreach { q =>
+      val plan = initialPlan(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q should push its rank filter into a WindowGroupLimit:\n$plan")
+    }
+  }
+
   test("no query plans a cartesian product") {
     // The brute-force similarity baselines are non-equi self-joins and
     // legitimately plan BroadcastNestedLoopJoin (one side is known

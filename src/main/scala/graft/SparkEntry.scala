@@ -2499,6 +2499,20 @@ object SparkEntry {
             + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // ---- Per-entity anomaly flags: events above their OWN user's
+    //      95th percentile — thresholds are per-key aggregates joined
+    //      back on the same key (the aggregate's exchange clusters the
+    //      join), never a global sort. The alerting primitive over a
+    //      metric stream. ----
+    "ts_anomaly" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val thr = e.groupBy(col("user_id"))
+        .agg(round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      e.join(thr, Seq("user_id"))
+        .filter(col("value") > col("p95"))
+        .select(col("user_id"), col("event_id"), col("value"), col("p95"))
+    }),
+
     // ---- Co-occurrence matrix: which event types happen TOGETHER in
     //      the same (user, hour) — the association signal behind
     //      "users who err also retry" dashboards. DISTINCT types per
@@ -3194,6 +3208,14 @@ object SparkEntry {
                    + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
                    + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END) AS ewma_milli
          FROM l""",
+
+    "ts_anomaly" ->
+      """WITH t AS (SELECT user_id,
+                      round(quantile_cont(value, 0.95), 4) AS p95
+                    FROM events GROUP BY user_id)
+         SELECT e.user_id, e.event_id, e.value, t.p95
+         FROM events e JOIN t USING (user_id)
+         WHERE e.value > t.p95""",
 
     "g19_cooccur" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hh, event_type

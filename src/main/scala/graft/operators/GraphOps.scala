@@ -92,7 +92,7 @@ object GraphOps {
         .join(labels.alias("o"), Seq("node"))
         .agg(coalesce(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)),
           lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       labels = next
       converged = changed == 0
       iter += 1

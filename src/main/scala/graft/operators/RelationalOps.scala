@@ -200,7 +200,7 @@ object RelationalOps {
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
     parted.withColumn("__local", row_number().over(localW))
       .join(broadcast(offsets), Seq("__pid"))
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         (col("__off") + col("__local")).as(alias): _*)
   }
 

@@ -86,6 +86,23 @@ object ScaleProbe {
       if (enabled("cur_dsir")) time("cur_dsir", k)(
         graft.operators.CorpusOps.dsirWeights(replicateDocs(k), "doc_id", "text",
           isTarget = col("doc_id") % 2 === 0))
+      // RAKE: word-stat shuffle bounded by |vocab| (which SALTED
+      // replication grows k-fold — worst case for the word key)
+      if (enabled("txt_rake")) time("txt_rake", k)(
+        graft.operators.CorpusOps.rakeKeywords(replicateDocs(k), "doc_id", "text"))
+      // Incremental span profile: FIXED batch (base corpus) against a
+      // k×-grown span index PERSISTED to parquet first (the production
+      // contract — the index is a stored artifact, not recomputed per
+      // ingest) — timed per-ingest cost must not track k
+      if (enabled("dd_span_incr")) {
+        val idxPath = java.nio.file.Files
+          .createTempDirectory(s"graft-spanidx-$k").toString
+        DedupOps.spanIndex(replicateDocs(k), "doc_id", "text")
+          .write.mode("overwrite").parquet(idxPath)
+        time("dd_span_incr", k)(
+          DedupOps.incrementalSpanProfile(spark.read.parquet(idxPath),
+            Tables.documents(spark, sfDir), "doc_id", "text"))
+      }
       // Power iteration: per round = one scan + a (dim, Σ) aggregate —
       // cost must track corpus size linearly, never dim²
       if (enabled("vec_power_iter")) time("vec_power_iter", k)(

@@ -16,10 +16,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietKnownBenignWarnings()
+
+    // Isolation mode: SPARK_GRAFT_ONLY=a,b,c times just those queries
+    // (repeated SPARK_GRAFT_REPS times each) in an otherwise-idle JVM —
+    // the "same-JVM isolation receipt" used to separate box contention
+    // from plan regressions. Absent in the driver, so the canonical
+    // bench contract is untouched.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // JIT/codegen warm-up on the smallest sf so per-query numbers
     // measure the operator, not first-call compilation.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -28,8 +38,9 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
-      .map { case ((name, fn), i) =>
+    val results = queries.toSeq.sortBy(_._1).zipWithIndex
+      .flatMap { case ((name, fn), i) => (1 to reps).map(r => ((name, fn), i, r)) }
+      .map { case ((name, fn), i, rep) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -43,7 +54,7 @@ object Bench {
         // that has nothing to do with the queries being timed.
         spark.catalog.clearCache()
         if (i % 8 == 7) System.gc()
-        name -> t
+        (if (reps > 1) s"$name#$rep" else name) -> t
       }
     // The driver captures only the LAST ~2000 chars of stdout; a full
     // 90-query map (~2.6 KB) overflows that and the head of the line —
@@ -58,9 +69,11 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}") }
+    // Solo runs must not clobber the canonical full-run artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}") }
 
     // battery = query-name prefix with trailing digits stripped
     // (q1/q18 -> "q", g14 -> "g", txt_tfidf -> "txt")

@@ -95,13 +95,21 @@ object ScaleProbe {
       // contract — the index is a stored artifact, not recomputed per
       // ingest) — timed per-ingest cost must not track k
       if (enabled("dd_span_incr")) {
-        val idxPath = java.nio.file.Files
-          .createTempDirectory(s"graft-spanidx-$k").toString
-        DedupOps.spanIndex(replicateDocs(k), "doc_id", "text")
-          .write.mode("overwrite").parquet(idxPath)
-        time("dd_span_incr", k)(
-          DedupOps.incrementalSpanProfile(spark.read.parquet(idxPath),
-            Tables.documents(spark, sfDir), "doc_id", "text"))
+        val idxDir = java.nio.file.Files.createTempDirectory(s"graft-spanidx-$k")
+        try {
+          DedupOps.spanIndex(replicateDocs(k), "doc_id", "text")
+            .write.mode("overwrite").parquet(idxDir.toString)
+          time("dd_span_incr", k)(
+            DedupOps.incrementalSpanProfile(spark.read.parquet(idxDir.toString),
+              Tables.documents(spark, sfDir), "doc_id", "text"))
+        } finally {
+          // probe hygiene: don't leave a k×-sized parquet index per
+          // scale step accumulating on the probe box
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(idxDir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
       // Power iteration: per round = one scan + a (dim, Σ) aggregate —
       // cost must track corpus size linearly, never dim²

@@ -33,4 +33,16 @@ object Sessions {
       // location the (fresh) catalog has no table for
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
+
+  /** Silence WindowExec's `No Partition Defined` warning in the bench
+    * and verify mains: every unpartitioned window in the query surface
+    * is a documented k-row structure (PlanShapeSpec's whitelist guard
+    * FAILS on any new one), so the ~30 known-benign lines per full run
+    * only buried real regressions. The guard test is the detector now;
+    * the log was never a reliable one.
+    */
+  def quietKnownBenignWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -2327,9 +2327,18 @@ object SparkEntry {
     //      in RelationalOpsSpec instead. At 100 TB this is THE way to
     //      count distincts: fixed-size sketch, single shuffle of
     //      sketches, no expand. ----
+    //      r8: the sketch estimate is engine-specific, so the DRIVER
+    //      gate hashes the EXACT distinct count and a boolean claiming
+    //      the estimate landed within 3·rsd of it — the oracle emits
+    //      literal TRUE, so a sketch drifting out of its error bound
+    //      turns the row red instead of invisible (VERDICT r7 item 3).
     "g8_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             approx_count_distinct(col("user_id"), 0.02).as("__est"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__est").cast("double") - col("n_users")) <=
+            col("n_users") * lit(0.06)).as("est_in_bound"))
     }),
 
     // ---- G-9: hierarchical rollup (event_type × day → type → grand
@@ -2460,6 +2469,11 @@ object SparkEntry {
       base.select(col("user_id"), col("event_id"), col("__v").as("v_milli"),
           lags.map(_._1).reduce(_ + _).as("__num"),
           lags.map(_._2).reduce(_ + _).as("__den"))
+        // Division parity holds for NEGATIVE values too: Spark `div`,
+        // DuckDB integer `//`, and JVM long `/` (EwmaPipeline) all
+        // truncate toward zero (DuckDB -7 // 2 = -3, spot-checked;
+        // EdgeCasesSpec pins the Spark↔JVM leg), so a negative-valued
+        // metric stream hashes identically on all three.
         .withColumn("ewma_milli", expr("__num div __den"))
         .drop("__num", "__den")
     }),
@@ -2789,10 +2803,30 @@ object SparkEntry {
     //      RelationalOpsSpec. THE scale path for quantiles: the exact
     //      percentile buffers every value per group, the sketch is
     //      fixed-size and merges map-side. ----
+    //      r8: hash-green via the g8 pattern — the output carries the
+    //      EXACT interpolated percentiles (the proven g10 ↔
+    //      quantile_cont parity) plus booleans claiming each sketch
+    //      value landed within ±0.01 RANK of its target (generous vs
+    //      the Greenwald-Khanna ε = 1/accuracy = 0.001 guarantee, but
+    //      robust to element discreteness at small n: the sketch
+    //      returns a dataset ELEMENT while `percentile` interpolates,
+    //      so a sub-element window is degenerate when groups are a few
+    //      hundred rows). The oracle emits literal TRUE.
     "g12_approx_percentiles" -> ((s, dir) => {
       Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
-             expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("__a50"),
+             expr("approx_percentile(value, 0.9, 1000)").as("__a90"),
+             expr("percentile(value, 0.49)").as("__lo50"),
+             expr("percentile(value, 0.51)").as("__hi50"),
+             expr("percentile(value, 0.89)").as("__lo90"),
+             expr("percentile(value, 0.91)").as("__hi90"),
+             round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .select(col("event_type"), col("p50"), col("p90"),
+          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+            .as("p50_in_bound"),
+          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+            .as("p90_in_bound"))
     }),
 
     // ---- S-3: Spark-native session_window aggregation — same 6h gap
@@ -3437,6 +3471,22 @@ object SparkEntry {
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 4) AS p50,
          round(quantile_cont(value, 0.9), 4) AS p90
+         FROM events GROUP BY event_type""",
+
+    // The sketch queries hash their EXACT companions; the booleans are
+    // Spark-side claims that each estimate sat inside its error bound —
+    // the oracle asserts them true, so a drifting sketch turns the row
+    // red (engine-specific estimate values themselves never hash).
+    "g8_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         true AS est_in_bound
+         FROM events GROUP BY event_type""",
+
+    "g12_approx_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90,
+         true AS p50_in_bound, true AS p90_in_bound
          FROM events GROUP BY event_type""",
 
     "q5_local_supplier" ->

@@ -32,6 +32,7 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietKnownBenignWarnings()
 
     val root = Files.createTempDirectory("graft-streambench").toString
     val srcDir = s"$root/src"

@@ -49,6 +49,36 @@ abstract class CodebookExpression extends Expression with CodegenFallback {
   protected def constDoubles(e: Expression): Array[Double] =
     e.eval(null).asInstanceOf[ArrayData].toDoubleArray()
 
+  /** Analysis-time validation of a codebook child: a registered SQL
+    * caller can hand `graft_cell_topn`/`graft_pq_encode`/`graft_adc`
+    * anything, and a loose check surfaced as a runtime
+    * ClassCastException/NPE from [[constDoubles]] deep inside an
+    * executor instead of an analysis error at the call site. Requires
+    * a FOLDABLE array<double> with no null elements, evaluated eagerly
+    * (codebooks are bounded driver artifacts — nlist·dim / m·ksub·dsub
+    * doubles — so the eval is cheap and happens once).
+    */
+  protected def codebookError(name: String, e: Expression): Option[String] = {
+    if (!e.foldable) return Some(s"$name must be a foldable array<double>")
+    e.dataType match {
+      case ArrayType(DoubleType, _) =>
+        val v = e.eval(null)
+        if (v == null) return Some(s"$name must not be NULL")
+        val a = v.asInstanceOf[ArrayData]
+        if (a.numElements() == 0) return Some(s"$name must be non-empty")
+        var i = 0
+        while (i < a.numElements()) {
+          if (a.isNullAt(i)) return Some(s"$name must not contain null elements")
+          i += 1
+        }
+        None
+      case t => Some(s"$name must be array<double>, got ${t.catalogString}")
+    }
+  }
+
+  protected def constLen(e: Expression): Int =
+    e.eval(null).asInstanceOf[ArrayData].numElements()
+
   protected def vecIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -75,16 +105,21 @@ case class CellTopN(vec: Expression, nrm: Expression, cents: Expression,
 
   override def children: Seq[Expression] = Seq(vec, nrm, cents, centNrms)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (numericArray(vec.dataType) && nrm.dataType == DoubleType &&
-        cents.dataType.isInstanceOf[ArrayType] &&
-        centNrms.dataType.isInstanceOf[ArrayType] &&
-        cents.foldable && centNrms.foldable && n >= 1) {
-      TypeCheckResult.TypeCheckSuccess
-    } else {
-      TypeCheckResult.TypeCheckFailure(
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!numericArray(vec.dataType) || nrm.dataType != DoubleType || n < 1)
+      return TypeCheckResult.TypeCheckFailure(
         "graft_cell_topn(vec, nrm double, centsFlat lit, centNrms lit, n >= 1)")
-    }
+    codebookError("centsFlat", cents).orElse(codebookError("centNrms", centNrms))
+      .orElse {
+        // centsFlat must flatten to nlist complete rows of dim doubles
+        if (constLen(cents) % constLen(centNrms) != 0)
+          Some(s"centsFlat length ${constLen(cents)} is not a multiple of " +
+            s"nlist = ${constLen(centNrms)}")
+        else None
+      }
+      .map(TypeCheckResult.TypeCheckFailure(_))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -156,14 +191,20 @@ case class PqEncode(vec: Expression, cb: Expression, m: Int, ksub: Int)
 
   override def children: Seq[Expression] = Seq(vec, cb)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (numericArray(vec.dataType) && cb.dataType.isInstanceOf[ArrayType] &&
-        cb.foldable && m >= 1 && ksub >= 1) {
-      TypeCheckResult.TypeCheckSuccess
-    } else {
-      TypeCheckResult.TypeCheckFailure(
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!numericArray(vec.dataType) || m < 1 || ksub < 1)
+      return TypeCheckResult.TypeCheckFailure(
         "graft_pq_encode(vec, cbFlat lit, m >= 1, ksub >= 1)")
-    }
+    codebookError("cbFlat", cb)
+      .orElse {
+        if (constLen(cb) % (m * ksub) != 0)
+          Some(s"cbFlat length ${constLen(cb)} is not a multiple of " +
+            s"m * ksub = ${m * ksub}")
+        else None
+      }
+      .map(TypeCheckResult.TypeCheckFailure(_))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -234,14 +275,20 @@ case class AdcTable(vec: Expression, cb: Expression, m: Int, ksub: Int)
 
   override def children: Seq[Expression] = Seq(vec, cb)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (numericArray(vec.dataType) && cb.dataType.isInstanceOf[ArrayType] &&
-        cb.foldable && m >= 1 && ksub >= 1) {
-      TypeCheckResult.TypeCheckSuccess
-    } else {
-      TypeCheckResult.TypeCheckFailure(
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!numericArray(vec.dataType) || m < 1 || ksub < 1)
+      return TypeCheckResult.TypeCheckFailure(
         "graft_adc(vec, cbFlat lit, m >= 1, ksub >= 1)")
-    }
+    codebookError("cbFlat", cb)
+      .orElse {
+        if (constLen(cb) % (m * ksub) != 0)
+          Some(s"cbFlat length ${constLen(cb)} is not a multiple of " +
+            s"m * ksub = ${m * ksub}")
+        else None
+      }
+      .map(TypeCheckResult.TypeCheckFailure(_))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def dataType: DataType =
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)

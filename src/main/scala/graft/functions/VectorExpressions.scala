@@ -70,19 +70,25 @@ case class DotProductD(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(arr: String, t: DataType): String = t match {
-      case FloatType => s"(double) $arr.getFloat(i)"
-      case _         => s"$arr.getDouble(i)"
+    // the loop variable MUST be freshName'd: janino scopes for-init
+    // declarations to the enclosing method, so two dot products fused
+    // into one whole-stage-codegen function would collide on a literal
+    // `i` ("Redefinition of local variable") and kick the whole stage
+    // back to interpreted mode
+    def getter(arr: String, t: DataType, i: String): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _         => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val i = ctx.freshName("i")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    $sum += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += ${getter(a, elemType(left), i)} * ${getter(b, elemType(right), i)};
          |  }
          |}
          |${ev.value} = $sum;

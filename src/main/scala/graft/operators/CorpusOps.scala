@@ -433,6 +433,15 @@ object CorpusOps {
     * word stats are one map-side-combined groupBy on the word, joined
     * back on the word key, and the final rank is |topK|-bounded per
     * doc. Nothing fans out beyond the token count.
+    *
+    * The segmented-phrase subtree feeds BOTH the word-stat branch and
+    * the phrase-assembly branch; their column pruning differs, so
+    * Spark's exchange reuse (which needs canonically-equal subtrees)
+    * does NOT fire — r7's plan audit found the scan + doc_id shuffle +
+    * windows physically duplicated. The subtree is persisted before
+    * branching (the [[graft.operators.RelationalOps.globalRowNumber]]
+    * precedent: structural sharing, not a bet on reuse), halving the
+    * heavy half of the plan.
     */
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
                    topK: Int = 3,
@@ -449,6 +458,7 @@ object CorpusOps {
         sum(when(col("__stop"), 1).otherwise(0)).over(byDoc))
       .filter(!col("__stop"))
       .withColumn("__plen", count(lit(1)).over(byPhrase))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wordScore = ph.groupBy(col("__w"))
       .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
       .select(col("__w"), expr("__deg * 1000000 div __freq").as("__ws"))

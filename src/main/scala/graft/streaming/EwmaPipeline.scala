@@ -52,6 +52,10 @@ object EwmaPipeline {
               den += w
             }
             hist = (v :: hist).take(depth - 1)
+            // JVM long `/` truncates toward zero — identical to the
+            // batch query's Spark `div` and the oracle's DuckDB `//`
+            // even on negative values (all three truncate), so the
+            // row-for-row parity contract has no sign restriction.
             EwmaOut(uid, e.event_id, v, num / den)
           }
           state.update(hist)

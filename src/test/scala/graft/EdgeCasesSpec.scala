@@ -213,4 +213,19 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(z(0).split(",")(0) == "0" && z(1).split(",")(0) == "0",
       s"constant dim must standardize to 0, got ${z.toSeq}")
   }
+
+  test("integer division truncates toward zero on all parity legs (negatives included)") {
+    // The w4_ewma / EwmaPipeline contract: Spark `div`, JVM long `/`,
+    // and DuckDB integer `//` all truncate toward zero, so EWMA over
+    // NEGATIVE-valued metrics still hashes identically. DuckDB's leg
+    // was spot-checked out-of-band (-7 // 2 = -3, not floor's -4);
+    // this pins the Spark ↔ JVM leg across signs and divisors.
+    val rows = spark.range(-9, 10).selectExpr("id AS n",
+      "n div 4 AS q4", "n div -3 AS qm3").collect()
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getLong(1) == n / 4, s"n=$n: Spark div 4 != JVM /")
+      assert(r.getLong(2) == n / -3, s"n=$n: Spark div -3 != JVM /")
+    }
+  }
 }

@@ -85,6 +85,40 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected two group-limited rank windows (coarse + final):\n$plan")
   }
 
+  test("sim_rerank fusion: one __qid exchange serves dedup AND the shortlist window") {
+    // The r8 stage fusion (VERDICT r7 item 1): int8 codes ride the
+    // postings, the query side broadcasts, and the ONLY full-stream
+    // hash exchange is the (qid, id, score8) triple repartitioned on
+    // __qid — HashPartitioning(__qid) satisfies both the (qid, id)
+    // dedup clustering and the shortlist rank window, so neither plans
+    // its own exchange. A second __qid exchange = the fusion regressed.
+    val plan = initialPlan("sim_rerank")
+    assert(plan.split(java.util.regex.Pattern.quote("Exchange hashpartitioning(__qid"))
+        .length - 1 == 1,
+      s"exactly one __qid exchange expected (dedup + shortlist fused):\n$plan")
+    // coarse candidates and the float re-fetch both enter by broadcast;
+    // the corpus itself is never the shuffled side of a join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never key-shuffle into a join:\n$plan")
+  }
+
+  test("txt_rake segments phrases once: the ph subtree is persisted, not recomputed") {
+    // The word-stat and phrase-assembly branches prune different
+    // columns, so exchange reuse can't fire (non-canonical subtrees) —
+    // r7's audit found the scan + doc_id shuffle + windows duplicated.
+    // The persisted subtree must appear as InMemory scans and leave
+    // exactly one parquet scan in the whole plan.
+    // (the plan STRING still shows parquet scans inside the
+    // InMemoryRelation's embedded child dump — count cache READS, which
+    // is what executes, not the embedded text)
+    val plan = executedPlan("txt_rake")
+    val cacheReads = plan.split("InMemoryTableScan").length - 1 +
+      plan.split("TableCacheQueryStage").length - 1
+    assert(cacheReads >= 2,
+      s"both rake branches must read the persisted ph subtree, got $cacheReads:\n$plan")
+  }
+
   test("dd_incremental: one (band, key) join, existing side never re-hashed per band") {
     val plan = initialPlan("dd_incremental")
     // left join on the band key stays a shuffled equi-join (the shape
@@ -116,6 +150,38 @@ class PlanShapeSpec extends SparkTestBase {
       val plan = initialPlan(q)
       assert(plan.contains("WindowGroupLimit"),
         s"$q should push its rank filter into a WindowGroupLimit:\n$plan")
+    }
+  }
+
+  test("unpartitioned windows appear only where bounded by design") {
+    // Single-partition windows serialize the world at scale; the bench
+    // tail's recurring `WindowExec: No Partition Defined` warnings are
+    // all from k-row windows documented as bounded (topKRanked's final
+    // rank over k pre-pruned rows; globalRowNumber's offsets over
+    // <= numPartitions rows). Whitelist THOSE queries explicitly so a
+    // NEW unpartitioned window anywhere else fails loudly here instead
+    // of hiding in 30 known-benign log lines.
+    val bounded = Set(
+      "o1_ranked_sort",                   // topKRanked: k-row final rank
+      "cur_assign_ids",                   // globalRowNumber offsets window
+      "samp_stratified", "samp_reservoir", // globalRowNumber offsets window
+      "io_zorder", "io_prune_stats"       // z-order file ids via globalRowNumber
+    )
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (!bounded(name) && bad.nonEmpty)
+        fail(s"$name plans an unpartitioned window — bounded by design? " +
+          s"whitelist it with a justification, or fix the plan:\n${bad.head}")
+      // keep the whitelist honest: an entry whose plan no longer has an
+      // unpartitioned window should be removed, not carried forever
+      if (bounded(name) && bad.isEmpty)
+        fail(s"$name is whitelisted but plans no unpartitioned window — drop it")
     }
   }
 

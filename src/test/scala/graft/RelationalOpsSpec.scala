@@ -24,13 +24,12 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
-  test("every query has an oracle, except the two documented engine-specific sketches") {
-    // g8/g12 return HLL/GK estimates no other engine reproduces; their
-    // error bounds are property-tested instead (PropertiesSpec). Any
-    // OTHER query landing here would ship driver-unverified — fail
+  test("every query has an oracle — no exemptions") {
+    // r8: even the sketch queries (g8/g12) are oracle-checked now —
+    // they hash their exact companions plus in-bound boolean claims.
+    // Any query landing here would ship driver-unverified — fail
     // loudly rather than discover a silent no_oracle row in the gate.
-    val sketchExempt = Set("g8_approx_distinct", "g12_approx_percentiles")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchExempt
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle coverage: $missing")
   }
 
@@ -85,28 +84,32 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
   }
 
-  test("g12 approx percentiles stay close to the exact interpolated values") {
-    val approx = run("g12_approx_percentiles").collect()
-      .map(r => r.getAs[String]("event_type") -> ((r.getDouble(1), r.getDouble(2)))).toMap
+  test("g12 sketch percentiles sit inside their GK rank bound; exacts match g10") {
+    val rows = run("g12_approx_percentiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_in_bound"), s"p50 out of bound: $r")
+      assert(r.getAs[Boolean]("p90_in_bound"), s"p90 out of bound: $r")
+    }
     val exact = run("g10_percentiles").collect()
-      .map(r => r.getAs[String]("event_type") -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    exact.foreach { case (k, (p50, p90)) =>
-      // value domain is roughly [-1000, 1000]; accuracy 1000 gives a
-      // tight rank error, allow a small absolute tolerance
-      assert(math.abs(approx(k)._1 - p50) < 25.0, s"$k p50 ${approx(k)._1} vs $p50")
-      assert(math.abs(approx(k)._2 - p90) < 25.0, s"$k p90 ${approx(k)._2} vs $p90")
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("p50"), r.getAs[Double]("p90")))).toMap
+    rows.foreach { r =>
+      val (p50, p90) = exact(r.getAs[String]("event_type"))
+      assert(r.getAs[Double]("p50") == p50 && r.getAs[Double]("p90") == p90,
+        s"exact percentile columns must equal g10's: $r")
     }
   }
 
-  test("g8 approx distinct stays within the configured 2% rsd of exact") {
-    val approx = run("g8_approx_distinct").collect()
-      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_approx")).toMap
+  test("g8 sketch distinct sits inside 3x rsd; exact count matches g7") {
+    val rows = run("g8_approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("est_in_bound"), s"estimate out of bound: $r"))
     val exact = run("g7_distinct_users").collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
-    exact.foreach { case (k, ex) =>
-      val err = math.abs(approx(k).toDouble - ex) / ex
-      assert(err < 0.06, s"$k: approx=${approx(k)} exact=$ex err=$err (3x rsd bound)")
-    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_users") == exact(r.getAs[String]("event_type"))))
   }
 
   test("set operations match ground-truth user sets") {

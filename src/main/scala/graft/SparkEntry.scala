@@ -759,12 +759,14 @@ object SparkEntry {
   private def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = {
     import graft.multimodal._
     Map(
-      "mm_decode_features" -> ((s, dir) => {
-        import s.implicits._
-        MultimodalOps.decodeFeatures(
-          MultimodalOps.documentsAsAssets(Tables.documents(s, dir)).as[RawAsset]
-        ).toDF()
-      }),
+      // r8: REAL decode — synthesize actual PNGs (pixel values from a
+      // closed form over (x, y, id)), parse them with javax.imageio,
+      // and emit statistics of the DECODED raster; the oracle
+      // recomputes the closed form, so a mis-decode hash-mismatches.
+      "mm_decode_features" -> ((s, dir) =>
+        MultimodalOps.decodeImageFeatures(
+          MultimodalOps.syntheticPngAssets(Tables.documents(s, dir))
+        ).toDF()),
       "mm_frame_sample" -> ((s, dir) => {
         import s.implicits._
         MultimodalOps.sampleFrames(
@@ -775,20 +777,30 @@ object SparkEntry {
   }
 
   private def multimodalOracle: Map[String, String] = Map(
-    // md5(VARCHAR) hashes the UTF-8 bytes — identical to the stub's
-    // digest of CAST(text AS BINARY); octet_length(encode(...)) is the
-    // byte length of the same payload.
+    // The oracle recomputes the PNG synthesis closed form per pixel
+    // (r = (7x+13y+id) mod 256, g/b offset +85/+170) and aggregates the
+    // same statistics the Spark side derives from the DECODED raster —
+    // if javax.imageio mis-parsed dims, band order, or samples, the
+    // hashes diverge. Integer division truncates on both engines.
     "mm_decode_features" ->
-      """WITH a AS (SELECT doc_id AS asset_id,
-                      octet_length(encode(text)) AS n_bytes,
-                      CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS h
-                    FROM documents)
-         SELECT asset_id, n_bytes,
-                16 + h % 1024 AS width,
-                16 + (h // 1024) % 1024 AS height,
-                1 + (h // 1048576) % 4 AS channels,
-                h AS feature_hash
-         FROM a""",
+      """WITH dims AS (SELECT doc_id AS asset_id,
+                         CAST(16 + doc_id % 16 AS INT) AS width,
+                         CAST(16 + (doc_id // 16) % 16 AS INT) AS height
+                       FROM documents),
+         u1 AS (SELECT asset_id, width, height,
+                       unnest(range(0, width)) AS x FROM dims),
+         u2 AS (SELECT asset_id, width, height, x,
+                       unnest(range(0, height)) AS y FROM u1),
+         s AS (SELECT asset_id, width, height,
+                      SUM((x*7 + y*13 + asset_id) % 256
+                        + (x*7 + y*13 + asset_id + 85) % 256
+                        + (x*7 + y*13 + asset_id + 170) % 256) AS pixel_sum
+               FROM u2 GROUP BY 1, 2, 3)
+         SELECT asset_id, width, height, CAST(3 AS INT) AS channels,
+                CAST(pixel_sum AS BIGINT) AS pixel_sum,
+                CAST(pixel_sum * 1000 // (width * height * 3) AS BIGINT)
+                  AS mean_milli
+         FROM s""",
 
     "mm_frame_sample" ->
       """WITH a AS (SELECT doc_id AS asset_id,

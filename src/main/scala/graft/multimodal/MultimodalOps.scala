@@ -12,30 +12,41 @@ import org.apache.spark.sql.functions._
   */
 case class RawAsset(asset_id: Long, kind: String, bytes: Array[Byte])
 
-/** Typed decode output (the "image header" a real codec would emit). */
-case class AssetFeatures(asset_id: Long, n_bytes: Int, width: Int,
-                         height: Int, channels: Int, feature_hash: Long)
-
 /** One sampled "frame" of a (fake-)video asset. */
 case class FrameSample(asset_id: Long, frame_idx: Int, byte_offset: Int,
                        frame_hash: Long)
 
+/** Real-decode output: statistics computed from DECODED PIXELS, not
+  * from the byte stream. `pixel_sum` is the sum of every sample of
+  * every band; `mean_milli` the truncated per-sample mean in
+  * milli-units (exact integer arithmetic end to end).
+  */
+case class ImageFeatures(asset_id: Long, width: Int, height: Int,
+                         channels: Int, pixel_sum: Long, mean_milli: Long)
+
 /** Multimodal-column operators: binary assets in, typed features out.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB — dimensions and hashes derive from the asset's
-  * md5 (arithmetic a SQL oracle reproduces, keeping even the stub
-  * correctness-checked). Everything around the stub is the real
-  * production shape and is what these operators actually exercise:
+  * IMAGE DECODE IS REAL (r8): [[decodeImageFeatures]] parses PNG bytes
+  * with `javax.imageio` — an actual format decode, pure JVM, no native
+  * codec dependency — and computes statistics from the decoded raster.
+  * The harness ships no media files, so [[syntheticPngAssets]] first
+  * ENCODES a real PNG per document whose pixel values follow a closed
+  * form over (x, y, asset_id); the oracle recomputes the statistics
+  * from that form in SQL, so a decoder that mis-parsed dimensions,
+  * band order, or sample values would hash-mismatch. PNG is lossless —
+  * the round trip is bit-exact by format contract.
+  *
+  * Only VIDEO frame sampling still rides the deterministic md5 stub
+  * ([[stubDecode]]) — there is no pure-JVM video codec — and that stub
+  * is itself oracle-checked arithmetic. Everything else is the real
+  * production shape:
   *
   *  - assets flow as `binary` columns with typed metadata, not paths;
   *  - per-partition batch processing via `mapPartitions` with one
-  *    decoder instance (here a MessageDigest, in production a codec
-  *    context) amortized across the partition's rows — the same batch
-  *    shape a Pandas-UDF/`mapInPandas` pipeline has in PySpark;
+  *    decoder context amortized across the partition's rows — the same
+  *    batch shape a Pandas-UDF/`mapInPandas` pipeline has in PySpark;
   *  - narrow transforms: no shuffle is introduced by decoding, so at
-  *    scale the work rides the scan partitions (swap [[stubDecode]]
-  *    for a real codec and nothing about the plan changes);
+  *    scale the work rides the scan partitions;
   *  - frame sampling fans out rows via a typed `flatMap`-style
   *    iterator inside the same partition pass.
   */
@@ -65,17 +76,73 @@ object MultimodalOps {
     docs.select(col("doc_id").as("asset_id"), lit("text/utf-8").as("kind"),
       col("text").cast("binary").as("bytes"))
 
-  /** Decode features per asset — one decoder per PARTITION, streamed
-    * over the partition's rows (never one per row, never a
-    * collect-to-driver loop).
+  /** Synthesize a REAL PNG per document: dimensions derive from the
+    * id (width 16–31 × height 16–31), pixel (x, y) is the closed form
+    * r = (7x + 13y + id) mod 256, g = r ⊕+85, b = r ⊕+170 — arithmetic
+    * a SQL oracle reproduces pixel for pixel. One encoder pass per
+    * partition; ImageIO's disk cache is disabled (pure in-memory
+    * encode).
     */
-  def decodeFeatures(assets: Dataset[RawAsset]): Dataset[AssetFeatures] = {
+  def syntheticPngAssets(docs: DataFrame): Dataset[RawAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = 16 + (id % 16).toInt
+        val h = 16 + ((id / 16) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = x * 7L + y * 13L + id
+            val r = (base % 256).toInt
+            val g = ((base + 85) % 256).toInt
+            val b = ((base + 170) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        RawAsset(id, "image/png", out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL image decode: `javax.imageio` parses the PNG byte stream and
+    * the statistics come from the decoded raster — width/height from
+    * the header, `channels` from the raster's band count, `pixel_sum`
+    * over every sample of every band. A decoder bug (wrong dims, band
+    * order, filtering, bit depth) surfaces as an oracle hash mismatch
+    * against the synthesis closed form. Narrow mapPartitions over the
+    * scan, decoder state amortized per partition.
+    */
+  def decodeImageFeatures(assets: Dataset[RawAsset]): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      val md = MessageDigest.getInstance("MD5")
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val (h, w, ht, c) = stubDecode(a.bytes, md)
-        AssetFeatures(a.asset_id, a.bytes.length, w, ht, c, h)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+        require(img != null, s"asset ${a.asset_id}: bytes are not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val c = raster.getNumBands
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < c) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(a.asset_id, w, h, c, sum, sum * 1000L / (w.toLong * h * c))
       }
     }
   }

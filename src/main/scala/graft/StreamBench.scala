@@ -14,7 +14,13 @@ import graft.streaming.{VoteGenerator, VotePipeline}
   * the windowed hourly aggregation (S-1, append mode) to noop sinks,
   * and report end-to-end rows/s plus per-query micro-batch latency.
   *
-  *   sbt 'runMain graft.StreamBench [nEvents] [nFiles]'
+  *   sbt 'runMain graft.StreamBench [nEvents] [nFiles] [state]'
+  *
+  * `state` = `hdfs` (default) or `rocksdb` — the latter swaps in
+  * `RocksDBStateStoreProvider`, the backend a 100 TB deployment runs
+  * (state spills off-heap to local SST files instead of living as JVM
+  * objects), so the state-backend story has a measured number per
+  * round, not just the parity specs.
   *
   * Transport is the text file source chunked into `nFiles` files with
   * maxFilesPerTrigger=2, so the run executes nFiles/2 real micro-batches
@@ -29,8 +35,12 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toInt).getOrElse(200000)
     val nFiles = args.lift(1).map(_.toInt).getOrElse(20)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.configure(SparkSession.builder(), cpus).getOrCreate()
+    val state = args.lift(2).getOrElse("hdfs")
+    val builder = Sessions.configure(SparkSession.builder(), sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (state == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Sessions.quietKnownBenignWarnings()
 
@@ -74,7 +84,7 @@ object StreamBench {
     }.mkString("{", ",", "}")
 
     val rowsPerSec = nEvents / wallSec
-    println(f"""{"metric":"stream_rows_per_sec","value":$rowsPerSec%.0f,"unit":"rows/sec","events":$nEvents,"files":$nFiles,"wall_sec":$wallSec%.2f,"queries":$perQuery}""")
+    println(f"""{"metric":"stream_rows_per_sec","value":$rowsPerSec%.0f,"unit":"rows/sec","events":$nEvents,"files":$nFiles,"state":"$state","wall_sec":$wallSec%.2f,"queries":$perQuery}""")
     spark.stop()
   }
 }

@@ -152,6 +152,21 @@ object SparkEntry {
           .select(col("file_id"), col("n"),
             (!(col("max_x") < 1000 || col("min_x") > 3000 ||
                col("max_y") < 10227 || col("min_y") > 10500)).as("scanned"))),
+      // Compaction planning (OPTIMIZE's grouping step): pack the
+      // z-ordered files into merge jobs of ~5k rows in LAYOUT order,
+      // so merged files keep tight bounding boxes. Metadata-only —
+      // the running-sum window is bounded by the file count.
+      "io_compact_plan" -> ((s, dir) =>
+        graft.operators.LayoutOps.compactionPlan(
+          graft.operators.LayoutOps.zorderFileStats(
+            Tables.orders(s, dir).select(
+              pmod(col("o_custkey"), lit(65536)).as("x"),
+              datediff(col("o_orderdate").cast("date"),
+                lit("1970-01-01").cast("date")).as("y"),
+              col("o_orderkey")),
+            "x", "y", "o_orderkey", rowsPerFile = 1000)
+            .select(col("file_id"), col("n")),
+          "file_id", "n", targetRows = 5000)),
       "io_jdbc_roundtrip" -> ((s, dir) => {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         val url = JdbcIO.derbyUrl(
@@ -256,6 +271,24 @@ object SparkEntry {
                 NOT (max_x < 1000 OR min_x > 3000 OR
                      max_y < 10227 OR min_y > 10500) AS scanned
          FROM stats""",
+
+    // greedy layout-order packing: group = starting row offset div
+    // target (integer division truncates on both engines)
+    "io_compact_plan" ->
+      s"""WITH stats AS ($duckZorderStats),
+         c AS (SELECT file_id, n AS n_rows,
+                 SUM(n) OVER (ORDER BY file_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+               FROM stats),
+         g AS (SELECT file_id, n_rows,
+                 CAST((CAST(cum AS BIGINT) - n_rows) // 5000 AS BIGINT)
+                   AS compact_group
+               FROM c)
+         SELECT file_id, n_rows, compact_group,
+                CAST(SUM(n_rows) OVER (PARTITION BY compact_group) AS BIGINT)
+                  AS group_rows,
+                (COUNT(*) OVER (PARTITION BY compact_group)) > 1 AS merges
+         FROM g""",
 
     "io_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -1632,6 +1665,19 @@ object SparkEntry {
       "dd_cluster_keep_first" -> ((s, dir) =>
         graft.operators.GraphOps.dedupClusters(
           lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text"))),
+      // PageRank over the customer -> order -> supplier link graph
+      // (node ids prefix-spaced by role), 3 unrolled power-iteration
+      // rounds in integer micro-units — the crawl-prioritization /
+      // quality-weighting kernel of web-scale curation (GraphOps).
+      "gr_pagerank" -> ((s, dir) => {
+        val edges = Tables.orders(s, dir)
+          .select((col("o_custkey") * 3).as("src"),
+            (col("o_orderkey") * 3 + 1).as("dst"))
+          .unionByName(Tables.lineitem(s, dir)
+            .select((col("l_orderkey") * 3 + 1).as("src"),
+              (col("l_suppkey") * 3 + 2).as("dst")))
+        graft.operators.GraphOps.pageRank(edges, "src", "dst")
+      }),
       // End-to-end curation composition: quality-score -> language +
       // quality filter -> exact-dedup keep-first -> deterministic
       // hash-mod sample. One declarative plan; Catalyst fuses the
@@ -1840,6 +1886,39 @@ object SparkEntry {
                 (count(CASE WHEN df + 1 >= 2 THEN 1 END) * 1000000) // count(*)
                   AS dup_micro
          FROM inc GROUP BY doc_id""",
+
+    // Three PageRank power-iteration rounds unrolled as CTEs — integer
+    // micro-unit ranks, truncating // division, identical to the Spark
+    // unrolled-join formulation contribution for contribution.
+    "gr_pagerank" ->
+      """WITH e AS (SELECT o_custkey * 3 AS src, o_orderkey * 3 + 1 AS dst
+                    FROM orders
+                    UNION ALL
+                    SELECT l_orderkey * 3 + 1, l_suppkey * 3 + 2
+                    FROM lineitem),
+         n AS (SELECT DISTINCT id
+               FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+         i1 AS (SELECT n.id,
+                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+                FROM n LEFT JOIN (
+                  SELECT e.dst AS id, SUM(r0.r // d.deg) AS s
+                  FROM e JOIN r0 ON e.src = r0.id JOIN d ON e.src = d.src
+                  GROUP BY e.dst) c ON n.id = c.id),
+         i2 AS (SELECT n.id,
+                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+                FROM n LEFT JOIN (
+                  SELECT e.dst AS id, SUM(i1.r // d.deg) AS s
+                  FROM e JOIN i1 ON e.src = i1.id JOIN d ON e.src = d.src
+                  GROUP BY e.dst) c ON n.id = c.id),
+         i3 AS (SELECT n.id,
+                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+                FROM n LEFT JOIN (
+                  SELECT e.dst AS id, SUM(i2.r // d.deg) AS s
+                  FROM e JOIN i2 ON e.src = i2.id JOIN d ON e.src = d.src
+                  GROUP BY e.dst) c ON n.id = c.id)
+         SELECT id, r AS rank_micro FROM i3""",
 
     // Connected components over the LSH candidate pairs via a
     // recursive reachability CTE; min reachable id = component.
@@ -2537,6 +2616,35 @@ object SparkEntry {
       e.join(thr, Seq("user_id"))
         .filter(col("value") > col("p95"))
         .select(col("user_id"), col("event_id"), col("value"), col("p95"))
+    }),
+
+    // ---- Lag-k autocovariance of the daily value series per event
+    //      type — the seasonality/persistence signal over a metric
+    //      stream. Daily cents are exact longs; each lag k ∈ {1,2,3}
+    //      reports the multiplied-out integer numerator
+    //      n·Σxy − Σx·Σy (the float-parity discipline: no division,
+    //      no float, order-independent long sums). ONE (event_type)
+    //      window serves all three lags; the stack unpivot fans out
+    //      3 rows per day — bounded by the lag count. ----
+    "ts_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("__day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("__day"))
+      daily
+        .withColumn("__l1", lag(col("__c"), 1).over(w))
+        .withColumn("__l2", lag(col("__c"), 2).over(w))
+        .withColumn("__l3", lag(col("__c"), 3).over(w))
+        .select(col("event_type"), col("__c"),
+          expr("stack(3, 1, __l1, 2, __l2, 3, __l3) AS (lag_k, __y)"))
+        .filter(col("__y").isNotNull)
+        .groupBy(col("event_type"), col("lag_k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__c")).as("__sx"), sum(col("__y")).as("__sy"),
+          sum(col("__c") * col("__y")).as("__sxy"))
+        .select(col("event_type"), col("lag_k"), col("n"),
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("acov_num"))
     }),
 
     // ---- Co-occurrence matrix: which event types happen TOGETHER in
@@ -3262,6 +3370,24 @@ object SparkEntry {
          SELECT e.user_id, e.event_id, e.value, t.p95
          FROM events e JOIN t USING (user_id)
          WHERE e.value > t.p95""",
+
+    // daily cents are exact longs; the numerator is the multiplied-out
+    // integer form n*Sxy - Sx*Sy — no division, no float anywhere
+    "ts_acf" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      SUM(CAST(round(value * 100) AS BIGINT)) AS c
+                    FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, c,
+                 lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+                 lag(c, 3) OVER w AS l3
+               FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         u AS (SELECT event_type, 1 AS lag_k, c AS x, l1 AS y FROM l
+               UNION ALL SELECT event_type, 2, c, l2 FROM l
+               UNION ALL SELECT event_type, 3, c, l3 FROM l)
+         SELECT event_type, lag_k, count(*) AS n,
+                CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+                  AS acov_num
+         FROM u WHERE y IS NOT NULL GROUP BY 1, 2""",
 
     "g19_cooccur" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hh, event_type

@@ -160,4 +160,53 @@ object GraphOps {
     connectedComponents(pairs, d1Col, d2Col, maxIter)
       .select(col("node").as("doc_id"), col("component").as("kept_id"),
         (col("node") === col("component")).as("is_kept"))
+
+  /** PageRank (Brin & Page 1998) over a directed edge list, the other
+    * canonical iterative graph kernel (centrality, where
+    * [[connectedComponents]] is membership) — in data-curation terms:
+    * rank documents/hosts in a link graph to prioritize crawling or to
+    * weight quality (the Common-Crawl-style harmonic/PageRank
+    * prioritization every web-scale corpus pipeline runs).
+    *
+    * A FIXED `iters` power-iteration rounds are unrolled into one
+    * declarative plan — no driver-side rank state, no collect; each
+    * round is (ranks ⋈ edges on src) → map-side-combined sum per dst →
+    * left join back to the node set, i.e. the shuffle pattern a
+    * Pregel-style engine runs, expressed in joins Catalyst can
+    * co-partition (every round keys on the same node id). Cost is
+    * honestly O(iters) shuffle rounds; rank convergence for curation
+    * needs single-digit rounds.
+    *
+    * Determinism contract: ranks are integer MICRO-units end to end —
+    * start at 1e6, per-edge contribution `rank div out_degree`
+    * (truncating division, identical on Spark/JVM/DuckDB), update
+    * `(100−d)·10⁴ + (d · Σcontrib) div 100` with damping `d` as an
+    * integer percent — so sums are order-independent longs and the
+    * oracle unrolls the same three iterations with no float anywhere.
+    * Dangling nodes (no out-edges) leak their mass, the standard
+    * simplification when ranking is relative (redistribution adds a
+    * scalar broadcast round per iteration and changes no ordering).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("id"))
+      .unionByName(e.select(col("__dst").as("id"))).distinct()
+    val withDeg = e.join(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), Seq("__src"))
+    val base = lit((100L - dampingPct) * 10000L)
+    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
+    (1 to iters).foreach { _ =>
+      val in = withDeg.join(ranks, withDeg("__src") === ranks("id"))
+        .select(col("__dst").as("id"),
+          expr("rank_micro div __deg").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(in, Seq("id"), "left")
+        .select(col("id"),
+          (base + expr(s"$dampingPct * coalesce(__in, CAST(0 AS BIGINT)) div 100"))
+            .as("rank_micro"))
+    }
+    ranks
+  }
 }

@@ -90,6 +90,43 @@ object LayoutOps {
         min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
   }
 
+  /** Compaction planning over file statistics — the OPTIMIZE side of
+    * the lakehouse small-file problem: a streaming ingest leaves
+    * thousands of under-sized files, and the compactor must group
+    * NEIGHBORING files (so the merged file keeps a tight bounding box —
+    * compaction that destroys clustering un-does [[zorderFileStats]])
+    * into jobs of ~`targetRows` each. Greedy in layout order: running
+    * row count over files sorted by file_id, group = starting offset
+    * div target — each group takes consecutive files until the target
+    * fills.
+    *
+    * This is a METADATA-ONLY plan: input is one row per file, so the
+    * unpartitioned running-sum window is bounded by the file count (the
+    * [[RelationalOps.globalRowNumber]] offsets argument — manifest
+    * scale, not data scale; a 100 TB table at 128 MB/file is ~10⁶
+    * manifest rows). Output: one row per file with its compaction
+    * group, the group's total rows, and whether the group actually
+    * merges anything (singleton groups at target size are already
+    * compact — no-op jobs the compactor skips).
+    */
+  def compactionPlan(fileStats: DataFrame, fileIdCol: String, rowsCol: String,
+                     targetRows: Long): DataFrame = {
+    require(targetRows >= 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(fileIdCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("compact_group"))
+    fileStats.select(col(fileIdCol).as("file_id"), col(rowsCol).as("n_rows"))
+      .withColumn("__cum", sum(col("n_rows")).over(w))
+      .withColumn("compact_group",
+        expr(s"(__cum - n_rows) div ${targetRows}L"))
+      .withColumn("group_rows", sum(col("n_rows")).over(byGroup))
+      .withColumn("merges",
+        count(lit(1)).over(byGroup) > 1)
+      .select(col("file_id"), col("n_rows"), col("compact_group"),
+        col("group_rows"), col("merges"))
+  }
+
   /** Write `df` physically z-ordered on (xCol, yCol): range-partition
     * by the normalized z-value into `nFiles` output files, sort within
     * each, drop the helper columns. The write itself is ordinary

@@ -214,6 +214,25 @@ class EdgeCasesSpec extends SparkTestBase {
       s"constant dim must standardize to 0, got ${z.toSeq}")
   }
 
+  test("round-8 operators tolerate degenerate inputs") {
+    import graft.operators.{GraphOps, LayoutOps}
+    // pageRank: empty edge list -> empty rank table; a single self-loop
+    // converges to the geometric fixpoint of its own mass, no NPE/skew
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.pageRank(emptyEdges, "src", "dst").isEmpty)
+    val selfLoop = Seq((7L, 7L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(selfLoop, "src", "dst", iters = 1).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 150000L + 85L * 1000000L / 100)
+
+    // compactionPlan: empty manifest -> empty plan; one giant file ->
+    // one singleton non-merging group
+    val emptyStats = Seq.empty[(Long, Long)].toDF("file_id", "n")
+    assert(LayoutOps.compactionPlan(emptyStats, "file_id", "n", 100).isEmpty)
+    val one = LayoutOps.compactionPlan(
+      Seq((0L, 1000L)).toDF("file_id", "n"), "file_id", "n", 100).collect()
+    assert(one.length == 1 && !one.head.getAs[Boolean]("merges"))
+  }
+
   test("integer division truncates toward zero on all parity legs (negatives included)") {
     // The w4_ewma / EwmaPipeline contract: Spark `div`, JVM long `/`,
     // and DuckDB integer `//` all truncate toward zero, so EWMA over

@@ -81,4 +81,35 @@ class GraphOpsSpec extends SparkTestBase {
     assert(clusters.values.map(_._1).toSet === Set(1L))
     assert(clusters.collect { case (d, (_, true)) => d }.toSet === Set(1L))
   }
+
+  test("pageRank: sinks of a star collect damped mass; exact integer fixpoint") {
+    // star: 0 -> 1..5. Leaves split node 0's rank; node 0 receives
+    // nothing and sits at the base. Hand-computed micro fixpoint after
+    // the first round: leaves = 150000 + 85 * (r0 div 5) div 100.
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(star, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(0L) === 150000L)
+    val leaf1 = 150000L + 85L * (1000000L / 5) / 100
+    (1L to 5L).foreach(i => assert(r1(i) === leaf1))
+    // second round: node 0's rank fell to base, leaves re-derive from it
+    val r2 = GraphOps.pageRank(star, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val leaf2 = 150000L + 85L * (150000L / 5) / 100
+    assert(r2(0L) === 150000L)
+    (1L to 5L).foreach(i => assert(r2(i) === leaf2))
+  }
+
+  test("pageRank ranks a cycle uniformly and more-linked nodes higher") {
+    // 3-cycle: every node passes its whole rank on — uniform fixpoint
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = GraphOps.pageRank(cycle, "src", "dst").as[(Long, Long)]
+      .collect().toMap
+    assert(rc.values.toSet.size === 1)
+    // two sources pointing at node 9 vs one at node 8: 9 outranks 8
+    val g = Seq((1L, 9L), (2L, 9L), (3L, 8L)).toDF("src", "dst")
+    val rg = GraphOps.pageRank(g, "src", "dst").as[(Long, Long)]
+      .collect().toMap
+    assert(rg(9L) > rg(8L))
+  }
 }

@@ -112,4 +112,34 @@ class LayoutOpsSpec extends SparkTestBase {
     stats.dropRight(1).foreach(r => assert(r.getLong(1) === 100L))
     assert(stats.map(_.getLong(0)).toSeq === stats.indices.map(_.toLong))
   }
+
+  test("compactionPlan packs contiguous files to the target and flags real merges") {
+    import spark.implicits._
+    // 6 files of 10 rows, target 25: offset packing groups by starting
+    // offset div 25 — offsets 0,10,20 -> g0; 30,40 -> g1; 50 -> g2
+    val stats = (0L to 5L).map(i => (i, 10L)).toDF("file_id", "n")
+    val plan = LayoutOps.compactionPlan(stats, "file_id", "n", targetRows = 25)
+      .orderBy("file_id").collect()
+    assert(plan.map(_.getAs[Long]("compact_group")).toSeq ===
+      Seq(0L, 0L, 0L, 1L, 1L, 2L))
+    val groupRows = plan.map(r =>
+      r.getAs[Long]("compact_group") -> r.getAs[Long]("group_rows")).toMap
+    assert(groupRows === Map(0L -> 30L, 1L -> 20L, 2L -> 10L))
+    // multi-file groups merge; the trailing singleton does not
+    assert(plan.map(r =>
+      r.getAs[Long]("compact_group") -> r.getAs[Boolean]("merges")).toMap ===
+      Map(0L -> true, 1L -> true, 2L -> false))
+    // groups are CONTIGUOUS runs of file ids (clustering preserved)
+    val byGroup = plan.groupBy(_.getAs[Long]("compact_group"))
+      .view.mapValues(_.map(_.getAs[Long]("file_id")).sorted.toSeq)
+    byGroup.foreach { case (_, ids) =>
+      assert(ids === (ids.head to ids.last))
+    }
+    // an already-compact file (>= target) lands alone and is NOT a merge
+    val big = Seq((0L, 30L), (1L, 30L)).toDF("file_id", "n")
+    val bigPlan = LayoutOps.compactionPlan(big, "file_id", "n", targetRows = 25)
+      .orderBy("file_id").collect()
+    assert(bigPlan.map(_.getAs[Long]("compact_group")).distinct.length === 2)
+    assert(bigPlan.forall(!_.getAs[Boolean]("merges")))
+  }
 }

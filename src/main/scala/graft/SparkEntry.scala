@@ -92,15 +92,38 @@ object SparkEntry {
       (cust, ord)
     }
 
+  /** Partitioned-events layouts already written this JVM. */
+  private val materializedPartitionDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write events hive-partitioned by event_type once per JVM — the
+    * layout that turns a partition-key predicate into directory
+    * PRUNING (the scan never lists, opens, or reads non-matching
+    * partitions; at 100 TB this is the difference between reading one
+    * partition and listing a million files). Setup IO, paid by
+    * [[prepare]] outside Bench's clock.
+    */
+  private def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pdir = s"${System.getProperty("java.io.tmpdir")}/graft_part_events_$tag"
+    if (materializedPartitionDirs.add(pdir)) {
+      Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(pdir)
+    }
+    pdir
+  }
+
   /** One-time side-artifact materialization for `dir` (the s8 file
-    * topic, the j9 bucketed tables). Bench calls this before its timed
-    * loop so query timings measure operators, not setup IO; Verify and
-    * ad-hoc callers need not call it — each query lazily materializes
-    * what it needs.
+    * topic, the j9 bucketed tables, the partitioned events layout).
+    * Bench calls this before its timed loop so query timings measure
+    * operators, not setup IO; Verify and ad-hoc callers need not call
+    * it — each query lazily materializes what it needs.
     */
   def prepare(s: SparkSession, dir: String): Unit = {
     ensureFileTopic(s, dir)
     ensureBucketedTables(s, dir)
+    ensurePartitionedEvents(s, dir)
     ()
   }
 
@@ -152,6 +175,19 @@ object SparkEntry {
           .select(col("file_id"), col("n"),
             (!(col("max_x") < 1000 || col("min_x") > 3000 ||
                col("max_y") < 10227 || col("min_y") > 10500)).as("scanned"))),
+      // Partition pruning over a hive-partitioned layout: the
+      // event_type predicate resolves at PLANNING time against the
+      // directory structure — non-matching partitions are never
+      // listed, opened, or read (PlanShapeSpec pins PartitionFilters
+      // on the scan). The other physical-design lever next to
+      // bucketing (j9) and z-ordering (io_zorder).
+      "io_partition_prune" -> ((s, dir) => {
+        val pdir = ensurePartitionedEvents(s, dir)
+        s.read.parquet(pdir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      }),
       // Compaction planning (OPTIMIZE's grouping step): pack the
       // z-ordered files into merge jobs of ~5k rows in LAYOUT order,
       // so merged files keep tight bounding boxes. Metadata-only —
@@ -2653,6 +2689,38 @@ object SparkEntry {
     //      group FIRST (≤ |types| rows per group), so the pair
     //      self-join fans out at most |types|² per group — bounded by
     //      the type vocabulary, never by event volume. ----
+    // ---- Market-basket association rules over order baskets:
+    //      support / confidence / lift for item pairs, the classic
+    //      affinity kernel. Items coarsened to 100 groups so pairs
+    //      repeat; DISTINCT per basket FIRST, so the pair self-join
+    //      fans out at most |items-per-basket|² per order (≤ ~50),
+    //      bounded by basket width, never by order volume. Confidence
+    //      and lift are integer micro-units (truncating div on both
+    //      engines); the basket total enters as a broadcast scalar. ----
+    "g20_basket_rules" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("oid"),
+          pmod(col("l_partkey"), lit(100)).as("item"))
+        .distinct()
+      val baskets = items.select(col("oid")).distinct()
+        .agg(count(lit(1)).as("__nb"))
+      val cnt = items.groupBy(col("item")).agg(count(lit(1)).as("__ni"))
+      val pairs = items.select(col("oid"), col("item").as("item_a"))
+        .join(items.select(col("oid"), col("item").as("item_b")), Seq("oid"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pairs
+        .join(broadcast(cnt.select(col("item").as("item_a"),
+          col("__ni").as("__na"))), Seq("item_a"))
+        .join(broadcast(cnt.select(col("item").as("item_b"),
+          col("__ni").as("__nbi"))), Seq("item_b"))
+        .crossJoin(broadcast(baskets))
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          expr("n_ab * 1000000 div __na").as("conf_micro"),
+          expr("n_ab * __nb * 1000000 div (__na * __nbi)").as("lift_micro"))
+    }),
+
     "g19_cooccur" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("__hh"),
@@ -3388,6 +3456,31 @@ object SparkEntry {
                 CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
                   AS acov_num
          FROM u WHERE y IS NOT NULL GROUP BY 1, 2""",
+
+    // pair counts over per-basket DISTINCT items; micro-unit ratios
+    // with truncating // match Spark's div exactly
+    "g20_basket_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey % 100 AS item
+                     FROM lineitem),
+         nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT oid FROM it)),
+         ci AS (SELECT item, count(*) AS ni FROM it GROUP BY item),
+         p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+               FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT item_a, item_b, n_ab,
+                CAST(n_ab * 1000000 // ca.ni AS BIGINT) AS conf_micro,
+                CAST(n_ab * nb.n * 1000000 // (ca.ni * cb.ni) AS BIGINT)
+                  AS lift_micro
+         FROM p JOIN ci ca ON p.item_a = ca.item
+                JOIN ci cb ON p.item_b = cb.item, nb""",
+
+    // partition pruning returns exactly the partition's rows — the
+    // oracle is the plain filtered aggregate over the source table
+    "io_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents
+         FROM events WHERE event_type = 'purchase' GROUP BY event_type""",
 
     "g19_cooccur" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hh, event_type

@@ -197,6 +197,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("io_partition_prune: the partition predicate prunes at planning time") {
+    // The event_type filter must land in PartitionFilters (directory
+    // pruning — non-matching partitions never listed or opened), not
+    // ride along as a data filter over a full scan.
+    val plan = initialPlan("io_partition_prune")
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.replaceAll("\\s+", " ")
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*purchase[^\\]]*\\].*"),
+      s"event_type = purchase should be a partition filter:\n$plan")
+  }
+
   test("date filters reach the parquet scan (q5 PushedFilters)") {
     val plan = initialPlan("q5_local_supplier")
     assert(plan.contains("PushedFilters"), plan)

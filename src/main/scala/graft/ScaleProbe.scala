@@ -111,6 +111,21 @@ object ScaleProbe {
             .forEach(p => Files.deleteIfExists(p))
         }
       }
+      // PageRank over a k×-replicated (id-offset) edge list: a fixed 3
+      // rounds, each one (src) join + map-side-combined (dst) sum —
+      // cost must track EDGE COUNT ~linearly; the node set is disjoint
+      // per copy so component structure is constant per copy
+      if (enabled("gr_pagerank")) time("gr_pagerank", k)(
+        GraphOps.pageRank(
+          (0 until k).map { i =>
+            val off = lit(i.toLong * 100000000L)
+            Tables.orders(spark, sfDir)
+              .select((col("o_custkey") * 3 + off).as("src"),
+                (col("o_orderkey") * 3 + 1 + off).as("dst"))
+              .unionByName(Tables.lineitem(spark, sfDir)
+                .select((col("l_orderkey") * 3 + 1 + off).as("src"),
+                  (col("l_suppkey") * 3 + 2 + off).as("dst")))
+          }.reduce(_ union _), "src", "dst"))
       // Power iteration: per round = one scan + a (dim, Σ) aggregate —
       // cost must track corpus size linearly, never dim²
       if (enabled("vec_power_iter")) time("vec_power_iter", k)(

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One keyed arrival entering the frequency sketch. */
+case class TopKInput(group: String, item: Long, event_id: Long, ts: Timestamp)
+
+/** Space-Saving counter: observed count plus the maximum possible
+  * undercount inherited at adoption time. True frequency f satisfies
+  * `count − err ≤ f ≤ count`.
+  */
+case class SsCounter(item: Long, count: Long, err: Long)
+
+/** Heavy-hitter state per group: at most k counters + a batch seq. */
+case class TopKState(counters: List[SsCounter], ver: Long)
+
+/** One ranked heavy hitter emitted after a micro-batch. `ver` is the
+  * 1-based micro-batch sequence for the group, so a consumer (or the
+  * spec) selects a consistent snapshot with `max(ver)`.
+  */
+case class HeavyHitter(group: String, item: Long, cnt_hi: Long,
+                       cnt_lo: Long, rank: Int, ver: Long)
+
+/** Streaming heavy hitters with BOUNDED state — the Space-Saving
+  * algorithm (Metwally, Agrawal, El Abbadi, "Efficient Computation of
+  * Frequent and Top-k Elements in Data Streams", ICDT 2005): per
+  * group, at most `k` counters; an untracked arrival adopts the
+  * minimum counter's slot, inheriting its count as potential error.
+  * Guarantees (asserted in `TopKPipelineSpec`):
+  *
+  *  - every item with true frequency > N/k IS tracked (no false
+  *    negatives among true heavy hitters);
+  *  - `count` never undercounts the true frequency, `count − err`
+  *    never overcounts it — per-item certainty bounds ride along.
+  *
+  * Why this and not exact streaming top-k: exact needs a counter per
+  * DISTINCT item — unbounded state on a 100 TB stream. Space-Saving
+  * state is O(k) per group, independent of traffic or cardinality
+  * (the [[SessionPipeline]] O(1)-state discipline applied to a
+  * frequency sketch). Mergeability across partitions comes free from
+  * Spark's state layout: the stream is hash-partitioned by group, so
+  * each group's counters live on exactly one state store.
+  *
+  * Within a batch the group iterator is unordered → events sort
+  * batch-locally on (ts, event_id) (the [[EwmaPipeline]] parity
+  * ordering), and eviction ties break to the LOWEST item id, so
+  * results are deterministic for a deterministic feed.
+  */
+object TopKPipeline {
+
+  def heavyHitters(events: Dataset[TopKInput], k: Int): Dataset[HeavyHitter] = {
+    require(k >= 1, "heavyHitters: k must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[TopKState, HeavyHitter](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[TopKInput], state: GroupState[TopKState]) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var counters = state.getOption.map(_.counters).getOrElse(Nil)
+          evs.foreach { e =>
+            val item = e.item
+            counters.find(_.item == item) match {
+              case Some(c) =>
+                counters = SsCounter(item, c.count + 1, c.err) ::
+                  counters.filterNot(_.item == item)
+              case None if counters.length < k =>
+                counters = SsCounter(item, 1L, 0L) :: counters
+              case None =>
+                // evict the minimum counter (ties -> lowest item id);
+                // the adopter inherits its count as the error bound
+                val m = counters.minBy(c => (c.count, c.item))
+                counters = SsCounter(item, m.count + 1, m.count) ::
+                  counters.filterNot(_.item == m.item)
+            }
+          }
+          val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+          state.update(TopKState(counters, ver))
+          counters.sortBy(c => (-c.count, c.item)).zipWithIndex.iterator
+            .map { case (c, i) =>
+              HeavyHitter(group, c.item, c.count, c.count - c.err, i + 1, ver)
+            }
+      }
+  }
+}

@@ -2654,6 +2654,33 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("value"), col("p95"))
     }),
 
+    // ---- Per-type OLS trend of the daily value series: slope =
+    //      (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = epoch day and
+    //      y = daily cents — both sides emitted as INTEGER numerator /
+    //      denominator (the ts_acf discipline: no division, no float),
+    //      plus the truncated MILLI-slope for direct consumption
+    //      (milli, not micro: |num| can reach ~1e15 at sf0.1, so the
+    //      1e3 multiplier keeps the product well under Long.Max where
+    //      1e6 would flirt with overflow). One grid aggregate + one
+    //      scalar-per-group aggregate. ----
+    "ts_trend" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("__x"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("__y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__y")).as("__sxy"),
+          sum(col("__x") * col("__x")).as("__sxx"))
+        .select(col("event_type"), col("n"),
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
+          (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"),
+          expr("(n * __sxy - __sx * __sy) * 1000 div (n * __sxx - __sx * __sx)")
+            .as("slope_milli"))
+    }),
+
     // ---- Lag-k autocovariance of the daily value series per event
     //      type — the seasonality/persistence signal over a metric
     //      stream. Daily cents are exact longs; each lag k ∈ {1,2,3}
@@ -3438,6 +3465,26 @@ object SparkEntry {
          SELECT e.user_id, e.event_id, e.value, t.p95
          FROM events e JOIN t USING (user_id)
          WHERE e.value > t.p95""",
+
+    // OLS slope as integer numerator/denominator + truncated milli
+    // quotient; x = epoch day, y = daily cents, all BIGINT
+    "ts_trend" ->
+      """WITH d AS (SELECT event_type,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS x,
+                      SUM(CAST(round(value * 100) AS BIGINT)) AS y
+                    FROM events GROUP BY 1, 2),
+         a AS (SELECT event_type, count(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+               FROM d GROUP BY 1)
+         SELECT event_type, n,
+                CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+                  AS BIGINT) AS slope_milli
+         FROM a""",
 
     // daily cents are exact longs; the numerator is the multiplied-out
     // integer form n*Sxy - Sx*Sy — no division, no float anywhere

@@ -114,16 +114,46 @@ object SparkEntry {
     pdir
   }
 
+  /** Schema-evolved layouts already written this JVM. */
+  private val materializedEvolvedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write events as two parquet GENERATIONS under one root — gen=1
+    * without the `cents` column (the "old ingest" schema), gen=2 with
+    * it — the schema-evolution layout every long-lived lakehouse table
+    * accumulates. Readers opt into the union schema with
+    * `mergeSchema=true` (footer merge at planning; old files yield
+    * nulls for the new column — no rewrite of historical data).
+    * Setup IO, paid by [[prepare]].
+    */
+  private def ensureEvolvedEvents(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_$tag"
+    if (materializedEvolvedDirs.add(root)) {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      e.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+    }
+    root
+  }
+
   /** One-time side-artifact materialization for `dir` (the s8 file
-    * topic, the j9 bucketed tables, the partitioned events layout).
-    * Bench calls this before its timed loop so query timings measure
-    * operators, not setup IO; Verify and ad-hoc callers need not call
-    * it — each query lazily materializes what it needs.
+    * topic, the j9 bucketed tables, the partitioned events layout,
+    * the schema-evolved generations). Bench calls this before its
+    * timed loop so query timings measure operators, not setup IO;
+    * Verify and ad-hoc callers need not call it — each query lazily
+    * materializes what it needs.
     */
   def prepare(s: SparkSession, dir: String): Unit = {
     ensureFileTopic(s, dir)
     ensureBucketedTables(s, dir)
     ensurePartitionedEvents(s, dir)
+    ensureEvolvedEvents(s, dir)
     ()
   }
 
@@ -187,6 +217,19 @@ object SparkEntry {
           .filter(col("event_type") === "purchase")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      }),
+      // Schema evolution read: two parquet generations (gen=1 lacks
+      // `cents`) merge into one union schema at PLANNING time
+      // (mergeSchema footer merge) — old files yield nulls, history is
+      // never rewritten. The aggregate proves null semantics: every
+      // gen=1 row counts, only gen=2 rows carry cents.
+      "io_schema_evolution" -> ((s, dir) => {
+        val root = ensureEvolvedEvents(s, dir)
+        s.read.option("mergeSchema", "true").parquet(root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(col("cents")).as("n_with_cents"),
+            sum(coalesce(col("cents"), lit(0L))).as("total_cents"))
       }),
       // Compaction planning (OPTIMIZE's grouping step): pack the
       // z-ordered files into merge jobs of ~5k rows in LAYOUT order,
@@ -3520,6 +3563,16 @@ object SparkEntry {
                   AS lift_micro
          FROM p JOIN ci ca ON p.item_a = ca.item
                 JOIN ci cb ON p.item_b = cb.item, nb""",
+
+    // the merged read equals the union of both generations: all rows
+    // count, only odd event_ids (gen=2) carry cents
+    "io_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+              count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_cents,
+              CAST(SUM(CASE WHEN event_id % 2 = 1
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS total_cents
+         FROM events GROUP BY event_type""",
 
     // partition pruning returns exactly the partition's rows — the
     // oracle is the plain filtered aggregate over the source table

@@ -2720,7 +2720,12 @@ object SparkEntry {
         .select(col("event_type"), col("n"),
           (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
           (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"),
-          expr("(n * __sxy - __sx * __sy) * 1000 div (n * __sxx - __sx * __sx)")
+          // a single-day group degenerates to den = 0: guard to NULL
+          // explicitly (ANSI div would throw; DuckDB // 0 yields NULL —
+          // the guard makes both engines emit the same NULL)
+          expr("""CASE WHEN n * __sxx - __sx * __sx = 0 THEN NULL
+                  ELSE (n * __sxy - __sx * __sy) * 1000
+                       div (n * __sxx - __sx * __sx) END""")
             .as("slope_milli"))
     }),
 

@@ -3,9 +3,10 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.streaming.{VoteGenerator, VotePipeline}
+import graft.streaming.{TopKInput, TopKPipeline, VoteGenerator, VotePipeline}
 
 /** Streaming micro-benchmark — the batch Bench's twin for the
   * reference's actual core (`spark_stream.py`): drive N generated vote
@@ -65,11 +66,23 @@ object StreamBench {
 
     val parsed = VotePipeline.parse(
       spark.readStream.option("maxFilesPerTrigger", 2).text(srcDir))
+    // optional 4th query (`hh` as the 4th arg): Space-Saving heavy
+    // hitters per candidate — the bounded-state sketch under the same
+    // feed, so X-G48 has a measured throughput number per round
+    val withHh = args.lift(3).contains("hh")
+    import spark.implicits._
     val t0 = System.nanoTime()
     val queries = Seq(
       start("votes_per_candidate", VotePipeline.votesPerCandidate(parsed), "update"),
       start("turnout_by_location", VotePipeline.turnoutByLocation(parsed), "update"),
-      start("hourly_votes", VotePipeline.hourlyVotesPerType(parsed), "append"))
+      start("hourly_votes", VotePipeline.hourlyVotesPerType(parsed), "append")) ++
+      (if (withHh) Seq(start("heavy_hitters",
+        TopKPipeline.heavyHitters(
+          parsed.select(col("candidate_id").as("group"),
+            xxhash64(col("voter_id")).as("item"),
+            xxhash64(col("voter_id"), col("voting_time")).as("event_id"),
+            col("voting_time").as("ts")).as[TopKInput], 10).toDF(), "append"))
+       else Nil)
     queries.foreach(_.processAllAvailable())
     val wallSec = (System.nanoTime() - t0) / 1e9
 

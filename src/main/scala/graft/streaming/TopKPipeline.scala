@@ -51,6 +51,23 @@ case class HeavyHitter(group: String, item: Long, cnt_hi: Long,
   */
 object TopKPipeline {
 
+  /** One Space-Saving step — PURE, so the algorithm's guarantees are
+    * property-testable without a stream (`PropertiesSpec` drives it
+    * over generated skews); the streaming closure below folds it.
+    */
+  def step(counters: List[SsCounter], item: Long, k: Int): List[SsCounter] =
+    counters.find(_.item == item) match {
+      case Some(c) =>
+        SsCounter(item, c.count + 1, c.err) :: counters.filterNot(_.item == item)
+      case None if counters.length < k =>
+        SsCounter(item, 1L, 0L) :: counters
+      case None =>
+        // evict the minimum counter (ties -> lowest item id); the
+        // adopter inherits its count as the error bound
+        val m = counters.minBy(c => (c.count, c.item))
+        SsCounter(item, m.count + 1, m.count) :: counters.filterNot(_.item == m.item)
+    }
+
   def heavyHitters(events: Dataset[TopKInput], k: Int): Dataset[HeavyHitter] = {
     require(k >= 1, "heavyHitters: k must be >= 1")
     import events.sparkSession.implicits._
@@ -61,22 +78,7 @@ object TopKPipeline {
         (group: String, it: Iterator[TopKInput], state: GroupState[TopKState]) =>
           val evs = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var counters = state.getOption.map(_.counters).getOrElse(Nil)
-          evs.foreach { e =>
-            val item = e.item
-            counters.find(_.item == item) match {
-              case Some(c) =>
-                counters = SsCounter(item, c.count + 1, c.err) ::
-                  counters.filterNot(_.item == item)
-              case None if counters.length < k =>
-                counters = SsCounter(item, 1L, 0L) :: counters
-              case None =>
-                // evict the minimum counter (ties -> lowest item id);
-                // the adopter inherits its count as the error bound
-                val m = counters.minBy(c => (c.count, c.item))
-                counters = SsCounter(item, m.count + 1, m.count) ::
-                  counters.filterNot(_.item == m.item)
-            }
-          }
+          evs.foreach(e => counters = step(counters, e.item, k))
           val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
           state.update(TopKState(counters, ver))
           counters.sortBy(c => (-c.count, c.item)).zipWithIndex.iterator

@@ -150,4 +150,39 @@ class PropertiesSpec extends SparkTestBase {
         s"CMS overshoot for $k beyond eps*N: est=$est exact=$c n=$n")
     }
   }
+
+  test("space-saving guarantees hold over generated skews (pure fold)") {
+    // X-G48's algorithm, property-tested WITHOUT a stream via the pure
+    // TopKPipeline.step: for every generated stream and every k —
+    //  (1) at most k counters; (2) count never undercounts the true
+    //  frequency and count − err never overcounts it; (3) every item
+    //  with true frequency > N/k is tracked; (4) Σcount = N exactly
+    //  (Space-Saving conserves total mass — each arrival increments
+    //  exactly one counter).
+    val streamGen: Gen[List[Long]] = Gen.listOfN(500, Gen.frequency(
+      4 -> Gen.choose(0L, 4L),      // heavy head
+      2 -> Gen.choose(10L, 30L),    // mid tail
+      1 -> Gen.choose(1000L, 2000L) // churn singletons
+    ))
+    for (seed <- 30L to 35L; k <- Seq(1, 5, 20)) {
+      val stream = sample(streamGen, seed)
+      val counters = stream.foldLeft(List.empty[graft.streaming.SsCounter])(
+        (cs, item) => graft.streaming.TopKPipeline.step(cs, item, k))
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      assert(counters.length <= k, s"seed=$seed k=$k")
+      counters.foreach { c =>
+        val f = exact.getOrElse(c.item, 0L)
+        assert(c.count >= f, s"seed=$seed k=$k item=${c.item}: undercount")
+        assert(c.count - c.err <= f, s"seed=$seed k=$k item=${c.item}: lower bound broke")
+      }
+      val tracked = counters.map(_.item).toSet
+      exact.filter(_._2 > n / k).keys.foreach(h =>
+        assert(tracked(h), s"seed=$seed k=$k: true heavy $h evicted"))
+      // each arrival increments exactly one counter (eviction transfers
+      // the evicted count to the adopter), so Σcount = N always
+      assert(counters.map(_.count).sum === n,
+        s"seed=$seed k=$k: mass not conserved")
+    }
+  }
 }

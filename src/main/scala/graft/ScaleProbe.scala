@@ -131,28 +131,13 @@ object ScaleProbe {
       // width² per order, so cost must track ORDER count ~linearly —
       // the (item_a, item_b) agg keys stay constant (100² max) while
       // their counts grow, the map-side-combine regime
-      if (enabled("g20_basket_rules")) time("g20_basket_rules", k) {
-        val items = (0 until k).map { i =>
-          Tables.lineitem(spark, sfDir).select(
-            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("oid"),
-            pmod(col("l_partkey"), lit(100)).as("item"))
-        }.reduce(_ union _).distinct()
-        val baskets = items.select(col("oid")).distinct()
-          .agg(count(lit(1)).as("__nb"))
-        val cnt = items.groupBy(col("item")).agg(count(lit(1)).as("__ni"))
-        val pairs = items.select(col("oid"), col("item").as("item_a"))
-          .join(items.select(col("oid"), col("item").as("item_b")), Seq("oid"))
-          .filter(col("item_a") < col("item_b"))
-          .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 5)
-        pairs
-          .join(broadcast(cnt.select(col("item").as("item_a"), col("__ni").as("__na"))), Seq("item_a"))
-          .join(broadcast(cnt.select(col("item").as("item_b"), col("__ni").as("__nbi"))), Seq("item_b"))
-          .crossJoin(broadcast(baskets))
-          .select(col("item_a"), col("item_b"), col("n_ab"),
-            expr("n_ab * 1000000 div __na").as("conf_micro"),
-            expr("n_ab * __nb * 1000000 div (__na * __nbi)").as("lift_micro"))
-      }
+      if (enabled("g20_basket_rules")) time("g20_basket_rules", k)(
+        graft.operators.RelationalOps.basketRules(
+          (0 until k).map { i =>
+            Tables.lineitem(spark, sfDir).select(
+              (col("l_orderkey") + lit(i.toLong * 100000000L)).as("oid"),
+              pmod(col("l_partkey"), lit(100)).as("item"))
+          }.reduce(_ union _), "oid", "item"))
       // Power iteration: per round = one scan + a (dim, Σ) aggregate —
       // cost must track corpus size linearly, never dim²
       if (enabled("vec_power_iter")) time("vec_power_iter", k)(

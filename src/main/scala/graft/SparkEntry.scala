@@ -2772,29 +2772,11 @@ object SparkEntry {
     //      bounded by basket width, never by order volume. Confidence
     //      and lift are integer micro-units (truncating div on both
     //      engines); the basket total enters as a broadcast scalar. ----
-    "g20_basket_rules" -> ((s, dir) => {
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("oid"),
-          pmod(col("l_partkey"), lit(100)).as("item"))
-        .distinct()
-      val baskets = items.select(col("oid")).distinct()
-        .agg(count(lit(1)).as("__nb"))
-      val cnt = items.groupBy(col("item")).agg(count(lit(1)).as("__ni"))
-      val pairs = items.select(col("oid"), col("item").as("item_a"))
-        .join(items.select(col("oid"), col("item").as("item_b")), Seq("oid"))
-        .filter(col("item_a") < col("item_b"))
-        .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 5)
-      pairs
-        .join(broadcast(cnt.select(col("item").as("item_a"),
-          col("__ni").as("__na"))), Seq("item_a"))
-        .join(broadcast(cnt.select(col("item").as("item_b"),
-          col("__ni").as("__nbi"))), Seq("item_b"))
-        .crossJoin(broadcast(baskets))
-        .select(col("item_a"), col("item_b"), col("n_ab"),
-          expr("n_ab * 1000000 div __na").as("conf_micro"),
-          expr("n_ab * __nb * 1000000 div (__na * __nbi)").as("lift_micro"))
-    }),
+    "g20_basket_rules" -> ((s, dir) =>
+      graft.operators.RelationalOps.basketRules(
+        Tables.lineitem(s, dir).select(col("l_orderkey").as("oid"),
+          pmod(col("l_partkey"), lit(100)).as("item")),
+        "oid", "item")),
 
     "g19_cooccur" -> ((s, dir) => {
       val e = Tables.events(s, dir)

@@ -511,4 +511,43 @@ object RelationalOps {
         coalesce(col("n_events"), lit(0L)).as("n_events"), col("cents"),
         last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"))
   }
+
+  /** Market-basket association rules: support / confidence / lift for
+    * item pairs over (basket, item) memberships. Scale shape: DISTINCT
+    * items per basket FIRST, so the pair self-join fans out at most
+    * |items-per-basket|² rows per basket — bounded by basket width,
+    * never by row volume — and the (item_a, item_b) aggregate is
+    * bounded by the item vocabulary squared, map-side combined.
+    * Ratios are integer micro-units over truncating `div` (exact on
+    * both engines); the basket total enters as a broadcast scalar.
+    *
+    * The deduplicated membership set feeds FOUR branches (basket
+    * total, item counts, both join sides) whose column pruning
+    * differs — exchange reuse can't fire (the rakeKeywords lesson; the
+    * r8 audit counted 10 scans) — so it is persisted before fan-out.
+    */
+  def basketRules(memberships: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long = 5L): DataFrame = {
+    val items = memberships
+      .select(col(basketCol).as("__oid"), col(itemCol).as("__item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baskets = items.select(col("__oid")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val cnt = items.groupBy(col("__item")).agg(count(lit(1)).as("__ni"))
+    val pairs = items.select(col("__oid"), col("__item").as("item_a"))
+      .join(items.select(col("__oid"), col("__item").as("item_b")), Seq("__oid"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(cnt.select(col("__item").as("item_a"),
+        col("__ni").as("__na"))), Seq("item_a"))
+      .join(broadcast(cnt.select(col("__item").as("item_b"),
+        col("__ni").as("__nbi"))), Seq("item_b"))
+      .crossJoin(broadcast(baskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr("n_ab * 1000000 div __na").as("conf_micro"),
+        expr("n_ab * __nb * 1000000 div (__na * __nbi)").as("lift_micro"))
+  }
 }

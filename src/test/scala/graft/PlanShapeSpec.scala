@@ -197,6 +197,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("iterative/fan-out operators read their persisted invariants, not re-derived subtrees") {
+    // gr_pagerank: the degree-annotated edge list + node set feed every
+    // unrolled round (r8 audit: 56 scans without sharing); basket
+    // rules: the deduplicated membership set feeds four differently-
+    // pruned branches (10 scans without sharing). Both must show cache
+    // READS in the executed plan — the persist regressing silently
+    // would put the source re-scans back.
+    Seq("gr_pagerank" -> 4, "g20_basket_rules" -> 3).foreach { case (q, minReads) =>
+      val plan = executedPlan(q)
+      val reads = plan.split("InMemoryTableScan").length - 1 +
+        plan.split("TableCacheQueryStage").length - 1
+      assert(reads >= minReads,
+        s"$q should serve its branches from the persisted invariant " +
+          s"(>= $minReads cache reads), got $reads:\n$plan")
+    }
+  }
+
   test("io_partition_prune: the partition predicate prunes at planning time") {
     // The event_type filter must land in PartitionFilters (directory
     // pruning — non-matching partitions never listed or opened), not

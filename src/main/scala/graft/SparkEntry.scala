@@ -2697,6 +2697,25 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("value"), col("p95"))
     }),
 
+    // ---- Data-quality constraint audit over lineitem: the ingest
+    //      gate's expectations (domain bounds, non-negativity, date
+    //      ordering, enum membership), ALL evaluated in one scan —
+    //      each rule is a conditional count inside a single aggregate,
+    //      so the audit costs one table read however many rules run.
+    //      NULL rule results count as violations (conservative). ----
+    "dq_constraints" -> ((s, dir) => {
+      graft.operators.RelationalOps.constraintAudit(Tables.lineitem(s, dir), Seq(
+        "quantity_in_domain" ->
+          (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_in_unit" ->
+          (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        "shipdate_in_range" ->
+          (col("l_shipdate") >= lit("1992-01-01").cast("timestamp")),
+        "returnflag_enum" ->
+          col("l_returnflag").isInCollection(Seq("A", "N", "R"))))
+    }),
+
     // ---- Per-type OLS trend of the daily value series: slope =
     //      (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = epoch day and
     //      y = daily cents — both sides emitted as INTEGER numerator /
@@ -3495,6 +3514,25 @@ object SparkEntry {
          SELECT e.user_id, e.event_id, e.value, t.p95
          FROM events e JOIN t USING (user_id)
          WHERE e.value > t.p95""",
+
+    // each rule's violation count via FILTER aggregates over one scan;
+    // NULL rule results count as violations on both engines
+    "dq_constraints" ->
+      """WITH a AS (SELECT count(*) AS n,
+           count(*) FILTER (NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, false)) AS v_quantity_in_domain,
+           count(*) FILTER (NOT COALESCE(l_extendedprice > 0, false)) AS v_price_positive,
+           count(*) FILTER (NOT COALESCE(l_discount >= 0 AND l_discount <= 0.1, false)) AS v_discount_in_unit,
+           count(*) FILTER (NOT COALESCE(l_shipdate >= TIMESTAMP '1992-01-01 00:00:00', false)) AS v_shipdate_in_range,
+           count(*) FILTER (NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), false)) AS v_returnflag_enum
+         FROM lineitem),
+         u AS (SELECT n, 'quantity_in_domain' AS rule, v_quantity_in_domain AS n_violations FROM a
+               UNION ALL SELECT n, 'price_positive', v_price_positive FROM a
+               UNION ALL SELECT n, 'discount_in_unit', v_discount_in_unit FROM a
+               UNION ALL SELECT n, 'shipdate_in_range', v_shipdate_in_range FROM a
+               UNION ALL SELECT n, 'returnflag_enum', v_returnflag_enum FROM a)
+         SELECT rule, n_violations, n AS n_checked,
+                n_violations = 0 AS pass
+         FROM u""",
 
     // OLS slope as integer numerator/denominator + truncated milli
     // quotient; x = epoch day, y = daily cents, all BIGINT

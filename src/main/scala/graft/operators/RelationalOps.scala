@@ -512,6 +512,35 @@ object RelationalOps {
         last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"))
   }
 
+  /** Data-quality constraint audit — the expectations primitive every
+    * ingest gate runs (the dbt-test / Great-Expectations shape): each
+    * named rule is a boolean Column; the audit reports, per rule, how
+    * many rows violate it and whether the table passes. ONE scan for
+    * the whole rule set — each rule compiles to a conditional count in
+    * a single aggregate (no per-rule pass, no row explosion), then a
+    * |rules|-row stack unpivot. At 100 TB the audit costs exactly one
+    * read of the table regardless of how many expectations it carries.
+    *
+    * Null semantics are explicit: a NULL predicate result counts as a
+    * VIOLATION (`coalesce(rule, false)`) — an expectation that cannot
+    * be evaluated is not satisfied, the conservative gate.
+    */
+  def constraintAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "constraintAudit: at least one rule")
+    val agg = df.agg(count(lit(1)).as("__n"),
+      rules.map { case (name, c) =>
+        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+      }: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', __v_$name"
+    }.mkString(", ")
+    agg.select(col("__n"),
+        expr(s"stack(${rules.length}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("n_violations"),
+        col("__n").as("n_checked"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
   /** Market-basket association rules: support / confidence / lift for
     * item pairs over (basket, item) memberships. Scale shape: DISTINCT
     * items per basket FIRST, so the pair self-join fans out at most

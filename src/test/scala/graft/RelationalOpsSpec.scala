@@ -364,4 +364,26 @@ class RelationalOpsSpec extends SparkTestBase {
         "with an observed first bucket, LOCF leaves no null fills")
     } finally out.unpersist()
   }
+
+  test("constraintAudit counts violations per rule; NULL rule results violate") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double], String)](
+      (1L, Some(10.0), "A"),   // clean
+      (2L, Some(-5.0), "A"),   // violates positive
+      (3L, None, "A"),         // NULL value -> rule unevaluable -> violation
+      (4L, Some(3.0), "X")     // violates enum
+    ).toDF("id", "v", "flag")
+    val audit = RelationalOps.constraintAudit(df, Seq(
+      "v_positive" -> (col("v") > 0),
+      "flag_enum" -> col("flag").isInCollection(Seq("A", "B"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(audit("v_positive") === ((2L, 4L, false)),
+      "negative AND null both violate v > 0")
+    assert(audit("flag_enum") === ((1L, 4L, false)))
+    // a passing table reports pass = true on every rule
+    val clean = RelationalOps.constraintAudit(df.filter(col("id") === 1),
+      Seq("v_positive" -> (col("v") > 0))).collect()
+    assert(clean.forall(_.getBoolean(3)))
+  }
 }

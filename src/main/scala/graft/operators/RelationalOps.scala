@@ -527,9 +527,12 @@ object RelationalOps {
     */
   def constraintAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "constraintAudit: at least one rule")
+    // the violation count coalesces to 0: `sum` over an EMPTY table is
+    // NULL, and an empty partition passes every expectation
     val agg = df.agg(count(lit(1)).as("__n"),
       rules.map { case (name, c) =>
-        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+        coalesce(sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"__v_$name")
       }: _*)
     val stackArgs = rules.map { case (name, _) =>
       s"'$name', __v_$name"

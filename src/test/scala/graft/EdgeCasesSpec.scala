@@ -231,6 +231,21 @@ class EdgeCasesSpec extends SparkTestBase {
     val one = LayoutOps.compactionPlan(
       Seq((0L, 1000L)).toDF("file_id", "n"), "file_id", "n", 100).collect()
     assert(one.length == 1 && !one.head.getAs[Boolean]("merges"))
+
+    // basketRules: empty memberships -> empty rules; a single
+    // one-item basket yields no pairs
+    val emptyMem = Seq.empty[(Long, Long)].toDF("oid", "item")
+    assert(RelationalOps.basketRules(emptyMem, "oid", "item").isEmpty)
+    assert(RelationalOps.basketRules(
+      Seq((1L, 7L)).toDF("oid", "item"), "oid", "item").isEmpty)
+
+    // constraintAudit over an empty table: zero violations, pass=true
+    // on every rule (an empty partition is a valid partition)
+    val emptyV = Seq.empty[(Long, Double)].toDF("id", "v")
+    val audit = RelationalOps.constraintAudit(emptyV,
+      Seq("v_positive" -> (col("v") > 0))).collect()
+    assert(audit.length == 1 && audit.head.getLong(1) == 0L
+      && audit.head.getBoolean(3))
   }
 
   test("integer division truncates toward zero on all parity legs (negatives included)") {

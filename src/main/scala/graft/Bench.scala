@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: one JSON line with total seconds
@@ -9,8 +11,26 @@ import org.apache.spark.sql.SparkSession
   * Results are forced through the `noop` sink (not `.count()`): noop
   * executes the FULL plan including projections that a count would let
   * Catalyst prune away, so timings reflect real operator cost.
+  *
+  * Load-awareness (r9): three rounds running (r5 txt, r7 sim_rerank,
+  * r8 cur battery) the canonical number was contaminated by external
+  * box load and the diagnosis had to be inferred from alphabetical
+  * position. The bench now defends itself:
+  *   - the timed loop runs SPARK_GRAFT_PASSES times (default 2) and
+  *     each query reports the MIN across passes — a transient load
+  *     spike must hit the same query in every pass to survive into
+  *     the canonical number;
+  *   - /proc/loadavg is captured at start/end and before every timed
+  *     query, and each observation carries a wall-clock timestamp, all
+  *     written to BENCH_FULL.json — a contaminated run is identifiable
+  *     from the committed artifact alone.
   */
 object Bench {
+  private def loadavg(): Seq[Double] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +45,11 @@ object Bench {
     // bench contract is untouched.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    // reps>1 already repeats each query back-to-back; a second pass
+    // would only duplicate that, so reps mode forces a single pass.
+    val passes =
+      if (reps > 1) 1
+      else sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // JIT/codegen warm-up on the smallest sf so per-query numbers
@@ -38,24 +63,68 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
 
-    val results = queries.toSeq.sortBy(_._1).zipWithIndex
-      .flatMap { case ((name, fn), i) => (1 to reps).map(r => ((name, fn), i, r)) }
-      .map { case ((name, fn), i, rep) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val t = (System.nanoTime() - t0) / 1e9
-        // Inter-query hygiene, OUTSIDE the timed body: drop persisted
-        // blocks some operators legitimately pin (globalRowNumber's
-        // range-parted subtree, training slices) and give the
-        // ContextCleaner a periodic GC so dead broadcasts actually get
-        // reclaimed. Without this the 130-query run accumulates heap
-        // until the tail of the alphabet pays a multi-second GC cliff
-        // that has nothing to do with the queries being timed.
-        spark.catalog.clearCache()
-        if (i % 8 == 7) System.gc()
-        (if (reps > 1) s"$name#$rep" else name) -> t
-      }
+    val loadStart = loadavg()
+    // key -> one observation per pass (sec, epoch-second start, 1-min loadavg)
+    val obs = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[(Double, Long, Double)]]
+    val ordered = queries.toSeq.sortBy(_._1)
+    for (pass <- 1 to passes) {
+      ordered.zipWithIndex
+        .flatMap { case ((name, fn), i) => (1 to reps).map(r => ((name, fn), i, r)) }
+        .foreach { case ((name, fn), i, rep) =>
+          val ts = System.currentTimeMillis() / 1000L
+          val l1 = loadavg().headOption.getOrElse(-1.0)
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          val t = (System.nanoTime() - t0) / 1e9
+          // Inter-query hygiene, OUTSIDE the timed body: drop persisted
+          // blocks some operators legitimately pin (globalRowNumber's
+          // range-parted subtree, training slices) and give the
+          // ContextCleaner a periodic GC so dead broadcasts actually get
+          // reclaimed. Without this the 130-query run accumulates heap
+          // until the tail of the alphabet pays a multi-second GC cliff
+          // that has nothing to do with the queries being timed.
+          spark.catalog.clearCache()
+          if (i % 8 == 7) System.gc()
+          val key = if (reps > 1) s"$name#$rep" else name
+          obs.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += ((t, ts, l1))
+        }
+    }
+    val loadEnd = loadavg()
+
+    // Canonical per-query number = min across passes (both passes run
+    // the identical cold-cache body thanks to the clearCache hygiene,
+    // so the min is a fair same-plan measurement, not a warm-cache
+    // shortcut; what it filters is external contention).
+    val results = obs.toSeq.map { case (k, o) => k -> o.map(_._1).min }
+
+    def r3(v: Double): String = f"$v%.3f"
+    def jarr(vs: Seq[Double]): String = vs.map(r3).mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val detail = obs.toSeq.map { case (k, o) =>
+      "\"" + k + "\":{\"sec\":" + jarr(o.map(_._1).toSeq) +
+        ",\"ts\":" + o.map(_._2).mkString("[", ",", "]") +
+        ",\"load1\":" + jarr(o.map(_._3).toSeq) + "}"
+    }.mkString("{", ",", "}")
+    val loadMeta =
+      s""""passes":$passes,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)}"""
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$loadMeta,"queries":$fullQs,"detail":$detail,"sf":"$sfDir"}"""
+    // Non-canonical runs must not clobber the canonical full-run
+    // artifact: a reps>1 run has '#rep'-suffixed keys and a
+    // reps×-inflated total, a filtered run is partial, and a smoke at
+    // another sf would silently replace the committed sf0.1 numbers —
+    // those land in a tagged sibling file instead.
+    val artifact =
+      if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
+      else "BENCH_FULL_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".json"
+    if (only.isEmpty && reps == 1)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(artifact), full + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: ${e.getMessage}") }
+
     // The driver captures only the LAST ~2000 chars of stdout; a full
     // 90-query map (~2.6 KB) overflows that and the head of the line —
     // including the "metric" key — gets chopped, so BENCH_r{3,4,5}.json
@@ -63,18 +132,6 @@ object Bench {
     // always fits (battery subtotals + the heaviest individual queries)
     // and write the complete per-query map to BENCH_FULL.json in the
     // repo root, where the round snapshot commits it.
-    def r3(v: Double): String = f"$v%.3f"
-    val total = results.map(_._2).sum
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    // Solo runs must not clobber the canonical full-run artifact.
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}") }
-
     // battery = query-name prefix with trailing digits stripped
     // (q1/q18 -> "q", g14 -> "g", txt_tfidf -> "txt")
     val batteries = results
@@ -82,10 +139,13 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (b, rs) => "\"" + b + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    val top = results.sortBy(-_._2).take(20).sortBy(_._1)
+    // Solo/receipt runs have few queries and need every rep visible;
+    // only the canonical full run must fit the driver's 2000-char tail.
+    val topN = if (only.isDefined) results.size else 20
+    val top = results.sortBy(-_._2).take(topN).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$top,"batteries":$batteries,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"passes":$passes,"load":${jarr(loadStart.take(1) ++ loadEnd.take(1))},"queries":$top,"batteries":$batteries,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

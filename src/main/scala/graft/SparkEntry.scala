@@ -50,11 +50,14 @@ object SparkEntry {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val topicDir = s"${System.getProperty("java.io.tmpdir")}/graft_topic_$tag"
     if (materializedTopics.add(topicDir)) {
-      Tables.events(s, dir)
+      // un-memo on failure: a half-written layout must be retried, not
+      // skipped, by the next caller in this JVM
+      try Tables.events(s, dir)
         .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"),
             col("value"))).as("value"),
           col("event_id").as("batch_id"))
         .write.mode("overwrite").json(topicDir)
+      catch { case e: Throwable => materializedTopics.remove(topicDir); throw e }
     }
     topicDir
   }
@@ -107,9 +110,11 @@ object SparkEntry {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val pdir = s"${System.getProperty("java.io.tmpdir")}/graft_part_events_$tag"
     if (materializedPartitionDirs.add(pdir)) {
-      Tables.events(s, dir)
+      // un-memo on failure (see ensureFileTopic)
+      try Tables.events(s, dir)
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .write.mode("overwrite").partitionBy("event_type").parquet(pdir)
+      catch { case e: Throwable => materializedPartitionDirs.remove(pdir); throw e }
     }
     pdir
   }
@@ -130,14 +135,17 @@ object SparkEntry {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_$tag"
     if (materializedEvolvedDirs.add(root)) {
-      val e = Tables.events(s, dir)
-      e.filter(col("event_id") % 2 === 0)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .write.mode("overwrite").parquet(s"$root/gen=1")
-      e.filter(col("event_id") % 2 =!= 0)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .write.mode("overwrite").parquet(s"$root/gen=2")
+      // un-memo on failure (see ensureFileTopic)
+      try {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .write.mode("overwrite").parquet(s"$root/gen=1")
+        e.filter(col("event_id") % 2 =!= 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .write.mode("overwrite").parquet(s"$root/gen=2")
+      } catch { case e: Throwable => materializedEvolvedDirs.remove(root); throw e }
     }
     root
   }
@@ -2502,6 +2510,17 @@ object SparkEntry {
     //      the estimate landed within 3·rsd of it — the oracle emits
     //      literal TRUE, so a sketch drifting out of its error bound
     //      turns the row red instead of invisible (VERDICT r7 item 3).
+    //      r9, timing-semantics decision (ADVICE r8): yes, this means
+    //      the BENCH timing of g8/g12/g21 includes the exact companion
+    //      the comments disclaim at 100 TB — accepted deliberately: one
+    //      ledger entry per operator keeps the correctness gate simple,
+    //      the sketch-only cost is visible in the probe battery
+    //      (BASELINE.md), and a bench-only fork of the query body would
+    //      mean the driver times code the correctness gate never runs.
+    //      The in-bound booleans are probabilistic by nature (3·rsd /
+    //      ±2·accuracy rank); HLL++ and GK are deterministic algorithms
+    //      on deterministic input, so a red here is a real drift, not
+    //      an unlucky coin flip.
     "g8_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
@@ -2796,6 +2815,122 @@ object SparkEntry {
         Tables.lineitem(s, dir).select(col("l_orderkey").as("oid"),
           pmod(col("l_partkey"), lit(100)).as("item")),
         "oid", "item")),
+
+    // ---- X-G48: Space-Saving heavy hitters, driver-checkable via the
+    //      g8/g12 sketch recipe — the hashed rows are the EXACT
+    //      per-group top-3 (oracle-expressible) and the sketch's two
+    //      ICDT'05 guarantees ride as oracle-asserted booleans:
+    //      tracked_ok (every item with true freq > N/k IS tracked) and
+    //      bounds_ok (count−err ≤ f ≤ count for every tracked item).
+    //      `item` is a Zipf-ish deterministic integer map of user_id
+    //      (`150 div (1+uid%150)` puts ~50% of mass on item 1) because
+    //      the synthetic tables are uniform and uniform data has no
+    //      heavy hitters to guarantee anything about. The sketch folds
+    //      the SAME pure step the streaming pipeline folds
+    //      (TopKPipeline.step), over a secondary-sorted partition
+    //      iterator — O(k) state per live group, no group
+    //      materialization, one exchange. ----
+    "g21_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 8
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("grp"),
+        expr("150 div (1 + user_id % 150)").as("item"),
+        col("event_id"), col("ts"))
+      val exact = ev.groupBy(col("grp"), col("item")).agg(count(lit(1)).as("cnt"))
+      val n = ev.groupBy(col("grp")).agg(count(lit(1)).as("n_events"))
+      val tracked = ev
+        .repartition(col("grp"))
+        .sortWithinPartitions(col("grp"), col("ts"), col("event_id"))
+        .select(col("grp").as("group"), col("item"), col("event_id"), col("ts"))
+        .as[graft.streaming.TopKInput]
+        .mapPartitions { it =>
+          // group-boundary fold: O(k) counters per live group
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+          var cur: String = null
+          var cs: List[graft.streaming.SsCounter] = Nil
+          def flush(): Unit = if (cur != null)
+            cs.foreach(c => out += ((cur, c.item, c.count, c.count - c.err)))
+          it.foreach { e =>
+            if (e.group != cur) { flush(); cur = e.group; cs = Nil }
+            cs = graft.streaming.TopKPipeline.step(cs, e.item, k)
+          }
+          flush()
+          out.iterator
+        }.toDF("grp", "item", "cnt_hi", "cnt_lo")
+        .localCheckpoint() // tiny (groups×k); feeds both guarantee branches
+      val trackedOk = exact.join(n, Seq("grp"))
+        .filter(col("cnt") * k > col("n_events"))
+        .join(tracked.select(col("grp"), col("item"), lit(true).as("__t")),
+          Seq("grp", "item"), "left")
+        .groupBy(col("grp"))
+        .agg(bool_and(coalesce(col("__t"), lit(false))).as("tracked_ok"))
+      val boundsOk = tracked.join(exact, Seq("grp", "item"), "left")
+        .groupBy(col("grp"))
+        .agg(bool_and(col("cnt_lo") <= col("cnt") && col("cnt") <= col("cnt_hi"))
+          .as("bounds_ok"))
+      topKPerGroup(exact, Seq("grp"), Seq(col("cnt").desc, col("item").asc), 3, "rnk")
+        .join(broadcast(trackedOk), Seq("grp"), "left")
+        .join(broadcast(boundsOk), Seq("grp"), "left")
+        // a group with no item above N/k has nothing to guarantee
+        .select(col("grp"), col("rnk"), col("item"), col("cnt"),
+          coalesce(col("tracked_ok"), lit(true)).as("tracked_ok"),
+          coalesce(col("bounds_ok"), lit(true)).as("bounds_ok"))
+    }),
+
+    // ---- S-6 scale path, driver-checkable: batch twin of streaming
+    //      dropDuplicatesWithinWatermark (RelationalOps.dedupWithinDelay
+    //      — greedy bounded-state dedup replayed over at-rest data).
+    //      The greedy kept set is not ANSI-SQL-expressible, but it is
+    //      UNIQUELY determined by three invariants, each checkable with
+    //      joins/windows: the key's first event is kept, consecutive
+    //      kept events sit > delay apart, and every event is covered by
+    //      a kept event within delay at-or-before it. Those booleans
+    //      are asserted by the oracle (g8 recipe); the exact hashed
+    //      companions are per-key n_events/first_ts. delay = 48 h vs
+    //      the events table's ~35 h median intra-key gap → genuinely
+    //      multi-epoch (real drops AND real re-admits). ----
+    "s9_dedup_within_delay" -> ((s, dir) => {
+      val delayMicros = 48L * 3600 * 1000000L
+      val delayI = expr("INTERVAL 48 HOURS")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      val kept = graft.operators.RelationalOps.dedupWithinDelay(
+          ev, Seq("user_id", "event_type"), "ts", Seq("event_id"), delayMicros)
+        .localCheckpoint() // feeds three invariant branches
+      val firstOk = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("__f"))
+        .join(kept.groupBy(col("user_id"), col("event_type"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("__fk")),
+          Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          (col("__f") === col("__fk")).as("first_kept_ok"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapsOk = kept.withColumn("__prev", lag(col("ts"), 1).over(wk))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(bool_and(col("__prev").isNull || col("ts") > col("__prev") + delayI)
+          .as("gaps_ok"))
+      // per-event coverage: ≤ epochs-per-key kept candidates per event
+      // (span/delay-bounded fan-out), then bool_and up to the key
+      val coverOk = ev
+        .join(kept.select(col("user_id"), col("event_type"), col("ts").as("__kts")),
+          Seq("user_id", "event_type"))
+        .withColumn("__cov",
+          col("__kts") <= col("ts") && col("ts") <= col("__kts") + delayI)
+        .groupBy(col("user_id"), col("event_type"), col("event_id"))
+        .agg(max(col("__cov")).as("__c"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(bool_and(col("__c")).as("cover_ok"))
+      ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"))
+        .join(firstOk, Seq("user_id", "event_type"))
+        .join(gapsOk, Seq("user_id", "event_type"))
+        .join(coverOk, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("n_events"), col("first_ts"),
+          col("first_kept_ok"), col("gaps_ok"), col("cover_ok"))
+    }),
 
     "g19_cooccur" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -3588,6 +3723,30 @@ object SparkEntry {
                   AS lift_micro
          FROM p JOIN ci ca ON p.item_a = ca.item
                 JOIN ci cb ON p.item_b = cb.item, nb""",
+
+    // the hashed rows are the EXACT per-group top-3; the Space-Saving
+    // guarantees are Spark-side claims the oracle asserts true (g8
+    // recipe) — a sketch violating its ICDT'05 bounds reds the row
+    "g21_heavy_hitters" ->
+      """WITH exact AS (
+           SELECT event_type AS grp, 150 // (1 + user_id % 150) AS item,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT grp, rnk, item, cnt,
+                true AS tracked_ok, true AS bounds_ok
+         FROM (SELECT grp, item, cnt,
+                      row_number() OVER (PARTITION BY grp
+                                         ORDER BY cnt DESC, item ASC) AS rnk
+               FROM exact)
+         WHERE rnk <= 3""",
+
+    // greedy watermark dedup is not ANSI-expressible; the oracle hashes
+    // the exact per-key companions and asserts the three invariants
+    // that uniquely determine the greedy kept set
+    "s9_dedup_within_delay" ->
+      """SELECT user_id, event_type, count(*) AS n_events, min(ts) AS first_ts,
+              true AS first_kept_ok, true AS gaps_ok, true AS cover_ok
+         FROM events GROUP BY 1, 2""",
 
     // the merged read equals the union of both generations: all rows
     // count, only odd event_ids (gen=2) carry cents

@@ -442,11 +442,34 @@ object CorpusOps {
     * branching (the [[graft.operators.RelationalOps.globalRowNumber]]
     * precedent: structural sharing, not a bet on reuse), halving the
     * heavy half of the plan.
+    *
+    * Lifecycle (r9): the topK-bounded result is materialized eagerly
+    * (`localCheckpoint`) so the phrase-subtree pin can be released
+    * inside the operator — previously the MEMORY_AND_DISK block
+    * outlived the call with no release path and a long-lived session
+    * accumulated one pin per invocation (r8 verdict finding; the
+    * bench's clearCache hygiene masked it).
     */
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
                    topK: Int = 3,
                    stopwords: Seq[String] = Seq("the", "a", "and", "of",
                      "to", "in", "is", "it")): DataFrame = {
+    val (out, ph) = rakeKeywordsLazy(docs, idCol, textCol, topK, stopwords)
+    val checked = out.localCheckpoint()
+    ph.unpersist()
+    checked
+  }
+
+  /** Lazy internals of [[rakeKeywords]]: the un-materialized result
+    * plan plus the persisted phrase subtree, which the CALLER owns —
+    * unpersist it after consuming the result. For pipelines that
+    * stream per-doc keywords straight into a sink, this skips the
+    * wrapper's extra result materialization; it is also what the plan
+    * tests inspect (the wrapper's checkpoint hides the executed shape).
+    */
+  private[graft] def rakeKeywordsLazy(docs: DataFrame, idCol: String,
+                   textCol: String, topK: Int,
+                   stopwords: Seq[String]): (DataFrame, DataFrame) = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
     val byPhrase = org.apache.spark.sql.expressions.Window
@@ -470,8 +493,8 @@ object CorpusOps {
         sum(col("__ws")).as("score_micro"))
       .select(col(idCol), col("phrase"), col("score_micro"))
       .distinct() // a phrase repeated within a doc is ONE candidate
-    RelationalOps.topKPerGroup(phrases, Seq(idCol),
-      Seq(col("score_micro").desc, col("phrase").asc), topK, "rnk")
+    (RelationalOps.topKPerGroup(phrases, Seq(idCol),
+      Seq(col("score_micro").desc, col("phrase").asc), topK, "rnk"), ph)
   }
 
   /** DSIR-style importance scoring (Xie et al., "Data Selection for

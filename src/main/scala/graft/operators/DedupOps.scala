@@ -321,12 +321,24 @@ object DedupOps {
     * the full shingle sets, so reported similarity is a lower bound of
     * textbook Jaccard — the deliberate trade of the capped variant.
     *
-    * Plan shape: the document frequency is a `count(*)` window over
-    * the shingle key — the SAME key the self-join shuffles on, so the
-    * cap adds no extra shuffle: explode → one exchange on `__s` →
-    * window count → filter → sort-merge self-join on already-
-    * partitioned data. Shingles with df = 1 are also dropped (they
-    * cannot form a pair — pure optimization, result-identical).
+    * Plan shape (r9): the exploded, hashed posting frame is PERSISTED
+    * once and feeds three consumers — the document-frequency aggregate
+    * (a map-side-combined `groupBy`, NOT a `count(*) OVER (PARTITION BY
+    * shingle)`: a window must buffer a hot shingle's entire partition
+    * in one task BEFORE the cap can discard it, the straggler/OOM mode
+    * a 10⁹-doc boilerplate shingle guarantees at 100 TB; the aggregate
+    * reaches the reducer as ≤|maps| partial counts — the dupSpans
+    * discipline) — and both sides of the capped self-join. Shingles
+    * with df = 1 are also dropped (they cannot form a pair — pure
+    * optimization, result-identical). Pair generation additionally
+    * carries the exact size prefilter of the set-similarity-join
+    * literature (PPJoin's length filter, Xiao et al. WWW'08):
+    * J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose sizes
+    * differ by more than the threshold ratio is pruned BEFORE the
+    * intersection count — no false negatives, strictly less join
+    * output. The result is materialized eagerly and the posting pin
+    * released (the cache-lifecycle contract, see
+    * [[graft.operators.CorpusOps.rakeKeywords]]).
     *
     * Production detail: the join key is the 56-bit md5 prefix of the
     * shingle, not the string — every downstream sort/shuffle then
@@ -340,24 +352,44 @@ object DedupOps {
     */
   def ngramJaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
                               minJaccard: Double, dfCap: Int, n: Int = 3): DataFrame = {
+    val (out, ex) = ngramJaccardPairsCappedLazy(docs, idCol, textCol, minJaccard, dfCap, n)
+    val checked = out.localCheckpoint()
+    ex.unpersist()
+    checked
+  }
+
+  /** Lazy internals of [[ngramJaccardPairsCapped]]: un-materialized
+    * result plus the persisted posting frame, which the CALLER owns
+    * (unpersist after consumption). Exposed for plan tests and
+    * zero-copy pipelines — see
+    * [[graft.operators.CorpusOps.rakeKeywordsLazy]].
+    */
+  private[graft] def ngramJaccardPairsCappedLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, dfCap: Int, n: Int): (DataFrame, DataFrame) = {
     val sh = spread(docs).select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), n)).as("__sh"))
     val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s0"))
       .select(col("__id"), col("__n"),
         conv(substring(md5(col("__s0")), 1, 14), 16, 10).cast("long").as("__s"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__s"))
-    val exk = ex.withColumn("__df", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfKeys = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= dfCap)
-      .drop("__df")
-    exk.alias("a").hint("merge")
-      .join(exk.alias("b"), col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
+      .select(col("__s"))
+    val exk = ex.join(dfKeys, Seq("__s"))
+    (exk.alias("a").hint("merge")
+      .join(exk.alias("b"), col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id") &&
+        // length filter: J ≤ min/max, so J ≥ t needs sizes within 1/t
+        col("a.__n").cast("double") >= col("b.__n") * minJaccard &&
+        col("b.__n").cast("double") >= col("a.__n") * minJaccard)
       .groupBy(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .agg(count(lit(1)).as("__c"), max(col("a.__n")).as("__n1"), max(col("b.__n")).as("__n2"))
       .select(col("d1"), col("d2"),
         round(col("__c").cast("double") /
           (col("__n1") + col("__n2") - col("__c")), 6).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard") >= minJaccard),
+      ex)
   }
 
   /** Substring-level (token-window) duplicate-span profile — the

@@ -195,10 +195,33 @@ object GraphOps {
     * iterative graph engine (GraphX caches the graph per iteration)
     * and the [[graft.operators.RelationalOps.globalRowNumber]]
     * precedent.
+    *
+    * Lifecycle + depth guards (r9): the result is materialized EAGERLY
+    * (`localCheckpoint`) so the two invariant pins can be released
+    * inside the operator — no MEMORY_AND_DISK block outlives the call
+    * (the r8 verdict's persist-without-unpersist finding). Past
+    * `checkpointEvery` rounds the running ranks are also checkpointed,
+    * truncating the unrolled lineage the same way
+    * [[connectedComponents]] does per round — `iters=20` stays a
+    * constant-depth plan for the optimizer instead of a 20-round tree.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    val (ranks, invariants) = pageRankLazy(edges, srcCol, dstCol, iters, dampingPct)
+    val out = ranks.localCheckpoint()
+    invariants.foreach(_.unpersist())
+    out
+  }
+
+  /** Lazy internals of [[pageRank]]: un-materialized final ranks plus
+    * the persisted iteration invariants (node set, degree-annotated
+    * edges), which the CALLER owns — unpersist after consumption.
+    * Exposed for plan tests and zero-copy pipelines.
+    */
+  private[graft] def pageRankLazy(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPct: Int): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val checkpointEvery = 4
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val nodes = e.select(col("__src").as("id"))
       .unionByName(e.select(col("__dst").as("id"))).distinct()
@@ -208,7 +231,7 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = lit((100L - dampingPct) * 10000L)
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val in = withDeg.join(ranks, withDeg("__src") === ranks("id"))
         .select(col("__dst").as("id"),
           expr("rank_micro div __deg").as("__c"))
@@ -217,7 +240,8 @@ object GraphOps {
         .select(col("id"),
           (base + expr(s"$dampingPct * coalesce(__in, CAST(0 AS BIGINT)) div 100"))
             .as("rank_micro"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    (ranks, Seq(nodes, withDeg))
   }
 }

@@ -112,6 +112,57 @@ object RelationalOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Batch twin of S-6's streaming `dropDuplicatesWithinWatermark`:
+    * replay the bounded-state dedup over at-rest data (the backfill /
+    * reprocessing path every streaming dedup needs for parity audits).
+    * Per key, events are visited in (ts, tieBreak) order and an event
+    * is KEPT iff it is the key's first, or its event time is strictly
+    * more than `delayMicros` after the key's last KEPT event — the
+    * greedy fixpoint of the watermark-state contract (state for a key
+    * lives `delay` past the kept event; a duplicate arriving inside
+    * that horizon is dropped, one arriving after it re-admits).
+    *
+    * The kept set is UNIQUELY determined by three checkable
+    * invariants — (1) each key's first event is kept, (2) consecutive
+    * kept events per key are > delay apart, (3) every event lies
+    * within delay at-or-after some kept event of its key — which is
+    * what the `s9_dedup_within_delay` driver row asserts as
+    * oracle-checked booleans (the g8 sketch-recipe applied to an
+    * operator DuckDB cannot express directly).
+    *
+    * Scale shape: one hash exchange on the key columns, an in-partition
+    * sort (secondary sort — no per-group materialization, unlike
+    * groupByKey+flatMapGroups), then a single narrow pass holding O(1)
+    * state (current key + last kept timestamp). Comparisons are in
+    * MICROSECONDS — Spark timestamps are µs-precise and millisecond
+    * truncation would disagree with engine-side interval arithmetic at
+    * the boundary.
+    */
+  def dedupWithinDelay(df: DataFrame, keys: Seq[String], tsCol: String,
+                       tieBreak: Seq[String], delayMicros: Long): DataFrame = {
+    require(delayMicros >= 0, "dedupWithinDelay: delay must be >= 0")
+    val sorted = df.repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys.map(col) :+ col(tsCol)) ++ tieBreak.map(col): _*)
+    val schema = sorted.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var lastKeptMicros = Long.MinValue
+      it.filter { r =>
+        val k = keyIdx.map(r.get)
+        val ts = r.getAs[java.sql.Timestamp](tsIdx)
+        // full µs: getTime carries ms (nanos truncated); add sub-ms µs
+        val micros = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+        if (k != curKey) { curKey = k; lastKeptMicros = micros; true }
+        else if (micros > lastKeptMicros + delayMicros) { lastKeptMicros = micros; true }
+        else false
+      }
+    }
+  }
+
   /** O-1 — global sort made hash-observable: attach the rank so the
     * row order is part of the row values (reference dashboard sort,
     * `streamlit-app.py:72–74`).
@@ -527,6 +578,13 @@ object RelationalOps {
     */
   def constraintAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "constraintAudit: at least one rule")
+    // rule names are interpolated into the stack() SQL and into
+    // `__v_$name` aliases — a quote/space/dot/backtick would break
+    // analysis or splice arbitrary expressions into the plan
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"constraintAudit: rule name '$name' must match [A-Za-z0-9_]+")
+    }
     // the violation count coalesces to 0: `sum` over an EMPTY table is
     // NULL, and an empty partition passes every expectation
     val agg = df.agg(count(lit(1)).as("__n"),
@@ -557,9 +615,27 @@ object RelationalOps {
     * total, item counts, both join sides) whose column pruning
     * differs — exchange reuse can't fire (the rakeKeywords lesson; the
     * r8 audit counted 10 scans) — so it is persisted before fan-out.
+    *
+    * Lifecycle (r9): the vocabulary²-bounded result is materialized
+    * eagerly (`localCheckpoint`) so the membership pin is released
+    * inside the operator (same contract as [[graft.operators.CorpusOps
+    * .rakeKeywords]] — no cache entry outlives the call).
     */
   def basketRules(memberships: DataFrame, basketCol: String, itemCol: String,
                   minSupport: Long = 5L): DataFrame = {
+    val (out, items) = basketRulesLazy(memberships, basketCol, itemCol, minSupport)
+    val checked = out.localCheckpoint()
+    items.unpersist()
+    checked
+  }
+
+  /** Lazy internals of [[basketRules]]: un-materialized result plus the
+    * persisted membership set, which the CALLER owns (unpersist after
+    * consumption). Exposed for plan tests and zero-copy pipelines —
+    * see [[graft.operators.CorpusOps.rakeKeywordsLazy]].
+    */
+  private[graft] def basketRulesLazy(memberships: DataFrame, basketCol: String,
+                  itemCol: String, minSupport: Long): (DataFrame, DataFrame) = {
     val items = memberships
       .select(col(basketCol).as("__oid"), col(itemCol).as("__item"))
       .distinct()
@@ -572,7 +648,7 @@ object RelationalOps {
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    pairs
+    (pairs
       .join(broadcast(cnt.select(col("__item").as("item_a"),
         col("__ni").as("__na"))), Seq("item_a"))
       .join(broadcast(cnt.select(col("__item").as("item_b"),
@@ -580,6 +656,7 @@ object RelationalOps {
       .crossJoin(broadcast(baskets))
       .select(col("item_a"), col("item_b"), col("n_ab"),
         expr("n_ab * 1000000 div __na").as("conf_micro"),
-        expr("n_ab * __nb * 1000000 div (__na * __nbi)").as("lift_micro"))
+        expr("n_ab * __nb * 1000000 div (__na * __nbi)").as("lift_micro")),
+      items)
   }
 }

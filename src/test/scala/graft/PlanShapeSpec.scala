@@ -31,13 +31,28 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("LSH and inverted-index self-joins compute their signature pipeline once (ReusedExchange)") {
-    Seq("dd_minhash_lsh", "dd_ngram_jaccard", "dd_ngram_capped", "sim_ann_lsh",
+    Seq("dd_minhash_lsh", "dd_ngram_jaccard", "sim_ann_lsh",
         "sim_ivf_pairs", "sim_ann_int8", "sim_ivf_trained", "sim_ann_projected")
       .foreach { q =>
         val plan = executedPlan(q)
         assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
           s"$q must reuse the banded/exploded exchange, got:\n$plan")
       }
+    // dd_ngram_capped (r9): the posting frame is now PERSISTED and
+    // serves the df aggregate plus both self-join sides (the window-df
+    // formulation buffered hot-shingle partitions; see the operator
+    // scaladoc), and the public operator checkpoints eagerly — pin the
+    // cache reads on the Lazy internals instead of ReusedExchange.
+    val (out, ex) = graft.operators.DedupOps.ngramJaccardPairsCappedLazy(
+      Tables.documents(spark, sfDir), "doc_id", "text", 0.5, 25, 3)
+    try {
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      val cacheReads = plan.split("InMemoryTableScan").length - 1 +
+        plan.split("TableCacheQueryStage").length - 1
+      assert(cacheReads >= 2,
+        s"dd_ngram_capped must serve df + join sides from the persisted postings, got $cacheReads:\n$plan")
+    } finally ex.unpersist()
   }
 
   test("txt_tfidf tokenizes once: the tf exchange is shared by the df branch") {
@@ -112,11 +127,21 @@ class PlanShapeSpec extends SparkTestBase {
     // (the plan STRING still shows parquet scans inside the
     // InMemoryRelation's embedded child dump — count cache READS, which
     // is what executes, not the embedded text)
-    val plan = executedPlan("txt_rake")
-    val cacheReads = plan.split("InMemoryTableScan").length - 1 +
-      plan.split("TableCacheQueryStage").length - 1
-    assert(cacheReads >= 2,
-      s"both rake branches must read the persisted ph subtree, got $cacheReads:\n$plan")
+    //
+    // r9: the public operator eagerly checkpoints + releases the pin
+    // (cache-lifecycle contract), which hides the executed shape behind
+    // an RDD scan — inspect the Lazy internals the wrapper consumes.
+    val (out, ph) = graft.operators.CorpusOps.rakeKeywordsLazy(
+      Tables.documents(spark, sfDir), "doc_id", "text", 3,
+      Seq("the", "a", "and", "of", "to", "in", "is", "it"))
+    try {
+      out.collect() // AQE finalizes the adaptive plan in place
+      val plan = out.queryExecution.executedPlan.toString
+      val cacheReads = plan.split("InMemoryTableScan").length - 1 +
+        plan.split("TableCacheQueryStage").length - 1
+      assert(cacheReads >= 2,
+        s"both rake branches must read the persisted ph subtree, got $cacheReads:\n$plan")
+    } finally ph.unpersist()
   }
 
   test("dd_incremental: one (band, key) join, existing side never re-hashed per band") {
@@ -146,11 +171,19 @@ class PlanShapeSpec extends SparkTestBase {
     // rnk <= k filters over row_number must push into the window as a
     // group limit: each task keeps k rows per group instead of ranking
     // every row — the difference between top-3 and a full sort at 100 TB
-    Seq("txt_rake", "prof_topvalues", "o4_topk_per_group").foreach { q =>
+    Seq("prof_topvalues", "o4_topk_per_group").foreach { q =>
       val plan = initialPlan(q)
       assert(plan.contains("WindowGroupLimit"),
         s"$q should push its rank filter into a WindowGroupLimit:\n$plan")
     }
+    // txt_rake's public operator checkpoints eagerly (lifecycle
+    // contract) — pin its internal plan instead
+    val (out, ph) = graft.operators.CorpusOps.rakeKeywordsLazy(
+      Tables.documents(spark, sfDir), "doc_id", "text", 3,
+      Seq("the", "a", "and", "of", "to", "in", "is", "it"))
+    try assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "txt_rake should push its rank filter into a WindowGroupLimit")
+    finally ph.unpersist()
   }
 
   test("unpartitioned windows appear only where bounded by design") {
@@ -204,14 +237,37 @@ class PlanShapeSpec extends SparkTestBase {
     // pruned branches (10 scans without sharing). Both must show cache
     // READS in the executed plan — the persist regressing silently
     // would put the source re-scans back.
-    Seq("gr_pagerank" -> 4, "g20_basket_rules" -> 3).foreach { case (q, minReads) =>
-      val plan = executedPlan(q)
-      val reads = plan.split("InMemoryTableScan").length - 1 +
+    //
+    // r9: the public operators checkpoint eagerly + release their pins
+    // (cache-lifecycle contract), so inspect the Lazy internals the
+    // wrappers consume — same plans, pin still observable.
+    def cacheReads(out: org.apache.spark.sql.DataFrame): Int = {
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      plan.split("InMemoryTableScan").length - 1 +
         plan.split("TableCacheQueryStage").length - 1
-      assert(reads >= minReads,
-        s"$q should serve its branches from the persisted invariant " +
-          s"(>= $minReads cache reads), got $reads:\n$plan")
     }
+    val edges = Tables.orders(spark, sfDir)
+      .select((org.apache.spark.sql.functions.col("o_custkey") * 3).as("src"),
+        (org.apache.spark.sql.functions.col("o_orderkey") * 3 + 1).as("dst"))
+    val (pr, prInv) = graft.operators.GraphOps.pageRankLazy(edges, "src", "dst", 3, 85)
+    try {
+      val reads = cacheReads(pr)
+      assert(reads >= 4,
+        s"gr_pagerank should serve its rounds from the persisted invariants, got $reads")
+    } finally prInv.foreach(_.unpersist())
+    val memberships = Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("oid"),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("l_partkey"),
+          org.apache.spark.sql.functions.lit(100)).as("item"))
+    val (br, items) = graft.operators.RelationalOps.basketRulesLazy(
+      memberships, "oid", "item", 5L)
+    try {
+      val reads = cacheReads(br)
+      assert(reads >= 3,
+        s"g20_basket_rules should serve its branches from the persisted set, got $reads")
+    } finally items.unpersist()
   }
 
   test("io_partition_prune: the partition predicate prunes at planning time") {
@@ -269,5 +325,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!q17.contains("CartesianProduct"), q17)
     Seq(q4, q22, q17).foreach(p =>
       assert(!p.contains("InSubqueryExec") || !p.contains("CartesianProduct"), p))
+  }
+
+  test("runtime bloom filters reach the fact scan when dims cannot broadcast (q5, q8)") {
+    // VERDICT r8 item 7, both directions of the documented decision:
+    //
+    // (a) At the default config every q5/q8 dim broadcasts, and Spark's
+    //     InjectRuntimeFilter deliberately does NOT add a bloom filter
+    //     to the probe side of a broadcast join — the broadcast hash
+    //     lookup already drops non-matching fact rows at zero extra
+    //     cost, so a bloom there is pure overhead. No `might_contain`
+    //     in the default plan is the CORRECT shape, not a missed
+    //     optimization. (Spark 4 removed semiJoinReduction entirely —
+    //     the config errors on set — so bloom is the only runtime
+    //     filter that exists.)
+    //
+    // (b) The 100 TB case the verdict asked about is a dim too big to
+    //     broadcast. Pin that by disabling broadcast: the selective
+    //     dim filter must then re-appear on the lineitem scan as a
+    //     bloom-filter predicate (might_contain(..., xxhash64(key))),
+    //     i.e. the shapes stay runtime-filterable exactly when the
+    //     broadcast pushdown stops applying.
+    val default5 = initialPlan("q5_local_supplier")
+    assert(default5.contains("BroadcastHashJoin") && !default5.contains("might_contain"),
+      s"q5 default shape should be broadcast-pushdown with no redundant bloom:\n$default5")
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      Seq("q5_local_supplier", "q8_market_share").foreach { q =>
+        val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.optimizedPlan.toString
+        assert(p.contains("might_contain"),
+          s"$q with broadcasts off must receive a runtime bloom filter on the fact side:\n$p")
+      }
+    }
   }
 }

@@ -2837,8 +2837,13 @@ object SparkEntry {
         col("event_type").as("grp"),
         expr("150 div (1 + user_id % 150)").as("item"),
         col("event_id"), col("ts"))
+      // exact counts feed three consumers (threshold check, bounds
+      // check, hashed top-3) — checkpoint the vocab-bounded aggregate
+      // so the fact table is scanned once for it, and derive the
+      // per-group total from it (zero extra scans)
       val exact = ev.groupBy(col("grp"), col("item")).agg(count(lit(1)).as("cnt"))
-      val n = ev.groupBy(col("grp")).agg(count(lit(1)).as("n_events"))
+        .localCheckpoint()
+      val n = exact.groupBy(col("grp")).agg(sum(col("cnt")).as("n_events"))
       val tracked = ev
         .repartition(col("grp"))
         .sortWithinPartitions(col("grp"), col("ts"), col("event_id"))
@@ -2897,21 +2902,23 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
       val kept = graft.operators.RelationalOps.dedupWithinDelay(
           ev, Seq("user_id", "event_type"), "ts", Seq("event_id"), delayMicros)
-        .localCheckpoint() // feeds three invariant branches
-      val firstOk = ev.groupBy(col("user_id"), col("event_type"))
-        .agg(min(struct(col("ts"), col("event_id"))).as("__f"))
-        .join(kept.groupBy(col("user_id"), col("event_type"))
-          .agg(min(struct(col("ts"), col("event_id"))).as("__fk")),
-          Seq("user_id", "event_type"))
-        .select(col("user_id"), col("event_type"),
-          (col("__f") === col("__fk")).as("first_kept_ok"))
+        .localCheckpoint() // feeds both invariant branches
+      // ONE pass over events carries every per-key exact it needs
+      // (count, first ts, first (ts, event_id)) — three fact scans
+      // total: the dedup itself, this aggregate, the coverage join
+      val evAgg = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"),
+          min(struct(col("ts"), col("event_id"))).as("__f"))
+      // one pass over kept: the gap invariant (partitioned lag window)
+      // and the kept-side first event share the same grouped shape
       val wk = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
-      val gapsOk = kept.withColumn("__prev", lag(col("ts"), 1).over(wk))
+      val keptAgg = kept.withColumn("__prev", lag(col("ts"), 1).over(wk))
         .groupBy(col("user_id"), col("event_type"))
         .agg(bool_and(col("__prev").isNull || col("ts") > col("__prev") + delayI)
-          .as("gaps_ok"))
+            .as("gaps_ok"),
+          min(struct(col("ts"), col("event_id"))).as("__fk"))
       // per-event coverage: ≤ epochs-per-key kept candidates per event
       // (span/delay-bounded fan-out), then bool_and up to the key
       val coverOk = ev
@@ -2923,13 +2930,12 @@ object SparkEntry {
         .agg(max(col("__cov")).as("__c"))
         .groupBy(col("user_id"), col("event_type"))
         .agg(bool_and(col("__c")).as("cover_ok"))
-      ev.groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"))
-        .join(firstOk, Seq("user_id", "event_type"))
-        .join(gapsOk, Seq("user_id", "event_type"))
+      evAgg
+        .join(keptAgg, Seq("user_id", "event_type"))
         .join(coverOk, Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"), col("n_events"), col("first_ts"),
-          col("first_kept_ok"), col("gaps_ok"), col("cover_ok"))
+          (col("__f") === col("__fk")).as("first_kept_ok"),
+          col("gaps_ok"), col("cover_ok"))
     }),
 
     "g19_cooccur" -> ((s, dir) => {

@@ -57,6 +57,18 @@ object ScaleProbe {
       replicateDocs(k).withColumn("text",
         concat(lit("common header boilerplate text follows here "), col("text")))
 
+    // Events replicate with DISJOINT keys per copy (user_id offset):
+    // volume grows k×, per-key event density stays constant — the load
+    // shape a k×-bigger tenant population produces.
+    def replicateEvents(k: Int): DataFrame =
+      (0 until k).map { i =>
+        Tables.events(spark, sfDir).select(
+          (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
+          col("event_type"),
+          (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+          col("ts"))
+      }.reduce(_ union _)
+
     // optional 3rd arg: comma-separated op filter (default: all)
     val only = args.lift(2).map(_.split(",").toSet)
     def enabled(op: String): Boolean = only.forall(_.contains(op))
@@ -138,6 +150,25 @@ object ScaleProbe {
               (col("l_orderkey") + lit(i.toLong * 100000000L)).as("oid"),
               pmod(col("l_partkey"), lit(100)).as("item"))
           }.reduce(_ union _), "oid", "item"))
+      // Greedy watermark dedup (s9) over k× events with disjoint keys:
+      // one key exchange + in-partition sort + an O(1)-state narrow
+      // pass — cost must track event volume ~linearly
+      if (enabled("s9_dedup_delay")) time("s9_dedup_delay", k)(
+        graft.operators.RelationalOps.dedupWithinDelay(replicateEvents(k),
+          Seq("user_id", "event_type"), "ts", Seq("event_id"),
+          48L * 3600 * 1000000L))
+      // Batch Space-Saving fold (g21) over k× events: the group count
+      // stays 5 and counters stay O(k_sketch) per group, so cost must
+      // track event volume ~linearly with constant state
+      if (enabled("g21_heavy")) {
+        import spark.implicits._
+        time("g21_heavy", k)(
+          graft.streaming.TopKPipeline.heavyHittersBatch(
+            replicateEvents(k).select(col("event_type").as("group"),
+              expr("150 div (1 + user_id % 150)").as("item"),
+              col("event_id"), col("ts")).as[graft.streaming.TopKInput], 8)
+            .toDF("grp", "item", "cnt_hi", "cnt_lo"))
+      }
       // Power iteration: per round = one scan + a (dim, Σ) aggregate —
       // cost must track corpus size linearly, never dim²
       if (enabled("vec_power_iter")) time("vec_power_iter", k)(

@@ -2844,25 +2844,10 @@ object SparkEntry {
       val exact = ev.groupBy(col("grp"), col("item")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
       val n = exact.groupBy(col("grp")).agg(sum(col("cnt")).as("n_events"))
-      val tracked = ev
-        .repartition(col("grp"))
-        .sortWithinPartitions(col("grp"), col("ts"), col("event_id"))
-        .select(col("grp").as("group"), col("item"), col("event_id"), col("ts"))
-        .as[graft.streaming.TopKInput]
-        .mapPartitions { it =>
-          // group-boundary fold: O(k) counters per live group
-          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-          var cur: String = null
-          var cs: List[graft.streaming.SsCounter] = Nil
-          def flush(): Unit = if (cur != null)
-            cs.foreach(c => out += ((cur, c.item, c.count, c.count - c.err)))
-          it.foreach { e =>
-            if (e.group != cur) { flush(); cur = e.group; cs = Nil }
-            cs = graft.streaming.TopKPipeline.step(cs, e.item, k)
-          }
-          flush()
-          out.iterator
-        }.toDF("grp", "item", "cnt_hi", "cnt_lo")
+      val tracked = graft.streaming.TopKPipeline.heavyHittersBatch(
+          ev.select(col("grp").as("group"), col("item"), col("event_id"), col("ts"))
+            .as[graft.streaming.TopKInput], k)
+        .toDF("grp", "item", "cnt_hi", "cnt_lo")
         .localCheckpoint() // tiny (groups×k); feeds both guarantee branches
       val trackedOk = exact.join(n, Seq("grp"))
         .filter(col("cnt") * k > col("n_events"))

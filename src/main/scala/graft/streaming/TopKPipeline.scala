@@ -68,6 +68,37 @@ object TopKPipeline {
         SsCounter(item, m.count + 1, m.count) :: counters.filterNot(_.item == m.item)
     }
 
+  /** Batch twin of [[heavyHitters]]: fold the same pure [[step]] over
+    * a secondary-sorted partition iterator — one exchange on the group
+    * key, O(k) counters per live group, NO per-group materialization
+    * (a `groupByKey.flatMapGroups` would buffer a whole group's events
+    * in one task; at 100 TB a group is the stream's entire history).
+    * Returns (grp, item, cnt_hi, cnt_lo) for every tracked counter;
+    * deterministic for a deterministic input because events fold in
+    * (ts, event_id) order and eviction ties break to the lowest item.
+    */
+  def heavyHittersBatch(events: Dataset[TopKInput], k: Int): Dataset[(String, Long, Long, Long)] = {
+    require(k >= 1, "heavyHittersBatch: k must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .repartition(org.apache.spark.sql.functions.col("group"))
+      .sortWithinPartitions("group", "ts", "event_id")
+      .mapPartitions { it =>
+        // group-boundary fold: O(k) counters per live group
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+        var cur: String = null
+        var cs: List[SsCounter] = Nil
+        def flush(): Unit = if (cur != null)
+          cs.foreach(c => out += ((cur, c.item, c.count, c.count - c.err)))
+        it.foreach { e =>
+          if (e.group != cur) { flush(); cur = e.group; cs = Nil }
+          cs = step(cs, e.item, k)
+        }
+        flush()
+        out.iterator
+      }
+  }
+
   def heavyHitters(events: Dataset[TopKInput], k: Int): Dataset[HeavyHitter] = {
     require(k >= 1, "heavyHitters: k must be >= 1")
     import events.sparkSession.implicits._

@@ -66,22 +66,26 @@ object StreamBench {
 
     val parsed = VotePipeline.parse(
       spark.readStream.option("maxFilesPerTrigger", 2).text(srcDir))
-    // optional 4th query (`hh` as the 4th arg): Space-Saving heavy
-    // hitters per candidate — the bounded-state sketch under the same
-    // feed, so X-G48 has a measured throughput number per round
-    val withHh = args.lift(3).contains("hh")
+    // optional 4th query (4th arg): `hh` = Space-Saving heavy hitters
+    // per candidate via flatMapGroupsWithState, `tws` = the SAME fold
+    // on Spark 4's transformWithState StatefulProcessor (requires the
+    // rocksdb state arg — the API is RocksDB-only) — so both
+    // arbitrary-state APIs have a measured throughput number per round
+    val hhArg = args.lift(3)
+    val withHh = hhArg.exists(Set("hh", "tws"))
     import spark.implicits._
     val t0 = System.nanoTime()
+    def hhInput = parsed.select(col("candidate_id").as("group"),
+      xxhash64(col("voter_id")).as("item"),
+      xxhash64(col("voter_id"), col("voting_time")).as("event_id"),
+      col("voting_time").as("ts")).as[TopKInput]
     val queries = Seq(
       start("votes_per_candidate", VotePipeline.votesPerCandidate(parsed), "update"),
       start("turnout_by_location", VotePipeline.turnoutByLocation(parsed), "update"),
       start("hourly_votes", VotePipeline.hourlyVotesPerType(parsed), "append")) ++
       (if (withHh) Seq(start("heavy_hitters",
-        TopKPipeline.heavyHitters(
-          parsed.select(col("candidate_id").as("group"),
-            xxhash64(col("voter_id")).as("item"),
-            xxhash64(col("voter_id"), col("voting_time")).as("event_id"),
-            col("voting_time").as("ts")).as[TopKInput], 10).toDF(), "append"))
+        (if (hhArg.contains("tws")) TopKPipeline.heavyHittersTws(hhInput, 10)
+         else TopKPipeline.heavyHitters(hhInput, 10)).toDF(), "append"))
        else Nil)
     queries.foreach(_.processAllAvailable())
     val wallSec = (System.nanoTime() - t0) / 1e9

@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One keyed arrival entering the frequency sketch. */
 case class TopKInput(group: String, item: Long, event_id: Long, ts: Timestamp)
@@ -23,6 +24,41 @@ case class TopKState(counters: List[SsCounter], ver: Long)
   */
 case class HeavyHitter(group: String, item: Long, cnt_hi: Long,
                        cnt_lo: Long, rank: Int, ver: Long)
+
+/** [[TopKPipeline.heavyHitters]]'s Space-Saving fold as a Spark 4
+  * `StatefulProcessor` — the arbitrary-state API that supersedes
+  * `flatMapGroupsWithState`: named, typed per-key state handles
+  * (Value/List/Map) with optional TTL and timers, backed by RocksDB
+  * only. Same step function, same deterministic batch-local ordering,
+  * same output rows; `TopKPipelineSpec` asserts exact parity against
+  * the flatMapGroupsWithState form over an identical feed. At 100 TB
+  * this is the surface to prefer: state TTL bounds idle-group state
+  * declaratively (no hand-rolled timeout plumbing) and the encoded
+  * state schema is introspectable offline via the state-store data
+  * source.
+  */
+class TopKProcessor(k: Int)
+    extends StatefulProcessor[String, TopKInput, HeavyHitter] {
+  @transient private var state: ValueState[TopKState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TopKState]("counters",
+      Encoders.product[TopKState], TTLConfig.NONE)
+
+  override def handleInputRows(group: String, rows: Iterator[TopKInput],
+                               timers: TimerValues): Iterator[HeavyHitter] = {
+    val evs = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val prior = if (state.exists()) state.get() else TopKState(Nil, 0L)
+    var counters = prior.counters
+    evs.foreach(e => counters = TopKPipeline.step(counters, e.item, k))
+    val ver = prior.ver + 1
+    state.update(TopKState(counters, ver))
+    counters.sortBy(c => (-c.count, c.item)).zipWithIndex.iterator
+      .map { case (c, i) =>
+        HeavyHitter(group, c.item, c.count, c.count - c.err, i + 1, ver)
+      }
+  }
+}
 
 /** Streaming heavy hitters with BOUNDED state — the Space-Saving
   * algorithm (Metwally, Agrawal, El Abbadi, "Efficient Computation of
@@ -97,6 +133,17 @@ object TopKPipeline {
         flush()
         out.iterator
       }
+  }
+
+  /** [[heavyHitters]] on the transformWithState API (see
+    * [[TopKProcessor]]); requires the RocksDB state store provider.
+    */
+  def heavyHittersTws(events: Dataset[TopKInput], k: Int): Dataset[HeavyHitter] = {
+    require(k >= 1, "heavyHittersTws: k must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
   def heavyHitters(events: Dataset[TopKInput], k: Int): Dataset[HeavyHitter] = {

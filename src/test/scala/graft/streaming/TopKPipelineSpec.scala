@@ -72,6 +72,33 @@ class TopKPipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState processor emits EXACTLY what flatMapGroupsWithState emits") {
+    // Same skewed feed, same batch split, both state APIs; the
+    // StatefulProcessor (RocksDB-only by design) must reproduce the
+    // flatMapGroupsWithState rows bit-for-bit — counters, error
+    // bounds, ranks, and batch versions.
+    implicit val ctx = spark.sqlContext
+    val k = 5
+    val (b1, b2) = skewed.splitAt(skewed.length / 2)
+    def run(name: String, f: org.apache.spark.sql.Dataset[TopKInput] =>
+        org.apache.spark.sql.Dataset[HeavyHitter]): Set[HeavyHitter] = {
+      val ms = MemoryStream[TopKInput]
+      val q = f(ms.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+        spark.table(name).as[HeavyHitter].collect().toSet
+      } finally q.stop()
+    }
+    withStateStoreProvider(RocksDbProvider) {
+      val tws = run("topk_tws", ds => TopKPipeline.heavyHittersTws(ds, k))
+      val fmgs = run("topk_fmgs", ds => TopKPipeline.heavyHitters(ds, k))
+      assert(tws === fmgs)
+      assert(tws.nonEmpty)
+    }
+  }
+
   test("single-batch degenerate loads: fewer distinct items than k; ties") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[TopKInput]

@@ -3053,6 +3053,39 @@ object SparkEntry {
           round(col("cents").cast("double") / col("n"), 6))
     }),
 
+    // ---- X-A21: incremental DISTINCT-count MV via mergeable HLL
+    //      sketches (Datasketches, hll_sketch_agg/hll_union) — the one
+    //      aggregate [[mv_incremental]]'s sum/min/max algebra cannot
+    //      maintain: COUNT(DISTINCT) is not mergeable from partials,
+    //      so a 100 TB MV keeps a SKETCH column instead and folds each
+    //      delta with hll_union (freshness costs |snapshot|+|delta|,
+    //      never a base re-scan, at a bounded error). Gate = the g8
+    //      sketch recipe: hash the exact distinct count, assert the
+    //      merged-sketch estimate lands within 3·rsd(lgK=12 ≈ 1.6%)
+    //      as an oracle-checked boolean. HLL on deterministic input is
+    //      deterministic — a red here is drift, not luck. ----
+    "mv_hll_distinct" -> ((s, dir) => {
+      val split = lit("2024-01-15").cast("timestamp")
+      def sketchOf(df: DataFrame) = df
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val ev = Tables.events(s, dir)
+      val merged = sketchOf(ev.filter(col("ts") < split)).withColumnRenamed("sk", "sk_snap")
+        .join(sketchOf(ev.filter(col("ts") >= split)).withColumnRenamed("sk", "sk_delta"),
+          Seq("event_type"), "full")
+        .select(col("event_type"),
+          hll_sketch_estimate(
+            when(col("sk_snap").isNull, col("sk_delta"))
+              .when(col("sk_delta").isNull, col("sk_snap"))
+              .otherwise(hll_union(col("sk_snap"), col("sk_delta")))).as("__est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__est").cast("double") - col("n_users")) <=
+            col("n_users") * lit(0.05)).as("est_in_bound"))
+    }),
+
     // ---- Time-grid resample + LOCF gap fill: each user's hourly
     //      buckets from their first to last event, empty hours carried
     //      forward from the last observed bucket. ----
@@ -3299,6 +3332,39 @@ object SparkEntry {
         exists(qv, x => abs(x) > lit(2000000L)).as("has_big"),
         aggregate(zip_with(qv, reverse(qv), _ * _), lit(0L), _ + _)
           .as("dot_rev"))
+    }),
+
+    // ---- P-18 / X-P5: Spark 4 VariantType over a schema-DRIFTING
+    //      JSON feed — the open-schema ingestion path at 100 TB: parse
+    //      ONCE into the binary variant encoding (no schema-inference
+    //      pass, no per-reader from_json schema to keep in sync, no
+    //      re-ingest when a producer adds a field), then extract typed
+    //      fields by path with try_variant_get (absent/mistyped paths
+    //      degrade to NULL, not errors — the P-15 quarantine semantics
+    //      built into the type). The feed alternates a flat payload
+    //      {v: double}, a drifted nested payload {v: {amount}}, and a
+    //      corrupt non-JSON class; extraction coalesces both shapes
+    //      and corrupt rows surface as the NULL group. The oracle
+    //      computes the same semantic result straight from the source
+    //      columns, so the variant roundtrip must be value-preserving;
+    //      sums ride in cents (io_schema_evolution precedent). ----
+    "p18_variant" -> ((s, dir) => {
+      val payload = when(col("event_id") % 3 === 0,
+          to_json(struct(col("value").as("v"), col("event_type").as("t"))))
+        .when(col("event_id") % 3 === 1,
+          to_json(struct(struct(col("value").as("amount")).as("v"),
+            col("event_type").as("t"))))
+        .otherwise(lit("not json"))
+      Tables.events(s, dir)
+        .select(col("event_id"), try_parse_json(payload).as("var"))
+        .select(
+          coalesce(
+            try_variant_get(col("var"), "$.v", "double"),
+            try_variant_get(col("var"), "$.v.amount", "double")).as("v"),
+          try_variant_get(col("var"), "$.t", "string").as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(round(col("v") * 100).cast("long")), lit(0L)).as("cents"))
     }),
 
     // ---- Top-values profile: the frequency companion to
@@ -3809,6 +3875,18 @@ object SparkEntry {
                   i -> qv[i] * qv[n_dims + 1 - i])) AS BIGINT) AS dot_rev
          FROM q""",
 
+    // the variant parse/extract roundtrip must be value-preserving, so
+    // the oracle computes the same semantic result straight from the
+    // source columns: corrupt rows (event_id % 3 = 2) form the NULL
+    // group with a zero sum
+    "p18_variant" ->
+      """SELECT CASE WHEN event_id % 3 = 2 THEN NULL ELSE event_type END AS t,
+              count(*) AS n,
+              CAST(coalesce(sum(CASE WHEN event_id % 3 = 2 THEN NULL
+                            ELSE CAST(round(value * 100) AS BIGINT) END), 0)
+                   AS BIGINT) AS cents
+         FROM events GROUP BY 1""",
+
     "w3_range_frame" ->
       """SELECT user_id, event_id,
          count(*) OVER (PARTITION BY user_id
@@ -3947,6 +4025,14 @@ object SparkEntry {
               round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                     / count(*), 6) AS avg_cents
          FROM events GROUP BY user_id, event_type""",
+
+    // sketch estimates are engine-specific; the oracle hashes the
+    // exact distinct count and asserts the merged-sketch bound (g8
+    // recipe)
+    "mv_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+              true AS est_in_bound
+         FROM events GROUP BY event_type""",
 
     "ts_gapfill" ->
       """WITH hourly AS (

@@ -2,8 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** One user event entering sessionization. */
 case class SessionInput(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
@@ -48,7 +50,84 @@ case class SessionAgg(user_id: Long, session_start: Timestamp,
   * built-in `session_window` aggregation makes that trade — see
   * `RelationalOps.sessionize` for the batch path).
   */
+/** [[SessionPipeline.sessionize]]'s gap logic as a Spark 4
+  * `StatefulProcessor` with EXPLICIT event-time timers — the timer
+  * primitive is what transformWithState adds over
+  * `GroupStateTimeout.EventTimeTimeout`: one key can hold many named
+  * states and many timers, each deleted/re-registered independently
+  * (here: delete the open session's stale expiry, register
+  * `end + gap`). Semantics are identical to the
+  * flatMapGroupsWithState form — same O(1) state per user, same
+  * emit-on-close contract — and `SessionPipelineSpec` asserts exact
+  * output parity over an identical multi-batch feed.
+  */
+class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, SessionInput, SessionAgg] {
+  @transient private var state: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionState]("open_session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[SessionInput],
+                               timers: TimerValues): Iterator[SessionAgg] = {
+    val evs = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = List.newBuilder[SessionAgg]
+    var cur = if (state.exists()) Some(state.get()) else None
+    evs.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.end > gapMs =>
+          closed += SessionPipeline.toAgg(uid, s)
+          cur = Some(SessionState(t, t, 1L, e.value))
+        case Some(s) =>
+          cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+            s.n + 1, s.total + e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1L, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // re-arm: drop the previous session-expiry timer for this key,
+      // register the new one (strictly beyond the watermark, as the
+      // FMGS form's setTimeoutTimestamp contract requires)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(s.end + gapMs, timers.getCurrentWatermarkInMs() + 1))
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[SessionAgg] = {
+    // delete-on-update keeps at most one live timer per key, so a
+    // firing timer always refers to the current open session
+    if (state.exists()) {
+      val s = state.get()
+      state.clear()
+      Iterator.single(SessionPipeline.toAgg(uid, s))
+    } else Iterator.empty
+  }
+}
+
 object SessionPipeline {
+
+  /** [[sessionize]] on the transformWithState API (see
+    * [[SessionProcessor]]); requires the RocksDB state store provider.
+    */
+  def sessionizeTws(events: Dataset[SessionInput], gapSec: Long,
+                    watermarkDelaySec: Long = 10L): Dataset[SessionAgg] = {
+    require(watermarkDelaySec <= gapSec,
+      "lateness bound must not exceed the session gap: a late event could " +
+        "otherwise precede the open session by more than the gap")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$watermarkDelaySec seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   def sessionize(events: Dataset[SessionInput], gapSec: Long,
                  watermarkDelaySec: Long = 10L): Dataset[SessionAgg] = {
@@ -100,6 +179,6 @@ object SessionPipeline {
       }
   }
 
-  private def toAgg(uid: Long, s: SessionState): SessionAgg =
+  private[streaming] def toAgg(uid: Long, s: SessionState): SessionAgg =
     SessionAgg(uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
 }

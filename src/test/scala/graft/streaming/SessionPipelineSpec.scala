@@ -31,11 +31,13 @@ class SessionPipelineSpec extends SparkTestBase {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def runStream(): Map[(Long, Long), (Long, Long, Double)] = {
+  private def runStream(pipeline: org.apache.spark.sql.Dataset[SessionInput] =>
+      org.apache.spark.sql.Dataset[SessionAgg] =
+        SessionPipeline.sessionize(_, gapSec)): Map[(Long, Long), (Long, Long, Double)] = {
     implicit val ctx = spark.sqlContext
     val name = s"sessions_${runSeq.incrementAndGet()}"
     val ms = MemoryStream[SessionInput]
-    val q = SessionPipeline.sessionize(ms.toDS(), gapSec)
+    val q = pipeline(ms.toDS())
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     ms.addData(eventsB1); q.processAllAvailable()
     ms.addData(eventsB2); q.processAllAvailable()
@@ -65,6 +67,18 @@ class SessionPipelineSpec extends SparkTestBase {
     assert(streamed.size === 3, "expected 2 sessions for user 1 + 1 for user 2")
   }
 
+
+  test("transformWithState sessionizer (event-time timers) matches flatMapGroupsWithState exactly") {
+    // same feed, same batch boundaries; the SessionProcessor's explicit
+    // delete/re-register timer discipline must reproduce the
+    // EventTimeTimeout form's closed sessions bit-for-bit
+    withStateStoreProvider(RocksDbProvider) {
+      val tws = runStream(SessionPipeline.sessionizeTws(_, gapSec))
+      val fmgs = runStream()
+      assert(tws === fmgs)
+      assert(tws.size === 3)
+    }
+  }
 
   test("closed sessions are identical under the RocksDB state store") {
     // flatMapGroupsWithState's custom state object must round-trip

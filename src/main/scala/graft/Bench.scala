@@ -118,7 +118,8 @@ object Bench {
     // another sf would silently replace the committed sf0.1 numbers —
     // those land in a tagged sibling file instead.
     val artifact =
-      if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
+      if (only.nonEmpty || reps > 1) "(not written: filtered/repeated run)"
+      else if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
       else "BENCH_FULL_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".json"
     if (only.isEmpty && reps == 1)
       try java.nio.file.Files.writeString(
@@ -145,7 +146,7 @@ object Bench {
     val top = results.sortBy(-_._2).take(topN).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"passes":$passes,"load":${jarr(loadStart.take(1) ++ loadEnd.take(1))},"queries":$top,"batteries":$batteries,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"passes":$passes,"load":${jarr(loadStart.take(1) ++ loadEnd.take(1))},"queries":$top,"batteries":$batteries,"full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 }

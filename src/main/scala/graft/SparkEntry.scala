@@ -2735,6 +2735,30 @@ object SparkEntry {
           col("l_returnflag").isInCollection(Seq("A", "N", "R"))))
     }),
 
+    // ---- X-Q11: zero-extra-scan QC — the metrics ride the production
+    //      job's OWN scan as a CollectMetrics node (Dataset.observe)
+    //      instead of dq_constraints' dedicated audit pass, so at
+    //      100 TB the QC bill is a few per-task counters, not a second
+    //      table read. The job here is a returnflag revenue rollup run
+    //      to a noop sink; the ledger row is the metrics row that job
+    //      produced. All metrics are integer-exact (counts + a
+    //      long-cast sum — l_quantity is integral by construction), so
+    //      the parity hash is float-free. ----
+    "dq_observe" -> ((s, dir) => {
+      graft.operators.RelationalOps.observedAudit(
+        Tables.lineitem(s, dir), Seq(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+            .as("n_bad_discount"),
+          count(when(col("l_shipdate").isNull || col("l_returnflag").isNull, 1))
+            .as("n_null_keys"))) { li =>
+        li.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+      }
+    }),
+
     // ---- Per-type OLS trend of the daily value series: slope =
     //      (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = epoch day and
     //      y = daily cents — both sides emitted as INTEGER numerator /
@@ -3725,6 +3749,15 @@ object SparkEntry {
          SELECT rule, n_violations, n AS n_checked,
                 n_violations = 0 AS pass
          FROM u""",
+
+    // the observed-metrics row the production job's scan produced;
+    // count(when(...)) ≡ FILTER (both skip NULL/false predicates)
+    "dq_observe" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS n_bad_discount,
+         count(*) FILTER (l_shipdate IS NULL OR l_returnflag IS NULL) AS n_null_keys
+         FROM lineitem""",
 
     // OLS slope as integer numerator/denominator + truncated milli
     // quotient; x = epoch day, y = daily cents, all BIGINT

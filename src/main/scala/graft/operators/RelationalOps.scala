@@ -659,4 +659,63 @@ object RelationalOps {
         expr("n_ab * __nb * 1000000 div (__na * __nbi)").as("lift_micro")),
       items)
   }
+
+  /** Zero-extra-scan data-quality metrics via `Dataset.observe`
+    * (SURVEY X-Q11): attach named metric aggregates to the input as a
+    * `CollectMetrics` node, run the PRODUCTION job to completion, and
+    * return the metrics the job's own scan produced as a one-row
+    * DataFrame.
+    *
+    * This is the scale complement to [[constraintAudit]]: the audit
+    * costs one dedicated table read, which at 100 TB is a second
+    * multi-hour pass; `observe` rides the job that was going to run
+    * anyway — metrics are folded per-task as rows stream through the
+    * observed node and merged on the driver, so the QC bill is a few
+    * counters per task, not a scan. The trade: only
+    * non-distinct aggregates are allowed (Spark rejects distinct /
+    * order-sensitive metrics at analysis time because partial rows
+    * flow through once), so exact `countDistinct` stays with the
+    * dedicated audit and sketches (X-A21) cover the rest.
+    *
+    * `job` must materialize every partition of the observed input for
+    * the metrics to be complete (a LIMIT or pruned branch would
+    * under-count); we force that here by running the job to a noop
+    * sink — full execution, zero output cost. The metrics row arrives
+    * on the driver with its schema attached, so the returned
+    * DataFrame is a plain LocalRelation — hashable by the driver gate
+    * like any other query result.
+    *
+    * Every metric must be explicitly aliased: the metric name is the
+    * output column name, and an auto-generated alias would couple the
+    * parity hash to Spark's expression pretty-printer.
+    */
+  def observedAudit(df: DataFrame, metrics: Seq[Column])
+                   (job: DataFrame => DataFrame): DataFrame = {
+    require(metrics.nonEmpty, "observedAudit: at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    job(observed).write.format("noop").mode("overwrite").save()
+    val values = obs.get // blocks until the action above reports
+    if (values.isEmpty) {
+      // The optimizer statically collapsed the observed subtree —
+      // e.g. a filter over a LocalRelation constant-folds to an empty
+      // relation (ConvertToLocalRelation + PropagateEmptyRelation), so
+      // CollectMetricsExec never ran a task and Spark delivers an
+      // empty metrics row. The direct aggregate over the same input is
+      // then correct AND free: the input was just proven empty/local,
+      // so there is no scan to save. A parquet-backed table never hits
+      // this branch — its scan always schedules tasks.
+      df.agg(metrics.head, metrics.tail: _*)
+    } else {
+      // the metrics' output schema comes from ANALYZING the identical
+      // aggregate (no execution) — `observe` and `agg` name and type
+      // their output through the same alias resolution, so the field
+      // names index straight into the observed-values map
+      val schema = df.agg(metrics.head, metrics.tail: _*).schema
+      val row = org.apache.spark.sql.Row.fromSeq(
+        schema.fields.toSeq.map(f => values(f.name)))
+      df.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+    }
+  }
 }

@@ -386,4 +386,37 @@ class RelationalOpsSpec extends SparkTestBase {
       Seq("v_positive" -> (col("v") > 0))).collect()
     assert(clean.forall(_.getBoolean(3)))
   }
+
+  test("observedAudit metrics equal a direct aggregate and ride the job's scan") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double], String)](
+      (1L, Some(10.0), "A"), (2L, Some(-5.0), "A"),
+      (3L, None, "B"), (4L, Some(3.0), "B")
+    ).toDF("id", "v", "flag")
+    var jobPlan: String = null
+    val out = RelationalOps.observedAudit(df, Seq(
+      count(lit(1)).as("n_rows"),
+      sum(col("id")).as("sum_id"),
+      count(when(col("v") < 0, 1)).as("n_neg"))) { d =>
+      val job = d.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+      jobPlan = job.queryExecution.optimizedPlan.toString
+      job
+    }
+    // the metrics node is IN the job's plan — no second pass exists
+    assert(jobPlan.contains("CollectMetrics"),
+      s"metrics must ride the job's own plan:\n$jobPlan")
+    val r = out.collect()
+    assert(r.length === 1)
+    val m = r.head.getValuesMap[Any](Seq("n_rows", "sum_id", "n_neg"))
+    assert(m("n_rows") === 4L)
+    assert(m("sum_id") === 10L)
+    assert(m("n_neg") === 1L, "NULL predicate rows are not counted (FILTER parity)")
+    // empty input still yields exactly one metrics row (count 0, sum NULL)
+    val empty = RelationalOps.observedAudit(df.filter(col("id") < 0),
+      Seq(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))) { d =>
+      d.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+    }.collect()
+    assert(empty.length === 1 && empty.head.getLong(0) === 0L)
+    assert(empty.head.isNullAt(1), "sum over an empty table is NULL, not 0")
+  }
 }

@@ -150,18 +150,58 @@ object SparkEntry {
     root
   }
 
+  /** Z-order file-stats manifests already written this JVM. */
+  private val materializedZorderStats =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The orders z-order layout job (shared by io_zorder /
+    * io_prune_stats / io_compact_plan): per-file bounding boxes of
+    * orders clustered on (custkey-bucket, order-day) via Morton
+    * interleave.
+    */
+  private def ordersZorderStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutOps.zorderFileStats(
+      Tables.orders(s, dir).select(
+        pmod(col("o_custkey"), lit(65536)).as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).as("y"),
+        col("o_orderkey")),
+      "x", "y", "o_orderkey", rowsPerFile = 1000)
+
+  /** Materialize the orders file-stats MANIFEST once per JVM (one row
+    * per 1000-row file — manifest scale, not data scale).
+    * io_prune_stats and io_compact_plan are metadata-only planning
+    * steps — file stats in, scan set / merge plan out — but until r10
+    * they recomputed the data-scale z-sort inside their timed bodies,
+    * billing the sort three times per bench pass (io_zorder's
+    * legitimate timing plus twice more) and making those two rows the
+    * loaded-box canaries (r9 verdict #3). Setup IO, paid by
+    * [[prepare]] outside Bench's clock; lazy for Verify.
+    */
+  private def ensureZorderStats(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zstats_$tag"
+    if (materializedZorderStats.add(path)) {
+      // un-memo on failure (see ensureFileTopic)
+      try ordersZorderStats(s, dir).write.mode("overwrite").parquet(path)
+      catch { case e: Throwable => materializedZorderStats.remove(path); throw e }
+    }
+    path
+  }
+
   /** One-time side-artifact materialization for `dir` (the s8 file
     * topic, the j9 bucketed tables, the partitioned events layout,
-    * the schema-evolved generations). Bench calls this before its
-    * timed loop so query timings measure operators, not setup IO;
-    * Verify and ad-hoc callers need not call it — each query lazily
-    * materializes what it needs.
+    * the schema-evolved generations, the z-order file-stats manifest).
+    * Bench calls this before its timed loop so query timings measure
+    * operators, not setup IO; Verify and ad-hoc callers need not call
+    * it — each query lazily materializes what it needs.
     */
   def prepare(s: SparkSession, dir: String): Unit = {
     ensureFileTopic(s, dir)
     ensureBucketedTables(s, dir)
     ensurePartitionedEvents(s, dir)
     ensureEvolvedEvents(s, dir)
+    ensureZorderStats(s, dir)
     ()
   }
 
@@ -188,28 +228,16 @@ object SparkEntry {
       // clustered on (custkey, order-day) via Morton interleave — the
       // min/max stats a reader prunes row groups with. Pure integer
       // bit math + globalRowNumber, fully oracle-checkable.
-      "io_zorder" -> ((s, dir) =>
-        graft.operators.LayoutOps.zorderFileStats(
-          Tables.orders(s, dir).select(
-            pmod(col("o_custkey"), lit(65536)).as("x"),
-            datediff(col("o_orderdate").cast("date"),
-              lit("1970-01-01").cast("date")).as("y"),
-            col("o_orderkey")),
-          "x", "y", "o_orderkey", rowsPerFile = 1000)),
+      "io_zorder" -> ((s, dir) => ordersZorderStats(s, dir)),
       // Reader-side pruning decision over the z-order stats: which
       // files a (custkey-bucket × day) rectangle query actually scans.
       // This is the metadata-only planning step — file stats in, scan
-      // set out, no data touched; the LayoutOpsSpec receipt shows the
-      // z-ordered layout scans a fraction of what an id-ordered
-      // layout must.
+      // set out, no data touched (the manifest is materialized once
+      // per JVM by ensureZorderStats; io_zorder times the sort
+      // itself); the LayoutOpsSpec receipt shows the z-ordered layout
+      // scans a fraction of what an id-ordered layout must.
       "io_prune_stats" -> ((s, dir) =>
-        graft.operators.LayoutOps.zorderFileStats(
-            Tables.orders(s, dir).select(
-              pmod(col("o_custkey"), lit(65536)).as("x"),
-              datediff(col("o_orderdate").cast("date"),
-                lit("1970-01-01").cast("date")).as("y"),
-              col("o_orderkey")),
-            "x", "y", "o_orderkey", rowsPerFile = 1000)
+        s.read.parquet(ensureZorderStats(s, dir))
           .select(col("file_id"), col("n"),
             (!(col("max_x") < 1000 || col("min_x") > 3000 ||
                col("max_y") < 10227 || col("min_y") > 10500)).as("scanned"))),
@@ -242,16 +270,11 @@ object SparkEntry {
       // Compaction planning (OPTIMIZE's grouping step): pack the
       // z-ordered files into merge jobs of ~5k rows in LAYOUT order,
       // so merged files keep tight bounding boxes. Metadata-only —
-      // the running-sum window is bounded by the file count.
+      // input is the once-per-JVM file-stats manifest and the
+      // running-sum window is bounded by the file count.
       "io_compact_plan" -> ((s, dir) =>
         graft.operators.LayoutOps.compactionPlan(
-          graft.operators.LayoutOps.zorderFileStats(
-            Tables.orders(s, dir).select(
-              pmod(col("o_custkey"), lit(65536)).as("x"),
-              datediff(col("o_orderdate").cast("date"),
-                lit("1970-01-01").cast("date")).as("y"),
-              col("o_orderkey")),
-            "x", "y", "o_orderkey", rowsPerFile = 1000)
+          s.read.parquet(ensureZorderStats(s, dir))
             .select(col("file_id"), col("n")),
           "file_id", "n", targetRows = 5000)),
       "io_jdbc_roundtrip" -> ((s, dir) => {

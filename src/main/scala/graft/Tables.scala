@@ -27,19 +27,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-    * and floor-convert to a micros timestamp — the same truncation
-    * DuckDB's reader applies, so oracle comparisons agree.
-    *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session (set by [[Sessions.configure]] in Bench/Verify/tests);
-    * deliberately NOT set here — a loader must not mutate global
-    * session config as a side effect (ADVICE r1).
+  /** `events.ts` has shipped in two encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]), so it is read as raw
+    * nano longs (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[Sessions.configure]]) and floor-converted to micros, the same
+    * truncation DuckDB applies — and plain TIMESTAMP(MICROS), which
+    * Spark reads as TIMESTAMP_NTZ. Dispatch on the observed schema and
+    * normalize both to session-TZ TimestampType (sessions pin UTC, so
+    * the NTZ→TZ cast is value-preserving and oracle comparisons
+    * agree); downstream watermark/window code sees one stable type
+    * regardless of which generation of testdata is on disk.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -37,13 +37,23 @@ case class HeavyHitter(group: String, item: Long, cnt_hi: Long,
   * state schema is introspectable offline via the state-store data
   * source.
   */
-class TopKProcessor(k: Int)
+class TopKProcessor(k: Int, ttlMillis: Long = 0L)
     extends StatefulProcessor[String, TopKInput, HeavyHitter] {
   @transient private var state: ValueState[TopKState] = _
 
+  // TTL is the declarative idle-group eviction the API advertises: a
+  // group whose state goes `ttlMillis` without an update is dropped
+  // from the store by the TTL index (no timer plumbing), and a
+  // re-arrival rebuilds from empty — `StateTtlSpec` is the receipt.
+  // TTL is processing-time-based, so a non-zero TTL requires the
+  // query to run in TimeMode.ProcessingTime (see [[TopKPipeline
+  // .heavyHittersTws]]). The config is passed as millis, not
+  // TTLConfig, so the processor stays serializable-trivial.
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     state = getHandle.getValueState[TopKState]("counters",
-      Encoders.product[TopKState], TTLConfig.NONE)
+      Encoders.product[TopKState],
+      if (ttlMillis > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMillis))
+      else TTLConfig.NONE)
 
   override def handleInputRows(group: String, rows: Iterator[TopKInput],
                                timers: TimerValues): Iterator[HeavyHitter] = {
@@ -137,13 +147,20 @@ object TopKPipeline {
 
   /** [[heavyHitters]] on the transformWithState API (see
     * [[TopKProcessor]]); requires the RocksDB state store provider.
+    * `ttlMillis > 0` turns on declarative idle-group state eviction
+    * (and with it processing-time mode — TTL is wall-clock-based by
+    * API contract); 0 keeps state forever in TimeMode.None, the
+    * bit-exact-parity configuration `TopKPipelineSpec` checks against
+    * flatMapGroupsWithState.
     */
-  def heavyHittersTws(events: Dataset[TopKInput], k: Int): Dataset[HeavyHitter] = {
+  def heavyHittersTws(events: Dataset[TopKInput], k: Int,
+                      ttlMillis: Long = 0L): Dataset[HeavyHitter] = {
     require(k >= 1, "heavyHittersTws: k must be >= 1")
     import events.sparkSession.implicits._
+    val timeMode = if (ttlMillis > 0) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .groupByKey(_.group)
-      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new TopKProcessor(k, ttlMillis), timeMode, OutputMode.Append())
   }
 
   def heavyHitters(events: Dataset[TopKInput], k: Int): Dataset[HeavyHitter] = {

@@ -108,8 +108,20 @@ object Bench {
         ",\"ts\":" + o.map(_._2).mkString("[", ",", "]") +
         ",\"load1\":" + jarr(o.map(_._3).toSeq) + "}"
     }.mkString("{", ",", "}")
+    // Sustained-load flag (r11, verdict #7): min-of-passes defends
+    // against transient spikes but not a whole-run load1 of 4–12 (r10:
+    // txt battery +68% under sustained external load, diagnosed only
+    // at adjudication from the load trace). If even the QUIETEST load
+    // observation of the run exceeds 3, every timed number was taken
+    // on a contended box — flag the artifact at creation.
+    val allLoad1 = (loadStart.headOption.toSeq ++ loadEnd.headOption.toSeq ++
+      obs.values.flatMap(_.map(_._3))).filter(_ >= 0)
+    val warn =
+      if (allLoad1.nonEmpty && allLoad1.min > 3.0)
+        s""","load_warning":"sustained external load: min load1 ${r3(allLoad1.min)} > 3.0 across every observation — treat timings as contaminated""""
+      else ""
     val loadMeta =
-      s""""passes":$passes,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)}"""
+      s""""passes":$passes,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)}$warn"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$loadMeta,"queries":$fullQs,"detail":$detail,"sf":"$sfDir"}"""
     // Non-canonical runs must not clobber the canonical full-run
@@ -146,7 +158,7 @@ object Bench {
     val top = results.sortBy(-_._2).take(topN).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"passes":$passes,"load":${jarr(loadStart.take(1) ++ loadEnd.take(1))},"queries":$top,"batteries":$batteries,"full":"$artifact","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"passes":$passes,"load":${jarr(loadStart.take(1) ++ loadEnd.take(1))}$warn,"queries":$top,"batteries":$batteries,"full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,9 +34,32 @@ object SparkEntry {
     coreOracle ++ textOracle ++ dedupOracle ++ simOracle ++
       multimodalOracle ++ corpusOracle ++ ioOracle ++ TpchQueries.oracleSql
 
+  /** Filesystem-safe tag for `dir`, unique per raw dir string: the
+    * readable prefix strips non-alphanumerics — under which distinct
+    * dirs like /data/x and /data_x collide — so a hashCode suffix
+    * disambiguates (r10 advice #2). Shared by every ensure* helper and
+    * tagged table/DB name below.
+    */
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Integer.toHexString(dir.hashCode)
+
+  /** Once-per-JVM side-artifact memo: `computeIfAbsent` runs the write
+    * INSIDE the mapping function, so a concurrent caller for the same
+    * key blocks until the winner's write completes instead of racing
+    * ahead to read a half-written layout (r10 advice #1 — the old
+    * lock-free add() released losers immediately), and a throwing
+    * write records no mapping, so the next caller retries.
+    */
+  private def materializeOnce(
+      memo: java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean],
+      key: String)(write: => Unit): String = {
+    memo.computeIfAbsent(key, _ => { write; java.lang.Boolean.TRUE })
+    key
+  }
+
   /** Topics already materialized by [[ensureFileTopic]] this JVM. */
   private val materializedTopics =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Write the s8 file topic for `dir` exactly once per JVM (the topic
     * content is a deterministic function of the events table, and the
@@ -47,19 +70,15 @@ object SparkEntry {
     * before the clock starts.
     */
   private def ensureFileTopic(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val topicDir = s"${System.getProperty("java.io.tmpdir")}/graft_topic_$tag"
-    if (materializedTopics.add(topicDir)) {
-      // un-memo on failure: a half-written layout must be retried, not
-      // skipped, by the next caller in this JVM
-      try Tables.events(s, dir)
+    val topicDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_topic_${dirTag(dir)}"
+    materializeOnce(materializedTopics, topicDir) {
+      Tables.events(s, dir)
         .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"),
             col("value"))).as("value"),
           col("event_id").as("batch_id"))
         .write.mode("overwrite").json(topicDir)
-      catch { case e: Throwable => materializedTopics.remove(topicDir); throw e }
     }
-    topicDir
   }
 
   /** Serializes bucketed-table materialization: concurrent callers
@@ -84,7 +103,7 @@ object SparkEntry {
     */
   private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketLock.synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = dirTag(dir)
       val (cust, ord) = (s"b_customer_$tag", s"b_orders_$tag")
       if (!s.catalog.tableExists(cust) || !s.catalog.tableExists(ord)) {
         Tables.customer(s, dir).write.mode("overwrite")
@@ -97,7 +116,7 @@ object SparkEntry {
 
   /** Partitioned-events layouts already written this JVM. */
   private val materializedPartitionDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Write events hive-partitioned by event_type once per JVM — the
     * layout that turns a partition-key predicate into directory
@@ -107,21 +126,18 @@ object SparkEntry {
     * [[prepare]] outside Bench's clock.
     */
   private def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val pdir = s"${System.getProperty("java.io.tmpdir")}/graft_part_events_$tag"
-    if (materializedPartitionDirs.add(pdir)) {
-      // un-memo on failure (see ensureFileTopic)
-      try Tables.events(s, dir)
+    val pdir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_part_events_${dirTag(dir)}"
+    materializeOnce(materializedPartitionDirs, pdir) {
+      Tables.events(s, dir)
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .write.mode("overwrite").partitionBy("event_type").parquet(pdir)
-      catch { case e: Throwable => materializedPartitionDirs.remove(pdir); throw e }
     }
-    pdir
   }
 
   /** Schema-evolved layouts already written this JVM. */
   private val materializedEvolvedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Write events as two parquet GENERATIONS under one root — gen=1
     * without the `cents` column (the "old ingest" schema), gen=2 with
@@ -132,27 +148,23 @@ object SparkEntry {
     * Setup IO, paid by [[prepare]].
     */
   private def ensureEvolvedEvents(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_$tag"
-    if (materializedEvolvedDirs.add(root)) {
-      // un-memo on failure (see ensureFileTopic)
-      try {
-        val e = Tables.events(s, dir)
-        e.filter(col("event_id") % 2 === 0)
-          .select(col("event_id"), col("user_id"), col("event_type"))
-          .write.mode("overwrite").parquet(s"$root/gen=1")
-        e.filter(col("event_id") % 2 =!= 0)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .write.mode("overwrite").parquet(s"$root/gen=2")
-      } catch { case e: Throwable => materializedEvolvedDirs.remove(root); throw e }
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_evolve_${dirTag(dir)}"
+    materializeOnce(materializedEvolvedDirs, root) {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      e.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(s"$root/gen=2")
     }
-    root
   }
 
   /** Z-order file-stats manifests already written this JVM. */
   private val materializedZorderStats =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** The orders z-order layout job (shared by io_zorder /
     * io_prune_stats / io_compact_plan): per-file bounding boxes of
@@ -179,14 +191,67 @@ object SparkEntry {
     * [[prepare]] outside Bench's clock; lazy for Verify.
     */
   private def ensureZorderStats(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zstats_$tag"
-    if (materializedZorderStats.add(path)) {
-      // un-memo on failure (see ensureFileTopic)
-      try ordersZorderStats(s, dir).write.mode("overwrite").parquet(path)
-      catch { case e: Throwable => materializedZorderStats.remove(path); throw e }
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_zstats_${dirTag(dir)}"
+    materializeOnce(materializedZorderStats, path) {
+      ordersZorderStats(s, dir).write.mode("overwrite").parquet(path)
     }
-    path
+  }
+
+  /** Versioned transactional tables already built this JVM. */
+  private val materializedTxnTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build the three-version [[graft.sources.TxnLog]] table once per
+    * JVM: v1 appends the o_orderkey%3==0 slice of orders (as exact
+    * cents), v2 appends the %3==1 slice, v3 is a copy-on-write upsert
+    * that rewrites v1's files doubling every %6==0 key's price. Every
+    * version's content is a pure predicate over `orders`, which is
+    * what lets DuckDB oracle snapshot reads, time travel, and the
+    * version diff without seeing the log. Setup IO, paid by
+    * [[prepare]] outside Bench's clock; lazy for Verify.
+    */
+  private def ensureTxnTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxnLog
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_txn_${dirTag(dir)}"
+    materializeOnce(materializedTxnTables, root) {
+      // /tmp outlives JVMs: a COMPLETE table (head = v3) from an
+      // earlier run is reused as-is; anything partial is wiped and
+      // rebuilt (stage() refuses to overwrite, and re-committing onto
+      // a survivor would stack versions 4+ and break the oracles)
+      if (TxnLog.currentVersion(root) != 3L) {
+        val rootPath = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(rootPath)) {
+          import java.util.Comparator
+          java.nio.file.Files.walk(rootPath)
+            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        buildTxnTable(s, dir, root)
+      }
+    }
+  }
+
+  private def buildTxnTable(s: SparkSession, dir: String, root: String): Unit = {
+    import graft.sources.TxnLog
+    TxnLog.init(root)
+    val base = Tables.orders(s, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val a1 = TxnLog.stage(base.filter(col("o_orderkey") % 3 === 0), root, "v1-append")
+    TxnLog.commit(root, "append", a1, Nil, readVersion = 0L, txnId = "v1-append")
+    val a2 = TxnLog.stage(base.filter(col("o_orderkey") % 3 === 1), root, "v2-append")
+    TxnLog.commit(root, "append", a2, Nil, readVersion = 1L, txnId = "v2-append")
+    // copy-on-write upsert: rewrite exactly the files that hold the
+    // affected keys (v1's), keep the untouched rows, log the
+    // replaced files as removed
+    val rewritten = s.read.parquet(a1: _*)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 6 === 0, col("price_cents") * 2)
+          .otherwise(col("price_cents")).as("price_cents"))
+    val a3 = TxnLog.stage(rewritten, root, "v3-upsert")
+    TxnLog.commit(root, "upsert", a3, removed = a1, readVersion = 2L,
+      txnId = "v3-upsert")
+    ()
   }
 
   /** One-time side-artifact materialization for `dir` (the s8 file
@@ -202,6 +267,7 @@ object SparkEntry {
     ensurePartitionedEvents(s, dir)
     ensureEvolvedEvents(s, dir)
     ensureZorderStats(s, dir)
+    ensureTxnTable(s, dir)
     ()
   }
 
@@ -215,7 +281,7 @@ object SparkEntry {
     import graft.sources.{CatalogDDL, JdbcIO}
     Map(
       "cat_external_join" -> ((s, dir) => {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tag = dirTag(dir)
         CatalogDDL.recreateExternalTable(s, s"ext_nation_$tag", s"$dir/nation.parquet")
         CatalogDDL.recreateExternalTable(s, s"ext_region_$tag", s"$dir/region.parquet")
         s.sql(
@@ -278,7 +344,7 @@ object SparkEntry {
             .select(col("file_id"), col("n")),
           "file_id", "n", targetRows = 5000)),
       "io_jdbc_roundtrip" -> ((s, dir) => {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tag = dirTag(dir)
         val url = JdbcIO.derbyUrl(
           s"${System.getProperty("java.io.tmpdir")}/graft_derby_$tag/db")
         JdbcIO.write(Tables.nation(s, dir), url, "nation_rt")
@@ -359,6 +425,27 @@ object SparkEntry {
               .otherwise(lit(0L))).as("cents"))
         graft.operators.RelationalOps.snapshotDiff(
           oldSnap, newSnap, Seq("o_orderkey"), Seq("cents"))
+      }),
+
+      // ---- Transaction-log table (TxnLog: optimistic concurrency +
+      //      snapshot isolation over immutable parquet; see the
+      //      scaladoc there). Reads resolve a file list from the
+      //      metadata-only log — never a data-dir listing. ----
+      // head snapshot: v1+v2 appends with v3's copy-on-write upsert
+      // applied (every %6==0 key's price doubled)
+      "tx_snapshot" -> ((s, dir) =>
+        graft.sources.TxnLog.read(s, ensureTxnTable(s, dir))),
+      // time travel: the same table AT version 2 — v3's rewrite must
+      // be invisible even though it is committed
+      "tx_time_travel" -> ((s, dir) =>
+        graft.sources.TxnLog.read(s, ensureTxnTable(s, dir), version = 2L)),
+      // version-diff CDC: post-images that changed between v2 and v3
+      // = exactly the doubled keys (set difference over immutable
+      // snapshots; keys are unique so EXCEPT is exact)
+      "tx_changes" -> ((s, dir) => {
+        val root = ensureTxnTable(s, dir)
+        graft.sources.TxnLog.read(s, root)
+          .except(graft.sources.TxnLog.read(s, root, version = 2L))
       })
     )
   }
@@ -459,7 +546,28 @@ object SparkEntry {
                      ELSE 'U' END AS op,
                 o.c AS old_cents, n.c AS new_cents
          FROM o FULL OUTER JOIN n ON o.k = n.k
-         WHERE o.k IS NULL OR n.k IS NULL OR o.c <> n.c"""
+         WHERE o.k IS NULL OR n.k IS NULL OR o.c <> n.c""",
+
+    // TxnLog versions are pure predicates over orders (see
+    // ensureTxnTable), so the oracle replays each snapshot with
+    // version predicates instead of reading the log
+    "tx_snapshot" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 6 = 0
+                     THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                END AS price_cents
+         FROM orders WHERE o_orderkey % 3 <= 1""",
+
+    "tx_time_travel" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey % 3 <= 1""",
+
+    "tx_changes" ->
+      """SELECT o_orderkey,
+                2 * CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey % 6 = 0"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

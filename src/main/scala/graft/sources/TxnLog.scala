@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.util.stream.Collectors
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal lakehouse transaction log: optimistic concurrency +
+  * snapshot isolation over immutable parquet data files, the
+  * coordination layer that ties the repo's physical-design operators
+  * together — upsert rewrites (io_upsert), CDC between versions
+  * (io_cdc_diff), compaction/layout jobs (io_compact_plan/io_zorder)
+  * and incremental MV maintenance (mv_incremental) all need a table
+  * whose state can change under them without torn reads or lost
+  * updates.
+  *
+  * Design (the public Delta Lake recipe — Armbrust et al., "Delta
+  * Lake: High-Performance ACID Table Storage over Cloud Object
+  * Stores", VLDB 2020):
+  *
+  *  - DATA IS IMMUTABLE: writers stage new parquet files under
+  *    `root/data/<txnId>/`; nothing ever rewrites a data file in
+  *    place. An "upsert" is copy-on-write: stage rewritten files,
+  *    log the old ones as removed.
+  *  - THE LOG IS THE TABLE: `root/_log/<version>.json`, one record
+  *    per commit, lists files added/removed. A snapshot at version V
+  *    is the fold of records 1..V — resolution is METADATA-ONLY
+  *    (O(commits) small JSON reads; never a data-directory listing,
+  *    which at 100 TB is millions of objects and, on object stores,
+  *    eventually consistent).
+  *  - COMMIT IS A CAS ON THE NEXT VERSION NUMBER: the record is
+  *    written to a temp file and hard-linked to `<v+1>.json` —
+  *    link(2) is atomic and fails if the name exists, so exactly one
+  *    writer wins each version; losers re-check conflicts and retry
+  *    against the new head. (On HDFS the same CAS is atomic rename
+  *    without overwrite; on S3 a conditional PUT — the local-FS link
+  *    stands in for whichever the deployment provides.)
+  *  - SNAPSHOT ISOLATION: readers resolve their file list once; data
+  *    immutability makes the snapshot stable no matter what commits
+  *    land afterwards. Writers declare the snapshot version they
+  *    READ (`readVersion`); at commit time the file-level conflict
+  *    check rejects lost updates: a commit that removes files
+  *    conflicts iff a concurrent commit (> readVersion) already
+  *    removed any of them — i.e. both rewrote the same data. Pure
+  *    appends have an empty read set and never conflict; they just
+  *    retry the CAS.
+  *
+  * `TxnLogSpec` covers the two-writer scenarios (conflict abort,
+  * append auto-retry, snapshot stability, a real 2-thread CAS race);
+  * the driver queries `tx_snapshot` / `tx_time_travel` / `tx_changes`
+  * hash-check snapshot resolution, time travel, and version-diff CDC
+  * against DuckDB via version predicates.
+  */
+object TxnLog {
+
+  /** One committed log record. */
+  case class Commit(version: Long, action: String, txnId: String,
+                    readVersion: Long, added: Seq[String], removed: Seq[String])
+
+  /** A commit lost the optimistic-concurrency check: a concurrent
+    * commit rewrote data this transaction also rewrites. The caller
+    * must re-read and re-stage (a blind retry would lose its update).
+    */
+  class ConflictException(msg: String) extends RuntimeException(msg)
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+
+  private def entryPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.json")
+
+  /** Create the table layout (idempotent). */
+  def init(root: String): Unit = {
+    Files.createDirectories(logDir(root))
+    Files.createDirectories(Paths.get(root, "data"))
+    ()
+  }
+
+  // ---- log encoding ----
+  // One JSON object per file. Staged file paths are produced by
+  // [[stage]] (UUID dir + parquet part names: no quotes/backslashes),
+  // so the straightforward string-field extraction below is exact for
+  // everything this log ever writes.
+
+  private def render(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
+      s""""readVersion":${c.readVersion},"added":${arr(c.added)},"removed":${arr(c.removed)}}"""
+  }
+
+  private def parse(line: String): Commit = {
+    def num(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(line)
+        .getOrElse(sys.error(s"txn log record missing $k: $line")).group(1).toLong
+    def str(k: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(line)
+        .getOrElse(sys.error(s"txn log record missing $k: $line")).group(1)
+    def arr(k: String): Seq[String] = {
+      val body = s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(line)
+        .getOrElse(sys.error(s"txn log record missing $k: $line")).group(1)
+      if (body.isEmpty) Nil
+      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    Commit(num("version"), str("action"), str("txnId"), num("readVersion"),
+      arr("added"), arr("removed"))
+  }
+
+  /** All committed records in version order. */
+  def commits(root: String): Seq[Commit] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val names = Files.list(dir).collect(Collectors.toList[Path]).asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+    names.map(p => parse(Files.readString(p))).toSeq
+  }
+
+  /** Head version (0 = empty table). */
+  def currentVersion(root: String): Long =
+    commits(root).lastOption.map(_.version).getOrElse(0L)
+
+  /** The live data files of the snapshot at `version` (fold of
+    * added/removed through the log prefix). Metadata-only.
+    */
+  def snapshotFiles(root: String, version: Long = Long.MaxValue): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits(root).filter(_.version <= version).foreach { c =>
+      live ++= c.added; live --= c.removed
+    }
+    live.toSeq
+  }
+
+  /** Read the table at `version` (default: head). The file list is
+    * resolved ONCE here; immutable data files make the returned frame
+    * a stable snapshot regardless of later commits.
+    */
+  def read(s: SparkSession, root: String,
+           version: Long = Long.MaxValue): DataFrame = {
+    val files = snapshotFiles(root, version)
+    if (files.isEmpty) s.emptyDataFrame else s.read.parquet(files: _*)
+  }
+
+  /** Stage `df` as immutable parquet files under `root/data/<txnId>/`
+    * and return their paths (not yet visible to any reader — only a
+    * commit publishes them).
+    */
+  def stage(df: DataFrame, root: String, txnId: String): Seq[String] = {
+    val dir = Paths.get(root, "data", txnId)
+    df.write.mode("error").parquet(dir.toString)
+    Files.list(dir).collect(Collectors.toList[Path]).asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** Commit staged files optimistically. `readVersion` is the
+    * snapshot version this transaction's reads (and its `removed`
+    * list) were computed against. Retries the version CAS until it
+    * wins or a true conflict surfaces; throws [[ConflictException]]
+    * iff a concurrent commit removed any file this one removes.
+    */
+  def commit(root: String, action: String, added: Seq[String],
+             removed: Seq[String], readVersion: Long, txnId: String): Commit = {
+    val myRemoved = removed.toSet
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10000) sys.error(s"txn $txnId: CAS starvation after $attempts attempts")
+      val log = commits(root)
+      val head = log.lastOption.map(_.version).getOrElse(0L)
+      // File-level lost-update check against everything that landed
+      // after our snapshot: if a concurrent commit removed (rewrote)
+      // a file we also remove, both transactions rewrote the same
+      // data and ours must abort — a blind retry would silently drop
+      // the other writer's update. Appends (removed = empty) skip
+      // this entirely and only ever loop on the CAS.
+      val clash = log.filter(_.version > readVersion)
+        .flatMap(c => c.removed.filter(myRemoved.contains).map((c, _)))
+      clash.headOption.foreach { case (c, f) =>
+        throw new ConflictException(
+          s"txn $txnId (read v$readVersion) rewrites $f, already rewritten " +
+            s"by txn ${c.txnId} at v${c.version}")
+      }
+      val rec = Commit(head + 1, action, txnId, readVersion, added, removed)
+      val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
+      Files.writeString(tmp, render(rec))
+      try {
+        Files.createLink(entryPath(root, rec.version), tmp)
+        Files.deleteIfExists(tmp)
+        return rec
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // lost the CAS: someone else owns this version — re-read the
+          // log (conflict check included) and try the next one
+          Files.deleteIfExists(tmp)
+      }
+    }
+    sys.error("unreachable")
+  }
+}

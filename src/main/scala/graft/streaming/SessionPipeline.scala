@@ -61,13 +61,26 @@ case class SessionAgg(user_id: Long, session_start: Timestamp,
   * emit-on-close contract — and `SessionPipelineSpec` asserts exact
   * output parity over an identical multi-batch feed.
   */
-class SessionProcessor(gapMs: Long)
+class SessionProcessor(gapMs: Long, ttlMillis: Long = 0L)
     extends StatefulProcessor[Long, SessionInput, SessionAgg] {
   @transient private var state: ValueState[SessionState] = _
 
+  // TTL mirrors [[TopKProcessor]] (r9 gap said BOTH processors): a
+  // non-zero TTL bounds idle-session state declaratively. The API
+  // constraint shapes the semantics — TTLConfig requires
+  // TimeMode.ProcessingTime, which excludes the event-time timers the
+  // default mode uses to EMIT idle sessions. So TTL mode trades the
+  // idle-session emission for the state bound: a session abandoned
+  // past the TTL is evicted WITHOUT emission (the 100 TB long tail of
+  // dead sessions costs nothing), while in-stream gap closes still
+  // emit exactly as in the default mode. Pipelines that need every
+  // session emitted keep ttlMillis = 0 (event-time timers + watermark
+  // eviction — also O(1) state per user, bounded by ACTIVE users).
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     state = getHandle.getValueState[SessionState]("open_session",
-      Encoders.product[SessionState], TTLConfig.NONE)
+      Encoders.product[SessionState],
+      if (ttlMillis > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMillis))
+      else TTLConfig.NONE)
 
   override def handleInputRows(uid: Long, rows: Iterator[SessionInput],
                                timers: TimerValues): Iterator[SessionAgg] = {
@@ -91,10 +104,14 @@ class SessionProcessor(gapMs: Long)
       state.update(s)
       // re-arm: drop the previous session-expiry timer for this key,
       // register the new one (strictly beyond the watermark, as the
-      // FMGS form's setTimeoutTimestamp contract requires)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(
-        math.max(s.end + gapMs, timers.getCurrentWatermarkInMs() + 1))
+      // FMGS form's setTimeoutTimestamp contract requires). In TTL
+      // mode (TimeMode.ProcessingTime) there is no watermark and no
+      // event-time timers — idle sessions close by TTL eviction.
+      if (ttlMillis == 0L) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(
+          math.max(s.end + gapMs, timers.getCurrentWatermarkInMs() + 1))
+      }
     }
     closed.result().iterator
   }
@@ -115,18 +132,24 @@ object SessionPipeline {
 
   /** [[sessionize]] on the transformWithState API (see
     * [[SessionProcessor]]); requires the RocksDB state store provider.
+    * `ttlMillis > 0` switches to TimeMode.ProcessingTime and bounds
+    * idle-session state by TTL eviction instead of emitting it on
+    * watermark timers — see the [[SessionProcessor]] contract note.
     */
   def sessionizeTws(events: Dataset[SessionInput], gapSec: Long,
-                    watermarkDelaySec: Long = 10L): Dataset[SessionAgg] = {
+                    watermarkDelaySec: Long = 10L,
+                    ttlMillis: Long = 0L): Dataset[SessionAgg] = {
     require(watermarkDelaySec <= gapSec,
       "lateness bound must not exceed the session gap: a late event could " +
         "otherwise precede the open session by more than the gap")
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttlMillis > 0) TimeMode.ProcessingTime() else TimeMode.EventTime()
     events
       .withWatermark("ts", s"$watermarkDelaySec seconds")
       .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapSec * 1000L),
-        TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new SessionProcessor(gapSec * 1000L, ttlMillis),
+        timeMode, OutputMode.Append())
   }
 
   def sessionize(events: Dataset[SessionInput], gapSec: Long,

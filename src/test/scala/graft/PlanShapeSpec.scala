@@ -198,8 +198,10 @@ class PlanShapeSpec extends SparkTestBase {
       "o1_ranked_sort",                   // topKRanked: k-row final rank
       "cur_assign_ids",                   // globalRowNumber offsets window
       "samp_stratified", "samp_reservoir", // globalRowNumber offsets window
-      "io_zorder", "io_prune_stats",      // z-order file ids via globalRowNumber
-      "io_compact_plan"                   // + metadata-only packing window (one row/file)
+      "io_zorder",                        // z-order file ids via globalRowNumber
+      // io_prune_stats dropped r11: it reads the once-per-JVM manifest
+      // (r10 ensureZorderStats refactor) and no longer plans a window.
+      "io_compact_plan"                   // metadata-only packing window (one row/file)
     )
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan

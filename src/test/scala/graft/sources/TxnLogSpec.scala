@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** Two-writer semantics of the [[TxnLog]] optimistic-concurrency
+  * layer: version CAS, file-level conflict detection, append
+  * auto-retry, snapshot isolation under concurrent commits, and the
+  * CAS under a real thread race. The driver rows `tx_snapshot` /
+  * `tx_time_travel` / `tx_changes` hash-check the read path against
+  * DuckDB; this spec owns everything DuckDB cannot see (the log
+  * protocol itself).
+  */
+class TxnLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val root = Files.createTempDirectory("graft-txnlog").toString
+    TxnLog.init(root)
+    root
+  }
+
+  private def rows(root: String, version: Long = Long.MaxValue): Set[(Long, Long)] =
+    TxnLog.read(spark, root, version).as[(Long, Long)].collect().toSet
+
+  private def append(root: String, txnId: String, data: Seq[(Long, Long)]): TxnLog.Commit = {
+    val files = TxnLog.stage(data.toDF("k", "v"), root, txnId)
+    TxnLog.commit(root, "append", files, Nil,
+      readVersion = TxnLog.currentVersion(root), txnId = txnId)
+  }
+
+  test("serial commits: snapshots fold added/removed; time travel sees the past") {
+    val root = freshRoot()
+    append(root, "t1", Seq((1L, 10L), (2L, 20L)))
+    append(root, "t2", Seq((3L, 30L)))
+    assert(TxnLog.currentVersion(root) === 2L)
+    assert(rows(root) === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(rows(root, version = 1L) === Set((1L, 10L), (2L, 20L)))
+
+    // copy-on-write upsert: rewrite v1's files with k=1 doubled
+    val v1Files = TxnLog.commits(root).head.added
+    val rewritten = TxnLog.stage(
+      spark.read.parquet(v1Files: _*).as[(Long, Long)]
+        .map { case (k, v) => (k, if (k == 1L) v * 2 else v) }.toDF("k", "v"),
+      root, "t3")
+    TxnLog.commit(root, "upsert", rewritten, removed = v1Files,
+      readVersion = 2L, txnId = "t3")
+    assert(rows(root) === Set((1L, 20L), (2L, 20L), (3L, 30L)))
+    // the rewrite is invisible at version 2 even though it is committed
+    assert(rows(root, version = 2L) === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("two writers rewriting the same files: the second commit aborts with a conflict") {
+    val root = freshRoot()
+    val c1 = append(root, "base", Seq((1L, 10L), (2L, 20L)))
+    // both writers read snapshot v1 and stage rewrites of ITS files
+    val readV = TxnLog.currentVersion(root)
+    val stagedA = TxnLog.stage(Seq((1L, 11L), (2L, 20L)).toDF("k", "v"), root, "wa")
+    val stagedB = TxnLog.stage(Seq((1L, 10L), (2L, 22L)).toDF("k", "v"), root, "wb")
+    TxnLog.commit(root, "upsert", stagedA, removed = c1.added,
+      readVersion = readV, txnId = "wa")
+    val e = intercept[TxnLog.ConflictException] {
+      TxnLog.commit(root, "upsert", stagedB, removed = c1.added,
+        readVersion = readV, txnId = "wb")
+    }
+    assert(e.getMessage.contains("wa"),
+      "the conflict must name the commit that won")
+    // the loser published nothing: table state is writer A's, alone
+    assert(rows(root) === Set((1L, 11L), (2L, 20L)))
+  }
+
+  test("an append with a stale read version never conflicts; it retries the CAS and lands") {
+    val root = freshRoot()
+    append(root, "t1", Seq((1L, 10L)))
+    // writer B staged against v1, then A committed v2 — B's append
+    // has an empty read set, so it must succeed at v3, not abort
+    val stagedB = TxnLog.stage(Seq((3L, 30L)).toDF("k", "v"), root, "wb")
+    append(root, "wa", Seq((2L, 20L)))
+    val cb = TxnLog.commit(root, "append", stagedB, Nil,
+      readVersion = 1L, txnId = "wb")
+    assert(cb.version === 3L)
+    assert(rows(root) === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("a resolved snapshot is stable: commits landing after resolution do not change it") {
+    val root = freshRoot()
+    val c1 = append(root, "t1", Seq((1L, 10L), (2L, 20L)))
+    val snapshot = TxnLog.read(spark, root) // file list resolved NOW
+    // concurrent upsert rewrites everything the snapshot points at
+    val staged = TxnLog.stage(Seq((1L, 99L), (2L, 99L)).toDF("k", "v"), root, "t2")
+    TxnLog.commit(root, "upsert", staged, removed = c1.added,
+      readVersion = 1L, txnId = "t2")
+    // data files are immutable and only ever ADDED, so the pre-commit
+    // resolution still reads the old bytes — snapshot isolation
+    assert(snapshot.as[(Long, Long)].collect().toSet === Set((1L, 10L), (2L, 20L)))
+    assert(rows(root) === Set((1L, 99L), (2L, 99L)))
+  }
+
+  test("version CAS under a real race: concurrent appenders produce contiguous versions, no losses") {
+    val root = freshRoot()
+    val perThread = 8
+    // stage everything first so the race is over the COMMIT protocol,
+    // not Spark write throughput
+    val staged = (0 until 2).map { t =>
+      (0 until perThread).map { i =>
+        TxnLog.stage(Seq((t * 100L + i, i.toLong)).toDF("k", "v"), root, s"w$t-$i")
+      }
+    }
+    val threads = (0 until 2).map { t =>
+      new Thread(() => staged(t).zipWithIndex.foreach { case (files, i) =>
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = s"w$t-$i")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val commits = TxnLog.commits(root)
+    assert(commits.map(_.version) === (1L to 2L * perThread),
+      "every commit must land on its own contiguous version")
+    assert(commits.map(_.txnId).toSet.size === 2 * perThread,
+      "no commit may be lost or duplicated")
+    assert(rows(root).size === 2 * perThread)
+  }
+}

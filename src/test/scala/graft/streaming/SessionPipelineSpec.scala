@@ -109,6 +109,72 @@ class SessionPipelineSpec extends SparkTestBase {
       "the late event must fold into the open session and pull session_start back")
   }
 
+  test("TTL mode: an idle session's state evicts and a re-arrival opens a fresh session") {
+    // TTLConfig requires TimeMode.ProcessingTime, whose runtime
+    // constructs micro-batches continuously — processAllAvailable
+    // livelocks and even Trigger.AvailableNow never runs out of
+    // batches (see StateTtlSpec). So: explicit 500 ms trigger, await
+    // each feed by polling for a CONTENT signal with a timeout, and
+    // never wait on query lifecycle. Batch 1 carries a sentinel user
+    // whose in-batch gap closes immediately — the only way a
+    // processing-time sessionizer with no timers signals batch-1
+    // completion (user 7's open session emits nothing by design).
+    withStateStoreProvider(RocksDbProvider) {
+      def awaitUser(name: String, uid: Long, timeoutMs: Long = 120000L): Seq[SessionAgg] = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        def rows() = spark.table(name).as[SessionAgg].collect()
+          .filter(_.user_id == uid).toSeq
+        while (rows().isEmpty) {
+          if (System.currentTimeMillis() > deadline)
+            fail(s"$name: no closed session for user $uid in ${timeoutMs} ms")
+          Thread.sleep(100L)
+        }
+        rows()
+      }
+      def run(name: String, ttlMillis: Long): Seq[SessionAgg] = {
+        implicit val ctx = spark.sqlContext
+        val ms = MemoryStream[SessionInput]
+        val q = SessionPipeline
+          .sessionizeTws(ms.toDS(), gapSec, ttlMillis = ttlMillis)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+          .start()
+        try {
+          // batch 1: user 7 opens a session (no emission); sentinel
+          // user 8's in-batch 65 s gap closes (5,5) immediately,
+          // signalling the batch landed. Sentinel times stay LOW so
+          // the event-time control's watermark (70−10=60) does not
+          // late-drop batch 2's ts(70).
+          ms.addData(Seq(
+            SessionInput(7L, 1L, ts(10), 1.0), SessionInput(7L, 2L, ts(40), 2.0),
+            SessionInput(8L, 3L, ts(5), 0.5), SessionInput(8L, 4L, ts(70), 0.5)))
+          awaitUser(name, 8L)
+          Thread.sleep(4000L)
+          // batch 2: ts(70) is within the 60 s gap of ts(40) — merges
+          // iff the open session survived the idle window; ts(300)
+          // then forces the close-emission that reveals the boundary
+          ms.addData(Seq(
+            SessionInput(7L, 5L, ts(70), 4.0), SessionInput(7L, 6L, ts(300), 8.0)))
+          awaitUser(name, 7L)
+        } finally q.stop()
+      }
+      // TTL 2 s, idle 4 s: the open session is evicted, the re-arrival
+      // starts fresh at ts(70), and batch 1's events are gone
+      val evicted = run("sess_ttl_on", ttlMillis = 2000L)
+      assert(evicted.map(s => (s.session_start, s.n_events, s.total_value)) ===
+        Seq((ts(70), 1L, 4.0)),
+        s"evicted state must not merge into the re-arrival: $evicted")
+      // control: same feed, same idle, TTL off (event-time mode) — the
+      // open session survives and merges across the wall-clock gap
+      val kept = run("sess_ttl_off", ttlMillis = 0L)
+      assert(kept.map(s =>
+        (s.session_start, s.session_end, s.n_events, s.total_value)) ===
+        Seq((ts(10), ts(70), 3L, 7.0)),
+        s"with TTL off the same idle gap must merge the session: $kept")
+    }
+  }
+
   test("mid-batch gap closure emits without waiting for the timeout") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[SessionInput]

@@ -32,6 +32,12 @@ object Bench {
     catch { case _: Throwable => Seq.empty }
 
   def main(args: Array[String]): Unit = {
+    // Ambient box load, sampled BEFORE the Spark session / warm-up
+    // spin up 32 threads: every later observation includes the
+    // bench's own load (a healthy full run holds load1 at ~5 by
+    // itself — measured r11), so only this pre-session reading can
+    // say whether the BOX was already busy.
+    val loadAmbient = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.configure(SparkSession.builder(), cpus).getOrCreate()
@@ -108,20 +114,22 @@ object Bench {
         ",\"ts\":" + o.map(_._2).mkString("[", ",", "]") +
         ",\"load1\":" + jarr(o.map(_._3).toSeq) + "}"
     }.mkString("{", ",", "}")
-    // Sustained-load flag (r11, verdict #7): min-of-passes defends
-    // against transient spikes but not a whole-run load1 of 4–12 (r10:
-    // txt battery +68% under sustained external load, diagnosed only
-    // at adjudication from the load trace). If even the QUIETEST load
-    // observation of the run exceeds 3, every timed number was taken
-    // on a contended box — flag the artifact at creation.
-    val allLoad1 = (loadStart.headOption.toSeq ++ loadEnd.headOption.toSeq ++
-      obs.values.flatMap(_.map(_._3))).filter(_ >= 0)
-    val warn =
-      if (allLoad1.nonEmpty && allLoad1.min > 3.0)
-        s""","load_warning":"sustained external load: min load1 ${r3(allLoad1.min)} > 3.0 across every observation — treat timings as contaminated""""
-      else ""
+    // Contended-box flag (r11, verdict #7): min-of-passes defends
+    // against transient spikes but not sustained external load (r10:
+    // txt battery +68%, diagnosed only at adjudication from the load
+    // trace). In-run observations cannot carry the flag — the bench's
+    // own 32 threads hold load1 at ~5 on an idle box (r11
+    // calibration: min-over-run 4.57 on the fastest total ever
+    // recorded), indistinguishable from r10's external 4.4. The
+    // pre-session AMBIENT reading is the honest signal: if the box
+    // was already above 3 before this JVM spun anything up, the run
+    // began contended — flag the artifact at creation. Mid-run load
+    // ARRIVAL stays diagnosable from the per-query load1 trace below.
+    val warn = loadAmbient.headOption.filter(_ > 3.0).map(l =>
+      s""","load_warning":"box already contended at bench start: ambient load1 ${r3(l)} > 3.0 before session startup — treat timings as suspect""""
+    ).getOrElse("")
     val loadMeta =
-      s""""passes":$passes,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)}$warn"""
+      s""""passes":$passes,"loadavg_ambient":${jarr(loadAmbient)},"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)}$warn"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$loadMeta,"queries":$fullQs,"detail":$detail,"sf":"$sfDir"}"""
     // Non-canonical runs must not clobber the canonical full-run

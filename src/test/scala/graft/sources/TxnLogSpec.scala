@@ -97,6 +97,46 @@ class TxnLogSpec extends SparkTestBase {
     assert(rows(root) === Set((1L, 99L), (2L, 99L)))
   }
 
+  test("compaction is a transaction: content preserved, file count drops, and a concurrent rewrite aborts it") {
+    // the X-A17 small-file OPTIMIZE flow expressed as a TxnLog use
+    // case: read live files, stage them repacked, commit with the
+    // originals removed — same protocol as an upsert, so the conflict
+    // check protects it for free
+    val root = freshRoot()
+    val data = (1L to 8L).map(k => (k, k * 10L))
+    val files = TxnLog.stage(data.toDF("k", "v").repartition(4), root, "t1")
+    assert(files.size === 4, "fixture: the append must produce small files to pack")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+
+    val packed = TxnLog.stage(
+      spark.read.parquet(files: _*).coalesce(1), root, "compact1")
+    TxnLog.commit(root, "compact", packed, removed = files,
+      readVersion = 1L, txnId = "compact1")
+    assert(TxnLog.snapshotFiles(root).size === 1, "packed into one file")
+    assert(rows(root) === data.toSet, "compaction must not change content")
+    assert(rows(root, version = 1L) === data.toSet, "pre-compaction version intact")
+
+    // lost-update direction: compaction staged against v2, then an
+    // upsert rewrites one of the files it plans to remove — committing
+    // the compaction now would silently drop that update, so it must
+    // abort and re-plan
+    val live = TxnLog.snapshotFiles(root)
+    val repacked = TxnLog.stage(
+      spark.read.parquet(live: _*).coalesce(1), root, "compact2")
+    val upsert = TxnLog.stage(
+      spark.read.parquet(live: _*).as[(Long, Long)]
+        .map { case (k, v) => (k, if (k == 1L) 999L else v) }.toDF("k", "v"),
+      root, "hotfix")
+    TxnLog.commit(root, "upsert", upsert, removed = live,
+      readVersion = 2L, txnId = "hotfix")
+    intercept[TxnLog.ConflictException] {
+      TxnLog.commit(root, "compact", repacked, removed = live,
+        readVersion = 2L, txnId = "compact2")
+    }
+    assert(rows(root) === data.toSet - ((1L, 10L)) + ((1L, 999L)),
+      "the hotfix must survive the aborted compaction")
+  }
+
   test("version CAS under a real race: concurrent appenders produce contiguous versions, no losses") {
     val root = freshRoot()
     val perThread = 8

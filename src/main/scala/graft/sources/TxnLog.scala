@@ -120,12 +120,55 @@ object TxnLog {
   def currentVersion(root: String): Long =
     commits(root).lastOption.map(_.version).getOrElse(0L)
 
-  /** The live data files of the snapshot at `version` (fold of
-    * added/removed through the log prefix). Metadata-only.
+  /** Write a checkpoint of the CURRENT snapshot: the live file set at
+    * the head version, one path per line, published atomically as
+    * `_log/<version>.checkpoint`. From then on snapshot resolution
+    * for any version ≥ this one starts from the checkpoint and folds
+    * only the log TAIL — O(live files + commits since), not
+    * O(commits ever) — the knob that keeps a long-lived table's
+    * planning cost flat as its history grows (Delta writes the same
+    * thing as parquet every 10 commits). Commit JSONs are kept, so
+    * time travel to pre-checkpoint versions still works. Idempotent
+    * per version; safe concurrent with writers (a checkpoint adds no
+    * commit and changes no conflict outcome).
+    */
+  def checkpoint(root: String): Long = {
+    val v = currentVersion(root)
+    val target = logDir(root).resolve(f"$v%020d.checkpoint")
+    if (v == 0L || Files.exists(target)) return v
+    val live = snapshotFiles(root, v)
+    val tmp = logDir(root).resolve(s".tmp-ckpt-$v")
+    Files.writeString(tmp, live.mkString("\n"))
+    try Files.createLink(target, tmp)
+    catch { case _: FileAlreadyExistsException => () } // concurrent checkpointer won
+    finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** Latest (version, live-file-list) checkpoint at or below `version`. */
+  private def latestCheckpoint(root: String, version: Long): Option[(Long, Seq[String])] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return None
+    Files.list(dir).collect(Collectors.toList[Path]).asScala
+      .filter(_.getFileName.toString.endsWith(".checkpoint"))
+      .map(p => (p.getFileName.toString.stripSuffix(".checkpoint").toLong, p))
+      .filter(_._1 <= version)
+      .sortBy(_._1).lastOption
+      .map { case (v, p) =>
+        val body = Files.readString(p)
+        (v, if (body.isEmpty) Nil else body.split("\n").toSeq)
+      }
+  }
+
+  /** The live data files of the snapshot at `version`: the latest
+    * checkpoint at or below it (if any) plus a fold of the log tail.
+    * Metadata-only.
     */
   def snapshotFiles(root: String, version: Long = Long.MaxValue): Seq[String] = {
+    val (from, seed) = latestCheckpoint(root, version).getOrElse((0L, Nil))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits(root).filter(_.version <= version).foreach { c =>
+    live ++= seed
+    commits(root).filter(c => c.version > from && c.version <= version).foreach { c =>
       live ++= c.added; live --= c.removed
     }
     live.toSeq
@@ -167,6 +210,13 @@ object TxnLog {
       attempts += 1
       if (attempts > 10000) sys.error(s"txn $txnId: CAS starvation after $attempts attempts")
       val log = commits(root)
+      // txnId idempotency: a replayed transaction (crash-recovered
+      // stream batch, retried job) finds its own earlier commit and
+      // returns it instead of committing twice — the exactly-once
+      // half of [[appendOnce]], checked INSIDE the CAS loop so a
+      // concurrent duplicate that wins the race is also caught.
+      val dup = log.find(_.txnId == txnId)
+      if (dup.isDefined) return dup.get
       val head = log.lastOption.map(_.version).getOrElse(0L)
       // File-level lost-update check against everything that landed
       // after our snapshot: if a concurrent commit removed (rewrote)
@@ -196,5 +246,41 @@ object TxnLog {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Exactly-once streaming append — the `foreachBatch` sink for
+    * writing a stream into the table:
+    *
+    * {{{
+    * stream.writeStream.foreachBatch { (df, batchId) =>
+    *   TxnLog.appendOnce(df, root, streamId = "ingest-q1", batchId); ()
+    * }
+    * }}}
+    *
+    * Structured Streaming replays a micro-batch whose side effects it
+    * cannot prove committed; the (streamId, batchId) txnId makes the
+    * replay a NO-OP — the log already holds that transaction, so the
+    * data lands exactly once no matter how many times the batch runs
+    * (the Delta `txnAppId`/`txnVersion` idempotent-writer contract).
+    * A crash BETWEEN staging and commit leaves an orphaned staging
+    * dir; the retry wipes and re-stages it (safe: its txnId is not in
+    * the log, so no reader has ever resolved those files).
+    *
+    * Returns the commit (existing one if replayed).
+    */
+  def appendOnce(df: DataFrame, root: String, streamId: String,
+                 batchId: Long): Commit = {
+    val txnId = s"$streamId-b$batchId"
+    commits(root).find(_.txnId == txnId).getOrElse {
+      val dir = Paths.get(root, "data", txnId)
+      if (Files.exists(dir)) { // orphan from a crashed earlier attempt
+        import java.util.Comparator
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val files = stage(df, root, txnId)
+      // appends have an empty read set: readVersion 0 never conflicts
+      commit(root, "stream-append", files, Nil, readVersion = 0L, txnId)
+    }
   }
 }

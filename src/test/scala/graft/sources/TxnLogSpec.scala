@@ -137,6 +137,69 @@ class TxnLogSpec extends SparkTestBase {
       "the hotfix must survive the aborted compaction")
   }
 
+  test("a replayed txnId is a no-op: the original commit is returned and the log does not grow") {
+    val root = freshRoot()
+    val files = TxnLog.stage(Seq((1L, 10L)).toDF("k", "v"), root, "t1")
+    val first = TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+    // a retried driver re-commits the same transaction (even with a
+    // different staged file list — the FIRST commit is the truth)
+    val replay = TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+    assert(replay === first)
+    assert(TxnLog.currentVersion(root) === first.version)
+    assert(rows(root) === Set((1L, 10L)))
+  }
+
+  test("exactly-once streaming ingest: a full stream replay adds no rows") {
+    // foreachBatch's contract is at-least-once per micro-batch;
+    // appendOnce keys each commit by (streamId, batchId) so the
+    // replayed batches resolve to their existing commits
+    val root = freshRoot()
+    implicit val ctx = spark.sqlContext
+    def runStream(): Unit = {
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val q = ms.toDS().toDF("k", "v").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          TxnLog.appendOnce(df, root, streamId = "ingest", batchId); ()
+        }
+        .outputMode("append").start()
+      try {
+        ms.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+        ms.addData((3L, 30L)); q.processAllAvailable()
+      } finally q.stop()
+    }
+    runStream()
+    val afterFirst = rows(root)
+    assert(afterFirst === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // new query, FRESH checkpoint, same data: batch ids restart at 0 —
+    // the worst-case total replay. Every commit must dedupe by txnId.
+    runStream()
+    assert(rows(root) === afterFirst, "replayed batches must not duplicate rows")
+    assert(TxnLog.currentVersion(root) === 2L, "still exactly two batch commits")
+  }
+
+  test("checkpointed and unfolded snapshot resolution agree, including pre-checkpoint time travel") {
+    val root = freshRoot()
+    val c1Files = TxnLog.stage(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root, "t1")
+    TxnLog.commit(root, "append", c1Files, Nil, readVersion = 0L, txnId = "t1")
+    append(root, "t2", Seq((3L, 30L)))
+    // v3 rewrites v1's files so the checkpointed live set differs
+    // from a naive union of all added files
+    val rewritten = TxnLog.stage(Seq((1L, 11L), (2L, 22L)).toDF("k", "v"), root, "t3")
+    TxnLog.commit(root, "upsert", rewritten, removed = c1Files,
+      readVersion = 2L, txnId = "t3")
+    val before = (1L to 3L).map(v => rows(root, v))
+
+    assert(TxnLog.checkpoint(root) === 3L)
+    append(root, "t4", Seq((4L, 40L))) // tail commit after the checkpoint
+
+    // resolution now seeds from the v3 checkpoint for v>=3 and folds
+    // the raw log for earlier versions — all must match the
+    // pre-checkpoint reads
+    assert((1L to 3L).map(v => rows(root, v)) === before)
+    assert(rows(root) === Set((1L, 11L), (2L, 22L), (3L, 30L), (4L, 40L)))
+    assert(TxnLog.checkpoint(root) === 4L, "re-checkpoint at the new head")
+  }
+
   test("version CAS under a real race: concurrent appenders produce contiguous versions, no losses") {
     val root = freshRoot()
     val perThread = 8

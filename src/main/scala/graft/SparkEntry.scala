@@ -254,6 +254,42 @@ object SparkEntry {
     ()
   }
 
+  /** Range-clustered stats-bearing txn tables already built this JVM. */
+  private val materializedTxnRangeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** A second [[graft.sources.TxnLog]] table for the data-skipping
+    * path: ONE append of the %3<=1 orders slice, staged
+    * range-clustered on o_orderkey into 8 files with per-file
+    * (min,max) sidecar stats — so a range read can prove most files
+    * irrelevant without opening them. Setup IO, paid by [[prepare]].
+    */
+  private def ensureTxnRangeTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxnLog
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_txnr_${dirTag(dir)}"
+    materializeOnce(materializedTxnRangeTables, root) {
+      if (TxnLog.currentVersion(root) != 1L) {
+        val rootPath = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(rootPath)) {
+          import java.util.Comparator
+          java.nio.file.Files.walk(rootPath)
+            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        TxnLog.init(root)
+        val base = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 <= 1)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .repartitionByRange(8, col("o_orderkey"))
+        val files = TxnLog.stageWithStats(base, root, "v1-clustered", "o_orderkey")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = "v1-clustered")
+        ()
+      }
+    }
+  }
+
   /** One-time side-artifact materialization for `dir` (the s8 file
     * topic, the j9 bucketed tables, the partitioned events layout,
     * the schema-evolved generations, the z-order file-stats manifest).
@@ -268,6 +304,7 @@ object SparkEntry {
     ensureEvolvedEvents(s, dir)
     ensureZorderStats(s, dir)
     ensureTxnTable(s, dir)
+    ensureTxnRangeTable(s, dir)
     ()
   }
 
@@ -446,7 +483,14 @@ object SparkEntry {
         val root = ensureTxnTable(s, dir)
         graft.sources.TxnLog.read(s, root)
           .except(graft.sources.TxnLog.read(s, root, version = 2L))
-      })
+      }),
+      // stats-based data skipping: the range-clustered table's sidecar
+      // (min,max) prove most files irrelevant before any open — the
+      // log-native counterpart of io_prune_stats (TxnLogSpec pins the
+      // file-count reduction; here the ORACLE pins the result)
+      "tx_prune_read" -> ((s, dir) =>
+        graft.sources.TxnLog.readRange(s, ensureTxnRangeTable(s, dir),
+          "o_orderkey", lo = 1000L, hi = 3000L))
     )
   }
 
@@ -567,7 +611,13 @@ object SparkEntry {
     "tx_changes" ->
       """SELECT o_orderkey,
                 2 * CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-         FROM orders WHERE o_orderkey % 6 = 0"""
+         FROM orders WHERE o_orderkey % 6 = 0""",
+
+    "tx_prune_read" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey BETWEEN 1000 AND 3000"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

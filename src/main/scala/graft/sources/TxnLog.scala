@@ -248,6 +248,70 @@ object TxnLog {
     sys.error("unreachable")
   }
 
+  /** Per-file (min, max) of `statsCol`, computed at stage time and
+    * written as a `_stats.json` sidecar next to the staged files —
+    * the data-skipping metadata a range read prunes with (Delta keeps
+    * the same stats inline in its log; a sidecar per staged dir keeps
+    * this log's format untouched at the cost of one tiny read per
+    * transaction dir, still metadata-scale). One line per file:
+    * `path min max`.
+    */
+  def stageWithStats(df: DataFrame, root: String, txnId: String,
+                     statsCol: String): Seq[String] = {
+    val files = stage(df, root, txnId)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val stats = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+      .select(input_file_name().as("f"), col(statsCol).cast("long").as("s"))
+      .groupBy("f").agg(fmin("s").as("lo"), fmax("s").as("hi"))
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
+        r.getLong(1), r.getLong(2)))
+    val body = stats.map { case (f, lo, hi) => s"$f $lo $hi" }.mkString("\n")
+    Files.writeString(Paths.get(root, "data", txnId, "_stats.json"), body)
+    files
+  }
+
+  /** The snapshot's live files whose [min, max] range of the staged
+    * stats column overlaps [lo, hi]. Files staged WITHOUT stats are
+    * always kept (pruning must never be unsound). Metadata-only: the
+    * log fold plus one sidecar read per live transaction dir.
+    */
+  def prunedFiles(root: String, lo: Long, hi: Long,
+                  version: Long = Long.MaxValue): Seq[String] = {
+    val live = snapshotFiles(root, version)
+    val byDir = live.groupBy(f => Paths.get(f).getParent)
+    byDir.toSeq.flatMap { case (dir, files) =>
+      val sidecar = dir.resolve("_stats.json")
+      if (!Files.exists(sidecar)) files
+      else {
+        val ranges = Files.readString(sidecar).split("\n").filter(_.nonEmpty)
+          .map { line =>
+            val Array(f, l, h) = line.split(" ")
+            f -> ((l.toLong, h.toLong))
+          }.toMap
+        files.filter(f => ranges.get(f).forall { case (l, h) => h >= lo && l <= hi })
+      }
+    }
+  }
+
+  /** Range read with file skipping: scans only [[prunedFiles]] and
+    * applies the residual predicate (file ranges can straddle the
+    * bounds). Equals `read(...).filter(col between lo and hi)` row
+    * for row; touches a fraction of the files when the data was
+    * staged range-clustered.
+    */
+  def readRange(s: SparkSession, root: String, statsCol: String, lo: Long,
+                hi: Long, version: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = prunedFiles(root, lo, hi, version)
+    // no overlapping file means provably zero matching rows (files
+    // without stats are never pruned) — keep the snapshot's schema
+    val base = if (files.nonEmpty) s.read.parquet(files: _*)
+               else read(s, root, version).limit(0)
+    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
   /** Exactly-once streaming append — the `foreachBatch` sink for
     * writing a stream into the table:
     *

@@ -200,6 +200,37 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.checkpoint(root) === 4L, "re-checkpoint at the new head")
   }
 
+  test("stats sidecar prunes non-overlapping files; the range read equals filter-after-full-scan") {
+    val root = freshRoot()
+    // 64 keys range-clustered into 8 files -> disjoint ~8-key ranges
+    val data = (1L to 64L).map(k => (k, k * 10L))
+    val files = TxnLog.stageWithStats(
+      data.toDF("k", "v").repartitionByRange(8, $"k"), root, "t1", "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+    assert(files.size === 8)
+
+    // a 10-key range overlaps at most 3 of the 8 range-files
+    val pruned = TxnLog.prunedFiles(root, lo = 20L, hi = 29L)
+    assert(pruned.nonEmpty && pruned.size <= 3,
+      s"expected <=3 of 8 files to survive pruning, got ${pruned.size}")
+    val got = TxnLog.readRange(spark, root, "k", 20L, 29L)
+      .as[(Long, Long)].collect().toSet
+    assert(got === data.filter(d => d._1 >= 20 && d._1 <= 29).toSet,
+      "skipping must be invisible in the result")
+
+    // a range beyond every file: provably empty without opening data
+    assert(TxnLog.prunedFiles(root, 1000L, 2000L).isEmpty)
+    assert(TxnLog.readRange(spark, root, "k", 1000L, 2000L).count() === 0L)
+
+    // files staged WITHOUT stats are never pruned (soundness)
+    val plain = TxnLog.stage(Seq((500L, 1L)).toDF("k", "v"), root, "t2")
+    TxnLog.commit(root, "append", plain, Nil, readVersion = 1L, txnId = "t2")
+    assert(TxnLog.prunedFiles(root, 20L, 29L).toSet === pruned.toSet ++ plain,
+      "stat-less files must always survive pruning")
+    assert(TxnLog.readRange(spark, root, "k", 490L, 510L)
+      .as[(Long, Long)].collect().toSet === Set((500L, 1L)))
+  }
+
   test("version CAS under a real race: concurrent appenders produce contiguous versions, no losses") {
     val root = freshRoot()
     val perThread = 8

@@ -490,7 +490,17 @@ object SparkEntry {
       // file-count reduction; here the ORACLE pins the result)
       "tx_prune_read" -> ((s, dir) =>
         graft.sources.TxnLog.readRange(s, ensureTxnRangeTable(s, dir),
-          "o_orderkey", lo = 1000L, hi = 3000L))
+          "o_orderkey", lo = 1000L, hi = 3000L)),
+      // the commit log AS a table (provenance/ops surface): version,
+      // action and the snapshot each txn read — deterministic for the
+      // three-commit fixture, so the oracle is a VALUES literal
+      "tx_history" -> ((s, dir) => {
+        val root = ensureTxnTable(s, dir)
+        import s.implicits._
+        graft.sources.TxnLog.commits(root)
+          .map(c => (c.version, c.action, c.readVersion))
+          .toDF("version", "action", "read_version")
+      })
     )
   }
 
@@ -617,7 +627,14 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders
-         WHERE o_orderkey % 3 <= 1 AND o_orderkey BETWEEN 1000 AND 3000"""
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey BETWEEN 1000 AND 3000""",
+
+    "tx_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'append', CAST(0 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT)),
+           (CAST(3 AS BIGINT), 'upsert', CAST(2 AS BIGINT)))
+         AS t(version, action, read_version)"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -312,6 +312,32 @@ object TxnLog {
     base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
+  /** Physically delete data files referenced by NO snapshot at or
+    * after `retainFromVersion` — storage reclamation after rewrites
+    * (upserts/compactions strand their replaced files forever
+    * otherwise; at 100 TB the stranded bytes quickly dwarf the live
+    * table). The contract is Delta's VACUUM with a version horizon
+    * instead of a timestamp: time travel to versions BEFORE the
+    * horizon stops working (their files are gone — reads fail loudly
+    * on missing files rather than returning partial data), every
+    * retained version is untouched, and the log keeps ALL commit
+    * records so provenance survives even where data does not.
+    * Idempotent; returns the deleted paths.
+    */
+  def vacuum(root: String, retainFromVersion: Long): Seq[String] = {
+    val head = currentVersion(root)
+    val from = math.min(retainFromVersion, head)
+    // union of live sets of every retained version; O(versions × log)
+    // here — a production impl folds the log once, tracking last
+    // version each file was live
+    val keep = (from to head).flatMap(v => snapshotFiles(root, v)).toSet
+    val victims = commits(root).flatMap(_.added).distinct
+      .filterNot(keep)
+      .filter(f => Files.exists(Paths.get(f)))
+    victims.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    victims
+  }
+
   /** Exactly-once streaming append — the `foreachBatch` sink for
     * writing a stream into the table:
     *

@@ -231,6 +231,32 @@ class TxnLogSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet === Set((500L, 1L)))
   }
 
+  test("vacuum reclaims only files outside the retention horizon; retained versions read intact") {
+    val root = freshRoot()
+    val c1Files = TxnLog.stage(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root, "t1")
+    TxnLog.commit(root, "append", c1Files, Nil, readVersion = 0L, txnId = "t1")
+    append(root, "t2", Seq((3L, 30L)))
+    val rewritten = TxnLog.stage(Seq((1L, 11L), (2L, 22L)).toDF("k", "v"), root, "t3")
+    TxnLog.commit(root, "upsert", rewritten, removed = c1Files,
+      readVersion = 2L, txnId = "t3")
+
+    // retain v2+: only v1's REWRITTEN files (live solely in v1..v2's
+    // snapshots... they are live in v2 as well) — horizon at v3 then
+    val none = TxnLog.vacuum(root, retainFromVersion = 2L)
+    assert(none.isEmpty, s"files live at v2 must survive a v2 horizon: $none")
+    val victims = TxnLog.vacuum(root, retainFromVersion = 3L)
+    assert(victims.toSet === c1Files.toSet,
+      "exactly the replaced files fall outside a v3 horizon")
+    // retained versions are untouched; the log keeps full provenance
+    assert(rows(root) === Set((1L, 11L), (2L, 22L), (3L, 30L)))
+    assert(TxnLog.commits(root).size === 3)
+    // pre-horizon time travel fails LOUDLY (missing files), never
+    // silently returns partial data
+    intercept[Exception] { rows(root, version = 1L) }
+    // idempotent
+    assert(TxnLog.vacuum(root, retainFromVersion = 3L).isEmpty)
+  }
+
   test("version CAS under a real race: concurrent appenders produce contiguous versions, no losses") {
     val root = freshRoot()
     val perThread = 8

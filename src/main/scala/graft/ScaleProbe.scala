@@ -361,6 +361,30 @@ object ScaleProbe {
     if (enabled("cc_path32"))
       timeCC("cc_path32",
         spark.range(0, 32).select(col("id").as("src"), (col("id") + 1).as("dst")), 40)
+
+    // TxnLog snapshot-resolution ladder (pure metadata — commits carry
+    // synthetic paths, no Spark involved): per-resolution cost must
+    // track commit count WITHOUT a checkpoint and go ~flat WITH one,
+    // which is X-A26's whole claim. 50 resolutions per measurement.
+    if (enabled("txn_resolution")) {
+      import graft.sources.TxnLog
+      Seq(64, 256, 1024).foreach { n =>
+        val root = java.nio.file.Files.createTempDirectory(s"graft-txnprobe-$n").toString
+        TxnLog.init(root)
+        (1 to n).foreach(i =>
+          TxnLog.commit(root, "append", Seq(s"/fake/f$i"), Nil,
+            readVersion = 0L, txnId = s"t$i"))
+        def perCallMs(): Double = {
+          val t0 = System.nanoTime()
+          (1 to 50).foreach(_ => TxnLog.snapshotFiles(root))
+          (System.nanoTime() - t0) / 1e6 / 50
+        }
+        val raw = perCallMs()
+        TxnLog.checkpoint(root)
+        val ck = perCallMs()
+        println(f"""{"op":"txn_resolution","k":$n,"rows":$n,"sec":${raw / 1000}%.5f,"ckpt_sec":${ck / 1000}%.5f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -106,15 +106,27 @@ object TxnLog {
       arr("added"), arr("removed"))
   }
 
-  /** All committed records in version order. */
-  def commits(root: String): Seq[Commit] = {
+  /** Committed records with `fromExclusive < version <= toInclusive`,
+    * in version order. The version rides in the FILENAME, so records
+    * outside the range are never opened — this is what makes
+    * checkpoint-seeded resolution O(tail) in IO, not just in fold
+    * work.
+    */
+  private def commitsInRange(root: String, fromExclusive: Long,
+                             toInclusive: Long): Seq[Commit] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) return Nil
-    val names = Files.list(dir).collect(Collectors.toList[Path]).asScala
+    Files.list(dir).collect(Collectors.toList[Path]).asScala
       .filter(_.getFileName.toString.endsWith(".json"))
-      .sortBy(_.getFileName.toString)
-    names.map(p => parse(Files.readString(p))).toSeq
+      .map(p => (p.getFileName.toString.stripSuffix(".json").toLong, p))
+      .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+      .sortBy(_._1)
+      .map { case (_, p) => parse(Files.readString(p)) }.toSeq
   }
+
+  /** All committed records in version order. */
+  def commits(root: String): Seq[Commit] =
+    commitsInRange(root, 0L, Long.MaxValue)
 
   /** Head version (0 = empty table). */
   def currentVersion(root: String): Long =
@@ -168,7 +180,7 @@ object TxnLog {
     val (from, seed) = latestCheckpoint(root, version).getOrElse((0L, Nil))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     live ++= seed
-    commits(root).filter(c => c.version > from && c.version <= version).foreach { c =>
+    commitsInRange(root, from, version).foreach { c =>
       live ++= c.added; live --= c.removed
     }
     live.toSeq

@@ -189,11 +189,21 @@ object TxnLog {
   /** Read the table at `version` (default: head). The file list is
     * resolved ONCE here; immutable data files make the returned frame
     * a stable snapshot regardless of later commits.
+    *
+    * `mergeSchema = true` is the X-A19 contract over the log: a
+    * long-lived table's commits accumulate schema GENERATIONS (a new
+    * column appears in files staged after some version); the merged
+    * read unions the footers at planning time and old files yield
+    * nulls for columns they predate — history is never rewritten.
+    * Default off: single-generation tables skip the footer merge.
     */
   def read(s: SparkSession, root: String,
-           version: Long = Long.MaxValue): DataFrame = {
+           version: Long = Long.MaxValue,
+           mergeSchema: Boolean = false): DataFrame = {
     val files = snapshotFiles(root, version)
-    if (files.isEmpty) s.emptyDataFrame else s.read.parquet(files: _*)
+    if (files.isEmpty) s.emptyDataFrame
+    else if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
+    else s.read.parquet(files: _*)
   }
 
   /** Stage `df` as immutable parquet files under `root/data/<txnId>/`

@@ -257,6 +257,23 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.vacuum(root, retainFromVersion = 3L).isEmpty)
   }
 
+  test("schema generations merge on read: old files yield nulls for columns they predate") {
+    val root = freshRoot()
+    append(root, "t1", Seq((1L, 10L)))
+    // a later generation gains a column; history is never rewritten
+    val gen2 = TxnLog.stage(Seq((2L, 20L, "b")).toDF("k", "v", "tag"), root, "t2")
+    TxnLog.commit(root, "append", gen2, Nil, readVersion = 1L, txnId = "t2")
+
+    val merged = TxnLog.read(spark, root, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("k", "tag", "v"))
+    assert(merged.as[(Long, Long, Option[String])].collect().toSet ===
+      Set((1L, 10L, None), (2L, 20L, Some("b"))),
+      "gen-1 rows must surface with a null tag, not be dropped or rewritten")
+    // time travel composes: at v1 only the old schema's files exist
+    assert(TxnLog.read(spark, root, version = 1L, mergeSchema = true)
+      .columns.sorted.toSeq === Seq("k", "v"))
+  }
+
   test("version CAS under a real race: concurrent appenders produce contiguous versions, no losses") {
     val root = freshRoot()
     val perThread = 8

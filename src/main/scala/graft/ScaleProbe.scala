@@ -385,6 +385,52 @@ object ScaleProbe {
         println(f"""{"op":"txn_resolution","k":$n,"rows":$n,"sec":${raw / 1000}%.5f,"ckpt_sec":${ck / 1000}%.5f}""")
       }
     }
+
+    // TxnLog WRITE-path ladder (r11 verdict #2): per-COMMIT cost at a
+    // head of n prior commits, measured over 50 fresh appends each —
+    // must track n when the table is never checkpointed (the tail IS
+    // the history) and go ~flat when a checkpoint lands every
+    // CheckpointInterval commits, appendOnce's steady state. Also:
+    // the txnId replay probe (ledger lookup, 50 calls) and one
+    // single-fold vacuum timing per rung.
+    if (enabled("txn_commit")) {
+      import graft.sources.TxnLog
+      Seq(64, 256, 1024).foreach { n =>
+        def build(ckpt: Boolean): String = {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-txncommit-$n-$ckpt").toString
+          TxnLog.init(root)
+          (1 to n).foreach { i =>
+            TxnLog.commit(root, "append", Seq(s"/fake/f$i"), Nil,
+              readVersion = 0L, txnId = s"t$i")
+            if (ckpt && i % TxnLog.CheckpointInterval == 0) TxnLog.checkpoint(root)
+          }
+          root
+        }
+        def commit50Ms(root: String, ckpt: Boolean): Double = {
+          val t0 = System.nanoTime()
+          (1 to 50).foreach { i =>
+            val c = TxnLog.commit(root, "append", Seq(s"/fake/x$i"), Nil,
+              readVersion = 0L, txnId = s"x$i")
+            if (ckpt && c.version % TxnLog.CheckpointInterval == 0) TxnLog.checkpoint(root)
+          }
+          (System.nanoTime() - t0) / 1e6 / 50
+        }
+        val rawRoot = build(ckpt = false)
+        val ckRoot = build(ckpt = true)
+        val raw = commit50Ms(rawRoot, ckpt = false)
+        val ck = commit50Ms(ckRoot, ckpt = true)
+        val t1 = System.nanoTime()
+        (1 to 50).foreach(_ =>
+          TxnLog.commit(ckRoot, "append", Seq("/fake/f5"), Nil,
+            readVersion = 0L, txnId = "t5")) // replay: resolved via ledger
+        val replay = (System.nanoTime() - t1) / 1e6 / 50
+        val t2 = System.nanoTime()
+        val vacuumed = TxnLog.vacuum(ckRoot, retainFromVersion = 1L)
+        val vac = (System.nanoTime() - t2) / 1e6
+        println(f"""{"op":"txn_commit","k":$n,"rows":$n,"sec":${raw / 1000}%.5f,"ckpt_sec":${ck / 1000}%.5f,"replay_ms":$replay%.3f,"vacuum_ms":$vac%.3f,"vacuumed":${vacuumed.size}}""")
+      }
+    }
     spark.stop()
   }
 }

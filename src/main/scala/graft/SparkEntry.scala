@@ -211,9 +211,24 @@ object SparkEntry {
     * version diff without seeing the log. Setup IO, paid by
     * [[prepare]] outside Bench's clock; lazy for Verify.
     */
+  /** Size+mtime fingerprint of the source `orders` parquet — keys the
+    * /tmp txn-table roots so a REGENERATED source at the same path
+    * gets a fresh table instead of silently reusing one built from
+    * the old bytes (which would diverge from the DuckDB oracle).
+    */
+  private def ordersFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "orders.parquet")
+    val tag =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.size(p) ^ java.nio.file.Files.getLastModifiedTime(p).toMillis
+      else 0L
+    java.lang.Long.toHexString(tag)
+  }
+
   private def ensureTxnTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_txn_${dirTag(dir)}"
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_txn_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnTables, root) {
       // /tmp outlives JVMs: a COMPLETE table (head = v3) from an
       // earlier run is reused as-is; anything partial is wiped and
@@ -266,7 +281,8 @@ object SparkEntry {
     */
   private def ensureTxnRangeTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_txnr_${dirTag(dir)}"
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnr_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnRangeTables, root) {
       if (TxnLog.currentVersion(root) != 1L) {
         val rootPath = java.nio.file.Paths.get(root)
@@ -282,9 +298,9 @@ object SparkEntry {
           .select(col("o_orderkey"),
             round(col("o_totalprice") * 100).cast("long").as("price_cents"))
           .repartitionByRange(8, col("o_orderkey"))
-        val files = TxnLog.stageWithStats(base, root, "v1-clustered", "o_orderkey")
+        val (files, stats) = TxnLog.stageWithStats(base, root, "v1-clustered", "o_orderkey")
         TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
-          txnId = "v1-clustered")
+          txnId = "v1-clustered", stats = stats)
         ()
       }
     }

@@ -6,6 +6,7 @@ import java.util.stream.Collectors
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Minimal lakehouse transaction log: optimistic concurrency +
   * snapshot isolation over immutable parquet data files, the
@@ -25,11 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    place. An "upsert" is copy-on-write: stage rewritten files,
   *    log the old ones as removed.
   *  - THE LOG IS THE TABLE: `root/_log/<version>.json`, one record
-  *    per commit, lists files added/removed. A snapshot at version V
-  *    is the fold of records 1..V — resolution is METADATA-ONLY
-  *    (O(commits) small JSON reads; never a data-directory listing,
-  *    which at 100 TB is millions of objects and, on object stores,
-  *    eventually consistent).
+  *    per commit, lists files added/removed (with optional per-file
+  *    (min,max) stats and a schema fingerprint). A snapshot at
+  *    version V is the fold of records 1..V — resolution is
+  *    METADATA-ONLY (small JSON reads; never a data-directory
+  *    listing, which at 100 TB is millions of objects and, on object
+  *    stores, eventually consistent).
   *  - COMMIT IS A CAS ON THE NEXT VERSION NUMBER: the record is
   *    written to a temp file and hard-linked to `<v+1>.json` —
   *    link(2) is atomic and fails if the name exists, so exactly one
@@ -46,6 +48,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    removed any of them — i.e. both rewrote the same data. Pure
   *    appends have an empty read set and never conflict; they just
   *    retry the CAS.
+  *  - THE WRITE PATH IS O(TAIL), NOT O(HISTORY): head discovery is a
+  *    filename max (no record opens); the conflict check folds only
+  *    records `> readVersion`; txnId idempotency is answered from the
+  *    committed-txn ledger each CHECKPOINT carries plus the log tail
+  *    behind it. A streaming writer committing every micro-batch pays
+  *    per-commit cost proportional to the gap since the last
+  *    checkpoint (auto-written every [[CheckpointInterval]] commits
+  *    by [[appendOnce]]), not to the table's lifetime commit count.
   *
   * `TxnLogSpec` covers the two-writer scenarios (conflict abort,
   * append auto-retry, snapshot stability, a real 2-thread CAS race);
@@ -55,9 +65,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnLog {
 
-  /** One committed log record. */
+  /** One committed log record. `stats` (when present) is aligned with
+    * `added`: per-file (min, max) of the clustering column, the
+    * data-skipping metadata [[readRange]] prunes with — inline in the
+    * record (the Delta recipe), so planning needs no sidecar reads
+    * and the stats survive as long as the log does.
+    */
   case class Commit(version: Long, action: String, txnId: String,
-                    readVersion: Long, added: Seq[String], removed: Seq[String])
+                    readVersion: Long, added: Seq[String], removed: Seq[String],
+                    stats: Seq[Option[(Long, Long)]] = Nil,
+                    schemaId: String = "")
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -65,10 +82,45 @@ object TxnLog {
     */
   class ConflictException(msg: String) extends RuntimeException(msg)
 
+  /** A commit's declared schema differs from the table's current one
+    * and the commit is not an explicit `schema-evolve` — rejecting it
+    * is what keeps two writers from silently forking the table's
+    * schema (read-side mergeSchema would otherwise paper over the
+    * fork forever).
+    */
+  class SchemaMismatchException(msg: String) extends RuntimeException(msg)
+
+  /** [[appendOnce]] writes a checkpoint every this-many commits, the
+    * knob that keeps long-lived streaming ingest O(tail) (Delta
+    * checkpoints every 10 commits for the same reason).
+    */
+  val CheckpointInterval = 10
+
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
   private def entryPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.json")
+
+  /** List a directory's entries with the handle CLOSED before
+    * returning — `Files.list` holds an OS directory handle until the
+    * stream is closed, and the commit CAS loop lists once per
+    * attempt, so leaking them exhausts file descriptors under
+    * contention.
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.collect(Collectors.toList[Path]).asScala.toSeq finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try {
+      import java.util.Comparator
+      s.sorted(Comparator.reverseOrder[Path]()).forEach(x => { Files.deleteIfExists(x); () })
+    } finally s.close()
+  }
 
   /** Create the table layout (idempotent). */
   def init(root: String): Unit = {
@@ -78,15 +130,35 @@ object TxnLog {
   }
 
   // ---- log encoding ----
-  // One JSON object per file. Staged file paths are produced by
-  // [[stage]] (UUID dir + parquet part names: no quotes/backslashes),
-  // so the straightforward string-field extraction below is exact for
-  // everything this log ever writes.
+  // One JSON object per file. [[commit]] validates every path against
+  // the characters this encoding (and the checkpoint's space-delimited
+  // lines) reserves, so the string-field extraction below is exact for
+  // everything the log can ever contain.
+
+  private val PathReserved = Array('"', ',', '[', ']', ' ', '\n', '\r', '\\')
+
+  private def validatePaths(paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      PathReserved.find(p.contains(_)).foreach(c => sys.error(
+        s"txn log path contains reserved character '$c': $p"))
+    }
+
+  private def renderStat(s: Option[(Long, Long)]): String =
+    s.map { case (lo, hi) => s"$lo $hi" }.getOrElse("-")
+
+  private def parseStat(s: String): Option[(Long, Long)] =
+    if (s == "-") None
+    else { val Array(lo, hi) = s.split(" "); Some((lo.toLong, hi.toLong)) }
 
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val statsPart =
+      if (c.stats.isEmpty) "" else s""","stats":${arr(c.stats.map(renderStat))}"""
+    val schemaPart =
+      if (c.schemaId.isEmpty) "" else s""","schema":"${c.schemaId}""""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
-      s""""readVersion":${c.readVersion},"added":${arr(c.added)},"removed":${arr(c.removed)}}"""
+      s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
+      s""""removed":${arr(c.removed)}$statsPart$schemaPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -96,95 +168,223 @@ object TxnLog {
     def str(k: String): String =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(line)
         .getOrElse(sys.error(s"txn log record missing $k: $line")).group(1)
-    def arr(k: String): Seq[String] = {
-      val body = s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(line)
-        .getOrElse(sys.error(s"txn log record missing $k: $line")).group(1)
+    def strOpt(k: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+    def arr(k: String, required: Boolean): Seq[String] = {
+      val m = s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(line)
+      if (m.isEmpty) {
+        if (required) sys.error(s"txn log record missing $k: $line") else return Nil
+      }
+      val body = m.get.group(1)
       if (body.isEmpty) Nil
       else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
     }
     Commit(num("version"), str("action"), str("txnId"), num("readVersion"),
-      arr("added"), arr("removed"))
+      arr("added", required = true), arr("removed", required = true),
+      arr("stats", required = false).map(parseStat), strOpt("schema"))
   }
+
+  private def readCommit(root: String, v: Long): Commit =
+    parse(Files.readString(entryPath(root, v)))
 
   /** Committed records with `fromExclusive < version <= toInclusive`,
     * in version order. The version rides in the FILENAME, so records
     * outside the range are never opened — this is what makes
-    * checkpoint-seeded resolution O(tail) in IO, not just in fold
-    * work.
+    * checkpoint-seeded resolution (and the commit write path) O(tail)
+    * in IO, not just in fold work.
     */
-  private def commitsInRange(root: String, fromExclusive: Long,
-                             toInclusive: Long): Seq[Commit] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).collect(Collectors.toList[Path]).asScala
+  private def commitsFromListing(listing: Seq[Path], fromExclusive: Long,
+                                 toInclusive: Long): Seq[Commit] =
+    listing
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => (p.getFileName.toString.stripSuffix(".json").toLong, p))
       .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
       .sortBy(_._1)
-      .map { case (_, p) => parse(Files.readString(p)) }.toSeq
-  }
+      .map { case (_, p) => parse(Files.readString(p)) }
+
+  def commitsInRange(root: String, fromExclusive: Long,
+                     toInclusive: Long): Seq[Commit] =
+    commitsFromListing(listDir(logDir(root)), fromExclusive, toInclusive)
 
   /** All committed records in version order. */
   def commits(root: String): Seq[Commit] =
     commitsInRange(root, 0L, Long.MaxValue)
 
-  /** Head version (0 = empty table). */
-  def currentVersion(root: String): Long =
-    commits(root).lastOption.map(_.version).getOrElse(0L)
+  private def headFromListing(listing: Seq[Path]): Long =
+    listing.iterator
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .foldLeft(0L)(math.max)
 
-  /** Write a checkpoint of the CURRENT snapshot: the live file set at
-    * the head version, one path per line, published atomically as
-    * `_log/<version>.checkpoint`. From then on snapshot resolution
-    * for any version ≥ this one starts from the checkpoint and folds
-    * only the log TAIL — O(live files + commits since), not
-    * O(commits ever) — the knob that keeps a long-lived table's
-    * planning cost flat as its history grows (Delta writes the same
-    * thing as parquet every 10 commits). Commit JSONs are kept, so
-    * time travel to pre-checkpoint versions still works. Idempotent
-    * per version; safe concurrent with writers (a checkpoint adds no
-    * commit and changes no conflict outcome).
+  /** Head version (0 = empty table) — a filename max over the log
+    * listing; NO record is opened, so the commit CAS loop's
+    * head-discovery cost is independent of history length.
     */
-  def checkpoint(root: String): Long = {
-    val v = currentVersion(root)
-    val target = logDir(root).resolve(f"$v%020d.checkpoint")
-    if (v == 0L || Files.exists(target)) return v
-    val live = snapshotFiles(root, v)
-    val tmp = logDir(root).resolve(s".tmp-ckpt-$v")
-    Files.writeString(tmp, live.mkString("\n"))
-    try Files.createLink(target, tmp)
-    catch { case _: FileAlreadyExistsException => () } // concurrent checkpointer won
-    finally Files.deleteIfExists(tmp)
-    v
+  def currentVersion(root: String): Long =
+    headFromListing(listDir(logDir(root)))
+
+  // ---- checkpoints ----
+  // `_log/<version>.checkpoint`, format v2: a header line, then
+  //   S <schemaId>          current schema fingerprint (if any)
+  //   T <txnId> <version>   one per committed transaction <= version
+  //   F <path> [<lo> <hi>]  one per LIVE file, stats inline if known
+  // Everything snapshot resolution, txnId idempotency, schema
+  // enforcement and stats pruning need, in one atomically-published
+  // artifact — resolution for any version >= the checkpoint folds
+  // only the log tail behind it. Legacy v1 checkpoints (bare path
+  // lines) still load; they carry no ledger, so folds that need one
+  // fall back to version 0 (correct, just unseeded).
+
+  private val CkptHeader = "#graft-ckpt-v2"
+
+  private case class CkptState(version: Long,
+                               files: Seq[(String, Option[(Long, Long)])],
+                               txns: Map[String, Long],
+                               schema: String,
+                               hasLedger: Boolean)
+
+  private def ckptPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.checkpoint")
+
+  /** Published checkpoints are IMMUTABLE (written once via an atomic
+    * link, superseded ones deleted, never modified) — so their parsed
+    * state is cacheable per (root, version) for the life of the JVM.
+    * This is what keeps a streaming writer's per-commit cost at
+    * "one dir listing + the tail" instead of re-parsing an
+    * O(history) ledger on every micro-batch.
+    */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), CkptState]()
+
+  private def parseCheckpoint(v: Long, body: String): CkptState = {
+    val lines = body.split("\n").toSeq.filter(_.nonEmpty)
+    if (lines.headOption.contains(CkptHeader)) {
+      var schema = ""
+      val txns = Map.newBuilder[String, Long]
+      val files = Seq.newBuilder[(String, Option[(Long, Long)])]
+      lines.drop(1).foreach { l =>
+        l.split(" ").toSeq match {
+          case Seq("S", id)          => schema = id
+          case Seq("T", txn, ver)    => txns += (txn -> ver.toLong)
+          case Seq("F", f)           => files += (f -> None)
+          case Seq("F", f, lo, hi)   => files += (f -> Some((lo.toLong, hi.toLong)))
+          case other => sys.error(s"bad checkpoint line: $l")
+        }
+      }
+      CkptState(v, files.result(), txns.result(), schema, hasLedger = true)
+    } else // legacy v1: live paths only
+      CkptState(v, lines.map(_ -> None), Map.empty, "", hasLedger = false)
   }
 
-  /** Latest (version, live-file-list) checkpoint at or below `version`. */
-  private def latestCheckpoint(root: String, version: Long): Option[(Long, Seq[String])] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) return None
-    Files.list(dir).collect(Collectors.toList[Path]).asScala
+  /** Latest checkpoint at or below `version`, from a pre-fetched log
+    * listing. Retries on a listing/delete race with a superseded
+    * checkpoint (two newest are always retained, so one re-list
+    * suffices in practice).
+    */
+  private def loadCheckpointFrom(root: String, listing: Seq[Path],
+                                 version: Long): Option[CkptState] = {
+    val candidates = listing
       .filter(_.getFileName.toString.endsWith(".checkpoint"))
       .map(p => (p.getFileName.toString.stripSuffix(".checkpoint").toLong, p))
       .filter(_._1 <= version)
-      .sortBy(_._1).lastOption
-      .map { case (v, p) =>
-        val body = Files.readString(p)
-        (v, if (body.isEmpty) Nil else body.split("\n").toSeq)
+      .sortBy(-_._1)
+    candidates.iterator.flatMap { case (v, p) =>
+      Option(ckptCache.get((root, v))).orElse {
+        try {
+          val st = parseCheckpoint(v, Files.readString(p))
+          ckptCache.put((root, v), st)
+          Some(st)
+        } catch { case _: java.nio.file.NoSuchFileException => None }
       }
+    }.nextOption()
   }
 
-  /** The live data files of the snapshot at `version`: the latest
-    * checkpoint at or below it (if any) plus a fold of the log tail.
-    * Metadata-only.
+  private def loadCheckpoint(root: String, version: Long): Option[CkptState] =
+    loadCheckpointFrom(root, listDir(logDir(root)), version)
+
+  /** Fold the table state at `version`: live files (with stats), the
+    * committed-txn ledger, and the current schema — seeded from the
+    * latest usable checkpoint, then the log tail. Metadata-only.
     */
-  def snapshotFiles(root: String, version: Long = Long.MaxValue): Seq[String] = {
-    val (from, seed) = latestCheckpoint(root, version).getOrElse((0L, Nil))
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    live ++= seed
-    commitsInRange(root, from, version).foreach { c =>
-      live ++= c.added; live --= c.removed
+  private def resolveState(root: String, version: Long): CkptState = {
+    val prior = loadCheckpoint(root, version)
+    val (fromV, seed) = prior match {
+      case Some(c) if c.hasLedger => (c.version, c)
+      // a v1 checkpoint has no ledger/schema — refold from 0 (rare:
+      // only tables checkpointed by a pre-v2 build)
+      case _ => (0L, CkptState(0L, Nil, Map.empty, "", hasLedger = true))
     }
-    live.toSeq
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
+    seed.files.foreach { case (f, st) => live(f) = st }
+    var schema = seed.schema
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    txns ++= seed.txns
+    var top = fromV
+    commitsInRange(root, fromV, version).foreach { c =>
+      val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
+      c.added.zip(stats).foreach { case (f, st) => live(f) = st }
+      c.removed.foreach(live.remove)
+      txns(c.txnId) = c.version
+      if (c.schemaId.nonEmpty) schema = c.schemaId
+      top = c.version
+    }
+    CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true)
   }
+
+  /** Write a checkpoint of the CURRENT table state (live files with
+    * stats, txn ledger, schema), published atomically as
+    * `_log/<version>.checkpoint`. From then on resolution for any
+    * version ≥ this one starts here and folds only the log TAIL —
+    * O(live files + commits since), not O(commits ever) — the knob
+    * that keeps a long-lived table's planning AND commit cost flat as
+    * its history grows. Commit JSONs are kept, so time travel to
+    * pre-checkpoint versions still works. Idempotent per version;
+    * safe concurrent with writers (a checkpoint adds no commit and
+    * changes no conflict outcome).
+    */
+  def checkpoint(root: String): Long = {
+    val v = currentVersion(root)
+    val target = ckptPath(root, v)
+    if (v == 0L || Files.exists(target)) return v
+    val st = resolveState(root, v)
+    val body = new StringBuilder(CkptHeader).append('\n')
+    if (st.schema.nonEmpty) body.append("S ").append(st.schema).append('\n')
+    st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
+      body.append("T ").append(t).append(' ').append(ver).append('\n') }
+    st.files.foreach { case (f, stat) =>
+      body.append("F ").append(f)
+      stat.foreach { case (lo, hi) => body.append(' ').append(lo).append(' ').append(hi) }
+      body.append('\n')
+    }
+    val tmp = logDir(root).resolve(s".tmp-ckpt-$v")
+    Files.writeString(tmp, body.toString)
+    try Files.createLink(target, tmp)
+    catch { case _: FileAlreadyExistsException => () } // concurrent checkpointer won
+    finally Files.deleteIfExists(tmp)
+    // prune superseded checkpoints, keeping the two newest: every
+    // commit record is retained so nothing is lost, the log listing
+    // stays O(commits + 2) instead of growing a checkpoint per
+    // interval, and a reader racing this delete falls back to the
+    // surviving newer one (loadCheckpointFrom retries down the list).
+    listDir(logDir(root))
+      .filter(_.getFileName.toString.endsWith(".checkpoint"))
+      .map(p => (p.getFileName.toString.stripSuffix(".checkpoint").toLong, p))
+      .sortBy(-_._1).drop(2)
+      .foreach { case (cv, p) => Files.deleteIfExists(p); ckptCache.remove((root, cv)) }
+    v
+  }
+
+  /** The live data files of the snapshot at `version`, with their
+    * inline (min, max) stats where known. Metadata-only.
+    */
+  def snapshotState(root: String,
+                    version: Long = Long.MaxValue): Seq[(String, Option[(Long, Long)])] =
+    resolveState(root, version).files
+
+  /** The live data files of the snapshot at `version`. */
+  def snapshotFiles(root: String, version: Long = Long.MaxValue): Seq[String] =
+    snapshotState(root, version).map(_._1)
 
   /** Read the table at `version` (default: head). The file list is
     * resolved ONCE here; immutable data files make the returned frame
@@ -206,6 +406,15 @@ object TxnLog {
     else s.read.parquet(files: _*)
   }
 
+  /** Stable fingerprint of a schema (names + types, order-blind) —
+    * what [[commit]] enforces against the table's current schema.
+    */
+  def schemaFingerprint(schema: StructType): String = {
+    val canon = schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .sorted.mkString(";")
+    f"${scala.util.hashing.MurmurHash3.stringHash(canon)}%08x"
+  }
+
   /** Stage `df` as immutable parquet files under `root/data/<txnId>/`
     * and return their paths (not yet visible to any reader — only a
     * commit publishes them).
@@ -213,47 +422,103 @@ object TxnLog {
   def stage(df: DataFrame, root: String, txnId: String): Seq[String] = {
     val dir = Paths.get(root, "data", txnId)
     df.write.mode("error").parquet(dir.toString)
-    Files.list(dir).collect(Collectors.toList[Path]).asScala
+    listDir(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).sorted.toSeq
+      .map(_.toString).sorted
+  }
+
+  /** Stage with per-file (min, max) of `statsCol` computed in the
+    * same pass — returned aligned with the file list, for the caller
+    * to pass to [[commit]] so the stats land INLINE in the log record
+    * (no sidecar read at plan time; stats survive vacuum of other
+    * dirs and live exactly as long as the log does).
+    */
+  def stageWithStats(df: DataFrame, root: String, txnId: String,
+                     statsCol: String): (Seq[String], Seq[Option[(Long, Long)]]) = {
+    val files = stage(df, root, txnId)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val ranges = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+      .select(input_file_name().as("f"), col(statsCol).cast("long").as("s"))
+      .groupBy("f").agg(fmin("s").as("lo"), fmax("s").as("hi"))
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
+        (r.getLong(1), r.getLong(2)))).toMap
+    (files, files.map(ranges.get))
   }
 
   /** Commit staged files optimistically. `readVersion` is the
     * snapshot version this transaction's reads (and its `removed`
     * list) were computed against. Retries the version CAS until it
     * wins or a true conflict surfaces; throws [[ConflictException]]
-    * iff a concurrent commit removed any file this one removes.
+    * iff a concurrent commit removed any file this one removes, and
+    * [[SchemaMismatchException]] iff `schemaId` is declared, differs
+    * from the table's current schema, and `action` is not an explicit
+    * `"schema-evolve"` (a declared-schema append may never silently
+    * fork the table's schema).
+    *
+    * Cost per attempt is O(log tail since the last checkpoint), not
+    * O(history): head via filename max, dedup via the checkpoint's
+    * txn ledger + tail, conflict fold over records `> readVersion`.
     */
   def commit(root: String, action: String, added: Seq[String],
-             removed: Seq[String], readVersion: Long, txnId: String): Commit = {
+             removed: Seq[String], readVersion: Long, txnId: String,
+             stats: Seq[Option[(Long, Long)]] = Nil,
+             schemaId: String = ""): Commit = {
+    validatePaths(added ++ removed)
+    require(stats.isEmpty || stats.size == added.size,
+      s"txn $txnId: stats (${stats.size}) must align with added (${added.size})")
     val myRemoved = removed.toSet
+    // Checkpoint state is read ONCE: commits landing after it show up
+    // in the per-attempt tail fold below, and checkpoints never
+    // change conflict outcomes.
+    val ckpt = loadCheckpoint(root, Long.MaxValue).filter(_.hasLedger)
+    val baseV = ckpt.map(_.version).getOrElse(0L)
+    // txnId idempotency, ledger fast path: a replayed transaction
+    // (crash-recovered stream batch, retried job) finds its own
+    // earlier commit and returns it instead of committing twice.
+    val ledgerHit = ckpt.flatMap(_.txns.get(txnId))
+    if (ledgerHit.isDefined) return readCommit(root, ledgerHit.get)
     var attempts = 0
     while (true) {
       attempts += 1
       if (attempts > 10000) sys.error(s"txn $txnId: CAS starvation after $attempts attempts")
-      val log = commits(root)
-      // txnId idempotency: a replayed transaction (crash-recovered
-      // stream batch, retried job) finds its own earlier commit and
-      // returns it instead of committing twice — the exactly-once
-      // half of [[appendOnce]], checked INSIDE the CAS loop so a
-      // concurrent duplicate that wins the race is also caught.
-      val dup = log.find(_.txnId == txnId)
+      // ONE directory listing serves head discovery, the tail fold,
+      // and (rarely) the pre-checkpoint conflict range below.
+      val listing = listDir(logDir(root))
+      val head = headFromListing(listing)
+      val tail = commitsFromListing(listing, baseV, head)
+      // ...and the tail half of the dedup check, INSIDE the CAS loop
+      // so a concurrent duplicate that wins the race is also caught.
+      val dup = tail.find(_.txnId == txnId)
       if (dup.isDefined) return dup.get
-      val head = log.lastOption.map(_.version).getOrElse(0L)
       // File-level lost-update check against everything that landed
       // after our snapshot: if a concurrent commit removed (rewrote)
       // a file we also remove, both transactions rewrote the same
       // data and ours must abort — a blind retry would silently drop
       // the other writer's update. Appends (removed = empty) skip
       // this entirely and only ever loop on the CAS.
-      val clash = log.filter(_.version > readVersion)
-        .flatMap(c => c.removed.filter(myRemoved.contains).map((c, _)))
-      clash.headOption.foreach { case (c, f) =>
-        throw new ConflictException(
-          s"txn $txnId (read v$readVersion) rewrites $f, already rewritten " +
-            s"by txn ${c.txnId} at v${c.version}")
+      if (myRemoved.nonEmpty) {
+        val sinceRead =
+          if (readVersion >= baseV) tail.filter(_.version > readVersion)
+          else commitsFromListing(listing, readVersion, baseV) ++ tail
+        sinceRead.flatMap(c => c.removed.filter(myRemoved.contains).map((c, _)))
+          .headOption.foreach { case (c, f) =>
+            throw new ConflictException(
+              s"txn $txnId (read v$readVersion) rewrites $f, already rewritten " +
+                s"by txn ${c.txnId} at v${c.version}")
+          }
       }
-      val rec = Commit(head + 1, action, txnId, readVersion, added, removed)
+      if (schemaId.nonEmpty && action != "schema-evolve") {
+        val current = (ckpt.map(_.schema).toSeq ++ tail.map(_.schemaId))
+          .filter(_.nonEmpty).lastOption.getOrElse("")
+        if (current.nonEmpty && current != schemaId)
+          throw new SchemaMismatchException(
+            s"txn $txnId declares schema $schemaId but the table is at $current; " +
+              """commit with action = "schema-evolve" to change it""")
+      }
+      val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
+        stats, schemaId)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -263,57 +528,46 @@ object TxnLog {
       } catch {
         case _: FileAlreadyExistsException =>
           // lost the CAS: someone else owns this version — re-read the
-          // log (conflict check included) and try the next one
+          // tail (conflict check included) and try the next one
           Files.deleteIfExists(tmp)
       }
     }
     sys.error("unreachable")
   }
 
-  /** Per-file (min, max) of `statsCol`, computed at stage time and
-    * written as a `_stats.json` sidecar next to the staged files —
-    * the data-skipping metadata a range read prunes with (Delta keeps
-    * the same stats inline in its log; a sidecar per staged dir keeps
-    * this log's format untouched at the cost of one tiny read per
-    * transaction dir, still metadata-scale). One line per file:
-    * `path min max`.
+  /** The commit with this txnId, if any — ledger fast path, log-tail
+    * fallback. O(tail) given a v2 checkpoint.
     */
-  def stageWithStats(df: DataFrame, root: String, txnId: String,
-                     statsCol: String): Seq[String] = {
-    val files = stage(df, root, txnId)
-    val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
-    val stats = spark.read.parquet(Paths.get(root, "data", txnId).toString)
-      .select(input_file_name().as("f"), col(statsCol).cast("long").as("s"))
-      .groupBy("f").agg(fmin("s").as("lo"), fmax("s").as("hi"))
-      .collect()
-      .map(r => (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
-        r.getLong(1), r.getLong(2)))
-    val body = stats.map { case (f, lo, hi) => s"$f $lo $hi" }.mkString("\n")
-    Files.writeString(Paths.get(root, "data", txnId, "_stats.json"), body)
-    files
+  def findCommit(root: String, txnId: String): Option[Commit] = {
+    val ckpt = loadCheckpoint(root, Long.MaxValue).filter(_.hasLedger)
+    ckpt.flatMap(_.txns.get(txnId)).map(readCommit(root, _))
+      .orElse(commitsInRange(root, ckpt.map(_.version).getOrElse(0L), Long.MaxValue)
+        .find(_.txnId == txnId))
   }
 
-  /** The snapshot's live files whose [min, max] range of the staged
-    * stats column overlaps [lo, hi]. Files staged WITHOUT stats are
-    * always kept (pruning must never be unsound). Metadata-only: the
-    * log fold plus one sidecar read per live transaction dir.
+  /** The snapshot's live files whose [min, max] range of the stats
+    * column overlaps [lo, hi]. Stats come from the commit records /
+    * checkpoint (inline); files committed by a pre-r12 build fall
+    * back to their staging dir's `_stats.json` sidecar. Files with no
+    * stats anywhere are always kept (pruning must never be unsound).
+    * Metadata-only.
     */
   def prunedFiles(root: String, lo: Long, hi: Long,
                   version: Long = Long.MaxValue): Seq[String] = {
-    val live = snapshotFiles(root, version)
-    val byDir = live.groupBy(f => Paths.get(f).getParent)
-    byDir.toSeq.flatMap { case (dir, files) =>
-      val sidecar = dir.resolve("_stats.json")
-      if (!Files.exists(sidecar)) files
-      else {
-        val ranges = Files.readString(sidecar).split("\n").filter(_.nonEmpty)
-          .map { line =>
-            val Array(f, l, h) = line.split(" ")
-            f -> ((l.toLong, h.toLong))
-          }.toMap
-        files.filter(f => ranges.get(f).forall { case (l, h) => h >= lo && l <= hi })
-      }
+    val sidecars = scala.collection.mutable.Map.empty[Path, Map[String, (Long, Long)]]
+    def sidecarStat(f: String): Option[(Long, Long)] = {
+      val dir = Paths.get(f).getParent
+      sidecars.getOrElseUpdate(dir, {
+        val sc = dir.resolve("_stats.json")
+        if (!Files.exists(sc)) Map.empty
+        else Files.readString(sc).split("\n").filter(_.nonEmpty).map { line =>
+          val Array(p, l, h) = line.split(" ")
+          p -> ((l.toLong, h.toLong))
+        }.toMap
+      }).get(f)
+    }
+    snapshotState(root, version).collect {
+      case (f, st) if st.orElse(sidecarStat(f)).forall { case (l, h) => h >= lo && l <= hi } => f
     }
   }
 
@@ -328,10 +582,11 @@ object TxnLog {
     import org.apache.spark.sql.functions.col
     val files = prunedFiles(root, lo, hi, version)
     // no overlapping file means provably zero matching rows (files
-    // without stats are never pruned) — keep the snapshot's schema
-    val base = if (files.nonEmpty) s.read.parquet(files: _*)
-               else read(s, root, version).limit(0)
-    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    // without stats are never pruned) — keep the snapshot's schema if
+    // it has one, and skip the residual filter: on a fully empty
+    // table the snapshot has no columns to filter on.
+    if (files.isEmpty) read(s, root, version).limit(0)
+    else s.read.parquet(files: _*).filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
   /** Physically delete data files referenced by NO snapshot at or
@@ -345,20 +600,34 @@ object TxnLog {
     * retained version is untouched, and the log keeps ALL commit
     * records so provenance survives even where data does not.
     * Idempotent; returns the deleted paths.
+    *
+    * ONE fold of the log: a file's live interval is
+    * [addVersion, lastRemoveVersion), so it is dead to every retained
+    * snapshot iff its final removal is at or before the horizon —
+    * O(commits), not O(versions × commits).
     */
   def vacuum(root: String, retainFromVersion: Long): Seq[String] = {
     val head = currentVersion(root)
     val from = math.min(retainFromVersion, head)
-    // union of live sets of every retained version; O(versions × log)
-    // here — a production impl folds the log once, tracking last
-    // version each file was live
-    val keep = (from to head).flatMap(v => snapshotFiles(root, v)).toSet
-    val victims = commits(root).flatMap(_.added).distinct
-      .filterNot(keep)
-      .filter(f => Files.exists(Paths.get(f)))
-    victims.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    victims
+    // file -> final removal version (-1 while live); a re-added file
+    // overwrites its earlier removal, so the END state decides
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    commits(root).foreach { c =>
+      c.added.foreach(state(_) = -1L)
+      c.removed.foreach(state(_) = c.version)
+    }
+    state.iterator
+      .collect { case (f, rv) if rv >= 0 && rv <= from => f }
+      .filter(f => Files.deleteIfExists(Paths.get(f)))
+      .toSeq
   }
+
+  /** Per-txnId JVM locks: two threads replaying the same
+    * (streamId, batchId) must not interleave [[appendOnce]]'s
+    * orphan-wipe with the other's in-flight staging.
+    */
+  private val txnLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Exactly-once streaming append — the `foreachBatch` sink for
     * writing a stream into the table:
@@ -376,23 +645,33 @@ object TxnLog {
     * (the Delta `txnAppId`/`txnVersion` idempotent-writer contract).
     * A crash BETWEEN staging and commit leaves an orphaned staging
     * dir; the retry wipes and re-stages it (safe: its txnId is not in
-    * the log, so no reader has ever resolved those files).
+    * the log, so no reader has ever resolved those files — and a
+    * per-txnId JVM lock keeps two in-process replays from wiping each
+    * other's staging mid-flight).
+    *
+    * Every [[CheckpointInterval]]-th commit auto-checkpoints, which
+    * is what keeps the NEXT commits' ledger lookup and conflict fold
+    * O(tail) for arbitrarily long-lived ingest. Declares the batch's
+    * schema fingerprint, so a drifting upstream aborts loudly instead
+    * of silently forking the table.
     *
     * Returns the commit (existing one if replayed).
     */
   def appendOnce(df: DataFrame, root: String, streamId: String,
                  batchId: Long): Commit = {
     val txnId = s"$streamId-b$batchId"
-    commits(root).find(_.txnId == txnId).getOrElse {
-      val dir = Paths.get(root, "data", txnId)
-      if (Files.exists(dir)) { // orphan from a crashed earlier attempt
-        import java.util.Comparator
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+    val lock = txnLocks.computeIfAbsent(txnId, _ => new Object)
+    lock.synchronized {
+      findCommit(root, txnId).getOrElse {
+        val dir = Paths.get(root, "data", txnId)
+        deleteRecursively(dir) // orphan from a crashed earlier attempt
+        val files = stage(df, root, txnId)
+        // appends have an empty read set: readVersion 0 never conflicts
+        val rec = commit(root, "stream-append", files, Nil, readVersion = 0L,
+          txnId = txnId, schemaId = schemaFingerprint(df.schema))
+        if (rec.version % CheckpointInterval == 0) checkpoint(root)
+        rec
       }
-      val files = stage(df, root, txnId)
-      // appends have an empty read set: readVersion 0 never conflicts
-      commit(root, "stream-append", files, Nil, readVersion = 0L, txnId)
     }
   }
 }

@@ -200,14 +200,19 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.checkpoint(root) === 4L, "re-checkpoint at the new head")
   }
 
-  test("stats sidecar prunes non-overlapping files; the range read equals filter-after-full-scan") {
+  test("inline commit-record stats prune non-overlapping files; the range read equals filter-after-full-scan") {
     val root = freshRoot()
     // 64 keys range-clustered into 8 files -> disjoint ~8-key ranges
     val data = (1L to 64L).map(k => (k, k * 10L))
-    val files = TxnLog.stageWithStats(
+    val (files, stats) = TxnLog.stageWithStats(
       data.toDF("k", "v").repartitionByRange(8, $"k"), root, "t1", "k")
-    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats)
     assert(files.size === 8)
+    // the stats live IN the log record — no sidecar file anywhere, so
+    // pruning below provably does zero sidecar reads
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", "t1", "_stats.json")),
+      "r12 staging must not write a sidecar; stats are inline in the commit")
 
     // a 10-key range overlaps at most 3 of the 8 range-files
     val pruned = TxnLog.prunedFiles(root, lo = 20L, hi = 29L)
@@ -229,6 +234,108 @@ class TxnLogSpec extends SparkTestBase {
       "stat-less files must always survive pruning")
     assert(TxnLog.readRange(spark, root, "k", 490L, 510L)
       .as[(Long, Long)].collect().toSet === Set((500L, 1L)))
+
+    // pruning survives a checkpoint: the stats ride the F-lines, so a
+    // post-checkpoint resolution prunes identically with no record
+    // opens and no sidecars
+    TxnLog.checkpoint(root)
+    assert(TxnLog.prunedFiles(root, 20L, 29L).toSet === pruned.toSet ++ plain)
+  }
+
+  test("legacy sidecar stats still prune: files committed by a pre-r12 build keep their skipping") {
+    val root = freshRoot()
+    val data = (1L to 64L).map(k => (k, k * 10L))
+    // stage WITHOUT inline stats, then hand-write the old-format
+    // sidecar exactly as the pre-r12 stageWithStats did
+    val files = TxnLog.stage(
+      data.toDF("k", "v").repartitionByRange(8, $"k"), root, "t1")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+    val ranges = spark.read.parquet(java.nio.file.Paths.get(root, "data", "t1").toString)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), $"k")
+      .groupBy("f").agg(org.apache.spark.sql.functions.min("k").as("lo"),
+        org.apache.spark.sql.functions.max("k").as("hi"))
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
+        r.getLong(1), r.getLong(2)))
+    Files.writeString(java.nio.file.Paths.get(root, "data", "t1", "_stats.json"),
+      ranges.map { case (f, lo, hi) => s"$f $lo $hi" }.mkString("\n"))
+    val pruned = TxnLog.prunedFiles(root, 20L, 29L)
+    assert(pruned.nonEmpty && pruned.size <= 3,
+      s"sidecar fallback must still prune: got ${pruned.size} of 8")
+    assert(TxnLog.readRange(spark, root, "k", 20L, 29L)
+      .as[(Long, Long)].collect().toSet ===
+      data.filter(d => d._1 >= 20 && d._1 <= 29).toSet)
+  }
+
+  test("schema enforcement: a drifted append aborts; an explicit schema-evolve commit lands") {
+    val root = freshRoot()
+    val gen1 = Seq((1L, 10L)).toDF("k", "v")
+    val f1 = TxnLog.stage(gen1, root, "t1")
+    TxnLog.commit(root, "append", f1, Nil, readVersion = 0L, txnId = "t1",
+      schemaId = TxnLog.schemaFingerprint(gen1.schema))
+    // an upstream silently drifts a column type: the declared-schema
+    // append must abort instead of forking the table
+    val drifted = Seq((2, "oops")).toDF("k", "v")
+    val f2 = TxnLog.stage(drifted, root, "t2")
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.commit(root, "append", f2, Nil, readVersion = 1L, txnId = "t2",
+        schemaId = TxnLog.schemaFingerprint(drifted.schema))
+    }
+    assert(TxnLog.currentVersion(root) === 1L, "the drifted append published nothing")
+    // widening is allowed, but only as an EXPLICIT evolution action
+    val gen2 = Seq((3L, 30L, "b")).toDF("k", "v", "tag")
+    val f3 = TxnLog.stage(gen2, root, "t3")
+    val gen2Id = TxnLog.schemaFingerprint(gen2.schema)
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.commit(root, "append", f3, Nil, readVersion = 1L, txnId = "t3",
+        schemaId = gen2Id)
+    }
+    TxnLog.commit(root, "schema-evolve", f3, Nil, readVersion = 1L,
+      txnId = "t3", schemaId = gen2Id)
+    // the evolved schema is now current: matching appends pass again
+    val f4 = TxnLog.stage(Seq((4L, 40L, "c")).toDF("k", "v", "tag"), root, "t4")
+    TxnLog.commit(root, "append", f4, Nil, readVersion = 2L, txnId = "t4",
+      schemaId = gen2Id)
+    assert(TxnLog.read(spark, root, mergeSchema = true).count() === 3L)
+    // enforcement survives a checkpoint (current schema rides the S-line)
+    TxnLog.checkpoint(root)
+    val f5 = TxnLog.stage(gen1, root, "t5")
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.commit(root, "append", f5, Nil, readVersion = 3L, txnId = "t5",
+        schemaId = TxnLog.schemaFingerprint(gen1.schema))
+    }
+  }
+
+  test("commit paths with log-reserved characters are rejected at commit time, not corrupted") {
+    val root = freshRoot()
+    for (bad <- Seq("/tmp/a\"b.parquet", "/tmp/a,b.parquet", "/tmp/a]b.parquet", "/tmp/a b.parquet")) {
+      intercept[RuntimeException] {
+        TxnLog.commit(root, "append", Seq(bad), Nil, readVersion = 0L,
+          txnId = s"bad-${bad.hashCode}")
+      }
+    }
+    assert(TxnLog.currentVersion(root) === 0L, "no corrupt record may land")
+  }
+
+  test("txnId dedup and replay answer from the checkpoint ledger, not a full log scan") {
+    val root = freshRoot()
+    (1 to 12).foreach(i => append(root, s"t$i", Seq((i.toLong, i.toLong))))
+    val ckptV = TxnLog.checkpoint(root)
+    assert(ckptV === 12L)
+    // white-box probe: CORRUPT every pre-checkpoint record except
+    // t7's. The ledger path answers dedup from the checkpoint's
+    // T-lines plus the (empty) tail and opens only record 7; any
+    // implementation that still scans full history would throw
+    // parsing the garbage.
+    (1L to 12L).filter(_ != 7L).foreach(v =>
+      Files.writeString(
+        java.nio.file.Paths.get(root, "_log", f"$v%020d.json"), "CORRUPT"))
+    val replay = TxnLog.commit(root, "append", Seq("/fake/other"), Nil,
+      readVersion = 12L, txnId = "t7")
+    assert(replay.version === 7L && replay.txnId === "t7",
+      "the ledger must resolve the replay to its original commit without a history scan")
+    assert(TxnLog.findCommit(root, "t7").map(_.version) === Some(7L))
+    assert(TxnLog.findCommit(root, "never-committed") === None)
   }
 
   test("vacuum reclaims only files outside the retention horizon; retained versions read intact") {

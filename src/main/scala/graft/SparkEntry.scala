@@ -507,6 +507,15 @@ object SparkEntry {
       "tx_prune_read" -> ((s, dir) =>
         graft.sources.TxnLog.readRange(s, ensureTxnRangeTable(s, dir),
           "o_orderkey", lo = 1000L, hi = 3000L)),
+      // streaming read OF the log (X-A29): commits as change batches —
+      // the feed after v1 is v2's appended slice plus v3's rewritten
+      // post-images, each row stamped with its commit version, all
+      // predicate-expressible over orders for the oracle
+      "tx_stream_changes" -> ((s, dir) => {
+        val root = ensureTxnTable(s, dir)
+        graft.sources.TxnStream.readChanges(s, root, fromExclusive = 1L, toInclusive = 3L)
+          .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
+      }),
       // the commit log AS a table (provenance/ops surface): version,
       // action and the snapshot each txn read — deterministic for the
       // three-commit fixture, so the oracle is a VALUES literal
@@ -644,6 +653,20 @@ object SparkEntry {
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders
          WHERE o_orderkey % 3 <= 1 AND o_orderkey BETWEEN 1000 AND 3000""",
+
+    "tx_stream_changes" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM orders WHERE o_orderkey % 3 = 1
+         UNION ALL
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 6 = 0
+                     THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                END AS price_cents,
+                CAST(3 AS BIGINT) AS commit_version
+         FROM orders WHERE o_orderkey % 3 = 0""",
 
     "tx_history" ->
       """SELECT * FROM (VALUES

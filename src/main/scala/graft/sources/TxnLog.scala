@@ -535,6 +535,19 @@ object TxnLog {
     sys.error("unreachable")
   }
 
+  /** txnId -> version for every committed transaction: the
+    * checkpoint's ledger plus the log tail — O(tail) record opens.
+    * This is how a downstream consumer discovers which of ITS
+    * transactions already landed (the offsets-in-the-target-log
+    * recipe, [[TxnStream.maintainInto]]).
+    */
+  def committedTxnIds(root: String): Map[String, Long] = {
+    val ckpt = loadCheckpoint(root, Long.MaxValue).filter(_.hasLedger)
+    ckpt.map(_.txns).getOrElse(Map.empty) ++
+      commitsInRange(root, ckpt.map(_.version).getOrElse(0L), Long.MaxValue)
+        .map(c => c.txnId -> c.version)
+  }
+
   /** The commit with this txnId, if any — ledger fast path, log-tail
     * fallback. O(tail) given a v2 checkpoint.
     */
@@ -622,12 +635,22 @@ object TxnLog {
       .toSeq
   }
 
-  /** Per-txnId JVM locks: two threads replaying the same
-    * (streamId, batchId) must not interleave [[appendOnce]]'s
-    * orphan-wipe with the other's in-flight staging.
+  /** Per-txnId JVM locks: two threads replaying the same transaction
+    * must not interleave one's orphan-wipe with the other's in-flight
+    * staging ([[appendOnce]], [[TxnStream.maintainInto]]).
     */
   private val txnLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[sources] def withTxnLock[T](txnId: String)(f: => T): T =
+    txnLocks.computeIfAbsent(txnId, _ => new Object).synchronized(f)
+
+  /** Wipe an orphaned staging dir left by a crash between stage() and
+    * commit() — safe iff the txnId is not in the log (no reader has
+    * ever resolved those files). Call only under [[withTxnLock]].
+    */
+  private[sources] def wipeStaging(root: String, txnId: String): Unit =
+    deleteRecursively(Paths.get(root, "data", txnId))
 
   /** Exactly-once streaming append — the `foreachBatch` sink for
     * writing a stream into the table:
@@ -660,11 +683,9 @@ object TxnLog {
   def appendOnce(df: DataFrame, root: String, streamId: String,
                  batchId: Long): Commit = {
     val txnId = s"$streamId-b$batchId"
-    val lock = txnLocks.computeIfAbsent(txnId, _ => new Object)
-    lock.synchronized {
+    withTxnLock(txnId) {
       findCommit(root, txnId).getOrElse {
-        val dir = Paths.get(root, "data", txnId)
-        deleteRecursively(dir) // orphan from a crashed earlier attempt
+        wipeStaging(root, txnId) // orphan from a crashed earlier attempt
         val files = stage(df, root, txnId)
         // appends have an empty read set: readVersion 0 never conflicts
         val rec = commit(root, "stream-append", files, Nil, readVersion = 0L,

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, input_file_name, lit, regexp_replace}
+
+/** Streaming READ side of [[TxnLog]]: new commits surface as
+  * micro-batches, so every incremental consumer in the repo
+  * (incremental MV maintenance X-A14, incremental dedup X-D10) can
+  * subscribe to a transactional table instead of a raw directory —
+  * the Delta streaming-source / change-data-feed recipe (Armbrust
+  * et al., VLDB 2020 §4.4; reference behavior: the dashboard's
+  * poll-for-new-rows loop, `streamlit-app.py`, re-expressed as
+  * commit-log tailing instead of re-querying the whole table).
+  *
+  * Two layers:
+  *
+  *  - [[readChanges]] — the rows ADDED in a version range, stamped
+  *    with their commit version: the change feed. Appends surface
+  *    their rows; copy-on-write upserts surface the rewritten files'
+  *    rows (post-images), exactly like Delta CDF without the
+  *    pre-image columns. ONE parquet scan for the whole range plus a
+  *    broadcast file→version dim — never a scan per commit.
+  *  - [[maintainInto]] — an exactly-once incremental consumer: each
+  *    source commit is applied as ONE transaction on a target
+  *    [[TxnLog]] table whose txnId encodes (consumerId, version).
+  *    The consumer's offset IS the target table's committed-txn
+  *    ledger — there is no separate offset store to desync: a crash
+  *    after apply-but-before-offset-write is impossible by
+  *    construction, and any replay (restart, redelivery, a second
+  *    consumer instance) dedupes through [[TxnLog.commit]]'s txnId
+  *    check. This is Delta's txnAppId/txnVersion idempotent-writer
+  *    contract pointed at the READ side.
+  */
+object TxnStream {
+
+  /** Stamp column added by [[readChanges]]. */
+  val CommitVersionCol = "_commit_version"
+
+  /** The change feed: rows added by commits with
+    * `fromExclusive < version <= toInclusive`, each stamped with its
+    * commit version. Metadata-only planning (the log names the files;
+    * no data-directory listing), one scan over the union of added
+    * files, commit version recovered per-row by a broadcast join on
+    * the file path. `mergeSchema` spans schema generations, so a feed
+    * crossing a schema-evolve commit still reads (old rows carry
+    * nulls for columns they predate).
+    */
+  def readChanges(s: SparkSession, root: String, fromExclusive: Long,
+                  toInclusive: Long = Long.MaxValue): DataFrame = {
+    val fileToVersion = TxnLog.commitsInRange(root, fromExclusive, toInclusive)
+      .flatMap(c => c.added.map(_ -> c.version))
+    if (fileToVersion.isEmpty)
+      // empty range: keep the head snapshot's schema so downstream
+      // plans still resolve (plus the stamp column)
+      TxnLog.read(s, root, toInclusive, mergeSchema = true).limit(0)
+        .withColumn(CommitVersionCol, lit(0L))
+    else {
+      import s.implicits._
+      val dim = fileToVersion.toDF("_path", CommitVersionCol)
+      s.read.option("mergeSchema", "true").parquet(fileToVersion.map(_._1): _*)
+        .withColumn("_path", regexp_replace(input_file_name(), "^file:(//)?", ""))
+        .join(broadcast(dim), "_path")
+        .drop("_path")
+    }
+  }
+
+  /** The highest source version this consumer has applied to
+    * `targetRoot`, recovered from the target's OWN committed-txn
+    * ledger (O(tail) with checkpoints). 0 = nothing applied.
+    */
+  def appliedVersion(targetRoot: String, consumerId: String): Long = {
+    val prefix = s"$consumerId-v"
+    TxnLog.committedTxnIds(targetRoot).keysIterator
+      .collect { case t if t.startsWith(prefix) => t.stripPrefix(prefix).toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Apply every not-yet-applied source commit to a target [[TxnLog]]
+    * table, one source commit = one target transaction:
+    * `transform` maps that commit's change-feed rows (stamped with
+    * [[CommitVersionCol]]) to the delta rows appended to the target.
+    * Returns the source versions applied by THIS call.
+    *
+    * Exactly-once across crashes, restarts and duplicate consumers
+    * with NO offset store: the target txnId `"<consumerId>-v<N>"`
+    * makes re-applying version N a no-op inside [[TxnLog.commit]],
+    * and [[appliedVersion]] recovers the resume point from the
+    * target's ledger. A source commit whose delta is empty still
+    * commits (with no files), so the version is durably marked
+    * applied. The target declares `transform`'s output schema, so a
+    * drifting transform aborts instead of forking the MV's schema.
+    *
+    * `upTo` bounds how far to read (for tests and rate-limited
+    * catch-up); default = the source head at call time.
+    */
+  def maintainInto(s: SparkSession, sourceRoot: String, targetRoot: String,
+                   consumerId: String, upTo: Long = Long.MaxValue)
+                  (transform: DataFrame => DataFrame): Seq[Long] = {
+    val head = math.min(TxnLog.currentVersion(sourceRoot), upTo)
+    val from = appliedVersion(targetRoot, consumerId)
+    ((from + 1) to head).flatMap { v =>
+      val txnId = s"$consumerId-v$v"
+      TxnLog.withTxnLock(txnId) {
+        if (TxnLog.findCommit(targetRoot, txnId).isDefined) None // raced: other instance applied v
+        else {
+          val delta = transform(readChanges(s, sourceRoot, v - 1, v))
+          // a crash between stage and commit leaves an orphan staging
+          // dir; its txnId is not in the ledger, so wiping is safe
+          TxnLog.wipeStaging(targetRoot, txnId)
+          // a 0-partition delta stages no part files: the commit then
+          // carries no data but still durably marks v applied
+          val files = TxnLog.stage(delta, targetRoot, txnId)
+          TxnLog.commit(targetRoot, "mv-delta", files, Nil,
+            readVersion = 0L, txnId = txnId,
+            schemaId = TxnLog.schemaFingerprint(delta.schema))
+          Some(v)
+        }
+      }
+    }
+  }
+}

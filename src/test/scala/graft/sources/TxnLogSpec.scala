@@ -137,6 +137,68 @@ class TxnLogSpec extends SparkTestBase {
       "the hotfix must survive the aborted compaction")
   }
 
+  test("compactionPlan output drives a real transaction: concurrent append lands, victim rewrite aborts it") {
+    // X-A17 meets X-A22 end-to-end: the OPTIMIZE planner's groups are
+    // executed via stage+commit, and the log's file-level conflict
+    // check arbitrates the races a real compactor meets — a concurrent
+    // APPEND touches no removed file and must land; a concurrent
+    // REWRITE of a victim file makes the compaction a lost update and
+    // must abort it.
+    import graft.operators.LayoutOps
+    val root = freshRoot()
+    val data = (1L to 12L).map(k => (k, k * 10L))
+    val files = TxnLog.stage(data.toDF("k", "v").repartition(6), root, "t1")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+
+    // plan compaction groups from per-file row counts (manifest-scale
+    // stats, exactly what a real compactor feeds the planner)
+    val counts = spark.read.parquet(files: _*)
+      .select(org.apache.spark.sql.functions.input_file_name().as("file_id"))
+      .groupBy("file_id").count()
+      .withColumn("file_id", org.apache.spark.sql.functions
+        .regexp_replace($"file_id", "^file:(//)?", ""))
+    val plan = LayoutOps.compactionPlan(counts, "file_id", "count", targetRows = 12L)
+    val groups = plan.filter($"merges").select($"file_id", $"compact_group")
+      .as[(String, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    assert(groups.nonEmpty, "fixture: 6 small files must form a merging group")
+    val victims = groups.head._2
+    assert(victims.size > 1)
+
+    // the compactor stages its merged replacement against v1...
+    val packed = TxnLog.stage(
+      spark.read.parquet(victims: _*).coalesce(1), root, "compact1")
+    // ...meanwhile an APPEND lands (touches no victim: no conflict)...
+    append(root, "concurrent-append", Seq((100L, 1000L)))
+    // ...and so does a REWRITE of one victim file (a hotfix upsert)
+    val hotfix = TxnLog.stage(
+      spark.read.parquet(victims.head).as[(Long, Long)]
+        .map { case (k, v) => (k, v + 1) }.toDF("k", "v"), root, "hotfix")
+    TxnLog.commit(root, "upsert", hotfix, removed = Seq(victims.head),
+      readVersion = 1L, txnId = "hotfix")
+    // the compaction read v1: its victims were rewritten under it —
+    // committing now would silently drop the hotfix, so it must abort
+    intercept[TxnLog.ConflictException] {
+      TxnLog.commit(root, "compact", packed, removed = victims,
+        readVersion = 1L, txnId = "compact1")
+    }
+    // the append survived, the hotfix survived, nothing was lost
+    val want = data.map { case (k, v) =>
+      val hotfixed = spark.read.parquet(hotfix: _*).as[(Long, Long)]
+        .collect().toMap
+      (k, hotfixed.getOrElse(k, v))
+    }.toSet + ((100L, 1000L))
+    assert(rows(root) === want)
+
+    // the compactor re-plans against the NEW head and succeeds
+    val live = TxnLog.snapshotFiles(root)
+    val repacked = TxnLog.stage(
+      spark.read.parquet(live: _*).coalesce(1), root, "compact2")
+    TxnLog.commit(root, "compact", repacked, removed = live,
+      readVersion = TxnLog.currentVersion(root), txnId = "compact2")
+    assert(TxnLog.snapshotFiles(root).size === 1)
+    assert(rows(root) === want, "re-planned compaction changes layout, not content")
+  }
+
   test("a replayed txnId is a no-op: the original commit is returned and the log does not grow") {
     val root = freshRoot()
     val files = TxnLog.stage(Seq((1L, 10L)).toDF("k", "v"), root, "t1")

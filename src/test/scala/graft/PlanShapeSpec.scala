@@ -221,6 +221,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("tx_stream_changes recovers commit versions via a broadcast dim, never a shuffle join") {
+    // the change feed joins the scanned rows against a file->version
+    // dim of manifest scale (one row per added file) — at 100 TB that
+    // dim is ~10^5 rows vs ~10^11 data rows, so a SortMergeJoin here
+    // would shuffle the entire feed to tag it
+    val plan = initialPlan("tx_stream_changes")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("no query plans a cartesian product") {
     // The brute-force similarity baselines are non-equi self-joins and
     // legitimately plan BroadcastNestedLoopJoin (one side is known

@@ -276,13 +276,22 @@ object SparkEntry {
   /** A second [[graft.sources.TxnLog]] table for the data-skipping
     * path: ONE append of the %3<=1 orders slice, staged
     * range-clustered on o_orderkey into 8 files with per-file
-    * (min,max) sidecar stats — so a range read can prove most files
-    * irrelevant without opening them. Setup IO, paid by [[prepare]].
+    * (min, max, rows) stats inline in the commit record — so a range
+    * read can prove most files irrelevant without opening them, and
+    * COUNT/MIN/MAX are answerable from the log alone. `o_tag` is a
+    * deterministic high-cardinality secondary key (a Knuth
+    * multiplicative hash of the order key, so it is UNCORRELATED with
+    * the clustering order — every file's [min,max] of it spans the
+    * whole domain and range stats can never prune a tag lookup);
+    * each file carries a bloom filter over it, the index that serves
+    * exactly that lookup. Setup IO, paid by [[prepare]]. The root is
+    * generation-tagged: layout changes bump the tag so a /tmp
+    * survivor from an older build is never half-reused.
     */
   private def ensureTxnRangeTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnr_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnr_g2_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnRangeTables, root) {
       if (TxnLog.currentVersion(root) != 1L) {
         val rootPath = java.nio.file.Paths.get(root)
@@ -296,11 +305,14 @@ object SparkEntry {
         val base = Tables.orders(s, dir)
           .filter(col("o_orderkey") % 3 <= 1)
           .select(col("o_orderkey"),
-            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+            (col("o_orderkey") * lit(2654435761L) % lit(1000000007L)).as("o_tag"))
           .repartitionByRange(8, col("o_orderkey"))
-        val (files, stats) = TxnLog.stageWithStats(base, root, "v1-clustered", "o_orderkey")
+        val (files, stats, blooms) = TxnLog.stageWithIndex(base, root, "v1-clustered",
+          statsCol = "o_orderkey", bloomCol = "o_tag")
         TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
-          txnId = "v1-clustered", stats = stats)
+          txnId = "v1-clustered", stats = stats, statsCol = "o_orderkey",
+          blooms = blooms, bloomCol = "o_tag")
         ()
       }
     }
@@ -507,6 +519,24 @@ object SparkEntry {
       "tx_prune_read" -> ((s, dir) =>
         graft.sources.TxnLog.readRange(s, ensureTxnRangeTable(s, dir),
           "o_orderkey", lo = 1000L, hi = 3000L)),
+      // metadata-only aggregation (X-A33): COUNT/MIN/MAX answered
+      // from the commit records' per-file (min,max,rows) stats — the
+      // fully-statted table opens ZERO data files (TxnLogSpec proves
+      // it white-box by corrupting the parquet underneath); here the
+      // ORACLE pins the numbers against a real scan
+      "tx_stats_agg" -> ((s, dir) =>
+        graft.sources.TxnLog.statsAggregate(s, ensureTxnRangeTable(s, dir),
+          "o_orderkey")),
+      // bloom point lookup (X-A34): o_tag is uncorrelated with the
+      // o_orderkey clustering, so every file's [min,max] spans the
+      // domain and range stats can never skip — the per-file bloom
+      // prunes ~97% of non-containing files instead, and the residual
+      // equality filter keeps the result EXACT regardless of false
+      // positives. Key 1242 is in the table at every test SF
+      // (1242 % 3 = 0; orderkeys are dense from 0).
+      "tx_point_read" -> ((s, dir) =>
+        graft.sources.TxnLog.readPoint(s, ensureTxnRangeTable(s, dir),
+          "o_tag", value = 1242L * 2654435761L % 1000000007L)),
       // streaming read OF the log (X-A29): commits as change batches —
       // the feed after v1 is v2's appended slice plus v3's rewritten
       // post-images, each row stamped with its commit version, all
@@ -650,9 +680,25 @@ object SparkEntry {
 
     "tx_prune_read" ->
       """SELECT o_orderkey,
-                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                o_orderkey * 2654435761 % 1000000007 AS o_tag
          FROM orders
          WHERE o_orderkey % 3 <= 1 AND o_orderkey BETWEEN 1000 AND 3000""",
+
+    // the metadata answer must equal the scan answer bit for bit
+    "tx_stats_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+                CAST(min(o_orderkey) AS BIGINT) AS min_v,
+                CAST(max(o_orderkey) AS BIGINT) AS max_v
+         FROM orders WHERE o_orderkey % 3 <= 1""",
+
+    "tx_point_read" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                o_orderkey * 2654435761 % 1000000007 AS o_tag
+         FROM orders
+         WHERE o_orderkey % 3 <= 1
+           AND o_orderkey * 2654435761 % 1000000007 = 1242 * 2654435761 % 1000000007""",
 
     "tx_stream_changes" ->
       """SELECT o_orderkey,

@@ -65,16 +65,41 @@ import org.apache.spark.sql.types.StructType
   */
 object TxnLog {
 
+  /** Per-file data-skipping statistics: (min, max) of the table's
+    * clustering column plus the file's row count (`rows = -1` when
+    * unknown — records written by a pre-r12 build carry only the
+    * range). The row count is what makes COUNT/MIN/MAX answerable
+    * from the log alone ([[statsAggregate]]): at 100 TB the metadata
+    * answer costs a few KB of JSON instead of a full table scan.
+    */
+  case class FileStat(lo: Long, hi: Long, rows: Long = -1L)
+
+  /** Everything the log knows about one live data file: its stats
+    * (and the column they describe) and its bloom filter (and ITS
+    * column). `statsCol = ""` marks legacy records that never named
+    * their column; pruning treats those as caller-asserted (the
+    * pre-r12 contract) — every NEW stage/commit names the column so
+    * a reader querying a different column can never be mis-pruned.
+    */
+  case class FileMeta(stat: Option[FileStat] = None, statsCol: String = "",
+                      bloom: Option[String] = None, bloomCol: String = "")
+
   /** One committed log record. `stats` (when present) is aligned with
-    * `added`: per-file (min, max) of the clustering column, the
-    * data-skipping metadata [[readRange]] prunes with — inline in the
+    * `added`: per-file [[FileStat]] of `statsCol`, the data-skipping
+    * metadata [[readRange]]/[[statsAggregate]] use — inline in the
     * record (the Delta recipe), so planning needs no sidecar reads
-    * and the stats survive as long as the log does.
+    * and the stats survive as long as the log does. `blooms` (when
+    * present) is likewise aligned with `added`: a hex-encoded bloom
+    * filter over `bloomCol` per file ("" = none), the point-lookup
+    * skipping index [[readPoint]] probes.
     */
   case class Commit(version: Long, action: String, txnId: String,
                     readVersion: Long, added: Seq[String], removed: Seq[String],
-                    stats: Seq[Option[(Long, Long)]] = Nil,
-                    schemaId: String = "")
+                    stats: Seq[Option[FileStat]] = Nil,
+                    schemaId: String = "",
+                    statsCol: String = "",
+                    blooms: Seq[String] = Nil,
+                    bloomCol: String = "")
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -143,22 +168,33 @@ object TxnLog {
         s"txn log path contains reserved character '$c': $p"))
     }
 
-  private def renderStat(s: Option[(Long, Long)]): String =
-    s.map { case (lo, hi) => s"$lo $hi" }.getOrElse("-")
+  private def renderStat(s: Option[FileStat]): String =
+    s.map(st => if (st.rows < 0) s"${st.lo} ${st.hi}"
+                else s"${st.lo} ${st.hi} ${st.rows}").getOrElse("-")
 
-  private def parseStat(s: String): Option[(Long, Long)] =
+  private def parseStat(s: String): Option[FileStat] =
     if (s == "-") None
-    else { val Array(lo, hi) = s.split(" "); Some((lo.toLong, hi.toLong)) }
+    else s.split(" ") match {
+      case Array(lo, hi)    => Some(FileStat(lo.toLong, hi.toLong))
+      case Array(lo, hi, n) => Some(FileStat(lo.toLong, hi.toLong, n.toLong))
+      case _ => sys.error(s"bad stat token: $s")
+    }
 
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val statsPart =
       if (c.stats.isEmpty) "" else s""","stats":${arr(c.stats.map(renderStat))}"""
+    val statsColPart =
+      if (c.statsCol.isEmpty) "" else s""","statsCol":"${c.statsCol}""""
+    val bloomsPart =
+      if (c.blooms.isEmpty) "" else s""","blooms":${arr(c.blooms)}"""
+    val bloomColPart =
+      if (c.bloomCol.isEmpty) "" else s""","bloomCol":"${c.bloomCol}""""
     val schemaPart =
       if (c.schemaId.isEmpty) "" else s""","schema":"${c.schemaId}""""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$schemaPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$bloomsPart$bloomColPart$schemaPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -181,7 +217,8 @@ object TxnLog {
     }
     Commit(num("version"), str("action"), str("txnId"), num("readVersion"),
       arr("added", required = true), arr("removed", required = true),
-      arr("stats", required = false).map(parseStat), strOpt("schema"))
+      arr("stats", required = false).map(parseStat), strOpt("schema"),
+      strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -226,20 +263,24 @@ object TxnLog {
 
   // ---- checkpoints ----
   // `_log/<version>.checkpoint`, format v2: a header line, then
-  //   S <schemaId>          current schema fingerprint (if any)
-  //   T <txnId> <version>   one per committed transaction <= version
-  //   F <path> [<lo> <hi>]  one per LIVE file, stats inline if known
+  //   S <schemaId>                       current schema fingerprint (if any)
+  //   T <txnId> <version>                one per committed transaction <= version
+  //   F <path>                           one per LIVE file (no stats), or
+  //   F <path> <lo> <hi>                 legacy stats, column unnamed, or
+  //   F <path> <col|-> <lo> <hi> <rows>  full stats (rows -1 = unknown)
+  //   B <path> <col> <hex>               bloom filter of a live file
   // Everything snapshot resolution, txnId idempotency, schema
-  // enforcement and stats pruning need, in one atomically-published
-  // artifact — resolution for any version >= the checkpoint folds
-  // only the log tail behind it. Legacy v1 checkpoints (bare path
-  // lines) still load; they carry no ledger, so folds that need one
-  // fall back to version 0 (correct, just unseeded).
+  // enforcement, stats pruning and bloom point-skipping need, in one
+  // atomically-published artifact — resolution for any version >= the
+  // checkpoint folds only the log tail behind it. Legacy v1
+  // checkpoints (bare path lines) still load; they carry no ledger,
+  // so folds that need one fall back to version 0 (correct, just
+  // unseeded).
 
   private val CkptHeader = "#graft-ckpt-v2"
 
   private case class CkptState(version: Long,
-                               files: Seq[(String, Option[(Long, Long)])],
+                               files: Seq[(String, FileMeta)],
                                txns: Map[String, Long],
                                schema: String,
                                hasLedger: Boolean)
@@ -262,19 +303,26 @@ object TxnLog {
     if (lines.headOption.contains(CkptHeader)) {
       var schema = ""
       val txns = Map.newBuilder[String, Long]
-      val files = Seq.newBuilder[(String, Option[(Long, Long)])]
+      val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
         l.split(" ").toSeq match {
           case Seq("S", id)          => schema = id
           case Seq("T", txn, ver)    => txns += (txn -> ver.toLong)
-          case Seq("F", f)           => files += (f -> None)
-          case Seq("F", f, lo, hi)   => files += (f -> Some((lo.toLong, hi.toLong)))
+          case Seq("F", f)           => files(f) = FileMeta()
+          case Seq("F", f, lo, hi)   =>
+            files(f) = FileMeta(Some(FileStat(lo.toLong, hi.toLong)))
+          case Seq("F", f, c, lo, hi, n) =>
+            files(f) = FileMeta(Some(FileStat(lo.toLong, hi.toLong, n.toLong)),
+              statsCol = if (c == "-") "" else c)
+          case Seq("B", f, c, hex)   =>
+            files(f) = files.getOrElse(f, FileMeta())
+              .copy(bloom = Some(hex), bloomCol = c)
           case other => sys.error(s"bad checkpoint line: $l")
         }
       }
-      CkptState(v, files.result(), txns.result(), schema, hasLedger = true)
+      CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true)
     } else // legacy v1: live paths only
-      CkptState(v, lines.map(_ -> None), Map.empty, "", hasLedger = false)
+      CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
 
   /** Latest checkpoint at or below `version`, from a pre-fetched log
@@ -315,15 +363,19 @@ object TxnLog {
       // only tables checkpointed by a pre-v2 build)
       case _ => (0L, CkptState(0L, Nil, Map.empty, "", hasLedger = true))
     }
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
-    seed.files.foreach { case (f, st) => live(f) = st }
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
+    seed.files.foreach { case (f, m) => live(f) = m }
     var schema = seed.schema
     val txns = scala.collection.mutable.Map.empty[String, Long]
     txns ++= seed.txns
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
-      c.added.zip(stats).foreach { case (f, st) => live(f) = st }
+      val blooms = if (c.blooms.size == c.added.size) c.blooms else c.added.map(_ => "")
+      c.added.lazyZip(stats).lazyZip(blooms).foreach { (f, st, bl) =>
+        live(f) = FileMeta(st, if (st.isDefined) c.statsCol else "",
+          Some(bl).filter(_.nonEmpty), if (bl.nonEmpty) c.bloomCol else "")
+      }
       c.removed.foreach(live.remove)
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
@@ -352,10 +404,17 @@ object TxnLog {
     if (st.schema.nonEmpty) body.append("S ").append(st.schema).append('\n')
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
       body.append("T ").append(t).append(' ').append(ver).append('\n') }
-    st.files.foreach { case (f, stat) =>
+    st.files.foreach { case (f, meta) =>
       body.append("F ").append(f)
-      stat.foreach { case (lo, hi) => body.append(' ').append(lo).append(' ').append(hi) }
+      meta.stat.foreach { s =>
+        body.append(' ').append(if (meta.statsCol.isEmpty) "-" else meta.statsCol)
+          .append(' ').append(s.lo).append(' ').append(s.hi).append(' ').append(s.rows)
+      }
       body.append('\n')
+      meta.bloom.foreach { hex =>
+        body.append("B ").append(f).append(' ').append(meta.bloomCol)
+          .append(' ').append(hex).append('\n')
+      }
     }
     val tmp = logDir(root).resolve(s".tmp-ckpt-$v")
     Files.writeString(tmp, body.toString)
@@ -376,10 +435,10 @@ object TxnLog {
   }
 
   /** The live data files of the snapshot at `version`, with their
-    * inline (min, max) stats where known. Metadata-only.
+    * inline stats / bloom metadata where known. Metadata-only.
     */
   def snapshotState(root: String,
-                    version: Long = Long.MaxValue): Seq[(String, Option[(Long, Long)])] =
+                    version: Long = Long.MaxValue): Seq[(String, FileMeta)] =
     resolveState(root, version).files
 
   /** The live data files of the snapshot at `version`. */
@@ -427,24 +486,142 @@ object TxnLog {
       .map(_.toString).sorted
   }
 
-  /** Stage with per-file (min, max) of `statsCol` computed in the
-    * same pass — returned aligned with the file list, for the caller
-    * to pass to [[commit]] so the stats land INLINE in the log record
-    * (no sidecar read at plan time; stats survive vacuum of other
-    * dirs and live exactly as long as the log does).
+  /** Stage with per-file (min, max, rowCount) of `statsCol` computed
+    * in one pass — returned aligned with the file list, for the
+    * caller to pass to [[commit]] so the stats land INLINE in the log
+    * record (no sidecar read at plan time; stats survive vacuum of
+    * other dirs and live exactly as long as the log does). The
+    * per-file grain is bounded by the file count, not the row count —
+    * the collect is metadata-scale.
     */
   def stageWithStats(df: DataFrame, root: String, txnId: String,
-                     statsCol: String): (Seq[String], Seq[Option[(Long, Long)]]) = {
+                     statsCol: String): (Seq[String], Seq[Option[FileStat]]) = {
     val files = stage(df, root, txnId)
     val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max => fmax, min => fmin}
     val ranges = spark.read.parquet(Paths.get(root, "data", txnId).toString)
       .select(input_file_name().as("f"), col(statsCol).cast("long").as("s"))
-      .groupBy("f").agg(fmin("s").as("lo"), fmax("s").as("hi"))
+      .groupBy("f").agg(fmin("s").as("lo"), fmax("s").as("hi"), count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
-        (r.getLong(1), r.getLong(2)))).toMap
+        FileStat(r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     (files, files.map(ranges.get))
+  }
+
+  /** [[stageWithStats]] plus a per-file BLOOM FILTER over `bloomCol`
+    * (a high-cardinality lookup key — typically NOT the clustering
+    * column, whose lookups min/max stats already serve). Returns
+    * (files, stats, blooms) aligned; pass all three to [[commit]].
+    *
+    * The filter is the standard double-hashing bloom (Kirsch &
+    * Mitzenmacher 2006): bit positions `(h1 + i·h2) mod m` for
+    * `i < k`, with h1/h2 the two halves of a 128-bit xxhash64 pair
+    * computed IN SPARK (`xxhash64(v)` / `xxhash64(v, 1)`), so probe
+    * positions ([[readPoint]]) reproduce them exactly by running the
+    * same expressions. Bits are built distributively: explode to
+    * (file, position), distinct (bounded by m per file — map-side
+    * combine collapses duplicates), then OR into a driver-side bitset
+    * whose size is files × m/8 bytes — metadata-scale, same class as
+    * the stats collect above.
+    */
+  def stageWithIndex(df: DataFrame, root: String, txnId: String,
+                     statsCol: String, bloomCol: String,
+                     bloomBits: Int = 8192, bloomK: Int = 4)
+      : (Seq[String], Seq[Option[FileStat]], Seq[String]) = {
+    require(Integer.bitCount(bloomBits) == 1, s"bloomBits must be a power of two: $bloomBits")
+    val (files, stats) = stageWithStats(df, root, txnId, statsCol)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{array, col, collect_set, explode, input_file_name}
+    val positions = array(bloomPosExprs(col(bloomCol), bloomBits, bloomK): _*)
+    val bits = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+      .select(input_file_name().as("f"), explode(positions).as("pos"))
+      .distinct()
+      .groupBy("f").agg(collect_set(col("pos")).as("ps"))
+      .collect()
+      .map { r =>
+        val bs = new java.util.BitSet(bloomBits)
+        r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+        val words = bs.toLongArray.padTo(bloomBits / 64, 0L)
+        // "<k>:<hex>" — k rides with the filter so probe and build
+        // can never disagree on the number of positions to test
+        (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
+          s"$bloomK:" + words.map(w => f"$w%016x").mkString)
+      }.toMap
+    (files, stats, files.map(bits.getOrElse(_, "")))
+  }
+
+  /** The double-hash bit positions for one value: `(h1 + i·h2) mod m`
+    * with both hashes REDUCED mod m first — the sums then stay under
+    * `(k+1)·m`, so the arithmetic can never overflow (ANSI mode
+    * rejects wrapping). ONE definition shared by build
+    * ([[stageWithIndex]]) and probe ([[readPoint]]), so the two can
+    * never drift.
+    */
+  private def bloomPosExprs(v: org.apache.spark.sql.Column, bloomBits: Int,
+                            bloomK: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val m = lit(bloomBits.toLong)
+    val h1 = pmod(xxhash64(v), m)
+    val h2 = pmod(xxhash64(v, lit(1)), m)
+    (0 until bloomK).map(i => pmod(h1 + lit(i.toLong) * h2, m))
+  }
+
+  /** [[bloomPosExprs]] evaluated for a literal probe value via a
+    * 1-row local plan — the probe side of the shared definition.
+    */
+  private def bloomPositions(s: SparkSession, value: Long, bloomBits: Int,
+                             bloomK: Int): Seq[Int] = {
+    import s.implicits._
+    Seq(value).toDF("v")
+      .select(bloomPosExprs(org.apache.spark.sql.functions.col("v"),
+        bloomBits, bloomK).zipWithIndex.map { case (c, i) => c.as(s"p$i") }: _*)
+      .head().toSeq.map(_.asInstanceOf[Long].toInt)
+  }
+
+  private def bloomMaybeContains(hex: String, positions: Seq[Int]): Boolean =
+    positions.forall { p =>
+      if (p / 64 * 16 + 16 > hex.length) true // malformed/foreign filter: inconclusive, keep
+      else {
+        val word = java.lang.Long.parseUnsignedLong(hex.substring(p / 64 * 16, p / 64 * 16 + 16), 16)
+        (word >> (p % 64) & 1L) == 1L
+      }
+    }
+
+  /** Point lookup with bloom-filter file skipping: scan only the
+    * files whose bloom filter (over `column`) might contain `value`,
+    * plus every file with no applicable bloom — then apply the exact
+    * equality filter. Equals `read(...).filter(col === value)` row
+    * for row (blooms have no false negatives; bloom-less files are
+    * always scanned). This is the lookup min/max stats CANNOT serve:
+    * a high-cardinality key uncorrelated with the clustering order
+    * spans every file's range, but each file's bloom rejects it with
+    * probability ≈ (1−e^(−k·n/m))^k — at the default 8192/4 and
+    * ~1000 rows/file, ~97% of non-containing files are skipped.
+    * Min/max stats for `column` are ALSO applied when they describe
+    * it (the skipping stack composes). Metadata-only planning.
+    */
+  def readPoint(s: SparkSession, root: String, column: String, value: Long,
+                version: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val state = snapshotState(root, version)
+    val posCache = scala.collection.mutable.Map.empty[Int, Seq[Int]]
+    val files = state.collect {
+      case (f, m) if {
+        val rangeOk = m.stat.forall(st =>
+          m.statsCol != column || (value >= st.lo && value <= st.hi))
+        val bloomOk = m.bloom.forall { enc =>
+          m.bloomCol != column || !enc.contains(':') || {
+            val Array(kTok, hex) = enc.split(":", 2)
+            val (k, bits) = (kTok.toInt, hex.length * 4)
+            bloomMaybeContains(hex,
+              posCache.getOrElseUpdate(bits * 31 + k, bloomPositions(s, value, bits, k)))
+          }
+        }
+        rangeOk && bloomOk
+      } => f
+    }
+    if (files.isEmpty) read(s, root, version).limit(0).filter(col(column) === value)
+    else s.read.parquet(files: _*).filter(col(column) === value)
   }
 
   /** Commit staged files optimistically. `readVersion` is the
@@ -463,11 +640,18 @@ object TxnLog {
     */
   def commit(root: String, action: String, added: Seq[String],
              removed: Seq[String], readVersion: Long, txnId: String,
-             stats: Seq[Option[(Long, Long)]] = Nil,
-             schemaId: String = ""): Commit = {
+             stats: Seq[Option[FileStat]] = Nil,
+             schemaId: String = "",
+             statsCol: String = "",
+             blooms: Seq[String] = Nil,
+             bloomCol: String = ""): Commit = {
     validatePaths(added ++ removed)
     require(stats.isEmpty || stats.size == added.size,
       s"txn $txnId: stats (${stats.size}) must align with added (${added.size})")
+    require(blooms.isEmpty || blooms.size == added.size,
+      s"txn $txnId: blooms (${blooms.size}) must align with added (${added.size})")
+    require(blooms.forall(b => b.isEmpty || b.matches("\\d+:[0-9a-f]+")),
+      s"txn $txnId: malformed bloom encoding")
     val myRemoved = removed.toSet
     // Checkpoint state is read ONCE: commits landing after it show up
     // in the per-attempt tail fold below, and checkpoints never
@@ -518,7 +702,7 @@ object TxnLog {
               """commit with action = "schema-evolve" to change it""")
       }
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
-        stats, schemaId)
+        stats, schemaId, statsCol, blooms, bloomCol)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -566,9 +750,10 @@ object TxnLog {
     * Metadata-only.
     */
   def prunedFiles(root: String, lo: Long, hi: Long,
-                  version: Long = Long.MaxValue): Seq[String] = {
+                  version: Long = Long.MaxValue,
+                  statsCol: String = ""): Seq[String] = {
     val sidecars = scala.collection.mutable.Map.empty[Path, Map[String, (Long, Long)]]
-    def sidecarStat(f: String): Option[(Long, Long)] = {
+    def sidecarStat(f: String): Option[FileStat] = {
       val dir = Paths.get(f).getParent
       sidecars.getOrElseUpdate(dir, {
         val sc = dir.resolve("_stats.json")
@@ -577,10 +762,17 @@ object TxnLog {
           val Array(p, l, h) = line.split(" ")
           p -> ((l.toLong, h.toLong))
         }.toMap
-      }).get(f)
+      }).get(f).map { case (l, h) => FileStat(l, h) }
     }
+    // a stat applies only if it describes the queried column (legacy
+    // stats with no recorded column are caller-asserted, the pre-r12
+    // contract); a non-applicable or missing stat keeps the file —
+    // pruning must never be unsound
+    def applicable(m: FileMeta): Boolean =
+      m.statsCol.isEmpty || statsCol.isEmpty || m.statsCol == statsCol
     snapshotState(root, version).collect {
-      case (f, st) if st.orElse(sidecarStat(f)).forall { case (l, h) => h >= lo && l <= hi } => f
+      case (f, m) if m.stat.filter(_ => applicable(m)).orElse(sidecarStat(f))
+        .forall(s => s.hi >= lo && s.lo <= hi) => f
     }
   }
 
@@ -593,13 +785,47 @@ object TxnLog {
   def readRange(s: SparkSession, root: String, statsCol: String, lo: Long,
                 hi: Long, version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val files = prunedFiles(root, lo, hi, version)
+    val files = prunedFiles(root, lo, hi, version, statsCol)
     // no overlapping file means provably zero matching rows (files
     // without stats are never pruned) — keep the snapshot's schema if
     // it has one, and skip the residual filter: on a fully empty
     // table the snapshot has no columns to filter on.
     if (files.isEmpty) read(s, root, version).limit(0)
     else s.read.parquet(files: _*).filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** COUNT(*) / MIN / MAX of `statsCol` answered from the LOG, not
+    * the data: files whose commit record carries full stats (range +
+    * row count) for that column contribute pure metadata; only files
+    * without applicable stats — staged by a legacy build, or statted
+    * on a different column — are actually scanned, and their exact
+    * aggregate is unioned in. A fully-statted table answers with ZERO
+    * data-file opens: at 100 TB that is a few KB of JSON against a
+    * full scan, the Delta/Iceberg metadata-only query path. Returns
+    * one row (cnt, min_v, max_v); equals
+    * `read(...).agg(count, min, max)` exactly (stats are written by
+    * the same pass that writes the file, and data files are
+    * immutable).
+    */
+  def statsAggregate(s: SparkSession, root: String, statsCol: String,
+                     version: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin, sum}
+    import s.implicits._
+    val (metadata, scan) = snapshotState(root, version).partition { case (_, m) =>
+      m.stat.exists(_.rows >= 0) &&
+        (m.statsCol.isEmpty || m.statsCol == statsCol)
+    }
+    val metaDF = metadata
+      .map { case (_, m) => val st = m.stat.get; (st.rows, st.lo, st.hi) }
+      .toDF("n", "lo", "hi")
+    val scanDF =
+      if (scan.isEmpty) metaDF.limit(0)
+      else s.read.parquet(scan.map(_._1): _*)
+        .agg(count(lit(1)).as("n"), fmin(col(statsCol)).cast("long").as("lo"),
+          fmax(col(statsCol)).cast("long").as("hi"))
+    metaDF.unionByName(scanDF)
+      .agg(org.apache.spark.sql.functions.coalesce(sum(col("n")), lit(0L)).as("cnt"),
+        fmin(col("lo")).as("min_v"), fmax(col("hi")).as("max_v"))
   }
 
   /** Physically delete data files referenced by NO snapshot at or

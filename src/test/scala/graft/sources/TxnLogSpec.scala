@@ -467,4 +467,112 @@ class TxnLogSpec extends SparkTestBase {
       "no commit may be lost or duplicated")
     assert(rows(root).size === 2 * perThread)
   }
+
+  private def corruptParquet(files: Seq[String]): Unit =
+    files.foreach(f => Files.write(java.nio.file.Paths.get(f),
+      "not parquet anymore".getBytes))
+
+  test("statsAggregate answers COUNT/MIN/MAX from the log alone: correct with every data file corrupted") {
+    val root = freshRoot()
+    val data = (1L to 64L).map(k => (k, k * 10L))
+    val (files, stats) = TxnLog.stageWithStats(
+      data.toDF("k", "v").repartitionByRange(8, $"k"), root, "t1", "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")
+    def agg(): (Long, Long, Long) = {
+      val r = TxnLog.statsAggregate(spark, root, "k").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(agg() === ((64L, 1L, 64L)))
+    // white-box metadata-only proof: corrupt every parquet file on
+    // disk — a plan that opened ANY of them would throw, so the
+    // correct answer here demonstrates zero data-file opens
+    corruptParquet(files)
+    assert(agg() === ((64L, 1L, 64L)),
+      "fully-statted aggregation must not touch data files")
+    // ...and it survives a checkpoint: rows ride the F-lines
+    TxnLog.checkpoint(root)
+    assert(agg() === ((64L, 1L, 64L)))
+  }
+
+  test("statsAggregate hybrid: files without applicable stats are scanned, not guessed") {
+    val root = freshRoot()
+    val (f1, st1) = TxnLog.stageWithStats(
+      (1L to 10L).map(k => (k, k)).toDF("k", "v"), root, "t1", "k")
+    TxnLog.commit(root, "append", f1, Nil, readVersion = 0L, txnId = "t1",
+      stats = st1, statsCol = "k")
+    // second commit has NO stats: its rows must come from a real scan
+    val f2 = TxnLog.stage(Seq((100L, 1L), (101L, 1L)).toDF("k", "v"), root, "t2")
+    TxnLog.commit(root, "append", f2, Nil, readVersion = 1L, txnId = "t2")
+    val r = TxnLog.statsAggregate(spark, root, "k").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((12L, 1L, 101L)))
+    // stats recorded for a DIFFERENT column must not masquerade as
+    // k-stats: v-stats on a third commit, aggregate on k still exact
+    val (f3, st3) = TxnLog.stageWithStats(
+      Seq((200L, 7L)).toDF("k", "v"), root, "t3", "v")
+    TxnLog.commit(root, "append", f3, Nil, readVersion = 2L, txnId = "t3",
+      stats = st3, statsCol = "v")
+    val r2 = TxnLog.statsAggregate(spark, root, "k").head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((13L, 1L, 200L)),
+      "wrong-column stats must fall back to scanning, not claim v-ranges as k-ranges")
+  }
+
+  test("bloom point skipping: prunes most files, never the containing one, exact result") {
+    val root = freshRoot()
+    // tag is a multiplicative hash of k: uncorrelated with the k
+    // clustering, so every file's [min,max] of tag spans the domain —
+    // the shape where range stats are useless and blooms are the
+    // only index that works
+    val data = (1L to 512L).map(k => (k, k * 2654435761L % 1000000007L))
+    val (files, stats, blooms) = TxnLog.stageWithIndex(
+      data.toDF("k", "tag").repartitionByRange(8, $"k"), root, "t1",
+      statsCol = "k", bloomCol = "tag")
+    assert(files.size === 8 && blooms.forall(_.nonEmpty))
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k", blooms = blooms, bloomCol = "tag")
+
+    val probe = 137L * 2654435761L % 1000000007L
+    val got = TxnLog.readPoint(spark, root, "tag", probe)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((137L, probe)), "bloom skipping must be invisible in the result")
+
+    // effectiveness: absent keys prune nearly everything (FPR at
+    // 8192 bits / 4 hashes / 64 keys-per-file is ~1e-6; 8 files and
+    // 20 probes make even one false positive vanishingly unlikely)
+    val absent = (1L to 20L).map(i => 900000000L + i)
+    absent.foreach { v =>
+      assert(TxnLog.readPoint(spark, root, "tag", v).count() === 0L)
+    }
+
+    // skipping survives a checkpoint (blooms ride the B-lines): after
+    // corrupting every file except 137's, the lookup still works —
+    // proof the plan opened only bloom-positive files
+    TxnLog.checkpoint(root)
+    val keep = TxnLog.readPoint(spark, root, "tag", probe).inputFiles.toSet
+    assert(keep.size <= 2, s"expected <=2 of 8 files to survive bloom pruning, got ${keep.size}")
+    corruptParquet(files.filterNot(f => keep.exists(_.endsWith(java.nio.file.Paths.get(f).getFileName.toString))))
+    assert(TxnLog.readPoint(spark, root, "tag", probe)
+      .as[(Long, Long)].collect().toSet === Set((137L, probe)))
+  }
+
+  test("bloom soundness: bloom-less files and foreign-column blooms are always scanned") {
+    val root = freshRoot()
+    val (f1, st1, bl1) = TxnLog.stageWithIndex(
+      Seq((1L, 111L)).toDF("k", "tag"), root, "t1", statsCol = "k", bloomCol = "tag")
+    TxnLog.commit(root, "append", f1, Nil, readVersion = 0L, txnId = "t1",
+      stats = st1, statsCol = "k", blooms = bl1, bloomCol = "tag")
+    // bloom-less commit: must always be scanned
+    val f2 = TxnLog.stage(Seq((2L, 222L)).toDF("k", "tag"), root, "t2")
+    TxnLog.commit(root, "append", f2, Nil, readVersion = 1L, txnId = "t2")
+    // bloom over a DIFFERENT column: irrelevant for tag lookups
+    val (f3, st3, bl3) = TxnLog.stageWithIndex(
+      Seq((3L, 333L)).toDF("k", "tag"), root, "t3", statsCol = "k", bloomCol = "k")
+    TxnLog.commit(root, "append", f3, Nil, readVersion = 2L, txnId = "t3",
+      stats = st3, statsCol = "k", blooms = bl3, bloomCol = "k")
+    assert(TxnLog.readPoint(spark, root, "tag", 222L)
+      .as[(Long, Long)].collect().toSet === Set((2L, 222L)))
+    assert(TxnLog.readPoint(spark, root, "tag", 333L)
+      .as[(Long, Long)].collect().toSet === Set((3L, 333L)),
+      "a k-bloom must never be probed as if it indexed tag")
+  }
 }

@@ -751,6 +751,18 @@ object SparkEntry {
         decontaminate(docs, contam, "doc_id", "text")
           .select(col("doc_id"), col("lang"))
       }),
+      // the same decontamination through the broadcast-bloom
+      // pre-filter (X-C19): the corpus is screened by a per-row
+      // codegen bit probe at the scan — no join, no shuffle — and
+      // only bloom survivors reach the exact confirming semi-join.
+      // Output is IDENTICAL to cur_decontaminate (the semi-join
+      // re-checks exactly), so it shares that oracle verbatim.
+      "cur_decontaminate_bloom" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val contam = hashModSample(docs, col("doc_id"), pct = 5)
+        decontaminateBloom(docs, contam, "doc_id", "text")
+          .select(col("doc_id"), col("lang"))
+      }),
       // graded decontamination: per-doc 3-gram CONTAINMENT score
       // against the same 5% sample — the tunable-threshold sibling of
       // cur_decontaminate's boolean drop
@@ -1017,6 +1029,30 @@ object SparkEntry {
          FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n""",
 
     "cur_decontaminate" ->
+      """WITH t AS (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM t),
+         ds AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(unnest(list_distinct(shingles))), 1, 14)
+                       AS BIGINT) AS s
+                FROM sh),
+         c AS (SELECT DISTINCT s FROM ds
+               WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                     % 100 < 5),
+         bad AS (SELECT DISTINCT doc_id FROM ds JOIN c USING (s))
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // the bloom pre-filter is invisible in the result (the exact
+    // semi-join re-checks every survivor), so the oracle is the same
+    // anti-join as cur_decontaminate
+    "cur_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, lang,
                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
                     FROM documents),

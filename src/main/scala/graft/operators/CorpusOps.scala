@@ -241,6 +241,79 @@ object CorpusOps {
     docs.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] with a BROADCAST BLOOM pre-filter — identical
+    * output, different scale shape. The plain version ships every
+    * distinct (doc, shingle-hash) pair into a semi-join against the
+    * contamination set: fine while the eval set fits a broadcast hash
+    * relation, but the probe side still pays a join for EVERY shingle
+    * of the corpus, and a contamination set past the broadcast
+    * threshold turns the whole thing into a corpus-wide shuffle. Here
+    * the contamination set is collapsed to a bloom filter (built
+    * driver-side from its distinct hashes — bounded by the EVAL set's
+    * size, the same collect Spark's own runtime bloom-join performs,
+    * never by the corpus), broadcast as a plain array literal, and
+    * probed by a pure per-row codegen predicate: the corpus is
+    * filtered AT THE SCAN, no join, no shuffle. Only the surviving
+    * ~0.2% (true hits + the filter's false positives) reach the exact
+    * confirming semi-join, so the expensive path is sized by the
+    * CONTAMINATED fraction, not the corpus. False positives cannot
+    * leak into the result — the semi-join re-checks exactly; false
+    * negatives cannot occur — every set bit is present. m is sized to
+    * 16 bits/key (FPR ≈ 0.2% at k = 4) and capped at 2^22 per the
+    * plan-literal budget.
+    *
+    * Bit probe: double hashing `(h1 + i·h2) mod m` (Kirsch &
+    * Mitzenmacher 2006) with both halves pre-reduced mod m (ANSI-safe
+    * — no overflow), word lookup via `element_at`, bit extract via
+    * `shiftright(word, pos) & 1` — builtins only, fully codegen'd,
+    * shared literally between the driver-side build and the probe.
+    */
+  def decontaminateBloom(docs: DataFrame, contamination: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         bloomK: Int = 4): DataFrame = {
+    def hashed(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(array_distinct(DedupOps.shingles(col(textCol), n))).as("__s0"))
+        .select(col(idCol), conv(substring(md5(col("__s0")), 1, 14), 16, 10)
+          .cast("long").as("__sh"))
+    val contamShingles = hashed(contamination).select(col("__sh")).distinct()
+    val keys = contamShingles.collect().map(_.getLong(0))
+    val m = math.min(1 << 22,
+      math.max(1024, java.lang.Long.highestOneBit(math.max(1L, keys.length * 16L - 1)) << 1)).toInt
+    def posOf(h1: Long, h2: Long, i: Int): Int = {
+      val p = (Math.floorMod(h1, m) + i.toLong * Math.floorMod(h2, m)) % m
+      p.toInt
+    }
+    val words = new Array[Long](m / 64)
+    // the same xxhash64 pair the probe expressions compute, evaluated
+    // through Spark once for the whole key set (build and probe can
+    // never drift: both are xxhash64(v) / xxhash64(v, 1) mod m)
+    val sp = contamination.sparkSession
+    import sp.implicits._
+    keys.toSeq.toDF("v")
+      .select(xxhash64(col("v")).as("h1"), xxhash64(col("v"), lit(1)).as("h2"))
+      .collect()
+      .foreach { r =>
+        (0 until bloomK).foreach { i =>
+          val p = posOf(r.getLong(0), r.getLong(1), i)
+          words(p / 64) |= 1L << (p % 64)
+        }
+      }
+    val wordsLit = typedlit(words.toSeq)
+    val h1 = pmod(xxhash64(col("__sh")), lit(m.toLong))
+    val h2 = pmod(xxhash64(col("__sh"), lit(1)), lit(m.toLong))
+    val maybeContaminated = (0 until bloomK).map { i =>
+      val p = pmod(h1 + lit(i.toLong) * h2, lit(m.toLong))
+      (call_function("shiftright",
+        element_at(wordsLit, (p / 64).cast("int") + lit(1)),
+        (p % 64).cast("int")) % 2 =!= 0) // & 1 via mod 2 of the shifted word
+    }.reduce(_ && _)
+    val candidates = hashed(docs).filter(maybeContaminated)
+    val contaminatedIds = candidates.join(contamShingles, Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** GRADED decontamination — per-document n-gram CONTAINMENT score
     * instead of [[decontaminate]]'s boolean any-hit:
     * `|distinct doc n-grams ∩ contamination n-grams| / |distinct doc

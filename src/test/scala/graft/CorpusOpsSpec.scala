@@ -171,6 +171,20 @@ class CorpusOpsSpec extends SparkTestBase {
     } finally scores.unpersist()
   }
 
+  test("decontaminateBloom: bit-identical to decontaminate (false positives re-checked, none leak)") {
+    val contam = hashModSample(docs, col("doc_id"), pct = 5)
+    val plain = decontaminate(docs, contam, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = decontaminateBloom(docs, contam, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed === plain,
+      "the bloom pre-filter must be invisible in the result")
+    // degenerate contamination set: empty sample -> bloom of zero
+    // keys -> nothing pruned, nothing dropped
+    val none = docs.filter(lit(false))
+    assert(decontaminateBloom(docs, none, "doc_id", "text").count() === docs.count())
+  }
+
   test("quantileBinsApprox tracks exact ntile deciles within one bin") {
     import spark.implicits._
     val exact = SparkEntry.queries("cur_quantile_bins")(spark, sfDir)

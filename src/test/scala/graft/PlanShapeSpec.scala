@@ -373,4 +373,17 @@ class PlanShapeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("cur_decontaminate_bloom: corpus screened by a scan-level bit probe, joins only on survivors") {
+    val plan = initialPlan("cur_decontaminate_bloom")
+    // the bloom probe is a per-row codegen predicate (shiftright over
+    // the broadcast word array) sitting in a Filter — BEFORE any join
+    assert(plan.contains("shiftright"),
+      s"bloom bit probe missing from the plan:\n$plan")
+    // both the confirming semi-join and the final anti-join run over
+    // bloom survivors / contaminated ids — small sides, broadcast;
+    // the corpus must never be shuffled into a sort-merge join
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontamination must not sort-merge the corpus:\n$plan")
+  }
 }

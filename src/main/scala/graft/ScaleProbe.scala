@@ -431,6 +431,56 @@ object ScaleProbe {
         println(f"""{"op":"txn_commit","k":$n,"rows":$n,"sec":${raw / 1000}%.5f,"ckpt_sec":${ck / 1000}%.5f,"replay_ms":$replay%.3f,"vacuum_ms":$vac%.3f,"vacuumed":${vacuumed.size}}""")
       }
     }
+
+    // Metadata-query ladder (X-A33/X-A34): statsAggregate over a
+    // fully-statted table must cost METADATA (a local n-file fold +
+    // one tiny Spark agg), independent of data volume — the fake
+    // paths prove it never opens a file. Then one real-data point:
+    // bloom point lookup vs full-scan equality on the same table,
+    // with the scanned-file count.
+    if (enabled("txn_metadata")) {
+      import graft.sources.TxnLog
+      Seq(64, 256, 1024).foreach { n =>
+        val root = java.nio.file.Files.createTempDirectory(s"graft-txnmeta-$n").toString
+        TxnLog.init(root)
+        (1 to n).foreach(i =>
+          TxnLog.commit(root, "append", Seq(s"/fake/f$i"), Nil,
+            readVersion = 0L, txnId = s"t$i",
+            stats = Seq(Some(TxnLog.FileStat(i * 100L, i * 100L + 99L, 1000L))),
+            statsCol = "k"))
+        TxnLog.checkpoint(root)
+        val t0 = System.nanoTime()
+        (1 to 20).foreach(_ => TxnLog.statsAggregate(spark, root, "k").head())
+        val agg = (System.nanoTime() - t0) / 1e6 / 20
+        println(f"""{"op":"txn_metadata","k":$n,"rows":${n * 1000},"sec":${agg / 1000}%.5f}""")
+      }
+      // real-data bloom point: 32 files × 2048 rows, tag uncorrelated
+      // with the k clustering
+      val root = java.nio.file.Files.createTempDirectory("graft-txnbloom").toString
+      TxnLog.init(root)
+      val df = spark.range(0, 65536)
+        .select(col("id").as("k"),
+          (col("id") * lit(2654435761L) % lit(1000000007L)).as("tag"))
+        .repartitionByRange(32, col("k"))
+      // ~16 bits/key (2048 rows/file): FPR ≈ 0.2% at k=4 — the
+      // production sizing rule; the 8192-bit default suits ≤1k-row files
+      val (files, stats, blooms) = TxnLog.stageWithIndex(df, root, "t1",
+        statsCol = "k", bloomCol = "tag", bloomBits = 32768)
+      TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+        stats = stats, statsCol = "k", blooms = blooms, bloomCol = "tag")
+      val probeTag = 4242L * 2654435761L % 1000000007L
+      def timeN(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); var r = 0L
+        (1 to 10).foreach(_ => r = f)
+        ((System.nanoTime() - t0) / 1e6 / 10, r)
+      }
+      val pointDf = TxnLog.readPoint(spark, root, "tag", probeTag)
+      val scanned = pointDf.inputFiles.length
+      val (ptMs, ptRows) = timeN(TxnLog.readPoint(spark, root, "tag", probeTag).count())
+      val (fsMs, fsRows) = timeN(TxnLog.read(spark, root).filter(col("tag") === probeTag).count())
+      require(ptRows == fsRows, s"bloom path must match full scan: $ptRows vs $fsRows")
+      println(f"""{"op":"txn_bloom_point","k":32,"rows":65536,"sec":${ptMs / 1000}%.5f,"full_scan_sec":${fsMs / 1000}%.5f,"files_scanned":$scanned,"files_total":${files.size}}""")
+    }
     spark.stop()
   }
 }

@@ -318,6 +318,88 @@ object SparkEntry {
     }
   }
 
+  /** Deletion-vector txn tables already built this JVM. */
+  private val materializedTxnDeleteTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** A third [[graft.sources.TxnLog]] table for the row-level-delete
+    * path: v1 appends the %3<=1 orders slice (8 range-clustered
+    * files), v2 marks every o_orderkey%5==2 row deleted in per-file
+    * DELETION VECTORS — no file rewritten; v2's visible content is a
+    * pure predicate over orders, which is what lets DuckDB oracle the
+    * DV read path without seeing bitmaps.
+    */
+  private def ensureTxnDeleteTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxnLog
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnd_${dirTag(dir)}_${ordersFingerprint(dir)}"
+    materializeOnce(materializedTxnDeleteTables, root) {
+      if (TxnLog.currentVersion(root) != 2L) {
+        val rootPath = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(rootPath)) {
+          import java.util.Comparator
+          java.nio.file.Files.walk(rootPath)
+            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        TxnLog.init(root)
+        val base = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 <= 1)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .repartitionByRange(8, col("o_orderkey"))
+        val (files, stats) = TxnLog.stageWithStats(base, root, "v1-append", "o_orderkey")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = "v1-append", stats = stats, statsCol = "o_orderkey")
+        TxnLog.deleteWhere(s, root, col("o_orderkey") % 5 === 2, "v2-delete")
+        ()
+      }
+    }
+  }
+
+  /** Merge txn tables already built this JVM. */
+  private val materializedTxnMergeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** A fourth [[graft.sources.TxnLog]] table for the MERGE path: v1
+    * appends the %3<=1 orders slice (8 range-clustered, statted
+    * files), v2 MERGES the %4==1 slice with every price bumped +7 —
+    * updates where the key exists, inserts where it does not, and
+    * only stats-affected files rewritten. Both versions are pure
+    * predicates over orders, so DuckDB oracles the merge semantics
+    * without seeing the log.
+    */
+  private def ensureTxnMergeTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxnLog
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnm_${dirTag(dir)}_${ordersFingerprint(dir)}"
+    materializeOnce(materializedTxnMergeTables, root) {
+      if (TxnLog.currentVersion(root) != 2L) {
+        val rootPath = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(rootPath)) {
+          import java.util.Comparator
+          java.nio.file.Files.walk(rootPath)
+            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        TxnLog.init(root)
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val base = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 <= 1)
+          .select(col("o_orderkey"), cents.as("price_cents"))
+          .repartitionByRange(8, col("o_orderkey"))
+        val (files, stats) = TxnLog.stageWithStats(base, root, "v1-append", "o_orderkey")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = "v1-append", stats = stats, statsCol = "o_orderkey")
+        val source = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey"), (cents + 7).as("price_cents"))
+        TxnLog.mergeInto(s, root, source, "o_orderkey", "v2-merge")
+        ()
+      }
+    }
+  }
+
   /** One-time side-artifact materialization for `dir` (the s8 file
     * topic, the j9 bucketed tables, the partitioned events layout,
     * the schema-evolved generations, the z-order file-stats manifest).
@@ -333,6 +415,8 @@ object SparkEntry {
     ensureZorderStats(s, dir)
     ensureTxnTable(s, dir)
     ensureTxnRangeTable(s, dir)
+    ensureTxnDeleteTable(s, dir)
+    ensureTxnMergeTable(s, dir)
     ()
   }
 
@@ -546,6 +630,31 @@ object SparkEntry {
         graft.sources.TxnStream.readChanges(s, root, fromExclusive = 1L, toInclusive = 3L)
           .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
       }),
+      // stats-pruned MERGE INTO (X-A36): the %4==1 source updates
+      // existing keys (+7 cents) and inserts the rest; only files
+      // whose [min,max] key range can hold a source key are
+      // rewritten. The head snapshot is a pure two-predicate CASE
+      // for the oracle.
+      "tx_merge_read" -> ((s, dir) =>
+        graft.sources.TxnLog.read(s, ensureTxnMergeTable(s, dir))),
+      // row-level delete via deletion vectors (X-A35): %5==2 keys are
+      // marked dead in per-file bitmaps — zero files rewritten — and
+      // every read applies the vector transparently; the oracle sees
+      // only the surviving predicate
+      "tx_delete_read" -> ((s, dir) =>
+        graft.sources.TxnLog.read(s, ensureTxnDeleteTable(s, dir))),
+      // ...and time travel UNDER the delete: v1 still shows every row
+      "tx_delete_travel" -> ((s, dir) =>
+        graft.sources.TxnLog.read(s, ensureTxnDeleteTable(s, dir), version = 1L)),
+      // the DELETE half of the change feed (X-A37): pre-images of the
+      // rows v2's deletion vectors killed, stamped with the deleting
+      // commit's version — what a downstream mirror applies as
+      // retractions
+      "tx_delete_feed" -> ((s, dir) => {
+        val root = ensureTxnDeleteTable(s, dir)
+        graft.sources.TxnStream.readDeletes(s, root, fromExclusive = 1L, toInclusive = 2L)
+          .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
+      }),
       // the commit log AS a table (provenance/ops surface): version,
       // action and the snapshot each txn read — deterministic for the
       // three-commit fixture, so the oracle is a VALUES literal
@@ -699,6 +808,36 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 3 <= 1
            AND o_orderkey * 2654435761 % 1000000007 = 1242 * 2654435761 % 1000000007""",
+
+    // merge semantics: %4==1 rows carry the source's bumped price
+    // (update where the key pre-existed, insert where it did not);
+    // everything else keeps v1's price
+    "tx_merge_read" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 4 = 1
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                END AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 OR o_orderkey % 4 = 1""",
+
+    "tx_delete_read" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 2""",
+
+    "tx_delete_travel" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey % 3 <= 1""",
+
+    "tx_delete_feed" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 = 2""",
 
     "tx_stream_changes" ->
       """SELECT o_orderkey,

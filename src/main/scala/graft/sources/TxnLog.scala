@@ -75,14 +75,19 @@ object TxnLog {
   case class FileStat(lo: Long, hi: Long, rows: Long = -1L)
 
   /** Everything the log knows about one live data file: its stats
-    * (and the column they describe) and its bloom filter (and ITS
-    * column). `statsCol = ""` marks legacy records that never named
-    * their column; pruning treats those as caller-asserted (the
-    * pre-r12 contract) — every NEW stage/commit names the column so
-    * a reader querying a different column can never be mis-pruned.
+    * (and the column they describe), its bloom filter (and ITS
+    * column), and its deletion vector. `statsCol = ""` marks legacy
+    * records that never named their column; pruning treats those as
+    * caller-asserted (the pre-r12 contract) — every NEW stage/commit
+    * names the column so a reader querying a different column can
+    * never be mis-pruned. `dv` is a hex bitset over ROW INDEXES
+    * (parquet scan order, `_metadata.row_index`): set bits are
+    * deleted rows, unioned across delete commits, cleared when the
+    * file itself is rewritten.
     */
   case class FileMeta(stat: Option[FileStat] = None, statsCol: String = "",
-                      bloom: Option[String] = None, bloomCol: String = "")
+                      bloom: Option[String] = None, bloomCol: String = "",
+                      dv: Option[String] = None)
 
   /** One committed log record. `stats` (when present) is aligned with
     * `added`: per-file [[FileStat]] of `statsCol`, the data-skipping
@@ -91,7 +96,10 @@ object TxnLog {
     * and the stats survive as long as the log does. `blooms` (when
     * present) is likewise aligned with `added`: a hex-encoded bloom
     * filter over `bloomCol` per file ("" = none), the point-lookup
-    * skipping index [[readPoint]] probes.
+    * skipping index [[readPoint]] probes. `dvFiles`/`dvs` (aligned
+    * with each other, NOT with `added`) carry row-level deletes:
+    * per-file hex bitsets of deleted row indexes ([[deleteWhere]]) —
+    * a delete prices at O(deleted-row metadata), not a file rewrite.
     */
   case class Commit(version: Long, action: String, txnId: String,
                     readVersion: Long, added: Seq[String], removed: Seq[String],
@@ -99,7 +107,9 @@ object TxnLog {
                     schemaId: String = "",
                     statsCol: String = "",
                     blooms: Seq[String] = Nil,
-                    bloomCol: String = "")
+                    bloomCol: String = "",
+                    dvFiles: Seq[String] = Nil,
+                    dvs: Seq[String] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -190,11 +200,14 @@ object TxnLog {
       if (c.blooms.isEmpty) "" else s""","blooms":${arr(c.blooms)}"""
     val bloomColPart =
       if (c.bloomCol.isEmpty) "" else s""","bloomCol":"${c.bloomCol}""""
+    val dvPart =
+      if (c.dvFiles.isEmpty) ""
+      else s""","dvFiles":${arr(c.dvFiles)},"dvs":${arr(c.dvs)}"""
     val schemaPart =
       if (c.schemaId.isEmpty) "" else s""","schema":"${c.schemaId}""""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$bloomsPart$bloomColPart$schemaPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$bloomsPart$bloomColPart$dvPart$schemaPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -218,7 +231,8 @@ object TxnLog {
     Commit(num("version"), str("action"), str("txnId"), num("readVersion"),
       arr("added", required = true), arr("removed", required = true),
       arr("stats", required = false).map(parseStat), strOpt("schema"),
-      strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"))
+      strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"),
+      arr("dvFiles", required = false), arr("dvs", required = false))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -317,6 +331,8 @@ object TxnLog {
           case Seq("B", f, c, hex)   =>
             files(f) = files.getOrElse(f, FileMeta())
               .copy(bloom = Some(hex), bloomCol = c)
+          case Seq("D", f, hex)      =>
+            files(f) = files.getOrElse(f, FileMeta()).copy(dv = Some(hex))
           case other => sys.error(s"bad checkpoint line: $l")
         }
       }
@@ -376,6 +392,11 @@ object TxnLog {
         live(f) = FileMeta(st, if (st.isDefined) c.statsCol else "",
           Some(bl).filter(_.nonEmpty), if (bl.nonEmpty) c.bloomCol else "")
       }
+      c.dvFiles.zip(c.dvs).foreach { case (f, hex) =>
+        // DVs union across delete commits (set bits only accumulate);
+        // a DV for a file already removed is a no-op
+        live.get(f).foreach(m => live(f) = m.copy(dv = Some(hexOr(m.dv, hex))))
+      }
       c.removed.foreach(live.remove)
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
@@ -414,6 +435,9 @@ object TxnLog {
       meta.bloom.foreach { hex =>
         body.append("B ").append(f).append(' ').append(meta.bloomCol)
           .append(' ').append(hex).append('\n')
+      }
+      meta.dv.foreach { hex =>
+        body.append("D ").append(f).append(' ').append(hex).append('\n')
       }
     }
     val tmp = logDir(root).resolve(s".tmp-ckpt-$v")
@@ -459,10 +483,201 @@ object TxnLog {
   def read(s: SparkSession, root: String,
            version: Long = Long.MaxValue,
            mergeSchema: Boolean = false): DataFrame = {
-    val files = snapshotFiles(root, version)
+    val state = snapshotState(root, version)
+    val files = state.map(_._1)
     if (files.isEmpty) s.emptyDataFrame
-    else if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
-    else s.read.parquet(files: _*)
+    else {
+      val base =
+        if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
+        else s.read.parquet(files: _*)
+      applyDeletionVectors(base, state)
+    }
+  }
+
+  /** Bitwise OR of two hex bitsets (shorter one zero-padded). */
+  private def hexOr(a: Option[String], b: String): String = a match {
+    case None => b
+    case Some(x) =>
+      val (long, short) = if (x.length >= b.length) (x, b) else (b, x)
+      long.zipWithIndex.map { case (c, i) =>
+        if (i < short.length)
+          f"${Integer.parseInt(c.toString, 16) | Integer.parseInt(short(i).toString, 16)}%x"
+        else c
+      }.mkString
+  }
+
+  /** Filter out rows whose (file, row-index) bit is set in the file's
+    * deletion vector. No live DV → the input frame is returned
+    * UNTOUCHED (no `_metadata` columns, no join — the common case
+    * pays nothing). With DVs: one BROADCAST join against a dim of
+    * (file, bitmap) — one row per DV'd file, O(files × dv bytes),
+    * never O(deleted rows) — and a per-row codegen bit test
+    * (`_metadata.row_index` → hex nibble → shiftright & 1). All
+    * builtins, whole-stage codegen'd, applied by every read path
+    * (snapshot, range, point), so a delete is visible everywhere at
+    * O(deleted-row metadata) cost with zero file rewrites.
+    */
+  /** Normalized file path of the current row, from the scan's
+    * metadata pseudo-column (stored log paths are plain absolute).
+    */
+  private[sources] def metaFilePath: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+  }
+
+  /** Is `riCol`'s bit set in the `dvCol` hex bitmap? Word `ri/64`
+    * prints as 16 hex chars MSB-first, so bit b = ri mod 64 lives in
+    * char `15 - b/4` of that word with value `2^(b mod 4)`. Rows past
+    * the bitmap's end (and files with no bitmap) are NOT deleted.
+    * Builtins only — whole-stage codegen'd.
+    */
+  private[sources] def dvBitSet(dvCol: org.apache.spark.sql.Column,
+                                riCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val b = pmod(riCol, lit(64L))
+    val charPos = (floor(riCol / 64) * 16 + lit(15L) - floor(b / 4) + 1).cast("int")
+    val nib = conv(call_function("substring", dvCol, charPos, lit(1)), 16, 10)
+      .cast("int")
+    coalesce(dvCol.isNotNull && charPos <= length(dvCol) &&
+      call_function("shiftright", nib, pmod(b, lit(4L)).cast("int")) % 2 =!= 0,
+      lit(false))
+  }
+
+  /** Join the (file, bitmap) dim and keep only live rows; the frame
+    * gains `__fp`/`__ri` helper columns the caller may use or drop.
+    */
+  private def dvFiltered(base: DataFrame,
+                         dvs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dim = base.sparkSession.createDataFrame(dvs).toDF("__dvf", "__dv")
+    base.withColumn("__fp", metaFilePath)
+      .withColumn("__ri", col("_metadata.row_index"))
+      .join(broadcast(dim), col("__fp") === col("__dvf"), "left")
+      .filter(!dvBitSet(col("__dv"), col("__ri")))
+      .drop("__dvf", "__dv")
+  }
+
+  private def applyDeletionVectors(base: DataFrame,
+                                   state: Seq[(String, FileMeta)]): DataFrame = {
+    val dvs = state.collect { case (f, m) if m.dv.isDefined => (f, m.dv.get) }
+    if (dvs.isEmpty) return base
+    val cols = base.columns // original projection, before helper columns
+    dvFiltered(base, dvs).select(cols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Row-level DELETE as metadata: mark matching rows in per-file
+    * deletion-vector bitmaps and commit action `"delete"` — NO file
+    * is rewritten, the delete costs O(deleted rows) to plan and
+    * O(bitmap bytes) in the log, against a copy-on-write rewrite of
+    * every touched file (at 100 TB, deleting one user's rows from a
+    * billion-row table rewrites gigabytes; the DV prices it at KB).
+    * This is the public Delta deletion-vector / Iceberg
+    * position-delete design. Reads apply DVs transparently
+    * ([[applyDeletionVectors]]); DVs union across delete commits;
+    * a rewrite of the file clears them (the staged copy is written
+    * from a DV-filtered read, so the deletes are COMPACTED INTO the
+    * rewrite, not lost); the conflict matrix in [[commit]] keeps
+    * delete/rewrite races serializable. The planning collect is
+    * bounded by the delete's own row count — the same bound the
+    * bitmap itself costs.
+    *
+    * Returns the commit, or None if the predicate matched no rows
+    * (no version is burned for a no-op).
+    */
+  def deleteWhere(s: SparkSession, root: String,
+                  condition: org.apache.spark.sql.Column,
+                  txnId: String): Option[Commit] = {
+    import org.apache.spark.sql.functions._
+    val readV = currentVersion(root)
+    val state = snapshotState(root, readV)
+    if (state.isEmpty) return None
+    // matching rows among the LIVE rows only (re-marking an
+    // already-deleted row would be a harmless union, but burning a
+    // version for a delete whose every match was already dead is not)
+    val base = s.read.parquet(state.map(_._1): _*)
+    val existing = state.collect { case (f, m) if m.dv.isDefined => (f, m.dv.get) }
+    val live =
+      if (existing.isEmpty)
+        base.withColumn("__fp", metaFilePath)
+          .withColumn("__ri", col("_metadata.row_index"))
+      else dvFiltered(base, existing)
+    val hits = live.filter(condition)
+      .select(col("__fp").as("f"), col("__ri").as("ri"))
+      .collect()
+    if (hits.isEmpty) return None
+    val byFile = hits.groupBy(_.getString(0))
+    val (dvFiles, dvs) = byFile.toSeq.sortBy(_._1).map { case (f, rows) =>
+      val maxRi = rows.map(_.getLong(1)).max
+      val words = new Array[Long](maxRi.toInt / 64 + 1)
+      rows.foreach { r =>
+        val p = r.getLong(1); words(p.toInt / 64) |= 1L << (p % 64)
+      }
+      (f, words.map(w => f"$w%016x").mkString)
+    }.unzip
+    Some(commit(root, "delete", added = Nil, removed = Nil,
+      readVersion = readV, txnId = txnId, dvFiles = dvFiles, dvs = dvs))
+  }
+
+  /** Keyed MERGE (upsert): rows of `source` REPLACE table rows with
+    * the same `keyCol` value; unmatched source rows are inserts. The
+    * 100 TB property is the FILE PRUNING: only files whose recorded
+    * [min, max] of `keyCol` can contain a source key are rewritten —
+    * a merge touching one key range rewrites a handful of files, not
+    * the table. Affected-file discovery is a metadata broadcast join
+    * (the O(files) range dim against the source's keys — the source
+    * is never collected); files without applicable stats are ALWAYS
+    * treated as affected (soundness, same contract as read-side
+    * pruning). The rewrite reads affected files DV-filtered (deletes
+    * are compacted in, vectors die with the files), anti-joins the
+    * source keys, unions the source, and commits copy-on-write with
+    * `removed` = the affected files — so the standard conflict matrix
+    * arbitrates merge∥merge and merge∥delete races. `source` must
+    * have the table's schema and at most one row per key (enforced:
+    * a multi-row key would make the merge order-dependent).
+    *
+    * This is the public Delta MERGE INTO shape (Armbrust VLDB'20 §4);
+    * the pruning corresponds to its file-skipping on the ON clause.
+    */
+  def mergeInto(s: SparkSession, root: String, source: DataFrame,
+                keyCol: String, txnId: String): Commit = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val readV = currentVersion(root)
+    val state = snapshotState(root, readV)
+    val dup = source.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has multiple rows for $keyCol = ${dup.headOption.map(_.get(0)).orNull}")
+    val ranged = state.collect {
+      case (f, m) if m.stat.isDefined && (m.statsCol.isEmpty || m.statsCol == keyCol) =>
+        (f, m.stat.get.lo, m.stat.get.hi)
+    }
+    val unranged = state.map(_._1).toSet -- ranged.map(_._1)
+    val affected: Set[String] =
+      if (ranged.isEmpty) state.map(_._1).toSet
+      else {
+        val dim = s.createDataFrame(ranged).toDF("__mf", "__lo", "__hi")
+        val hits = source.select(col(keyCol).cast("long").as("__mk"))
+          .join(broadcast(dim),
+            col("__mk") >= col("__lo") && col("__mk") <= col("__hi"))
+          .select(col("__mf")).distinct().collect().map(_.getString(0))
+        unranged ++ hits
+      }
+    if (affected.isEmpty) {
+      // pure insert: no live file can hold any source key
+      val (files, stats) = stageWithStats(source, root, txnId, keyCol)
+      return commit(root, "merge", files, Nil, readVersion = readV,
+        txnId = txnId, stats = stats, statsCol = keyCol,
+        schemaId = schemaFingerprint(source.schema))
+    }
+    val affectedState = state.filter(f => affected(f._1))
+    val existing = applyDeletionVectors(
+      s.read.parquet(affectedState.map(_._1): _*), affectedState)
+    val out = existing.join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(source)
+    val (files, stats) = stageWithStats(out, root, txnId, keyCol)
+    commit(root, "merge", files, removed = affectedState.map(_._1),
+      readVersion = readV, txnId = txnId, stats = stats, statsCol = keyCol,
+      schemaId = schemaFingerprint(source.schema))
   }
 
   /** Stable fingerprint of a schema (names + types, order-blind) —
@@ -605,8 +820,8 @@ object TxnLog {
     import org.apache.spark.sql.functions.col
     val state = snapshotState(root, version)
     val posCache = scala.collection.mutable.Map.empty[Int, Seq[Int]]
-    val files = state.collect {
-      case (f, m) if {
+    val kept = state.filter {
+      case (f, m) => {
         val rangeOk = m.stat.forall(st =>
           m.statsCol != column || (value >= st.lo && value <= st.hi))
         val bloomOk = m.bloom.forall { enc =>
@@ -618,10 +833,11 @@ object TxnLog {
           }
         }
         rangeOk && bloomOk
-      } => f
+      }
     }
-    if (files.isEmpty) read(s, root, version).limit(0).filter(col(column) === value)
-    else s.read.parquet(files: _*).filter(col(column) === value)
+    if (kept.isEmpty) read(s, root, version).limit(0).filter(col(column) === value)
+    else applyDeletionVectors(s.read.parquet(kept.map(_._1): _*), kept)
+      .filter(col(column) === value)
   }
 
   /** Commit staged files optimistically. `readVersion` is the
@@ -644,15 +860,22 @@ object TxnLog {
              schemaId: String = "",
              statsCol: String = "",
              blooms: Seq[String] = Nil,
-             bloomCol: String = ""): Commit = {
-    validatePaths(added ++ removed)
+             bloomCol: String = "",
+             dvFiles: Seq[String] = Nil,
+             dvs: Seq[String] = Nil): Commit = {
+    validatePaths(added ++ removed ++ dvFiles)
     require(stats.isEmpty || stats.size == added.size,
       s"txn $txnId: stats (${stats.size}) must align with added (${added.size})")
     require(blooms.isEmpty || blooms.size == added.size,
       s"txn $txnId: blooms (${blooms.size}) must align with added (${added.size})")
     require(blooms.forall(b => b.isEmpty || b.matches("\\d+:[0-9a-f]+")),
       s"txn $txnId: malformed bloom encoding")
+    require(dvFiles.size == dvs.size,
+      s"txn $txnId: dvFiles (${dvFiles.size}) must align with dvs (${dvs.size})")
+    require(dvs.forall(_.matches("[0-9a-f]+")),
+      s"txn $txnId: malformed deletion-vector encoding")
     val myRemoved = removed.toSet
+    val myDvFiles = dvFiles.toSet
     // Checkpoint state is read ONCE: commits landing after it show up
     // in the per-attempt tail fold below, and checkpoints never
     // change conflict outcomes.
@@ -680,18 +903,26 @@ object TxnLog {
       // after our snapshot: if a concurrent commit removed (rewrote)
       // a file we also remove, both transactions rewrote the same
       // data and ours must abort — a blind retry would silently drop
-      // the other writer's update. Appends (removed = empty) skip
-      // this entirely and only ever loop on the CAS.
-      if (myRemoved.nonEmpty) {
+      // the other writer's update. Row-level deletes join the matrix:
+      // a REWRITE conflicts with a concurrent DV on its victims (its
+      // staged copy would resurrect the deleted rows), and a DV
+      // conflicts with a concurrent rewrite of its target (the bitmap
+      // indexes rows of a file that no longer exists) — but two DVs
+      // on the same file commute (bitmap union) and never conflict.
+      // Appends (removed = dvFiles = empty) skip this entirely and
+      // only ever loop on the CAS.
+      if (myRemoved.nonEmpty || myDvFiles.nonEmpty) {
         val sinceRead =
           if (readVersion >= baseV) tail.filter(_.version > readVersion)
           else commitsFromListing(listing, readVersion, baseV) ++ tail
-        sinceRead.flatMap(c => c.removed.filter(myRemoved.contains).map((c, _)))
-          .headOption.foreach { case (c, f) =>
-            throw new ConflictException(
-              s"txn $txnId (read v$readVersion) rewrites $f, already rewritten " +
-                s"by txn ${c.txnId} at v${c.version}")
-          }
+        sinceRead.flatMap { c =>
+          (c.removed.filter(f => myRemoved(f) || myDvFiles(f)) ++
+            c.dvFiles.filter(myRemoved)).map((c, _))
+        }.headOption.foreach { case (c, f) =>
+          throw new ConflictException(
+            s"txn $txnId (read v$readVersion) touches $f, already rewritten " +
+              s"or row-deleted by txn ${c.txnId} at v${c.version}")
+        }
       }
       if (schemaId.nonEmpty && action != "schema-evolve") {
         val current = (ckpt.map(_.schema).toSeq ++ tail.map(_.schemaId))
@@ -702,7 +933,7 @@ object TxnLog {
               """commit with action = "schema-evolve" to change it""")
       }
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
-        stats, schemaId, statsCol, blooms, bloomCol)
+        stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvs)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -791,7 +1022,12 @@ object TxnLog {
     // it has one, and skip the residual filter: on a fully empty
     // table the snapshot has no columns to filter on.
     if (files.isEmpty) read(s, root, version).limit(0)
-    else s.read.parquet(files: _*).filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    else {
+      val surviving = files.toSet
+      val state = snapshotState(root, version).filter(f => surviving(f._1))
+      applyDeletionVectors(s.read.parquet(files: _*), state)
+        .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    }
   }
 
   /** COUNT(*) / MIN / MAX of `statsCol` answered from the LOG, not
@@ -811,8 +1047,12 @@ object TxnLog {
                      version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin, sum}
     import s.implicits._
-    val (metadata, scan) = snapshotState(root, version).partition { case (_, m) =>
-      m.stat.exists(_.rows >= 0) &&
+    val state = snapshotState(root, version)
+    // a deletion vector invalidates the file's recorded row count and
+    // possibly its min/max (the extremes may be dead) — DV'd files
+    // take the scan path, which applies the vector
+    val (metadata, scan) = state.partition { case (_, m) =>
+      m.stat.exists(_.rows >= 0) && m.dv.isEmpty &&
         (m.statsCol.isEmpty || m.statsCol == statsCol)
     }
     val metaDF = metadata
@@ -820,7 +1060,7 @@ object TxnLog {
       .toDF("n", "lo", "hi")
     val scanDF =
       if (scan.isEmpty) metaDF.limit(0)
-      else s.read.parquet(scan.map(_._1): _*)
+      else applyDeletionVectors(s.read.parquet(scan.map(_._1): _*), scan)
         .agg(count(lit(1)).as("n"), fmin(col(statsCol)).cast("long").as("lo"),
           fmax(col(statsCol)).cast("long").as("hi"))
     metaDF.unionByName(scanDF)

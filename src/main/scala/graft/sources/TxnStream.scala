@@ -64,6 +64,38 @@ object TxnStream {
     }
   }
 
+  /** The DELETE half of the change feed: pre-images of rows marked
+    * dead by deletion-vector commits with
+    * `fromExclusive < version <= toInclusive`, stamped with the
+    * deleting commit's version. Complements [[readChanges]] (which
+    * surfaces adds/post-images): a downstream mirror applies adds
+    * from one and retractions from the other and converges to the
+    * source snapshot. Planning is metadata-only — the delete commits
+    * name their files and carry their bitmaps; the scan touches ONLY
+    * DV'd files and the positive bit test selects exactly the rows
+    * each commit killed. Files are immutable until [[TxnLog.vacuum]],
+    * so a feed read within the retention horizon always resolves —
+    * the same contract as time travel.
+    */
+  def readDeletes(s: SparkSession, root: String, fromExclusive: Long,
+                  toInclusive: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dels = TxnLog.commitsInRange(root, fromExclusive, toInclusive)
+      .flatMap(c => c.dvFiles.zip(c.dvs).map { case (f, dv) => (f, dv, c.version) })
+    if (dels.isEmpty)
+      TxnLog.read(s, root, toInclusive, mergeSchema = true).limit(0)
+        .withColumn(CommitVersionCol, lit(0L))
+    else {
+      val dim = s.createDataFrame(dels).toDF("_path", "_dv", CommitVersionCol)
+      s.read.option("mergeSchema", "true").parquet(dels.map(_._1).distinct: _*)
+        .withColumn("_path", TxnLog.metaFilePath)
+        .withColumn("_ri", col("_metadata.row_index"))
+        .join(broadcast(dim), "_path")
+        .filter(TxnLog.dvBitSet(col("_dv"), col("_ri")))
+        .drop("_path", "_dv", "_ri")
+    }
+  }
+
   /** The highest source version this consumer has applied to
     * `targetRoot`, recovered from the target's OWN committed-txn
     * ledger (O(tail) with checkpoints). 0 = nothing applied.

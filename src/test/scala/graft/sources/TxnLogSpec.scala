@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.Files
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 /** Two-writer semantics of the [[TxnLog]] optimistic-concurrency
   * layer: version CAS, file-level conflict detection, append
@@ -553,6 +554,171 @@ class TxnLogSpec extends SparkTestBase {
     corruptParquet(files.filterNot(f => keep.exists(_.endsWith(java.nio.file.Paths.get(f).getFileName.toString))))
     assert(TxnLog.readPoint(spark, root, "tag", probe)
       .as[(Long, Long)].collect().toSet === Set((137L, probe)))
+  }
+
+  test("deletion vectors: row-level delete with zero file rewrites; time travel sees pre-delete rows") {
+    val root = freshRoot()
+    val data = (1L to 64L).map(k => (k, k * 10L))
+    val (files, stats) = TxnLog.stageWithStats(
+      data.toDF("k", "v").repartitionByRange(8, $"k"), root, "t1", "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")
+    val fingerprints = files.map(f => (f, Files.getLastModifiedTime(
+      java.nio.file.Paths.get(f)), Files.size(java.nio.file.Paths.get(f))))
+
+    val del = TxnLog.deleteWhere(spark, root, col("k") % 5 === 2, "d1")
+    assert(del.isDefined && del.get.action === "delete")
+    assert(del.get.added.isEmpty && del.get.removed.isEmpty,
+      "a DV delete must not add or remove files")
+    // no data file was rewritten — same bytes, same mtimes
+    fingerprints.foreach { case (f, mt, sz) =>
+      val p = java.nio.file.Paths.get(f)
+      assert(Files.getLastModifiedTime(p) === mt && Files.size(p) === sz,
+        s"delete must not touch $f")
+    }
+    assert(rows(root) === data.filterNot(_._1 % 5 == 2).toSet)
+    // time travel: pre-delete snapshot still shows every row
+    assert(rows(root, version = 1L) === data.toSet)
+
+    // deletes UNION across commits
+    TxnLog.deleteWhere(spark, root, col("k") % 7 === 3, "d2")
+    assert(rows(root) === data.filterNot(d => d._1 % 5 == 2 || d._1 % 7 == 3).toSet)
+    // a predicate whose matches are all already dead burns no version
+    assert(TxnLog.deleteWhere(spark, root, col("k") === 17L, "d3") === None)
+    assert(TxnLog.currentVersion(root) === 3L)
+
+    // DVs ride checkpoints (D-lines)
+    TxnLog.checkpoint(root)
+    assert(rows(root) === data.filterNot(d => d._1 % 5 == 2 || d._1 % 7 == 3).toSet)
+
+    // every read path applies the vector: range, point via stats, agg
+    assert(TxnLog.readRange(spark, root, "k", 1L, 20L).as[(Long, Long)]
+      .collect().toSet ===
+      data.filter(d => d._1 <= 20 && d._1 % 5 != 2 && d._1 % 7 != 3).toSet)
+    val expect = data.filterNot(d => d._1 % 5 == 2 || d._1 % 7 == 3)
+    val agg = TxnLog.statsAggregate(spark, root, "k").head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) ===
+      ((expect.size.toLong, expect.map(_._1).min, expect.map(_._1).max)),
+      "statsAggregate must not count deleted rows (DV'd files take the scan path)")
+  }
+
+  test("deletion vectors: a rewrite compacts the deletes in and clears the vector; conflict matrix holds") {
+    val root = freshRoot()
+    val data = (1L to 16L).map(k => (k, k))
+    val f1 = TxnLog.stage(data.toDF("k", "v"), root, "t1")
+    TxnLog.commit(root, "append", f1, Nil, readVersion = 0L, txnId = "t1")
+    TxnLog.deleteWhere(spark, root, col("k") <= 4L, "d1")
+
+    // rewrite from the DV-filtered read: deletes are compacted into
+    // the new file, the DV dies with the old one
+    val rewritten = TxnLog.stage(TxnLog.read(spark, root), root, "t2")
+    TxnLog.commit(root, "compact", rewritten, removed = f1,
+      readVersion = TxnLog.currentVersion(root), txnId = "t2")
+    assert(rows(root) === data.filter(_._1 > 4).toSet)
+    assert(TxnLog.snapshotState(root).forall(_._2.dv.isEmpty),
+      "the rewritten snapshot must carry no deletion vector")
+
+    // conflict: a DV landing after a rewriter's snapshot aborts the rewrite
+    val root2 = freshRoot()
+    val g1 = TxnLog.stage(data.toDF("k", "v"), root2, "t1")
+    TxnLog.commit(root2, "append", g1, Nil, readVersion = 0L, txnId = "t1")
+    val readV = TxnLog.currentVersion(root2)
+    val staged = TxnLog.stage(data.toDF("k", "v"), root2, "racer")
+    TxnLog.deleteWhere(spark, root2, col("k") === 1L, "dx") // lands first
+    intercept[TxnLog.ConflictException] {
+      TxnLog.commit(root2, "compact", staged, removed = g1,
+        readVersion = readV, txnId = "racer")
+    }
+    // ...and a DV whose target was rewritten under it aborts too
+    val root3 = freshRoot()
+    val h1 = TxnLog.stage(data.toDF("k", "v"), root3, "t1")
+    TxnLog.commit(root3, "append", h1, Nil, readVersion = 0L, txnId = "t1")
+    val dvReadV = TxnLog.currentVersion(root3)
+    val h2 = TxnLog.stage(data.toDF("k", "v"), root3, "rewriter")
+    TxnLog.commit(root3, "compact", h2, removed = h1,
+      readVersion = dvReadV, txnId = "rewriter")
+    intercept[TxnLog.ConflictException] {
+      TxnLog.commit(root3, "delete", Nil, Nil, readVersion = dvReadV,
+        txnId = "stale-dv", dvFiles = h1, dvs = h1.map(_ => "01"))
+    }
+    // two DVs on the SAME file commute (bitmap union) — no conflict
+    val root4 = freshRoot()
+    val j1 = TxnLog.stage(data.toDF("k", "v"), root4, "t1")
+    TxnLog.commit(root4, "append", j1, Nil, readVersion = 0L, txnId = "t1")
+    val v = TxnLog.currentVersion(root4)
+    TxnLog.commit(root4, "delete", Nil, Nil, readVersion = v, txnId = "dva",
+      dvFiles = Seq(j1.head), dvs = Seq("0000000000000001"))
+    TxnLog.commit(root4, "delete", Nil, Nil, readVersion = v, txnId = "dvb",
+      dvFiles = Seq(j1.head), dvs = Seq("0000000000000002"))
+    val m = TxnLog.snapshotState(root4).toMap.apply(j1.head)
+    assert(m.dv === Some("0000000000000003"), "concurrent DVs must union")
+  }
+
+  test("mergeInto: upsert semantics with stats-pruned rewrites — untouched files keep their bytes") {
+    val root = freshRoot()
+    val data = (1L to 64L).map(k => (k, k * 10L))
+    val (files, stats) = TxnLog.stageWithStats(
+      data.toDF("k", "v").repartitionByRange(8, $"k"), root, "t1", "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")
+    val mtimes = files.map(f => (f, Files.getLastModifiedTime(java.nio.file.Paths.get(f))))
+
+    // source confined to keys 20..29 (+ one insert at 1000): at most
+    // 3 of the 8 range files overlap, so at most 3 may be rewritten
+    val source = ((20L to 29L).map(k => (k, k * 1000L)) :+ ((1000L, 7L)))
+      .toDF("k", "v")
+    val c = TxnLog.mergeInto(spark, root, source, "k", "m1")
+    assert(c.action === "merge")
+    assert(c.removed.size <= 3,
+      s"merge must rewrite only stats-affected files, rewrote ${c.removed.size} of 8")
+    val untouched = files.filterNot(c.removed.contains)
+    mtimes.filter(t => untouched.contains(t._1)).foreach { case (f, mt) =>
+      assert(Files.getLastModifiedTime(java.nio.file.Paths.get(f)) === mt,
+        s"merge must not touch pruned file $f")
+    }
+    val expect = data.map { case (k, v) =>
+      (k, if (k >= 20 && k <= 29) k * 1000L else v) } :+ ((1000L, 7L))
+    assert(rows(root) === expect.toSet)
+    // time travel under the merge
+    assert(rows(root, version = 1L) === data.toSet)
+
+    // pure insert: keys provably outside every file range -> no rewrite
+    val c2 = TxnLog.mergeInto(spark, root,
+      Seq((5000L, 1L)).toDF("k", "v"), "k", "m2")
+    assert(c2.removed.isEmpty, "an out-of-range merge is a pure append")
+    assert(rows(root).contains((5000L, 1L)))
+
+    // a multi-row key makes the merge order-dependent: reject loudly
+    intercept[IllegalArgumentException] {
+      TxnLog.mergeInto(spark, root,
+        Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), "k", "m3")
+    }
+  }
+
+  test("mergeInto: merge∥merge on overlapping keys conflicts; merge compacts deletion vectors in") {
+    val root = freshRoot()
+    val data = (1L to 16L).map(k => (k, k))
+    val (f1, st1) = TxnLog.stageWithStats(data.toDF("k", "v"), root, "t1", "k")
+    TxnLog.commit(root, "append", f1, Nil, readVersion = 0L, txnId = "t1",
+      stats = st1, statsCol = "k")
+    // DV first: merge must not resurrect the deleted row
+    TxnLog.deleteWhere(spark, root, col("k") === 3L, "d1")
+    TxnLog.mergeInto(spark, root, Seq((1L, 100L)).toDF("k", "v"), "k", "m1")
+    assert(rows(root) === data.filterNot(_._1 == 3L)
+      .map { case (k, v) => (k, if (k == 1L) 100L else v) }.toSet)
+    assert(TxnLog.snapshotState(root).forall(_._2.dv.isEmpty),
+      "the merge rewrite must compact the vector away")
+
+    // two merges racing on the same keys: the loser aborts. mb's
+    // plan is fixed against readV (it would rewrite every file live
+    // then); ma lands first and removes at least one of them
+    val readV = TxnLog.currentVersion(root)
+    val mbVictims = TxnLog.snapshotFiles(root, readV)
+    TxnLog.mergeInto(spark, root, Seq((2L, 200L)).toDF("k", "v"), "k", "ma")
+    intercept[TxnLog.ConflictException] {
+      TxnLog.commit(root, "merge", Nil, removed = mbVictims,
+        readVersion = readV, txnId = "mb")
+    }
   }
 
   test("bloom soundness: bloom-less files and foreign-column blooms are always scanned") {

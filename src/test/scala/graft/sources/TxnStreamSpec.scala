@@ -138,4 +138,31 @@ class TxnStreamSpec extends SparkTestBase {
       .as[(Long, Option[String], Long)].collect().toSet
     assert(got === Set((1L, None, 1L), (2L, Some("b"), 2L)))
   }
+
+  test("readDeletes surfaces DV pre-images per deleting commit; adds+retractions mirror the snapshot") {
+    val root = freshRoot()
+    append(root, "t1", (1L to 10L).map(k => (k, k * 10L)))
+    TxnLog.deleteWhere(spark, root, col("k") % 3 === 0, "d1") // v2: 3,6,9
+    append(root, "t2", Seq((11L, 110L)))
+    TxnLog.deleteWhere(spark, root, col("k") === 1L, "d2")    // v4: 1
+
+    val dels = TxnStream.readDeletes(spark, root, 0L)
+      .select(col("k"), col("v"), col(TxnStream.CommitVersionCol))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dels === Set((3L, 30L, 2L), (6L, 60L, 2L), (9L, 90L, 2L), (1L, 10L, 4L)),
+      "each killed row must surface once, stamped with its deleting commit")
+    // range scoping: only v4's delete
+    assert(TxnStream.readDeletes(spark, root, 3L).select(col("k"))
+      .as[Long].collect().toSeq === Seq(1L))
+    // an empty range keeps the schema (plus the stamp column)
+    assert(TxnStream.readDeletes(spark, root, 4L).columns.toSeq ===
+      Seq("k", "v", TxnStream.CommitVersionCol))
+
+    // mirror convergence: head snapshot == all adds minus all retractions
+    val adds = feed(root, 0L).map(t => (t._1, t._2))
+    val retract = dels.map(t => (t._1, t._2))
+    assert(adds -- retract ===
+      TxnLog.read(spark, root).as[(Long, Long)].collect().toSet,
+      "adds minus retractions must equal the live snapshot")
+  }
 }

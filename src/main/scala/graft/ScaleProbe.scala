@@ -481,6 +481,59 @@ object ScaleProbe {
       require(ptRows == fsRows, s"bloom path must match full scan: $ptRows vs $fsRows")
       println(f"""{"op":"txn_bloom_point","k":32,"rows":65536,"sec":${ptMs / 1000}%.5f,"full_scan_sec":${fsMs / 1000}%.5f,"files_scanned":$scanned,"files_total":${files.size}}""")
     }
+
+    // Delete-cost comparison (X-A35): kill 1% of rows across every
+    // file of a 32-file table, once as a deletion-vector commit and
+    // once as the copy-on-write rewrite it replaces. Compare wall
+    // time and BYTES WRITTEN — the number that matters at 100 TB,
+    // where a spread-out delete rewrites the whole table.
+    if (enabled("txn_dv")) {
+      import graft.sources.TxnLog
+      def freshTable(): (String, Seq[String]) = {
+        val root = java.nio.file.Files.createTempDirectory("graft-txndv").toString
+        TxnLog.init(root)
+        val df = spark.range(0, 65536)
+          .select(col("id").as("k"), (col("id") * 7 % 13).as("v"))
+          .repartitionByRange(32, col("k"))
+        val (files, stats) = TxnLog.stageWithStats(df, root, "t1", "k")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+          stats = stats, statsCol = "k")
+        (root, files)
+      }
+      def bytes(fs: Seq[String]): Long =
+        fs.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      // k % 100 == 7 hits ~1% of rows in EVERY file (worst case for
+      // pruning: no file escapes)
+      val (dvRoot, _) = freshTable()
+      val t0 = System.nanoTime()
+      val dvCommit = TxnLog.deleteWhere(spark, dvRoot, col("k") % 100 === 7, "d1").get
+      val dvSec = (System.nanoTime() - t0) / 1e9
+      val dvBytes = dvCommit.dvs.map(_.length / 2).sum.toLong // bitmap payload
+      val (cowRoot, cowFiles) = freshTable()
+      val t1 = System.nanoTime()
+      val kept = TxnLog.read(spark, cowRoot).filter(!(col("k") % 100 === 7))
+      val (newFiles, newStats) = TxnLog.stageWithStats(
+        kept.repartitionByRange(32, col("k")), cowRoot, "rw1", "k")
+      TxnLog.commit(cowRoot, "upsert", newFiles, removed = cowFiles,
+        readVersion = 1L, txnId = "rw1", stats = newStats, statsCol = "k")
+      val cowSec = (System.nanoTime() - t1) / 1e9
+      val cowBytes = bytes(newFiles)
+      val dvCount = TxnLog.read(spark, dvRoot).count()
+      require(dvCount == TxnLog.read(spark, cowRoot).count(),
+        s"DV and rewrite must agree: $dvCount")
+      println(f"""{"op":"txn_dv_delete","k":32,"rows":65536,"sec":$dvSec%.3f,"cow_sec":$cowSec%.3f,"dv_bytes":$dvBytes,"cow_bytes":$cowBytes}""")
+
+      // Stats-pruned MERGE: source confined to one file's key range —
+      // rewritten-file count is the receipt (1 of 32 vs all 32 for a
+      // stat-less table)
+      val (mgRoot, _) = freshTable()
+      val src = spark.range(100, 200)
+        .select(col("id").as("k"), lit(999L).as("v"))
+      val t2 = System.nanoTime()
+      val mg = TxnLog.mergeInto(spark, mgRoot, src, "k", "m1")
+      val mgSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"op":"txn_merge_pruned","k":32,"rows":65536,"sec":$mgSec%.3f,"files_rewritten":${mg.removed.size},"files_total":32}""")
+    }
     spark.stop()
   }
 }

@@ -374,6 +374,14 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("tx_delete_read: the DV dim joins broadcast; the table is never shuffled for its own delete bitmaps") {
+    val plan = initialPlan("tx_delete_read")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (file, bitmap) dim must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"applying deletion vectors must not shuffle the table:\n$plan")
+  }
+
   test("cur_decontaminate_bloom: corpus screened by a scan-level bit probe, joins only on survivors") {
     val plan = initialPlan("cur_decontaminate_bloom")
     // the bloom probe is a per-row codegen predicate (shiftright over

@@ -534,6 +534,46 @@ object ScaleProbe {
       val mgSec = (System.nanoTime() - t2) / 1e9
       println(f"""{"op":"txn_merge_pruned","k":32,"rows":65536,"sec":$mgSec%.3f,"files_rewritten":${mg.removed.size},"files_total":32}""")
     }
+
+    // Decontamination regime probe (X-C17): with broadcasts DISABLED
+    // — the regime where the eval set outgrows the broadcast
+    // threshold — the plain anti-join path must shuffle the entire
+    // exploded corpus, while the bloom path's only non-scan work is
+    // over its survivors. 4× corpus, fixed contamination.
+    if (enabled("dc_bloom")) {
+      import graft.operators.CorpusOps
+      val docs4 = replicateDocs(maxK).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs4.count()
+      val contam = CorpusOps.hashModSample(
+        Tables.documents(spark, sfDir), col("doc_id"), pct = 5)
+      def run(tag: String, broadcastOn: Boolean): Unit = {
+        val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        if (!broadcastOn) {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        }
+        try {
+          val t0 = System.nanoTime()
+          val plain = CorpusOps.decontaminate(docs4, contam, "doc_id", "text").count()
+          val plainSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val bloomed = CorpusOps.decontaminateBloom(docs4, contam, "doc_id", "text").count()
+          val bloomSec = (System.nanoTime() - t1) / 1e9
+          require(plain == bloomed, s"paths must agree: $plain vs $bloomed")
+          println(f"""{"op":"dc_bloom_$tag","k":$maxK,"rows":${docs4.count()},"sec":$bloomSec%.3f,"plain_sec":$plainSec%.3f}""")
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+          savedA match {
+            case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
+        }
+      }
+      run("broadcast", broadcastOn = true)
+      run("nobroadcast", broadcastOn = false)
+      docs4.unpersist()
+    }
     spark.stop()
   }
 }

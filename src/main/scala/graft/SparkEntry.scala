@@ -291,7 +291,7 @@ object SparkEntry {
   private def ensureTxnRangeTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnr_g2_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnr_g3_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnRangeTables, root) {
       if (TxnLog.currentVersion(root) != 1L) {
         val rootPath = java.nio.file.Paths.get(root)
@@ -302,17 +302,24 @@ object SparkEntry {
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
         }
         TxnLog.init(root)
+        // o_part: a hive-style partition column (coarse bucket of the
+        // clustering key — constant or near-constant per range file),
+        // statted ALONGSIDE o_orderkey via the multi-column map, so
+        // partition pruning is just stats pruning on o_part
         val base = Tables.orders(s, dir)
           .filter(col("o_orderkey") % 3 <= 1)
           .select(col("o_orderkey"),
             round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-            (col("o_orderkey") * lit(2654435761L) % lit(1000000007L)).as("o_tag"))
+            (col("o_orderkey") * lit(2654435761L) % lit(1000000007L)).as("o_tag"),
+            floor(col("o_orderkey") / 2000).cast("long").as("o_part"))
           .repartitionByRange(8, col("o_orderkey"))
-        val (files, stats, blooms) = TxnLog.stageWithIndex(base, root, "v1-clustered",
+        val (files, _, blooms) = TxnLog.stageWithIndex(base, root, "v1-clustered",
           statsCol = "o_orderkey", bloomCol = "o_tag")
+        val multi = TxnLog.statsForStaged(s, root, "v1-clustered",
+          Seq("o_orderkey", "o_part"), files)
         TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
-          txnId = "v1-clustered", stats = stats, statsCol = "o_orderkey",
-          blooms = blooms, bloomCol = "o_tag")
+          txnId = "v1-clustered", blooms = blooms, bloomCol = "o_tag",
+          multiStats = multi)
         ()
       }
     }
@@ -621,6 +628,14 @@ object SparkEntry {
       "tx_point_read" -> ((s, dir) =>
         graft.sources.TxnLog.readPoint(s, ensureTxnRangeTable(s, dir),
           "o_tag", value = 1242L * 2654435761L % 1000000007L)),
+      // hive-style partition pruning as multi-column stats (X-A38):
+      // o_part is a coarse bucket of the clustering key, statted
+      // alongside it in the same per-file map — an equality read on
+      // the partition column prunes exactly like a partition scan,
+      // with no directory layout to keep consistent
+      "tx_part_prune" -> ((s, dir) =>
+        graft.sources.TxnLog.readRange(s, ensureTxnRangeTable(s, dir),
+          "o_part", lo = 2L, hi = 2L)),
       // streaming read OF the log (X-A29): commits as change batches —
       // the feed after v1 is v2's appended slice plus v3's rewritten
       // post-images, each row stamped with its commit version, all
@@ -790,9 +805,18 @@ object SparkEntry {
     "tx_prune_read" ->
       """SELECT o_orderkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
-                o_orderkey * 2654435761 % 1000000007 AS o_tag
+                o_orderkey * 2654435761 % 1000000007 AS o_tag,
+                CAST(o_orderkey // 2000 AS BIGINT) AS o_part
          FROM orders
          WHERE o_orderkey % 3 <= 1 AND o_orderkey BETWEEN 1000 AND 3000""",
+
+    "tx_part_prune" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                o_orderkey * 2654435761 % 1000000007 AS o_tag,
+                CAST(o_orderkey // 2000 AS BIGINT) AS o_part
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey // 2000 = 2""",
 
     // the metadata answer must equal the scan answer bit for bit
     "tx_stats_agg" ->
@@ -804,7 +828,8 @@ object SparkEntry {
     "tx_point_read" ->
       """SELECT o_orderkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
-                o_orderkey * 2654435761 % 1000000007 AS o_tag
+                o_orderkey * 2654435761 % 1000000007 AS o_tag,
+                CAST(o_orderkey // 2000 AS BIGINT) AS o_part
          FROM orders
          WHERE o_orderkey % 3 <= 1
            AND o_orderkey * 2654435761 % 1000000007 = 1242 * 2654435761 % 1000000007""",

@@ -276,8 +276,14 @@ object CorpusOps {
           explode(array_distinct(DedupOps.shingles(col(textCol), n))).as("__s0"))
         .select(col(idCol), conv(substring(md5(col("__s0")), 1, 14), 16, 10)
           .cast("long").as("__sh"))
-    val contamShingles = hashed(contamination).select(col("__sh")).distinct()
-    val keys = contamShingles.collect().map(_.getLong(0))
+    // ONE job collects the distinct keys WITH their xxhash64 pair —
+    // the same pair the probe expressions compute, so build and probe
+    // can never drift (both are xxhash64(v) / xxhash64(v, 1) mod m)
+    val keyed = hashed(contamination).select(col("__sh")).distinct()
+      .select(col("__sh"), xxhash64(col("__sh")).as("h1"),
+        xxhash64(col("__sh"), lit(1)).as("h2"))
+      .collect()
+    val keys = keyed.map(_.getLong(0))
     val m = math.min(1 << 22,
       math.max(1024, java.lang.Long.highestOneBit(math.max(1L, keys.length * 16L - 1)) << 1)).toInt
     def posOf(h1: Long, h2: Long, i: Int): Int = {
@@ -285,20 +291,14 @@ object CorpusOps {
       p.toInt
     }
     val words = new Array[Long](m / 64)
-    // the same xxhash64 pair the probe expressions compute, evaluated
-    // through Spark once for the whole key set (build and probe can
-    // never drift: both are xxhash64(v) / xxhash64(v, 1) mod m)
+    keyed.foreach { r =>
+      (0 until bloomK).foreach { i =>
+        val p = posOf(r.getLong(1), r.getLong(2), i)
+        words(p / 64) |= 1L << (p % 64)
+      }
+    }
     val sp = contamination.sparkSession
     import sp.implicits._
-    keys.toSeq.toDF("v")
-      .select(xxhash64(col("v")).as("h1"), xxhash64(col("v"), lit(1)).as("h2"))
-      .collect()
-      .foreach { r =>
-        (0 until bloomK).foreach { i =>
-          val p = posOf(r.getLong(0), r.getLong(1), i)
-          words(p / 64) |= 1L << (p % 64)
-        }
-      }
     val wordsLit = typedlit(words.toSeq)
     val h1 = pmod(xxhash64(col("__sh")), lit(m.toLong))
     val h2 = pmod(xxhash64(col("__sh"), lit(1)), lit(m.toLong))
@@ -309,9 +309,19 @@ object CorpusOps {
         (p % 64).cast("int")) % 2 =!= 0) // & 1 via mod 2 of the shifted word
     }.reduce(_ && _)
     val candidates = hashed(docs).filter(maybeContaminated)
-    val contaminatedIds = candidates.join(contamShingles, Seq("__sh"), "left_semi")
+    // exact confirmation against the ALREADY-COLLECTED key set (the
+    // contamination shingling is computed once, not re-derived for
+    // the join); localized to the driver it broadcasts as the build
+    // side of a hash semi-join over the few bloom survivors
+    val contamShingles = keys.toSeq.toDF("__sh")
+    val contaminatedIds = candidates.join(broadcast(contamShingles), Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
-    docs.join(contaminatedIds, Seq(idCol), "left_anti")
+    // both small sides are broadcast EXPLICITLY: the whole point of
+    // this variant is staying shuffle-free on the corpus even when
+    // the optimizer's broadcast threshold would give up (an eval set
+    // bigger than the threshold; contaminated ids are bounded by the
+    // contaminated doc count, small by construction)
+    docs.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
   }
 
   /** GRADED decontamination — per-document n-gram CONTAINMENT score

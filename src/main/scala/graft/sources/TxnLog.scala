@@ -74,20 +74,31 @@ object TxnLog {
     */
   case class FileStat(lo: Long, hi: Long, rows: Long = -1L)
 
-  /** Everything the log knows about one live data file: its stats
-    * (and the column they describe), its bloom filter (and ITS
-    * column), and its deletion vector. `statsCol = ""` marks legacy
-    * records that never named their column; pruning treats those as
-    * caller-asserted (the pre-r12 contract) — every NEW stage/commit
-    * names the column so a reader querying a different column can
-    * never be mis-pruned. `dv` is a hex bitset over ROW INDEXES
-    * (parquet scan order, `_metadata.row_index`): set bits are
-    * deleted rows, unioned across delete commits, cleared when the
-    * file itself is rewritten.
+  /** Everything the log knows about one live data file: per-COLUMN
+    * stats (Delta collects stats for its leading columns the same
+    * way — a partition column is just a stat with lo == hi, so
+    * hive-style partition pruning falls out of this map for free),
+    * its bloom filter (and ITS column), and its deletion vector. The
+    * `""` stats key marks legacy records that never named their
+    * column; pruning treats those as caller-asserted (the pre-r12
+    * contract) — every NEW stage/commit names columns, so a reader
+    * querying a different column can never be mis-pruned. `dv` is a
+    * hex bitset over ROW INDEXES (parquet scan order,
+    * `_metadata.row_index`): set bits are deleted rows, unioned
+    * across delete commits, cleared when the file itself is
+    * rewritten.
     */
-  case class FileMeta(stat: Option[FileStat] = None, statsCol: String = "",
+  case class FileMeta(stats: Map[String, FileStat] = Map.empty,
                       bloom: Option[String] = None, bloomCol: String = "",
-                      dv: Option[String] = None)
+                      dv: Option[String] = None) {
+    /** The stat governing a query on `column`: an exact column match,
+      * else the legacy unnamed stat (caller-asserted). A query that
+      * names no column accepts whatever single stat exists.
+      */
+    def statFor(column: String): Option[FileStat] =
+      if (column.isEmpty) stats.get("").orElse(stats.values.headOption)
+      else stats.get(column).orElse(stats.get(""))
+  }
 
   /** One committed log record. `stats` (when present) is aligned with
     * `added`: per-file [[FileStat]] of `statsCol`, the data-skipping
@@ -109,7 +120,9 @@ object TxnLog {
                     blooms: Seq[String] = Nil,
                     bloomCol: String = "",
                     dvFiles: Seq[String] = Nil,
-                    dvs: Seq[String] = Nil)
+                    dvs: Seq[String] = Nil,
+                    ts: Long = 0L,
+                    multiStats: Seq[String] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -190,6 +203,19 @@ object TxnLog {
       case _ => sys.error(s"bad stat token: $s")
     }
 
+  // one file's EXTRA per-column stats: "col:lo:hi:rows|col2:..."
+  // (no commas — the record's array parser splits elements on them)
+  private def renderMultiStat(m: Map[String, FileStat]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (c, s) => s"$c:${s.lo}:${s.hi}:${s.rows}" }.mkString("|")
+
+  private def parseMultiStat(s: String): Map[String, FileStat] =
+    if (s.isEmpty) Map.empty
+    else s.split("\\|").map { tok =>
+      val Array(c, lo, hi, n) = tok.split(":")
+      c -> FileStat(lo.toLong, hi.toLong, n.toLong)
+    }.toMap
+
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val statsPart =
@@ -200,14 +226,17 @@ object TxnLog {
       if (c.blooms.isEmpty) "" else s""","blooms":${arr(c.blooms)}"""
     val bloomColPart =
       if (c.bloomCol.isEmpty) "" else s""","bloomCol":"${c.bloomCol}""""
+    val multiPart =
+      if (c.multiStats.forall(_.isEmpty)) "" else s""","mstats":${arr(c.multiStats)}"""
     val dvPart =
       if (c.dvFiles.isEmpty) ""
       else s""","dvFiles":${arr(c.dvFiles)},"dvs":${arr(c.dvs)}"""
     val schemaPart =
       if (c.schemaId.isEmpty) "" else s""","schema":"${c.schemaId}""""
+    val tsPart = if (c.ts == 0L) "" else s""","ts":${c.ts}"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$bloomsPart$bloomColPart$dvPart$schemaPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -228,11 +257,14 @@ object TxnLog {
       if (body.isEmpty) Nil
       else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
     }
+    def numOpt(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
     Commit(num("version"), str("action"), str("txnId"), num("readVersion"),
       arr("added", required = true), arr("removed", required = true),
       arr("stats", required = false).map(parseStat), strOpt("schema"),
       strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"),
-      arr("dvFiles", required = false), arr("dvs", required = false))
+      arr("dvFiles", required = false), arr("dvs", required = false),
+      numOpt("ts"), arr("mstats", required = false))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -319,15 +351,20 @@ object TxnLog {
       val txns = Map.newBuilder[String, Long]
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
+        def addStat(f: String, c: String, st: FileStat): Unit = {
+          val m = files.getOrElse(f, FileMeta())
+          files(f) = m.copy(stats = m.stats + (c -> st))
+        }
         l.split(" ").toSeq match {
           case Seq("S", id)          => schema = id
           case Seq("T", txn, ver)    => txns += (txn -> ver.toLong)
-          case Seq("F", f)           => files(f) = FileMeta()
-          case Seq("F", f, lo, hi)   =>
-            files(f) = FileMeta(Some(FileStat(lo.toLong, hi.toLong)))
-          case Seq("F", f, c, lo, hi, n) =>
-            files(f) = FileMeta(Some(FileStat(lo.toLong, hi.toLong, n.toLong)),
-              statsCol = if (c == "-") "" else c)
+          case Seq("F", f)           =>
+            files(f) = files.getOrElse(f, FileMeta())
+          case Seq("F", f, lo, hi)   => // legacy unnamed-column stat
+            addStat(f, "", FileStat(lo.toLong, hi.toLong))
+          case Seq("F", f, c, lo, hi, n) => // one line per statted column
+            addStat(f, if (c == "-") "" else c,
+              FileStat(lo.toLong, hi.toLong, n.toLong))
           case Seq("B", f, c, hex)   =>
             files(f) = files.getOrElse(f, FileMeta())
               .copy(bloom = Some(hex), bloomCol = c)
@@ -388,8 +425,12 @@ object TxnLog {
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
       val blooms = if (c.blooms.size == c.added.size) c.blooms else c.added.map(_ => "")
-      c.added.lazyZip(stats).lazyZip(blooms).foreach { (f, st, bl) =>
-        live(f) = FileMeta(st, if (st.isDefined) c.statsCol else "",
+      val multi = if (c.multiStats.size == c.added.size) c.multiStats
+                  else c.added.map(_ => "")
+      c.added.lazyZip(stats).lazyZip(blooms).lazyZip(multi).foreach { (f, st, bl, ms) =>
+        val statMap = parseMultiStat(ms) ++
+          st.map(s => c.statsCol -> s).toMap // primary col last: it wins ties
+        live(f) = FileMeta(statMap,
           Some(bl).filter(_.nonEmpty), if (bl.nonEmpty) c.bloomCol else "")
       }
       c.dvFiles.zip(c.dvs).foreach { case (f, hex) =>
@@ -426,12 +467,13 @@ object TxnLog {
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
       body.append("T ").append(t).append(' ').append(ver).append('\n') }
     st.files.foreach { case (f, meta) =>
-      body.append("F ").append(f)
-      meta.stat.foreach { s =>
-        body.append(' ').append(if (meta.statsCol.isEmpty) "-" else meta.statsCol)
+      if (meta.stats.isEmpty) body.append("F ").append(f).append('\n')
+      else meta.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+        body.append("F ").append(f)
+          .append(' ').append(if (c.isEmpty) "-" else c)
           .append(' ').append(s.lo).append(' ').append(s.hi).append(' ').append(s.rows)
+          .append('\n')
       }
-      body.append('\n')
       meta.bloom.foreach { hex =>
         body.append("B ").append(f).append(' ').append(meta.bloomCol)
           .append(' ').append(hex).append('\n')
@@ -648,8 +690,9 @@ object TxnLog {
     require(dup.isEmpty,
       s"merge source has multiple rows for $keyCol = ${dup.headOption.map(_.get(0)).orNull}")
     val ranged = state.collect {
-      case (f, m) if m.stat.isDefined && (m.statsCol.isEmpty || m.statsCol == keyCol) =>
-        (f, m.stat.get.lo, m.stat.get.hi)
+      case (f, m) if m.statFor(keyCol).isDefined =>
+        val st = m.statFor(keyCol).get
+        (f, st.lo, st.hi)
     }
     val unranged = state.map(_._1).toSet -- ranged.map(_._1)
     val affected: Set[String] =
@@ -721,6 +764,50 @@ object TxnLog {
       .map(r => (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
         FileStat(r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     (files, files.map(ranges.get))
+  }
+
+  /** Stage with per-file (min, max, rowCount) for EVERY column in
+    * `cols`, one scan pass — multi-column data skipping: a range read
+    * or metadata aggregate on ANY of them prunes (Delta collects its
+    * leading columns' stats the same way, and a hive-style partition
+    * column is just a stat column whose per-file range collapses to a
+    * point). Pass the result to [[commit]]'s `multiStats`.
+    */
+  def stageWithStatsFor(df: DataFrame, root: String, txnId: String,
+                        cols: Seq[String]): (Seq[String], Seq[Map[String, FileStat]]) = {
+    val files = stage(df, root, txnId)
+    (files, statsForStaged(df.sparkSession, root, txnId, cols, files))
+  }
+
+  /** Per-file per-column (min, max, rowCount) over an already-staged
+    * txn dir, one scan pass — for composing stats with other staging
+    * flows (e.g. [[stageWithIndex]]'s bloom build). Aligned with
+    * `files`.
+    */
+  def statsForStaged(spark: SparkSession, root: String, txnId: String,
+                     cols: Seq[String],
+                     files: Seq[String]): Seq[Map[String, FileStat]] = {
+    require(cols.nonEmpty, "statsForStaged needs at least one column")
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max => fmax, min => fmin}
+    val aggs = cols.flatMap(c => Seq(
+      fmin(col(c).cast("long")).as(s"lo_$c"), fmax(col(c).cast("long")).as(s"hi_$c"))) :+
+      count(lit(1)).as("n")
+    val byFile = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1 + 2 * cols.size)
+        // an all-null (or empty) column has no range: record no stat
+        // for it — the file then always survives pruning on that
+        // column (sound) and takes the scan path in aggregates
+        val m = cols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else Some(c -> FileStat(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i), n))
+        }.toMap
+        (r.getString(0).stripPrefix("file://").stripPrefix("file:"), m)
+      }.toMap
+    files.map(byFile.getOrElse(_, Map.empty[String, FileStat]))
   }
 
   /** [[stageWithStats]] plus a per-file BLOOM FILTER over `bloomCol`
@@ -822,8 +909,11 @@ object TxnLog {
     val posCache = scala.collection.mutable.Map.empty[Int, Seq[Int]]
     val kept = state.filter {
       case (f, m) => {
-        val rangeOk = m.stat.forall(st =>
-          m.statsCol != column || (value >= st.lo && value <= st.hi))
+        // only an EXACT column match may range-prune a point lookup
+        // (the legacy unnamed stat stays caller-asserted for ranges,
+        // but a point probe is precise enough to demand precision)
+        val rangeOk = m.stats.get(column).forall(st =>
+          value >= st.lo && value <= st.hi)
         val bloomOk = m.bloom.forall { enc =>
           m.bloomCol != column || !enc.contains(':') || {
             val Array(kTok, hex) = enc.split(":", 2)
@@ -862,8 +952,14 @@ object TxnLog {
              blooms: Seq[String] = Nil,
              bloomCol: String = "",
              dvFiles: Seq[String] = Nil,
-             dvs: Seq[String] = Nil): Commit = {
+             dvs: Seq[String] = Nil,
+             multiStats: Seq[Map[String, FileStat]] = Nil): Commit = {
     validatePaths(added ++ removed ++ dvFiles)
+    require(multiStats.isEmpty || multiStats.size == added.size,
+      s"txn $txnId: multiStats (${multiStats.size}) must align with added (${added.size})")
+    require(multiStats.flatMap(_.keys).forall(c =>
+        c.nonEmpty && !c.exists(":|, \"".contains(_))),
+      s"txn $txnId: multi-stat column names must be non-empty and separator-free")
     require(stats.isEmpty || stats.size == added.size,
       s"txn $txnId: stats (${stats.size}) must align with added (${added.size})")
     require(blooms.isEmpty || blooms.size == added.size,
@@ -932,8 +1028,15 @@ object TxnLog {
             s"txn $txnId declares schema $schemaId but the table is at $current; " +
               """commit with action = "schema-evolve" to change it""")
       }
+      // strictly-increasing commit timestamp within the tail (a
+      // backwards wall clock must not reorder history): max(now,
+      // last tail ts + 1). [[versionAsOf]] additionally monotonizes
+      // across checkpoints at read time.
+      val commitTs = math.max(System.currentTimeMillis(),
+        tail.lastOption.map(_.ts + 1).getOrElse(1L))
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
-        stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvs)
+        stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvs, commitTs,
+        multiStats.map(renderMultiStat))
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -999,10 +1102,8 @@ object TxnLog {
     // stats with no recorded column are caller-asserted, the pre-r12
     // contract); a non-applicable or missing stat keeps the file —
     // pruning must never be unsound
-    def applicable(m: FileMeta): Boolean =
-      m.statsCol.isEmpty || statsCol.isEmpty || m.statsCol == statsCol
     snapshotState(root, version).collect {
-      case (f, m) if m.stat.filter(_ => applicable(m)).orElse(sidecarStat(f))
+      case (f, m) if m.statFor(statsCol).orElse(sidecarStat(f))
         .forall(s => s.hi >= lo && s.lo <= hi) => f
     }
   }
@@ -1052,11 +1153,10 @@ object TxnLog {
     // possibly its min/max (the extremes may be dead) — DV'd files
     // take the scan path, which applies the vector
     val (metadata, scan) = state.partition { case (_, m) =>
-      m.stat.exists(_.rows >= 0) && m.dv.isEmpty &&
-        (m.statsCol.isEmpty || m.statsCol == statsCol)
+      m.statFor(statsCol).exists(_.rows >= 0) && m.dv.isEmpty
     }
     val metaDF = metadata
-      .map { case (_, m) => val st = m.stat.get; (st.rows, st.lo, st.hi) }
+      .map { case (_, m) => val st = m.statFor(statsCol).get; (st.rows, st.lo, st.hi) }
       .toDF("n", "lo", "hi")
     val scanDF =
       if (scan.isEmpty) metaDF.limit(0)
@@ -1067,6 +1167,32 @@ object TxnLog {
       .agg(org.apache.spark.sql.functions.coalesce(sum(col("n")), lit(0L)).as("cnt"),
         fmin(col("lo")).as("min_v"), fmax(col("hi")).as("max_v"))
   }
+
+  /** The snapshot version live at `tsMillis` — the latest commit
+    * whose (monotonized) timestamp is at or before it. Commit
+    * timestamps are strictly increasing within a log tail ([[commit]]
+    * enforces it) and monotonized here with a running max across
+    * history, so a wall clock stepping backwards between sessions can
+    * never make time travel non-deterministic (the Delta
+    * TIMESTAMP AS OF contract). O(history) record opens — an
+    * administrative query, not a planning path; legacy records
+    * without timestamps (ts = 0) sort before every real clock.
+    */
+  def versionAsOf(root: String, tsMillis: Long): Long = {
+    var best = -1L
+    var runMax = Long.MinValue
+    commits(root).foreach { c =>
+      runMax = math.max(runMax, c.ts)
+      if (runMax <= tsMillis) best = c.version
+    }
+    require(best >= 0,
+      s"timestamp $tsMillis predates every commit of $root")
+    best
+  }
+
+  /** [[read]] at [[versionAsOf]]`(tsMillis)`. */
+  def readAsOf(s: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(s, root, versionAsOf(root, tsMillis))
 
   /** Physically delete data files referenced by NO snapshot at or
     * after `retainFromVersion` — storage reclamation after rewrites

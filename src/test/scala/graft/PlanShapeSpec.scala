@@ -394,4 +394,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"decontamination must not sort-merge the corpus:\n$plan")
   }
+
+  test("decontamination beyond the broadcast threshold: plain path shuffles the corpus, bloom path still scans") {
+    // the regime the bloom variant exists for — an eval set too big
+    // to broadcast. The plain anti-join degrades to shuffling every
+    // exploded corpus shingle into a sort-merge join; the bloom
+    // path's word array is a plan literal, immune to the threshold.
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val plain = initialPlan("cur_decontaminate")
+      assert(plain.contains("SortMergeJoin"),
+        s"fixture check: plain decontamination must sort-merge with broadcasts off:\n$plain")
+      val bloomed = initialPlan("cur_decontaminate_bloom")
+      assert(bloomed.contains("shiftright") && !bloomed.contains("SortMergeJoin"),
+        s"the bloom screen must survive the broadcast threshold:\n$bloomed")
+    }
+  }
 }

@@ -721,6 +721,58 @@ class TxnLogSpec extends SparkTestBase {
     }
   }
 
+  test("multi-column stats: any statted column prunes; a partition-style column prunes like a partition scan") {
+    val root = freshRoot()
+    // k clustered 1..64 into 8 files; p = k/16 is a coarse bucket
+    // (near-constant per file) — the partition-column shape
+    val data = (1L to 64L).map(k => (k, k / 16, k * 10L))
+    val (files, multi) = TxnLog.stageWithStatsFor(
+      data.toDF("k", "p", "v").repartitionByRange(8, $"k"), root, "t1",
+      cols = Seq("k", "p"))
+    assert(files.size === 8 && multi.forall(_.keySet === Set("k", "p")))
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      multiStats = multi)
+
+    // pruning works on BOTH columns independently
+    assert(TxnLog.prunedFiles(root, 20L, 29L, statsCol = "k").size <= 3)
+    val partFiles = TxnLog.prunedFiles(root, 2L, 2L, statsCol = "p")
+    assert(partFiles.nonEmpty && partFiles.size <= 3,
+      s"partition-equality pruning must skip non-matching files, kept ${partFiles.size} of 8")
+    // an unstatted column never prunes
+    assert(TxnLog.prunedFiles(root, 0L, 0L, statsCol = "v").size === 8)
+
+    // both reads stay exact
+    assert(TxnLog.readRange(spark, root, "p", 2L, 2L)
+      .select($"k").as[Long].collect().toSet ===
+      data.filter(_._2 == 2L).map(_._1).toSet)
+    // metadata-only aggregate works off EITHER column's map entry
+    val agg = TxnLog.statsAggregate(spark, root, "p").head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === ((64L, 0L, 4L)))
+
+    // the per-column map survives a checkpoint (one F-line per column)
+    TxnLog.checkpoint(root)
+    assert(TxnLog.prunedFiles(root, 2L, 2L, statsCol = "p").toSet === partFiles.toSet)
+    assert(TxnLog.snapshotState(root).forall(_._2.stats.keySet === Set("k", "p")))
+  }
+
+  test("timestamp-as-of time travel: strictly-increasing commit timestamps resolve versions deterministically") {
+    val root = freshRoot()
+    val c1 = append(root, "t1", Seq((1L, 10L)))
+    val c2 = append(root, "t2", Seq((2L, 20L)))
+    val c3 = append(root, "t3", Seq((3L, 30L)))
+    assert(c1.ts < c2.ts && c2.ts < c3.ts,
+      "commit timestamps must be strictly increasing even within one wall-clock tick")
+    assert(TxnLog.versionAsOf(root, c2.ts) === 2L)
+    assert(TxnLog.versionAsOf(root, c3.ts - 1) === 2L)
+    assert(TxnLog.versionAsOf(root, c3.ts) === 3L)
+    assert(TxnLog.versionAsOf(root, Long.MaxValue) === 3L)
+    intercept[IllegalArgumentException] {
+      TxnLog.versionAsOf(root, c1.ts - 1) // predates the table
+    }
+    assert(TxnLog.readAsOf(spark, root, c2.ts).as[(Long, Long)]
+      .collect().toSet === Set((1L, 10L), (2L, 20L)))
+  }
+
   test("bloom soundness: bloom-less files and foreign-column blooms are always scanned") {
     val root = freshRoot()
     val (f1, st1, bl1) = TxnLog.stageWithIndex(

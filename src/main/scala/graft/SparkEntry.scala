@@ -407,6 +407,47 @@ object SparkEntry {
     }
   }
 
+  /** Z-order txn tables already built this JVM. */
+  private val materializedTxnZorderTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** A fifth [[graft.sources.TxnLog]] table for the OPTIMIZE ZORDER
+    * path: v1 appends the %3<=1 orders slice in arrival order
+    * (unclustered), v2 rewrites it z-ordered on (o_custkey,
+    * price_cents) with multi-column stats — content identical, layout
+    * transformed, both dimensions pruneable. Content is a pure
+    * predicate over orders at every version, so DuckDB oracles the
+    * rewrite's invariance without seeing the layout.
+    */
+  private def ensureTxnZorderTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxnLog
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnz_${dirTag(dir)}_${ordersFingerprint(dir)}"
+    materializeOnce(materializedTxnZorderTables, root) {
+      if (TxnLog.currentVersion(root) != 2L) {
+        val rootPath = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(rootPath)) {
+          import java.util.Comparator
+          java.nio.file.Files.walk(rootPath)
+            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        TxnLog.init(root)
+        val base = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 <= 1)
+          .select(col("o_orderkey"), col("o_custkey").cast("long").as("cust"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .repartition(8) // arrival order: neither dim clustered
+        val files = TxnLog.stage(base, root, "v1-append")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = "v1-append")
+        TxnLog.optimizeZorder(s, root, "cust", "price_cents", nFiles = 8,
+          txnId = "v2-zorder")
+        ()
+      }
+    }
+  }
+
   /** One-time side-artifact materialization for `dir` (the s8 file
     * topic, the j9 bucketed tables, the partitioned events layout,
     * the schema-evolved generations, the z-order file-stats manifest).
@@ -424,6 +465,7 @@ object SparkEntry {
     ensureTxnRangeTable(s, dir)
     ensureTxnDeleteTable(s, dir)
     ensureTxnMergeTable(s, dir)
+    ensureTxnZorderTable(s, dir)
     ()
   }
 
@@ -645,6 +687,15 @@ object SparkEntry {
         graft.sources.TxnStream.readChanges(s, root, fromExclusive = 1L, toInclusive = 3L)
           .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
       }),
+      // OPTIMIZE ZORDER as a transaction (X-A40): v2 rewrote the
+      // table Morton-clustered on (cust, price_cents) with stats on
+      // both dims — this reads a RANGE ON THE SECOND dimension, the
+      // read z-order exists to serve (a price range over a table a
+      // single-column sort would cluster by cust only); the spec pins
+      // the file-count reduction, the oracle pins content invariance
+      "tx_zorder_read" -> ((s, dir) =>
+        graft.sources.TxnLog.readRange(s, ensureTxnZorderTable(s, dir),
+          "price_cents", lo = 1000000L, hi = 3000000L)),
       // stats-pruned MERGE INTO (X-A36): the %4==1 source updates
       // existing keys (+7 cents) and inserts the rest; only files
       // whose [min,max] key range can hold a source key are
@@ -833,6 +884,14 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 3 <= 1
            AND o_orderkey * 2654435761 % 1000000007 = 1242 * 2654435761 % 1000000007""",
+
+    "tx_zorder_read" ->
+      """SELECT o_orderkey,
+                CAST(o_custkey AS BIGINT) AS cust,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1
+           AND round(o_totalprice * 100) BETWEEN 1000000 AND 3000000""",
 
     // merge semantics: %4==1 rows carry the source's bumped price
     // (update where the key pre-existed, insert where it did not);

@@ -133,13 +133,21 @@ object LayoutOps {
     * parquet — the LAYOUT is the optimization, and any engine reading
     * the files gets the file-skipping for free from row-group stats.
     */
-  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
-                  nFiles: Int, bits: Int = 16): Unit = {
+  /** The z-order clustering TRANSFORM alone: rows range-partitioned
+    * and sorted by their Morton code, helper columns dropped — for
+    * callers that stage the result through their own write path
+    * (e.g. a transaction log rewrite).
+    */
+  def zorderClustered(df: DataFrame, xCol: String, yCol: String,
+                      nFiles: Int, bits: Int = 16): DataFrame =
     withNormalizedDims(df, xCol, yCol, bits)
       .withColumn("__z", zValue(col("__zx"), col("__zy"), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__zx", "__zy", "__z")
+
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+                  nFiles: Int, bits: Int = 16): Unit =
+    zorderClustered(df, xCol, yCol, nFiles, bits)
       .write.mode("overwrite").parquet(path)
-  }
 }

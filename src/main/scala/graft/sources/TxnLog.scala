@@ -723,6 +723,31 @@ object TxnLog {
       schemaId = schemaFingerprint(source.schema))
   }
 
+  /** OPTIMIZE ZORDER BY (x, y) as ONE transaction: rewrite the
+    * table's live rows clustered by their Morton code
+    * ([[graft.operators.LayoutOps.zValue]]) into `nFiles` files, with
+    * multi-column (min, max, rows) stats on BOTH dimensions inline in
+    * the commit — afterwards a range read on EITHER column prunes,
+    * which is the point of z-order over single-column sorting. The
+    * rewrite reads DV-filtered (row-level deletes compact in, vectors
+    * die with the old files), `removed` = every previous file puts it
+    * under the standard conflict matrix (a concurrent rewrite aborts
+    * this job; a concurrent APPEND is untouched and simply stays
+    * unclustered until the next OPTIMIZE — the Delta OPTIMIZE
+    * contract), and time travel to the pre-layout version still
+    * works: clustering changes bytes' ADDRESSES, never their content.
+    */
+  def optimizeZorder(s: SparkSession, root: String, xCol: String, yCol: String,
+                     nFiles: Int, txnId: String, bits: Int = 16): Commit = {
+    val readV = currentVersion(root)
+    val clustered = graft.operators.LayoutOps.zorderClustered(
+      read(s, root, readV), xCol, yCol, nFiles, bits)
+    val (files, multi) = stageWithStatsFor(clustered, root, txnId,
+      Seq(xCol, yCol))
+    commit(root, "zorder", files, removed = snapshotFiles(root, readV),
+      readVersion = readV, txnId = txnId, multiStats = multi)
+  }
+
   /** Stable fingerprint of a schema (names + types, order-blind) —
     * what [[commit]] enforces against the table's current schema.
     */
@@ -761,8 +786,12 @@ object TxnLog {
       .select(input_file_name().as("f"), col(statsCol).cast("long").as("s"))
       .groupBy("f").agg(fmin("s").as("lo"), fmax("s").as("hi"), count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
-        FileStat(r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .flatMap(r =>
+        // an empty or all-null file has no range: record no stat (it
+        // then always survives pruning — sound — and scans in aggs)
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else Some((r.getString(0).stripPrefix("file://").stripPrefix("file:"),
+          FileStat(r.getLong(1), r.getLong(2), r.getLong(3))))).toMap
     (files, files.map(ranges.get))
   }
 

@@ -125,6 +125,50 @@ object TxnStream {
     * `upTo` bounds how far to read (for tests and rate-limited
     * catch-up); default = the source head at call time.
     */
+  /** Maintain an exact KEYED MIRROR of a source table: per source
+    * version, DV retractions ([[readDeletes]]) are applied as a
+    * target `deleteWhere` on the key, then the version's adds /
+    * post-images ([[readChanges]]) land via a stats-pruned
+    * [[TxnLog.mergeInto]] — so upserts update in place instead of
+    * duplicating, rewrites re-merge idempotently, and deletes
+    * retract. Requires `keyCol` unique in the source (the merge
+    * contract). Exactly-once like [[maintainInto]]: the merge txnId
+    * `"<consumerId>-v<N>"` is the durable applied-marker;
+    * the delete step's txnId lives under a DIFFERENT prefix
+    * (`"<consumerId>-del-v<N>"`) so it never confuses offset
+    * recovery, and a crash-replay of an already-applied delete is a
+    * no-op by construction (the rows are already dead). Returns the
+    * source versions applied by THIS call.
+    *
+    * 100 TB shape: per version the mirror pays O(that version's
+    * changes) — the delete is bitmap metadata, the merge rewrites
+    * only key-range-affected files. Nothing rescans either table.
+    */
+  def maintainMirror(s: SparkSession, sourceRoot: String, targetRoot: String,
+                     consumerId: String, keyCol: String,
+                     upTo: Long = Long.MaxValue): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val head = math.min(TxnLog.currentVersion(sourceRoot), upTo)
+    val from = appliedVersion(targetRoot, consumerId)
+    ((from + 1) to head).flatMap { v =>
+      val txnId = s"$consumerId-v$v"
+      TxnLog.withTxnLock(txnId) {
+        if (TxnLog.findCommit(targetRoot, txnId).isDefined) None
+        else {
+          val delKeys = readDeletes(s, sourceRoot, v - 1, v)
+            .select(col(keyCol)).distinct().collect().map(_.get(0))
+          if (delKeys.nonEmpty)
+            TxnLog.deleteWhere(s, targetRoot,
+              col(keyCol).isInCollection(delKeys), s"$consumerId-del-v$v")
+          val adds = readChanges(s, sourceRoot, v - 1, v).drop(CommitVersionCol)
+          TxnLog.wipeStaging(targetRoot, txnId)
+          TxnLog.mergeInto(s, targetRoot, adds, keyCol, txnId)
+          Some(v)
+        }
+      }
+    }
+  }
+
   def maintainInto(s: SparkSession, sourceRoot: String, targetRoot: String,
                    consumerId: String, upTo: Long = Long.MaxValue)
                   (transform: DataFrame => DataFrame): Seq[Long] = {

@@ -755,6 +755,43 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.snapshotState(root).forall(_._2.stats.keySet === Set("k", "p")))
   }
 
+  test("optimizeZorder: one transaction, content invariant, BOTH dimensions prune afterwards") {
+    val root = freshRoot()
+    // two independent uniform dims; arrival order clusters neither
+    val data = (0L until 1024L).map(k => (k * 37 % 1024, k * 59 % 1024))
+    val files = TxnLog.stage(
+      data.toDF("x", "y").repartition(8), root, "t1")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1")
+    // unclustered: a narrow range on either dim overlaps every file
+    assert(TxnLog.prunedFiles(root, 0L, 127L, statsCol = "x").size === 8,
+      "fixture: stat-less arrival order must not prune")
+
+    val c = TxnLog.optimizeZorder(spark, root, "x", "y", nFiles = 8, txnId = "z1")
+    assert(c.action === "zorder" && c.removed.toSet === files.toSet)
+    // content is byte-for-byte the same rows
+    assert(rows(root) === data.toSet)
+    assert(rows(root, version = 1L) === data.toSet, "time travel under the rewrite")
+    // an eighth of EITHER dimension's domain now touches a minority
+    // of files — the property a single-column sort gives only to its
+    // own column
+    val xPruned = TxnLog.prunedFiles(root, 0L, 127L, statsCol = "x")
+    val yPruned = TxnLog.prunedFiles(root, 0L, 127L, statsCol = "y")
+    assert(xPruned.size <= 4, s"x-range must prune: ${xPruned.size} of 8")
+    assert(yPruned.size <= 4, s"y-range must prune: ${yPruned.size} of 8")
+    assert(TxnLog.readRange(spark, root, "y", 0L, 127L).as[(Long, Long)]
+      .collect().toSet === data.filter(_._2 <= 127).toSet)
+
+    // a concurrent append is untouched by OPTIMIZE (no file overlap):
+    // both land, the appended rows simply stay unclustered
+    val root2 = freshRoot()
+    val f2 = TxnLog.stage(data.toDF("x", "y").repartition(4), root2, "t1")
+    TxnLog.commit(root2, "append", f2, Nil, readVersion = 0L, txnId = "t1")
+    val late = TxnLog.stage(Seq((9999L, 9999L)).toDF("x", "y"), root2, "late")
+    TxnLog.optimizeZorder(spark, root2, "x", "y", nFiles = 4, txnId = "z1")
+    TxnLog.commit(root2, "append", late, Nil, readVersion = 1L, txnId = "late")
+    assert(rows(root2) === data.toSet + ((9999L, 9999L)))
+  }
+
   test("timestamp-as-of time travel: strictly-increasing commit timestamps resolve versions deterministically") {
     val root = freshRoot()
     val c1 = append(root, "t1", Seq((1L, 10L)))

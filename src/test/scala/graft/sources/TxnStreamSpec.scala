@@ -165,4 +165,44 @@ class TxnStreamSpec extends SparkTestBase {
       TxnLog.read(spark, root).as[(Long, Long)].collect().toSet,
       "adds minus retractions must equal the live snapshot")
   }
+
+  test("maintainMirror: a keyed mirror tracks appends, upserts and DV deletes exactly once") {
+    val src = freshRoot()
+    val mirror = freshRoot()
+    def srcRows() = TxnLog.read(spark, src).as[(Long, Long)].collect().toSet
+    def mirrorRows() = TxnLog.read(spark, mirror).as[(Long, Long)].collect().toSet
+    def sync() = TxnStream.maintainMirror(spark, src, mirror, "m", "k")
+
+    val c1 = append(src, "t1", (1L to 8L).map(k => (k, k * 10L)))
+    append(src, "t2", Seq((9L, 90L)))
+    assert(sync() === Seq(1L, 2L))
+    assert(mirrorRows() === srcRows())
+
+    // copy-on-write upsert: post-images must UPDATE the mirror, not
+    // duplicate it (the merge-on-key contract)
+    val rewritten = TxnLog.stage(
+      spark.read.parquet(c1.added: _*).as[(Long, Long)]
+        .map { case (k, v) => (k, if (k == 2L) 999L else v) }.toDF("k", "v"),
+      src, "t3")
+    TxnLog.commit(src, "upsert", rewritten, removed = c1.added,
+      readVersion = 2L, txnId = "t3")
+    // DV delete retracts
+    TxnLog.deleteWhere(spark, src, col("k") % 3 === 0, "t4")
+    assert(sync() === Seq(3L, 4L))
+    assert(mirrorRows() === srcRows(),
+      "mirror must equal the source after upsert + delete")
+    assert(mirrorRows().contains((2L, 999L)) && !mirrorRows().exists(_._1 == 3L))
+
+    // idempotence: re-sync applies nothing; a duplicate consumer
+    // instance converges without corrupting the mirror
+    assert(sync() === Seq.empty)
+    assert(TxnStream.maintainMirror(spark, src, mirror, "m", "k") === Seq.empty)
+    assert(mirrorRows() === srcRows())
+
+    // a delete-only version (no adds) still durably marks applied
+    TxnLog.deleteWhere(spark, src, col("k") === 1L, "t5")
+    assert(sync() === Seq(5L))
+    assert(TxnStream.appliedVersion(mirror, "m") === 5L)
+    assert(mirrorRows() === srcRows())
+  }
 }

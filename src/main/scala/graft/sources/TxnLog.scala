@@ -122,7 +122,8 @@ object TxnLog {
                     dvFiles: Seq[String] = Nil,
                     dvs: Seq[String] = Nil,
                     ts: Long = 0L,
-                    multiStats: Seq[String] = Nil)
+                    multiStats: Seq[String] = Nil,
+                    constraint: String = "")
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -137,6 +138,12 @@ object TxnLog {
     * fork forever).
     */
   class SchemaMismatchException(msg: String) extends RuntimeException(msg)
+
+  /** A write's batch contains rows violating a table CHECK
+    * constraint — the write is rejected BEFORE anything is published
+    * (bad data never becomes visible; the Delta constraint contract).
+    */
+  class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
   /** [[appendOnce]] writes a checkpoint every this-many commits, the
     * knob that keeps long-lived streaming ingest O(tail) (Delta
@@ -234,9 +241,11 @@ object TxnLog {
     val schemaPart =
       if (c.schemaId.isEmpty) "" else s""","schema":"${c.schemaId}""""
     val tsPart = if (c.ts == 0L) "" else s""","ts":${c.ts}"""
+    val constraintPart =
+      if (c.constraint.isEmpty) "" else s""","constraint":"${c.constraint}""""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -264,7 +273,7 @@ object TxnLog {
       arr("stats", required = false).map(parseStat), strOpt("schema"),
       strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"),
       arr("dvFiles", required = false), arr("dvs", required = false),
-      numOpt("ts"), arr("mstats", required = false))
+      numOpt("ts"), arr("mstats", required = false), strOpt("constraint"))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -329,7 +338,8 @@ object TxnLog {
                                files: Seq[(String, FileMeta)],
                                txns: Map[String, Long],
                                schema: String,
-                               hasLedger: Boolean)
+                               hasLedger: Boolean,
+                               constraints: Map[String, String] = Map.empty)
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -349,13 +359,20 @@ object TxnLog {
     if (lines.headOption.contains(CkptHeader)) {
       var schema = ""
       val txns = Map.newBuilder[String, Long]
+      val constraints = Map.newBuilder[String, String]
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
         def addStat(f: String, c: String, st: FileStat): Unit = {
           val m = files.getOrElse(f, FileMeta())
           files(f) = m.copy(stats = m.stats + (c -> st))
         }
-        l.split(" ").toSeq match {
+        // `C <name> <expr…>`: the expr half may contain spaces —
+        // handled before the token match
+        if (l.startsWith("C ")) {
+          val rest = l.drop(2)
+          val cut = rest.indexOf(' ')
+          constraints += (rest.take(cut) -> rest.drop(cut + 1))
+        } else l.split(" ").toSeq match {
           case Seq("S", id)          => schema = id
           case Seq("T", txn, ver)    => txns += (txn -> ver.toLong)
           case Seq("F", f)           =>
@@ -373,7 +390,8 @@ object TxnLog {
           case other => sys.error(s"bad checkpoint line: $l")
         }
       }
-      CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true)
+      CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
+        constraints.result())
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -421,6 +439,8 @@ object TxnLog {
     var schema = seed.schema
     val txns = scala.collection.mutable.Map.empty[String, Long]
     txns ++= seed.txns
+    val constraints = scala.collection.mutable.Map.empty[String, String]
+    constraints ++= seed.constraints
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
@@ -441,9 +461,15 @@ object TxnLog {
       c.removed.foreach(live.remove)
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
+      if (c.action == "set-constraint" && c.constraint.nonEmpty) {
+        val cut = c.constraint.indexOf(' ')
+        constraints(c.constraint.take(cut)) = c.constraint.drop(cut + 1)
+      }
+      if (c.action == "drop-constraint") constraints.remove(c.constraint)
       top = c.version
     }
-    CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true)
+    CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
+      constraints.toMap)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -464,6 +490,8 @@ object TxnLog {
     val st = resolveState(root, v)
     val body = new StringBuilder(CkptHeader).append('\n')
     if (st.schema.nonEmpty) body.append("S ").append(st.schema).append('\n')
+    st.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      body.append("C ").append(n).append(' ').append(e).append('\n') }
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
       body.append("T ").append(t).append(' ').append(ver).append('\n') }
     st.files.foreach { case (f, meta) =>
@@ -689,6 +717,7 @@ object TxnLog {
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"merge source has multiple rows for $keyCol = ${dup.headOption.map(_.get(0)).orNull}")
+    checkConstraints(s, root, source) // incoming rows only — O(batch)
     val ranged = state.collect {
       case (f, m) if m.statFor(keyCol).isDefined =>
         val st = m.statFor(keyCol).get
@@ -721,6 +750,57 @@ object TxnLog {
     commit(root, "merge", files, removed = affectedState.map(_._1),
       readVersion = readV, txnId = txnId, stats = stats, statsCol = keyCol,
       schemaId = schemaFingerprint(source.schema))
+  }
+
+  /** Register a CHECK constraint: `sqlExpr` (a Spark SQL boolean
+    * expression over the table's columns) must hold for every row of
+    * every FUTURE write through [[appendOnce]] / [[mergeInto]] (or an
+    * explicit [[checkConstraints]] call before a raw [[commit]]) —
+    * enforcement happens on the incoming BATCH, O(batch) not
+    * O(table), before anything publishes: bad data never becomes
+    * visible. The constraint itself rides the log (and checkpoints),
+    * so every writer sees it. Constraint names and expressions may
+    * not contain double quotes (the record format's fail-fast rule,
+    * same as paths).
+    */
+  def setConstraint(root: String, name: String, sqlExpr: String,
+                    txnId: String): Commit = {
+    require(name.nonEmpty && !name.contains(' ') && !name.contains('"'),
+      s"bad constraint name: $name")
+    require(sqlExpr.nonEmpty && !sqlExpr.contains('"'),
+      "constraint expressions may not contain double quotes")
+    commit(root, "set-constraint", Nil, Nil,
+      readVersion = currentVersion(root), txnId = txnId,
+      constraint = s"$name $sqlExpr")
+  }
+
+  /** Drop a CHECK constraint by name. */
+  def dropConstraint(root: String, name: String, txnId: String): Commit =
+    commit(root, "drop-constraint", Nil, Nil,
+      readVersion = currentVersion(root), txnId = txnId, constraint = name)
+
+  /** The CHECK constraints active at `version` (name → expression). */
+  def activeConstraints(root: String,
+                        version: Long = Long.MaxValue): Map[String, String] =
+    resolveState(root, version).constraints
+
+  /** Enforce the table's CHECK constraints against a write batch:
+    * throws [[ConstraintViolationException]] naming the first
+    * violated constraint and its offending-row count. One scan of
+    * the batch, all constraints fused into a single pass.
+    */
+  def checkConstraints(s: SparkSession, root: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{count_if, expr, lit, not}
+    val active = activeConstraints(root)
+    if (active.isEmpty) return
+    val counts = df.select(active.toSeq.sortBy(_._1).map { case (n, e) =>
+      count_if(not(org.apache.spark.sql.functions.coalesce(expr(e), lit(false))))
+        .as(n) }: _*).head()
+    active.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = counts.getLong(i)
+      if (bad > 0) throw new ConstraintViolationException(
+        s"constraint $n (CHECK $e) violated by $bad row(s); write rejected")
+    }
   }
 
   /** OPTIMIZE ZORDER BY (x, y) as ONE transaction: rewrite the
@@ -899,12 +979,15 @@ object TxnLog {
 
   /** [[bloomPosExprs]] evaluated for a literal probe value via a
     * 1-row local plan — the probe side of the shared definition.
+    * `value` is whatever `lit()` accepts (long, string, …): the
+    * build side hashes the COLUMN with xxhash64, so any type that
+    * hashes identically as a literal probes correctly.
     */
-  private def bloomPositions(s: SparkSession, value: Long, bloomBits: Int,
+  private def bloomPositions(s: SparkSession, value: Any, bloomBits: Int,
                              bloomK: Int): Seq[Int] = {
-    import s.implicits._
-    Seq(value).toDF("v")
-      .select(bloomPosExprs(org.apache.spark.sql.functions.col("v"),
+    import org.apache.spark.sql.functions.lit
+    s.range(1)
+      .select(bloomPosExprs(lit(value),
         bloomBits, bloomK).zipWithIndex.map { case (c, i) => c.as(s"p$i") }: _*)
       .head().toSeq.map(_.asInstanceOf[Long].toInt)
   }
@@ -931,18 +1014,25 @@ object TxnLog {
     * Min/max stats for `column` are ALSO applied when they describe
     * it (the skipping stack composes). Metadata-only planning.
     */
-  def readPoint(s: SparkSession, root: String, column: String, value: Long,
+  def readPoint(s: SparkSession, root: String, column: String, value: Any,
                 version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
     val state = snapshotState(root, version)
     val posCache = scala.collection.mutable.Map.empty[Int, Seq[Int]]
+    // min/max range pruning applies only to numeric probes; any type
+    // lit() accepts can bloom-probe (the build hashes the column)
+    val numeric: Option[Long] = value match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
     val kept = state.filter {
       case (f, m) => {
         // only an EXACT column match may range-prune a point lookup
         // (the legacy unnamed stat stays caller-asserted for ranges,
         // but a point probe is precise enough to demand precision)
-        val rangeOk = m.stats.get(column).forall(st =>
-          value >= st.lo && value <= st.hi)
+        val rangeOk = numeric.forall(v => m.stats.get(column).forall(st =>
+          v >= st.lo && v <= st.hi))
         val bloomOk = m.bloom.forall { enc =>
           m.bloomCol != column || !enc.contains(':') || {
             val Array(kTok, hex) = enc.split(":", 2)
@@ -982,7 +1072,8 @@ object TxnLog {
              bloomCol: String = "",
              dvFiles: Seq[String] = Nil,
              dvs: Seq[String] = Nil,
-             multiStats: Seq[Map[String, FileStat]] = Nil): Commit = {
+             multiStats: Seq[Map[String, FileStat]] = Nil,
+             constraint: String = ""): Commit = {
     validatePaths(added ++ removed ++ dvFiles)
     require(multiStats.isEmpty || multiStats.size == added.size,
       s"txn $txnId: multiStats (${multiStats.size}) must align with added (${added.size})")
@@ -1065,7 +1156,7 @@ object TxnLog {
         tail.lastOption.map(_.ts + 1).getOrElse(1L))
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvs, commitTs,
-        multiStats.map(renderMultiStat))
+        multiStats.map(renderMultiStat), constraint)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -1306,6 +1397,7 @@ object TxnLog {
     val txnId = s"$streamId-b$batchId"
     withTxnLock(txnId) {
       findCommit(root, txnId).getOrElse {
+        checkConstraints(df.sparkSession, root, df) // before anything publishes
         wipeStaging(root, txnId) // orphan from a crashed earlier attempt
         val files = stage(df, root, txnId)
         // appends have an empty read set: readVersion 0 never conflicts

@@ -721,6 +721,56 @@ class TxnLogSpec extends SparkTestBase {
     }
   }
 
+  test("CHECK constraints: violating writes are rejected before publishing; constraints ride the log and checkpoints") {
+    val root = freshRoot()
+    append(root, "t1", Seq((1L, 10L)))
+    TxnLog.setConstraint(root, "v_positive", "v > 0", "c1")
+    assert(TxnLog.activeConstraints(root) === Map("v_positive" -> "v > 0"))
+
+    // conforming streaming append lands
+    TxnLog.appendOnce(Seq((2L, 20L)).toDF("k", "v"), root, "s", 0L)
+    assert(rows(root) === Set((1L, 10L), (2L, 20L)))
+    // violating batch: rejected, NOTHING published, head unchanged
+    val headBefore = TxnLog.currentVersion(root)
+    val e = intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.appendOnce(Seq((3L, 30L), (4L, -1L)).toDF("k", "v"), root, "s", 1L)
+    }
+    assert(e.getMessage.contains("v_positive") && e.getMessage.contains("1 row"))
+    assert(TxnLog.currentVersion(root) === headBefore)
+    assert(rows(root) === Set((1L, 10L), (2L, 20L)))
+    // merge enforces too
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.mergeInto(spark, root, Seq((1L, -5L)).toDF("k", "v"), "k", "m1")
+    }
+    // a null predicate result counts as a violation (CHECK must PROVE)
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.appendOnce(Seq((5L, Option.empty[Long])).toDF("k", "v"), root, "s", 2L)
+    }
+
+    // constraints survive checkpoints; drop re-admits
+    TxnLog.checkpoint(root)
+    assert(TxnLog.activeConstraints(root) === Map("v_positive" -> "v > 0"))
+    TxnLog.dropConstraint(root, "v_positive", "c2")
+    TxnLog.appendOnce(Seq((6L, -60L)).toDF("k", "v"), root, "s", 3L)
+    assert(rows(root).contains((6L, -60L)))
+  }
+
+  test("bloom point lookup on a STRING key: the canonical UUID-lookup shape") {
+    val root = freshRoot()
+    val data = (1L to 256L).map(k => (k, f"doc-$k%04d-${k * 2654435761L % 100000}"))
+    val (files, stats, blooms) = TxnLog.stageWithIndex(
+      data.toDF("k", "uid").repartitionByRange(8, $"k"), root, "t1",
+      statsCol = "k", bloomCol = "uid")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k", blooms = blooms, bloomCol = "uid")
+    val probe = data.find(_._1 == 137L).get._2
+    val hit = TxnLog.readPoint(spark, root, "uid", probe)
+    assert(hit.as[(Long, String)].collect().toSet === Set((137L, probe)))
+    assert(hit.inputFiles.length <= 2,
+      s"string bloom must skip most files, scanned ${hit.inputFiles.length} of 8")
+    assert(TxnLog.readPoint(spark, root, "uid", "no-such-uid").count() === 0L)
+  }
+
   test("multi-column stats: any statted column prunes; a partition-style column prunes like a partition scan") {
     val root = freshRoot()
     // k clustered 1..64 into 8 files; p = k/16 is a coarse bucket

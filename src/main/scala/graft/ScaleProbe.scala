@@ -535,6 +535,42 @@ object ScaleProbe {
       println(f"""{"op":"txn_merge_pruned","k":32,"rows":65536,"sec":$mgSec%.3f,"files_rewritten":${mg.removed.size},"files_total":32}""")
     }
 
+    // Mirror-maintenance ladder (X-A41): apply ONE new source version
+    // (a small append + a small DV delete) to a mirror of a table
+    // that is k× bigger — per-version cost must be ~flat in table
+    // size (the whole point: nothing rescans either table; the merge
+    // rewrite is bounded by the append's key range, the retraction by
+    // its bitmap).
+    if (enabled("txn_mirror")) {
+      import graft.sources.{TxnLog, TxnStream}
+      Seq(8, 32, 128).foreach { files =>
+        val src = java.nio.file.Files.createTempDirectory(s"graft-mirsrc-$files").toString
+        val mir = java.nio.file.Files.createTempDirectory(s"graft-mirdst-$files").toString
+        TxnLog.init(src); TxnLog.init(mir)
+        val rows = files * 2048
+        val base = spark.range(0, rows)
+          .select(col("id").as("k"), (col("id") * 7 % 13).as("v"))
+          .repartitionByRange(files, col("k"))
+        val (f1, st1) = TxnLog.stageWithStats(base, src, "t1", "k")
+        TxnLog.commit(src, "append", f1, Nil, readVersion = 0L, txnId = "t1",
+          stats = st1, statsCol = "k")
+        TxnStream.maintainMirror(spark, src, mir, "m", "k") // catch-up, untimed
+        // TWO incremental versions: a 64-key UPDATE merge confined to
+        // one file's range, and a 64-row DV delete
+        val upd = spark.range(100, 164).select(col("id").as("k"), lit(999L).as("v"))
+        TxnLog.mergeInto(spark, src, upd, "k", "t2")
+        TxnLog.deleteWhere(spark, src, col("k").between(200, 263), "t3")
+        val t0 = System.nanoTime()
+        val applied = TxnStream.maintainMirror(spark, src, mir, "m", "k")
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(applied.size == 2,
+          s"expected 2 versions applied, got ${applied.size}")
+        require(TxnLog.read(spark, mir).count() == TxnLog.read(spark, src).count(),
+          "mirror must converge")
+        println(f"""{"op":"txn_mirror_apply","k":$files,"rows":$rows,"sec":$sec%.3f}""")
+      }
+    }
+
     // Decontamination regime probe (X-C17): with broadcasts DISABLED
     // — the regime where the eval set outgrows the broadcast
     // threshold — the plain anti-join path must shuffle the entire

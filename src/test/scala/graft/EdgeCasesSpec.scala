@@ -248,6 +248,31 @@ class EdgeCasesSpec extends SparkTestBase {
       && audit.head.getBoolean(3))
   }
 
+  test("r12 txn-log APIs tolerate empty and degenerate tables") {
+    import graft.sources.TxnLog
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-edge-txn").toString
+    TxnLog.init(root)
+    // empty table: every read path returns empty, no metadata lies
+    assert(TxnLog.read(spark, root).isEmpty)
+    val agg = TxnLog.statsAggregate(spark, root, "k").head()
+    assert(agg.getLong(0) === 0L && agg.isNullAt(1) && agg.isNullAt(2),
+      "empty-table aggregate: count 0, undefined extremes as nulls")
+    assert(TxnLog.deleteWhere(spark, root, col("k") > 0, "d0") === None)
+    assert(TxnLog.activeConstraints(root) === Map.empty)
+    // merge into an EMPTY table is a pure insert
+    import spark.implicits._
+    val c = TxnLog.mergeInto(spark, root, Seq((1L, 10L)).toDF("k", "v"), "k", "m0")
+    assert(c.removed.isEmpty)
+    assert(TxnLog.read(spark, root).as[(Long, Long)].collect().toSet === Set((1L, 10L)))
+    // single-row table z-orders without degenerate-range crashes
+    // (both dims constant -> normalization hits the hi == lo guard)
+    TxnLog.optimizeZorder(spark, root, "k", "v", nFiles = 2, txnId = "z0")
+    assert(TxnLog.read(spark, root).as[(Long, Long)].collect().toSet === Set((1L, 10L)))
+    // point lookup for an absent key on a bloom-less table: empty, no crash
+    assert(TxnLog.readPoint(spark, root, "k", 999L).count() === 0L)
+  }
+
   test("integer division truncates toward zero on all parity legs (negatives included)") {
     // The w4_ewma / EwmaPipeline contract: Spark `div`, JVM long `/`,
     // and DuckDB integer `//` all truncate toward zero, so EWMA over

@@ -319,7 +319,7 @@ object SparkEntry {
           Seq("o_orderkey", "o_part"), files)
         TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
           txnId = "v1-clustered", blooms = blooms, bloomCol = "o_tag",
-          multiStats = multi)
+          multiStats = multi, schemaJson = TxnLog.encodeSchema(base.schema))
         ()
       }
     }
@@ -687,6 +687,19 @@ object SparkEntry {
         graft.sources.TxnStream.readChanges(s, root, fromExclusive = 1L, toInclusive = 3L)
           .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
       }),
+      // the SQL surface (X-A43): TxnLog.table() registers the
+      // snapshot behind a TxnLogFileIndex, so this plain SQL WHERE —
+      // no readRange/readPoint call anywhere — gets file skipping
+      // from the log's stats through the optimizer; schema comes from
+      // the log too (zero footer reads at plan time)
+      "tx_sql_prune" -> ((s, dir) => {
+        val root = ensureTxnRangeTable(s, dir)
+        graft.sources.TxnLog.table(s, root)
+          .createOrReplaceTempView(s"txn_orders_${dirTag(dir)}")
+        s.sql(s"""SELECT o_orderkey, price_cents, o_tag, o_part
+                  FROM txn_orders_${dirTag(dir)}
+                  WHERE o_orderkey BETWEEN 1000 AND 3000""")
+      }),
       // OPTIMIZE ZORDER as a transaction (X-A40): v2 rewrote the
       // table Morton-clustered on (cust, price_cents) with stats on
       // both dims — this reads a RANGE ON THE SECOND dimension, the
@@ -884,6 +897,16 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 3 <= 1
            AND o_orderkey * 2654435761 % 1000000007 = 1242 * 2654435761 % 1000000007""",
+
+    // same rows as tx_prune_read: the SQL path must agree with the
+    // explicit readRange call bit for bit
+    "tx_sql_prune" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                o_orderkey * 2654435761 % 1000000007 AS o_tag,
+                CAST(o_orderkey // 2000 AS BIGINT) AS o_part
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey BETWEEN 1000 AND 3000""",
 
     "tx_zorder_read" ->
       """SELECT o_orderkey,

@@ -123,7 +123,8 @@ object TxnLog {
                     dvs: Seq[String] = Nil,
                     ts: Long = 0L,
                     multiStats: Seq[String] = Nil,
-                    constraint: String = "")
+                    constraint: String = "",
+                    schemaJson: String = "")
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -243,9 +244,11 @@ object TxnLog {
     val tsPart = if (c.ts == 0L) "" else s""","ts":${c.ts}"""
     val constraintPart =
       if (c.constraint.isEmpty) "" else s""","constraint":"${c.constraint}""""
+    val schemaJsonPart = // base64: schema JSON would break the record format
+      if (c.schemaJson.isEmpty) "" else s""","schemaJson":"${c.schemaJson}""""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -273,7 +276,8 @@ object TxnLog {
       arr("stats", required = false).map(parseStat), strOpt("schema"),
       strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"),
       arr("dvFiles", required = false), arr("dvs", required = false),
-      numOpt("ts"), arr("mstats", required = false), strOpt("constraint"))
+      numOpt("ts"), arr("mstats", required = false), strOpt("constraint"),
+      strOpt("schemaJson"))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -339,7 +343,8 @@ object TxnLog {
                                txns: Map[String, Long],
                                schema: String,
                                hasLedger: Boolean,
-                               constraints: Map[String, String] = Map.empty)
+                               constraints: Map[String, String] = Map.empty,
+                               schemaJson: String = "")
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -358,6 +363,7 @@ object TxnLog {
     val lines = body.split("\n").toSeq.filter(_.nonEmpty)
     if (lines.headOption.contains(CkptHeader)) {
       var schema = ""
+      var schemaJson = ""
       val txns = Map.newBuilder[String, Long]
       val constraints = Map.newBuilder[String, String]
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
@@ -374,6 +380,7 @@ object TxnLog {
           constraints += (rest.take(cut) -> rest.drop(cut + 1))
         } else l.split(" ").toSeq match {
           case Seq("S", id)          => schema = id
+          case Seq("J", b64)         => schemaJson = b64
           case Seq("T", txn, ver)    => txns += (txn -> ver.toLong)
           case Seq("F", f)           =>
             files(f) = files.getOrElse(f, FileMeta())
@@ -391,7 +398,7 @@ object TxnLog {
         }
       }
       CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
-        constraints.result())
+        constraints.result(), schemaJson)
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -437,6 +444,7 @@ object TxnLog {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
     seed.files.foreach { case (f, m) => live(f) = m }
     var schema = seed.schema
+    var schemaJson = seed.schemaJson
     val txns = scala.collection.mutable.Map.empty[String, Long]
     txns ++= seed.txns
     val constraints = scala.collection.mutable.Map.empty[String, String]
@@ -461,6 +469,7 @@ object TxnLog {
       c.removed.foreach(live.remove)
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
+      if (c.schemaJson.nonEmpty) schemaJson = c.schemaJson
       if (c.action == "set-constraint" && c.constraint.nonEmpty) {
         val cut = c.constraint.indexOf(' ')
         constraints(c.constraint.take(cut)) = c.constraint.drop(cut + 1)
@@ -469,7 +478,7 @@ object TxnLog {
       top = c.version
     }
     CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
-      constraints.toMap)
+      constraints.toMap, schemaJson)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -490,6 +499,7 @@ object TxnLog {
     val st = resolveState(root, v)
     val body = new StringBuilder(CkptHeader).append('\n')
     if (st.schema.nonEmpty) body.append("S ").append(st.schema).append('\n')
+    if (st.schemaJson.nonEmpty) body.append("J ").append(st.schemaJson).append('\n')
     st.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
       body.append("C ").append(n).append(' ').append(e).append('\n') }
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
@@ -739,7 +749,8 @@ object TxnLog {
       val (files, stats) = stageWithStats(source, root, txnId, keyCol)
       return commit(root, "merge", files, Nil, readVersion = readV,
         txnId = txnId, stats = stats, statsCol = keyCol,
-        schemaId = schemaFingerprint(source.schema))
+        schemaId = schemaFingerprint(source.schema),
+        schemaJson = encodeSchema(source.schema))
     }
     val affectedState = state.filter(f => affected(f._1))
     val existing = applyDeletionVectors(
@@ -749,7 +760,8 @@ object TxnLog {
     val (files, stats) = stageWithStats(out, root, txnId, keyCol)
     commit(root, "merge", files, removed = affectedState.map(_._1),
       readVersion = readV, txnId = txnId, stats = stats, statsCol = keyCol,
-      schemaId = schemaFingerprint(source.schema))
+      schemaId = schemaFingerprint(source.schema),
+      schemaJson = encodeSchema(source.schema))
   }
 
   /** Register a CHECK constraint: `sqlExpr` (a Spark SQL boolean
@@ -826,6 +838,58 @@ object TxnLog {
       Seq(xCol, yCol))
     commit(root, "zorder", files, removed = snapshotFiles(root, readV),
       readVersion = readV, txnId = txnId, multiStats = multi)
+  }
+
+  /** The snapshot as an OPTIMIZER-INTEGRATED DataFrame: the scan is
+    * backed by a [[TxnLogFileIndex]], so ANY filter — `.filter`,
+    * SQL `WHERE` through a temp view, a join's pushed predicate —
+    * gets log-stats file skipping (per-column min/max ranges, bloom
+    * point lookups) with no explicit `readRange`/`readPoint` call;
+    * files the predicate provably excludes are never opened. Deletion
+    * vectors are applied on top, exactly as in [[read]]. This is the
+    * library's SQL-facing surface: `table(s, root)
+    * .createOrReplaceTempView("t")` and every query on `t` plans
+    * against the log.
+    */
+  def table(s: SparkSession, root: String,
+            version: Long = Long.MaxValue): DataFrame = {
+    val state = snapshotState(root, version)
+    if (state.isEmpty) return s.emptyDataFrame
+    val files = state.map(_._1)
+    // schema from the LOG when any writer recorded it (fully
+    // metadata-only planning); footer inference is the fallback for
+    // tables written only through the raw commit API
+    val dataSchema = tableSchema(root, version)
+      .getOrElse(s.read.parquet(files: _*).schema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new TxnLogFileIndex(s, root, state),
+      partitionSchema = StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(s)
+    applyDeletionVectors(s.baseRelationToDataFrame(relation), state)
+  }
+
+  /** Base64 of a schema's JSON — safe inside the record format (a
+    * raw schema JSON is full of double quotes). What schema-bearing
+    * writers pass as [[commit]]'s `schemaJson`, making the TABLE'S
+    * SCHEMA a log fact: planning ([[table]]) needs no footer reads.
+    */
+  def encodeSchema(schema: StructType): String =
+    java.util.Base64.getEncoder.encodeToString(
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The table's current schema as recorded in the log, if any
+    * schema-bearing commit has landed. Metadata-only.
+    */
+  def tableSchema(root: String,
+                  version: Long = Long.MaxValue): Option[StructType] = {
+    val b64 = resolveState(root, version).schemaJson
+    if (b64.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
   }
 
   /** Stable fingerprint of a schema (names + types, order-blind) —
@@ -992,6 +1056,27 @@ object TxnLog {
       .head().toSeq.map(_.asInstanceOf[Long].toInt)
   }
 
+  /** Does `m`'s bloom filter (if it indexes `column`) admit `value`?
+    * Shared by [[readPoint]] and [[TxnLogFileIndex]]; positions are
+    * cached per (bits, k) across calls in one probe, and a missing /
+    * foreign-column / malformed filter admits everything (sound).
+    */
+  private val bloomProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Any, Int, Int), Seq[Int]]()
+
+  private[sources] def bloomAdmits(s: SparkSession, m: FileMeta,
+                                   column: String, value: Any): Boolean =
+    m.bloom.forall { enc =>
+      m.bloomCol != column || !enc.contains(':') || {
+        val Array(kTok, hex) = enc.split(":", 2)
+        val (k, bits) = (kTok.toInt, hex.length * 4)
+        if (bloomProbeCache.size > 10000) bloomProbeCache.clear() // bound it
+        val positions = bloomProbeCache.computeIfAbsent((value, bits, k),
+          _ => bloomPositions(s, value, bits, k))
+        bloomMaybeContains(hex, positions)
+      }
+    }
+
   private def bloomMaybeContains(hex: String, positions: Seq[Int]): Boolean =
     positions.forall { p =>
       if (p / 64 * 16 + 16 > hex.length) true // malformed/foreign filter: inconclusive, keep
@@ -1018,7 +1103,6 @@ object TxnLog {
                 version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
     val state = snapshotState(root, version)
-    val posCache = scala.collection.mutable.Map.empty[Int, Seq[Int]]
     // min/max range pruning applies only to numeric probes; any type
     // lit() accepts can bloom-probe (the build hashes the column)
     val numeric: Option[Long] = value match {
@@ -1033,15 +1117,7 @@ object TxnLog {
         // but a point probe is precise enough to demand precision)
         val rangeOk = numeric.forall(v => m.stats.get(column).forall(st =>
           v >= st.lo && v <= st.hi))
-        val bloomOk = m.bloom.forall { enc =>
-          m.bloomCol != column || !enc.contains(':') || {
-            val Array(kTok, hex) = enc.split(":", 2)
-            val (k, bits) = (kTok.toInt, hex.length * 4)
-            bloomMaybeContains(hex,
-              posCache.getOrElseUpdate(bits * 31 + k, bloomPositions(s, value, bits, k)))
-          }
-        }
-        rangeOk && bloomOk
+        rangeOk && bloomAdmits(s, m, column, value)
       }
     }
     if (kept.isEmpty) read(s, root, version).limit(0).filter(col(column) === value)
@@ -1073,7 +1149,8 @@ object TxnLog {
              dvFiles: Seq[String] = Nil,
              dvs: Seq[String] = Nil,
              multiStats: Seq[Map[String, FileStat]] = Nil,
-             constraint: String = ""): Commit = {
+             constraint: String = "",
+             schemaJson: String = ""): Commit = {
     validatePaths(added ++ removed ++ dvFiles)
     require(multiStats.isEmpty || multiStats.size == added.size,
       s"txn $txnId: multiStats (${multiStats.size}) must align with added (${added.size})")
@@ -1156,7 +1233,7 @@ object TxnLog {
         tail.lastOption.map(_.ts + 1).getOrElse(1L))
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvs, commitTs,
-        multiStats.map(renderMultiStat), constraint)
+        multiStats.map(renderMultiStat), constraint, schemaJson)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -1402,7 +1479,8 @@ object TxnLog {
         val files = stage(df, root, txnId)
         // appends have an empty read set: readVersion 0 never conflicts
         val rec = commit(root, "stream-append", files, Nil, readVersion = 0L,
-          txnId = txnId, schemaId = schemaFingerprint(df.schema))
+          txnId = txnId, schemaId = schemaFingerprint(df.schema),
+          schemaJson = encodeSchema(df.schema))
         if (rec.version % CheckpointInterval == 0) checkpoint(root)
         rec
       }

@@ -107,24 +107,6 @@ object TxnStream {
       .foldLeft(0L)(math.max)
   }
 
-  /** Apply every not-yet-applied source commit to a target [[TxnLog]]
-    * table, one source commit = one target transaction:
-    * `transform` maps that commit's change-feed rows (stamped with
-    * [[CommitVersionCol]]) to the delta rows appended to the target.
-    * Returns the source versions applied by THIS call.
-    *
-    * Exactly-once across crashes, restarts and duplicate consumers
-    * with NO offset store: the target txnId `"<consumerId>-v<N>"`
-    * makes re-applying version N a no-op inside [[TxnLog.commit]],
-    * and [[appliedVersion]] recovers the resume point from the
-    * target's ledger. A source commit whose delta is empty still
-    * commits (with no files), so the version is durably marked
-    * applied. The target declares `transform`'s output schema, so a
-    * drifting transform aborts instead of forking the MV's schema.
-    *
-    * `upTo` bounds how far to read (for tests and rate-limited
-    * catch-up); default = the source head at call time.
-    */
   /** Maintain an exact KEYED MIRROR of a source table: per source
     * version, DV retractions ([[readDeletes]]) are applied as a
     * target `deleteWhere` on the key, then the version's adds /
@@ -169,6 +151,24 @@ object TxnStream {
     }
   }
 
+  /** Apply every not-yet-applied source commit to a target [[TxnLog]]
+    * table, one source commit = one target transaction:
+    * `transform` maps that commit's change-feed rows (stamped with
+    * [[CommitVersionCol]]) to the delta rows appended to the target.
+    * Returns the source versions applied by THIS call.
+    *
+    * Exactly-once across crashes, restarts and duplicate consumers
+    * with NO offset store: the target txnId `"<consumerId>-v<N>"`
+    * makes re-applying version N a no-op inside [[TxnLog.commit]],
+    * and [[appliedVersion]] recovers the resume point from the
+    * target's ledger. A source commit whose delta is empty still
+    * commits (with no files), so the version is durably marked
+    * applied. The target declares `transform`'s output schema, so a
+    * drifting transform aborts instead of forking the MV's schema.
+    *
+    * `upTo` bounds how far to read (for tests and rate-limited
+    * catch-up); default = the source head at call time.
+    */
   def maintainInto(s: SparkSession, sourceRoot: String, targetRoot: String,
                    consumerId: String, upTo: Long = Long.MaxValue)
                   (transform: DataFrame => DataFrame): Seq[Long] = {
@@ -188,7 +188,8 @@ object TxnStream {
           val files = TxnLog.stage(delta, targetRoot, txnId)
           TxnLog.commit(targetRoot, "mv-delta", files, Nil,
             readVersion = 0L, txnId = txnId,
-            schemaId = TxnLog.schemaFingerprint(delta.schema))
+            schemaId = TxnLog.schemaFingerprint(delta.schema),
+            schemaJson = TxnLog.encodeSchema(delta.schema))
           Some(v)
         }
       }

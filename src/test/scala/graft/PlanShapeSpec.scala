@@ -374,6 +374,14 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("tx_sql_prune: the scan is log-backed (TxnLogFileIndex) with the range pushed down") {
+    val plan = initialPlan("tx_sql_prune")
+    assert(plan.contains("TxnLogFileIndex"),
+      s"the SQL path must scan through the log's file index:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      s"the WHERE range must reach the scan:\n$plan")
+  }
+
   test("tx_delete_read: the DV dim joins broadcast; the table is never shuffled for its own delete bitmaps") {
     val plan = initialPlan("tx_delete_read")
     assert(plan.contains("BroadcastHashJoin"),

@@ -721,6 +721,55 @@ class TxnLogSpec extends SparkTestBase {
     }
   }
 
+  test("table(): arbitrary DataFrame and SQL filters drive log-stats file skipping through the optimizer") {
+    val root = freshRoot()
+    val data = (1L to 512L).map(k => (k, k * 2654435761L % 1000000007L))
+    val (files, _, blooms) = TxnLog.stageWithIndex(
+      data.toDF("k", "tag").repartitionByRange(8, $"k"), root, "t1",
+      statsCol = "k", bloomCol = "tag")
+    val multi = TxnLog.statsForStaged(spark, root, "t1", Seq("k"), files)
+    // schemaJson makes planning fully metadata-only: table() must not
+    // read any footer, which the corruption below also PROVES
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      blooms = blooms, bloomCol = "tag", multiStats = multi,
+      schemaJson = TxnLog.encodeSchema(data.toDF("k", "tag").schema))
+    val byRange = files.zip(TxnLog.snapshotState(root).map(_._2))
+
+    // white-box: corrupt every file whose k-range is outside [100, 149]
+    // — a .filter that still answers correctly PROVES the scan never
+    // opened them, i.e. Catalyst's pushed filters reached the log
+    corruptParquet(byRange.collect {
+      case (f, m) if m.stats("k").hi < 100 || m.stats("k").lo > 149 => f
+    })
+    val t = TxnLog.table(spark, root)
+    assert(t.filter($"k".between(100, 149)).as[(Long, Long)].collect().toSet ===
+      data.filter(d => d._1 >= 100 && d._1 <= 149).toSet,
+      "DataFrame range filter must plan against the log's file stats")
+    // the same through pure SQL
+    t.createOrReplaceTempView("txn_t")
+    assert(spark.sql("SELECT k FROM txn_t WHERE k >= 100 AND k < 150")
+      .as[Long].collect().toSet === (100L until 150L).toSet,
+      "SQL WHERE must drive the same skipping")
+    // bloom point lookup through SQL: probe a tag in a LIVE file
+    val probe = 120L * 2654435761L % 1000000007L
+    assert(spark.sql(s"SELECT k FROM txn_t WHERE tag = $probe")
+      .as[Long].collect().toSeq === Seq(120L),
+      "SQL equality on the bloom column must skip bloom-negative files")
+    // a predicate the index cannot understand keeps every (live) file
+    assert(t.filter($"k" % 7 === 0 && $"k".between(100, 149)).count() ===
+      data.count(d => d._1 % 7 == 0 && d._1 >= 100 && d._1 <= 149))
+
+    // deletion vectors apply through table()
+    val root2 = freshRoot()
+    val d2 = (1L to 16L).map(k => (k, k))
+    val f2 = TxnLog.stage(d2.toDF("k", "tag"), root2, "t1")
+    TxnLog.commit(root2, "append", f2, Nil, readVersion = 0L, txnId = "t1")
+    TxnLog.deleteWhere(spark, root2, col("k") % 2 === 0, "d1")
+    assert(TxnLog.table(spark, root2).as[(Long, Long)].collect().toSet ===
+      d2.filter(_._1 % 2 == 1).toSet,
+      "table() must apply deletion vectors like read()")
+  }
+
   test("CHECK constraints: violating writes are rejected before publishing; constraints ride the log and checkpoints") {
     val root = freshRoot()
     append(root, "t1", Seq((1L, 10L)))

@@ -235,13 +235,7 @@ object SparkEntry {
       // rebuilt (stage() refuses to overwrite, and re-committing onto
       // a survivor would stack versions 4+ and break the oracles)
       if (TxnLog.currentVersion(root) != 3L) {
-        val rootPath = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(rootPath)) {
-          import java.util.Comparator
-          java.nio.file.Files.walk(rootPath)
-            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
         buildTxnTable(s, dir, root)
       }
     }
@@ -294,13 +288,7 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft_txnr_g3_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnRangeTables, root) {
       if (TxnLog.currentVersion(root) != 1L) {
-        val rootPath = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(rootPath)) {
-          import java.util.Comparator
-          java.nio.file.Files.walk(rootPath)
-            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
         TxnLog.init(root)
         // o_part: a hive-style partition column (coarse bucket of the
         // clustering key — constant or near-constant per range file),
@@ -342,13 +330,7 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft_txnd_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnDeleteTables, root) {
       if (TxnLog.currentVersion(root) != 2L) {
-        val rootPath = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(rootPath)) {
-          import java.util.Comparator
-          java.nio.file.Files.walk(rootPath)
-            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
         TxnLog.init(root)
         val base = Tables.orders(s, dir)
           .filter(col("o_orderkey") % 3 <= 1)
@@ -382,13 +364,7 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft_txnm_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnMergeTables, root) {
       if (TxnLog.currentVersion(root) != 2L) {
-        val rootPath = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(rootPath)) {
-          import java.util.Comparator
-          java.nio.file.Files.walk(rootPath)
-            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
         TxnLog.init(root)
         val cents = round(col("o_totalprice") * 100).cast("long")
         val base = Tables.orders(s, dir)
@@ -425,13 +401,7 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft_txnz_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnZorderTables, root) {
       if (TxnLog.currentVersion(root) != 2L) {
-        val rootPath = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(rootPath)) {
-          import java.util.Comparator
-          java.nio.file.Files.walk(rootPath)
-            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
         TxnLog.init(root)
         val base = Tables.orders(s, dir)
           .filter(col("o_orderkey") % 3 <= 1)

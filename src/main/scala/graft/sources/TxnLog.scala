@@ -93,10 +93,14 @@ object TxnLog {
                       dv: Option[String] = None) {
     /** The stat governing a query on `column`: an exact column match,
       * else the legacy unnamed stat (caller-asserted). A query that
-      * names no column accepts whatever single stat exists.
+      * names no column is the pre-r12 single-clustering contract: it
+      * accepts the file's stat only when there is exactly ONE — a
+      * multi-stat file yields None (an arbitrary column's range
+      * could unsoundly prune).
       */
     def statFor(column: String): Option[FileStat] =
-      if (column.isEmpty) stats.get("").orElse(stats.values.headOption)
+      if (column.isEmpty)
+        stats.get("").orElse(if (stats.size == 1) stats.values.headOption else None)
       else stats.get(column).orElse(stats.get(""))
   }
 
@@ -169,7 +173,7 @@ object TxnLog {
     try s.collect(Collectors.toList[Path]).asScala.toSeq finally s.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     val s = Files.walk(p)
     try {
@@ -192,6 +196,16 @@ object TxnLog {
   // everything the log can ever contain.
 
   private val PathReserved = Array('"', ',', '[', ']', ' ', '\n', '\r', '\\')
+
+  // txnIds, column names and constraint text ride SPACE-delimited
+  // checkpoint lines (T/F/B/C): a space or newline inside one would
+  // corrupt the checkpoint at the 10th streaming commit and brick the
+  // table until hand repair — reject at the API boundary instead.
+  private def validateToken(kind: String, v: String): Unit = {
+    require(v.nonEmpty, s"$kind must be non-empty")
+    require(!v.exists(c => c == ' ' || c == '\n' || c == '\r' || c == '"'),
+      s"$kind may not contain spaces, newlines or quotes: $v")
+  }
 
   private def validatePaths(paths: Seq[String]): Unit =
     paths.foreach { p =>
@@ -359,6 +373,20 @@ object TxnLog {
   private val ckptCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), CkptState]()
 
+  /** A long-lived READER caches a new checkpoint generation every
+    * interval and (unlike the writer, whose prune evicts) never
+    * removes one — bound the cache so days of streaming ingest can't
+    * leak O(ledger) states: on overflow, drop every superseded
+    * generation (keep only the newest version per root).
+    */
+  private def boundCkptCache(): Unit =
+    if (ckptCache.size > 64) {
+      import scala.jdk.CollectionConverters._
+      val newest = ckptCache.keys.asScala.toSeq.groupBy(_._1)
+        .map { case (r, ks) => (r, ks.map(_._2).max) }
+      ckptCache.keySet.removeIf(k => newest.get(k._1).exists(_ != k._2))
+    }
+
   private def parseCheckpoint(v: Long, body: String): CkptState = {
     val lines = body.split("\n").toSeq.filter(_.nonEmpty)
     if (lines.headOption.contains(CkptHeader)) {
@@ -419,6 +447,7 @@ object TxnLog {
       Option(ckptCache.get((root, v))).orElse {
         try {
           val st = parseCheckpoint(v, Files.readString(p))
+          boundCkptCache()
           ckptCache.put((root, v), st)
           Some(st)
         } catch { case _: java.nio.file.NoSuchFileException => None }
@@ -602,7 +631,13 @@ object TxnLog {
     */
   private[sources] def metaFilePath: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+    // _metadata.file_path is a URI: percent-encoded ('#' -> %23,
+    // non-ASCII, a raw '%' -> %25). Stored log paths are RAW, so the
+    // join key must decode or any encodable character silently
+    // unmatches — deleted rows would resurface with no error. Every
+    // '%' here IS an escape (the URI encoder produced it), so
+    // url_decode cannot throw on well-formed input.
+    url_decode(regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
   }
 
   /** Is `riCol`'s bit set in the `dvCol` hex bitmap? Word `ri/64`
@@ -746,22 +781,24 @@ object TxnLog {
       }
     if (affected.isEmpty) {
       // pure insert: no live file can hold any source key
-      val (files, stats) = stageWithStats(source, root, txnId, keyCol)
+      val (files, stats) = stageWithStats(source, root, attemptId(txnId), keyCol)
       return commit(root, "merge", files, Nil, readVersion = readV,
         txnId = txnId, stats = stats, statsCol = keyCol,
         schemaId = schemaFingerprint(source.schema),
-        schemaJson = encodeSchema(source.schema))
+        schemaJson = encodeSchema(source.schema),
+        failOnConcurrentAppend = true)
     }
     val affectedState = state.filter(f => affected(f._1))
     val existing = applyDeletionVectors(
       s.read.parquet(affectedState.map(_._1): _*), affectedState)
     val out = existing.join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(source)
-    val (files, stats) = stageWithStats(out, root, txnId, keyCol)
+    val (files, stats) = stageWithStats(out, root, attemptId(txnId), keyCol)
     commit(root, "merge", files, removed = affectedState.map(_._1),
       readVersion = readV, txnId = txnId, stats = stats, statsCol = keyCol,
       schemaId = schemaFingerprint(source.schema),
-      schemaJson = encodeSchema(source.schema))
+      schemaJson = encodeSchema(source.schema),
+      failOnConcurrentAppend = true)
   }
 
   /** Register a CHECK constraint: `sqlExpr` (a Spark SQL boolean
@@ -834,7 +871,7 @@ object TxnLog {
     val readV = currentVersion(root)
     val clustered = graft.operators.LayoutOps.zorderClustered(
       read(s, root, readV), xCol, yCol, nFiles, bits)
-    val (files, multi) = stageWithStatsFor(clustered, root, txnId,
+    val (files, multi) = stageWithStatsFor(clustered, root, attemptId(txnId),
       Seq(xCol, yCol))
     commit(root, "zorder", files, removed = snapshotFiles(root, readV),
       readVersion = readV, txnId = txnId, multiStats = multi)
@@ -899,6 +936,41 @@ object TxnLog {
     val canon = schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
       .sorted.mkString(";")
     f"${scala.util.hashing.MurmurHash3.stringHash(canon)}%08x"
+  }
+
+  /** A fresh per-ATTEMPT staging id: `<txnId>-a<random>`. Replay
+    * paths (crash-recovered streams, duplicate consumers in other
+    * JVMs) stage each attempt into its own directory, so no process
+    * can ever wipe or collide with another's in-flight files — the
+    * winning commit publishes its own attempt's paths and every
+    * losing/crashed attempt leaves an unreferenced orphan dir that
+    * [[vacuumStaging]] reclaims. (The old design wiped `data/<txnId>`
+    * before restaging, which could delete a concurrent process's
+    * staged files between ITS stage and commit.)
+    */
+  private def attemptId(txnId: String): String =
+    s"$txnId-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  /** [[stage]] into a fresh [[attemptId]] dir — the staging entry
+    * point for every idempotent-replay writer.
+    */
+  private[sources] def stageAttempt(df: DataFrame, root: String,
+                                    txnId: String): Seq[String] =
+    stage(df, root, attemptId(txnId))
+
+  /** Delete staging directories referenced by NO commit record —
+    * losing/crashed write attempts. Like [[vacuum]], call from
+    * maintenance with no writer mid-stage (an in-flight attempt is
+    * indistinguishable from an abandoned one by construction).
+    */
+  def vacuumStaging(root: String): Seq[String] = {
+    val referenced = commits(root)
+      .flatMap(c => c.added ++ c.removed)
+      .map(f => Paths.get(f).getParent.getFileName.toString).toSet
+    listDir(Paths.get(root, "data"))
+      .filter(d => Files.isDirectory(d) &&
+        !referenced.contains(d.getFileName.toString))
+      .map { d => deleteRecursively(d); d.toString }
   }
 
   /** Stage `df` as immutable parquet files under `root/data/<txnId>/`
@@ -1120,7 +1192,10 @@ object TxnLog {
         rangeOk && bloomAdmits(s, m, column, value)
       }
     }
-    if (kept.isEmpty) read(s, root, version).limit(0).filter(col(column) === value)
+    // empty kept set: keep the snapshot's schema when it has one and
+    // SKIP the residual filter — a fully empty table has no columns
+    // to filter on (same guard as readRange)
+    if (kept.isEmpty) read(s, root, version).limit(0)
     else applyDeletionVectors(s.read.parquet(kept.map(_._1): _*), kept)
       .filter(col(column) === value)
   }
@@ -1150,8 +1225,14 @@ object TxnLog {
              dvs: Seq[String] = Nil,
              multiStats: Seq[Map[String, FileStat]] = Nil,
              constraint: String = "",
-             schemaJson: String = ""): Commit = {
+             schemaJson: String = "",
+             failOnConcurrentAppend: Boolean = false): Commit = {
     validatePaths(added ++ removed ++ dvFiles)
+    validateToken("txnId", txnId)
+    if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
+    if (bloomCol.nonEmpty) validateToken("bloomCol", bloomCol)
+    require(!constraint.exists(c => c == '\n' || c == '\r' || c == '"'),
+      s"txn $txnId: constraint text may not contain newlines or quotes")
     require(multiStats.isEmpty || multiStats.size == added.size,
       s"txn $txnId: multiStats (${multiStats.size}) must align with added (${added.size})")
     require(multiStats.flatMap(_.keys).forall(c =>
@@ -1204,10 +1285,22 @@ object TxnLog {
       // on the same file commute (bitmap union) and never conflict.
       // Appends (removed = dvFiles = empty) skip this entirely and
       // only ever loop on the CAS.
-      if (myRemoved.nonEmpty || myDvFiles.nonEmpty) {
+      if (myRemoved.nonEmpty || myDvFiles.nonEmpty || failOnConcurrentAppend) {
         val sinceRead =
           if (readVersion >= baseV) tail.filter(_.version > readVersion)
           else commitsFromListing(listing, readVersion, baseV) ++ tail
+        // READ-set protection (failOnConcurrentAppend): a merge
+        // decided its matches/inserts by reading the snapshot, so a
+        // concurrent commit that ADDED rows may hold its keys — two
+        // concurrent inserts of the same key would otherwise both
+        // land and silently break key uniqueness (the insert-insert
+        // corner the file-level check cannot see).
+        if (failOnConcurrentAppend)
+          sinceRead.find(_.added.nonEmpty).foreach { c =>
+            throw new ConflictException(
+              s"txn $txnId (read v$readVersion) merged against a snapshot " +
+                s"that txn ${c.txnId} appended to at v${c.version}; re-read and retry")
+          }
         sinceRead.flatMap { c =>
           (c.removed.filter(f => myRemoved(f) || myDvFiles(f)) ++
             c.dvFiles.filter(myRemoved)).map((c, _))
@@ -1282,7 +1375,19 @@ object TxnLog {
     */
   def prunedFiles(root: String, lo: Long, hi: Long,
                   version: Long = Long.MaxValue,
-                  statsCol: String = ""): Seq[String] = {
+                  statsCol: String = ""): Seq[String] =
+    pruneState(snapshotState(root, version), lo, hi, statsCol).map(_._1)
+
+  /** The pruning decision over an ALREADY-resolved state — lets range
+    * reads resolve the snapshot once for pruning AND deletion
+    * vectors. A stat applies only if it describes the queried column
+    * (legacy stats with no recorded column are caller-asserted, the
+    * pre-r12 contract, and legacy `_stats.json` sidecars still load);
+    * a non-applicable or missing stat keeps the file — pruning must
+    * never be unsound.
+    */
+  private def pruneState(state: Seq[(String, FileMeta)], lo: Long, hi: Long,
+                         statsCol: String): Seq[(String, FileMeta)] = {
     val sidecars = scala.collection.mutable.Map.empty[Path, Map[String, (Long, Long)]]
     def sidecarStat(f: String): Option[FileStat] = {
       val dir = Paths.get(f).getParent
@@ -1295,13 +1400,9 @@ object TxnLog {
         }.toMap
       }).get(f).map { case (l, h) => FileStat(l, h) }
     }
-    // a stat applies only if it describes the queried column (legacy
-    // stats with no recorded column are caller-asserted, the pre-r12
-    // contract); a non-applicable or missing stat keeps the file —
-    // pruning must never be unsound
-    snapshotState(root, version).collect {
-      case (f, m) if m.statFor(statsCol).orElse(sidecarStat(f))
-        .forall(s => s.hi >= lo && s.lo <= hi) => f
+    state.filter { case (f, m) =>
+      m.statFor(statsCol).orElse(sidecarStat(f))
+        .forall(s => s.hi >= lo && s.lo <= hi)
     }
   }
 
@@ -1314,18 +1415,17 @@ object TxnLog {
   def readRange(s: SparkSession, root: String, statsCol: String, lo: Long,
                 hi: Long, version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val files = prunedFiles(root, lo, hi, version, statsCol)
+    // ONE snapshot resolution serves both the pruning decision and
+    // the DV lookup (each resolution is a log listing + tail fold)
+    val state = snapshotState(root, version)
+    val kept = pruneState(state, lo, hi, statsCol)
     // no overlapping file means provably zero matching rows (files
     // without stats are never pruned) — keep the snapshot's schema if
     // it has one, and skip the residual filter: on a fully empty
     // table the snapshot has no columns to filter on.
-    if (files.isEmpty) read(s, root, version).limit(0)
-    else {
-      val surviving = files.toSet
-      val state = snapshotState(root, version).filter(f => surviving(f._1))
-      applyDeletionVectors(s.read.parquet(files: _*), state)
-        .filter(col(statsCol) >= lo && col(statsCol) <= hi)
-    }
+    if (kept.isEmpty) read(s, root, version).limit(0)
+    else applyDeletionVectors(s.read.parquet(kept.map(_._1): _*), kept)
+      .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
   /** COUNT(*) / MIN / MAX of `statsCol` answered from the LOG, not
@@ -1475,8 +1575,10 @@ object TxnLog {
     withTxnLock(txnId) {
       findCommit(root, txnId).getOrElse {
         checkConstraints(df.sparkSession, root, df) // before anything publishes
-        wipeStaging(root, txnId) // orphan from a crashed earlier attempt
-        val files = stage(df, root, txnId)
+        // per-attempt staging dir: a crashed earlier attempt's orphan
+        // is left alone (vacuumStaging reclaims it) and a concurrent
+        // replay in ANOTHER process can never wipe ours mid-flight
+        val files = stage(df, root, attemptId(txnId))
         // appends have an empty read set: readVersion 0 never conflicts
         val rec = commit(root, "stream-append", files, Nil, readVersion = 0L,
           txnId = txnId, schemaId = schemaFingerprint(df.schema),

@@ -58,7 +58,9 @@ object TxnStream {
       import s.implicits._
       val dim = fileToVersion.toDF("_path", CommitVersionCol)
       s.read.option("mergeSchema", "true").parquet(fileToVersion.map(_._1): _*)
-        .withColumn("_path", regexp_replace(input_file_name(), "^file:(//)?", ""))
+        .withColumn("_path", // URI -> raw path, same decode as the DV join
+          org.apache.spark.sql.functions.url_decode(
+            regexp_replace(input_file_name(), "^file:(//)?", "")))
         .join(broadcast(dim), "_path")
         .drop("_path")
     }
@@ -103,7 +105,13 @@ object TxnStream {
   def appliedVersion(targetRoot: String, consumerId: String): Long = {
     val prefix = s"$consumerId-v"
     TxnLog.committedTxnIds(targetRoot).keysIterator
-      .collect { case t if t.startsWith(prefix) => t.stripPrefix(prefix).toLong }
+      // only THIS consumer's offset markers count: a foreign txnId
+      // sharing the prefix (consumer "m-extra"'s "m-extra-v7", a
+      // manual "m-v1-retry") must be ignored, not crash recovery
+      .collect {
+        case t if t.startsWith(prefix) && t.stripPrefix(prefix).matches("\\d+") =>
+          t.stripPrefix(prefix).toLong
+      }
       .foldLeft(0L)(math.max)
   }
 
@@ -143,7 +151,6 @@ object TxnStream {
             TxnLog.deleteWhere(s, targetRoot,
               col(keyCol).isInCollection(delKeys), s"$consumerId-del-v$v")
           val adds = readChanges(s, sourceRoot, v - 1, v).drop(CommitVersionCol)
-          TxnLog.wipeStaging(targetRoot, txnId)
           TxnLog.mergeInto(s, targetRoot, adds, keyCol, txnId)
           Some(v)
         }
@@ -180,12 +187,12 @@ object TxnStream {
         if (TxnLog.findCommit(targetRoot, txnId).isDefined) None // raced: other instance applied v
         else {
           val delta = transform(readChanges(s, sourceRoot, v - 1, v))
-          // a crash between stage and commit leaves an orphan staging
-          // dir; its txnId is not in the ledger, so wiping is safe
-          TxnLog.wipeStaging(targetRoot, txnId)
-          // a 0-partition delta stages no part files: the commit then
+          // per-attempt staging: a crashed attempt's orphan dir is
+          // left for vacuumStaging, and a duplicate consumer in
+          // another process can never wipe ours mid-flight.
+          // A 0-partition delta stages no part files: the commit then
           // carries no data but still durably marks v applied
-          val files = TxnLog.stage(delta, targetRoot, txnId)
+          val files = TxnLog.stageAttempt(delta, targetRoot, txnId)
           TxnLog.commit(targetRoot, "mv-delta", files, Nil,
             readVersion = 0L, txnId = txnId,
             schemaId = TxnLog.schemaFingerprint(delta.schema),

@@ -804,6 +804,54 @@ class TxnLogSpec extends SparkTestBase {
     assert(rows(root).contains((6L, -60L)))
   }
 
+  test("r12 review regressions: token validation, insert-insert merge conflict, sound unnamed-stat fallback, staging vacuum") {
+    val root = freshRoot()
+    // a txnId with a space would corrupt the 10th commit's checkpoint
+    // T-line and brick the table — reject at the API boundary
+    intercept[IllegalArgumentException] {
+      TxnLog.commit(root, "append", Nil, Nil, readVersion = 0L, txnId = "my stream-b0")
+    }
+    intercept[IllegalArgumentException] {
+      TxnLog.setConstraint(root, "c1", "v > 0 --\ncomment", "cx")
+    }
+    // empty-table point lookup: empty result, no unresolved-column crash
+    assert(TxnLog.readPoint(spark, root, "k", 1L).count() === 0L)
+
+    // insert-insert merge race: both writers read the same snapshot,
+    // both sources hold key 42, neither rewrites a file — the second
+    // must STILL abort (key uniqueness is the merge contract)
+    append(root, "base", Seq((1L, 10L)))
+    TxnLog.mergeInto(spark, root, Seq((42L, 1L)).toDF("k", "v"), "k", "mx")
+    // simulate the loser: a merge committed against the PRE-mx
+    // snapshot (readVersion 1) whose planning saw no file overlap
+    intercept[TxnLog.ConflictException] {
+      TxnLog.commit(root, "merge", Nil, Nil, readVersion = 1L, txnId = "my",
+        failOnConcurrentAppend = true)
+    }
+
+    // a multi-stat file must NOT prune under the legacy unnamed
+    // contract (an arbitrary column's range could be the wrong one)
+    val root2 = freshRoot()
+    val (f2, multi) = TxnLog.stageWithStatsFor(
+      Seq((1L, 100L)).toDF("a", "b"), root2, "t1", Seq("a", "b"))
+    TxnLog.commit(root2, "append", f2, Nil, readVersion = 0L, txnId = "t1",
+      multiStats = multi)
+    assert(TxnLog.prunedFiles(root2, 50L, 60L).size === f2.size,
+      "unnamed-column pruning over a multi-stat file must keep every file")
+    assert(TxnLog.prunedFiles(root2, 50L, 60L, statsCol = "a").isEmpty,
+      "...while the named column still prunes")
+
+    // staging vacuum reclaims orphaned attempt dirs, never live ones
+    val root3 = freshRoot()
+    TxnLog.appendOnce(Seq((1L, 1L)).toDF("k", "v"), root3, "s", 0L)
+    TxnLog.stage(Seq((2L, 2L)).toDF("k", "v"), root3, "crashed-attempt")
+    val reclaimed = TxnLog.vacuumStaging(root3)
+    assert(reclaimed.exists(_.endsWith("crashed-attempt")) && reclaimed.size === 1,
+      s"exactly the orphan must go: $reclaimed")
+    assert(TxnLog.read(spark, root3, Long.MaxValue).count() === 1L,
+      "the committed attempt's files must survive staging vacuum")
+  }
+
   test("bloom point lookup on a STRING key: the canonical UUID-lookup shape") {
     val root = freshRoot()
     val data = (1L to 256L).map(k => (k, f"doc-$k%04d-${k * 2654435761L % 100000}"))

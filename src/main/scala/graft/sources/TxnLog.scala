@@ -640,6 +640,16 @@ object TxnLog {
     url_decode(regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
   }
 
+  /** Same normalization for `input_file_name()` (the staging-side
+    * scans): also a URI, also percent-encoded — a root containing
+    * '#', '%' or non-ASCII would otherwise mismatch every staged path
+    * and silently commit no stats/blooms for the table.
+    */
+  private def inputFilePath: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    url_decode(regexp_replace(input_file_name(), "^file:(//)?", ""))
+  }
+
   /** Is `riCol`'s bit set in the `dvCol` hex bitmap? Word `ri/64`
     * prints as 16 hex chars MSB-first, so bit b = ri mod 64 lives in
     * char `15 - b/4` of that word with value `2^(b mod 4)`. Rows past
@@ -680,21 +690,71 @@ object TxnLog {
     dvFiltered(base, dvs).select(cols.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  /** The LIVE rows of an already-resolved state, with `__fp`/`__ri`
+    * helper columns (file path, row index) — the shared front half of
+    * every DV-writing path.
+    */
+  private def liveWithPosition(s: SparkSession,
+                               state: Seq[(String, FileMeta)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = s.read.parquet(state.map(_._1): _*)
+    val existing = state.collect { case (f, m) if m.dv.isDefined => (f, m.dv.get) }
+    if (existing.isEmpty)
+      base.withColumn("__fp", metaFilePath)
+        .withColumn("__ri", col("_metadata.row_index"))
+    else dvFiltered(base, existing)
+  }
+
+  /** Per-file deletion-vector bitmaps built WHERE THE ROWS ARE: two
+    * map-side-combined aggregations fold the hit positions into
+    * 64-bit words in executors — stage 1 ORs each (file, word) group,
+    * stage 2 gathers one row PER FILE — and the driver only assembles
+    * hex from the sparse word list. The collect is exactly O(files ×
+    * bitmap-bytes), the size of the log record the commit writes
+    * anyway; the per-ROW set never leaves the executors. (The r12
+    * design collected every (file, row_index) hit to the driver — at
+    * 100 TB a 1% delete is 10⁹ rows through the driver; this one
+    * ships ≤ rows/64 words, one result row per file.)
+    *
+    * `hits` must expose `__fp`/`__ri`. Returns (file → hex), sorted.
+    */
+  private[sources] def dvBitmaps(hits: DataFrame): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    hits
+      .groupBy(col("__fp"), (col("__ri") / 64).cast("long").as("__w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("__ri"), lit(64L)).cast("int"))).as("__bits"))
+      .groupBy(col("__fp"))
+      .agg(sort_array(collect_list(struct(col("__w"), col("__bits")))).as("__ws"))
+      .collect()
+      .toSeq
+      .map { r =>
+        val ws = r.getSeq[org.apache.spark.sql.Row](1)
+        val maxW = ws.last.getLong(0)
+        require(maxW < (1L << 27), // a 1-GiB bitmap no longer fits a log record
+          s"deletion vector for ${r.getString(0)} spans row index ${maxW * 64}")
+        val words = new Array[Long](maxW.toInt + 1)
+        ws.foreach(w => words(w.getLong(0).toInt) = w.getLong(1))
+        (r.getString(0), words.map(w => f"$w%016x").mkString)
+      }
+      .sortBy(_._1)
+  }
+
   /** Row-level DELETE as metadata: mark matching rows in per-file
     * deletion-vector bitmaps and commit action `"delete"` — NO file
-    * is rewritten, the delete costs O(deleted rows) to plan and
-    * O(bitmap bytes) in the log, against a copy-on-write rewrite of
-    * every touched file (at 100 TB, deleting one user's rows from a
-    * billion-row table rewrites gigabytes; the DV prices it at KB).
-    * This is the public Delta deletion-vector / Iceberg
-    * position-delete design. Reads apply DVs transparently
+    * is rewritten, the delete costs O(deleted rows) of executor work
+    * and O(bitmap bytes) at the driver and in the log, against a
+    * copy-on-write rewrite of every touched file (at 100 TB, deleting
+    * one user's rows from a billion-row table rewrites gigabytes; the
+    * DV prices it at KB). This is the public Delta deletion-vector /
+    * Iceberg position-delete design. Reads apply DVs transparently
     * ([[applyDeletionVectors]]); DVs union across delete commits;
     * a rewrite of the file clears them (the staged copy is written
     * from a DV-filtered read, so the deletes are COMPACTED INTO the
     * rewrite, not lost); the conflict matrix in [[commit]] keeps
-    * delete/rewrite races serializable. The planning collect is
-    * bounded by the delete's own row count — the same bound the
-    * bitmap itself costs.
+    * delete/rewrite races serializable. Bitmaps are built in
+    * executors ([[dvBitmaps]]); the driver sees one row per touched
+    * file.
     *
     * Returns the commit, or None if the predicate matched no rows
     * (no version is burned for a no-op).
@@ -702,33 +762,66 @@ object TxnLog {
   def deleteWhere(s: SparkSession, root: String,
                   condition: org.apache.spark.sql.Column,
                   txnId: String): Option[Commit] = {
-    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions.col
     val readV = currentVersion(root)
     val state = snapshotState(root, readV)
     if (state.isEmpty) return None
     // matching rows among the LIVE rows only (re-marking an
     // already-deleted row would be a harmless union, but burning a
     // version for a delete whose every match was already dead is not)
-    val base = s.read.parquet(state.map(_._1): _*)
-    val existing = state.collect { case (f, m) if m.dv.isDefined => (f, m.dv.get) }
-    val live =
-      if (existing.isEmpty)
-        base.withColumn("__fp", metaFilePath)
-          .withColumn("__ri", col("_metadata.row_index"))
-      else dvFiltered(base, existing)
-    val hits = live.filter(condition)
-      .select(col("__fp").as("f"), col("__ri").as("ri"))
-      .collect()
-    if (hits.isEmpty) return None
-    val byFile = hits.groupBy(_.getString(0))
-    val (dvFiles, dvs) = byFile.toSeq.sortBy(_._1).map { case (f, rows) =>
-      val maxRi = rows.map(_.getLong(1)).max
-      val words = new Array[Long](maxRi.toInt / 64 + 1)
-      rows.foreach { r =>
-        val p = r.getLong(1); words(p.toInt / 64) |= 1L << (p % 64)
+    val bitmaps = dvBitmaps(liveWithPosition(s, state).filter(condition)
+      .select(col("__fp"), col("__ri")))
+    if (bitmaps.isEmpty) return None
+    val (dvFiles, dvs) = bitmaps.unzip
+    Some(commit(root, "delete", added = Nil, removed = Nil,
+      readVersion = readV, txnId = txnId, dvFiles = dvFiles, dvs = dvs))
+  }
+
+  /** Keyed row-level DELETE: mark every live row whose `keyCol` value
+    * appears in `keys` — the retraction-by-key-set shape an upstream
+    * change feed produces ([[TxnStream.maintainMirror]]). Unlike
+    * `deleteWhere(col.isInCollection(collected))`, the key frame is
+    * NEVER collected: affected files are discovered by the same
+    * metadata broadcast range-join as [[mergeInto]] (only files whose
+    * recorded key range can hold a key are scanned; stat-less files
+    * scan — sound), the matching rows come from a semi-join executed
+    * where the data is (broadcast when the key frame is small,
+    * shuffled when it is not — a 10⁸-key GDPR purge works), and the
+    * bitmaps are built per file in executors ([[dvBitmaps]]). Driver
+    * cost: O(files × bitmap-bytes), nothing proportional to the key
+    * count.
+    *
+    * Returns the commit, or None if no live row matched.
+    */
+  def deleteWhereKeys(s: SparkSession, root: String, keys: DataFrame,
+                      keyCol: String, txnId: String): Option[Commit] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val readV = currentVersion(root)
+    val state = snapshotState(root, readV)
+    if (state.isEmpty) return None
+    val ranged = state.collect {
+      case (f, m) if m.stats.get(keyCol).isDefined =>
+        val st = m.stats(keyCol); (f, st.lo, st.hi)
+    }
+    val unranged = state.map(_._1).toSet -- ranged.map(_._1)
+    val affectedFiles: Set[String] =
+      if (ranged.isEmpty) state.map(_._1).toSet
+      else {
+        val dim = s.createDataFrame(ranged).toDF("__mf", "__lo", "__hi")
+        val hit = keys.select(col(keyCol).cast("long").as("__mk"))
+          .join(broadcast(dim),
+            col("__mk") >= col("__lo") && col("__mk") <= col("__hi"))
+          .select(col("__mf")).distinct().collect().map(_.getString(0))
+        unranged ++ hit
       }
-      (f, words.map(w => f"$w%016x").mkString)
-    }.unzip
+    if (affectedFiles.isEmpty) return None
+    val scanState = state.filter(f => affectedFiles(f._1))
+    val hits = liveWithPosition(s, scanState)
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col("__fp"), col("__ri"))
+    val bitmaps = dvBitmaps(hits)
+    if (bitmaps.isEmpty) return None
+    val (dvFiles, dvs) = bitmaps.unzip
     Some(commit(root, "delete", added = Nil, removed = Nil,
       readVersion = readV, txnId = txnId, dvFiles = dvFiles, dvs = dvs))
   }
@@ -763,9 +856,15 @@ object TxnLog {
     require(dup.isEmpty,
       s"merge source has multiple rows for $keyCol = ${dup.headOption.map(_.get(0)).orNull}")
     checkConstraints(s, root, source) // incoming rows only — O(batch)
+    // EXACT column match only: the legacy unnamed ("") stat is
+    // caller-asserted on the explicit readRange path, but a merge's
+    // key-uniqueness invariant must not ride an assertion — a pre-r12
+    // table statted on a different column would otherwise skip
+    // genuinely affected files and silently duplicate keys. Files
+    // with only a legacy stat land in `unranged` = always affected.
     val ranged = state.collect {
-      case (f, m) if m.statFor(keyCol).isDefined =>
-        val st = m.statFor(keyCol).get
+      case (f, m) if m.stats.get(keyCol).isDefined =>
+        val st = m.stats(keyCol)
         (f, st.lo, st.hi)
     }
     val unranged = state.map(_._1).toSet -- ranged.map(_._1)
@@ -997,16 +1096,16 @@ object TxnLog {
                      statsCol: String): (Seq[String], Seq[Option[FileStat]]) = {
     val files = stage(df, root, txnId)
     val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
     val ranges = spark.read.parquet(Paths.get(root, "data", txnId).toString)
-      .select(input_file_name().as("f"), col(statsCol).cast("long").as("s"))
+      .select(inputFilePath.as("f"), col(statsCol).cast("long").as("s"))
       .groupBy("f").agg(fmin("s").as("lo"), fmax("s").as("hi"), count(lit(1)).as("n"))
       .collect()
       .flatMap(r =>
         // an empty or all-null file has no range: record no stat (it
         // then always survives pruning — sound — and scans in aggs)
         if (r.isNullAt(1) || r.isNullAt(2)) None
-        else Some((r.getString(0).stripPrefix("file://").stripPrefix("file:"),
+        else Some((r.getString(0),
           FileStat(r.getLong(1), r.getLong(2), r.getLong(3))))).toMap
     (files, files.map(ranges.get))
   }
@@ -1033,12 +1132,12 @@ object TxnLog {
                      cols: Seq[String],
                      files: Seq[String]): Seq[Map[String, FileStat]] = {
     require(cols.nonEmpty, "statsForStaged needs at least one column")
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
     val aggs = cols.flatMap(c => Seq(
       fmin(col(c).cast("long")).as(s"lo_$c"), fmax(col(c).cast("long")).as(s"hi_$c"))) :+
       count(lit(1)).as("n")
     val byFile = spark.read.parquet(Paths.get(root, "data", txnId).toString)
-      .groupBy(input_file_name().as("f"))
+      .groupBy(inputFilePath.as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
@@ -1050,7 +1149,7 @@ object TxnLog {
           if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
           else Some(c -> FileStat(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i), n))
         }.toMap
-        (r.getString(0).stripPrefix("file://").stripPrefix("file:"), m)
+        (r.getString(0), m)
       }.toMap
     files.map(byFile.getOrElse(_, Map.empty[String, FileStat]))
   }
@@ -1078,10 +1177,23 @@ object TxnLog {
     require(Integer.bitCount(bloomBits) == 1, s"bloomBits must be a power of two: $bloomBits")
     val (files, stats) = stageWithStats(df, root, txnId, statsCol)
     val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{array, col, collect_set, explode, input_file_name}
-    val positions = array(bloomPosExprs(col(bloomCol), bloomBits, bloomK): _*)
-    val bits = spark.read.parquet(Paths.get(root, "data", txnId).toString)
-      .select(input_file_name().as("f"), explode(positions).as("pos"))
+    import org.apache.spark.sql.functions.{array, col, collect_set, explode}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val staged = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+    // xxhash64 is TYPE-dependent (an Int and the same value as a Long
+    // hash differently), so the build canonicalizes integral columns
+    // to LONG and marks the encoding with an 'n' flag — the probe
+    // side ([[bloomAdmits]]) then casts integral probe values to Long
+    // too, and an Int lookup against a Long-built filter (or vice
+    // versa) can never compute wrong bit positions and mis-prune.
+    val integral = staged.schema(bloomCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val key = if (integral) col(bloomCol).cast("long") else col(bloomCol)
+    val positions = array(bloomPosExprs(key, bloomBits, bloomK): _*)
+    val bits = staged
+      .select(inputFilePath.as("f"), explode(positions).as("pos"))
       .distinct()
       .groupBy("f").agg(collect_set(col("pos")).as("ps"))
       .collect()
@@ -1089,10 +1201,11 @@ object TxnLog {
         val bs = new java.util.BitSet(bloomBits)
         r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
         val words = bs.toLongArray.padTo(bloomBits / 64, 0L)
-        // "<k>:<hex>" — k rides with the filter so probe and build
-        // can never disagree on the number of positions to test
-        (r.getString(0).stripPrefix("file://").stripPrefix("file:"),
-          s"$bloomK:" + words.map(w => f"$w%016x").mkString)
+        // "<k>[n]:<hex>" — k (and the normalization flag) ride with
+        // the filter so probe and build can never disagree on the
+        // positions to test or the hashed type
+        (r.getString(0),
+          s"$bloomK${if (integral) "n" else ""}:" + words.map(w => f"$w%016x").mkString)
       }.toMap
     (files, stats, files.map(bits.getOrElse(_, "")))
   }
@@ -1141,10 +1254,25 @@ object TxnLog {
     m.bloom.forall { enc =>
       m.bloomCol != column || !enc.contains(':') || {
         val Array(kTok, hex) = enc.split(":", 2)
-        val (k, bits) = (kTok.toInt, hex.length * 4)
+        // 'n' flag: the build hashed the column cast to LONG —
+        // normalize integral probe values the same way, so an Int
+        // probe of a Long-built filter tests the right bits. Legacy
+        // unflagged filters hashed the raw column type; the raw probe
+        // value preserves their (probe type == column type) contract.
+        val normalized = kTok.endsWith("n")
+        val k = (if (normalized) kTok.dropRight(1) else kTok).toInt
+        val probe: Any =
+          if (!normalized) value
+          else value match {
+            case i: Int   => i.toLong
+            case sh: Short => sh.toLong
+            case b: Byte  => b.toLong
+            case other    => other
+          }
+        val bits = hex.length * 4
         if (bloomProbeCache.size > 10000) bloomProbeCache.clear() // bound it
-        val positions = bloomProbeCache.computeIfAbsent((value, bits, k),
-          _ => bloomPositions(s, value, bits, k))
+        val positions = bloomProbeCache.computeIfAbsent((probe, bits, k),
+          _ => bloomPositions(s, probe, bits, k))
         bloomMaybeContains(hex, positions)
       }
     }
@@ -1242,7 +1370,7 @@ object TxnLog {
       s"txn $txnId: stats (${stats.size}) must align with added (${added.size})")
     require(blooms.isEmpty || blooms.size == added.size,
       s"txn $txnId: blooms (${blooms.size}) must align with added (${added.size})")
-    require(blooms.forall(b => b.isEmpty || b.matches("\\d+:[0-9a-f]+")),
+    require(blooms.forall(b => b.isEmpty || b.matches("\\d+n?:[0-9a-f]+")),
       s"txn $txnId: malformed bloom encoding")
     require(dvFiles.size == dvs.size,
       s"txn $txnId: dvFiles (${dvFiles.size}) must align with dvs (${dvs.size})")

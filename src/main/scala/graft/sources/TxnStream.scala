@@ -124,15 +124,24 @@ object TxnStream {
     * retract. Requires `keyCol` unique in the source (the merge
     * contract). Exactly-once like [[maintainInto]]: the merge txnId
     * `"<consumerId>-v<N>"` is the durable applied-marker;
-    * the delete step's txnId lives under a DIFFERENT prefix
-    * (`"<consumerId>-del-v<N>"`) so it never confuses offset
-    * recovery, and a crash-replay of an already-applied delete is a
-    * no-op by construction (the rows are already dead). Returns the
-    * source versions applied by THIS call.
+    * the delete step's txnId is `"<consumerId>-v<N>-del"` — the
+    * trailing `-del` fails [[appliedVersion]]'s `\d+` guard, so it
+    * never confuses offset recovery, and (unlike a `-del-v<N>`
+    * shape) it cannot collide with the offset namespace of a
+    * DIFFERENT consumer literally named `"<consumerId>-del"`. A
+    * crash-replay of an already-applied delete is a no-op by
+    * construction (the rows are already dead). Returns the source
+    * versions applied by THIS call.
     *
     * 100 TB shape: per version the mirror pays O(that version's
-    * changes) — the delete is bitmap metadata, the merge rewrites
-    * only key-range-affected files. Nothing rescans either table.
+    * changes) — the retraction is a JOIN-driven keyed delete
+    * ([[TxnLog.deleteWhereKeys]]: the key set is never collected or
+    * inlined as a literal, so one upstream GDPR-purge commit
+    * retracting 10⁸ keys is a shuffled semi-join, not a driver OOM),
+    * the merge rewrites only key-range-affected files. Nothing
+    * rescans either table. Whether a version HAS retractions is read
+    * from the commit records (metadata) — delete-free versions never
+    * plan the delete join at all.
     */
   def maintainMirror(s: SparkSession, sourceRoot: String, targetRoot: String,
                      consumerId: String, keyCol: String,
@@ -145,11 +154,12 @@ object TxnStream {
       TxnLog.withTxnLock(txnId) {
         if (TxnLog.findCommit(targetRoot, txnId).isDefined) None
         else {
-          val delKeys = readDeletes(s, sourceRoot, v - 1, v)
-            .select(col(keyCol)).distinct().collect().map(_.get(0))
-          if (delKeys.nonEmpty)
-            TxnLog.deleteWhere(s, targetRoot,
-              col(keyCol).isInCollection(delKeys), s"$consumerId-del-v$v")
+          val hasDeletes = TxnLog.commitsInRange(sourceRoot, v - 1, v)
+            .exists(_.dvFiles.nonEmpty)
+          if (hasDeletes)
+            TxnLog.deleteWhereKeys(s, targetRoot,
+              readDeletes(s, sourceRoot, v - 1, v).select(col(keyCol)),
+              keyCol, s"$consumerId-v$v-del")
           val adds = readChanges(s, sourceRoot, v - 1, v).drop(CommitVersionCol)
           TxnLog.mergeInto(s, targetRoot, adds, keyCol, txnId)
           Some(v)

@@ -977,4 +977,118 @@ class TxnLogSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet === Set((3L, 333L)),
       "a k-bloom must never be probed as if it indexed tag")
   }
+
+  test("r13: an Int probe of a Long-built bloom finds its rows (type-normalized hashing)") {
+    val root = freshRoot()
+    // xxhash64(Int) != xxhash64(Long) for the same value — pre-r13,
+    // probing a long bloom column with an Int computed wrong bit
+    // positions and silently pruned the containing file
+    val data = (1L to 256L).map(k => (k, k * 7L))
+    val (files, stats, blooms) = TxnLog.stageWithIndex(
+      data.toDF("k", "tag").repartitionByRange(4, $"k"), root, "t1",
+      statsCol = "k", bloomCol = "tag")
+    assert(blooms.forall(_.startsWith("4n:")),
+      "an integral bloom column must carry the normalization flag")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k", blooms = blooms, bloomCol = "tag")
+    // Int probe vs Long column: must not lose rows to a wrong-type hash
+    assert(TxnLog.readPoint(spark, root, "tag", 84)
+      .as[(Long, Long)].collect().toSet === Set((12L, 84L)))
+    assert(TxnLog.readPoint(spark, root, "tag", 84L)
+      .as[(Long, Long)].collect().toSet === Set((12L, 84L)))
+  }
+
+  test("r13: stats and blooms survive a root with URI-encodable characters") {
+    // '#' and '%' percent-encode in input_file_name(); pre-r13 the
+    // staging stat keys were not decoded, so every lookup missed and
+    // the commit silently carried no stats — disabling all skipping
+    val dir = Files.createTempDirectory("graft-enc")
+    // note: no spaces — the log's record format reserves those and
+    // rejects them at commit time; '%' and '#' are legal path bytes
+    // that URI-encode, the exact hazard class
+    val root = dir.resolve("100%odd#table").toString
+    TxnLog.init(root)
+    val data = (1L to 64L).map(k => (k, k * 2654435761L % 1000000007L))
+    val (files, stats, blooms) = TxnLog.stageWithIndex(
+      data.toDF("k", "tag").repartitionByRange(4, $"k"), root, "t1",
+      statsCol = "k", bloomCol = "tag")
+    assert(stats.forall(_.isDefined),
+      "every staged file must resolve a stat under an encodable root")
+    assert(blooms.forall(_.nonEmpty),
+      "every staged file must resolve a bloom under an encodable root")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k", blooms = blooms, bloomCol = "tag")
+    assert(TxnLog.prunedFiles(root, 1L, 5L, statsCol = "k").size < files.size,
+      "range pruning must actually skip files on an encodable root")
+    assert(TxnLog.readRange(spark, root, "k", 1L, 5L).count() === 5L)
+    // multi-column stats take the same decoded-key path
+    val multi = TxnLog.statsForStaged(spark, root, "t1", Seq("k", "tag"), files)
+    assert(multi.forall(_.nonEmpty))
+  }
+
+  test("r13: merge treats legacy unnamed stats as always-affected — key uniqueness survives") {
+    val root = freshRoot()
+    // simulate a pre-r12 table: stats recorded with NO column name
+    // (here: statted on v, committed unnamed). A merge on k must NOT
+    // trust v's ranges as k's — that would skip affected files and
+    // silently duplicate keys.
+    val (files, stats) = TxnLog.stageWithStats(
+      (1L to 100L).map(k => (k, 1000L + k)).toDF("k", "v")
+        .repartitionByRange(4, $"k"), root, "t1", statsCol = "v")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "") // unnamed: the legacy shape
+    TxnLog.mergeInto(spark, root,
+      Seq((7L, 7000L)).toDF("k", "v"), "k", "m1")
+    val got = TxnLog.read(spark, root).as[(Long, Long)].collect()
+    assert(got.count(_._1 == 7L) === 1, "merge must not duplicate key 7")
+    assert(got.toSet.contains((7L, 7000L)))
+    assert(got.length === 100)
+  }
+
+  test("r13: deleteWhereKeys — join-driven keyed retraction, stats-pruned, one DV row per file") {
+    val root = freshRoot()
+    val (files, stats) = TxnLog.stageWithStats(
+      (1L to 1024L).map(k => (k, k * 3L)).toDF("k", "v")
+        .repartitionByRange(8, $"k"), root, "t1", statsCol = "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")
+    // keys live in two files' ranges only; the scan must stay pruned
+    val keys = Seq(5L, 6L, 7L, 1020L).toDF("k")
+    val c = TxnLog.deleteWhereKeys(spark, root, keys, "k", "d1").get
+    assert(c.dvFiles.size === 2,
+      s"4 keys span 2 of 8 file ranges; got DVs on ${c.dvFiles.size} files")
+    assert(TxnLog.read(spark, root).as[(Long, Long)].collect().toSet ===
+      (1L to 1024L).filterNot(Set(5L, 6L, 7L, 1020L)).map(k => (k, k * 3L)).toSet)
+    // no matching key: no version burned
+    assert(TxnLog.deleteWhereKeys(spark, root,
+      Seq(9999L).toDF("k"), "k", "d2").isEmpty)
+    // a key frame too large to broadcast still works (shuffled semi-join)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val big = spark.range(1, 200).toDF("k")
+      val c2 = TxnLog.deleteWhereKeys(spark, root, big, "k", "d3").get
+      assert(c2.dvFiles.nonEmpty)
+    }
+    // keys 1..199: 196 newly dead (5,6,7 were already retracted)
+    assert(TxnLog.read(spark, root).count() === 1024L - 4 - 196)
+  }
+
+  test("r13: executor-built DV bitmaps — a 50% delete collects one row per file, bitmaps exact") {
+    val root = freshRoot()
+    val (files, stats) = TxnLog.stageWithStats(
+      (0L until 32768L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(8, $"k"), root, "t1", statsCol = "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")
+    // the regime the r12 per-row collect shipped 16k rows to the
+    // driver for: the aggregate result is structurally one row per
+    // touched file (dvBitmaps groups by __fp), O(files × bitmap-bytes)
+    val c = TxnLog.deleteWhere(spark, root, col("k") % 2 === 0, "d1").get
+    assert(c.dvFiles.size === 8, "every file holds even keys")
+    // bitmap exactness: committed hex has exactly the even bits set
+    val survivors = TxnLog.read(spark, root).as[(Long, Long)].collect()
+    assert(survivors.length === 16384 && survivors.forall(_._1 % 2 == 1))
+    val deadBits = c.dvs.map(_.map(ch =>
+      Integer.bitCount(Integer.parseInt(ch.toString, 16))).sum).sum
+    assert(deadBits === 16384, s"expected 16384 set bits, got $deadBits")
+  }
 }

@@ -204,5 +204,28 @@ class TxnStreamSpec extends SparkTestBase {
     assert(sync() === Seq(5L))
     assert(TxnStream.appliedVersion(mirror, "m") === 5L)
     assert(mirrorRows() === srcRows())
+
+    // r13: the delete-step markers ("m-v<N>-del") live outside every
+    // other consumer's offset namespace — a consumer literally named
+    // "m-del" must recover offset 0, not skip unapplied versions
+    // (the pre-r13 "m-del-v<N>" shape collided with its "\d+" rule)
+    assert(TxnStream.appliedVersion(mirror, "m-del") === 0L)
+  }
+
+  test("r13: a retraction wider than the broadcast threshold applies join-driven, mirror converges") {
+    val src = freshRoot()
+    val mirror = freshRoot()
+    append(src, "t1", (1L to 512L).map(k => (k, k)))
+    assert(TxnStream.maintainMirror(spark, src, mirror, "m", "k") === Seq(1L))
+    // one source version retracts 300 keys; with broadcasts disabled
+    // the key frame cannot be inlined — the semi-join must still
+    // retract every key (the pre-r13 isInCollection literal would
+    // have collected all 300 to the driver)
+    TxnLog.deleteWhere(spark, src, col("k") <= 300L, "t2")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(TxnStream.maintainMirror(spark, src, mirror, "m", "k") === Seq(2L))
+    }
+    assert(TxnLog.read(spark, mirror).as[(Long, Long)].collect().toSet ===
+      (301L to 512L).map(k => (k, k)).toSet)
   }
 }

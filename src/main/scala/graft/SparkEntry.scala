@@ -418,6 +418,42 @@ object SparkEntry {
     }
   }
 
+  /** Typed-stats txn tables already built this JVM. */
+  private val materializedTxnTypedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** A sixth [[graft.sources.TxnLog]] table for TYPED data skipping
+    * (X-A44): the %3<=1 orders slice clustered by (o_orderpriority,
+    * o_orderdate) with typed per-file stats on the STRING priority,
+    * the TIMESTAMP order date and the long key — so string equality,
+    * prefix (`LIKE 'p%'`) and timestamp-range predicates prune
+    * through `table()`'s Catalyst integration, the predicate classes
+    * plain long stats can never serve (and where a naive
+    * cast-to-long stat silently mis-prunes: micros vs seconds).
+    */
+  private def ensureTxnTypedTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxnLog
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnt_${dirTag(dir)}_${ordersFingerprint(dir)}"
+    materializeOnce(materializedTxnTypedTables, root) {
+      if (TxnLog.currentVersion(root) != 1L) {
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
+        TxnLog.init(root)
+        val base = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 <= 1)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+          .repartitionByRange(8, col("o_orderpriority"), col("o_orderdate"))
+        val files = TxnLog.stage(base, root, "v1-typed")
+        val multi = TxnLog.statsForStaged(s, root, "v1-typed",
+          Seq("o_orderkey", "o_orderpriority", "o_orderdate"), files)
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = "v1-typed", multiStats = multi,
+          schemaJson = TxnLog.encodeSchema(base.schema))
+        ()
+      }
+    }
+  }
+
   /** One-time side-artifact materialization for `dir` (the s8 file
     * topic, the j9 bucketed tables, the partitioned events layout,
     * the schema-evolved generations, the z-order file-stats manifest).
@@ -436,6 +472,7 @@ object SparkEntry {
     ensureTxnDeleteTable(s, dir)
     ensureTxnMergeTable(s, dir)
     ensureTxnZorderTable(s, dir)
+    ensureTxnTypedTable(s, dir)
     ()
   }
 
@@ -704,6 +741,36 @@ object SparkEntry {
         graft.sources.TxnStream.readDeletes(s, root, fromExclusive = 1L, toInclusive = 2L)
           .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
       }),
+      // TYPED stats pruning (X-A44): string equality, string prefix
+      // and timestamp range — each plans through table()'s
+      // TxnLogFileIndex against typed per-file (min, max) stats; the
+      // predicates are pure SQL over orders for the oracle, and
+      // PlanShapeSpec pins that the filters actually reach the
+      // log-backed scan
+      "tx_str_prune" -> ((s, dir) => {
+        val root = ensureTxnTypedTable(s, dir)
+        graft.sources.TxnLog.table(s, root)
+          .createOrReplaceTempView(s"txn_typed_${dirTag(dir)}")
+        s.sql(s"""SELECT o_orderkey, o_orderpriority
+                  FROM txn_typed_${dirTag(dir)}
+                  WHERE o_orderpriority = '1-URGENT'""")
+      }),
+      "tx_prefix_prune" -> ((s, dir) => {
+        val root = ensureTxnTypedTable(s, dir)
+        graft.sources.TxnLog.table(s, root)
+          .createOrReplaceTempView(s"txn_typed_${dirTag(dir)}")
+        s.sql(s"""SELECT o_orderkey, o_orderpriority
+                  FROM txn_typed_${dirTag(dir)}
+                  WHERE o_orderpriority LIKE '2-%'""")
+      }),
+      "tx_ts_prune" -> ((s, dir) => {
+        val root = ensureTxnTypedTable(s, dir)
+        graft.sources.TxnLog.table(s, root)
+          .createOrReplaceTempView(s"txn_typed_${dirTag(dir)}")
+        s.sql(s"""SELECT o_orderkey
+                  FROM txn_typed_${dirTag(dir)}
+                  WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'""")
+      }),
       // the commit log AS a table (provenance/ops surface): version,
       // action and the snapshot each txn read — deterministic for the
       // three-commit fixture, so the oracle is a VALUES literal
@@ -867,6 +934,19 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 3 <= 1
            AND o_orderkey * 2654435761 % 1000000007 = 1242 * 2654435761 % 1000000007""",
+
+    "tx_str_prune" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderpriority = '1-URGENT'""",
+
+    "tx_prefix_prune" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderpriority LIKE '2-%'""",
+
+    "tx_ts_prune" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey % 3 <= 1
+           AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'""",
 
     // same rows as tx_prune_read: the SQL path must agree with the
     // explicit readRange call bit for bit

@@ -65,14 +65,60 @@ import org.apache.spark.sql.types.StructType
   */
 object TxnLog {
 
-  /** Per-file data-skipping statistics: (min, max) of the table's
-    * clustering column plus the file's row count (`rows = -1` when
-    * unknown — records written by a pre-r12 build carry only the
-    * range). The row count is what makes COUNT/MIN/MAX answerable
-    * from the log alone ([[statsAggregate]]): at 100 TB the metadata
-    * answer costs a few KB of JSON instead of a full table scan.
+  /** Per-file data-skipping statistics: (min, max) of a column plus
+    * the file's row count (`rows = -1` when unknown — records written
+    * by a pre-r12 build carry only the range). The row count is what
+    * makes COUNT/MIN/MAX answerable from the log alone
+    * ([[statsAggregate]]): at 100 TB the metadata answer costs a few
+    * KB of JSON instead of a full table scan.
+    *
+    * `typ` tags the REPRESENTATION of the range — pruning only ever
+    * compares a predicate against a stat of the matching kind, which
+    * is what makes mixed-type comparisons (the classic silent-wrong-
+    * prune bug: timestamp micros vs a seconds-scale long stat)
+    * structurally impossible:
+    *
+    *  - `"l"` integral: `lo`/`hi` are the long range (legacy records
+    *    are all `"l"`),
+    *  - `"t"` timestamp: `lo`/`hi` are epoch MICROS (Catalyst's
+    *    internal timestamp value),
+    *  - `"d"` date: `lo`/`hi` are epoch DAYS,
+    *  - `"s"` string: `loS`/`hiS` are BASE64 of the min/max string's
+    *    UTF-8 bytes (binary order, = Spark's string comparison order;
+    *    base64 survives the log's `:`/`|`/space-delimited formats for
+    *    ANY string value),
+    *  - `"f"` float/double: `loS`/`hiS` are `Double.toString` values.
+    *
+    * `nulls` is the column's null count in the file (-1 unknown) —
+    * what serves `IS NULL` pruning.
     */
-  case class FileStat(lo: Long, hi: Long, rows: Long = -1L)
+  case class FileStat(lo: Long, hi: Long, rows: Long = -1L,
+                      typ: String = "l", loS: String = "", hiS: String = "",
+                      nulls: Long = -1L)
+
+  /** Unsigned lexicographic byte comparison — the order Spark's
+    * UTF8String (and thus its string min/max) uses. Java String
+    * compareTo is UTF-16 code-unit order, which DISAGREES for
+    * supplementary code points, so string-stat pruning always
+    * compares raw UTF-8 bytes.
+    */
+  private[sources] def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private[sources] def b64enc(v: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[sources] def b64dec(v: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(v)
 
   /** Everything the log knows about one live data file: per-COLUMN
     * stats (Delta collects stats for its leading columns the same
@@ -225,17 +271,38 @@ object TxnLog {
       case _ => sys.error(s"bad stat token: $s")
     }
 
-  // one file's EXTRA per-column stats: "col:lo:hi:rows|col2:..."
-  // (no commas — the record's array parser splits elements on them)
+  // one file's EXTRA per-column stats, '|'-joined per column:
+  //   "col:lo:hi:rows"                 legacy long stat (typ "l"), or
+  //   "col:<typ>:lo:hi:rows:nulls"     typed (r13+; for "s"/"f" the
+  //                                    bounds are base64 / Double
+  //                                    strings — neither contains
+  //                                    ':', '|', ',' or spaces)
+  // field COUNT dispatches the two shapes; column names are validated
+  // separator-free at commit time.
+  private def renderOneStat(c: String, s: FileStat): String =
+    if (s.typ == "l" && s.nulls < 0L) s"$c:${s.lo}:${s.hi}:${s.rows}"
+    else if (s.typ == "s" || s.typ == "f")
+      s"$c:${s.typ}:${s.loS}:${s.hiS}:${s.rows}:${s.nulls}"
+    else s"$c:${s.typ}:${s.lo}:${s.hi}:${s.rows}:${s.nulls}"
+
+  private def parseOneStat(typ: String, lo: String, hi: String,
+                           rows: Long, nulls: Long): FileStat =
+    if (typ == "s" || typ == "f") FileStat(0L, 0L, rows, typ, lo, hi, nulls)
+    else FileStat(lo.toLong, hi.toLong, rows, typ, "", "", nulls)
+
   private def renderMultiStat(m: Map[String, FileStat]): String =
     m.toSeq.sortBy(_._1)
-      .map { case (c, s) => s"$c:${s.lo}:${s.hi}:${s.rows}" }.mkString("|")
+      .map { case (c, s) => renderOneStat(c, s) }.mkString("|")
 
   private def parseMultiStat(s: String): Map[String, FileStat] =
     if (s.isEmpty) Map.empty
     else s.split("\\|").map { tok =>
-      val Array(c, lo, hi, n) = tok.split(":")
-      c -> FileStat(lo.toLong, hi.toLong, n.toLong)
+      tok.split(":", -1) match {
+        case Array(c, lo, hi, n) => c -> FileStat(lo.toLong, hi.toLong, n.toLong)
+        case Array(c, t, lo, hi, n, nl) =>
+          c -> parseOneStat(t, lo, hi, n.toLong, nl.toLong)
+        case _ => sys.error(s"bad multi-stat token: $tok")
+      }
     }.toMap
 
   private def render(c: Commit): String = {
@@ -340,7 +407,10 @@ object TxnLog {
   //   T <txnId> <version>                one per committed transaction <= version
   //   F <path>                           one per LIVE file (no stats), or
   //   F <path> <lo> <hi>                 legacy stats, column unnamed, or
-  //   F <path> <col|-> <lo> <hi> <rows>  full stats (rows -1 = unknown)
+  //   F <path> <col|-> <lo> <hi> <rows>  long stats (rows -1 = unknown), or
+  //   F <path> <col> <typ> <lo> <hi> <rows> <nulls>  typed stats (r13+;
+  //                                      "s"/"f" bounds are base64 /
+  //                                      Double strings — space-free)
   //   B <path> <col> <hex>               bloom filter of a live file
   // Everything snapshot resolution, txnId idempotency, schema
   // enforcement, stats pruning and bloom point-skipping need, in one
@@ -417,6 +487,9 @@ object TxnLog {
           case Seq("F", f, c, lo, hi, n) => // one line per statted column
             addStat(f, if (c == "-") "" else c,
               FileStat(lo.toLong, hi.toLong, n.toLong))
+          case Seq("F", f, c, t, lo, hi, n, nl) => // typed stat (r13+)
+            addStat(f, if (c == "-") "" else c,
+              parseOneStat(t, lo, hi, n.toLong, nl.toLong))
           case Seq("B", f, c, hex)   =>
             files(f) = files.getOrElse(f, FileMeta())
               .copy(bloom = Some(hex), bloomCol = c)
@@ -538,8 +611,16 @@ object TxnLog {
       else meta.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
         body.append("F ").append(f)
           .append(' ').append(if (c.isEmpty) "-" else c)
-          .append(' ').append(s.lo).append(' ').append(s.hi).append(' ').append(s.rows)
-          .append('\n')
+        if (s.typ == "l" && s.nulls < 0L) // legacy long line
+          body.append(' ').append(s.lo).append(' ').append(s.hi)
+            .append(' ').append(s.rows).append('\n')
+        else {
+          body.append(' ').append(s.typ)
+          if (s.typ == "s" || s.typ == "f")
+            body.append(' ').append(s.loS).append(' ').append(s.hiS)
+          else body.append(' ').append(s.lo).append(' ').append(s.hi)
+          body.append(' ').append(s.rows).append(' ').append(s.nulls).append('\n')
+        }
       }
       meta.bloom.foreach { hex =>
         body.append("B ").append(f).append(' ').append(meta.bloomCol)
@@ -800,7 +881,7 @@ object TxnLog {
     val state = snapshotState(root, readV)
     if (state.isEmpty) return None
     val ranged = state.collect {
-      case (f, m) if m.stats.get(keyCol).isDefined =>
+      case (f, m) if m.stats.get(keyCol).exists(_.typ == "l") =>
         val st = m.stats(keyCol); (f, st.lo, st.hi)
     }
     val unranged = state.map(_._1).toSet -- ranged.map(_._1)
@@ -863,7 +944,7 @@ object TxnLog {
     // genuinely affected files and silently duplicate keys. Files
     // with only a legacy stat land in `unranged` = always affected.
     val ranged = state.collect {
-      case (f, m) if m.stats.get(keyCol).isDefined =>
+      case (f, m) if m.stats.get(keyCol).exists(_.typ == "l") =>
         val st = m.stats(keyCol)
         (f, st.lo, st.hi)
     }
@@ -1123,31 +1204,63 @@ object TxnLog {
     (files, statsForStaged(df.sparkSession, root, txnId, cols, files))
   }
 
-  /** Per-file per-column (min, max, rowCount) over an already-staged
-    * txn dir, one scan pass — for composing stats with other staging
-    * flows (e.g. [[stageWithIndex]]'s bloom build). Aligned with
-    * `files`.
+  /** Per-file per-column (min, max, rowCount, nullCount) over an
+    * already-staged txn dir, one scan pass — for composing stats with
+    * other staging flows (e.g. [[stageWithIndex]]'s bloom build).
+    * Aligned with `files`.
+    *
+    * Stats are TYPED ([[FileStat.typ]]): integral columns record a
+    * long range, timestamps epoch micros, dates epoch days, strings
+    * their binary-order min/max (base64), float/double a double
+    * range — so string/timestamp/date predicates prune through
+    * [[TxnLogFileIndex]] (the public Delta recipe collects typed
+    * min/max the same way), and a wrong-scale comparison (micros vs
+    * a long stat) is structurally impossible. Columns of any other
+    * type record no range stat (sound: never pruned).
     */
   def statsForStaged(spark: SparkSession, root: String, txnId: String,
                      cols: Seq[String],
                      files: Seq[String]): Seq[Map[String, FileStat]] = {
     require(cols.nonEmpty, "statsForStaged needs at least one column")
-    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
-    val aggs = cols.flatMap(c => Seq(
-      fmin(col(c).cast("long")).as(s"lo_$c"), fmax(col(c).cast("long")).as(s"hi_$c"))) :+
+    import org.apache.spark.sql.functions.{col, count, lit, unix_date, unix_micros, max => fmax, min => fmin}
+    import org.apache.spark.sql.types._
+    val staged = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+    val kinds: Seq[(String, String, org.apache.spark.sql.Column)] = cols.map { c =>
+      staged.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          (c, "l", col(c).cast("long"))
+        case TimestampType => (c, "t", unix_micros(col(c)))
+        case DateType      => (c, "d", unix_date(col(c)).cast("long"))
+        case StringType    => (c, "s", col(c))
+        case FloatType | DoubleType => (c, "f", col(c).cast("double"))
+        case _             => (c, "", lit(null)) // unsupported: no range
+      }
+    }
+    val aggs = kinds.flatMap { case (c, _, e) => Seq(
+      fmin(e).as(s"lo_$c"), fmax(e).as(s"hi_$c"), count(col(c)).as(s"nn_$c")) } :+
       count(lit(1)).as("n")
-    val byFile = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+    val byFile = staged
       .groupBy(inputFilePath.as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val n = r.getLong(1 + 2 * cols.size)
+        val n = r.getLong(1 + 3 * cols.size)
         // an all-null (or empty) column has no range: record no stat
         // for it — the file then always survives pruning on that
         // column (sound) and takes the scan path in aggregates
-        val m = cols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-          else Some(c -> FileStat(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i), n))
+        val m = kinds.zipWithIndex.flatMap { case ((c, k, _), i) =>
+          val (loI, hiI, nnI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+          if (k.isEmpty || r.isNullAt(loI) || r.isNullAt(hiI)) None
+          else {
+            val nulls = n - r.getLong(nnI)
+            Some(c -> (k match {
+              case "s" => FileStat(0L, 0L, n, "s",
+                b64enc(r.getString(loI)), b64enc(r.getString(hiI)), nulls)
+              case "f" => FileStat(0L, 0L, n, "f",
+                r.getDouble(loI).toString, r.getDouble(hiI).toString, nulls)
+              case t   => FileStat(r.getLong(loI), r.getLong(hiI), n, t, "", "", nulls)
+            }))
+          }
         }.toMap
         (r.getString(0), m)
       }.toMap
@@ -1303,20 +1416,27 @@ object TxnLog {
                 version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
     val state = snapshotState(root, version)
-    // min/max range pruning applies only to numeric probes; any type
-    // lit() accepts can bloom-probe (the build hashes the column)
-    val numeric: Option[Long] = value match {
-      case l: Long => Some(l)
-      case i: Int  => Some(i.toLong)
-      case _       => None
-    }
     val kept = state.filter {
       case (f, m) => {
-        // only an EXACT column match may range-prune a point lookup
-        // (the legacy unnamed stat stays caller-asserted for ranges,
-        // but a point probe is precise enough to demand precision)
-        val rangeOk = numeric.forall(v => m.stats.get(column).forall(st =>
-          v >= st.lo && v <= st.hi))
+        // only an EXACT column match OF THE MATCHING KIND may
+        // range-prune a point lookup (the legacy unnamed stat stays
+        // caller-asserted for ranges, but a point probe is precise
+        // enough to demand precision; a typed stat of another kind
+        // keeps the file — sound). Any type lit() accepts can
+        // bloom-probe (the build hashes the column).
+        val rangeOk = value match {
+          case l: Long => m.stats.get(column).filter(_.typ == "l")
+            .forall(st => l >= st.lo && l <= st.hi)
+          case i: Int => m.stats.get(column).filter(_.typ == "l")
+            .forall(st => i.toLong >= st.lo && i.toLong <= st.hi)
+          case str: String => m.stats.get(column).filter(_.typ == "s")
+            .forall { st =>
+              val vb = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              byteCompare(b64dec(st.loS), vb) <= 0 &&
+                byteCompare(b64dec(st.hiS), vb) >= 0
+            }
+          case _ => true
+        }
         rangeOk && bloomAdmits(s, m, column, value)
       }
     }
@@ -1529,7 +1649,10 @@ object TxnLog {
       }).get(f).map { case (l, h) => FileStat(l, h) }
     }
     state.filter { case (f, m) =>
-      m.statFor(statsCol).orElse(sidecarStat(f))
+      // only a LONG-typed stat can answer a caller's long range —
+      // a typed ("s"/"t"/"d"/"f") stat's long fields are not the
+      // caller's scale, so it keeps the file (sound)
+      m.statFor(statsCol).filter(_.typ == "l").orElse(sidecarStat(f))
         .forall(s => s.hi >= lo && s.lo <= hi)
     }
   }
@@ -1578,7 +1701,7 @@ object TxnLog {
     // possibly its min/max (the extremes may be dead) — DV'd files
     // take the scan path, which applies the vector
     val (metadata, scan) = state.partition { case (_, m) =>
-      m.statFor(statsCol).exists(_.rows >= 0) && m.dv.isEmpty
+      m.statFor(statsCol).exists(s => s.typ == "l" && s.rows >= 0) && m.dv.isEmpty
     }
     val metaDF = metadata
       .map { case (_, m) => val st = m.statFor(statsCol).get; (st.rows, st.lo, st.hi) }

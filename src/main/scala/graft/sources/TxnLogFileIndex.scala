@@ -6,24 +6,27 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A Spark [[FileIndex]] over a [[TxnLog]] snapshot — the integration
   * that makes log-level data skipping work for ARBITRARY DataFrame /
   * SQL filters, not just the explicit `readRange`/`readPoint` calls:
   * Catalyst hands every scan its pushed-down data filters, and
-  * `listFiles` answers with only the files whose per-column
-  * (min, max) stats and bloom filters cannot rule out — files the
-  * query provably doesn't need are never opened, never even
+  * `listFiles` answers with only the files whose per-column TYPED
+  * (min, max, nulls) stats and bloom filters cannot rule out — files
+  * the query provably doesn't need are never opened, never even
   * `stat`-ed. This is the public Delta recipe (TahoeLogFileIndex):
   * the log, not the filesystem, names the files, so planning is
   * metadata-only and immune to eventually-consistent listings.
   *
   * Soundness mirrors the explicit read paths: an unknown predicate
-  * shape, an unstatted column, or a bloom on a different column keep
-  * the file. The snapshot is resolved ONCE at construction — the
-  * index is a stable snapshot no matter what commits land after.
+  * shape, an unstatted column, a stat of a DIFFERENT KIND than the
+  * attribute's type ([[TxnLog.FileStat.typ]] — the guard that makes
+  * wrong-scale comparisons like timestamp-micros-vs-long impossible),
+  * or a bloom on a different column keep the file. The snapshot is
+  * resolved ONCE at construction — the index is a stable snapshot no
+  * matter what commits land after.
   */
 class TxnLogFileIndex(spark: SparkSession, root: String,
                       state: Seq[(String, TxnLog.FileMeta)]) extends FileIndex {
@@ -48,58 +51,159 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
 
-  private def litLong(v: Any): Option[Long] = v match {
-    case l: Long  => Some(l)
-    case i: Int   => Some(i.toLong)
-    case s: Short => Some(s.toLong)
-    case b: Byte  => Some(b.toLong)
-    case _        => None
+  /** The kind tag a stat must carry to compare against an attribute
+    * of this type — [[TxnLog.FileStat.typ]]'s vocabulary. The
+    * ATTRIBUTE's type (not the literal's) decides: after analysis,
+    * Catalyst has already cast the comparand to the attribute's type,
+    * so this also types the raw values `InSet` carries.
+    */
+  private def kindOf(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("l")
+    case TimestampType            => Some("t")
+    case DateType                 => Some("d")
+    case StringType               => Some("s")
+    case FloatType | DoubleType   => Some("f")
+    case _                        => None
   }
+
+  /** `(sign(lo cmp v), sign(hi cmp v))` when `a` has a stat of its
+    * own kind and `v` is comparable; None = no pruning possible
+    * (keep). All comparisons happen in the stat's own representation:
+    * long-vs-long, micros-vs-micros, days-vs-days, UTF-8 bytes,
+    * doubles — never across kinds.
+    */
+  private def cmp(m: TxnLog.FileMeta, a: AttributeReference,
+                  v: Any): Option[(Int, Int)] =
+    if (v == null) None
+    else kindOf(a.dataType).flatMap { k =>
+      m.stats.get(a.name).filter(_.typ == k).flatMap { st =>
+        k match {
+          case "l" | "t" | "d" =>
+            val num: Option[Long] = v match {
+              case l: Long   => Some(l)
+              case i: Int    => Some(i.toLong)
+              case s: Short  => Some(s.toLong)
+              case b: Byte   => Some(b.toLong)
+              case _         => None
+            }
+            num.map(n => (java.lang.Long.compare(st.lo, n),
+              java.lang.Long.compare(st.hi, n)))
+          case "s" =>
+            v match {
+              case u: UTF8String =>
+                val vb = u.getBytes
+                Some((TxnLog.byteCompare(TxnLog.b64dec(st.loS), vb),
+                  TxnLog.byteCompare(TxnLog.b64dec(st.hiS), vb)))
+              case _ => None
+            }
+          case "f" =>
+            val num: Option[Double] = v match {
+              case d: Double => Some(d)
+              case f: Float  => Some(f.toDouble)
+              case _         => None
+            }
+            num.filterNot(_.isNaN).flatMap { d0 =>
+              // SQL (and Spark) treat -0.0 = 0.0; normalize so a
+              // 0.0-bounded range can never prune a -0.0 probe
+              val d = if (d0 == 0.0d) 0.0d else d0
+              try {
+                val lo0 = st.loS.toDouble; val hi0 = st.hiS.toDouble
+                val lo = if (lo0 == 0.0d) 0.0d else lo0
+                val hi = if (hi0 == 0.0d) 0.0d else hi0
+                Some((java.lang.Double.compare(lo, d),
+                  java.lang.Double.compare(hi, d)))
+              } catch { case _: NumberFormatException => None }
+            }
+          case _ => None
+        }
+      }
+    }
 
   /** Could any row of a file with metadata `m` satisfy `e`? Errs on
     * `true` for every shape it doesn't understand — pruning must
-    * never be unsound. Only an EXACT statted-column match prunes
-    * (the legacy unnamed stat is caller-asserted and the optimizer
-    * is not a caller).
+    * never be unsound. Only an EXACT statted-column match OF THE
+    * ATTRIBUTE'S KIND prunes (the legacy unnamed stat is
+    * caller-asserted and the optimizer is not a caller).
     */
   private def mayMatch(m: TxnLog.FileMeta, e: Expression): Boolean = e match {
     case And(l, r) => mayMatch(m, l) && mayMatch(m, r)
     case Or(l, r)  => mayMatch(m, l) || mayMatch(m, r)
-    case EqualTo(a: AttributeReference, Literal(v, _)) => pointOk(m, a.name, v)
-    case EqualTo(Literal(v, _), a: AttributeReference) => pointOk(m, a.name, v)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => pointOk(m, a, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => pointOk(m, a, v)
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+      if (v == null) nullOk(m, a) else pointOk(m, a, v)
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+      if (v == null) nullOk(m, a) else pointOk(m, a, v)
     case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-      litLong(v).forall(lv => m.stats.get(a.name).forall(_.hi > lv))
+      cmp(m, a, v).forall(_._2 > 0)  // some value above v exists iff hi > v
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      litLong(v).forall(lv => m.stats.get(a.name).forall(_.hi >= lv))
+      cmp(m, a, v).forall(_._2 >= 0)
     case LessThan(a: AttributeReference, Literal(v, _)) =>
-      litLong(v).forall(lv => m.stats.get(a.name).forall(_.lo < lv))
+      cmp(m, a, v).forall(_._1 < 0)
     case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      litLong(v).forall(lv => m.stats.get(a.name).forall(_.lo <= lv))
+      cmp(m, a, v).forall(_._1 <= 0)
     case GreaterThan(Literal(v, _), a: AttributeReference) =>
-      mayMatch(m, LessThan(a, Literal(v)))
+      mayMatch(m, LessThan(a, Literal(v, a.dataType)))
     case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      mayMatch(m, LessThanOrEqual(a, Literal(v)))
+      mayMatch(m, LessThanOrEqual(a, Literal(v, a.dataType)))
     case LessThan(Literal(v, _), a: AttributeReference) =>
-      mayMatch(m, GreaterThan(a, Literal(v)))
+      mayMatch(m, GreaterThan(a, Literal(v, a.dataType)))
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      mayMatch(m, GreaterThanOrEqual(a, Literal(v)))
+      mayMatch(m, GreaterThanOrEqual(a, Literal(v, a.dataType)))
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => pointOk(m, a.name, v) }
+      vs.exists { case Literal(v, _) => pointOk(m, a, v) }
     case InSet(a: AttributeReference, vs) =>
-      vs.exists(v => pointOk(m, a.name, v))
+      vs.exists(v => pointOk(m, a, v))
+    case IsNull(a: AttributeReference)    => nullOk(m, a)
+    case IsNotNull(a: AttributeReference) => notNullOk(m, a)
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
+      prefixOk(m, a, p)
     case _ => true
   }
 
-  /** Point predicate: range stats (numeric values) AND the bloom
-    * filter (any value the build hashed) must both admit the value.
+  /** `IS NULL` can only match a file that HAS nulls in the column:
+    * prune iff a stat records a zero null count. A missing stat or a
+    * pre-r13 stat (nulls unknown, -1) keeps the file. The null count
+    * is type-independent, so any stat on the column serves.
     */
-  private def pointOk(m: TxnLog.FileMeta, column: String, v: Any): Boolean = {
-    val rangeOk = litLong(v).forall(lv =>
-      m.stats.get(column).forall(st => lv >= st.lo && lv <= st.hi))
+  private def nullOk(m: TxnLog.FileMeta, a: AttributeReference): Boolean =
+    m.stats.get(a.name).forall(_.nulls != 0L)
+
+  /** `IS NOT NULL` fails only for an all-null file — which records NO
+    * range stat ([[TxnLog.statsForStaged]] skips null ranges), so the
+    * only prunable case is a stat that counted every row null.
+    */
+  private def notNullOk(m: TxnLog.FileMeta, a: AttributeReference): Boolean =
+    m.stats.get(a.name).forall(st =>
+      !(st.nulls >= 0L && st.rows >= 0L && st.nulls == st.rows))
+
+  /** `startswith(a, p)`: a value with prefix `p` exists in [lo, hi]
+    * iff `hi >= p` (else every value sorts strictly below every
+    * p-prefixed string) and `truncate(lo, |p|) <= p` (truncation is
+    * monotone in binary order, so otherwise every value's prefix
+    * sorts strictly above `p`). Byte-order logic, matching Spark's
+    * binary string comparison.
+    */
+  private def prefixOk(m: TxnLog.FileMeta, a: AttributeReference,
+                       p: UTF8String): Boolean =
+    p == null || m.stats.get(a.name).filter(_.typ == "s").forall { st =>
+      val pb = p.getBytes
+      val lo = TxnLog.b64dec(st.loS)
+      val hi = TxnLog.b64dec(st.hiS)
+      TxnLog.byteCompare(hi, pb) >= 0 &&
+        TxnLog.byteCompare(lo.take(pb.length), pb) <= 0
+    }
+
+  /** Point predicate: the typed range stats AND the bloom filter (any
+    * value the build hashed) must both admit the value.
+    */
+  private def pointOk(m: TxnLog.FileMeta, a: AttributeReference, v: Any): Boolean = {
+    if (v == null) return nullOk(m, a) // `=` NULL matches nothing; null presence is the sound cap
+    val rangeOk = cmp(m, a, v).forall { case (lc, hc) => lc <= 0 && hc >= 0 }
     val probe: Any = v match {
       case u: UTF8String => u.toString // catalyst strings → lit()-able
       case other         => other
     }
-    rangeOk && TxnLog.bloomAdmits(spark, m, column, probe)
+    rangeOk && TxnLog.bloomAdmits(spark, m, a.name, probe)
   }
 }

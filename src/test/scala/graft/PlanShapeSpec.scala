@@ -382,6 +382,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"the WHERE range must reach the scan:\n$plan")
   }
 
+  test("tx_str_prune / tx_ts_prune: typed predicates reach the log-backed scan") {
+    val p1 = initialPlan("tx_str_prune")
+    assert(p1.contains("TxnLogFileIndex"),
+      s"the string-equality path must scan through the log's file index:\n$p1")
+    assert(p1.contains("PushedFilters") && p1.contains("o_orderpriority"),
+      s"the string predicate must reach the scan:\n$p1")
+    val p2 = initialPlan("tx_ts_prune")
+    assert(p2.contains("TxnLogFileIndex"),
+      s"the timestamp path must scan through the log's file index:\n$p2")
+    assert(p2.contains("PushedFilters") && p2.contains("o_orderdate"),
+      s"the timestamp predicate must reach the scan:\n$p2")
+  }
+
   test("tx_delete_read: the DV dim joins broadcast; the table is never shuffled for its own delete bitmaps") {
     val plan = initialPlan("tx_delete_read")
     assert(plan.contains("BroadcastHashJoin"),

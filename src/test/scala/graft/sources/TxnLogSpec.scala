@@ -1072,6 +1072,70 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.read(spark, root).count() === 1024L - 4 - 196)
   }
 
+  test("r13: typed stats — string/timestamp/date/double predicates and IS NULL prune through table()") {
+    import org.apache.spark.sql.functions.{date_add, lit, timestamp_seconds, when}
+    val root = freshRoot()
+    val df = (1L to 1024L).map(k => (k, f"n$k%04d")).toDF("k", "name")
+      .withColumn("ts", timestamp_seconds(col("k")))
+      .withColumn("d", date_add(lit("2020-01-01").cast("date"), col("k").cast("int")))
+      .withColumn("x", col("k").cast("double") / 2)
+      .withColumn("opt", when(col("k") > 200L, col("name"))) // nulls iff k <= 200
+      .repartitionByRange(4, col("k"))
+    val files = TxnLog.stage(df, root, "t1")
+    val multi = TxnLog.statsForStaged(spark, root, "t1",
+      Seq("k", "name", "ts", "d", "x", "opt"), files)
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      multiStats = multi, schemaJson = TxnLog.encodeSchema(df.schema))
+
+    // the stats are TYPED, with null counts
+    val metas = TxnLog.snapshotState(root).map(_._2)
+    assert(metas.forall(_.stats("name").typ == "s"))
+    assert(metas.forall(_.stats("ts").typ == "t"))
+    assert(metas.forall(_.stats("d").typ == "d"))
+    assert(metas.forall(_.stats("x").typ == "f"))
+    assert(metas.forall(_.stats("k").typ == "l"))
+    assert(metas.forall(_.stats("name").nulls == 0L))
+    assert(metas.map(_.stats("opt").nulls).sum === 200L)
+
+    // white-box: corrupt every file whose k-range starts above the
+    // query region — every assertion below answers correctly ONLY if
+    // the typed stats actually pruned those files out of the scan
+    val byRange = files.zip(metas)
+    corruptParquet(byRange.collect { case (f, m) if m.stats("k").lo > 210 => f })
+    def t = TxnLog.table(spark, root)
+    val expectNames = (100L to 149L).map(k => f"n$k%04d").toSet
+    assert(t.filter($"name" >= "n0100" && $"name" <= "n0149")
+      .select($"name").as[String].collect().toSet === expectNames,
+      "string range must prune on binary-order string stats")
+    assert(t.filter($"name" === "n0123").count() === 1L,
+      "string equality must prune")
+    assert(t.filter($"name".startsWith("n01")).count() === 100L,
+      "startsWith must prune on the prefix-range logic")
+    assert(t.filter($"ts" < timestamp_seconds(lit(200))).count() === 199L,
+      "timestamp predicates must compare micros against micros stats")
+    assert(t.filter($"d" < lit("2020-07-19").cast("date")).count() === 199L,
+      "date predicates must compare days against days stats")
+    assert(t.filter($"x" < 100.0).count() === 199L,
+      "double predicates must prune on double stats")
+    assert(t.filter($"opt".isNull).count() === 200L,
+      "IS NULL must prune files whose recorded null count is zero")
+
+    // typed stats survive the checkpoint round trip (typed F-lines)
+    TxnLog.checkpoint(root)
+    assert(TxnLog.table(spark, root)
+      .filter($"name".startsWith("n01")).count() === 100L)
+
+    // soundness: a fresh table queried on an UNSTATTED string column
+    // keeps every file (no silent pruning without stats)
+    val root2 = freshRoot()
+    val df2 = (1L to 64L).map(k => (k, f"v$k%03d")).toDF("k", "s")
+    val f2 = TxnLog.stage(df2.repartitionByRange(4, $"k"), root2, "t1")
+    val m2 = TxnLog.statsForStaged(spark, root2, "t1", Seq("k"), f2)
+    TxnLog.commit(root2, "append", f2, Nil, readVersion = 0L, txnId = "t1",
+      multiStats = m2, schemaJson = TxnLog.encodeSchema(df2.schema))
+    assert(TxnLog.table(spark, root2).filter($"s" === "v050").count() === 1L)
+  }
+
   test("r13: executor-built DV bitmaps — a 50% delete collects one row per file, bitmaps exact") {
     val root = freshRoot()
     val (files, stats) = TxnLog.stageWithStats(

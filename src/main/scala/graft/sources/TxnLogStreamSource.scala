@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Structured Streaming source OVER the transaction log — the
+  * packaging that lets `spark.readStream` drive a [[TxnLog]] table
+  * like a Kafka topic:
+  *
+  * {{{
+  * spark.readStream.format("graft-txn")
+  *   .option("root", tableRoot)
+  *   .option("maxVersionsPerTrigger", "10")   // admission control
+  *   .option("startingVersion", "0")
+  *   .load()
+  * }}}
+  *
+  * OFFSETS ARE COMMIT VERSIONS ([[TxnVersionOffset]]): a micro-batch
+  * covers commits `(start, end]`, planned metadata-only from the log
+  * (the commit records name the files — no directory listing, no
+  * file-arrival heuristics), and Structured Streaming's checkpoint
+  * persists the version watermark, so restart/replay semantics are
+  * exactly the engine's own. Admission control caps each batch at
+  * `maxVersionsPerTrigger` source commits (the Delta
+  * `maxFilesPerTrigger` analogue, via [[SupportsAdmissionControl]]).
+  *
+  * Rows are the change feed's ADD half, each stamped with its commit
+  * version (`_commit_version`, like [[TxnStream.readChanges]]):
+  * appends surface their rows, copy-on-write rewrites surface
+  * post-images — a downstream that must treat re-emitted rows as
+  * upserts should merge on key (the public Delta streaming-source
+  * `ignoreChanges` contract; deletion-vector retractions stream
+  * through [[TxnStream.readDeletes]] / [[TxnStream.maintainMirror]],
+  * which keeps its ledger-offset poll loop: its exactly-once contract
+  * stores the consumer offset IN the target's txn ledger, which a
+  * second, engine-managed checkpoint store would only weaken).
+  * Compose with [[TxnLog.appendOnce]] in `foreachBatch` and the
+  * pipeline is exactly-once end to end: the engine's checkpoint
+  * de-duplicates the read, the target ledger de-duplicates the
+  * write.
+  *
+  * Reading uses Spark's own `ParquetFileFormat` reader (built once on
+  * the driver, shipped as the standard serializable closure — the
+  * same machinery `FileSourceScanExec` broadcasts), with the CURRENT
+  * log schema as required schema: files from older schema generations
+  * yield nulls for columns they predate, so a feed crossing a
+  * `schema-evolve` commit keeps flowing.
+  *
+  * 100 TB shape: planning is O(commits in range) metadata; each file
+  * is one [[InputPartition]], so a large backfill parallelizes across
+  * the cluster and `maxVersionsPerTrigger` bounds per-batch work.
+  * Reference behavior: the dashboard's poll-for-new-rows loop
+  * (`streamlit-app.py`) re-expressed as an engine-managed stream.
+  */
+class TxnLogSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-txn"
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val r = options.get("root")
+    require(r != null && r.nonEmpty, "graft-txn requires option 'root'")
+    r
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TxnLogStreamTable.feedSchema(SparkSession.active, root(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new TxnLogStreamTable(root(opts), schema,
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] object TxnLogStreamTable {
+  /** The stream's schema: the table's logged schema (footer-merge
+    * fallback for tables written through the raw commit API) plus the
+    * `_commit_version` stamp.
+    */
+  def feedSchema(s: SparkSession, root: String): StructType = {
+    val base = TxnLog.tableSchema(root).getOrElse {
+      val files = TxnLog.snapshotFiles(root)
+      require(files.nonEmpty,
+        s"cannot infer a stream schema for empty table $root; commit a schemaJson or pass a schema")
+      s.read.option("mergeSchema", "true").parquet(files: _*).schema
+    }
+    StructType(base.fields :+ StructField(TxnStream.CommitVersionCol, LongType, nullable = false))
+  }
+}
+
+class TxnLogStreamTable(root: String, tableSchema: StructType,
+                        maxVersionsPerTrigger: Long, startingVersion: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-txn:$root"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = s"TxnLogScan(root=$root)"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TxnLogMicroBatchStream(root, tableSchema, maxVersionsPerTrigger,
+            startingVersion)
+      }
+    }
+}
+
+/** One commit version as a streaming offset. */
+case class TxnVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** One data file of one commit = one input partition. */
+private case class TxnFilePartition(path: String, version: Long,
+                                    length: Long) extends InputPartition
+
+class TxnLogMicroBatchStream(root: String, schema: StructType,
+                             maxVersionsPerTrigger: Long, startingVersion: Long)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = TxnVersionOffset(startingVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    TxnVersionOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: at most `maxVersionsPerTrigger` source
+    * commits per micro-batch — `start` is the engine's last committed
+    * end, so the cap needs no internal state and survives restarts.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = Option(start).collect { case TxnVersionOffset(v) => v }
+      .getOrElse(startingVersion)
+    val head = TxnLog.currentVersion(root)
+    val capped = math.min(head, math.addExact(from,
+      math.min(maxVersionsPerTrigger, head - from + 1)))
+    TxnVersionOffset(math.max(from, capped))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled path")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[TxnVersionOffset].v,
+      end.asInstanceOf[TxnVersionOffset].v)
+    TxnLog.commitsInRange(root, s, e)
+      .flatMap(c => c.added.map { f =>
+        TxnFilePartition(f, c.version, java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+      })
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // built ONCE on the driver with the active session's conf and a
+    // broadcast hadoop conf — the standard serializable file-reader
+    // closure every FileSourceScanExec ships to executors
+    val spark = SparkSession.active
+    val dataSchema = StructType(schema.fields.filterNot(_.name == TxnStream.CommitVersionCol))
+    val readFile = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = dataSchema,
+      filters = Nil,
+      // plain InternalRows, not ColumnarBatches: a streaming reader
+      // hands rows to the engine one by one (the batch path exists
+      // for scans whose exec node consumes columnar)
+      options = Map(
+        org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    new TxnReaderFactory(readFile)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private class TxnReaderFactory(
+    readFile: PartitionedFile => Iterator[InternalRow])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxnFilePartition]
+    val pf = PartitionedFile(InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(p.path), 0L, p.length)
+    // the parquet reader may yield ColumnarBatches disguised as rows
+    // (vectorized path) — flatten either shape to rows, then stamp
+    // the commit version via a reused JoinedRow (the same row-reuse
+    // contract Spark's own scans follow)
+    val rows: Iterator[InternalRow] =
+      readFile(pf).asInstanceOf[Iterator[Any]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r: InternalRow   => Iterator.single(r)
+      }
+    val stamp = InternalRow(p.version)
+    val joined = new JoinedRow
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = rows.hasNext
+      override def get(): InternalRow = joined(rows.next(), stamp)
+      override def close(): Unit = () // the reader closes on task completion
+    }
+  }
+}

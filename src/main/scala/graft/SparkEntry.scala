@@ -418,6 +418,50 @@ object SparkEntry {
     }
   }
 
+  /** DV-compaction txn tables already built this JVM. */
+  private val materializedTxnCompactTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** A seventh [[graft.sources.TxnLog]] table for the DV-density
+    * compaction path (X-A45): v1 appends the %3<=1 orders slice
+    * (8 range-clustered, statted files), v2 sparse-deletes every
+    * %5==2 key, v3 dense-deletes the bottom third of the key range,
+    * v4 runs `optimizeCompactDeletes(0.5)` — files past 50% dead are
+    * rewritten clean (vectors compacted in and cleared), sparse
+    * vectors elsewhere survive. Every version's visible content is a
+    * pure predicate over orders, so DuckDB oracles both the
+    * compacted head and pre-compaction time travel without seeing
+    * the physical layout. The dense cut is `max(o_orderkey) / 3`
+    * (integer division), derived from the data so the density
+    * regime — and thus that v4 COMMITS — holds at every SF.
+    */
+  private def ensureTxnCompactTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxnLog
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_txnc_${dirTag(dir)}_${ordersFingerprint(dir)}"
+    materializeOnce(materializedTxnCompactTables, root) {
+      if (TxnLog.currentVersion(root) != 4L) {
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
+        TxnLog.init(root)
+        val base = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 <= 1)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .repartitionByRange(8, col("o_orderkey"))
+        val (files, stats) = TxnLog.stageWithStats(base, root, "v1-append", "o_orderkey")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = "v1-append", stats = stats, statsCol = "o_orderkey")
+        TxnLog.deleteWhere(s, root, col("o_orderkey") % 5 === 2, "v2-delete")
+        val cut = Tables.orders(s, dir)
+          .agg(max(col("o_orderkey")).cast("long")).head().getLong(0) / 3
+        TxnLog.deleteWhere(s, root, col("o_orderkey") <= cut, "v3-delete")
+        val c = TxnLog.optimizeCompactDeletes(s, root, 0.5, "v4-compact")
+        require(c.isDefined, "the dense third must cross the 0.5 threshold")
+        ()
+      }
+    }
+  }
+
   /** Typed-stats txn tables already built this JVM. */
   private val materializedTxnTypedTables =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -473,6 +517,7 @@ object SparkEntry {
     ensureTxnMergeTable(s, dir)
     ensureTxnZorderTable(s, dir)
     ensureTxnTypedTable(s, dir)
+    ensureTxnCompactTable(s, dir)
     ()
   }
 
@@ -741,6 +786,15 @@ object SparkEntry {
         graft.sources.TxnStream.readDeletes(s, root, fromExclusive = 1L, toInclusive = 2L)
           .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
       }),
+      // DV-density compaction (X-A45): files past 50% dead rewritten
+      // clean as one transaction; the head equals the pure predicate
+      // (vectors compacted in), and time travel UNDER the compaction
+      // still applies the original vectors — same oracle, different
+      // physical path
+      "tx_compact_read" -> ((s, dir) =>
+        graft.sources.TxnLog.read(s, ensureTxnCompactTable(s, dir))),
+      "tx_compact_travel" -> ((s, dir) =>
+        graft.sources.TxnLog.read(s, ensureTxnCompactTable(s, dir), version = 3L)),
       // TYPED stats pruning (X-A44): string equality, string prefix
       // and timestamp range — each plans through table()'s
       // TxnLogFileIndex against typed per-file (min, max) stats; the
@@ -934,6 +988,25 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 3 <= 1
            AND o_orderkey * 2654435761 % 1000000007 = 1242 * 2654435761 % 1000000007""",
+
+    // identical SQL for both: the compacted head and the
+    // pre-compaction snapshot must be content-equal — the compaction
+    // moved bytes, never changed them
+    "tx_compact_read" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1
+           AND NOT (o_orderkey % 5 = 2
+                    OR o_orderkey <= (SELECT max(o_orderkey) // 3 FROM orders))""",
+
+    "tx_compact_travel" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1
+           AND NOT (o_orderkey % 5 = 2
+                    OR o_orderkey <= (SELECT max(o_orderkey) // 3 FROM orders))""",
 
     "tx_str_prune" ->
       """SELECT o_orderkey, o_orderpriority FROM orders

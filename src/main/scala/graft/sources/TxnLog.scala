@@ -1057,6 +1057,73 @@ object TxnLog {
       readVersion = readV, txnId = txnId, multiStats = multi)
   }
 
+  /** Set-bit count of a hex bitmap (a deletion vector's cardinality). */
+  private def popHex(hex: String): Long = {
+    var i = 0; var n = 0L
+    while (i < hex.length) {
+      n += Integer.bitCount(Character.digit(hex.charAt(i), 16)); i += 1
+    }
+    n
+  }
+
+  /** The live files whose deleted-row fraction is at or above
+    * `minDeletedFraction` — METADATA-ONLY selection (DV cardinality
+    * from the bitmap, row count from the file's stats). Files with a
+    * DV but no recorded row count cannot price their density and are
+    * never selected (run a stats-bearing rewrite to make them
+    * eligible). This is the maintenance-policy input for
+    * [[optimizeCompactDeletes]], exposed for observability.
+    */
+  def compactionCandidates(root: String, minDeletedFraction: Double,
+                           version: Long = Long.MaxValue): Seq[String] =
+    snapshotState(root, version).collect {
+      case (f, m) if m.dv.exists { hex =>
+        m.stats.values.collectFirst { case st if st.rows > 0 => st.rows }
+          .exists(rows => popHex(hex).toDouble / rows >= minDeletedFraction)
+      } => f
+    }
+
+  /** Rewrite every file whose deleted-row fraction crosses
+    * `minDeletedFraction` CLEAN, as one transaction — the maintenance
+    * half of the deletion-vector design: DV bitmaps only ever
+    * accumulate, a dense-DV file pays its dead rows on every scan and
+    * is excluded from the metadata-aggregate fast path forever, so at
+    * some density a rewrite is cheaper than carrying the vector (the
+    * public Delta `OPTIMIZE`-after-deletes recipe). Selection is
+    * metadata-only ([[compactionCandidates]]); the rewrite reads ONLY
+    * the victim files DV-filtered (the deletes compact in, the
+    * vectors die with the files) and re-collects stats on the
+    * victims' statted columns, so the rewritten files keep their
+    * skipping AND re-enter [[statsAggregate]]'s zero-scan path.
+    * `removed` = the victims puts the job under the standard conflict
+    * matrix: a concurrent rewrite or DV on a victim aborts this
+    * transaction; a concurrent APPEND is untouched and lands freely.
+    * Time travel to pre-compaction versions still sees the vectors
+    * (bitmaps live in the log, not the files).
+    *
+    * Returns the commit, or None when no file crosses the threshold
+    * (no version burned).
+    */
+  def optimizeCompactDeletes(s: SparkSession, root: String,
+                             minDeletedFraction: Double,
+                             txnId: String): Option[Commit] = {
+    require(minDeletedFraction > 0.0 && minDeletedFraction <= 1.0,
+      s"minDeletedFraction must be in (0, 1]: $minDeletedFraction")
+    val readV = currentVersion(root)
+    val state = snapshotState(root, readV)
+    val victimSet = compactionCandidates(root, minDeletedFraction, readV).toSet
+    if (victimSet.isEmpty) return None
+    val victims = state.filter(f => victimSet(f._1))
+    val clean = applyDeletionVectors(s.read.parquet(victims.map(_._1): _*), victims)
+    val cols = victims.flatMap(_._2.stats.keys).filter(_.nonEmpty).distinct
+    val (files, multi) =
+      if (cols.isEmpty) (stage(clean, root, attemptId(txnId)),
+        Seq.empty[Map[String, FileStat]])
+      else stageWithStatsFor(clean, root, attemptId(txnId), cols)
+    Some(commit(root, "compact-deletes", files, removed = victims.map(_._1),
+      readVersion = readV, txnId = txnId, multiStats = multi))
+  }
+
   /** The snapshot as an OPTIMIZER-INTEGRATED DataFrame: the scan is
     * backed by a [[TxnLogFileIndex]], so ANY filter — `.filter`,
     * SQL `WHERE` through a temp view, a join's pushed predicate —

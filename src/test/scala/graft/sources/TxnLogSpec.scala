@@ -1072,6 +1072,48 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.read(spark, root).count() === 1024L - 4 - 196)
   }
 
+  test("r13: optimizeCompactDeletes — dense-DV files rewritten clean, sparse vectors kept, history intact") {
+    val root = freshRoot()
+    val (files, stats) = TxnLog.stageWithStats(
+      (1L to 1024L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(4, $"k"), root, "t1", statsCol = "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")                                  // v1
+    // dense deletes in the low key range (~90% of file 1), sparse
+    // everywhere (every 97th key)
+    TxnLog.deleteWhere(spark, root, col("k") <= 230L, "d1")           // v2
+    TxnLog.deleteWhere(spark, root, col("k") % 97 === 0, "d2")        // v3
+    val deleted = (1L to 1024L).filter(k => k <= 230 || k % 97 == 0).toSet
+    val expectLive = (1L to 1024L).filterNot(deleted).map(k => (k, k)).toSet
+
+    // selection is metadata-only and threshold-driven
+    assert(TxnLog.compactionCandidates(root, 0.5).size === 1,
+      "only the dense-DV file crosses 50%")
+    assert(TxnLog.compactionCandidates(root, 0.001).size === 4,
+      "at a trivial threshold every DV'd file is a candidate")
+
+    val preV = TxnLog.currentVersion(root)
+    val c = TxnLog.optimizeCompactDeletes(spark, root, 0.5, "oc1").get
+    assert(c.removed.size === 1 && c.removed.forall(files.contains),
+      "exactly the dense file is rewritten")
+    // content invariant, at head and through every surviving vector
+    assert(rows(root) === expectLive)
+    val state = TxnLog.snapshotState(root)
+    assert(state.count(_._2.dv.isDefined) === 3,
+      "sparse vectors on untouched files survive; the rewrite's die with it")
+    assert(state.collect { case (f, m) if c.added.contains(f) => m }
+      .forall(m => m.dv.isEmpty && m.stats.get("k").exists(_.rows >= 0)),
+      "rewritten files carry no vector and fresh stats (metadata-agg eligible again)")
+    // time travel: pre-compaction versions still apply their vectors
+    assert(rows(root, preV) === expectLive)
+    assert(rows(root, 1L) === (1L to 1024L).map(k => (k, k)).toSet)
+    // idempotent policy: nothing crosses the threshold now
+    assert(TxnLog.optimizeCompactDeletes(spark, root, 0.5, "oc2").isEmpty)
+    // a later append is untouched by compaction and lands freely
+    append(root, "t2", Seq((9999L, 1L)))
+    assert(rows(root) === expectLive + ((9999L, 1L)))
+  }
+
   test("r13: typed stats — string/timestamp/date/double predicates and IS NULL prune through table()") {
     import org.apache.spark.sql.functions.{date_add, lit, timestamp_seconds, when}
     val root = freshRoot()

@@ -739,6 +739,24 @@ object SparkEntry {
         graft.sources.TxnStream.readChanges(s, root, fromExclusive = 1L, toInclusive = 3L)
           .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
       }),
+      // the Structured Streaming SOURCE over the log (X-A46): the
+      // same change feed driven by spark.readStream — commit-version
+      // offsets, 1-version micro-batches (admission control), memory
+      // sink. Deterministic once drained, so the ORACLE pins the
+      // whole micro-batched feed from version 0: v1's slice, v2's
+      // slice, v3's rewritten post-images, each stamped.
+      "tx_source_stream" -> ((s, dir) => {
+        val root = ensureTxnTable(s, dir)
+        val name = s"txnsrc_${dirTag(dir)}"
+        val q = s.readStream.format("graft-txn")
+          .option("root", root)
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .writeStream.format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .withColumnRenamed(graft.sources.TxnStream.CommitVersionCol, "commit_version")
+      }),
       // the SQL surface (X-A43): TxnLog.table() registers the
       // snapshot behind a TxnLogFileIndex, so this plain SQL WHERE —
       // no readRange/readPoint call anywhere — gets file skipping
@@ -1068,6 +1086,25 @@ object SparkEntry {
                 CAST(2 AS BIGINT) AS commit_version
          FROM orders
          WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 = 2""",
+
+    "tx_source_stream" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM orders WHERE o_orderkey % 3 = 1
+         UNION ALL
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 6 = 0
+                     THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                END AS price_cents,
+                CAST(3 AS BIGINT) AS commit_version
+         FROM orders WHERE o_orderkey % 3 = 0""",
 
     "tx_stream_changes" ->
       """SELECT o_orderkey,

@@ -174,7 +174,8 @@ object TxnLog {
                     ts: Long = 0L,
                     multiStats: Seq[String] = Nil,
                     constraint: String = "",
-                    schemaJson: String = "")
+                    schemaJson: String = "",
+                    rename: String = "")
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -327,9 +328,11 @@ object TxnLog {
       if (c.constraint.isEmpty) "" else s""","constraint":"${c.constraint}""""
     val schemaJsonPart = // base64: schema JSON would break the record format
       if (c.schemaJson.isEmpty) "" else s""","schemaJson":"${c.schemaJson}""""
+    val renamePart =
+      if (c.rename.isEmpty) "" else s""","rename":"${c.rename}""""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -358,7 +361,7 @@ object TxnLog {
       strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"),
       arr("dvFiles", required = false), arr("dvs", required = false),
       numOpt("ts"), arr("mstats", required = false), strOpt("constraint"),
-      strOpt("schemaJson"))
+      strOpt("schemaJson"), strOpt("rename"))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -412,6 +415,7 @@ object TxnLog {
   //                                      "s"/"f" bounds are base64 /
   //                                      Double strings — space-free)
   //   B <path> <col> <hex>               bloom filter of a live file
+  //   R <logical> <physical>             column-mapping entry (r13+)
   // Everything snapshot resolution, txnId idempotency, schema
   // enforcement, stats pruning and bloom point-skipping need, in one
   // atomically-published artifact — resolution for any version >= the
@@ -428,7 +432,8 @@ object TxnLog {
                                schema: String,
                                hasLedger: Boolean,
                                constraints: Map[String, String] = Map.empty,
-                               schemaJson: String = "")
+                               schemaJson: String = "",
+                               renames: Map[String, String] = Map.empty)
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -464,6 +469,7 @@ object TxnLog {
       var schemaJson = ""
       val txns = Map.newBuilder[String, Long]
       val constraints = Map.newBuilder[String, String]
+      val renames = Map.newBuilder[String, String]
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
         def addStat(f: String, c: String, st: FileStat): Unit = {
@@ -495,11 +501,12 @@ object TxnLog {
               .copy(bloom = Some(hex), bloomCol = c)
           case Seq("D", f, hex)      =>
             files(f) = files.getOrElse(f, FileMeta()).copy(dv = Some(hex))
+          case Seq("R", l2, p)       => renames += (l2 -> p)
           case other => sys.error(s"bad checkpoint line: $l")
         }
       }
       CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
-        constraints.result(), schemaJson)
+        constraints.result(), schemaJson, renames.result())
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -551,6 +558,8 @@ object TxnLog {
     txns ++= seed.txns
     val constraints = scala.collection.mutable.Map.empty[String, String]
     constraints ++= seed.constraints
+    val renames = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    renames ++= seed.renames
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
@@ -577,10 +586,19 @@ object TxnLog {
         constraints(c.constraint.take(cut)) = c.constraint.drop(cut + 1)
       }
       if (c.action == "drop-constraint") constraints.remove(c.constraint)
+      if (c.action == "rename-column" && c.rename.nonEmpty) {
+        // LOGICAL rename over a stable PHYSICAL name: the map tracks
+        // logical -> physical; renaming back to the physical name
+        // drops the entry (identity mappings never accumulate)
+        val Array(o, n) = c.rename.split(" ")
+        val phys = renames.getOrElse(o, o)
+        renames.remove(o)
+        if (n != phys) renames(n) = phys
+      }
       top = c.version
     }
     CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
-      constraints.toMap, schemaJson)
+      constraints.toMap, schemaJson, renames.toMap)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -604,6 +622,8 @@ object TxnLog {
     if (st.schemaJson.nonEmpty) body.append("J ").append(st.schemaJson).append('\n')
     st.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
       body.append("C ").append(n).append(' ').append(e).append('\n') }
+    st.renames.toSeq.sortBy(_._1).foreach { case (l, p) =>
+      body.append("R ").append(l).append(' ').append(p).append('\n') }
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
       body.append("T ").append(t).append(' ').append(ver).append('\n') }
     st.files.foreach { case (f, meta) =>
@@ -673,14 +693,18 @@ object TxnLog {
   def read(s: SparkSession, root: String,
            version: Long = Long.MaxValue,
            mergeSchema: Boolean = false): DataFrame = {
-    val state = snapshotState(root, version)
+    val st = resolveState(root, version)
+    val state = st.files
     val files = state.map(_._1)
     if (files.isEmpty) s.emptyDataFrame
     else {
       val base =
         if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
         else s.read.parquet(files: _*)
-      applyDeletionVectors(base, state)
+      // files store PHYSICAL names; the snapshot surfaces the logical
+      // names AS OF this version — time travel under a rename shows
+      // the era's own names
+      toLogical(applyDeletionVectors(base, state), st.renames)
     }
   }
 
@@ -845,12 +869,15 @@ object TxnLog {
                   txnId: String): Option[Commit] = {
     import org.apache.spark.sql.functions.col
     val readV = currentVersion(root)
-    val state = snapshotState(root, readV)
+    val st0 = resolveState(root, readV)
+    val state = st0.files
     if (state.isEmpty) return None
     // matching rows among the LIVE rows only (re-marking an
     // already-deleted row would be a harmless union, but burning a
-    // version for a delete whose every match was already dead is not)
-    val bitmaps = dvBitmaps(liveWithPosition(s, state).filter(condition)
+    // version for a delete whose every match was already dead is not);
+    // the predicate is written in LOGICAL names — surface them
+    val live = toLogical(liveWithPosition(s, state), st0.renames)
+    val bitmaps = dvBitmaps(live.filter(condition)
       .select(col("__fp"), col("__ri")))
     if (bitmaps.isEmpty) return None
     val (dvFiles, dvs) = bitmaps.unzip
@@ -878,11 +905,13 @@ object TxnLog {
                       keyCol: String, txnId: String): Option[Commit] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val readV = currentVersion(root)
-    val state = snapshotState(root, readV)
+    val st0 = resolveState(root, readV)
+    val state = st0.files
     if (state.isEmpty) return None
+    val physKey = physicalName(st0.renames, keyCol)
     val ranged = state.collect {
-      case (f, m) if m.stats.get(keyCol).exists(_.typ == "l") =>
-        val st = m.stats(keyCol); (f, st.lo, st.hi)
+      case (f, m) if m.stats.get(physKey).exists(_.typ == "l") =>
+        val st = m.stats(physKey); (f, st.lo, st.hi)
     }
     val unranged = state.map(_._1).toSet -- ranged.map(_._1)
     val affectedFiles: Set[String] =
@@ -897,7 +926,7 @@ object TxnLog {
       }
     if (affectedFiles.isEmpty) return None
     val scanState = state.filter(f => affectedFiles(f._1))
-    val hits = liveWithPosition(s, scanState)
+    val hits = toLogical(liveWithPosition(s, scanState), st0.renames)
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(col("__fp"), col("__ri"))
     val bitmaps = dvBitmaps(hits)
@@ -931,12 +960,17 @@ object TxnLog {
                 keyCol: String, txnId: String): Commit = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     val readV = currentVersion(root)
-    val state = snapshotState(root, readV)
+    val st0 = resolveState(root, readV)
+    val state = st0.files
     val dup = source.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"merge source has multiple rows for $keyCol = ${dup.headOption.map(_.get(0)).orNull}")
     checkConstraints(s, root, source) // incoming rows only — O(batch)
+    // storage is physical-named: translate the source and the key
+    // before touching files or stats (no-ops on rename-free tables)
+    val physSource = toPhysical(source, st0.renames)
+    val physKey = physicalName(st0.renames, keyCol)
     // EXACT column match only: the legacy unnamed ("") stat is
     // caller-asserted on the explicit readRange path, but a merge's
     // key-uniqueness invariant must not ride an assertion — a pre-r12
@@ -944,8 +978,8 @@ object TxnLog {
     // genuinely affected files and silently duplicate keys. Files
     // with only a legacy stat land in `unranged` = always affected.
     val ranged = state.collect {
-      case (f, m) if m.stats.get(keyCol).exists(_.typ == "l") =>
-        val st = m.stats(keyCol)
+      case (f, m) if m.stats.get(physKey).exists(_.typ == "l") =>
+        val st = m.stats(physKey)
         (f, st.lo, st.hi)
     }
     val unranged = state.map(_._1).toSet -- ranged.map(_._1)
@@ -953,7 +987,7 @@ object TxnLog {
       if (ranged.isEmpty) state.map(_._1).toSet
       else {
         val dim = s.createDataFrame(ranged).toDF("__mf", "__lo", "__hi")
-        val hits = source.select(col(keyCol).cast("long").as("__mk"))
+        val hits = physSource.select(col(physKey).cast("long").as("__mk"))
           .join(broadcast(dim),
             col("__mk") >= col("__lo") && col("__mk") <= col("__hi"))
           .select(col("__mf")).distinct().collect().map(_.getString(0))
@@ -961,23 +995,23 @@ object TxnLog {
       }
     if (affected.isEmpty) {
       // pure insert: no live file can hold any source key
-      val (files, stats) = stageWithStats(source, root, attemptId(txnId), keyCol)
+      val (files, stats) = stageWithStats(physSource, root, attemptId(txnId), physKey)
       return commit(root, "merge", files, Nil, readVersion = readV,
-        txnId = txnId, stats = stats, statsCol = keyCol,
-        schemaId = schemaFingerprint(source.schema),
-        schemaJson = encodeSchema(source.schema),
+        txnId = txnId, stats = stats, statsCol = physKey,
+        schemaId = schemaFingerprint(physSource.schema),
+        schemaJson = encodeSchema(physSource.schema),
         failOnConcurrentAppend = true)
     }
     val affectedState = state.filter(f => affected(f._1))
     val existing = applyDeletionVectors(
       s.read.parquet(affectedState.map(_._1): _*), affectedState)
-    val out = existing.join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(source)
-    val (files, stats) = stageWithStats(out, root, attemptId(txnId), keyCol)
+    val out = existing.join(physSource.select(col(physKey)), Seq(physKey), "left_anti")
+      .unionByName(physSource)
+    val (files, stats) = stageWithStats(out, root, attemptId(txnId), physKey)
     commit(root, "merge", files, removed = affectedState.map(_._1),
-      readVersion = readV, txnId = txnId, stats = stats, statsCol = keyCol,
-      schemaId = schemaFingerprint(source.schema),
-      schemaJson = encodeSchema(source.schema),
+      readVersion = readV, txnId = txnId, stats = stats, statsCol = physKey,
+      schemaId = schemaFingerprint(physSource.schema),
+      schemaJson = encodeSchema(physSource.schema),
       failOnConcurrentAppend = true)
   }
 
@@ -1137,13 +1171,18 @@ object TxnLog {
     */
   def table(s: SparkSession, root: String,
             version: Long = Long.MaxValue): DataFrame = {
-    val state = snapshotState(root, version)
+    val st = resolveState(root, version)
+    val state = st.files
     if (state.isEmpty) return s.emptyDataFrame
     val files = state.map(_._1)
-    // schema from the LOG when any writer recorded it (fully
+    // PHYSICAL schema from the LOG when any writer recorded it (fully
     // metadata-only planning); footer inference is the fallback for
-    // tables written only through the raw commit API
-    val dataSchema = tableSchema(root, version)
+    // tables written only through the raw commit API. The scan plans
+    // on physical names — stat keys and blooms match — and the
+    // rename projection on top surfaces logical names; Catalyst
+    // pushes logical predicates through the aliases down to the
+    // physical scan, so skipping survives renames.
+    val dataSchema = rawTableSchema(root, version)
       .getOrElse(s.read.parquet(files: _*).schema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new TxnLogFileIndex(s, root, state),
@@ -1152,7 +1191,8 @@ object TxnLog {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(s)
-    applyDeletionVectors(s.baseRelationToDataFrame(relation), state)
+    toLogical(applyDeletionVectors(s.baseRelationToDataFrame(relation), state),
+      st.renames)
   }
 
   /** Base64 of a schema's JSON — safe inside the record format (a
@@ -1164,16 +1204,28 @@ object TxnLog {
     java.util.Base64.getEncoder.encodeToString(
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** The table's current schema as recorded in the log, if any
-    * schema-bearing commit has landed. Metadata-only.
+  /** The logged schema in PHYSICAL (storage) names — what scans and
+    * stat keys use.
     */
-  def tableSchema(root: String,
-                  version: Long = Long.MaxValue): Option[StructType] = {
+  private[sources] def rawTableSchema(root: String,
+                                      version: Long = Long.MaxValue): Option[StructType] = {
     val b64 = resolveState(root, version).schemaJson
     if (b64.isEmpty) None
     else Some(org.apache.spark.sql.types.DataType.fromJson(
       new String(java.util.Base64.getDecoder.decode(b64),
         java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  /** The table's current schema as recorded in the log, if any
+    * schema-bearing commit has landed — LOGICAL names (column
+    * renames applied). Metadata-only.
+    */
+  def tableSchema(root: String,
+                  version: Long = Long.MaxValue): Option[StructType] = {
+    val renames = resolveState(root, version).renames
+    val p2l = renames.map(_.swap)
+    rawTableSchema(root, version).map(sch => StructType(
+      sch.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name)))))
   }
 
   /** Stable fingerprint of a schema (names + types, order-blind) —
@@ -1482,7 +1534,9 @@ object TxnLog {
   def readPoint(s: SparkSession, root: String, column: String, value: Any,
                 version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val state = snapshotState(root, version)
+    val st0 = resolveState(root, version)
+    val state = st0.files
+    val column0 = physicalName(st0.renames, column)
     val kept = state.filter {
       case (f, m) => {
         // only an EXACT column match OF THE MATCHING KIND may
@@ -1492,11 +1546,11 @@ object TxnLog {
         // keeps the file — sound). Any type lit() accepts can
         // bloom-probe (the build hashes the column).
         val rangeOk = value match {
-          case l: Long => m.stats.get(column).filter(_.typ == "l")
+          case l: Long => m.stats.get(column0).filter(_.typ == "l")
             .forall(st => l >= st.lo && l <= st.hi)
-          case i: Int => m.stats.get(column).filter(_.typ == "l")
+          case i: Int => m.stats.get(column0).filter(_.typ == "l")
             .forall(st => i.toLong >= st.lo && i.toLong <= st.hi)
-          case str: String => m.stats.get(column).filter(_.typ == "s")
+          case str: String => m.stats.get(column0).filter(_.typ == "s")
             .forall { st =>
               val vb = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               byteCompare(b64dec(st.loS), vb) <= 0 &&
@@ -1504,15 +1558,15 @@ object TxnLog {
             }
           case _ => true
         }
-        rangeOk && bloomAdmits(s, m, column, value)
+        rangeOk && bloomAdmits(s, m, column0, value)
       }
     }
     // empty kept set: keep the snapshot's schema when it has one and
     // SKIP the residual filter — a fully empty table has no columns
     // to filter on (same guard as readRange)
     if (kept.isEmpty) read(s, root, version).limit(0)
-    else applyDeletionVectors(s.read.parquet(kept.map(_._1): _*), kept)
-      .filter(col(column) === value)
+    else toLogical(applyDeletionVectors(s.read.parquet(kept.map(_._1): _*), kept)
+      .filter(col(column0) === value), st0.renames)
   }
 
   /** Commit staged files optimistically. `readVersion` is the
@@ -1541,7 +1595,8 @@ object TxnLog {
              multiStats: Seq[Map[String, FileStat]] = Nil,
              constraint: String = "",
              schemaJson: String = "",
-             failOnConcurrentAppend: Boolean = false): Commit = {
+             failOnConcurrentAppend: Boolean = false,
+             rename: String = ""): Commit = {
     validatePaths(added ++ removed ++ dvFiles)
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
@@ -1563,6 +1618,8 @@ object TxnLog {
       s"txn $txnId: dvFiles (${dvFiles.size}) must align with dvs (${dvs.size})")
     require(dvs.forall(_.matches("[0-9a-f]+")),
       s"txn $txnId: malformed deletion-vector encoding")
+    require(rename.isEmpty || rename.matches("\\S+ \\S+"),
+      s"txn $txnId: rename payload must be '<old> <new>': $rename")
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
     // Checkpoint state is read ONCE: commits landing after it show up
@@ -1641,7 +1698,7 @@ object TxnLog {
         tail.lastOption.map(_.ts + 1).getOrElse(1L))
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvs, commitTs,
-        multiStats.map(renderMultiStat), constraint, schemaJson)
+        multiStats.map(renderMultiStat), constraint, schemaJson, rename)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -1733,17 +1790,19 @@ object TxnLog {
   def readRange(s: SparkSession, root: String, statsCol: String, lo: Long,
                 hi: Long, version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // ONE snapshot resolution serves both the pruning decision and
-    // the DV lookup (each resolution is a log listing + tail fold)
-    val state = snapshotState(root, version)
-    val kept = pruneState(state, lo, hi, statsCol)
+    // ONE snapshot resolution serves the pruning decision, the DV
+    // lookup AND the rename map (each resolution is a log listing +
+    // tail fold)
+    val st0 = resolveState(root, version)
+    val phys = physicalName(st0.renames, statsCol)
+    val kept = pruneState(st0.files, lo, hi, phys)
     // no overlapping file means provably zero matching rows (files
     // without stats are never pruned) — keep the snapshot's schema if
     // it has one, and skip the residual filter: on a fully empty
     // table the snapshot has no columns to filter on.
     if (kept.isEmpty) read(s, root, version).limit(0)
-    else applyDeletionVectors(s.read.parquet(kept.map(_._1): _*), kept)
-      .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    else toLogical(applyDeletionVectors(s.read.parquet(kept.map(_._1): _*), kept)
+      .filter(col(phys) >= lo && col(phys) <= hi), st0.renames)
   }
 
   /** COUNT(*) / MIN / MAX of `statsCol` answered from the LOG, not
@@ -1763,25 +1822,88 @@ object TxnLog {
                      version: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin, sum}
     import s.implicits._
-    val state = snapshotState(root, version)
+    val st0 = resolveState(root, version)
+    val state = st0.files
+    val phys = physicalName(st0.renames, statsCol)
     // a deletion vector invalidates the file's recorded row count and
     // possibly its min/max (the extremes may be dead) — DV'd files
     // take the scan path, which applies the vector
     val (metadata, scan) = state.partition { case (_, m) =>
-      m.statFor(statsCol).exists(s => s.typ == "l" && s.rows >= 0) && m.dv.isEmpty
+      m.statFor(phys).exists(s => s.typ == "l" && s.rows >= 0) && m.dv.isEmpty
     }
     val metaDF = metadata
-      .map { case (_, m) => val st = m.statFor(statsCol).get; (st.rows, st.lo, st.hi) }
+      .map { case (_, m) => val st = m.statFor(phys).get; (st.rows, st.lo, st.hi) }
       .toDF("n", "lo", "hi")
     val scanDF =
       if (scan.isEmpty) metaDF.limit(0)
       else applyDeletionVectors(s.read.parquet(scan.map(_._1): _*), scan)
-        .agg(count(lit(1)).as("n"), fmin(col(statsCol)).cast("long").as("lo"),
-          fmax(col(statsCol)).cast("long").as("hi"))
+        .agg(count(lit(1)).as("n"), fmin(col(phys)).cast("long").as("lo"),
+          fmax(col(phys)).cast("long").as("hi"))
     metaDF.unionByName(scanDF)
       .agg(org.apache.spark.sql.functions.coalesce(sum(col("n")), lit(0L)).as("cnt"),
         fmin(col("lo")).as("min_v"), fmax(col("hi")).as("max_v"))
   }
+
+  // ---- column mapping (rename without rewrite) ----
+  // The public Delta column-mapping recipe, restricted to RENAME: a
+  // column's FIRST name is its stable PHYSICAL name — what every data
+  // file, stat key and bloom key carries forever — and the log tracks
+  // a logical -> physical map. A rename is one metadata commit; no
+  // file is rewritten (at 100 TB a rename that rewrites is a full-
+  // table job), history is never touched (time travel BEFORE the
+  // rename shows the old name, after shows the new), and pushed
+  // predicates reach the physical stats through the rename projection
+  // (Catalyst substitutes aliases during pushdown), so skipping is
+  // unaffected.
+
+  /** The logical → physical column map at `version` (empty = no
+    * renames ever). Metadata-only.
+    */
+  def columnMapping(root: String,
+                    version: Long = Long.MaxValue): Map[String, String] =
+    resolveState(root, version).renames
+
+  /** Rename a column — ONE metadata commit, zero data rewritten.
+    * Validated against the logged schema when one exists (the old
+    * name must resolve, the new must not collide). CHECK constraints
+    * referencing the old name are not rewritten: they fail loudly at
+    * the next write instead of silently passing (drop and re-create
+    * them around a rename).
+    */
+  def renameColumn(root: String, oldName: String, newName: String,
+                   txnId: String): Commit = {
+    validateToken("column", oldName)
+    validateToken("column", newName)
+    require(!newName.exists(":|,".contains(_)),
+      s"column names may not contain stat separators: $newName")
+    tableSchema(root).foreach { sch =>
+      require(sch.fieldNames.contains(oldName),
+        s"rename: no column $oldName in ${sch.fieldNames.mkString(",")}")
+      require(!sch.fieldNames.contains(newName),
+        s"rename: column $newName already exists")
+    }
+    commit(root, "rename-column", Nil, Nil,
+      readVersion = currentVersion(root), txnId = txnId,
+      rename = s"$oldName $newName")
+  }
+
+  /** Physical (storage) name of a logical column under `renames`. */
+  private def physicalName(renames: Map[String, String], c: String): String =
+    renames.getOrElse(c, c)
+
+  /** Physical column names → current logical names. */
+  private[sources] def toLogical(df: DataFrame,
+                                 renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else df.withColumnsRenamed(renames.map { case (l, p) => (p, l) })
+
+  /** Logical column names → physical storage names (the write side:
+    * staged files must carry physical names so every generation of a
+    * renamed table stores the SAME column name).
+    */
+  private def toPhysical(df: DataFrame,
+                         renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df else df.withColumnsRenamed(renames)
 
   /** The snapshot version live at `tsMillis` — the latest commit
     * whose (monotonized) timestamp is at or before it. Commit
@@ -1893,14 +2015,18 @@ object TxnLog {
     withTxnLock(txnId) {
       findCommit(root, txnId).getOrElse {
         checkConstraints(df.sparkSession, root, df) // before anything publishes
+        // stage under PHYSICAL names (a renamed table's files must
+        // all store the same column name); the fingerprint is over
+        // the physical schema, so it is stable across renames
+        val phys = toPhysical(df, columnMapping(root))
         // per-attempt staging dir: a crashed earlier attempt's orphan
         // is left alone (vacuumStaging reclaims it) and a concurrent
         // replay in ANOTHER process can never wipe ours mid-flight
-        val files = stage(df, root, attemptId(txnId))
+        val files = stage(phys, root, attemptId(txnId))
         // appends have an empty read set: readVersion 0 never conflicts
         val rec = commit(root, "stream-append", files, Nil, readVersion = 0L,
-          txnId = txnId, schemaId = schemaFingerprint(df.schema),
-          schemaJson = encodeSchema(df.schema))
+          txnId = txnId, schemaId = schemaFingerprint(phys.schema),
+          schemaJson = encodeSchema(phys.schema))
         if (rec.version % CheckpointInterval == 0) checkpoint(root)
         rec
       }

@@ -179,7 +179,13 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
     // broadcast hadoop conf — the standard serializable file-reader
     // closure every FileSourceScanExec ships to executors
     val spark = SparkSession.active
-    val dataSchema = StructType(schema.fields.filterNot(_.name == TxnStream.CommitVersionCol))
+    val logical = StructType(schema.fields.filterNot(_.name == TxnStream.CommitVersionCol))
+    // a renamed table's FILES carry physical names — read with the
+    // physical schema (same field order and types as the logical one,
+    // so the positional InternalRows match the output schema exactly)
+    val dataSchema =
+      if (TxnLog.columnMapping(root).isEmpty) logical
+      else TxnLog.rawTableSchema(root).getOrElse(logical)
     val readFile = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,

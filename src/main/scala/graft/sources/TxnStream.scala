@@ -57,12 +57,15 @@ object TxnStream {
     else {
       import s.implicits._
       val dim = fileToVersion.toDF("_path", CommitVersionCol)
-      s.read.option("mergeSchema", "true").parquet(fileToVersion.map(_._1): _*)
+      val out = s.read.option("mergeSchema", "true").parquet(fileToVersion.map(_._1): _*)
         .withColumn("_path", // URI -> raw path, same decode as the DV join
           org.apache.spark.sql.functions.url_decode(
             regexp_replace(input_file_name(), "^file:(//)?", "")))
         .join(broadcast(dim), "_path")
         .drop("_path")
+      // files store physical column names; surface the logical names
+      // as of the range's end (the Delta CDF current-schema contract)
+      TxnLog.toLogical(out, TxnLog.columnMapping(root, toInclusive))
     }
   }
 
@@ -89,12 +92,13 @@ object TxnStream {
         .withColumn(CommitVersionCol, lit(0L))
     else {
       val dim = s.createDataFrame(dels).toDF("_path", "_dv", CommitVersionCol)
-      s.read.option("mergeSchema", "true").parquet(dels.map(_._1).distinct: _*)
+      val out = s.read.option("mergeSchema", "true").parquet(dels.map(_._1).distinct: _*)
         .withColumn("_path", TxnLog.metaFilePath)
         .withColumn("_ri", col("_metadata.row_index"))
         .join(broadcast(dim), "_path")
         .filter(TxnLog.dvBitSet(col("_dv"), col("_ri")))
         .drop("_path", "_dv", "_ri")
+      TxnLog.toLogical(out, TxnLog.columnMapping(root, toInclusive))
     }
   }
 

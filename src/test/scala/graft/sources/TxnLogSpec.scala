@@ -1072,6 +1072,71 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.read(spark, root).count() === 1024L - 4 - 196)
   }
 
+  test("r13: column rename — one metadata commit, era-correct time travel, writers and skipping follow the map") {
+    val root = freshRoot()
+    val base = (1L to 64L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(4, $"k")
+    val (files, stats) = TxnLog.stageWithStats(base, root, "t1", statsCol = "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k",
+      schemaJson = TxnLog.encodeSchema(base.schema))              // v1
+
+    TxnLog.renameColumn(root, "v", "amount", "r1")                // v2
+    assert(TxnLog.snapshotFiles(root) === files,
+      "a rename must move ZERO data files")
+    assert(TxnLog.read(spark, root).columns.toSeq === Seq("k", "amount"))
+    assert(TxnLog.tableSchema(root).get.fieldNames.toSeq === Seq("k", "amount"))
+    assert(TxnLog.columnMapping(root) === Map("amount" -> "v"))
+    // time travel BEFORE the rename shows that era's own names
+    assert(TxnLog.read(spark, root, version = 1L).columns.toSeq === Seq("k", "v"))
+    // invalid renames are rejected against the logged schema
+    intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(root, "nope", "x", "r-bad1") }
+    intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(root, "k", "amount", "r-bad2") }
+
+    // a writer using the NEW name stages files under the stable
+    // PHYSICAL name — every generation stores the same column
+    val extra = (65L to 80L).map(k => (k, k * 10L)).toDF("k", "amount")
+    val c3 = TxnLog.appendOnce(extra, root, "ing", 0L)            // v3
+    assert(spark.read.parquet(c3.added: _*).columns.toSeq === Seq("k", "v"),
+      "staged files must carry the physical name")
+    assert(TxnLog.read(spark, root).as[(Long, Long)].collect().toSet ===
+      (1L to 80L).map(k => (k, k * 10L)).toSet)
+
+    TxnLog.renameColumn(root, "k", "id", "r2")                    // v4
+    // logical-named mutations flow through the map: delete, keyed
+    // retraction, merge, range read
+    TxnLog.deleteWhere(spark, root, col("id") === 7L, "d1")
+    TxnLog.deleteWhereKeys(spark, root, Seq(9L).toDF("id"), "id", "d2")
+    TxnLog.mergeInto(spark, root,
+      Seq((2L, 999L)).toDF("id", "amount"), "id", "m1")
+    val expect = (1L to 80L).filterNot(Set(7L, 9L))
+      .map(k => (k, if (k == 2L) 999L else k * 10L)).toSet
+    assert(TxnLog.read(spark, root).as[(Long, Long)].collect().toSet === expect)
+    assert(TxnLog.readRange(spark, root, "id", 1L, 10L).columns.toSeq ===
+      Seq("id", "amount"))
+    assert(TxnLog.readRange(spark, root, "id", 1L, 10L)
+      .as[(Long, Long)].collect().toSet === expect.filter(_._1 <= 10L))
+    // the change feed surfaces current logical names
+    assert(TxnStream.readChanges(spark, root, fromExclusive = 0L)
+      .columns.contains("id"))
+
+    // renames ride checkpoints
+    TxnLog.checkpoint(root)
+    assert(TxnLog.read(spark, root).columns.toSeq === Seq("id", "amount"))
+
+    // skipping SURVIVES the rename: corrupt every v1 file whose key
+    // range is above the probe — the logical predicate must push
+    // through the rename projection to the physical stats
+    val metas = TxnLog.snapshotState(root)
+    corruptParquet(metas.collect {
+      case (f, m) if m.stats.get("k").exists(_.lo > 32) => f })
+    assert(TxnLog.table(spark, root).filter($"id".between(3L, 5L))
+      .select($"id").as[Long].collect().toSet === Set(3L, 4L, 5L),
+      "pruning on the physical stats must serve the renamed predicate")
+  }
+
   test("r13: optimizeCompactDeletes — dense-DV files rewritten clean, sparse vectors kept, history intact") {
     val root = freshRoot()
     val (files, stats) = TxnLog.stageWithStats(

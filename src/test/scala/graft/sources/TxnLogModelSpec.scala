@@ -110,4 +110,121 @@ class TxnLogModelSpec extends SparkTestBase {
       }
     }
   }
+
+  /** CONCURRENT-WRITER sweep: two threads race random op sequences
+    * against one table. No interleaving is scripted — instead the
+    * COMMITTED LOG is replayed against an MVCC model after the fact:
+    * appends/merges fold forward, a delete removes the predicate's
+    * matches FROM ITS OWN READ SNAPSHOT (`states(readVersion)` — the
+    * snapshot-isolation semantics the conflict matrix guarantees:
+    * anything that would invalidate that snapshot's files aborts),
+    * compaction/z-order are content-invariant. Every committed
+    * version must equal its modeled state, which proves in one sweep
+    * that aborted transactions published nothing, committed ones
+    * serialized consistently, and no interleaving lost an update or
+    * duplicated a key.
+    */
+  test("r13: concurrent writers — the committed log replays to a consistent MVCC model") {
+    for (seed <- 1L to 2L) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-race-$seed").toString
+      TxnLog.init(root)
+      val payloads = new java.util.concurrent.ConcurrentHashMap[String, Op]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+      def worker(tid: Int): Thread = new Thread(() => {
+        try {
+          val ops = sample(Gen.listOfN(6, opGen), seed * 100 + tid)
+          ops.zipWithIndex.foreach { case (op, i) =>
+            val id = s"w$tid-$i"
+            try {
+              op match {
+                case Append(rows) =>
+                  // per-thread disjoint key space: appends never race
+                  // the merge keys, so key uniqueness stays testable
+                  val shifted = rows.map { case (k, v) => (k + tid * 1000000L) -> v }
+                  val files = TxnLog.stage(shifted.toSeq.toDF("k", "v"), root, id)
+                  TxnLog.commit(root, "append", files, Nil,
+                    readVersion = 0L, txnId = id)
+                  payloads.put(id, Append(shifted)); ()
+                case Merge(rows) =>
+                  // merges race on a SHARED key range; a loser aborts
+                  // (insert-insert protection) and retries re-reading
+                  var attempts = 0
+                  var done = false
+                  while (!done && attempts < 4) {
+                    attempts += 1
+                    try {
+                      TxnLog.mergeInto(spark, root, rows.toSeq.toDF("k", "v"), "k", id)
+                      payloads.put(id, op); done = true
+                    } catch { case _: TxnLog.ConflictException if attempts < 4 => () }
+                  }
+                case Delete(mod, rem) =>
+                  if (TxnLog.deleteWhere(spark, root,
+                      col("k") % mod === rem, id).isDefined) {
+                    payloads.put(id, op); ()
+                  }
+                case Compact =>
+                  val readV = TxnLog.currentVersion(root)
+                  val live = TxnLog.snapshotFiles(root, readV)
+                  if (live.nonEmpty) {
+                    val packed = TxnLog.stage(
+                      TxnLog.read(spark, root, readV).coalesce(1), root, id)
+                    TxnLog.commit(root, "compact", packed, removed = live,
+                      readVersion = readV, txnId = id)
+                    payloads.put(id, Compact); ()
+                  }
+                case Zorder =>
+                  if (TxnLog.snapshotFiles(root).nonEmpty) {
+                    TxnLog.optimizeZorder(spark, root, "k", "v", nFiles = 2, txnId = id)
+                    payloads.put(id, Zorder); ()
+                  }
+                case Checkpoint =>
+                  TxnLog.checkpoint(root); ()
+              }
+            } catch {
+              // losing a race is legal; corrupting the table is not —
+              // anything beyond a conflict abort fails the test
+              case _: TxnLog.ConflictException => ()
+            }
+          }
+        } catch { case t: Throwable => failures.add(t); () }
+      })
+
+      val ts = Seq(worker(1), worker(2))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(failures.isEmpty, s"seed=$seed: worker died: ${failures.peek()}")
+
+      // replay the committed log against the MVCC model
+      val states = scala.collection.mutable.Map(0L -> Map.empty[Long, Long])
+      var prev = Map.empty[Long, Long]
+      TxnLog.commits(root).foreach { c =>
+        val next = payloads.get(c.txnId) match {
+          case Append(rows) => prev ++ rows
+          case Merge(rows)  => prev ++ rows
+          case Delete(mod, rem) =>
+            // snapshot semantics: the delete marked ITS snapshot's
+            // matches; rows committed after its read are untouched
+            prev -- states(c.readVersion).keys.filter(k => k % mod == rem)
+          case Compact | Zorder => prev
+          case null => fail(s"seed=$seed: committed txn ${c.txnId} has no payload")
+          case _ => prev
+        }
+        states(c.version) = next
+        prev = next
+      }
+      assert(tableRows(root) === prev,
+        s"seed=$seed: final state diverged from the MVCC replay")
+      // every committed version travels to its modeled state — no
+      // interleaving lost an update, resurrected a row, or forked
+      states.foreach { case (v, st) =>
+        assert(tableRows(root, v) === st,
+          s"seed=$seed: version $v diverged from its modeled state")
+      }
+      // key uniqueness survived racing merges (insert-insert guard)
+      val all = TxnLog.read(spark, root)
+      if (all.columns.nonEmpty)
+        assert(all.count() === all.select("k").distinct().count(),
+          s"seed=$seed: duplicate keys after concurrent merges")
+    }
+  }
 }

@@ -535,6 +535,89 @@ object ScaleProbe {
       println(f"""{"op":"txn_merge_pruned","k":32,"rows":65536,"sec":$mgSec%.3f,"files_rewritten":${mg.removed.size},"files_total":32}""")
     }
 
+    // r13 DV-maintenance probes (X-A45/X-A48): the regimes the r12
+    // driver-side construction could not price.
+    //  - txn_dv_half: delete 50% of EVERY file of a 32-file table —
+    //    the executor-side build's receipt is `dv_result_rows` = the
+    //    number of rows the driver collects (one per touched file;
+    //    the r12 code would have shipped 32k (file,row) rows).
+    //  - txn_del_keys: retract 25% of all keys via a key FRAME with
+    //    broadcasts disabled — the shuffled-semi-join regime the
+    //    collect+isInCollection literal could never survive.
+    //  - txn_compact: density-triggered rewrite after the half-delete;
+    //    receipt = only dense files rewritten + the metadata
+    //    aggregate's zero-scan path restored.
+    if (enabled("txn_dv_scale")) {
+      import graft.sources.TxnLog
+      def freshTable(tag: String): (String, Seq[String]) = {
+        val root = java.nio.file.Files.createTempDirectory(s"graft-dvscale-$tag").toString
+        TxnLog.init(root)
+        val df = spark.range(0, 65536)
+          .select(col("id").as("k"), (col("id") * 7 % 13).as("v"))
+          .repartitionByRange(32, col("k"))
+        val (files, stats) = TxnLog.stageWithStats(df, root, "t1", "k")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+          stats = stats, statsCol = "k")
+        (root, files)
+      }
+      val (hRoot, _) = freshTable("half")
+      val t0 = System.nanoTime()
+      val half = TxnLog.deleteWhere(spark, hRoot, col("k") % 2 === 0, "d1").get
+      val halfSec = (System.nanoTime() - t0) / 1e9
+      require(TxnLog.read(spark, hRoot).count() == 32768L, "half delete must keep odd rows")
+      println(f"""{"op":"txn_dv_half","k":32,"rows":65536,"sec":$halfSec%.3f,"dv_result_rows":${half.dvFiles.size},"dv_bytes":${half.dvs.map(_.length / 2).sum}}""")
+
+      val (kRoot, _) = freshTable("keys")
+      val keys = spark.range(0, 65536).filter(col("id") % 4 === 1)
+        .select(col("id").as("k"))
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t1 = System.nanoTime()
+      val kc = TxnLog.deleteWhereKeys(spark, kRoot, keys, "k", "d1").get
+      val keysSec = (System.nanoTime() - t1) / 1e9
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      require(TxnLog.read(spark, kRoot).count() == 49152L, "quarter retraction")
+      println(f"""{"op":"txn_del_keys","k":32,"rows":65536,"sec":$keysSec%.3f,"dv_result_rows":${kc.dvFiles.size}}""")
+
+      // density compaction on the half-deleted table: every file is
+      // 50% dead → all rewritten clean; the metadata aggregate must
+      // answer from the log again afterwards
+      val t2 = System.nanoTime()
+      val cc = TxnLog.optimizeCompactDeletes(spark, hRoot, 0.5, "oc1").get
+      val compSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val aggRows = TxnLog.statsAggregate(spark, hRoot, "k").head().getLong(0)
+      val aggSec = (System.nanoTime() - t3) / 1e9
+      require(aggRows == 32768L, s"post-compaction metadata count: $aggRows")
+      println(f"""{"op":"txn_compact","k":32,"rows":65536,"sec":$compSec%.3f,"files_rewritten":${cc.removed.size},"agg_after_sec":$aggSec%.3f}""")
+    }
+
+    // Streaming-source drain probe (X-A46): 16 one-commit micro-
+    // batches through spark.readStream over the log, memory sink —
+    // rows/sec of the version-offset path including engine overhead.
+    if (enabled("txn_source")) {
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-srcprobe").toString
+      TxnLog.init(root)
+      val schema = spark.range(0, 1).select(col("id").as("k"), col("id").as("v")).schema
+      (0 until 16).foreach { i =>
+        val df = spark.range(i * 8192L, (i + 1) * 8192L)
+          .select(col("id").as("k"), (col("id") * 7 % 13).as("v"))
+        val files = TxnLog.stage(df, root, s"t$i")
+        TxnLog.commit(root, "append", files, Nil, readVersion = 0L,
+          txnId = s"t$i", schemaJson = TxnLog.encodeSchema(schema))
+      }
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graft-txn")
+        .option("root", root).option("maxVersionsPerTrigger", "1")
+        .load().writeStream.format("memory").queryName("srcprobe").start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val got = spark.table("srcprobe").count()
+      require(got == 16 * 8192L, s"drained $got rows")
+      println(f"""{"op":"txn_source_drain","k":16,"rows":$got,"sec":$sec%.3f}""")
+    }
+
     // Mirror-maintenance ladder (X-A41): apply ONE new source version
     // (a small append + a small DV delete) to a mirror of a table
     // that is k× bigger — per-version cost must be ~flat in table

@@ -646,8 +646,22 @@ object TxnLog {
         body.append("B ").append(f).append(' ').append(meta.bloomCol)
           .append(' ').append(hex).append('\n')
       }
-      meta.dv.foreach { hex =>
-        body.append("D ").append(f).append(' ').append(hex).append('\n')
+      meta.dv.foreach { enc0 =>
+        // a UNION of repeated partial deletes materialized inline
+        // during resolution — re-spill it so checkpoint lines stay
+        // metadata-thin too (names are per-(version, file-hash):
+        // deterministic, so a concurrent checkpointer writes the
+        // same bytes)
+        val enc =
+          if (enc0.startsWith("@") || enc0.length <= DvSidecarThreshold) enc0
+          else {
+            val dir = logDir(root).resolve("dv")
+            Files.createDirectories(dir)
+            val p = dir.resolve(f"ckpt$v-${f.hashCode}%08x.dv")
+            Files.writeString(p, enc0)
+            "@" + p.toString
+          }
+        body.append("D ").append(f).append(' ').append(enc).append('\n')
       }
     }
     val tmp = logDir(root).resolve(s".tmp-ckpt-$v")
@@ -708,11 +722,36 @@ object TxnLog {
     }
   }
 
-  /** Bitwise OR of two hex bitsets (shorter one zero-padded). */
+  /** Inline-vs-sidecar boundary for deletion-vector payloads: a
+    * bitmap whose hex rendering exceeds this many chars (2 KiB of
+    * bitmap ≈ a 16k-row span) is spilled to `_log/dv/<name>.dv` and
+    * referenced from the record as `@<absolute path>` — the Delta
+    * inline-vs-DV-file split. The log record and checkpoint line stay
+    * metadata-thin no matter how dense the delete (a dense DV on a
+    * 10M-row file would otherwise put a 1.25 MB hex string in ONE
+    * JSON record); the bitmap bytes are read only when the table is
+    * actually read, never during snapshot resolution of a
+    * single-delete file. Sidecars are immutable and live as long as
+    * their commit record (vacuum never touches `_log/`).
+    */
+  val DvSidecarThreshold = 4096
+
+  /** Resolve a DV payload: inline hex passes through, an `@<path>`
+    * ref loads its sidecar.
+    */
+  private[sources] def dvHex(v: String): String =
+    if (v.startsWith("@")) Files.readString(Paths.get(v.drop(1))) else v
+
+  /** Bitwise OR of two hex bitsets (shorter one zero-padded). Either
+    * side may be a sidecar ref — a SINGLE vector per file (the common
+    * case) is never loaded here; only the union of repeated partial
+    * deletes on one file materializes inline.
+    */
   private def hexOr(a: Option[String], b: String): String = a match {
     case None => b
-    case Some(x) =>
-      val (long, short) = if (x.length >= b.length) (x, b) else (b, x)
+    case Some(x0) =>
+      val x = dvHex(x0); val b1 = dvHex(b)
+      val (long, short) = if (x.length >= b1.length) (x, b1) else (b1, x)
       long.zipWithIndex.map { case (c, i) =>
         if (i < short.length)
           f"${Integer.parseInt(c.toString, 16) | Integer.parseInt(short(i).toString, 16)}%x"
@@ -779,7 +818,11 @@ object TxnLog {
   private def dvFiltered(base: DataFrame,
                          dvs: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dim = base.sparkSession.createDataFrame(dvs).toDF("__dvf", "__dv")
+    // sidecar refs resolve HERE, at read time — O(DV'd files ×
+    // bitmap bytes), the same dim the join broadcasts anyway
+    val dim = base.sparkSession
+      .createDataFrame(dvs.map { case (f, v) => (f, dvHex(v)) })
+      .toDF("__dvf", "__dv")
     base.withColumn("__fp", metaFilePath)
       .withColumn("__ri", col("_metadata.row_index"))
       .join(broadcast(dim), col("__fp") === col("__dvf"), "left")
@@ -1111,9 +1154,9 @@ object TxnLog {
   def compactionCandidates(root: String, minDeletedFraction: Double,
                            version: Long = Long.MaxValue): Seq[String] =
     snapshotState(root, version).collect {
-      case (f, m) if m.dv.exists { hex =>
+      case (f, m) if m.dv.exists { enc =>
         m.stats.values.collectFirst { case st if st.rows > 0 => st.rows }
-          .exists(rows => popHex(hex).toDouble / rows >= minDeletedFraction)
+          .exists(rows => popHex(dvHex(enc)).toDouble / rows >= minDeletedFraction)
       } => f
     }
 
@@ -1616,12 +1659,27 @@ object TxnLog {
       s"txn $txnId: malformed bloom encoding")
     require(dvFiles.size == dvs.size,
       s"txn $txnId: dvFiles (${dvFiles.size}) must align with dvs (${dvs.size})")
-    require(dvs.forall(_.matches("[0-9a-f]+")),
+    require(dvs.forall(v => v.matches("[0-9a-f]+") || v.startsWith("@")),
       s"txn $txnId: malformed deletion-vector encoding")
+    validatePaths(dvs.collect { case v if v.startsWith("@") => v.drop(1) })
     require(rename.isEmpty || rename.matches("\\S+ \\S+"),
       s"txn $txnId: rename payload must be '<old> <new>': $rename")
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
+    // Dense vectors spill to immutable sidecars BEFORE the CAS loop
+    // (names are per-txnId, so retries and idempotent replays rewrite
+    // the same bytes): the record carries a thin `@path` ref and the
+    // log stays metadata-scale at any delete density.
+    val dvPayloads = dvs.zipWithIndex.map { case (v, i) =>
+      if (v.startsWith("@") || v.length <= DvSidecarThreshold) v
+      else {
+        val dir = logDir(root).resolve("dv")
+        Files.createDirectories(dir)
+        val p = dir.resolve(s"$txnId-$i.dv")
+        Files.writeString(p, v)
+        "@" + p.toString
+      }
+    }
     // Checkpoint state is read ONCE: commits landing after it show up
     // in the per-attempt tail fold below, and checkpoints never
     // change conflict outcomes.
@@ -1697,8 +1755,8 @@ object TxnLog {
       val commitTs = math.max(System.currentTimeMillis(),
         tail.lastOption.map(_.ts + 1).getOrElse(1L))
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
-        stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvs, commitTs,
-        multiStats.map(renderMultiStat), constraint, schemaJson, rename)
+        stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
+        commitTs, multiStats.map(renderMultiStat), constraint, schemaJson, rename)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {

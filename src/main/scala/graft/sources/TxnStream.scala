@@ -86,7 +86,8 @@ object TxnStream {
                   toInclusive: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dels = TxnLog.commitsInRange(root, fromExclusive, toInclusive)
-      .flatMap(c => c.dvFiles.zip(c.dvs).map { case (f, dv) => (f, dv, c.version) })
+      .flatMap(c => c.dvFiles.zip(c.dvs).map { case (f, dv) =>
+        (f, TxnLog.dvHex(dv), c.version) }) // sidecar refs resolve here
     if (dels.isEmpty)
       TxnLog.read(s, root, toInclusive, mergeSchema = true).limit(0)
         .withColumn(CommitVersionCol, lit(0L))

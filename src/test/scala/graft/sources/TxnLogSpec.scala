@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestBase
 import org.apache.spark.sql.functions.col
 
@@ -1070,6 +1072,49 @@ class TxnLogSpec extends SparkTestBase {
     }
     // keys 1..199: 196 newly dead (5,6,7 were already retracted)
     assert(TxnLog.read(spark, root).count() === 1024L - 4 - 196)
+  }
+
+  test("r13: dense deletion vectors spill to sidecars — log records stay metadata-thin, every path resolves refs") {
+    val root = freshRoot()
+    // ONE 100k-row file: a half-delete's bitmap is 12.5 KB = 25,000
+    // hex chars — far past the 4,096-char inline threshold
+    val (files, stats) = TxnLog.stageWithStats(
+      spark.range(0, 100000).selectExpr("id AS k", "id * 3 AS v").coalesce(1),
+      root, "t1", statsCol = "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")
+    val c = TxnLog.deleteWhere(spark, root, col("k") % 2 === 0, "d1").get
+    assert(c.dvs.forall(_.startsWith("@")),
+      s"a dense vector must spill to a sidecar ref, got inline of ${c.dvs.map(_.length)}")
+    // the RECORD is metadata-thin even though 50k rows died
+    val rec = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_log"))
+      .toList.asScala.find(_.getFileName.toString == f"${2L}%020d.json").get
+    assert(java.nio.file.Files.size(rec) < 2048,
+      s"the delete record must stay small, got ${java.nio.file.Files.size(rec)} bytes")
+    // reads resolve the ref
+    assert(TxnLog.read(spark, root).count() === 50000L)
+    // the delete feed reads pre-images through the sidecar
+    assert(TxnStream.readDeletes(spark, root, 1L, 2L).count() === 50000L)
+    // a SECOND delete on the same file unions through the ref
+    TxnLog.deleteWhere(spark, root, col("k") % 3 === 0 && col("k") % 2 =!= 0, "d2")
+    val expect = (0L until 100000L).filterNot(k => k % 2 == 0 || k % 3 == 0)
+    assert(TxnLog.read(spark, root).count() === expect.size.toLong)
+    // the checkpoint re-spills the materialized union: thin D-line,
+    // correct reads from checkpoint-seeded resolution
+    TxnLog.checkpoint(root)
+    val ckpt = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_log"))
+      .toList.asScala.find(_.getFileName.toString.endsWith(".checkpoint")).get
+    assert(java.nio.file.Files.size(ckpt) < 4096,
+      s"the checkpoint must stay thin, got ${java.nio.file.Files.size(ckpt)} bytes")
+    assert(TxnLog.read(spark, root).count() === expect.size.toLong)
+    // time travel under both deletes still resolves
+    assert(TxnLog.read(spark, root, version = 1L).count() === 100000L)
+    assert(TxnLog.read(spark, root, version = 2L).count() === 50000L)
+    // density selection reads through the ref; compaction clears it
+    assert(TxnLog.compactionCandidates(root, 0.5).size === 1)
+    TxnLog.optimizeCompactDeletes(spark, root, 0.5, "oc1")
+    assert(TxnLog.snapshotState(root).forall(_._2.dv.isEmpty))
+    assert(TxnLog.read(spark, root).count() === expect.size.toLong)
   }
 
   test("r13: column rename — one metadata commit, era-correct time travel, writers and skipping follow the map") {

@@ -570,12 +570,24 @@ object ScaleProbe {
       val (kRoot, _) = freshTable("keys")
       val keys = spark.range(0, 65536).filter(col("id") % 4 === 1)
         .select(col("id").as("k"))
+      // disable BOTH broadcast knobs (AQE has its own) and restore in
+      // a finally, so a probe failure can't leak "-1" into later ops
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val t1 = System.nanoTime()
-      val kc = TxnLog.deleteWhereKeys(spark, kRoot, keys, "k", "d1").get
-      val keysSec = (System.nanoTime() - t1) / 1e9
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val (kc, keysSec) =
+        try {
+          val t1 = System.nanoTime()
+          val c = TxnLog.deleteWhereKeys(spark, kRoot, keys, "k", "d1").get
+          (c, (System.nanoTime() - t1) / 1e9)
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+          savedA match {
+            case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
+        }
       require(TxnLog.read(spark, kRoot).count() == 49152L, "quarter retraction")
       println(f"""{"op":"txn_del_keys","k":32,"rows":65536,"sec":$keysSec%.3f,"dv_result_rows":${kc.dvFiles.size}}""")
 

@@ -649,18 +649,14 @@ object TxnLog {
       meta.dv.foreach { enc0 =>
         // a UNION of repeated partial deletes materialized inline
         // during resolution — re-spill it so checkpoint lines stay
-        // metadata-thin too (names are per-(version, file-hash):
-        // deterministic, so a concurrent checkpointer writes the
-        // same bytes)
+        // metadata-thin too. Per-attempt names: a concurrent
+        // checkpointer at the same version writes its own sidecars
+        // and exactly one checkpoint publishes (the link CAS below);
+        // the loser's sidecars orphan, nothing ever shares or
+        // overwrites a referenced path.
         val enc =
           if (enc0.startsWith("@") || enc0.length <= DvSidecarThreshold) enc0
-          else {
-            val dir = logDir(root).resolve("dv")
-            Files.createDirectories(dir)
-            val p = dir.resolve(f"ckpt$v-${f.hashCode}%08x.dv")
-            Files.writeString(p, enc0)
-            "@" + p.toString
-          }
+          else spillSidecar(root, s"ckpt$v", enc0)
         body.append("D ").append(f).append(' ').append(enc).append('\n')
       }
     }
@@ -741,6 +737,23 @@ object TxnLog {
     */
   private[sources] def dvHex(v: String): String =
     if (v.startsWith("@")) Files.readString(Paths.get(v.drop(1))) else v
+
+  /** Publish a sidecar under a PER-ATTEMPT-unique name (the
+    * `attemptId` staging recipe): no replayed transaction, crashed
+    * attempt, or concurrent checkpointer can ever reuse — let alone
+    * clobber or truncate — a path some published record already
+    * references; losing attempts leave small orphan files, the same
+    * contract as staging dirs. Written whole before any reference to
+    * it can publish. Returns the `@<path>` ref.
+    */
+  private def spillSidecar(root: String, prefix: String, hex: String): String = {
+    val dir = logDir(root).resolve("dv")
+    Files.createDirectories(dir)
+    val p = dir.resolve(
+      s"$prefix-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}.dv")
+    Files.writeString(p, hex)
+    "@" + p.toString
+  }
 
   /** Bitwise OR of two hex bitsets (shorter one zero-padded). Either
     * side may be a sidecar ref — a SINGLE vector per file (the common
@@ -952,7 +965,16 @@ object TxnLog {
     val state = st0.files
     if (state.isEmpty) return None
     val physKey = physicalName(st0.renames, keyCol)
-    val ranged = state.collect {
+    // same integral-key guard as mergeInto: a non-integral key frame
+    // cannot soundly range-compare against "l" stats — skip pruning
+    // (every stat-bearing file scans; a missed retraction is a
+    // silent mirror divergence, unpruned is merely slower)
+    val keyIntegral = keys.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val ranged = if (!keyIntegral) Nil else state.collect {
       case (f, m) if m.stats.get(physKey).exists(_.typ == "l") =>
         val st = m.stats(physKey); (f, st.lo, st.hi)
     }
@@ -1020,7 +1042,16 @@ object TxnLog {
     // table statted on a different column would otherwise skip
     // genuinely affected files and silently duplicate keys. Files
     // with only a legacy stat land in `unranged` = always affected.
-    val ranged = state.collect {
+    // And only an INTEGRAL key may range-compare against "l" stats at
+    // all: cast("long") of a string key is not order-preserving (a
+    // non-numeric key nulls/throws), so a non-integral key disables
+    // pruning — every file is affected, correct just unpruned.
+    val keyIntegral = physSource.schema(physKey).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val ranged = if (!keyIntegral) Nil else state.collect {
       case (f, m) if m.stats.get(physKey).exists(_.typ == "l") =>
         val st = m.stats(physKey)
         (f, st.lo, st.hi)
@@ -1153,7 +1184,15 @@ object TxnLog {
     */
   def compactionCandidates(root: String, minDeletedFraction: Double,
                            version: Long = Long.MaxValue): Seq[String] =
-    snapshotState(root, version).collect {
+    candidatesIn(snapshotState(root, version), minDeletedFraction)
+
+  /** The selection decision over an ALREADY-resolved state — lets
+    * [[optimizeCompactDeletes]] resolve the snapshot once for
+    * selection, scan and commit.
+    */
+  private def candidatesIn(state: Seq[(String, FileMeta)],
+                           minDeletedFraction: Double): Seq[String] =
+    state.collect {
       case (f, m) if m.dv.exists { enc =>
         m.stats.values.collectFirst { case st if st.rows > 0 => st.rows }
           .exists(rows => popHex(dvHex(enc)).toDouble / rows >= minDeletedFraction)
@@ -1188,7 +1227,7 @@ object TxnLog {
       s"minDeletedFraction must be in (0, 1]: $minDeletedFraction")
     val readV = currentVersion(root)
     val state = snapshotState(root, readV)
-    val victimSet = compactionCandidates(root, minDeletedFraction, readV).toSet
+    val victimSet = candidatesIn(state, minDeletedFraction).toSet
     if (victimSet.isEmpty) return None
     val victims = state.filter(f => victimSet(f._1))
     val clean = applyDeletionVectors(s.read.parquet(victims.map(_._1): _*), victims)
@@ -1666,19 +1705,16 @@ object TxnLog {
       s"txn $txnId: rename payload must be '<old> <new>': $rename")
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
-    // Dense vectors spill to immutable sidecars BEFORE the CAS loop
-    // (names are per-txnId, so retries and idempotent replays rewrite
-    // the same bytes): the record carries a thin `@path` ref and the
-    // log stays metadata-scale at any delete density.
+    // Dense vectors spill to immutable per-attempt sidecars before
+    // the CAS loop: the record carries a thin `@path` ref and the log
+    // stays metadata-scale at any delete density. A replayed txnId
+    // (which may have recomputed DIFFERENT bits against a newer
+    // snapshot) spills to a FRESH name and then discovers the dup —
+    // its sidecar orphans, and the bytes the published commit
+    // references are untouchable by construction.
     val dvPayloads = dvs.zipWithIndex.map { case (v, i) =>
       if (v.startsWith("@") || v.length <= DvSidecarThreshold) v
-      else {
-        val dir = logDir(root).resolve("dv")
-        Files.createDirectories(dir)
-        val p = dir.resolve(s"$txnId-$i.dv")
-        Files.writeString(p, v)
-        "@" + p.toString
-      }
+      else spillSidecar(root, s"$txnId-$i", v)
     }
     // Checkpoint state is read ONCE: commits landing after it show up
     // in the per-attempt tail fold below, and checkpoints never

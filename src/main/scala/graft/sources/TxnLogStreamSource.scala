@@ -26,9 +26,16 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * spark.readStream.format("graft-txn")
   *   .option("root", tableRoot)
   *   .option("maxVersionsPerTrigger", "10")   // admission control
-  *   .option("startingVersion", "0")
+  *   .option("startingVersion", "0")          // EXCLUSIVE lower bound
   *   .load()
   * }}}
+  *
+  * `startingVersion` is EXCLUSIVE — the stream emits commits strictly
+  * AFTER it (the default 0 emits the full history; `N` skips versions
+  * 1..N). Note the difference from Delta's inclusive option of the
+  * same name: here the value is the offset the checkpoint would hold
+  * after consuming version N, which is also what
+  * [[TxnStream.appliedVersion]] returns for ledger-driven consumers.
   *
   * OFFSETS ARE COMMIT VERSIONS ([[TxnVersionOffset]]): a micro-batch
   * covers commits `(start, end]`, planned metadata-only from the log
@@ -140,6 +147,22 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
                              maxVersionsPerTrigger: Long, startingVersion: Long)
   extends MicroBatchStream with SupportsAdmissionControl {
 
+  /** The read schema, PINNED at stream construction: the declared
+    * logical fields translated to their stable physical storage
+    * names. Pinning (rather than consulting the log head per batch)
+    * keeps row arity locked to the output schema even if a
+    * schema-evolve or rename commit lands mid-stream — physical
+    * names never change once assigned, and files from newer
+    * generations simply project down to the pinned fields.
+    */
+  private val pinnedDataSchema: StructType = {
+    val logical = StructType(schema.fields.filterNot(_.name == TxnStream.CommitVersionCol))
+    val mapping = TxnLog.columnMapping(root)
+    if (mapping.isEmpty) logical
+    else StructType(logical.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+  }
+
   override def initialOffset(): Offset = TxnVersionOffset(startingVersion)
 
   override def deserializeOffset(json: String): Offset =
@@ -179,18 +202,11 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
     // broadcast hadoop conf — the standard serializable file-reader
     // closure every FileSourceScanExec ships to executors
     val spark = SparkSession.active
-    val logical = StructType(schema.fields.filterNot(_.name == TxnStream.CommitVersionCol))
-    // a renamed table's FILES carry physical names — read with the
-    // physical schema (same field order and types as the logical one,
-    // so the positional InternalRows match the output schema exactly)
-    val dataSchema =
-      if (TxnLog.columnMapping(root).isEmpty) logical
-      else TxnLog.rawTableSchema(root).getOrElse(logical)
     val readFile = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
-      dataSchema = dataSchema,
+      dataSchema = pinnedDataSchema,
       partitionSchema = StructType(Nil),
-      requiredSchema = dataSchema,
+      requiredSchema = pinnedDataSchema,
       filters = Nil,
       // plain InternalRows, not ColumnarBatches: a streaming reader
       // hands rows to the engine one by one (the batch path exists

@@ -136,7 +136,7 @@ object TxnLog {
     */
   case class FileMeta(stats: Map[String, FileStat] = Map.empty,
                       bloom: Option[String] = None, bloomCol: String = "",
-                      dv: Option[String] = None) {
+                      dv: Option[String] = None, size: Long = -1L) {
     /** The stat governing a query on `column`: an exact column match,
       * else the legacy unnamed stat (caller-asserted). A query that
       * names no column is the pre-r12 single-clustering contract: it
@@ -175,7 +175,8 @@ object TxnLog {
                     multiStats: Seq[String] = Nil,
                     constraint: String = "",
                     schemaJson: String = "",
-                    rename: String = "")
+                    rename: String = "",
+                    sizes: Seq[Long] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -330,9 +331,12 @@ object TxnLog {
       if (c.schemaJson.isEmpty) "" else s""","schemaJson":"${c.schemaJson}""""
     val renamePart =
       if (c.rename.isEmpty) "" else s""","rename":"${c.rename}""""
+    val sizesPart = // bytes per added file (omitted when unstatable)
+      if (c.sizes.isEmpty || c.sizes.forall(_ < 0L)) ""
+      else s""","sizes":[${c.sizes.mkString(",")}]"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -361,7 +365,8 @@ object TxnLog {
       strOpt("statsCol"), arr("blooms", required = false), strOpt("bloomCol"),
       arr("dvFiles", required = false), arr("dvs", required = false),
       numOpt("ts"), arr("mstats", required = false), strOpt("constraint"),
-      strOpt("schemaJson"), strOpt("rename"))
+      strOpt("schemaJson"), strOpt("rename"),
+      arr("sizes", required = false).map(_.toLong))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -502,6 +507,8 @@ object TxnLog {
           case Seq("D", f, hex)      =>
             files(f) = files.getOrElse(f, FileMeta()).copy(dv = Some(hex))
           case Seq("R", l2, p)       => renames += (l2 -> p)
+          case Seq("Z", f, sz)       =>
+            files(f) = files.getOrElse(f, FileMeta()).copy(size = sz.toLong)
           case other => sys.error(s"bad checkpoint line: $l")
         }
       }
@@ -566,11 +573,14 @@ object TxnLog {
       val blooms = if (c.blooms.size == c.added.size) c.blooms else c.added.map(_ => "")
       val multi = if (c.multiStats.size == c.added.size) c.multiStats
                   else c.added.map(_ => "")
-      c.added.lazyZip(stats).lazyZip(blooms).lazyZip(multi).foreach { (f, st, bl, ms) =>
+      val sizes = if (c.sizes.size == c.added.size) c.sizes else c.added.map(_ => -1L)
+      c.added.zipWithIndex.foreach { case (f, i) =>
+        val (st, bl, ms) = (stats(i), blooms(i), multi(i))
         val statMap = parseMultiStat(ms) ++
           st.map(s => c.statsCol -> s).toMap // primary col last: it wins ties
         live(f) = FileMeta(statMap,
-          Some(bl).filter(_.nonEmpty), if (bl.nonEmpty) c.bloomCol else "")
+          Some(bl).filter(_.nonEmpty), if (bl.nonEmpty) c.bloomCol else "",
+          size = sizes(i))
       }
       c.dvFiles.zip(c.dvs).foreach { case (f, hex) =>
         // DVs union across delete commits (set bits only accumulate);
@@ -642,6 +652,8 @@ object TxnLog {
           body.append(' ').append(s.rows).append(' ').append(s.nulls).append('\n')
         }
       }
+      if (meta.size >= 0L)
+        body.append("Z ").append(f).append(' ').append(meta.size).append('\n')
       meta.bloom.foreach { hex =>
         body.append("B ").append(f).append(' ').append(meta.bloomCol)
           .append(' ').append(hex).append('\n')
@@ -1157,11 +1169,20 @@ object TxnLog {
   def optimizeZorder(s: SparkSession, root: String, xCol: String, yCol: String,
                      nFiles: Int, txnId: String, bits: Int = 16): Commit = {
     val readV = currentVersion(root)
+    val st0 = resolveState(root, readV)
+    // rewrite in PHYSICAL names (staging the logical read of a
+    // renamed table would fork the storage column names); the caller
+    // names logical dims, translated here for clustering and stats
+    val physX = physicalName(st0.renames, xCol)
+    val physY = physicalName(st0.renames, yCol)
+    val base =
+      if (st0.files.isEmpty) s.emptyDataFrame
+      else applyDeletionVectors(s.read.parquet(st0.files.map(_._1): _*), st0.files)
     val clustered = graft.operators.LayoutOps.zorderClustered(
-      read(s, root, readV), xCol, yCol, nFiles, bits)
+      base, physX, physY, nFiles, bits)
     val (files, multi) = stageWithStatsFor(clustered, root, attemptId(txnId),
-      Seq(xCol, yCol))
-    commit(root, "zorder", files, removed = snapshotFiles(root, readV),
+      Seq(physX, physY))
+    commit(root, "zorder", files, removed = st0.files.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = multi)
   }
 
@@ -1716,6 +1737,15 @@ object TxnLog {
       if (v.startsWith("@") || v.length <= DvSidecarThreshold) v
       else spillSidecar(root, s"$txnId-$i", v)
     }
+    // Record each added file's size: one local stat at WRITE time so
+    // READ-side planning (TxnLogFileIndex, the streaming source)
+    // never touches the filesystem — on an object store that is the
+    // difference between a metadata fold and a HEAD request per file.
+    // Unstatable paths (unit-test fakes) record -1 (planners fall
+    // back to stat-on-demand).
+    val sizes = added.map { f =>
+      try Files.size(Paths.get(f)) catch { case _: Exception => -1L }
+    }
     // Checkpoint state is read ONCE: commits landing after it show up
     // in the per-attempt tail fold below, and checkpoints never
     // change conflict outcomes.
@@ -1792,7 +1822,8 @@ object TxnLog {
         tail.lastOption.map(_.ts + 1).getOrElse(1L))
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
-        commitTs, multiStats.map(renderMultiStat), constraint, schemaJson, rename)
+        commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
+        rename, sizes)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {

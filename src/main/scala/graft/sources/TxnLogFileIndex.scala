@@ -31,10 +31,17 @@ import org.apache.spark.unsafe.types.UTF8String
 class TxnLogFileIndex(spark: SparkSession, root: String,
                       state: Seq[(String, TxnLog.FileMeta)]) extends FileIndex {
 
+  // File sizes come from the LOG when the commit recorded them
+  // (every r13+ writer does): constructing the index then touches the
+  // filesystem for NO file — on an object store that is the
+  // difference between a metadata fold and a HEAD request per live
+  // file. Pre-r13 records fall back to one stat per file.
   private val statuses: Seq[(FileStatus, TxnLog.FileMeta)] = state.map { case (f, m) =>
-    val p = java.nio.file.Paths.get(f)
-    (new FileStatus(java.nio.file.Files.size(p), false, 1, 128L * 1024 * 1024,
-      java.nio.file.Files.getLastModifiedTime(p).toMillis, new Path("file://" + f)), m)
+    val size =
+      if (m.size >= 0L) m.size
+      else java.nio.file.Files.size(java.nio.file.Paths.get(f))
+    (new FileStatus(size, false, 1, 128L * 1024 * 1024,
+      0L, new Path("file://" + f)), m)
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path("file://" + root))

@@ -191,9 +191,17 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
     val (s, e) = (start.asInstanceOf[TxnVersionOffset].v,
       end.asInstanceOf[TxnVersionOffset].v)
     TxnLog.commitsInRange(root, s, e)
-      .flatMap(c => c.added.map { f =>
-        TxnFilePartition(f, c.version, java.nio.file.Files.size(java.nio.file.Paths.get(f)))
-      })
+      .flatMap { c =>
+        // file lengths from the commit record when present (r13+
+        // writers): batch planning is pure metadata, zero stat calls
+        val sizes = if (c.sizes.size == c.added.size) c.sizes
+                    else c.added.map(_ => -1L)
+        c.added.zip(sizes).map { case (f, sz) =>
+          TxnFilePartition(f, c.version,
+            if (sz >= 0L) sz
+            else java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+        }
+      }
       .toArray
   }
 

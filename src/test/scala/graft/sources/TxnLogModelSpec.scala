@@ -30,6 +30,8 @@ class TxnLogModelSpec extends SparkTestBase {
   private case object Compact extends Op
   private case object Zorder extends Op
   private case object Checkpoint extends Op
+  private case object CompactDeletes extends Op
+  private case object Rename extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> (for {
@@ -48,7 +50,9 @@ class TxnLogModelSpec extends SparkTestBase {
     } yield Delete(mod, rem % mod)),
     1 -> Gen.const(Compact),
     1 -> Gen.const(Zorder),
-    1 -> Gen.const(Checkpoint))
+    1 -> Gen.const(Checkpoint),
+    1 -> Gen.const(CompactDeletes),
+    1 -> Gen.const(Rename))
 
   private def tableRows(root: String, v: Long = Long.MaxValue): Map[Long, Long] = {
     val df = TxnLog.read(spark, root, v)
@@ -63,34 +67,51 @@ class TxnLogModelSpec extends SparkTestBase {
       val root = java.nio.file.Files.createTempDirectory(s"graft-model-$seed").toString
       TxnLog.init(root)
       var model = Map.empty[Long, Long]
+      // the key column's CURRENT logical name (Rename flips it); the
+      // PHYSICAL name stays "k" forever — raw stage/commit writes
+      // physical, the logical APIs (merge/delete/zorder/aggregate)
+      // take `keyName` and consult the map
+      var keyName = "k"
       // version -> expected state, for the time-travel sweep at the end
       val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
-      val ops = sample(Gen.listOfN(8, opGen), seed)
+      val ops = sample(Gen.listOfN(10, opGen), seed)
       ops.zipWithIndex.foreach { case (op, i) =>
         op match {
           case Append(rows) =>
             // appended keys are drawn from a disjoint range, so the
-            // append never violates the merge key-uniqueness contract
+            // append never violates the merge key-uniqueness contract;
+            // the raw commit API stages PHYSICAL names by contract
             val files = TxnLog.stage(rows.toSeq.toDF("k", "v"), root, s"ap$i")
             TxnLog.commit(root, "append", files, Nil,
               readVersion = TxnLog.currentVersion(root), txnId = s"ap$i")
             model = model ++ rows
           case Merge(rows) =>
-            TxnLog.mergeInto(spark, root, rows.toSeq.toDF("k", "v"), "k", s"mg$i")
+            TxnLog.mergeInto(spark, root,
+              rows.toSeq.toDF(keyName, "v"), keyName, s"mg$i")
             model = model ++ rows
           case Delete(mod, rem) =>
-            TxnLog.deleteWhere(spark, root, col("k") % mod === rem, s"dl$i")
+            TxnLog.deleteWhere(spark, root, col(keyName) % mod === rem, s"dl$i")
             model = model.filterNot { case (k, _) => k % mod == rem }
           case Compact =>
             val live = TxnLog.snapshotFiles(root)
             if (live.nonEmpty) {
-              val packed = TxnLog.stage(TxnLog.read(spark, root).coalesce(1), root, s"cp$i")
+              // a raw copy-on-write must stage PHYSICAL names: rename
+              // the logical read back through the column map
+              val phys = TxnLog.read(spark, root)
+                .withColumnsRenamed(TxnLog.columnMapping(root))
+              val packed = TxnLog.stage(phys.coalesce(1), root, s"cp$i")
               TxnLog.commit(root, "compact", packed, removed = live,
                 readVersion = TxnLog.currentVersion(root), txnId = s"cp$i")
             }
           case Zorder =>
             if (TxnLog.snapshotFiles(root).nonEmpty)
-              TxnLog.optimizeZorder(spark, root, "k", "v", nFiles = 2, txnId = s"zo$i")
+              TxnLog.optimizeZorder(spark, root, keyName, "v", nFiles = 2, txnId = s"zo$i")
+          case CompactDeletes =>
+            TxnLog.optimizeCompactDeletes(spark, root, 0.3, s"cd$i")
+          case Rename =>
+            val next = if (keyName == "k") "kk" else "k"
+            TxnLog.renameColumn(root, keyName, next, s"rn$i")
+            keyName = next
           case Checkpoint =>
             TxnLog.checkpoint(root)
         }
@@ -105,7 +126,7 @@ class TxnLogModelSpec extends SparkTestBase {
       }
       // and the statsAggregate count agrees with the model everywhere
       if (model.nonEmpty) {
-        val agg = TxnLog.statsAggregate(spark, root, "k").head()
+        val agg = TxnLog.statsAggregate(spark, root, keyName).head()
         assert(agg.getLong(0) === model.size.toLong, s"seed=$seed: metadata count")
       }
     }
@@ -133,7 +154,12 @@ class TxnLogModelSpec extends SparkTestBase {
 
       def worker(tid: Int): Thread = new Thread(() => {
         try {
+          // renames are excluded from the RACE sweep: per-thread
+          // logical-name tracking under interleaving is a test-harness
+          // problem, not a protocol one (rename conflicts are just
+          // CAS retries — no file set to collide on)
           val ops = sample(Gen.listOfN(6, opGen), seed * 100 + tid)
+            .filterNot(_ == Rename)
           ops.zipWithIndex.foreach { case (op, i) =>
             val id = s"w$tid-$i"
             try {
@@ -178,6 +204,11 @@ class TxnLogModelSpec extends SparkTestBase {
                     TxnLog.optimizeZorder(spark, root, "k", "v", nFiles = 2, txnId = id)
                     payloads.put(id, Zorder); ()
                   }
+                case CompactDeletes =>
+                  if (TxnLog.optimizeCompactDeletes(spark, root, 0.3, id).isDefined) {
+                    payloads.put(id, CompactDeletes); ()
+                  }
+                case Rename => () // excluded above
                 case Checkpoint =>
                   TxnLog.checkpoint(root); ()
               }
@@ -205,7 +236,7 @@ class TxnLogModelSpec extends SparkTestBase {
             // snapshot semantics: the delete marked ITS snapshot's
             // matches; rows committed after its read are untouched
             prev -- states(c.readVersion).keys.filter(k => k % mod == rem)
-          case Compact | Zorder => prev
+          case Compact | Zorder | CompactDeletes => prev
           case null => fail(s"seed=$seed: committed txn ${c.txnId} has no payload")
           case _ => prev
         }

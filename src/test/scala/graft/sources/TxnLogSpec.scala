@@ -1074,6 +1074,33 @@ class TxnLogSpec extends SparkTestBase {
     assert(TxnLog.read(spark, root).count() === 1024L - 4 - 196)
   }
 
+  test("r13: recorded file sizes — the SQL surface plans with every data file ABSENT from the filesystem") {
+    val root = freshRoot()
+    val df = (1L to 64L).map(k => (k, k * 2L)).toDF("k", "v").repartitionByRange(4, $"k")
+    val files = TxnLog.stage(df, root, "t1")
+    val multi = TxnLog.statsForStaged(spark, root, "t1", Seq("k"), files)
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      multiStats = multi, schemaJson = TxnLog.encodeSchema(df.schema))
+    assert(TxnLog.snapshotState(root).forall(_._2.size >= 0L),
+      "every committed file must carry its recorded size")
+    // hide the data: schema, index construction and file listing must
+    // all come from the LOG alone (pre-r13 this stat-ed every file —
+    // at cloud scale a HEAD request per live file at every plan)
+    files.foreach(f => Files.move(java.nio.file.Paths.get(f),
+      java.nio.file.Paths.get(f + ".hidden")))
+    try {
+      val t = TxnLog.table(spark, root)
+      assert(t.schema.fieldNames.toSeq === Seq("k", "v"))
+      assert(t.inputFiles.length === 4)
+    } finally files.foreach(f => Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    // data restored: the same plan executes correctly
+    assert(TxnLog.table(spark, root).filter($"k" <= 10L).count() === 10L)
+    // sizes survive checkpoints (Z-lines)
+    TxnLog.checkpoint(root)
+    assert(TxnLog.snapshotState(root).forall(_._2.size >= 0L))
+  }
+
   test("r13: dense deletion vectors spill to sidecars — log records stay metadata-thin, every path resolves refs") {
     val root = freshRoot()
     // ONE 100k-row file: a half-delete's bitmap is 12.5 KB = 25,000

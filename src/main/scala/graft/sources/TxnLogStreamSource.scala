@@ -25,7 +25,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * {{{
   * spark.readStream.format("graft-txn")
   *   .option("root", tableRoot)
-  *   .option("maxVersionsPerTrigger", "10")   // admission control
+  *   .option("maxVersionsPerTrigger", "10")   // admission: commits/batch
+  *   .option("maxBytesPerTrigger", "134217728") // admission: bytes/batch
   *   .option("startingVersion", "0")          // EXCLUSIVE lower bound
   *   .load()
   * }}}
@@ -91,6 +92,7 @@ class TxnLogSourceProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new TxnLogStreamTable(root(opts), schema,
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L))
   }
 
@@ -114,7 +116,8 @@ private[sources] object TxnLogStreamTable {
 }
 
 class TxnLogStreamTable(root: String, tableSchema: StructType,
-                        maxVersionsPerTrigger: Long, startingVersion: Long)
+                        maxVersionsPerTrigger: Long, maxBytesPerTrigger: Long,
+                        startingVersion: Long)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft-txn:$root"
@@ -129,7 +132,7 @@ class TxnLogStreamTable(root: String, tableSchema: StructType,
         override def description(): String = s"TxnLogScan(root=$root)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new TxnLogMicroBatchStream(root, tableSchema, maxVersionsPerTrigger,
-            startingVersion)
+            maxBytesPerTrigger, startingVersion)
       }
     }
 }
@@ -144,7 +147,8 @@ private case class TxnFilePartition(path: String, version: Long,
                                     length: Long) extends InputPartition
 
 class TxnLogMicroBatchStream(root: String, schema: StructType,
-                             maxVersionsPerTrigger: Long, startingVersion: Long)
+                             maxVersionsPerTrigger: Long, maxBytesPerTrigger: Long,
+                             startingVersion: Long)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   /** The read schema, PINNED at stream construction: the declared
@@ -171,16 +175,35 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Admission control: at most `maxVersionsPerTrigger` source
-    * commits per micro-batch — `start` is the engine's last committed
-    * end, so the cap needs no internal state and survives restarts.
+    * commits AND (when the log recorded file sizes)
+    * `maxBytesPerTrigger` bytes of added data per micro-batch —
+    * `start` is the engine's last committed end, so both caps need no
+    * internal state and survive restarts. A single version always
+    * admits (a giant commit must not wedge the stream); size-less
+    * records (pre-r13 writers) count zero bytes toward the cap.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = Option(start).collect { case TxnVersionOffset(v) => v }
       .getOrElse(startingVersion)
     val head = TxnLog.currentVersion(root)
-    val capped = math.min(head, math.addExact(from,
-      math.min(maxVersionsPerTrigger, head - from + 1)))
-    TxnVersionOffset(math.max(from, capped))
+    val byVersions = math.min(head, math.addExact(from,
+      math.min(maxVersionsPerTrigger, math.max(head - from, 0L) + 1)))
+    val end =
+      if (maxBytesPerTrigger == Long.MaxValue || byVersions <= from) byVersions
+      else {
+        var bytes = 0L
+        var v = from
+        var open = true
+        TxnLog.commitsInRange(root, from, byVersions).foreach { c =>
+          if (open) {
+            val sz = c.sizes.filter(_ > 0L).sum
+            if (v > from && bytes + sz > maxBytesPerTrigger) open = false
+            else { bytes += sz; v = c.version }
+          }
+        }
+        v
+      }
+    TxnVersionOffset(math.max(from, end))
   }
 
   override def latestOffset(): Offset =

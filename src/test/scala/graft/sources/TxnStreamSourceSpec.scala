@@ -64,6 +64,38 @@ class TxnStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger: byte-based admission from recorded file sizes; a giant commit still admits") {
+    val root = freshRoot()
+    (0 until 4).foreach(i => append(root, s"t$i",
+      (1L to 512L).map(k => (i * 1000L + k, k))))
+    val perVersion = TxnLog.commits(root).head.sizes.sum
+    assert(perVersion > 0, "commits must carry recorded sizes")
+    // cap to ~1.5 versions of bytes: each batch admits exactly one
+    // version (the second would cross the cap)
+    val q = spark.readStream.format("graft-txn")
+      .option("root", root)
+      .option("maxBytesPerTrigger", (perVersion * 3 / 2).toString)
+      .load()
+      .writeStream.format("memory").queryName("txnsrc_bytes").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txnsrc_bytes").count() === 4 * 512L)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        s"a 1.5-version byte cap must take one version per batch, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+    // a cap SMALLER than any single commit must still make progress
+    val q2 = spark.readStream.format("graft-txn")
+      .option("root", root).option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("txnsrc_bytes1").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("txnsrc_bytes1").count() === 4 * 512L,
+        "a sub-commit byte cap must admit one version per batch, not wedge")
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes at the version watermark; appendOnce makes the pipeline exactly-once") {
     val src = freshRoot()
     val target = freshRoot()

@@ -1361,18 +1361,33 @@ object TxnLog {
     stage(df, root, attemptId(txnId))
 
   /** Delete staging directories referenced by NO commit record —
-    * losing/crashed write attempts. Like [[vacuum]], call from
+    * losing/crashed write attempts — and DV sidecar files referenced
+    * by no commit record and no retained checkpoint (the same orphan
+    * class: per-attempt names mean a losing delete/checkpoint attempt
+    * leaves a small unreferenced file). Like [[vacuum]], call from
     * maintenance with no writer mid-stage (an in-flight attempt is
     * indistinguishable from an abandoned one by construction).
     */
   def vacuumStaging(root: String): Seq[String] = {
-    val referenced = commits(root)
+    val allCommits = commits(root)
+    val referenced = allCommits
       .flatMap(c => c.added ++ c.removed)
       .map(f => Paths.get(f).getParent.getFileName.toString).toSet
-    listDir(Paths.get(root, "data"))
+    val stagingOrphans = listDir(Paths.get(root, "data"))
       .filter(d => Files.isDirectory(d) &&
         !referenced.contains(d.getFileName.toString))
       .map { d => deleteRecursively(d); d.toString }
+    // sidecars referenced by records or by either retained checkpoint
+    val ckptRefs = listDir(logDir(root))
+      .filter(_.getFileName.toString.endsWith(".checkpoint"))
+      .flatMap(p => parseCheckpoint(0L, Files.readString(p)).files
+        .flatMap(_._2.dv))
+    val liveRefs = (allCommits.flatMap(_.dvs) ++ ckptRefs)
+      .collect { case v if v.startsWith("@") => v.drop(1) }.toSet
+    val dvOrphans = listDir(logDir(root).resolve("dv"))
+      .filter(p => Files.isRegularFile(p) && !liveRefs.contains(p.toString))
+      .map { p => Files.deleteIfExists(p); p.toString }
+    stagingOrphans ++ dvOrphans
   }
 
   /** Stage `df` as immutable parquet files under `root/data/<txnId>/`

@@ -1137,6 +1137,16 @@ class TxnLogSpec extends SparkTestBase {
     // time travel under both deletes still resolves
     assert(TxnLog.read(spark, root, version = 1L).count() === 100000L)
     assert(TxnLog.read(spark, root, version = 2L).count() === 50000L)
+    // vacuumStaging reclaims ORPHAN sidecars (losing attempts) but
+    // never a referenced one
+    val dvDir = java.nio.file.Paths.get(root, "_log", "dv")
+    val orphan = dvDir.resolve("dead-a0123456789ab.dv")
+    java.nio.file.Files.writeString(orphan, "ff")
+    val vacuumed = TxnLog.vacuumStaging(root)
+    assert(vacuumed.contains(orphan.toString))
+    assert(TxnLog.read(spark, root).count() === expect.size.toLong,
+      "referenced sidecars must survive the orphan sweep")
+
     // density selection reads through the ref; compaction clears it
     assert(TxnLog.compactionCandidates(root, 0.5).size === 1)
     TxnLog.optimizeCompactDeletes(spark, root, 0.5, "oc1")

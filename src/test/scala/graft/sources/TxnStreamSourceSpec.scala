@@ -134,6 +134,25 @@ class TxnStreamSourceSpec extends SparkTestBase {
     assert(targetRows().size === 9)
   }
 
+  test("a RENAMED table streams correctly: physical files, logical output columns") {
+    val root = freshRoot()
+    append(root, "t1", Seq((1L, 10L), (2L, 20L)))
+    TxnLog.renameColumn(root, "v", "amount", "r1")
+    // a post-rename writer stages physical names through the map
+    TxnLog.appendOnce(Seq((3L, 30L)).toDF("k", "amount"), root, "ing", 0L)
+    val q = stream(root, maxVersions = Long.MaxValue)
+      .writeStream.format("memory").queryName("txnsrc_ren").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("txnsrc_ren")
+      assert(t.columns.toSeq === Seq("k", "amount", TxnStream.CommitVersionCol),
+        "the stream must surface the current LOGICAL names")
+      assert(t.select($"k", $"amount").as[(Long, Long)].collect().toSet ===
+        Set((1L, 10L), (2L, 20L), (3L, 30L)),
+        "rows from both schema eras must decode through the pinned physical schema")
+    } finally q.stop()
+  }
+
   test("the streamed feed equals the batch change feed; schema comes from the log") {
     val root = freshRoot()
     append(root, "t1", Seq((1L, 10L)))

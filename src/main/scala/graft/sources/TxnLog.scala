@@ -744,11 +744,25 @@ object TxnLog {
     */
   val DvSidecarThreshold = 4096
 
+  /** Sidecars are immutable once referenced, so their bytes are
+    * JVM-cacheable — a read-heavy table with dense vectors loads each
+    * sidecar once per process, not once per query plan. Bounded by
+    * entry count; on overflow the cache clears (refill is one file
+    * read each).
+    */
+  private val dvSidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Resolve a DV payload: inline hex passes through, an `@<path>`
-    * ref loads its sidecar.
+    * ref loads (and caches) its sidecar.
     */
   private[sources] def dvHex(v: String): String =
-    if (v.startsWith("@")) Files.readString(Paths.get(v.drop(1))) else v
+    if (!v.startsWith("@")) v
+    else {
+      if (dvSidecarCache.size > 128) dvSidecarCache.clear()
+      dvSidecarCache.computeIfAbsent(v,
+        _ => Files.readString(Paths.get(v.drop(1))))
+    }
 
   /** Publish a sidecar under a PER-ATTEMPT-unique name (the
     * `attemptId` staging recipe): no replayed transaction, crashed

@@ -136,7 +136,8 @@ object TxnLog {
     */
   case class FileMeta(stats: Map[String, FileStat] = Map.empty,
                       bloom: Option[String] = None, bloomCol: String = "",
-                      dv: Option[String] = None, size: Long = -1L) {
+                      dv: Option[String] = None, size: Long = -1L,
+                      modTime: Long = 0L) {
     /** The stat governing a query on `column`: an exact column match,
       * else the legacy unnamed stat (caller-asserted). A query that
       * names no column is the pre-r12 single-clustering contract: it
@@ -372,6 +373,15 @@ object TxnLog {
   private def readCommit(root: String, v: Long): Commit =
     parse(Files.readString(entryPath(root, v)))
 
+  /** The record at exactly version `v`, opened by FILENAME — no
+    * directory listing, no neighbors. What incremental walkers (the
+    * streaming source's byte-capped admission) use to pay one record
+    * open per admitted version instead of O(backlog) per trigger.
+    */
+  private[sources] def commitAt(root: String, v: Long): Option[Commit] =
+    try Some(readCommit(root, v))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   /** Committed records with `fromExclusive < version <= toInclusive`,
     * in version order. The version rides in the FILENAME, so records
     * outside the range are never opened — this is what makes
@@ -509,6 +519,9 @@ object TxnLog {
           case Seq("R", l2, p)       => renames += (l2 -> p)
           case Seq("Z", f, sz)       =>
             files(f) = files.getOrElse(f, FileMeta()).copy(size = sz.toLong)
+          case Seq("Z", f, sz, mt)   =>
+            files(f) = files.getOrElse(f, FileMeta())
+              .copy(size = sz.toLong, modTime = mt.toLong)
           case other => sys.error(s"bad checkpoint line: $l")
         }
       }
@@ -578,9 +591,12 @@ object TxnLog {
         val (st, bl, ms) = (stats(i), blooms(i), multi(i))
         val statMap = parseMultiStat(ms) ++
           st.map(s => c.statsCol -> s).toMap // primary col last: it wins ties
+        // modTime = the commit's timestamp: when the file became
+        // table-visible — what `_metadata.file_modification_time`
+        // surfaces without a filesystem stat
         live(f) = FileMeta(statMap,
           Some(bl).filter(_.nonEmpty), if (bl.nonEmpty) c.bloomCol else "",
-          size = sizes(i))
+          size = sizes(i), modTime = c.ts)
       }
       c.dvFiles.zip(c.dvs).foreach { case (f, hex) =>
         // DVs union across delete commits (set bits only accumulate);
@@ -653,7 +669,8 @@ object TxnLog {
         }
       }
       if (meta.size >= 0L)
-        body.append("Z ").append(f).append(' ').append(meta.size).append('\n')
+        body.append("Z ").append(f).append(' ').append(meta.size)
+          .append(' ').append(meta.modTime).append('\n')
       meta.bloom.foreach { hex =>
         body.append("B ").append(f).append(' ').append(meta.bloomCol)
           .append(' ').append(hex).append('\n')
@@ -740,7 +757,10 @@ object TxnLog {
     * JSON record); the bitmap bytes are read only when the table is
     * actually read, never during snapshot resolution of a
     * single-delete file. Sidecars are immutable and live as long as
-    * their commit record (vacuum never touches `_log/`).
+    * their commit record ([[vacuum]] never touches `_log/`;
+    * [[vacuumStaging]] reclaims only sidecars referenced by NO
+    * record and NO retained checkpoint — losing attempts' orphans —
+    * under the same no-writer-mid-stage contract as staging dirs).
     */
   val DvSidecarThreshold = 4096
 
@@ -1391,15 +1411,22 @@ object TxnLog {
       .filter(d => Files.isDirectory(d) &&
         !referenced.contains(d.getFileName.toString))
       .map { d => deleteRecursively(d); d.toString }
-    // sidecars referenced by records or by either retained checkpoint
+    // sidecars referenced by records or by either retained
+    // checkpoint. Liveness compares FILENAMES (per-attempt
+    // UUID-unique), not full paths — the same rule as the staging
+    // sweep above: a root reached via a different spelling (symlink,
+    // relative path, doubled separator) must never make a referenced
+    // sidecar look orphaned.
     val ckptRefs = listDir(logDir(root))
       .filter(_.getFileName.toString.endsWith(".checkpoint"))
       .flatMap(p => parseCheckpoint(0L, Files.readString(p)).files
         .flatMap(_._2.dv))
-    val liveRefs = (allCommits.flatMap(_.dvs) ++ ckptRefs)
-      .collect { case v if v.startsWith("@") => v.drop(1) }.toSet
+    val liveNames = (allCommits.flatMap(_.dvs) ++ ckptRefs)
+      .collect { case v if v.startsWith("@") =>
+        Paths.get(v.drop(1)).getFileName.toString }.toSet
     val dvOrphans = listDir(logDir(root).resolve("dv"))
-      .filter(p => Files.isRegularFile(p) && !liveRefs.contains(p.toString))
+      .filter(p => Files.isRegularFile(p) &&
+        !liveNames.contains(p.getFileName.toString))
       .map { p => Files.deleteIfExists(p); p.toString }
     stagingOrphans ++ dvOrphans
   }

@@ -37,11 +37,18 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
   // difference between a metadata fold and a HEAD request per live
   // file. Pre-r13 records fall back to one stat per file.
   private val statuses: Seq[(FileStatus, TxnLog.FileMeta)] = state.map { case (f, m) =>
-    val size =
-      if (m.size >= 0L) m.size
-      else java.nio.file.Files.size(java.nio.file.Paths.get(f))
+    // mtime = the commit timestamp (when the file became table-
+    // visible) so `_metadata.file_modification_time` stays meaningful
+    // without a stat; pre-r13 records fall back to the real FS values
+    val (size, mtime) =
+      if (m.size >= 0L) (m.size, m.modTime)
+      else {
+        val p = java.nio.file.Paths.get(f)
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
     (new FileStatus(size, false, 1, 128L * 1024 * 1024,
-      0L, new Path("file://" + f)), m)
+      mtime, new Path("file://" + f)), m)
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path("file://" + root))

@@ -191,14 +191,20 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
     val end =
       if (maxBytesPerTrigger == Long.MaxValue || byVersions <= from) byVersions
       else {
+        // incremental walk, one record open per ADMITTED version —
+        // never a scan of the whole backlog per trigger (against a
+        // 50k-commit backlog the eager form would re-read every
+        // record every trigger, quadratic over catch-up)
         var bytes = 0L
         var v = from
         var open = true
-        TxnLog.commitsInRange(root, from, byVersions).foreach { c =>
-          if (open) {
-            val sz = c.sizes.filter(_ > 0L).sum
-            if (v > from && bytes + sz > maxBytesPerTrigger) open = false
-            else { bytes += sz; v = c.version }
+        while (open && v < byVersions) {
+          TxnLog.commitAt(root, v + 1) match {
+            case Some(c) =>
+              val sz = c.sizes.filter(_ > 0L).sum
+              if (v > from && bytes + sz > maxBytesPerTrigger) open = false
+              else { bytes += sz; v = c.version }
+            case None => open = false // version gap: stop at the last contiguous record
           }
         }
         v

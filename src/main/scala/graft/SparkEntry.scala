@@ -843,16 +843,14 @@ object SparkEntry {
                   FROM txn_typed_${dirTag(dir)}
                   WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'""")
       }),
-      // the commit log AS a table (provenance/ops surface): version,
-      // action and the snapshot each txn read — deterministic for the
-      // three-commit fixture, so the oracle is a VALUES literal
-      "tx_history" -> ((s, dir) => {
-        val root = ensureTxnTable(s, dir)
-        import s.implicits._
-        graft.sources.TxnLog.commits(root)
-          .map(c => (c.version, c.action, c.readVersion))
-          .toDF("version", "action", "read_version")
-      })
+      // the commit log AS a table (the DESCRIBE HISTORY surface):
+      // version, action and the snapshot each txn read —
+      // deterministic for the three-commit fixture, so the oracle is
+      // a VALUES literal (timestamps/magnitudes are dropped for
+      // determinism; TxnLog.history carries them)
+      "tx_history" -> ((s, dir) =>
+        graft.sources.TxnLog.history(s, ensureTxnTable(s, dir))
+          .select(col("version"), col("action"), col("read_version")))
     )
   }
 

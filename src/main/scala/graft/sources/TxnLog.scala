@@ -2086,6 +2086,20 @@ object TxnLog {
                          renames: Map[String, String]): DataFrame =
     if (renames.isEmpty) df else df.withColumnsRenamed(renames)
 
+  /** The commit log as a DataFrame — the DESCRIBE HISTORY surface:
+    * one row per committed transaction with its action, read
+    * snapshot, timestamp and change magnitudes. O(history) record
+    * opens; an administrative query, not a planning path.
+    */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    commits(root)
+      .map(c => (c.version, c.action, c.txnId, c.readVersion, c.ts,
+        c.added.size.toLong, c.removed.size.toLong, c.dvFiles.size.toLong))
+      .toDF("version", "action", "txn_id", "read_version", "ts",
+        "n_added", "n_removed", "n_dv_files")
+  }
+
   /** The snapshot version live at `tsMillis` — the latest commit
     * whose (monotonized) timestamp is at or before it. Commit
     * timestamps are strictly increasing within a log tail ([[commit]]

@@ -62,8 +62,14 @@ class TxnLogModelSpec extends SparkTestBase {
     else df.as[(Long, Long)].collect().toMap
   }
 
+  /** CI runs seeds 1..3 with 10 ops; a deep search (one-off receipts,
+    * not CI) widens via env: GRAFT_MODEL_SEEDS=12 GRAFT_MODEL_OPS=14.
+    */
+  private val modelSeeds = sys.env.get("GRAFT_MODEL_SEEDS").map(_.toLong).getOrElse(3L)
+  private val modelOps = sys.env.get("GRAFT_MODEL_OPS").map(_.toInt).getOrElse(10)
+
   test("random op sequences: the table tracks the model at every step, and every version travels back") {
-    for (seed <- 1L to 3L) {
+    for (seed <- 1L to modelSeeds) {
       val root = java.nio.file.Files.createTempDirectory(s"graft-model-$seed").toString
       TxnLog.init(root)
       var model = Map.empty[Long, Long]
@@ -74,7 +80,7 @@ class TxnLogModelSpec extends SparkTestBase {
       var keyName = "k"
       // version -> expected state, for the time-travel sweep at the end
       val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
-      val ops = sample(Gen.listOfN(10, opGen), seed)
+      val ops = sample(Gen.listOfN(modelOps, opGen), seed)
       ops.zipWithIndex.foreach { case (op, i) =>
         op match {
           case Append(rows) =>

@@ -263,6 +263,51 @@ object SparkEntry {
     ()
   }
 
+  /** Catalog-surface fixture warehouses already built this JVM. */
+  private val materializedCatTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The SQL-native lakehouse fixture ([[graft.sources.GraftCatalog]]):
+    * a per-sf catalog `gcat_<tag>` whose warehouse holds one table
+    * `db.ord`, built ENTIRELY through SQL — CREATE TABLE (v1), two
+    * INSERT slices (v2/v3, each one atomic stats-bearing commit), one
+    * arithmetic DELETE FROM (v4, deletion vectors) — so the tx_cat_*
+    * rows exercise the V2 connector end to end: catalog resolution,
+    * filter pushdown, log-stats file pruning, DV-filtering readers,
+    * SQL time travel. Content stays a pure predicate over `orders`
+    * for the DuckDB oracle. Returns the catalog name.
+    */
+  private def ensureCatalogTable(s: SparkSession, dir: String): String = {
+    val tag = dirTag(dir)
+    val cat = s"gcat_$tag"
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cat_${tag}_${ordersFingerprint(dir)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    materializeOnce(materializedCatTables, wh) {
+      val root = s"$wh/db/ord"
+      if (graft.sources.TxnLog.currentVersion(root) != 4L) {
+        graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+            col("o_orderstatus"))
+          .createOrReplaceTempView(s"cat_src_$tag")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.ord " +
+          "(o_orderkey BIGINT, price_cents BIGINT, o_orderstatus STRING)")
+        s.sql(s"INSERT INTO $cat.db.ord " +
+          s"SELECT * FROM cat_src_$tag WHERE o_orderkey % 3 = 0")
+        s.sql(s"INSERT INTO $cat.db.ord " +
+          s"SELECT * FROM cat_src_$tag WHERE o_orderkey % 3 = 1")
+        s.sql(s"DELETE FROM $cat.db.ord WHERE o_orderkey % 5 = 2")
+        ()
+      }
+    }
+    cat
+  }
+
   /** Range-clustered stats-bearing txn tables already built this JVM. */
   private val materializedTxnRangeTables =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -518,6 +563,7 @@ object SparkEntry {
     ensureTxnZorderTable(s, dir)
     ensureTxnTypedTable(s, dir)
     ensureTxnCompactTable(s, dir)
+    ensureCatalogTable(s, dir)
     ()
   }
 
@@ -850,7 +896,33 @@ object SparkEntry {
       // determinism; TxnLog.history carries them)
       "tx_history" -> ((s, dir) =>
         graft.sources.TxnLog.history(s, ensureTxnTable(s, dir))
-          .select(col("version"), col("action"), col("read_version")))
+          .select(col("version"), col("action"), col("read_version"))),
+      // ---- SQL-native catalog surface (X-A50, GraftCatalog): the
+      //      same lakehouse through `spark.sql` alone — the fixture
+      //      is built ENTIRELY by SQL statements (CREATE TABLE,
+      //      INSERT ×2, arithmetic DELETE), and every read here plans
+      //      through the V2 connector (catalog → pushed filters →
+      //      log-stats pruning → DV-filtering readers). ----
+      // full scan + aggregate over the DV'd table
+      "tx_cat_agg" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT o_orderstatus, count(*) AS n, sum(price_cents) AS cents
+                  FROM $cat.db.ord GROUP BY o_orderstatus""")
+      }),
+      // pushed range predicate: files outside [4000, 12000] are
+      // pruned from the log stats before any open
+      "tx_cat_filter" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT o_orderkey, price_cents FROM $cat.db.ord
+                  WHERE o_orderkey BETWEEN 4000 AND 12000""")
+      }),
+      // SQL time travel: VERSION AS OF 2 = the first insert only,
+      // before the second slice and the delete
+      "tx_cat_travel" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT o_orderkey, price_cents
+                  FROM $cat.db.ord VERSION AS OF 2""")
+      })
     )
   }
 
@@ -1123,7 +1195,26 @@ object SparkEntry {
            (CAST(1 AS BIGINT), 'append', CAST(0 AS BIGINT)),
            (CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT)),
            (CAST(3 AS BIGINT), 'upsert', CAST(2 AS BIGINT)))
-         AS t(version, action, read_version)"""
+         AS t(version, action, read_version)""",
+
+    "tx_cat_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 2
+         GROUP BY o_orderstatus""",
+
+    "tx_cat_filter" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 2
+           AND o_orderkey BETWEEN 4000 AND 12000""",
+
+    "tx_cat_travel" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey % 3 = 0"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -2082,8 +2082,8 @@ object TxnLog {
     * staged files must carry physical names so every generation of a
     * renamed table stores the SAME column name).
     */
-  private def toPhysical(df: DataFrame,
-                         renames: Map[String, String]): DataFrame =
+  private[sources] def toPhysical(df: DataFrame,
+                                  renames: Map[String, String]): DataFrame =
     if (renames.isEmpty) df else df.withColumnsRenamed(renames)
 
   /** The commit log as a DataFrame — the DESCRIBE HISTORY surface:

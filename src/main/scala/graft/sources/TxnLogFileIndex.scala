@@ -59,11 +59,17 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = statuses.filter { case (_, m) =>
-      dataFilters.forall(mayMatch(m, _))
-    }
+    val kept = statuses.filter { case (_, m) => keep(m, dataFilters) }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
+
+  /** Could any row of a file with metadata `m` satisfy every filter?
+    * The pruning decision alone, independent of the listing shape —
+    * what the DataSource V2 batch scan ([[GraftScan]]) asks per file.
+    */
+  private[sources] def keep(m: TxnLog.FileMeta,
+                            dataFilters: Seq[Expression]): Boolean =
+    dataFilters.forall(mayMatch(m, _))
 
   /** The kind tag a stat must carry to compare against an attribute
     * of this type — [[TxnLog.FileStat.typ]]'s vocabulary. The

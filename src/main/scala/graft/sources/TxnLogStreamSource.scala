@@ -148,7 +148,8 @@ private case class TxnFilePartition(path: String, version: Long,
 
 class TxnLogMicroBatchStream(root: String, schema: StructType,
                              maxVersionsPerTrigger: Long, maxBytesPerTrigger: Long,
-                             startingVersion: Long)
+                             startingVersion: Long,
+                             stampVersion: Boolean = true)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   /** The read schema, PINNED at stream construction: the declared
@@ -251,7 +252,7 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
       options = Map(
         org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
-    new TxnReaderFactory(readFile)
+    new TxnReaderFactory(readFile, stampVersion)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -259,7 +260,8 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
 }
 
 private class TxnReaderFactory(
-    readFile: PartitionedFile => Iterator[InternalRow])
+    readFile: PartitionedFile => Iterator[InternalRow],
+    stampVersion: Boolean = true)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -269,7 +271,8 @@ private class TxnReaderFactory(
     // the parquet reader may yield ColumnarBatches disguised as rows
     // (vectorized path) — flatten either shape to rows, then stamp
     // the commit version via a reused JoinedRow (the same row-reuse
-    // contract Spark's own scans follow)
+    // contract Spark's own scans follow); the catalog streaming path
+    // ([[GraftScan]]) reads the table's own schema, un-stamped
     val rows: Iterator[InternalRow] =
       readFile(pf).asInstanceOf[Iterator[Any]].flatMap {
         case b: ColumnarBatch => b.rowIterator().asScala
@@ -279,7 +282,8 @@ private class TxnReaderFactory(
     val joined = new JoinedRow
     new PartitionReader[InternalRow] {
       override def next(): Boolean = rows.hasNext
-      override def get(): InternalRow = joined(rows.next(), stamp)
+      override def get(): InternalRow =
+        if (stampVersion) joined(rows.next(), stamp) else rows.next()
       override def close(): Unit = () // the reader closes on task completion
     }
   }

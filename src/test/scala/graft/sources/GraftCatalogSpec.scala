@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+/** The SQL-native surface over the transaction log
+  * ([[GraftCatalog]]): DDL, INSERT (append + overwrite), SELECT with
+  * log-stats file pruning, DELETE FROM as deletion vectors, TRUNCATE,
+  * time travel, column rename, CHECK constraints as table properties,
+  * and `readStream.table`. The batch results the V2 scan must agree
+  * with are hash-checked by the driver (`tx_cat_*`); these specs pin
+  * the white-box properties DuckDB cannot see (no files rewritten,
+  * pruned files never opened, nothing published on a rejected write).
+  */
+class GraftCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** One catalog for the whole suite: catalog instances cache per
+    * session on first use, so the warehouse is fixed up front.
+    */
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft-cat-wh").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    wh
+  }
+
+  private def root(table: String): String = s"$warehouse/db/$table"
+
+  test("CREATE TABLE + INSERT INTO + SELECT roundtrip; the schema is a log fact") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.t1 (k BIGINT, v STRING)")
+    assert(TxnLog.tableSchema(root("t1")).get.fieldNames.toSeq === Seq("k", "v"))
+    spark.sql("INSERT INTO gcat.db.t1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO gcat.db.t1 SELECT id, concat('x', id) FROM range(10, 13)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.t1").head.getLong(0) === 6L)
+    assert(spark.sql("SELECT v FROM gcat.db.t1 WHERE k = 2").head.getString(0) === "b")
+    // the insert recorded typed stats for both columns
+    val stats = TxnLog.snapshotState(root("t1")).flatMap(_._2.stats.keys).toSet
+    assert(stats === Set("k", "v"))
+  }
+
+  test("pushed filters prune files against log stats: out-of-range files are never opened") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.pr (k BIGINT, v STRING)")
+    // four appends with disjoint ranges -> four files with disjoint stats
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.pr SELECT /*+ REPARTITION(1) */ id, concat('v', id) " +
+        s"FROM range(${i * 100}, ${i * 100 + 50})"))
+    val state = TxnLog.snapshotState(root("pr"))
+    assert(state.size === 4)
+    // corrupt every file that cannot hold k = 120
+    val victims = state.filterNot { case (_, m) =>
+      val st = m.stats("k"); st.lo <= 120L && 120L <= st.hi }
+    assert(victims.size === 3)
+    victims.foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](1, 2, 3)) }
+    assert(spark.sql("SELECT v FROM gcat.db.pr WHERE k = 120").head.getString(0) === "v120")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.pr WHERE k >= 100 AND k < 150")
+      .head.getLong(0) === 50L)
+    // and the scan surfaces in the plan
+    val plan = spark.sql("SELECT v FROM gcat.db.pr WHERE k = 120")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTableScan"), s"expected the V2 scan in:\n$plan")
+  }
+
+  test("DELETE FROM with an arithmetic predicate: deletion vectors, zero files rewritten") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.del (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.del SELECT id, id * 10 FROM range(0, 100)")
+    val before = TxnLog.snapshotFiles(root("del")).toSet
+    spark.sql("DELETE FROM gcat.db.del WHERE k % 5 = 2")
+    assert(TxnLog.snapshotFiles(root("del")).toSet === before,
+      "a DV delete must rewrite no file")
+    assert(TxnLog.snapshotState(root("del")).exists(_._2.dv.isDefined))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.del").head.getLong(0) === 80L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.del").head.getLong(0) ===
+      (0L until 100L).filterNot(_ % 5 == 2).map(_ * 10).sum)
+    // a second delete unions into the vectors
+    spark.sql("DELETE FROM gcat.db.del WHERE k IN (0, 1)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.del").head.getLong(0) === 78L)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF travel through the SQL surface") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.tt (k BIGINT)")          // v1
+    spark.sql("INSERT INTO gcat.db.tt SELECT id FROM range(0, 5)")   // v2
+    spark.sql("INSERT INTO gcat.db.tt SELECT id FROM range(5, 9)")   // v3
+    spark.sql("DELETE FROM gcat.db.tt WHERE k = 0")                  // v4
+    assert(spark.sql("SELECT count(*) FROM gcat.db.tt").head.getLong(0) === 8L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.tt VERSION AS OF 2").head.getLong(0) === 5L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.tt VERSION AS OF 3").head.getLong(0) === 9L)
+    val ts2 = TxnLog.commits(root("tt")).find(_.version == 2L).get.ts
+    val lit = java.time.Instant.ofEpochMilli(ts2).toString.replace("T", " ").replace("Z", "")
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.tt TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) === 5L)
+  }
+
+  test("INSERT OVERWRITE swaps the live set in one commit; TRUNCATE empties; history intact") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ow (k BIGINT)")
+    spark.sql("INSERT INTO gcat.db.ow SELECT id FROM range(0, 10)")
+    val v2 = TxnLog.currentVersion(root("ow"))
+    spark.sql("INSERT OVERWRITE gcat.db.ow SELECT id FROM range(100, 103)")
+    assert(TxnLog.currentVersion(root("ow")) === v2 + 1, "overwrite is ONE commit")
+    assert(spark.sql("SELECT sum(k) FROM gcat.db.ow").head.getLong(0) === 303L)
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.ow VERSION AS OF $v2")
+      .head.getLong(0) === 10L, "the overwritten snapshot still travels")
+    spark.sql("TRUNCATE TABLE gcat.db.ow")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ow").head.getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.ow VERSION AS OF ${v2 + 1}")
+      .head.getLong(0) === 3L)
+  }
+
+  test("ALTER TABLE RENAME COLUMN is one metadata commit; files untouched; pruning survives") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rn (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gcat.db.rn SELECT id, concat('v', id) FROM range(0, 50)")
+    spark.sql("INSERT INTO gcat.db.rn SELECT id, concat('v', id) FROM range(100, 150)")
+    val files = TxnLog.snapshotFiles(root("rn")).toSet
+    val mtimes = files.map(f => Files.getLastModifiedTime(Paths.get(f)))
+    spark.sql("ALTER TABLE gcat.db.rn RENAME COLUMN k TO key")
+    assert(TxnLog.snapshotFiles(root("rn")).toSet === files)
+    assert(files.map(f => Files.getLastModifiedTime(Paths.get(f))) === mtimes,
+      "rename must touch no data file")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rn WHERE key < 50").head.getLong(0) === 50L)
+    // the old era surfaces the old name
+    assert(spark.sql("SELECT * FROM gcat.db.rn VERSION AS OF 2").columns.toSeq
+      === Seq("k", "v"))
+    // logical predicates on the NEW name still prune physical stats:
+    // corrupt the out-of-range file and query through the rename
+    val state = TxnLog.snapshotState(root("rn"))
+    val victim = state.find(_._2.stats("k").lo >= 100L).get._1
+    Files.write(Paths.get(victim), Array[Byte](9, 9, 9))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rn WHERE key BETWEEN 10 AND 19")
+      .head.getLong(0) === 10L)
+    // INSERT through the rename stages physical names: both generations agree
+    spark.sql("INSERT INTO gcat.db.rn (key, v) VALUES (1000, 'tail')")
+    assert(spark.sql("SELECT v FROM gcat.db.rn WHERE key = 1000").head.getString(0) === "tail")
+  }
+
+  test("CHECK constraints as table properties: a violating INSERT publishes nothing") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ck (k BIGINT)")
+    spark.sql("ALTER TABLE gcat.db.ck SET TBLPROPERTIES ('graft.constraint.pos' = 'k >= 0')")
+    spark.sql("INSERT INTO gcat.db.ck VALUES (1), (2)")
+    val v = TxnLog.currentVersion(root("ck"))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.db.ck VALUES (3), (-1)")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[TxnLog.ConstraintViolationException]),
+      s"expected a constraint violation, got $e")
+    assert(TxnLog.currentVersion(root("ck")) === v, "nothing may publish")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ck").head.getLong(0) === 2L)
+    // visible as a property, droppable as one
+    assert(spark.sql("SHOW TBLPROPERTIES gcat.db.ck").collect()
+      .exists(r => r.getString(0) == "graft.constraint.pos"))
+    spark.sql("ALTER TABLE gcat.db.ck UNSET TBLPROPERTIES ('graft.constraint.pos')")
+    spark.sql("INSERT INTO gcat.db.ck VALUES (-5)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ck").head.getLong(0) === 3L)
+  }
+
+  test("the optimizer sees post-prune statistics: filtered reads report exact DV-corrected rows") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.st (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.st SELECT id, id FROM range(0, 64)")
+    spark.sql("DELETE FROM gcat.db.st WHERE k < 4")
+    val rel = spark.sql("SELECT * FROM gcat.db.st").queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r }
+    assert(rel.nonEmpty)
+    assert(rel.head.stats.rowCount.contains(BigInt(60)),
+      s"expected DV-corrected row count 60, got ${rel.head.stats.rowCount}")
+  }
+
+  test("DROP TABLE removes it; listTables and tableExists agree") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.tmp (k BIGINT)")
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect().map(_.getString(1)).contains("tmp"))
+    spark.sql("DROP TABLE gcat.db.tmp")
+    assert(!spark.sql("SHOW TABLES IN gcat.db").collect().map(_.getString(1)).contains("tmp"))
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.db.tmp").collect() }
+  }
+
+  test("readStream.table drains the change feed to the snapshot through the catalog") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.sr (k BIGINT, v BIGINT)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.sr SELECT id, id * 2 FROM range(${i * 10}, ${i * 10 + 10})"))
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("gcat.db.sr")
+      .writeStream.format("memory").queryName("cat_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_stream").count() === 30L)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "1 version per trigger over 3 inserts must take >=3 micro-batches")
+      // a live commit is picked up
+      spark.sql("INSERT INTO gcat.db.sr VALUES (999, 1998)")
+      q.processAllAvailable()
+      assert(spark.table("cat_stream").count() === 31L)
+      assert(spark.table("cat_stream").columns.toSeq === Seq("k", "v"),
+        "the catalog stream emits the table's own schema, un-stamped")
+    } finally q.stop()
+  }
+}

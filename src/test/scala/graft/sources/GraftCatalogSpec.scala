@@ -175,6 +175,25 @@ class GraftCatalogSpec extends SparkTestBase {
       s"expected DV-corrected row count 60, got ${rel.head.stats.rowCount}")
   }
 
+  test("post-prune size reaches the optimizer: a pruned catalog read broadcast-joins") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.bj (k BIGINT, v STRING)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.bj SELECT /*+ REPARTITION(1) */ id, concat('v', id) " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})"))
+    val all = TxnLog.snapshotState(root("bj")).map(_._2.size).sum
+    val q = spark.range(0, 500000).toDF("id2")
+      .join(spark.sql("SELECT k, v FROM gcat.db.bj WHERE k < 1000"),
+        org.apache.spark.sql.functions.col("id2") === org.apache.spark.sql.functions.col("k"))
+    val rel = q.queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r }
+    assert(rel.nonEmpty)
+    assert(rel.head.stats.sizeInBytes > 0 && rel.head.stats.sizeInBytes < all,
+      s"post-prune size ${rel.head.stats.sizeInBytes} must undercut the table's $all")
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "a one-file post-prune read must broadcast, not shuffle, against 500k rows")
+  }
+
   test("DROP TABLE removes it; listTables and tableExists agree") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.tmp (k BIGINT)")

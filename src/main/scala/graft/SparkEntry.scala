@@ -287,7 +287,7 @@ object SparkEntry {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     materializeOnce(materializedCatTables, wh) {
       val root = s"$wh/db/ord"
-      if (graft.sources.TxnLog.currentVersion(root) != 4L) {
+      if (graft.sources.TxnLog.currentVersion(root) != 6L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
           .select(col("o_orderkey"),
@@ -295,13 +295,26 @@ object SparkEntry {
             col("o_orderstatus"))
           .createOrReplaceTempView(s"cat_src_$tag")
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.ord " +
+        s.sql(s"CREATE TABLE $cat.db.ord " +                          // v1
           "(o_orderkey BIGINT, price_cents BIGINT, o_orderstatus STRING)")
-        s.sql(s"INSERT INTO $cat.db.ord " +
+        s.sql(s"INSERT INTO $cat.db.ord " +                           // v2
           s"SELECT * FROM cat_src_$tag WHERE o_orderkey % 3 = 0")
-        s.sql(s"INSERT INTO $cat.db.ord " +
+        s.sql(s"INSERT INTO $cat.db.ord " +                           // v3
           s"SELECT * FROM cat_src_$tag WHERE o_orderkey % 3 = 1")
-        s.sql(s"DELETE FROM $cat.db.ord WHERE o_orderkey % 5 = 2")
+        s.sql(s"DELETE FROM $cat.db.ord WHERE o_orderkey % 5 = 2")    // v4 (DV)
+        s.sql(s"UPDATE $cat.db.ord SET price_cents = price_cents + 7 " + // v5 (COW)
+          "WHERE o_orderkey % 7 = 0")
+        // v6: MERGE — %15==1 keys are always in the target (k=15m+1
+        // has k%3=1 and k%5=1, so the v4 delete never touched them)
+        // and exercise the MATCHED arm; %3==2 keys are disjoint from
+        // the target and exercise NOT MATCHED inserts
+        s.sql(s"""MERGE INTO $cat.db.ord t
+                  USING (SELECT * FROM cat_src_$tag
+                         WHERE o_orderkey % 3 = 2 OR o_orderkey % 15 = 1) s
+                  ON t.o_orderkey = s.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET price_cents = 2 * s.price_cents
+                  WHEN NOT MATCHED THEN INSERT (o_orderkey, price_cents, o_orderstatus)
+                    VALUES (s.o_orderkey, 2 * s.price_cents, s.o_orderstatus)""")
         ()
       }
     }
@@ -903,17 +916,17 @@ object SparkEntry {
       //      INSERT ×2, arithmetic DELETE), and every read here plans
       //      through the V2 connector (catalog → pushed filters →
       //      log-stats pruning → DV-filtering readers). ----
-      // full scan + aggregate over the DV'd table
+      // scan + aggregate over the DV'd snapshot (v4 = post-delete)
       "tx_cat_agg" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"""SELECT o_orderstatus, count(*) AS n, sum(price_cents) AS cents
-                  FROM $cat.db.ord GROUP BY o_orderstatus""")
+                  FROM $cat.db.ord VERSION AS OF 4 GROUP BY o_orderstatus""")
       }),
       // pushed range predicate: files outside [4000, 12000] are
       // pruned from the log stats before any open
       "tx_cat_filter" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
-        s.sql(s"""SELECT o_orderkey, price_cents FROM $cat.db.ord
+        s.sql(s"""SELECT o_orderkey, price_cents FROM $cat.db.ord VERSION AS OF 4
                   WHERE o_orderkey BETWEEN 4000 AND 12000""")
       }),
       // SQL time travel: VERSION AS OF 2 = the first insert only,
@@ -922,6 +935,20 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"""SELECT o_orderkey, price_cents
                   FROM $cat.db.ord VERSION AS OF 2""")
+      }),
+      // SQL UPDATE (v5): group-based copy-on-write — only the files
+      // whose stats admit %7 keys (all of them here) were rewritten,
+      // deletion vectors compacted in, one commit
+      "tx_cat_update" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT o_orderkey, price_cents
+                  FROM $cat.db.ord VERSION AS OF 5""")
+      }),
+      // SQL MERGE INTO (v6 = head): matched updates + disjoint-key
+      // inserts in ONE commit under read-set conflict protection
+      "tx_cat_merge" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ord")
       })
     )
   }
@@ -1214,7 +1241,31 @@ object SparkEntry {
     "tx_cat_travel" ->
       """SELECT o_orderkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-         FROM orders WHERE o_orderkey % 3 = 0"""
+         FROM orders WHERE o_orderkey % 3 = 0""",
+
+    "tx_cat_update" ->
+      """SELECT o_orderkey,
+                CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     + CASE WHEN o_orderkey % 7 = 0 THEN 7 ELSE 0 END AS BIGINT)
+                  AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 2""",
+
+    "tx_cat_merge" ->
+      """SELECT o_orderkey,
+                CAST(CASE WHEN o_orderkey % 15 = 1
+                            THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+                          WHEN o_orderkey % 7 = 0
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+                          ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                     END AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 2
+         UNION ALL
+         SELECT o_orderkey,
+                CAST(2 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
+                  AS price_cents
+         FROM orders WHERE o_orderkey % 3 = 2"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -203,6 +203,102 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception] { spark.sql("SELECT * FROM gcat.db.tmp").collect() }
   }
 
+  test("SQL UPDATE rewrites only the files the predicate can touch") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.up (k BIGINT, v BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.up SELECT /*+ REPARTITION(1) */ id, id FROM range(${i * 100}, ${i * 100 + 100})"))
+    val before = TxnLog.snapshotFiles(root("up")).toSet
+    assert(before.size === 4)
+    spark.sql("UPDATE gcat.db.up SET v = v + 1000000 WHERE k BETWEEN 150 AND 160")
+    val after = TxnLog.snapshotFiles(root("up")).toSet
+    // group-based copy-on-write: exactly the one file whose stat
+    // range covers [150, 160] is replaced; the other three survive
+    assert((before -- after).size === 1, s"expected 1 file rewritten, lost ${before -- after}")
+    assert((before & after).size === 3)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.up").head.getLong(0) === 400L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.up").head.getLong(0) ===
+      (0L until 400L).sum + 11L * 1000000L)
+    // unmatched rows of the rewritten group carried over intact
+    assert(spark.sql("SELECT v FROM gcat.db.up WHERE k = 120").head.getLong(0) === 120L)
+    // the rewrite is one commit, and the pre-update snapshot travels
+    assert(spark.sql(s"SELECT sum(v) FROM gcat.db.up VERSION AS OF 5")
+      .head.getLong(0) === (0L until 400L).sum)
+  }
+
+  test("SQL UPDATE compacts prior deletion vectors into the rewrite") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.uc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.uc SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM gcat.db.uc WHERE k % 10 = 3")
+    assert(TxnLog.snapshotState(root("uc")).exists(_._2.dv.isDefined))
+    spark.sql("UPDATE gcat.db.uc SET v = 0 WHERE k < 10")
+    // the rewrite replaced the DV'd file: vectors gone, deletes kept
+    assert(!TxnLog.snapshotState(root("uc")).exists(_._2.dv.isDefined),
+      "a rewrite must compact deletion vectors away")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.uc").head.getLong(0) === 90L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.uc WHERE k = 3").head.getLong(0) === 0L,
+      "a DV'd row must not resurrect through the rewrite")
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.uc WHERE k < 10").head.getLong(0) === 0L)
+  }
+
+  test("SQL MERGE INTO: matched updates, unmatched inserts, one commit") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mg (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.mg SELECT id, id * 10 FROM range(0, 50)")
+    val v2 = TxnLog.currentVersion(root("mg"))
+    spark.range(40, 60).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("mg_src")
+    spark.sql(
+      """MERGE INTO gcat.db.mg t USING mg_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(TxnLog.currentVersion(root("mg")) === v2 + 1, "MERGE is ONE commit")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mg").head.getLong(0) === 60L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.mg").head.getLong(0) ===
+      (0L until 40L).map(_ * 10).sum + (40L until 60L).map(_ * 100).sum)
+    // the merged commit carries stats: a post-merge point read prunes
+    assert(spark.sql("SELECT v FROM gcat.db.mg WHERE k = 55").head.getLong(0) === 5500L)
+  }
+
+  test("DELETE routes by predicate: functions stay metadata (DV), subqueries take the rewrite") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.dr (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO gcat.db.dr SELECT id, repeat('x', CAST(id % 4 AS INT)) FROM range(0, 40)")
+    val before = TxnLog.snapshotFiles(root("dr")).toSet
+    // a FUNCTION predicate still translates (V2 predicate -> SQL ->
+    // expr): deletion vectors, zero files rewritten
+    spark.sql("DELETE FROM gcat.db.dr WHERE length(s) >= 3")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.dr").head.getLong(0) === 30L)
+    assert(TxnLog.snapshotFiles(root("dr")).toSet === before,
+      "a translatable DELETE must stay a metadata delete")
+    // a SUBQUERY cannot become a connector predicate: the group-based
+    // rewrite path deletes by rewriting the affected files
+    spark.sql("DELETE FROM gcat.db.dr WHERE k IN (SELECT id FROM range(0, 10))")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.dr").head.getLong(0) === 22L,
+      "40 - 10 (len>=3) - 8 (k<10 survivors of the first delete) rows must remain")
+    assert(TxnLog.snapshotFiles(root("dr")).toSet !== before,
+      "a subquery DELETE takes the copy-on-write path")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.dr WHERE k < 10").head.getLong(0) === 0L)
+  }
+
+  test("the _file metadata column maps every row to its data file") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mf (k BIGINT, v STRING)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.mf SELECT /*+ REPARTITION(1) */ id, concat('v', id) " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})"))
+    val perFile = spark.sql("SELECT _file, count(*) AS n FROM gcat.db.mf GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perFile.keySet === TxnLog.snapshotFiles(root("mf")).toSet)
+    assert(perFile.values.toSeq === Seq(10L, 10L, 10L))
+    // _file composes with data columns and DV filtering
+    spark.sql("DELETE FROM gcat.db.mf WHERE k = 15")
+    val f15 = spark.sql("SELECT _file FROM gcat.db.mf WHERE k = 16").head.getString(0)
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.mf WHERE _file = '$f15'")
+      .head.getLong(0) === 9L)
+  }
+
   test("readStream.table drains the change feed to the snapshot through the catalog") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.sr (k BIGINT, v BIGINT)")

@@ -282,6 +282,43 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gcat.db.dr WHERE k < 10").head.getLong(0) === 0L)
   }
 
+  test("clean scans are columnar (vectorized); DV'd scans fall to the row path — both correct") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.cb (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.cb SELECT id, id * 3 FROM range(0, 1000)")
+    // AQE inserts ColumnarToRow per stage at execution: run the
+    // query, then read the FINAL plan
+    def executedPlanOf(sql: String) = {
+      val df = spark.sql(sql); df.collect(); df.queryExecution.executedPlan.toString
+    }
+    assert(executedPlanOf("SELECT sum(v) FROM gcat.db.cb").contains("ColumnarToRow"),
+      "a DV-less catalog scan must feed ColumnarBatches to codegen")
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.cb").head.getLong(0) ===
+      (0L until 1000L).map(_ * 3).sum)
+    spark.sql("DELETE FROM gcat.db.cb WHERE k % 4 = 1")
+    assert(!executedPlanOf("SELECT sum(v) FROM gcat.db.cb").contains("ColumnarToRow"),
+      "a DV'd scan must take the row-filtering path")
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.cb").head.getLong(0) ===
+      (0L until 1000L).filterNot(_ % 4 == 1).map(_ * 3).sum)
+  }
+
+  test("concurrent SQL INSERTs all land through the commit CAS") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.cc (k BIGINT, v BIGINT)")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        try spark.sql(s"INSERT INTO gcat.db.cc SELECT id, id FROM range(${i * 100}, ${i * 100 + 100})")
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"appends never conflict, got $errs")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.cc").head.getLong(0) === 400L)
+    assert(TxnLog.currentVersion(root("cc")) === 5L,
+      "create + 4 appends = 5 versions, every CAS loser retried")
+  }
+
   test("the _file metadata column maps every row to its data file") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.mf (k BIGINT, v STRING)")

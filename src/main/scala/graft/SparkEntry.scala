@@ -287,7 +287,7 @@ object SparkEntry {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     materializeOnce(materializedCatTables, wh) {
       val root = s"$wh/db/ord"
-      if (graft.sources.TxnLog.currentVersion(root) != 6L) {
+      if (graft.sources.TxnLog.currentVersion(root) != 7L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
           .select(col("o_orderkey"),
@@ -315,6 +315,16 @@ object SparkEntry {
                   WHEN MATCHED THEN UPDATE SET price_cents = 2 * s.price_cents
                   WHEN NOT MATCHED THEN INSERT (o_orderkey, price_cents, o_orderstatus)
                     VALUES (s.o_orderkey, 2 * s.price_cents, s.o_orderstatus)""")
+        // v7: the same UPDATE primitive MERGE-ON-READ — deletion-
+        // vector bits + appended post-images, zero files rewritten
+        val prevMode = s.conf.getOption("spark.graft.dml.mode")
+        s.conf.set("spark.graft.dml.mode", "mor")
+        try s.sql(s"UPDATE $cat.db.ord SET price_cents = price_cents + 1 " +
+          "WHERE o_orderkey % 13 = 0")
+        finally prevMode match {
+          case Some(m) => s.conf.set("spark.graft.dml.mode", m)
+          case None    => s.conf.unset("spark.graft.dml.mode")
+        }
         ()
       }
     }
@@ -944,9 +954,16 @@ object SparkEntry {
         s.sql(s"""SELECT o_orderkey, price_cents
                   FROM $cat.db.ord VERSION AS OF 5""")
       }),
-      // SQL MERGE INTO (v6 = head): matched updates + disjoint-key
-      // inserts in ONE commit under read-set conflict protection
+      // SQL MERGE INTO (v6): matched updates + disjoint-key inserts
+      // in ONE commit under read-set conflict protection
       "tx_cat_merge" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ord VERSION AS OF 6")
+      }),
+      // merge-on-read UPDATE (v7 = head): the v6 snapshot plus DV
+      // bits + appended post-images — zero files rewritten, and the
+      // read stitches vectors and new rows back together
+      "tx_cat_mor" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ord")
       })
@@ -1265,7 +1282,26 @@ object SparkEntry {
          SELECT o_orderkey,
                 CAST(2 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
                   AS price_cents
-         FROM orders WHERE o_orderkey % 3 = 2"""
+         FROM orders WHERE o_orderkey % 3 = 2""",
+
+    "tx_cat_mor" ->
+      """WITH merged AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 15 = 1
+                         THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+                       WHEN o_orderkey % 7 = 0
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+                       ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                  END AS pc
+           FROM orders
+           WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 2
+           UNION ALL
+           SELECT o_orderkey, 2 * CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+           FROM orders WHERE o_orderkey % 3 = 2)
+         SELECT o_orderkey,
+                CAST(pc + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS price_cents
+         FROM merged"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -336,6 +336,72 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(0) === 9L)
   }
 
+  test("merge-on-read UPDATE: deletion-vector bits + appended rows, zero files rewritten") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mor (k BIGINT, v BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.mor SELECT /*+ REPARTITION(1) */ id, id FROM range(${i * 100}, ${i * 100 + 100})"))
+    val before = TxnLog.snapshotFiles(root("mor")).toSet
+    withSQLConf("spark.graft.dml.mode" -> "mor") {
+      spark.sql("UPDATE gcat.db.mor SET v = v + 1000000 WHERE k % 50 = 7")
+    }
+    val after = TxnLog.snapshotFiles(root("mor")).toSet
+    assert((before -- after).isEmpty, "merge-on-read must rewrite NOTHING")
+    assert((after -- before).nonEmpty, "updated rows land in new files")
+    val state = TxnLog.snapshotState(root("mor")).toMap
+    assert(before.count(f => state(f).dv.isDefined) === 4,
+      "each touched file gets deletion-vector bits, not a rewrite")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mor").head.getLong(0) === 400L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.mor").head.getLong(0) ===
+      (0L until 400L).sum + 8L * 1000000L)
+    assert(spark.sql("SELECT v FROM gcat.db.mor WHERE k = 107").head.getLong(0) === 1000107L)
+    assert(spark.sql("SELECT v FROM gcat.db.mor WHERE k = 108").head.getLong(0) === 108L)
+  }
+
+  test("merge-on-read MERGE and subquery DELETE; cow and mor interleave on one table") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mx (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.mx SELECT id, id * 10 FROM range(0, 50)")
+    spark.range(40, 60).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("mx_src")
+    val before = TxnLog.snapshotFiles(root("mx")).toSet
+    withSQLConf("spark.graft.dml.mode" -> "mor") {
+      spark.sql(
+        """MERGE INTO gcat.db.mx t USING mx_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    }
+    assert((before -- TxnLog.snapshotFiles(root("mx")).toSet).isEmpty,
+      "MOR MERGE removes no file")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mx").head.getLong(0) === 60L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.mx").head.getLong(0) ===
+      (0L until 40L).map(_ * 10).sum + (40L until 60L).map(_ * 100).sum)
+    // a MOR subquery DELETE stacks more bits on the same vectors
+    withSQLConf("spark.graft.dml.mode" -> "mor") {
+      spark.sql("DELETE FROM gcat.db.mx WHERE k IN (SELECT id * 2 FROM range(0, 5))")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mx").head.getLong(0) === 55L)
+    // ...and a COW update afterwards compacts whatever it touches
+    spark.sql("UPDATE gcat.db.mx SET v = 0 WHERE k >= 58")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mx").head.getLong(0) === 55L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.mx WHERE k >= 58").head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mx WHERE k = 4").head.getLong(0) === 0L,
+      "MOR-deleted rows must not resurrect through a COW rewrite")
+  }
+
+  test("SELECT _pos exposes the DV coordinate; stable under deletes") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ps (k BIGINT)")
+    spark.sql("INSERT INTO gcat.db.ps SELECT /*+ REPARTITION(1) */ id FROM range(0, 20)")
+    def positions() = spark.sql("SELECT k, _pos FROM gcat.db.ps")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val before = positions()
+    assert(before.values.toSeq.sorted === (0L until 20L), "one file: _pos is dense 0..19")
+    spark.sql("DELETE FROM gcat.db.ps WHERE k < 5")
+    assert(positions() === before.filter(_._1 >= 5L),
+      "surviving rows keep their PHYSICAL position under a DV delete")
+  }
+
   test("readStream.table drains the change feed to the snapshot through the catalog") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.sr (k BIGINT, v BIGINT)")

@@ -630,6 +630,54 @@ object ScaleProbe {
       println(f"""{"op":"txn_source_drain","k":16,"rows":$got,"sec":$sec%.3f}""")
     }
 
+    // Catalog DML write-amplification probe (X-A51/X-A52): the same
+    // worst-case UPDATE — 32 touched rows, one per file, so the
+    // predicate prunes NOTHING — through both row-level modes.
+    // Copy-on-write must rewrite all 32 files (~the whole table's
+    // bytes); merge-on-read must add one tiny post-image file plus
+    // 32 bitmaps. The ratio IS the 100 TB argument.
+    if (enabled("catalog_dml")) {
+      import graft.sources.TxnLog
+      def freshCat(tag: String): (String, String) = {
+        val wh = java.nio.file.Files.createTempDirectory(s"graft-catdml-$tag").toString
+        val cat = s"catdml_$tag"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+        spark.range(0, 1 << 20)
+          .select(col("id").as("k"), (col("id") * 7 % 997).as("v"))
+          .createOrReplaceTempView(s"catdml_src_$tag")
+        spark.sql(s"INSERT INTO $cat.t " +
+          s"SELECT /*+ REPARTITION_BY_RANGE(32, k) */ k, v FROM catdml_src_$tag")
+        (cat, s"$wh/t")
+      }
+      val expectedSum = spark.sql("SELECT CAST(sum(id * 7 % 997) AS BIGINT) + 32 " +
+        "FROM range(0, 1048576)").head.getLong(0)
+      def runMode(mode: String): Unit = {
+        val (cat, tRoot) = freshCat(mode)
+        val before = TxnLog.snapshotFiles(tRoot).size
+        require(before == 32, s"expected 32 files, got $before")
+        val saved = spark.conf.getOption("spark.graft.dml.mode")
+        spark.conf.set("spark.graft.dml.mode", mode)
+        val t0 = System.nanoTime()
+        try spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k % 32768 = 7")
+        finally saved match {
+          case Some(m) => spark.conf.set("spark.graft.dml.mode", m)
+          case None    => spark.conf.unset("spark.graft.dml.mode")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val c = TxnLog.commits(tRoot).last
+        val bytes = c.sizes.filter(_ > 0L).sum +
+          c.dvs.filterNot(_.startsWith("@")).map(_.length / 2).sum
+        val got = spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head.getLong(0)
+        require(got == expectedSum, s"$mode sum: $got != $expectedSum")
+        println(f"""{"op":"catalog_dml_$mode%s","k":32,"rows":${1 << 20},"sec":$sec%.3f,"bytes_written":$bytes,"files_added":${c.added.size},"files_removed":${c.removed.size},"dv_files":${c.dvFiles.size}}""")
+      }
+      runMode("cow")
+      runMode("mor")
+    }
+
     // Mirror-maintenance ladder (X-A41): apply ONE new source version
     // (a small append + a small DV delete) to a mirror of a table
     // that is k× bigger — per-version cost must be ~flat in table

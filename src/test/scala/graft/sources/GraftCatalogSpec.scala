@@ -336,6 +336,26 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(0) === 9L)
   }
 
+  test("runtime group filtering narrows a COW rewrite to files that actually hold matches") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rg (k BIGINT, v BIGINT)")
+    // every file's v-range is [0, 99] (static stats admit ALL files
+    // for v = 55) but the value 55 exists only in file 2 (k = 255)
+    (0 until 4).foreach(i => spark.sql(
+      s"""INSERT INTO gcat.db.rg SELECT /*+ REPARTITION(1) */ id,
+            CASE WHEN id = 255 THEN 55 WHEN id % 100 = 0 THEN 0 ELSE 99 END
+          FROM range(${i * 100}, ${i * 100 + 100})"""))
+    val before = TxnLog.snapshotFiles(root("rg")).toSet
+    assert(before.size === 4)
+    spark.sql("UPDATE gcat.db.rg SET v = -1 WHERE v = 55")
+    val after = TxnLog.snapshotFiles(root("rg")).toSet
+    assert((before -- after).size === 1,
+      s"the runtime matched-file subquery must narrow the rewrite to 1 file, " +
+        s"rewrote ${(before -- after).size}")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rg WHERE v = -1").head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rg").head.getLong(0) === 400L)
+  }
+
   test("merge-on-read UPDATE: deletion-vector bits + appended rows, zero files rewritten") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.mor (k BIGINT, v BIGINT)")

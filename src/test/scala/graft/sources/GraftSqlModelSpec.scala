@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** MODEL-BASED check of the SQL-native surface ([[GraftCatalog]]):
+  * random sequences of SQL statements — INSERT, arithmetic DELETE
+  * (deletion vectors), subquery DELETE (rewrite), UPDATE in BOTH
+  * copy-on-write and merge-on-read modes, MERGE with both arms,
+  * INSERT OVERWRITE, TRUNCATE — run against the catalog table and a
+  * trivial in-memory `Map[key, value]` model; after every statement
+  * the table must equal the model, and at the end every intermediate
+  * version must time-travel back to its recorded model state. This
+  * is the [[TxnLogModelSpec]] discipline one layer up: every
+  * interleaving exercises the full V2 stack (pushdown, runtime group
+  * filtering, DV readers, distributed writes) through `spark.sql`
+  * alone. Fixed seeds keep CI deterministic.
+  */
+class GraftSqlModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private sealed trait Op
+  private case class Insert(rows: Map[Long, Long]) extends Op
+  private case class DeleteMod(mod: Long, rem: Long) extends Op
+  private case class DeleteSubquery(lo: Long, n: Long) extends Op
+  private case class Update(mod: Long, rem: Long, add: Long, mor: Boolean) extends Op
+  private case class MergeOp(rows: Map[Long, Long], mor: Boolean) extends Op
+  private case class Overwrite(rows: Map[Long, Long]) extends Op
+  private case object Truncate extends Op
+
+  private val rowsGen: Gen[Map[Long, Long]] = for {
+    n <- Gen.choose(1, 12)
+    ks <- Gen.listOfN(n, Gen.choose(0L, 300L))
+    v <- Gen.choose(1L, 1000L)
+  } yield ks.map(k => k -> (v + k)).toMap
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    4 -> rowsGen.map(Insert),
+    2 -> (for {
+      mod <- Gen.choose(2L, 7L); rem <- Gen.choose(0L, 6L)
+    } yield DeleteMod(mod, rem % mod)),
+    1 -> (for {
+      lo <- Gen.choose(0L, 250L); n <- Gen.choose(1L, 40L)
+    } yield DeleteSubquery(lo, n)),
+    3 -> (for {
+      mod <- Gen.choose(2L, 7L); rem <- Gen.choose(0L, 6L)
+      add <- Gen.choose(1L, 9999L); mor <- Gen.oneOf(true, false)
+    } yield Update(mod, rem % mod, add, mor)),
+    3 -> (for { rows <- rowsGen; mor <- Gen.oneOf(true, false) }
+      yield MergeOp(rows, mor)),
+    1 -> rowsGen.map(Overwrite),
+    1 -> Gen.const(Truncate))
+
+  /** INSERTs must not create duplicate keys (the table's merge
+    * invariant) — restrict to keys absent from the model.
+    */
+  private def freshOnly(rows: Map[Long, Long], model: Map[Long, Long]) =
+    rows -- model.keys
+
+  private def withMode[T](mor: Boolean)(body: => T): T =
+    if (!mor) body
+    else withSQLConf("spark.graft.dml.mode" -> "mor")(body)
+
+  test("random SQL statement sequences track the model; every version travels back") {
+    val seeds = sys.env.get("GRAFT_SQL_MODEL_SEEDS").map(_.toLong).getOrElse(3L)
+    val nOps = sys.env.get("GRAFT_SQL_MODEL_OPS").map(_.toInt).getOrElse(10)
+    for (seed <- 1L to seeds) {
+      val wh = Files.createTempDirectory(s"graft-sqlmodel-$seed").toString
+      val cat = s"gsqlm$seed"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+      val root = s"$wh/t"
+      var model = Map.empty[Long, Long]
+      val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      history(TxnLog.currentVersion(root)) = model
+
+      def values(rows: Map[Long, Long]): String =
+        rows.map { case (k, v) => s"($k, $v)" }.mkString(", ")
+
+      def tableRows(version: Long = Long.MaxValue): Map[Long, Long] = {
+        val sel =
+          if (version == Long.MaxValue) s"SELECT k, v FROM $cat.t"
+          else s"SELECT k, v FROM $cat.t VERSION AS OF $version"
+        spark.sql(sel).as[(Long, Long)].collect().toMap
+      }
+
+      val ops = sample(Gen.listOfN(nOps, opGen), seed)
+      ops.zipWithIndex.foreach { case (op, i) =>
+        op match {
+          case Insert(rows0) =>
+            val rows = freshOnly(rows0, model)
+            if (rows.nonEmpty) {
+              spark.sql(s"INSERT INTO $cat.t VALUES ${values(rows)}")
+              model = model ++ rows
+            }
+          case DeleteMod(mod, rem) =>
+            val hit = model.keys.exists(_ % mod == rem)
+            spark.sql(s"DELETE FROM $cat.t WHERE k % $mod = $rem")
+            model = model.filterNot { case (k, _) => k % mod == rem }
+            if (!hit) history.remove(TxnLog.currentVersion(root)) // no-op burns no version
+          case DeleteSubquery(lo, n) =>
+            spark.sql(s"DELETE FROM $cat.t WHERE k IN (SELECT id FROM range($lo, ${lo + n}))")
+            model = model.filterNot { case (k, _) => k >= lo && k < lo + n }
+          case Update(mod, rem, add, mor) =>
+            withMode(mor) {
+              spark.sql(s"UPDATE $cat.t SET v = v + $add WHERE k % $mod = $rem")
+            }
+            model = model.map { case (k, v) =>
+              k -> (if (k % mod == rem) v + add else v) }
+          case MergeOp(rows, mor) =>
+            spark.createDataset(rows.toSeq).toDF("k", "v")
+              .createOrReplaceTempView(s"gsqlm_src_$seed")
+            withMode(mor) {
+              spark.sql(
+                s"""MERGE INTO $cat.t t USING gsqlm_src_$seed s ON t.k = s.k
+                    WHEN MATCHED THEN UPDATE SET v = s.v
+                    WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+            }
+            model = model ++ rows
+          case Overwrite(rows) =>
+            spark.createDataset(rows.toSeq).toDF("k", "v")
+              .createOrReplaceTempView(s"gsqlm_ow_$seed")
+            spark.sql(s"INSERT OVERWRITE $cat.t SELECT k, v FROM gsqlm_ow_$seed")
+            model = rows
+          case Truncate =>
+            val wasEmpty = model.isEmpty
+            spark.sql(s"TRUNCATE TABLE $cat.t")
+            model = Map.empty
+            if (wasEmpty) history.remove(TxnLog.currentVersion(root))
+        }
+        val v = TxnLog.currentVersion(root)
+        history(v) = model
+        assert(tableRows() === model,
+          s"seed $seed diverged after op #$i ($op) at version $v")
+      }
+
+      // time-travel sweep: every recorded version resolves to its model
+      history.toSeq.sortBy(_._1).foreach { case (v, m) =>
+        if (v >= 1L)
+          assert(tableRows(v) === m, s"seed $seed: version $v does not travel back")
+      }
+      TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
+    }
+  }
+}

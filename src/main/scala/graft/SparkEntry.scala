@@ -287,7 +287,8 @@ object SparkEntry {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     materializeOnce(materializedCatTables, wh) {
       val root = s"$wh/db/ord"
-      if (graft.sources.TxnLog.currentVersion(root) != 7L) {
+      if (graft.sources.TxnLog.currentVersion(root) != 7L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/ctas") != 1L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
           .select(col("o_orderkey"),
@@ -325,6 +326,10 @@ object SparkEntry {
           case Some(m) => s.conf.set("spark.graft.dml.mode", m)
           case None    => s.conf.unset("spark.graft.dml.mode")
         }
+        // a second table via ATOMIC CTAS: one commit carrying create +
+        // data + typed stats (StagingTableCatalog path)
+        s.sql(s"CREATE TABLE $cat.db.ctas AS " +
+          s"SELECT o_orderkey, price_cents FROM cat_src_$tag WHERE o_orderkey % 11 = 3")
         ()
       }
     }
@@ -966,6 +971,20 @@ object SparkEntry {
       "tx_cat_mor" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ord")
+      }),
+      // atomic CTAS (StagingTableCatalog): table + data + stats in
+      // ONE commit; content is a pure predicate for the oracle
+      "tx_cat_ctas" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ctas")
+      }),
+      // the metadata table: DESCRIBE HISTORY as a SQL relation —
+      // version/action/read_version of the 7-statement fixture are
+      // fully deterministic, so the oracle is a VALUES literal
+      "tx_cat_history" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT version, action, read_version
+                  FROM $cat.db.ord.history""")
       })
     )
   }
@@ -1301,7 +1320,23 @@ object SparkEntry {
          SELECT o_orderkey,
                 CAST(pc + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END
                      AS BIGINT) AS price_cents
-         FROM merged"""
+         FROM merged""",
+
+    "tx_cat_ctas" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey % 11 = 3""",
+
+    "tx_cat_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'create',     CAST(0 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'append',     CAST(0 AS BIGINT)),
+           (CAST(3 AS BIGINT), 'append',     CAST(0 AS BIGINT)),
+           (CAST(4 AS BIGINT), 'delete',     CAST(3 AS BIGINT)),
+           (CAST(5 AS BIGINT), 'update',     CAST(4 AS BIGINT)),
+           (CAST(6 AS BIGINT), 'merge',      CAST(5 AS BIGINT)),
+           (CAST(7 AS BIGINT), 'mor-update', CAST(6 AS BIGINT)))
+         AS t(version, action, read_version)"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -336,6 +336,49 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(0) === 9L)
   }
 
+  test("atomic CTAS and REPLACE TABLE AS SELECT: one visible transition, history intact") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ct AS SELECT id AS k, id * 2 AS v FROM range(0, 100)")
+    assert(TxnLog.currentVersion(root("ct")) === 1L, "CTAS is ONE commit (create+data)")
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.ct").head.getLong(0) === 9900L)
+    // stats landed: a filtered read prunes (stats present on both cols)
+    assert(TxnLog.snapshotState(root("ct")).head._2.stats.keySet === Set("k", "v"))
+    val v1 = TxnLog.currentVersion(root("ct"))
+    spark.sql("REPLACE TABLE gcat.db.ct AS SELECT id AS k, concat('s', id) AS s FROM range(0, 7)")
+    assert(TxnLog.currentVersion(root("ct")) === v1 + 1, "RTAS is ONE commit")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ct").head.getLong(0) === 7L)
+    assert(spark.sql("SELECT * FROM gcat.db.ct").columns.toSeq === Seq("k", "s"),
+      "REPLACE may change the schema")
+    // the pre-replace snapshot still time-travels, old schema and all
+    val old = spark.sql(s"SELECT * FROM gcat.db.ct VERSION AS OF $v1")
+    assert(old.columns.toSeq === Seq("k", "v"))
+    assert(old.count() === 100L)
+    // CREATE OR REPLACE on an absent table creates
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.ct2 AS SELECT id AS k FROM range(0, 3)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ct2").head.getLong(0) === 3L)
+  }
+
+  test("metadata tables: SELECT over .history and .files reads only the log") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.meta SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 50)")
+    spark.sql("DELETE FROM gcat.db.meta WHERE k < 10")
+    val hist = spark.sql("SELECT version, action FROM gcat.db.meta.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.toSeq === Seq((1L, "create"), (2L, "append"), (3L, "delete")))
+    val files = spark.sql("SELECT path, rows, deleted, stat_cols FROM gcat.db.meta.files")
+      .collect()
+    assert(files.length === 1)
+    assert(files(0).getLong(1) === 50L)
+    assert(files(0).getLong(2) === 10L, "deleted = DV popcount")
+    assert(files(0).getString(3) === "k,v")
+    // metadata tables answer with every DATA file corrupted: log-only
+    TxnLog.snapshotFiles(root("meta")).foreach(f =>
+      Files.write(Paths.get(f), Array[Byte](0)))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.meta.history").head.getLong(0) === 3L)
+    assert(spark.sql("SELECT sum(rows) FROM gcat.db.meta.files").head.getLong(0) === 50L)
+  }
+
   test("runtime group filtering narrows a COW rewrite to files that actually hold matches") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.rg (k BIGINT, v BIGINT)")

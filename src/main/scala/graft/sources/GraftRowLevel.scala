@@ -251,7 +251,8 @@ private class GraftDeltaBatchWrite(root: String, logicalSchema: StructType,
       readVersion = readV, txnId = txnId, multiStats = multi,
       dvFiles = dvFiles, dvs = dvs,
       schemaId = if (files.isEmpty) "" else TxnLog.schemaFingerprint(physSchema),
-      schemaJson = if (files.isEmpty) "" else TxnLog.encodeSchema(physSchema),
+      schemaJson =
+        if (files.isEmpty) "" else GraftTable.declareJson(root, physSchema),
       failOnConcurrentAppend = failOnConcurrentAppend)
     ()
   }
@@ -373,7 +374,7 @@ private class GraftBatchWrite(root: String, logicalSchema: StructType,
     TxnLog.commit(root, action, added = files, removed = removed,
       readVersion = readV, txnId = txnId, multiStats = multi,
       schemaId = TxnLog.schemaFingerprint(physSchema),
-      schemaJson = TxnLog.encodeSchema(physSchema),
+      schemaJson = GraftTable.declareJson(root, physSchema),
       failOnConcurrentAppend = failOnConcurrentAppend)
     ()
   }

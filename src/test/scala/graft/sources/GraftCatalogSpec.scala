@@ -358,6 +358,33 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gcat.db.ct2").head.getLong(0) === 3L)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN: one metadata commit each, zero files touched") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ac (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.ac SELECT id, id * 2 FROM range(0, 20)")
+    val files = TxnLog.snapshotFiles(root("ac")).toSet
+    spark.sql("ALTER TABLE gcat.db.ac ADD COLUMN tag STRING")
+    assert(TxnLog.snapshotFiles(root("ac")).toSet === files, "ADD COLUMN touches no file")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ac WHERE tag IS NULL").head.getLong(0) === 20L,
+      "pre-evolution rows read NULL for the added column")
+    spark.sql("INSERT INTO gcat.db.ac VALUES (100, 200, 'new')")
+    assert(spark.sql("SELECT k FROM gcat.db.ac WHERE tag = 'new'").head.getLong(0) === 100L)
+    // DROP: the column leaves every projection; time travel keeps it
+    val vBeforeDrop = TxnLog.currentVersion(root("ac"))
+    spark.sql("ALTER TABLE gcat.db.ac DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM gcat.db.ac").columns.toSeq === Seq("k", "tag"))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ac").head.getLong(0) === 21L)
+    assert(spark.sql(s"SELECT * FROM gcat.db.ac VERSION AS OF $vBeforeDrop").columns.toSeq
+      === Seq("k", "v", "tag"), "the pre-drop era still shows the column")
+    // inserts after the drop carry the narrowed schema
+    spark.sql("INSERT INTO gcat.db.ac VALUES (101, 'post')")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ac").head.getLong(0) === 22L)
+    // a non-nullable add is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.ac ADD COLUMN strict BIGINT NOT NULL")
+    }
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

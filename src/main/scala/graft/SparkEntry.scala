@@ -287,7 +287,7 @@ object SparkEntry {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     materializeOnce(materializedCatTables, wh) {
       val root = s"$wh/db/ord"
-      if (graft.sources.TxnLog.currentVersion(root) != 7L ||
+      if (graft.sources.TxnLog.currentVersion(root) != 9L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/ctas") != 1L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
@@ -326,6 +326,12 @@ object SparkEntry {
           case Some(m) => s.conf.set("spark.graft.dml.mode", m)
           case None    => s.conf.unset("spark.graft.dml.mode")
         }
+        // v8: schema evolution — one metadata commit; v9: an insert
+        // under the evolved schema (old rows read NULL for `flag`)
+        s.sql(s"ALTER TABLE $cat.db.ord ADD COLUMN flag STRING")
+        s.sql(s"INSERT INTO $cat.db.ord SELECT o_orderkey + 10000000, " +
+          s"price_cents, o_orderstatus, 'x' FROM cat_src_$tag " +
+          "WHERE o_orderkey % 17 = 5")
         // a second table via ATOMIC CTAS: one commit carrying create +
         // data + typed stats (StagingTableCatalog path)
         s.sql(s"CREATE TABLE $cat.db.ctas AS " +
@@ -965,12 +971,19 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ord VERSION AS OF 6")
       }),
-      // merge-on-read UPDATE (v7 = head): the v6 snapshot plus DV
-      // bits + appended post-images — zero files rewritten, and the
-      // read stitches vectors and new rows back together
+      // merge-on-read UPDATE (v7): the v6 snapshot plus DV bits +
+      // appended post-images — zero files rewritten, and the read
+      // stitches vectors and new rows back together
       "tx_cat_mor" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
-        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ord")
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.ord VERSION AS OF 7")
+      }),
+      // schema evolution (v8 ADD COLUMN + v9 insert = head): rows
+      // from every earlier generation read NULL for `flag`; the
+      // evolved generation carries values — one scan spans both
+      "tx_cat_evolve" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents, flag FROM $cat.db.ord")
       }),
       // atomic CTAS (StagingTableCatalog): table + data + stats in
       // ONE commit; content is a pure predicate for the oracle
@@ -1327,6 +1340,31 @@ object SparkEntry {
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders WHERE o_orderkey % 11 = 3""",
 
+    "tx_cat_evolve" ->
+      """WITH merged AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 15 = 1
+                         THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+                       WHEN o_orderkey % 7 = 0
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+                       ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                  END AS pc
+           FROM orders
+           WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 2
+           UNION ALL
+           SELECT o_orderkey, 2 * CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+           FROM orders WHERE o_orderkey % 3 = 2)
+         SELECT o_orderkey,
+                CAST(pc + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS price_cents,
+                CAST(NULL AS VARCHAR) AS flag
+         FROM merged
+         UNION ALL
+         SELECT o_orderkey + 10000000 AS o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                'x' AS flag
+         FROM orders WHERE o_orderkey % 17 = 5""",
+
     "tx_cat_history" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), 'create',     CAST(0 AS BIGINT)),
@@ -1335,7 +1373,9 @@ object SparkEntry {
            (CAST(4 AS BIGINT), 'delete',     CAST(3 AS BIGINT)),
            (CAST(5 AS BIGINT), 'update',     CAST(4 AS BIGINT)),
            (CAST(6 AS BIGINT), 'merge',      CAST(5 AS BIGINT)),
-           (CAST(7 AS BIGINT), 'mor-update', CAST(6 AS BIGINT)))
+           (CAST(7 AS BIGINT), 'mor-update', CAST(6 AS BIGINT)),
+           (CAST(8 AS BIGINT), 'schema-evolve', CAST(7 AS BIGINT)),
+           (CAST(9 AS BIGINT), 'append',     CAST(0 AS BIGINT)))
          AS t(version, action, read_version)"""
   )
 

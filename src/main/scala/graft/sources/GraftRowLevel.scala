@@ -44,13 +44,13 @@ import org.apache.spark.util.SerializableConfiguration
   * drop DV'd rows, so a rewrite COMPACTS prior deletes into the new
   * files, and vectors on removed files die with them.
   *
-  * 100 TB shape: rewrite scope = post-prune file set (stats-bounded,
-  * like [[TxnLog.mergeInto]]), writes are executor-side and
-  * stats-collected in one distributed pass; the driver sees file
-  * names and bitmap-scale metadata only. A `SupportsDelta`
-  * (merge-on-read) variant would write DVs instead of rewriting
-  * groups — the log format already supports it; rewrite-on-write is
-  * the copy-on-write half every lakehouse ships first.
+  * 100 TB shape: rewrite scope = post-prune, post-RUNTIME-filter
+  * file set (files that actually hold matches — [[GraftScan.filter]]),
+  * writes are executor-side and stats-collected in one distributed
+  * pass; the driver sees file names and bitmap-scale metadata only.
+  * The merge-on-read sibling ([[GraftDeltaOperation]],
+  * `SET spark.graft.dml.mode=mor`) writes deletion vectors instead
+  * of rewriting groups.
   */
 private[sources] class GraftRowLevelOperation(root: String,
                                               tableSchema: StructType,

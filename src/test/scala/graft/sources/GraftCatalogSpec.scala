@@ -319,6 +319,37 @@ class GraftCatalogSpec extends SparkTestBase {
       "create + 4 appends = 5 versions, every CAS loser retried")
   }
 
+  test("racing UPDATEs on the same file: serializable outcome — both apply or one aborts") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.rc SELECT /*+ REPARTITION(1) */ id, 0 FROM range(0, 100)")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(1L, 10L).map { add =>
+      new Thread(() => {
+        gate.await()
+        try spark.sql(s"UPDATE gcat.db.rc SET v = v + $add WHERE k < 50")
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    val sum = spark.sql("SELECT sum(v) FROM gcat.db.rc").head.getLong(0)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    if (errs.isEmpty)
+      assert(sum === 50L * 11L, "both landed -> serial composition")
+    else {
+      // the loser aborted through the conflict matrix; the winner's
+      // effect is intact and NOTHING of the loser published
+      assert(errs.size === 1)
+      assert(causes(errs.peek).exists(_.isInstanceOf[TxnLog.ConflictException]),
+        s"expected a conflict abort, got ${errs.peek}")
+      assert(sum === 50L * 1L || sum === 50L * 10L,
+        s"exactly one update's effect must survive, sum=$sum")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rc").head.getLong(0) === 100L)
+  }
+
   test("the _file metadata column maps every row to its data file") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.mf (k BIGINT, v STRING)")

@@ -523,6 +523,32 @@ class GraftCatalogSpec extends SparkTestBase {
       "surviving rows keep their PHYSICAL position under a DV delete")
   }
 
+  test("maintenance composes: optimizeCompactDeletes folds SQL-made vectors into clean files") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mt (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.mt SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM gcat.db.mt WHERE k % 10 < 6") // 60% dead
+    val tRoot = root("mt")
+    assert(TxnLog.compactionCandidates(tRoot, 0.5).nonEmpty,
+      "metadata-only density selection must flag the 60%-dead file")
+    val vBefore = TxnLog.currentVersion(tRoot)
+    val before = TxnLog.snapshotFiles(tRoot).toSet
+    assert(TxnLog.optimizeCompactDeletes(spark, tRoot, 0.5, "oc-sql").isDefined)
+    assert(TxnLog.snapshotFiles(tRoot).toSet !== before, "the dense file was rewritten")
+    assert(!TxnLog.snapshotState(tRoot).exists(_._2.dv.isDefined), "vectors cleared")
+    // the SQL surface sees the same content before and after
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mt").head.getLong(0) === 40L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.mt").head.getLong(0) ===
+      (0L until 100L).filter(_ % 10 >= 6).sum)
+    // ...and time travel UNDER the compaction still applies the vectors
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.mt VERSION AS OF $vBefore")
+      .head.getLong(0) === 40L)
+    // post-compaction scans are columnar again (no vectors left)
+    val df = spark.sql("SELECT sum(v) FROM gcat.db.mt"); df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a compacted table goes back to the vectorized path")
+  }
+
   test("readStream.table drains the change feed to the snapshot through the catalog") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.sr (k BIGINT, v BIGINT)")

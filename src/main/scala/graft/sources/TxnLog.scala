@@ -177,7 +177,8 @@ object TxnLog {
                     constraint: String = "",
                     schemaJson: String = "",
                     rename: String = "",
-                    sizes: Seq[Long] = Nil)
+                    sizes: Seq[Long] = Nil,
+                    cadds: Seq[String] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -335,9 +336,11 @@ object TxnLog {
     val sizesPart = // bytes per added file (omitted when unstatable)
       if (c.sizes.isEmpty || c.sizes.forall(_ < 0L)) ""
       else s""","sizes":[${c.sizes.mkString(",")}]"""
+    val caddsPart = // base64("name expr") per constraint born WITH the commit
+      if (c.cadds.isEmpty) "" else s""","cadds":${arr(c.cadds)}"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -367,7 +370,8 @@ object TxnLog {
       arr("dvFiles", required = false), arr("dvs", required = false),
       numOpt("ts"), arr("mstats", required = false), strOpt("constraint"),
       strOpt("schemaJson"), strOpt("rename"),
-      arr("sizes", required = false).map(_.toLong))
+      arr("sizes", required = false).map(_.toLong),
+      arr("cadds", required = false))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -606,16 +610,39 @@ object TxnLog {
       c.removed.foreach(live.remove)
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
-      if (c.schemaJson.nonEmpty) schemaJson = c.schemaJson
+      if (c.schemaJson.nonEmpty) {
+        schemaJson = c.schemaJson
+        // a declared schema retires column-mapping entries whose
+        // PHYSICAL target left it: after DROP COLUMN b (physical a),
+        // the stale b->a entry would otherwise resurface pre-drop
+        // bytes under a re-added name and block re-adding `a`
+        val declared = try org.apache.spark.sql.types.DataType.fromJson(
+            new String(java.util.Base64.getDecoder.decode(c.schemaJson),
+              java.nio.charset.StandardCharsets.UTF_8))
+            .asInstanceOf[StructType].fieldNames.toSet
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (declared != null)
+          renames.filterInPlace((_, p) => declared.contains(p))
+      }
       if (c.action == "set-constraint" && c.constraint.nonEmpty) {
         val cut = c.constraint.indexOf(' ')
         constraints(c.constraint.take(cut)) = c.constraint.drop(cut + 1)
       }
       if (c.action == "drop-constraint") constraints.remove(c.constraint)
-      if (c.action == "rename-column" && c.rename.nonEmpty) {
+      // constraints born WITH a commit (atomic CREATE TABLE: schema,
+      // data and constraints in ONE record — no window where the
+      // table is visible unconstrained)
+      c.cadds.foreach { b =>
+        val dec = new String(b64dec(b), java.nio.charset.StandardCharsets.UTF_8)
+        val cut = dec.indexOf(' ')
+        constraints(dec.take(cut)) = dec.drop(cut + 1)
+      }
+      if (c.rename.nonEmpty) {
         // LOGICAL rename over a stable PHYSICAL name: the map tracks
         // logical -> physical; renaming back to the physical name
-        // drops the entry (identity mappings never accumulate)
+        // drops the entry (identity mappings never accumulate). Any
+        // action may carry one — a schema-evolve re-adding a dropped
+        // name rides its fresh-physical mapping in the same record.
         val Array(o, n) = c.rename.split(" ")
         val phys = renames.getOrElse(o, o)
         renames.remove(o)
@@ -1755,7 +1782,8 @@ object TxnLog {
              constraint: String = "",
              schemaJson: String = "",
              failOnConcurrentAppend: Boolean = false,
-             rename: String = ""): Commit = {
+             rename: String = "",
+             cadds: Seq[(String, String)] = Nil): Commit = {
     validatePaths(added ++ removed ++ dvFiles)
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
@@ -1780,6 +1808,14 @@ object TxnLog {
     validatePaths(dvs.collect { case v if v.startsWith("@") => v.drop(1) })
     require(rename.isEmpty || rename.matches("\\S+ \\S+"),
       s"txn $txnId: rename payload must be '<old> <new>': $rename")
+    // constraints riding the commit: same validation as setConstraint
+    cadds.foreach { case (n, e) =>
+      require(n.nonEmpty && !n.contains(' ') && !n.contains('"'),
+        s"txn $txnId: bad constraint name: $n")
+      require(e.nonEmpty && !e.contains('"'),
+        s"txn $txnId: constraint expressions may not contain double quotes")
+    }
+    val caddsB64 = cadds.map { case (n, e) => b64enc(s"$n $e") }
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
     // Dense vectors spill to immutable per-attempt sidecars before
@@ -1833,10 +1869,17 @@ object TxnLog {
       // a REWRITE conflicts with a concurrent DV on its victims (its
       // staged copy would resurrect the deleted rows), and a DV
       // conflicts with a concurrent rewrite of its target (the bitmap
-      // indexes rows of a file that no longer exists) — but two DVs
-      // on the same file commute (bitmap union) and never conflict.
-      // Appends (removed = dvFiles = empty) skip this entirely and
-      // only ever loop on the CAS.
+      // indexes rows of a file that no longer exists). Two PURE
+      // deletes (DV, no files added) on the same file commute —
+      // bitmap union — but as soon as EITHER side also adds files
+      // (merge-on-read UPDATE/MERGE: tombstone + post-image), a
+      // shared DV target is a lost update: both would tombstone the
+      // row once and land both post-images (duplicating it), or a
+      // racing pure DELETE's kill would be resurrected by the
+      // update's post-image. This mirrors Delta's rule that a DV
+      // write is semantically a remove+re-add of the file — only
+      // delete-vs-delete commutes. Appends (removed = dvFiles =
+      // empty) skip this entirely and only ever loop on the CAS.
       if (myRemoved.nonEmpty || myDvFiles.nonEmpty || failOnConcurrentAppend) {
         val sinceRead =
           if (readVersion >= baseV) tail.filter(_.version > readVersion)
@@ -1855,7 +1898,9 @@ object TxnLog {
           }
         sinceRead.flatMap { c =>
           (c.removed.filter(f => myRemoved(f) || myDvFiles(f)) ++
-            c.dvFiles.filter(myRemoved)).map((c, _))
+            c.dvFiles.filter(myRemoved) ++
+            (if (added.nonEmpty || c.added.nonEmpty) c.dvFiles.filter(myDvFiles)
+             else Nil)).map((c, _))
         }.headOption.foreach { case (c, f) =>
           throw new ConflictException(
             s"txn $txnId (read v$readVersion) touches $f, already rewritten " +
@@ -1879,7 +1924,7 @@ object TxnLog {
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
-        rename, sizes)
+        rename, sizes, caddsB64)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -2043,6 +2088,41 @@ object TxnLog {
   def columnMapping(root: String,
                     version: Long = Long.MaxValue): Map[String, String] =
     resolveState(root, version).renames
+
+  /** Every PHYSICAL column name any generation of the table ever
+    * declared — the union of all schema-bearing commits' field names.
+    * What ADD COLUMN consults to decide whether a name needs a fresh
+    * physical identity (old files may still carry bytes under a
+    * historically-used name, and serving those as the "new" column
+    * would resurrect pre-drop values). O(history) record opens — an
+    * administrative DDL path, never planning.
+    */
+  private[sources] def historicalPhysicalNames(root: String): Set[String] =
+    commits(root).iterator.filter(_.schemaJson.nonEmpty).flatMap { c =>
+      try org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.util.Base64.getDecoder.decode(c.schemaJson),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType].fieldNames
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }.toSet
+
+  /** A raw stored path as a Hadoop [[org.apache.hadoop.fs.Path]] with
+    * the URI built COMPONENT-WISE, so reserved characters ('#', '%',
+    * a space) percent-encode instead of parsing as fragment/escape —
+    * the write-side mirror of the deliberate `url_decode` on every
+    * read-back join ([[metaFilePath]]). `new Path("file://" + raw)`
+    * would hand a raw '#' to the URI parser as a fragment separator.
+    */
+  private[sources] def hadoopPath(raw: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(new java.net.URI("file", null, raw, null, null))
+
+  /** Same encoding discipline for the V2 scan's [[PartitionedFile]]
+    * paths ([[org.apache.spark.paths.SparkPath]] stores the ENCODED
+    * form and decodes on open).
+    */
+  private[sources] def sparkPath(raw: String): org.apache.spark.paths.SparkPath =
+    org.apache.spark.paths.SparkPath.fromUri(
+      new java.net.URI("file", null, raw, null, null))
 
   /** Rename a column — ONE metadata commit, zero data rewritten.
     * Validated against the logged schema when one exists (the old

@@ -47,11 +47,14 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
         (java.nio.file.Files.size(p),
           java.nio.file.Files.getLastModifiedTime(p).toMillis)
       }
+    // component-wise URI build ([[TxnLog.hadoopPath]]): a '#' or '%'
+    // in the table root percent-encodes instead of parsing as
+    // fragment/escape — matching the url_decode on every read-back
     (new FileStatus(size, false, 1, 128L * 1024 * 1024,
-      mtime, new Path("file://" + f)), m)
+      mtime, TxnLog.hadoopPath(f)), m)
   }
 
-  override def rootPaths: Seq[Path] = Seq(new Path("file://" + root))
+  override def rootPaths: Seq[Path] = Seq(TxnLog.hadoopPath(root))
   override def partitionSchema: StructType = StructType(Nil)
   override def inputFiles: Array[String] = state.map(_._1).toArray
   override def refresh(): Unit = ()

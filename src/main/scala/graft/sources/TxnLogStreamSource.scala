@@ -267,7 +267,7 @@ private class TxnReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxnFilePartition]
     val pf = PartitionedFile(InternalRow.empty,
-      org.apache.spark.paths.SparkPath.fromPathString(p.path), 0L, p.length)
+      TxnLog.sparkPath(p.path), 0L, p.length)
     // the parquet reader may yield ColumnarBatches disguised as rows
     // (vectorized path) — flatten either shape to rows, then stamp
     // the commit version via a reused JoinedRow (the same row-reuse

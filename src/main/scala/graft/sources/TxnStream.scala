@@ -36,6 +36,13 @@ object TxnStream {
   /** Stamp column added by [[readChanges]]. */
   val CommitVersionCol = "_commit_version"
 
+  /** Commit actions whose remove+add rewrites preserve the row set
+    * (layout maintenance): their files change, their rows don't, so
+    * mirror maintenance never needs to diff them.
+    */
+  private val RowPreservingActions =
+    Set("zorder", "compact", "compact-deletes")
+
   /** The change feed: rows added by commits with
     * `fromExclusive < version <= toInclusive`, each stamped with its
     * commit version. Metadata-only planning (the log names the files;
@@ -159,13 +166,36 @@ object TxnStream {
       TxnLog.withTxnLock(txnId) {
         if (TxnLog.findCommit(targetRoot, txnId).isDefined) None
         else {
-          val hasDeletes = TxnLog.commitsInRange(sourceRoot, v - 1, v)
-            .exists(_.dvFiles.nonEmpty)
-          if (hasDeletes)
+          val cs = TxnLog.commitsInRange(sourceRoot, v - 1, v)
+          if (cs.exists(_.dvFiles.nonEmpty))
             TxnLog.deleteWhereKeys(s, targetRoot,
               readDeletes(s, sourceRoot, v - 1, v).select(col(keyCol)),
               keyCol, s"$consumerId-v$v-del")
           val adds = readChanges(s, sourceRoot, v - 1, v).drop(CommitVersionCol)
+          // COPY-ON-WRITE retraction: a rewrite commit (SQL DELETE's
+          // rewrite path, a manual upsert that drops rows) removes
+          // files with NO deletion vector — rows it killed appear in
+          // neither feed. Retract the difference: keys present in the
+          // removed files but absent from the version's post-images.
+          // Row-preserving maintenance (compaction, clustering) is
+          // skipped by action — its difference is empty by contract;
+          // for everything else the removed files are still on disk
+          // (immutable until vacuum — the same horizon as time
+          // travel), so the pre-image keys are exactly recoverable.
+          // Idempotent on replay like the DV half (re-deleting dead
+          // keys is a no-op).
+          val rewrites = cs.filter(c => c.removed.nonEmpty &&
+            !RowPreservingActions(c.action))
+          if (rewrites.nonEmpty) {
+            val physKey = TxnLog.columnMapping(sourceRoot, v)
+              .getOrElse(keyCol, keyCol)
+            val pre = s.read.option("mergeSchema", "true")
+              .parquet(rewrites.flatMap(_.removed).distinct: _*)
+              .select(col(physKey).as(keyCol))
+            val gone = pre.except(adds.select(col(keyCol)))
+            TxnLog.deleteWhereKeys(s, targetRoot, gone, keyCol,
+              s"$consumerId-v$v-delrw")
+          }
           TxnLog.mergeInto(s, targetRoot, adds, keyCol, txnId)
           Some(v)
         }

@@ -212,6 +212,36 @@ class TxnStreamSpec extends SparkTestBase {
     assert(TxnStream.appliedVersion(mirror, "m-del") === 0L)
   }
 
+  test("r14: a copy-on-write rewrite that DROPS rows retracts them from the mirror") {
+    val src = freshRoot()
+    val mirror = freshRoot()
+    def mirrorRows() = TxnLog.read(spark, mirror).as[(Long, Long)].collect().toSet
+    val c1 = append(src, "t1", (1L to 20L).map(k => (k, k * 10L)))
+    assert(TxnStream.maintainMirror(spark, src, mirror, "m", "k") === Seq(1L))
+    // a COW DELETE: rewrite the live set WITHOUT the victims, remove
+    // the old files, no deletion vector anywhere (the SQL rewrite-path
+    // DELETE shape) — pre-r14 this diverged the mirror silently
+    val kept = TxnLog.stage(
+      spark.read.parquet(c1.added: _*).as[(Long, Long)]
+        .filter(_._1 > 15L).toDF("k", "v"), src, "t2")
+    TxnLog.commit(src, "delete", kept, removed = c1.added,
+      readVersion = 1L, txnId = "t2")
+    assert(TxnStream.maintainMirror(spark, src, mirror, "m", "k") === Seq(2L))
+    assert(mirrorRows() === (16L to 20L).map(k => (k, k * 10L)).toSet,
+      "rows dropped by the rewrite must retract from the mirror")
+    // idempotent on replay
+    assert(TxnStream.maintainMirror(spark, src, mirror, "m", "k") === Seq.empty)
+    assert(mirrorRows() === (16L to 20L).map(k => (k, k * 10L)).toSet)
+    // a row-preserving compaction commit retracts nothing
+    val all = TxnLog.snapshotFiles(src)
+    val compacted = TxnLog.stage(
+      spark.read.parquet(all: _*).toDF("k", "v").coalesce(1), src, "t3")
+    TxnLog.commit(src, "compact", compacted, removed = all,
+      readVersion = 2L, txnId = "t3")
+    assert(TxnStream.maintainMirror(spark, src, mirror, "m", "k") === Seq(3L))
+    assert(mirrorRows() === (16L to 20L).map(k => (k, k * 10L)).toSet)
+  }
+
   test("r13: a retraction wider than the broadcast threshold applies join-driven, mirror converges") {
     val src = freshRoot()
     val mirror = freshRoot()

@@ -177,17 +177,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     TxnLog.init(root)
+    // schema AND constraints in ONE record: there is no version at
+    // which the table is visible but unconstrained (a concurrent
+    // insert either precedes the create commit — and fails schema
+    // resolution — or sees every declared constraint), and a crash
+    // mid-CREATE leaves no half-constrained table.
     TxnLog.commit(root, "create", Nil, Nil, readVersion = 0L,
       txnId = s"create-table-a$uuid12",
       schemaId = TxnLog.schemaFingerprint(schema),
-      schemaJson = TxnLog.encodeSchema(schema))
-    // CHECK constraints may ride CREATE TABLE as properties
-    properties.asScala.foreach {
-      case (k, v) if k.startsWith(GraftTable.ConstraintProp) =>
-        TxnLog.setConstraint(root, k.stripPrefix(GraftTable.ConstraintProp), v,
-          txnId = s"create-constraint-a$uuid12")
-      case _ => () // location/comment/provider etc.: warehouse-managed, ignored
-    }
+      schemaJson = TxnLog.encodeSchema(schema),
+      cadds = GraftTable.constraintProps(properties))
     new GraftTable(root, Long.MaxValue, timeTraveled = false)
   }
 
@@ -219,15 +218,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val raw = TxnLog.rawTableSchema(root).getOrElse(throw new IllegalStateException(
           s"graft table at $root has no logged schema to evolve"))
         val nm = a.fieldNames()(0)
-        require(!raw.fieldNames.contains(nm) &&
-          !TxnLog.columnMapping(root).contains(nm),
+        val mapping = TxnLog.columnMapping(root)
+        val p2l = mapping.map(_.swap)
+        // collision is on LOGICAL names (what queries see); a physical
+        // field that currently surfaces under a rename is free
+        val logicalNow = raw.fieldNames.map(f => p2l.getOrElse(f, f)).toSet
+        require(!logicalNow.contains(nm) && !mapping.contains(nm),
           s"graft: column $nm already exists")
+        // fresh PHYSICAL identity when the name was EVER a physical
+        // column (the Delta column-mapping recipe): old files may
+        // still hold bytes under it, and re-binding would resurrect
+        // pre-drop values instead of the documented NULL
+        val used = TxnLog.historicalPhysicalNames(root) ++
+          raw.fieldNames ++ mapping.values
+        val phys =
+          if (!used.contains(nm)) nm
+          else Iterator.continually(s"${nm}_$uuid12").dropWhile(used.contains).next()
         val evolved = StructType(raw.fields :+
-          org.apache.spark.sql.types.StructField(nm, a.dataType, nullable = true))
+          org.apache.spark.sql.types.StructField(phys, a.dataType, nullable = true))
+        // ONE commit: the evolved schema and (when fresh) the
+        // logical->physical mapping publish atomically
         TxnLog.commit(root, "schema-evolve", Nil, Nil,
           readVersion = TxnLog.currentVersion(root), txnId = s"sql-addcol-a$uuid12",
           schemaId = TxnLog.schemaFingerprint(evolved),
-          schemaJson = TxnLog.encodeSchema(evolved))
+          schemaJson = TxnLog.encodeSchema(evolved),
+          rename = if (phys == nm) "" else s"$phys $nm")
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           s"graft: only top-level columns drop: ${d.fieldNames.mkString(".")}")
@@ -279,7 +294,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty, "graft tables take no partition transforms")
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
-    new StagedGraftTable(root, schema, replaceExisting = false)
+    new StagedGraftTable(root, schema, replaceExisting = false,
+      GraftTable.constraintProps(properties))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -289,7 +305,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty, "graft tables take no partition transforms")
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    new StagedGraftTable(root, schema, replaceExisting = true)
+    new StagedGraftTable(root, schema, replaceExisting = true,
+      GraftTable.constraintProps(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -298,7 +315,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     : org.apache.spark.sql.connector.catalog.StagedTable = {
     require(partitions.isEmpty, "graft tables take no partition transforms")
     val root = tableRoot(ident)
-    new StagedGraftTable(root, schema, replaceExisting = isTable(root))
+    new StagedGraftTable(root, schema, replaceExisting = isTable(root),
+      GraftTable.constraintProps(properties))
   }
 
   // ---- namespaces: directories without a _log ----
@@ -355,6 +373,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 private[sources] object GraftTable {
   val ConstraintProp = "graft.constraint."
+
+  /** The CHECK constraints among a DDL statement's table properties,
+    * as (name, expr) pairs for [[TxnLog.commit]]'s `cadds`. Other
+    * properties (location/comment/provider) are warehouse-managed and
+    * ignored.
+    */
+  def constraintProps(properties: util.Map[String, String]): Seq[(String, String)] =
+    properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith(ConstraintProp) =>
+        (k.stripPrefix(ConstraintProp), v)
+    }.sortBy(_._1)
 
   /** The `_file` metadata column: the data file each row came from —
     * standard lakehouse observability (`SELECT _file, count(*) ...`)
@@ -470,7 +499,8 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
   override def capabilities(): util.Set[TableCapability] =
     if (timeTraveled) Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def properties(): util.Map[String, String] =
     (Map(TableCatalog.PROP_PROVIDER -> "graft",
@@ -484,7 +514,7 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
     new GraftScanBuilder(spark, root, version, schema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root)
+    new GraftWriteBuilder(root, info)
 
   /** SQL `UPDATE` / `MERGE INTO` (and rewrite-path DELETE) — the
     * group-based copy-on-write framework, [[GraftRowLevelOperation]].
@@ -620,7 +650,8 @@ private class GraftMetaTable(root: String, kind: String)
   * visible transition.
   */
 private class StagedGraftTable(root: String, stagedSchema: StructType,
-                               replaceExisting: Boolean)
+                               replaceExisting: Boolean,
+                               constraints: Seq[(String, String)] = Nil)
   extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -667,7 +698,7 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
       TxnLog.commit(root, "create", added = files, removed = Nil,
         readVersion = 0L, txnId = txnId, multiStats = multi,
         schemaId = TxnLog.schemaFingerprint(sch),
-        schemaJson = TxnLog.encodeSchema(sch))
+        schemaJson = TxnLog.encodeSchema(sch), cadds = constraints)
     } else {
       // one schema-evolve commit: the live set swaps and the schema
       // may change, under the standard conflict matrix
@@ -676,7 +707,7 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
         removed = TxnLog.snapshotFiles(root, readV),
         readVersion = readV, txnId = txnId, multiStats = multi,
         schemaId = TxnLog.schemaFingerprint(sch),
-        schemaJson = TxnLog.encodeSchema(sch))
+        schemaJson = TxnLog.encodeSchema(sch), cadds = constraints)
     }
     ()
   }
@@ -694,7 +725,7 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
   }
 }
 
-private class GraftWriteBuilder(root: String)
+private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwriteAll = false
@@ -705,6 +736,9 @@ private class GraftWriteBuilder(root: String)
     * the existing staging/stats/constraint/commit machinery applies
     * unchanged — the write is distributed (executors write the
     * staged parquet), only the commit record passes the driver.
+    * `toStreaming` serves `writeStream.toTable` from the same Write
+    * ([[GraftStreamingWrite]]: per-epoch distributed staging,
+    * exactly-once commits keyed by (queryId, epochId)).
     */
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation =
@@ -712,6 +746,12 @@ private class GraftWriteBuilder(root: String)
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
           GraftTable.insertInto(root, data, overwriteAll)
       }
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwriteAll,
+        "graft streaming writes support the append output mode only " +
+          "(update/complete would truncate the log per epoch)")
+      new GraftStreamingWrite(root, info.schema(), info.queryId())
+    }
   }
 }
 
@@ -957,7 +997,7 @@ private class GraftColumnarReaderFactory(
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     val pf = PartitionedFile(InternalRow.empty,
-      org.apache.spark.paths.SparkPath.fromPathString(p.path), 0L, p.length)
+      TxnLog.sparkPath(p.path), 0L, p.length)
     val batches = readFile(pf).asInstanceOf[Iterator[ColumnarBatch]]
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = batches.hasNext
@@ -978,7 +1018,7 @@ private class GraftReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     val pf = PartitionedFile(InternalRow.empty,
-      org.apache.spark.paths.SparkPath.fromPathString(p.path), 0L, p.length)
+      TxnLog.sparkPath(p.path), 0L, p.length)
     val readFile = if (p.dvHex.isEmpty) readFiltered else readAll
     val base: Iterator[InternalRow] =
       readFile(pf).asInstanceOf[Iterator[Any]].flatMap {

@@ -181,8 +181,32 @@ private[sources] class GraftDeltaOperation(root: String,
     : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new org.apache.spark.sql.connector.write.DeltaWrite {
+        new org.apache.spark.sql.connector.write.DeltaWrite
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           override def description(): String = s"GraftDeltaWrite($cmd)"
+
+          /** Small-file hygiene (the Iceberg position-delta recipe):
+            * cluster the delta rows by `_file` BEST-EFFORT — Spark
+            * plans a RebalancePartitions, so with AQE a small MOR
+            * update's post-images coalesce into a handful of write
+            * tasks instead of one 1-row file per input task
+            * (O(advisory-size partitions), not O(tasks)), while a
+            * huge merge-insert load (null `_file`, one hash bucket)
+            * is split back out by AQE's skew handling. Non-strict:
+            * with AQE off the plan degrades to a plain shuffle —
+            * never a failure. Delete bitmaps are unaffected (they OR
+            * across tasks regardless of placement).
+            */
+          override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+                GraftTable.FileMetaCol)))
+          override def distributionStrictlyRequired(): Boolean = false
+          override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+
           override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new GraftDeltaBatchWrite(root, info.schema(),
               action = "mor-" + cmd.toString.toLowerCase(java.util.Locale.ROOT),

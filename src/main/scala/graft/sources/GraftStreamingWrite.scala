@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** `df.writeStream.toTable("graft.db.t")` — the STREAMING write half
+  * of the catalog, closing the loop with `readStream.table`: the same
+  * pipeline can now read AND write the lakehouse through SQL names
+  * (reference behavior: `spark_stream.py:66–84` writes two streams to
+  * sinks; here the sink is the transaction log itself).
+  *
+  * Exactly-once by construction, with NO side offset store:
+  *
+  *  - each epoch's tasks write parquet into a per-run staging
+  *    directory (`data/stream-<queryId>-a<run>-e<epoch>/`) through
+  *    Spark's own `OutputWriterFactory` closure — fully distributed,
+  *    the driver sees (path, rowCount) messages only;
+  *  - `commit(epochId)` publishes ONE log record whose txnId is
+  *    `stream-<queryId>-e<epochId>`. `queryId` is Structured
+  *    Streaming's STABLE query id (persisted in the checkpoint's
+  *    metadata file, unchanged across restarts), so a REPLAYED epoch —
+  *    crash after the table commit but before the checkpoint's own
+  *    commit marker — resolves to its existing record inside
+  *    [[TxnLog.commit]]'s txnId ledger and publishes nothing: the
+  *    replay's freshly staged bytes orphan for [[TxnLog.vacuumStaging]]
+  *    (the Delta `txnAppId`/`txnVersion` idempotent-writer contract,
+  *    same as [[TxnLog.appendOnce]] one layer down);
+  *  - CHECK constraints are enforced per epoch BEFORE the commit
+  *    (one re-read of the staged batch, only when constraints exist):
+  *    a violating micro-batch fails the epoch and publishes nothing;
+  *  - typed per-file stats are collected in one distributed pass, so
+  *    stream-written files prune and metadata-aggregate exactly like
+  *    batch-written ones;
+  *  - every [[TxnLog.CheckpointInterval]]-th commit auto-checkpoints,
+  *    keeping a long-lived ingest stream's per-commit cost O(tail).
+  *
+  * Only append output mode is supported (update/complete would need
+  * per-epoch truncation semantics a log of immutable appends should
+  * not silently fake).
+  */
+private class GraftStreamingWrite(root: String, logicalSchema: StructType,
+                                  queryId: String) extends StreamingWrite {
+
+  private def spark = SparkSession.active
+
+  // staged files carry PHYSICAL names, like every other write path
+  private val physSchema = {
+    val renames = TxnLog.columnMapping(root)
+    StructType(logicalSchema.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+  }
+
+  /** Per-RUN token: restarts (and speculative duplicate drivers)
+    * stage into their own directories and can never clobber another
+    * attempt's files — the [[TxnLog.stageAttempt]] contract.
+    */
+  private val runToken =
+    s"stream-$queryId-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  private def epochDir(epochId: Long): String = s"$runToken-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, physSchema)
+    new GraftStreamingWriterFactory(Paths.get(root, "data").toString, runToken,
+      physSchema, new SerializableConfiguration(job.getConfiguration), owf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val txnId = s"stream-$queryId-e$epochId"
+    TxnLog.withTxnLock(txnId) {
+      if (TxnLog.findCommit(root, txnId).isEmpty) {
+        val files = messages.collect {
+          case GraftFileMessage(p, n) if n > 0 => p
+        }.toSeq.sorted
+        if (files.nonEmpty) {
+          if (TxnLog.activeConstraints(root).nonEmpty)
+            TxnLog.checkConstraints(spark, root,
+              TxnLog.toLogical(spark.read.parquet(files: _*),
+                TxnLog.columnMapping(root)))
+          val statCols = physSchema.fields
+            .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+          val multi =
+            if (statCols.isEmpty) Nil
+            else TxnLog.statsForStaged(spark, root, epochDir(epochId), statCols, files)
+          val rec = TxnLog.commit(root, "stream-append", added = files,
+            removed = Nil, readVersion = 0L, txnId = txnId, multiStats = multi,
+            schemaId = TxnLog.schemaFingerprint(physSchema),
+            schemaJson = GraftTable.declareJson(root, physSchema))
+          if (rec.version % TxnLog.CheckpointInterval == 0) TxnLog.checkpoint(root)
+        }
+        // an empty epoch publishes nothing: replaying it is a no-op
+        // with or without a record, so no version is burned
+      }
+    }
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftFileMessage(p, _) => Files.deleteIfExists(Paths.get(p)); ()
+      case _                      => ()
+    }
+}
+
+/** The streaming sibling of `GraftDataWriterFactory`: one parquet
+  * file per (epoch, partition, task) under the epoch's own staging
+  * directory, created executor-side (the factory is built once per
+  * run and reused across epochs).
+  */
+private class GraftStreamingWriterFactory(dataDir: String, runToken: String,
+                                          schema: StructType,
+                                          conf: SerializableConfiguration,
+                                          owf: OutputWriterFactory)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val dir = Paths.get(dataDir, s"$runToken-e$epochId")
+    Files.createDirectories(dir)
+    val path = s"$dir/part-$partitionId-$taskId.parquet"
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft", 2), TaskType.MAP, partitionId), taskId.toInt)
+    val ctx = new TaskAttemptContextImpl(conf.value, attempt)
+    val writer = owf.newInstance(path, schema, ctx)
+    new DataWriter[InternalRow] {
+      private var n = 0L
+      override def write(row: InternalRow): Unit = { writer.write(row); n += 1 }
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        if (n == 0L) Files.deleteIfExists(Paths.get(path))
+        GraftFileMessage(path, n)
+      }
+      override def abort(): Unit = {
+        writer.close()
+        Files.deleteIfExists(Paths.get(path))
+        ()
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -350,6 +350,81 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gcat.db.rc").head.getLong(0) === 100L)
   }
 
+  test("racing merge-on-read UPDATEs: a shared DV target conflicts — no duplicated rows") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rmor (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.rmor SELECT /*+ REPARTITION(1) */ id, 0 FROM range(0, 100)")
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(1L, 10L).map { add =>
+        new Thread(() => {
+          gate.await()
+          try spark.sql(s"UPDATE gcat.db.rmor SET v = v + $add WHERE k < 50")
+          catch { case t: Throwable => errs.add(t); () }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      // the serializability invariant the r13 matrix could break: two
+      // concurrent MOR updates tombstone the original row ONCE (DVs
+      // union) and land BOTH post-images — a duplicated row. The
+      // DV-overlap-with-adds rule aborts one instead.
+      assert(spark.sql("SELECT count(*) FROM gcat.db.rmor").head.getLong(0) === 100L,
+        "a lost-update race duplicated rows")
+      assert(spark.sql("SELECT count(DISTINCT k) FROM gcat.db.rmor").head.getLong(0) === 100L)
+      val sum = spark.sql("SELECT sum(v) FROM gcat.db.rmor").head.getLong(0)
+      if (errs.isEmpty) assert(sum === 50L * 11L, "both landed -> serial composition")
+      else {
+        assert(errs.size === 1)
+        assert(causes(errs.peek).exists(_.isInstanceOf[TxnLog.ConflictException]),
+          s"expected a conflict abort, got ${errs.peek}")
+        assert(sum === 50L * 1L || sum === 50L * 10L,
+          s"exactly one update's effect must survive, sum=$sum")
+      }
+    } finally spark.conf.set("spark.graft.dml.mode", "cow")
+  }
+
+  test("merge-on-read UPDATE racing a DV DELETE of the same rows: no resurrection") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rmd (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.rmd SELECT /*+ REPARTITION(1) */ id, 0 FROM range(0, 100)")
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ops = Seq("UPDATE gcat.db.rmd SET v = 1 WHERE k < 50",
+        "DELETE FROM gcat.db.rmd WHERE k < 50")
+      val threads = ops.map { stmt =>
+        new Thread(() => {
+          gate.await()
+          try spark.sql(stmt) catch { case t: Throwable => errs.add(t); () }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      val n = spark.sql("SELECT count(*) FROM gcat.db.rmd").head.getLong(0)
+      if (errs.isEmpty)
+        // serial either way: the delete's predicate also kills the
+        // update's post-images (or the update matched nothing)
+        assert(n === 50L, s"serial composition must end deleted, count=$n")
+      else {
+        assert(errs.size === 1)
+        assert(causes(errs.peek).exists(_.isInstanceOf[TxnLog.ConflictException]),
+          s"expected a conflict abort, got ${errs.peek}")
+        // loser aborted cleanly: either only the delete survives (50)
+        // or only the update (100 rows, 50 updated) — never a
+        // tombstoned-then-resurrected mix
+        val sum = spark.sql("SELECT sum(v) FROM gcat.db.rmd").head.getLong(0)
+        assert((n === 50L && sum === 0L) || (n === 100L && sum === 50L),
+          s"one op's effect must survive whole, count=$n sum=$sum")
+      }
+    } finally spark.conf.set("spark.graft.dml.mode", "cow")
+  }
+
   test("the _file metadata column maps every row to its data file") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.mf (k BIGINT, v STRING)")
@@ -414,6 +489,81 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("ALTER TABLE gcat.db.ac ADD COLUMN strict BIGINT NOT NULL")
     }
+  }
+
+  test("DROP COLUMN then ADD COLUMN of the same name: pre-drop values never resurface") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.readd (k BIGINT, c BIGINT)")
+    spark.sql("INSERT INTO gcat.db.readd SELECT id, id * 7 FROM range(0, 20)")
+    spark.sql("ALTER TABLE gcat.db.readd DROP COLUMN c")
+    spark.sql("ALTER TABLE gcat.db.readd ADD COLUMN c BIGINT")
+    // the re-added column binds to a FRESH physical name: the old
+    // files' bytes for the dropped `c` stay invisible
+    assert(spark.sql("SELECT count(*) FROM gcat.db.readd WHERE c IS NOT NULL")
+      .head.getLong(0) === 0L, "pre-drop values resurfaced in the re-added column")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.readd").head.getLong(0) === 20L)
+    // new writes land under the fresh identity and read back
+    spark.sql("INSERT INTO gcat.db.readd VALUES (100, 5)")
+    assert(spark.sql("SELECT c FROM gcat.db.readd WHERE k = 100").head.getLong(0) === 5L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.readd WHERE c IS NULL")
+      .head.getLong(0) === 20L)
+  }
+
+  test("RENAME a->b, DROP b, ADD a: stale mappings cleared, fresh physical identity") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rda (a BIGINT, k BIGINT)")
+    spark.sql("INSERT INTO gcat.db.rda SELECT id * 3, id FROM range(0, 10)")
+    spark.sql("ALTER TABLE gcat.db.rda RENAME COLUMN a TO b")
+    spark.sql("ALTER TABLE gcat.db.rda DROP COLUMN b")
+    assert(TxnLog.columnMapping(root("rda")).isEmpty,
+      "dropping a renamed column must clear its mapping entry")
+    spark.sql("ALTER TABLE gcat.db.rda ADD COLUMN a BIGINT")
+    // `a` was the DROPPED column's physical name: the re-add must not
+    // surface the old bytes (NULL for existing rows), and must not be
+    // blocked by the retired mapping
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rda WHERE a IS NOT NULL")
+      .head.getLong(0) === 0L)
+    // re-added columns append: the logical order is now (k, a)
+    spark.sql("INSERT INTO gcat.db.rda VALUES (100, 42)")
+    assert(spark.sql("SELECT a FROM gcat.db.rda WHERE k = 100").head.getLong(0) === 42L)
+  }
+
+  test("CREATE TABLE with a CHECK constraint is ONE commit: no unconstrained window") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.atc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.constraint.pos' = 'k >= 0')")
+    assert(TxnLog.currentVersion(root("atc")) === 1L,
+      "schema and constraints must publish in one record")
+    assert(TxnLog.activeConstraints(root("atc")) === Map("pos" -> "k >= 0"))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gcat.db.atc VALUES (-1, 0)"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[TxnLog.ConstraintViolationException]))
+    // CTAS carries its constraints in the same single commit as data
+    spark.sql("CREATE TABLE gcat.db.atc2 " +
+      "TBLPROPERTIES ('graft.constraint.cap' = 'v < 100') " +
+      "AS SELECT id AS k, id AS v FROM range(0, 10)")
+    assert(TxnLog.currentVersion(root("atc2")) === 1L)
+    assert(TxnLog.activeConstraints(root("atc2")) === Map("cap" -> "v < 100"))
+  }
+
+  test("table roots containing '#' and '%' scan, delete and stream correctly") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.`odd#ns%25`")
+    spark.sql("CREATE TABLE gcat.`odd#ns%25`.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gcat.`odd#ns%25`.t SELECT id, concat('v', id) FROM range(0, 50)")
+    // V2 scan (GraftScan -> SparkPath): the raw '#'/'%' must
+    // percent-encode, not parse as fragment/escape
+    assert(spark.sql("SELECT count(*) FROM gcat.`odd#ns%25`.t").head.getLong(0) === 50L)
+    // DV'd read: the row-path reader re-resolves the same paths
+    spark.sql("DELETE FROM gcat.`odd#ns%25`.t WHERE k % 5 = 0")
+    assert(spark.sql("SELECT count(*) FROM gcat.`odd#ns%25`.t").head.getLong(0) === 40L)
+    assert(spark.sql("SELECT v FROM gcat.`odd#ns%25`.t WHERE k = 7").head.getString(0) === "v7")
+    // HadoopFsRelation path (TxnLogFileIndex builds the FileStatus URIs)
+    val tRoot = s"$warehouse/odd#ns%25/t"
+    assert(TxnLog.table(spark, tRoot).count() === 40L)
+    assert(TxnLog.table(spark, tRoot).where("k = 7").head.getString(1) === "v7")
   }
 
   test("metadata tables: SELECT over .history and .files reads only the log") {
@@ -510,6 +660,26 @@ class GraftCatalogSpec extends SparkTestBase {
       "MOR-deleted rows must not resurrect through a COW rewrite")
   }
 
+  test("MOR post-images coalesce: O(advisory-size partitions) files, not O(input tasks)") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.smf (k BIGINT, v BIGINT)")
+    // 32 input files -> a scattered UPDATE reads 32 tasks; without the
+    // best-effort rebalance each task writes its own 1-row post-image
+    spark.sql("INSERT INTO gcat.db.smf SELECT /*+ REPARTITION(32) */ id, 0 FROM range(0, 32000)")
+    assert(TxnLog.snapshotFiles(root("smf")).size === 32)
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    try {
+      spark.sql("UPDATE gcat.db.smf SET v = 1 WHERE k % 100 = 7")
+      val c = TxnLog.commits(root("smf")).last
+      assert(c.action === "mor-update")
+      assert(c.dvFiles.size === 32, "every input file holds tombstoned rows")
+      assert(c.added.size <= 4,
+        s"320 scattered post-image rows over 32 tasks must coalesce, got ${c.added.size}")
+      assert(spark.sql("SELECT count(*), sum(v) FROM gcat.db.smf").head.toSeq ===
+        Seq(32000L, 320L))
+    } finally spark.conf.set("spark.graft.dml.mode", "cow")
+  }
+
   test("SELECT _pos exposes the DV coordinate; stable under deletes") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.ps (k BIGINT)")
@@ -547,6 +717,105 @@ class GraftCatalogSpec extends SparkTestBase {
     val df = spark.sql("SELECT sum(v) FROM gcat.db.mt"); df.collect()
     assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
       "a compacted table goes back to the vectorized path")
+  }
+
+  test("writeStream.toTable lands exactly-once across a checkpoint restart") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE gcat.db.sw (k BIGINT, v BIGINT)")
+    val ckpt = Files.createTempDirectory("graft-sw-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    def start() = in.toDF().selectExpr("value AS k", "value * 2 AS v")
+      .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.sw")
+    val q1 = start()
+    try {
+      in.addData(0L until 10L: _*)
+      q1.processAllAvailable()
+      in.addData(10L until 20L: _*)
+      q1.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gcat.db.sw").head.getLong(0) === 20L)
+    } finally q1.stop()
+    // stream-written files carry typed stats like batch-written ones
+    assert(TxnLog.snapshotState(root("sw")).forall(_._2.stats.keySet == Set("k", "v")))
+    // force an epoch REPLAY: drop the sink-side commit marker of the
+    // last batch — on restart Structured Streaming re-runs it, and
+    // the (queryId, epochId) txnId must resolve to the existing
+    // commit instead of appending twice
+    val commitFiles = Files.list(Paths.get(ckpt, "commits"))
+    val lastCommit = try {
+      import scala.jdk.CollectionConverters._
+      commitFiles.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.matches("\\d+")).maxBy(_.getFileName.toString.toLong)
+    } finally commitFiles.close()
+    Files.delete(lastCommit)
+    // the sidecar checksum must go with it or the re-write is blocked
+    Files.deleteIfExists(lastCommit.getParent.resolve(
+      "." + lastCommit.getFileName.toString + ".crc"))
+    val vBefore = TxnLog.currentVersion(root("sw"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gcat.db.sw").head.getLong(0) === 20L,
+        "the replayed epoch must dedup through the txn ledger")
+      assert(TxnLog.currentVersion(root("sw")) === vBefore,
+        "a replayed epoch publishes no new commit")
+      // and the stream keeps going after the replay
+      in.addData(100L, 101L)
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gcat.db.sw").head.getLong(0) === 22L)
+    } finally q2.stop()
+    // ledger reads back exactly the stream's rows
+    assert(spark.sql("SELECT sum(k), sum(v) FROM gcat.db.sw").head.toSeq ===
+      Seq(((0L until 20L) ++ Seq(100L, 101L)).sum,
+        ((0L until 20L) ++ Seq(100L, 101L)).map(_ * 2).sum))
+  }
+
+  test("a CHECK constraint rejects a violating micro-batch: the epoch publishes nothing") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE gcat.db.swc (k BIGINT) " +
+      "TBLPROPERTIES ('graft.constraint.pos' = 'k >= 0')")
+    val ckpt = Files.createTempDirectory("graft-swc-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().selectExpr("value AS k")
+      .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.swc")
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gcat.db.swc").head.getLong(0) === 3L)
+      val v = TxnLog.currentVersion(root("swc"))
+      in.addData(4L, -1L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[TxnLog.ConstraintViolationException]))
+      assert(TxnLog.currentVersion(root("swc")) === v, "nothing may publish")
+      assert(spark.sql("SELECT count(*) FROM gcat.db.swc").head.getLong(0) === 3L)
+    } finally q.stop()
+  }
+
+  test("exactly-once relay: readStream.table -> writeStream.toTable composes end to end") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.relsrc (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gcat.db.reldst (k BIGINT, v BIGINT)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.relsrc SELECT id, id * 3 FROM range(${i * 100}, ${i * 100 + 100})"))
+    val ckpt = Files.createTempDirectory("graft-rel-ckpt").toString
+    def relay() = spark.readStream.option("maxVersionsPerTrigger", "1")
+      .table("gcat.db.relsrc")
+      .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.reldst")
+    val q = relay()
+    try { q.processAllAvailable() } finally q.stop()
+    // restart picks up live source commits, no duplicates
+    spark.sql("INSERT INTO gcat.db.relsrc VALUES (900, 2700)")
+    val q2 = relay()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.sql(
+      "SELECT count(*) FROM (SELECT * FROM gcat.db.relsrc EXCEPT SELECT * FROM gcat.db.reldst)")
+      .head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.reldst").head.getLong(0) === 301L,
+      "relay must be exactly-once: every source row once, none twice")
   }
 
   test("readStream.table drains the change feed to the snapshot through the catalog") {

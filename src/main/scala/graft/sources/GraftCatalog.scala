@@ -80,7 +80,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * connector API.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
@@ -140,6 +141,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val parent = nsDir(ident.namespace).toString
       if (isTable(parent)) return new GraftMetaTable(parent, ident.name)
     }
+    // the change-data feed as SQL: `t.changes` / `t.deletes`, version
+    // bounds via read options (startingVersion/endingVersion)
+    if (GraftFeedTable.Kinds.contains(ident.name) && ident.namespace.nonEmpty) {
+      val parent = nsDir(ident.namespace).toString
+      if (isTable(parent)) return new GraftFeedTable(parent, ident.name)
+    }
     throw new NoSuchTableException(ident)
   }
 
@@ -170,10 +177,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables take no partition transforms: per-file typed stats in the " +
-        "log subsume hive-style partitioning (a partition column is a stat " +
-        "column whose per-file range collapses to a point)")
+    val pcols = GraftTable.identityPartitionCols(partitions, schema)
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     TxnLog.init(root)
@@ -186,7 +190,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       txnId = s"create-table-a$uuid12",
       schemaId = TxnLog.schemaFingerprint(schema),
       schemaJson = TxnLog.encodeSchema(schema),
-      cadds = GraftTable.constraintProps(properties))
+      cadds = GraftTable.constraintProps(properties),
+      partitionBy = pcols)
     new GraftTable(root, Long.MaxValue, timeTraveled = false)
   }
 
@@ -257,6 +262,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           readVersion = TxnLog.currentVersion(root), txnId = s"sql-dropcol-a$uuid12",
           schemaId = TxnLog.schemaFingerprint(evolved),
           schemaJson = TxnLog.encodeSchema(evolved))
+      // ALTER COLUMN c TYPE <wider>: one metadata commit; old files
+      // read through the widened schema (Spark's parquet readers
+      // up-convert int32->int64 and float->double), and typed stats
+      // stay SOUND by construction — integral stats are stored as
+      // long ranges (`typ "l"`) and float stats as double strings
+      // (`typ "f"`) for every width, so a widened predicate compares
+      // in the representation the old stats already use.
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"graft: only top-level columns widen: ${u.fieldNames.mkString(".")}")
+        val raw = TxnLog.rawTableSchema(root).getOrElse(throw new IllegalStateException(
+          s"graft table at $root has no logged schema to evolve"))
+        val phys = TxnLog.columnMapping(root).getOrElse(u.fieldNames()(0), u.fieldNames()(0))
+        val idx = raw.fieldIndex(phys)
+        val old = raw.fields(idx).dataType
+        require(GraftTable.widens(old, u.newDataType),
+          s"graft: ALTER COLUMN TYPE supports WIDENING only " +
+            s"(${old.simpleString} -> ${u.newDataType.simpleString} is not); " +
+            "a narrowing or cross-family change would mis-read existing files")
+        val evolved = StructType(raw.fields.updated(idx,
+          raw.fields(idx).copy(dataType = u.newDataType)))
+        TxnLog.commit(root, "schema-evolve", Nil, Nil,
+          readVersion = TxnLog.currentVersion(root), txnId = s"sql-widen-a$uuid12",
+          schemaId = TxnLog.schemaFingerprint(evolved),
+          schemaJson = TxnLog.encodeSchema(evolved))
       case c =>
         throw new UnsupportedOperationException(s"graft: unsupported ALTER TABLE change: $c")
     }
@@ -291,32 +321,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String])
     : org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty, "graft tables take no partition transforms")
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     new StagedGraftTable(root, schema, replaceExisting = false,
-      GraftTable.constraintProps(properties))
+      GraftTable.constraintProps(properties),
+      GraftTable.identityPartitionCols(partitions, schema))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String])
     : org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty, "graft tables take no partition transforms")
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     new StagedGraftTable(root, schema, replaceExisting = true,
-      GraftTable.constraintProps(properties))
+      GraftTable.constraintProps(properties),
+      GraftTable.identityPartitionCols(partitions, schema))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String])
     : org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty, "graft tables take no partition transforms")
     val root = tableRoot(ident)
     new StagedGraftTable(root, schema, replaceExisting = isTable(root),
-      GraftTable.constraintProps(properties))
+      GraftTable.constraintProps(properties),
+      GraftTable.identityPartitionCols(partitions, schema))
   }
 
   // ---- namespaces: directories without a _log ----
@@ -357,6 +387,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                               changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft: namespaces carry no metadata")
 
+  // ---- maintenance procedures: CALL graft.system.<verb>(...) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.Names.map(n =>
+        Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(GraftProcedures.Namespace) ||
+        !GraftProcedures.Names.contains(ident.name))
+      throw new UnsupportedOperationException(
+        s"graft: no procedure $ident (have: system.${GraftProcedures.Names.mkString(", system.")})")
+    // the `table` argument ('db.t') resolves through the same
+    // identifier hygiene as every table lookup — never a raw path
+    GraftProcedures.load(ident.name, { table =>
+      val parts = table.split("[.]")
+      val r = tableRoot(Identifier.of(parts.init, parts.last))
+      require(isTable(r), s"graft: no table $table in this warehouse")
+      r
+    })
+  }
+
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
     val dir = nsDir(namespace)
@@ -379,6 +433,28 @@ private[sources] object GraftTable {
     * properties (location/comment/provider) are warehouse-managed and
     * ignored.
     */
+  /** `PARTITIONED BY (c, ...)` — IDENTITY transforms only, mapped to
+    * the log's point-stat recipe (X-A38): a partition column is a
+    * stat column whose per-file range collapses toward a point, so
+    * partition pruning needs no new reader physics. Writers cluster
+    * inserts by these columns ([[insertInto]]); bucket/days/etc.
+    * transforms are rejected (no hive directory layout to serve
+    * them).
+    */
+  def identityPartitionCols(partitions: Array[Transform],
+                            schema: StructType): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"graft: PARTITIONED BY column $c is not in the schema")
+        c
+      case t => throw new UnsupportedOperationException(
+        s"graft: only identity partition transforms are supported, got $t " +
+          "(per-file typed stats subsume hive-style partitioning)")
+    }
+
   def constraintProps(properties: util.Map[String, String]): Seq[(String, String)] =
     properties.asScala.toSeq.collect {
       case (k, v) if k.startsWith(ConstraintProp) =>
@@ -423,7 +499,25 @@ private[sources] object GraftTable {
     val s = data.sparkSession
     TxnLog.checkConstraints(s, root, data)
     val readV = TxnLog.currentVersion(root)
-    val phys = TxnLog.toPhysical(data, TxnLog.columnMapping(root, readV))
+    val phys0 = TxnLog.toPhysical(data, TxnLog.columnMapping(root, readV))
+    // declared partitioning: cluster the staged files by the
+    // partition columns, so each file's recorded range collapses
+    // toward a point and a partition predicate prunes to the
+    // matching files (multi-value files stay SOUND: their wider
+    // range simply keeps them)
+    val pcols = TxnLog.partitionColumns(root, readV)
+      .filter(phys0.columns.contains)
+    // RANGE partitioning, explicit count (exempt from AQE partition
+    // coalescing): each staged file holds one value — or a CONTIGUOUS
+    // run when distinct values exceed the partition count — so ranges
+    // collapse to points and stay narrow either way. Hash clustering
+    // would non-deterministically co-locate unrelated values (4
+    // values into 32 buckets collide ~17% of the time), widening a
+    // file's range to the whole domain.
+    val phys =
+      if (pcols.isEmpty) phys0
+      else phys0.repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        pcols.map(phys0.col): _*)
     val txnId = s"sql-write-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     val statCols = phys.schema.fields.filter(f => statable(f.dataType)).map(_.name).toSeq
     val (files, multi) =
@@ -452,6 +546,21 @@ private[sources] object GraftTable {
                                    sch: StructType): String =
     if (TxnLog.rawTableSchema(root).isDefined) ""
     else TxnLog.encodeSchema(sch)
+
+  /** Safe type WIDENINGS for ALTER COLUMN TYPE: within the integral
+    * family upward, and float->double. Every pair here is one Spark's
+    * parquet readers up-convert at scan time AND whose typed per-file
+    * stats keep the same representation (longs for integrals, doubles
+    * for floats), so pre-widen stats keep pruning soundly.
+    */
+  def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (intRank.contains(from) && intRank.contains(to) &&
+      intRank(from) < intRank(to)) ||
+      (from == FloatType && to == DoubleType)
+  }
 
   /** Types [[TxnLog.statsForStaged]] records a typed range for. */
   private[sources] def statable(dt: DataType): Boolean = dt match {
@@ -492,6 +601,16 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
 
   override def name(): String = s"graft:$root" +
     (if (timeTraveled) s"@v$version" else "")
+
+  /** DESCRIBE surfaces the declared partitioning (identity columns,
+    * LOGICAL names as of this version).
+    */
+  override def partitioning(): Array[Transform] = {
+    val p2l = TxnLog.columnMapping(root, version).map(_.swap)
+    TxnLog.partitionColumns(root, version).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(
+        p2l.getOrElse(c, c))).toArray
+  }
 
   override lazy val schema: StructType =
     GraftTable.logicalSchema(spark, root, version)
@@ -651,7 +770,8 @@ private class GraftMetaTable(root: String, kind: String)
   */
 private class StagedGraftTable(root: String, stagedSchema: StructType,
                                replaceExisting: Boolean,
-                               constraints: Seq[(String, String)] = Nil)
+                               constraints: Seq[(String, String)] = Nil,
+                               partitionBy: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -676,10 +796,17 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               // physical names: a replaced table keeps its historical
               // column mapping consistent across the swap
-              val phys =
+              val phys0 =
                 if (replaceExisting)
                   TxnLog.toPhysical(data, TxnLog.columnMapping(root))
                 else data
+              // declared partitioning clusters the CTAS data too
+              // (range + explicit count, like insertInto)
+              val phys =
+                if (partitionBy.isEmpty) phys0
+                else phys0.repartitionByRange(
+                  data.sparkSession.sessionState.conf.numShufflePartitions,
+                  partitionBy.filter(phys0.columns.contains).map(phys0.col): _*)
               val statCols = phys.schema.fields
                 .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
               val (files, multi) =
@@ -698,7 +825,8 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
       TxnLog.commit(root, "create", added = files, removed = Nil,
         readVersion = 0L, txnId = txnId, multiStats = multi,
         schemaId = TxnLog.schemaFingerprint(sch),
-        schemaJson = TxnLog.encodeSchema(sch), cadds = constraints)
+        schemaJson = TxnLog.encodeSchema(sch), cadds = constraints,
+        partitionBy = partitionBy)
     } else {
       // one schema-evolve commit: the live set swaps and the schema
       // may change, under the standard conflict matrix
@@ -707,7 +835,8 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
         removed = TxnLog.snapshotFiles(root, readV),
         readVersion = readV, txnId = txnId, multiStats = multi,
         schemaId = TxnLog.schemaFingerprint(sch),
-        schemaJson = TxnLog.encodeSchema(sch), cadds = constraints)
+        schemaJson = TxnLog.encodeSchema(sch), cadds = constraints,
+        partitionBy = partitionBy)
     }
     ()
   }

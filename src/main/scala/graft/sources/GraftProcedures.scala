@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance verbs for [[TxnLog]] tables — Spark 4's
+  * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]] wired
+  * to the log's programmatic maintenance API, so a table owner living
+  * entirely in the SQL surface can run every maintenance job without
+  * a Scala hatch (the Iceberg `CALL catalog.system.*` recipe):
+  *
+  * {{{
+  * CALL graft.system.checkpoint(table => 'db.t')
+  * CALL graft.system.vacuum(table => 'db.t', retain_from_version => 7)
+  * CALL graft.system.vacuum_staging(table => 'db.t')
+  * CALL graft.system.optimize_zorder(table => 'db.t',
+  *        x_col => 'x', y_col => 'y', n_files => 8)
+  * CALL graft.system.compact_deletes(table => 'db.t',
+  *        min_deleted_fraction => 0.3)
+  * }}}
+  *
+  * Each procedure returns its receipt as rows (the published commit
+  * version / reclaimed counts), is transactional exactly like its
+  * programmatic twin (maintenance commits ride the standard conflict
+  * matrix; time travel stays intact), and takes the table as a
+  * dot-separated identifier resolved against the catalog's own
+  * warehouse — never a raw filesystem path.
+  */
+private[sources] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  val Names: Seq[String] =
+    Seq("checkpoint", "vacuum", "vacuum_staging", "optimize_zorder",
+      "compact_deletes")
+
+  private def uuid12: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** One finished procedure result: a single-partition local relation
+    * of the receipt rows (metadata-scale by construction).
+    */
+  private class ReceiptScan(schema: StructType, out: Seq[Seq[Any]])
+    extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = out.map(vals =>
+      new GenericInternalRow(vals.map {
+        case s: String => UTF8String.fromString(s)
+        case other     => other.asInstanceOf[AnyRef]
+      }.toArray[Any]): InternalRow).toArray
+    override def description(): String = s"GraftProcedureReceipt(${schema.fieldNames.mkString(",")})"
+  }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def paramWithDefault(name: String, dt: DataType,
+                               default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** Build one procedure. `resolveRoot` maps the `table` argument
+    * ('db.t') to its warehouse directory — supplied by the catalog so
+    * identifier hygiene (no separators, no dot-dot) is enforced in
+    * exactly one place.
+    */
+  def load(procName: String, resolveRoot: String => String): UnboundProcedure = {
+    def bound(params: Seq[ProcedureParameter], outSchema: StructType)
+             (run: (SparkSession, InternalRow) => Seq[Seq[Any]]): UnboundProcedure =
+      new UnboundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft maintenance procedure $procName"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft maintenance procedure $procName"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          // side-effecting by design — never cached or re-run by the planner
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            java.util.List.of[Scan](
+              new ReceiptScan(outSchema, run(SparkSession.active, input))).iterator()
+        }
+      }
+    def root(input: InternalRow): String =
+      resolveRoot(input.getUTF8String(0).toString)
+
+    procName match {
+      case "checkpoint" =>
+        bound(Seq(param("table", StringType)),
+          StructType(Seq(StructField("checkpointed_version", LongType, nullable = false)))) {
+          (_, in) => Seq(Seq(TxnLog.checkpoint(root(in))))
+        }
+      case "vacuum" =>
+        bound(Seq(param("table", StringType),
+            param("retain_from_version", LongType)),
+          StructType(Seq(StructField("deleted_files", LongType, nullable = false)))) {
+          (_, in) => Seq(Seq(TxnLog.vacuum(root(in), in.getLong(1)).size.toLong))
+        }
+      case "vacuum_staging" =>
+        bound(Seq(param("table", StringType)),
+          StructType(Seq(StructField("reclaimed", LongType, nullable = false)))) {
+          (_, in) => Seq(Seq(TxnLog.vacuumStaging(root(in)).size.toLong))
+        }
+      case "optimize_zorder" =>
+        bound(Seq(param("table", StringType),
+            param("x_col", StringType), param("y_col", StringType),
+            paramWithDefault("n_files", LongType, "8")),
+          StructType(Seq(StructField("version", LongType, nullable = false)))) {
+          (s, in) => Seq(Seq(TxnLog.optimizeZorder(s, root(in),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getLong(3).toInt, txnId = s"call-zorder-a$uuid12").version))
+        }
+      case "compact_deletes" =>
+        bound(Seq(param("table", StringType),
+            paramWithDefault("min_deleted_fraction", org.apache.spark.sql.types.DoubleType, "0.3")),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("compacted_files", LongType, nullable = false)))) {
+          (s, in) =>
+            val c = TxnLog.optimizeCompactDeletes(s, root(in), in.getDouble(1),
+              txnId = s"call-compact-a$uuid12")
+            Seq(Seq(c.map(_.version).getOrElse(-1L),
+              c.map(_.removed.size.toLong).getOrElse(0L)))
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"graft: no procedure system.$other")
+    }
+  }
+}

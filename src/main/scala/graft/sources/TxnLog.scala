@@ -178,7 +178,8 @@ object TxnLog {
                     schemaJson: String = "",
                     rename: String = "",
                     sizes: Seq[Long] = Nil,
-                    cadds: Seq[String] = Nil)
+                    cadds: Seq[String] = Nil,
+                    partitionBy: String = "")
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -338,9 +339,11 @@ object TxnLog {
       else s""","sizes":[${c.sizes.mkString(",")}]"""
     val caddsPart = // base64("name expr") per constraint born WITH the commit
       if (c.cadds.isEmpty) "" else s""","cadds":${arr(c.cadds)}"""
+    val partByPart = // comma-joined partition columns (identity transforms)
+      if (c.partitionBy.isEmpty) "" else s""","partitionBy":"${c.partitionBy}""""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -371,7 +374,7 @@ object TxnLog {
       numOpt("ts"), arr("mstats", required = false), strOpt("constraint"),
       strOpt("schemaJson"), strOpt("rename"),
       arr("sizes", required = false).map(_.toLong),
-      arr("cadds", required = false))
+      arr("cadds", required = false), strOpt("partitionBy"))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -452,7 +455,8 @@ object TxnLog {
                                hasLedger: Boolean,
                                constraints: Map[String, String] = Map.empty,
                                schemaJson: String = "",
-                               renames: Map[String, String] = Map.empty)
+                               renames: Map[String, String] = Map.empty,
+                               partitionBy: String = "")
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -486,6 +490,7 @@ object TxnLog {
     if (lines.headOption.contains(CkptHeader)) {
       var schema = ""
       var schemaJson = ""
+      var partitionBy = ""
       val txns = Map.newBuilder[String, Long]
       val constraints = Map.newBuilder[String, String]
       val renames = Map.newBuilder[String, String]
@@ -521,6 +526,7 @@ object TxnLog {
           case Seq("D", f, hex)      =>
             files(f) = files.getOrElse(f, FileMeta()).copy(dv = Some(hex))
           case Seq("R", l2, p)       => renames += (l2 -> p)
+          case Seq("P", cols)        => partitionBy = cols
           case Seq("Z", f, sz)       =>
             files(f) = files.getOrElse(f, FileMeta()).copy(size = sz.toLong)
           case Seq("Z", f, sz, mt)   =>
@@ -530,7 +536,7 @@ object TxnLog {
         }
       }
       CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
-        constraints.result(), schemaJson, renames.result())
+        constraints.result(), schemaJson, renames.result(), partitionBy)
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -584,6 +590,7 @@ object TxnLog {
     constraints ++= seed.constraints
     val renames = scala.collection.mutable.LinkedHashMap.empty[String, String]
     renames ++= seed.renames
+    var partitionBy = seed.partitionBy
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
@@ -610,6 +617,7 @@ object TxnLog {
       c.removed.foreach(live.remove)
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
+      if (c.partitionBy.nonEmpty) partitionBy = c.partitionBy
       if (c.schemaJson.nonEmpty) {
         schemaJson = c.schemaJson
         // a declared schema retires column-mapping entries whose
@@ -651,7 +659,7 @@ object TxnLog {
       top = c.version
     }
     CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
-      constraints.toMap, schemaJson, renames.toMap)
+      constraints.toMap, schemaJson, renames.toMap, partitionBy)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -677,6 +685,8 @@ object TxnLog {
       body.append("C ").append(n).append(' ').append(e).append('\n') }
     st.renames.toSeq.sortBy(_._1).foreach { case (l, p) =>
       body.append("R ").append(l).append(' ').append(p).append('\n') }
+    if (st.partitionBy.nonEmpty)
+      body.append("P ").append(st.partitionBy).append('\n')
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
       body.append("T ").append(t).append(' ').append(ver).append('\n') }
     st.files.foreach { case (f, meta) =>
@@ -1783,7 +1793,8 @@ object TxnLog {
              schemaJson: String = "",
              failOnConcurrentAppend: Boolean = false,
              rename: String = "",
-             cadds: Seq[(String, String)] = Nil): Commit = {
+             cadds: Seq[(String, String)] = Nil,
+             partitionBy: Seq[String] = Nil): Commit = {
     validatePaths(added ++ removed ++ dvFiles)
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
@@ -1816,6 +1827,11 @@ object TxnLog {
         s"txn $txnId: constraint expressions may not contain double quotes")
     }
     val caddsB64 = cadds.map { case (n, e) => b64enc(s"$n $e") }
+    partitionBy.foreach { c =>
+      validateToken("partition column", c)
+      require(!c.exists(":|,".contains(_)),
+        s"txn $txnId: partition column names may not contain separators: $c")
+    }
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
     // Dense vectors spill to immutable per-attempt sidecars before
@@ -1924,7 +1940,7 @@ object TxnLog {
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
-        rename, sizes, caddsB64)
+        rename, sizes, caddsB64, partitionBy.mkString(","))
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -2088,6 +2104,18 @@ object TxnLog {
   def columnMapping(root: String,
                     version: Long = Long.MaxValue): Map[String, String] =
     resolveState(root, version).renames
+
+  /** The table's declared partition columns (PHYSICAL names; identity
+    * transforms only — see GraftCatalog.createTable). Informational
+    * plus write-side placement: inserts cluster by these columns so
+    * per-file ranges collapse toward points; PRUNING needs nothing
+    * special (a partition column is just a stat column — X-A38).
+    */
+  def partitionColumns(root: String,
+                       version: Long = Long.MaxValue): Seq[String] = {
+    val p = resolveState(root, version).partitionBy
+    if (p.isEmpty) Nil else p.split(",").toSeq
+  }
 
   /** Every PHYSICAL column name any generation of the table ever
     * declared — the union of all schema-bearing commits' field names.

@@ -566,6 +566,169 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(TxnLog.table(spark, tRoot).where("k = 7").head.getString(1) === "v7")
   }
 
+  test("PARTITIONED BY identity: inserts cluster, partition predicates prune, soundness holds") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.pt (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    // DESCRIBE surfaces the declared partitioning
+    val desc = spark.sql("DESCRIBE TABLE gcat.db.pt").collect().map(_.getString(0)).toSeq
+    assert(desc.contains("# Partition Information") && desc.count(_ == "p") >= 2,
+      s"DESCRIBE must surface the partitioning, got $desc")
+    spark.sql("INSERT INTO gcat.db.pt SELECT id, id % 4 FROM range(0, 4000)")
+    val state = TxnLog.snapshotState(root("pt"))
+    // the insert range-clustered by p: per-file p-ranges collapse to a
+    // point or a CONTIGUOUS pair (range-partitioner sampling may merge
+    // adjacent values) — never the whole domain
+    assert(state.nonEmpty && state.size <= 4)
+    assert(state.forall { case (_, m) =>
+      val st = m.stats("p"); st.hi - st.lo <= 1L },
+      s"per-file p-ranges must be narrow and contiguous: " +
+        state.map(_._2.stats("p")).map(st => (st.lo, st.hi)).mkString(","))
+    // partition pruning through the ordinary stats machinery: at most
+    // one narrow-range neighbor admits p = 2 besides its own file;
+    // corrupt every file whose range EXCLUDES 2 — never opened
+    val admits = state.filter { case (_, m) =>
+      val st = m.stats("p"); st.lo <= 2L && 2L <= st.hi }
+    assert(admits.size <= 2, s"pruning must narrow to <=2 files, got ${admits.size}")
+    state.filterNot { case (f, _) => admits.exists(_._1 == f) }
+      .foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](1)) }
+    assert(spark.sql("SELECT count(*) FROM gcat.db.pt WHERE p = 2").head.getLong(0) === 1000L)
+    assert(spark.sql("SELECT sum(k) FROM gcat.db.pt WHERE p = 2").head.getLong(0) ===
+      (0L until 4000L).filter(_ % 4 == 2).sum)
+    // non-identity transforms are rejected loudly
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE gcat.db.ptb (k BIGINT, p BIGINT) PARTITIONED BY (bucket(4, p))"))
+    assert(e.getMessage.contains("identity"))
+    // CTAS accepts PARTITIONED BY too
+    spark.sql("CREATE TABLE gcat.db.ptc PARTITIONED BY (p) " +
+      "AS SELECT id AS k, id % 3 AS p FROM range(0, 300)")
+    assert(TxnLog.partitionColumns(root("ptc")) === Seq("p"))
+    assert(TxnLog.snapshotState(root("ptc"))
+      .forall { case (_, m) => val st = m.stats("p"); st.hi - st.lo <= 1L })
+  }
+
+  test("a multi-value file in a partitioned table is never pruned wrongly (soundness)") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ptm (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.ptm SELECT id, id % 2 FROM range(0, 100)")
+    // a raw-API append that ignores the clustering contract: one file
+    // holding BOTH p=7 and p=8 — its range stat [7, 8] keeps it for
+    // either predicate (soundness is range-based, never layout-based)
+    val df = spark.range(2).selectExpr("id + 700 AS k", "id + 7 AS p").coalesce(1)
+    val (files, multi) = TxnLog.stageWithStatsFor(df, root("ptm"), "manual-mv", Seq("k", "p"))
+    TxnLog.commit(root("ptm"), "append", files, Nil, readVersion = 0L,
+      txnId = "manual-mv", multiStats = multi,
+      schemaId = TxnLog.schemaFingerprint(df.schema))
+    assert(spark.sql("SELECT k FROM gcat.db.ptm WHERE p = 7").head.getLong(0) === 700L)
+    assert(spark.sql("SELECT k FROM gcat.db.ptm WHERE p = 8").head.getLong(0) === 701L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ptm").head.getLong(0) === 102L)
+  }
+
+  test("CALL graft.system.*: every maintenance verb runs from SQL, history intact") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.proc (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO gcat.db.proc SELECT id, (id * 37) % 1000 FROM range(0, 2000)")
+    spark.sql("INSERT INTO gcat.db.proc SELECT id, (id * 41) % 1000 FROM range(2000, 4000)")
+    // checkpoint
+    val ckv = spark.sql("CALL gcat.system.checkpoint(table => 'db.proc')").head.getLong(0)
+    assert(ckv === 3L)
+    assert(Files.exists(Paths.get(root("proc"), "_log", f"$ckv%020d.checkpoint")))
+    // zorder: one transactional rewrite, stats on both dims
+    val zv = spark.sql(
+      "CALL gcat.system.optimize_zorder(table => 'db.proc', x_col => 'x', y_col => 'y', n_files => 4)")
+      .head.getLong(0)
+    assert(zv === 4L)
+    assert(TxnLog.snapshotState(root("proc"))
+      .forall(_._2.stats.keySet == Set("x", "y")))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.proc").head.getLong(0) === 4000L)
+    // deletes + compaction
+    spark.sql("DELETE FROM gcat.db.proc WHERE x % 2 = 0")
+    val comp = spark.sql(
+      "CALL gcat.system.compact_deletes(table => 'db.proc', min_deleted_fraction => 0.3)").head
+    assert(comp.getLong(0) === 6L && comp.getLong(1) > 0L)
+    assert(TxnLog.snapshotState(root("proc")).forall(_._2.dv.isEmpty),
+      "compaction folds every vector in")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.proc").head.getLong(0) === 2000L)
+    // vacuum reclaims pre-compaction files; retained versions intact
+    val deleted = spark.sql(
+      s"CALL gcat.system.vacuum(table => 'db.proc', retain_from_version => 6)").head.getLong(0)
+    assert(deleted > 0L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.proc").head.getLong(0) === 2000L)
+    assert(spark.sql("CALL gcat.system.vacuum_staging(table => 'db.proc')").head.getLong(0) >= 0L)
+    // the verbs are ordinary commits in the history
+    val actions = spark.sql("SELECT action FROM gcat.db.proc.history")
+      .collect().map(_.getString(0)).toSeq
+    assert(actions.containsSlice(Seq("zorder")) && actions.contains("compact-deletes"))
+    // an unknown procedure fails loudly
+    val e2 = intercept[Exception](spark.sql("CALL gcat.system.nope(table => 'db.proc')"))
+    assert(e2.getMessage.contains("no procedure") || e2.getMessage.contains("nope"))
+  }
+
+  test("t.changes and t.deletes: the change feed as SQL with inclusive version bounds") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.cf (k BIGINT, v BIGINT)")                 // v1
+    spark.sql("INSERT INTO gcat.db.cf SELECT id, id * 10 FROM range(0, 10)")  // v2
+    spark.sql("INSERT INTO gcat.db.cf SELECT id, id * 10 FROM range(10, 20)") // v3
+    spark.sql("DELETE FROM gcat.db.cf WHERE k < 5")                           // v4 (DV)
+    val ch23 = spark.read.option("startingVersion", 2).option("endingVersion", 3)
+      .table("gcat.db.cf.changes")
+    assert(ch23.count() === 20L)
+    assert(ch23.groupBy("_commit_version").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 10L), (3L, 10L)))
+    assert(spark.read.option("startingVersion", 3).table("gcat.db.cf.changes")
+      .count() === 10L)
+    // the delete half: pre-images of the killed rows, stamped v4
+    val dels = spark.table("gcat.db.cf.deletes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dels === (0L until 5L).map(k => (k, k * 10L, 4L)).toSet)
+    // column pruning composes (only the stamp requested)
+    assert(spark.read.option("startingVersion", 2).option("endingVersion", 2)
+      .table("gcat.db.cf.changes").select("_commit_version").distinct()
+      .head.getLong(0) === 2L)
+    // adds-minus-retractions equals the live snapshot (mirror algebra)
+    val adds = spark.table("gcat.db.cf.changes").select("k", "v")
+    val live = adds.exceptAll(spark.table("gcat.db.cf.deletes").select("k", "v"))
+    assert(live.collect().map(_.getLong(0)).sorted.toSeq === (5L until 20L).toSeq)
+  }
+
+  test("ALTER COLUMN TYPE widens int->bigint, float->double; old generations read and prune") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.wd (k INT, f FLOAT)")
+    spark.sql("INSERT INTO gcat.db.wd SELECT /*+ REPARTITION(1) */ " +
+      "CAST(id AS INT), CAST(id AS FLOAT) / 2 FROM range(0, 100)")
+    spark.sql("ALTER TABLE gcat.db.wd ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE gcat.db.wd ALTER COLUMN f TYPE DOUBLE")
+    assert(spark.table("gcat.db.wd").schema.map(_.dataType.simpleString)
+      === Seq("bigint", "double"))
+    // values beyond int range land in the widened column
+    spark.sql("INSERT INTO gcat.db.wd SELECT /*+ REPARTITION(1) */ " +
+      "id + 4000000000, 1.5 FROM range(0, 10)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.wd").head.getLong(0) === 110L)
+    assert(spark.sql("SELECT sum(k) FROM gcat.db.wd WHERE k >= 4000000000")
+      .head.getLong(0) === (0L until 10L).map(_ + 4000000000L).sum)
+    // pre-widen files read correctly through the widened schema
+    assert(spark.sql("SELECT sum(k) FROM gcat.db.wd WHERE k < 100").head.getLong(0)
+      === (0L until 100L).sum)
+    assert(spark.sql("SELECT sum(f) FROM gcat.db.wd WHERE f < 50").head.getDouble(0)
+      === (0 until 100).map(_.toDouble / 2).sum + 10 * 1.5)
+    // pruning soundness ACROSS generations: the int-era stats ("l",
+    // long range) serve the widened bigint predicate — corrupt the
+    // old file, a predicate only the NEW generation admits still runs
+    val oldFile = TxnLog.snapshotState(root("wd"))
+      .find(_._2.stats("k").lo == 0L).get._1
+    Files.write(Paths.get(oldFile), Array[Byte](1))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.wd WHERE k >= 4000000000")
+      .head.getLong(0) === 10L, "the pre-widen file must prune on its long-typed stats")
+    // narrowing is rejected loudly (Spark's analyzer catches the
+    // bigint->int downcast; the catalog's own WIDENING guard backs it
+    // up for shapes the analyzer lets through)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db.wd ALTER COLUMN k TYPE INT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("WIDENING"))
+    assert(!graft.sources.GraftTable.widens(
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType))
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

@@ -34,6 +34,7 @@ class GraftSqlModelSpec extends SparkTestBase {
   private case class MergeOp(rows: Map[Long, Long], mor: Boolean) extends Op
   private case class Overwrite(rows: Map[Long, Long]) extends Op
   private case object Truncate extends Op
+  private case object Widen extends Op
 
   private val rowsGen: Gen[Map[Long, Long]] = for {
     n <- Gen.choose(1, 12)
@@ -56,7 +57,8 @@ class GraftSqlModelSpec extends SparkTestBase {
     3 -> (for { rows <- rowsGen; mor <- Gen.oneOf(true, false) }
       yield MergeOp(rows, mor)),
     1 -> rowsGen.map(Overwrite),
-    1 -> Gen.const(Truncate))
+    1 -> Gen.const(Truncate),
+    1 -> Gen.const(Widen))
 
   /** INSERTs must not create duplicate keys (the table's merge
     * invariant) — restrict to keys absent from the model.
@@ -76,9 +78,13 @@ class GraftSqlModelSpec extends SparkTestBase {
       val cat = s"gsqlm$seed"
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+      // v starts NARROW so a random Widen op can ALTER it to BIGINT
+      // mid-history: pre-widen versions must keep traveling back
+      // through their own era's schema
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v INT)")
       val root = s"$wh/t"
       var model = Map.empty[Long, Long]
+      var widened = false
       val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
       history(TxnLog.currentVersion(root)) = model
 
@@ -135,6 +141,13 @@ class GraftSqlModelSpec extends SparkTestBase {
             spark.sql(s"TRUNCATE TABLE $cat.t")
             model = Map.empty
             if (wasEmpty) history.remove(TxnLog.currentVersion(root))
+          case Widen =>
+            // int -> bigint, at most once; values are unchanged, so
+            // the model is untouched — only the era's schema moves
+            if (!widened) {
+              spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v TYPE BIGINT")
+              widened = true
+            }
         }
         val v = TxnLog.currentVersion(root)
         history(v) = model

@@ -288,7 +288,11 @@ object SparkEntry {
     materializeOnce(materializedCatTables, wh) {
       val root = s"$wh/db/ord"
       if (graft.sources.TxnLog.currentVersion(root) != 9L ||
-          graft.sources.TxnLog.currentVersion(s"$wh/db/ctas") != 1L) {
+          graft.sources.TxnLog.currentVersion(s"$wh/db/ctas") != 1L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/part") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/proc") != 3L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/wide") != 5L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/sw") != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
           .select(col("o_orderkey"),
@@ -336,6 +340,41 @@ object SparkEntry {
         // data + typed stats (StagingTableCatalog path)
         s.sql(s"CREATE TABLE $cat.db.ctas AS " +
           s"SELECT o_orderkey, price_cents FROM cat_src_$tag WHERE o_orderkey % 11 = 3")
+        // PARTITIONED BY identity (r14): inserts range-cluster by the
+        // partition column so its per-file ranges collapse; a
+        // partition predicate then prunes through ordinary typed
+        // stats (X-A38 as SQL)
+        s.sql(s"CREATE TABLE $cat.db.part " +
+          "(o_orderkey BIGINT, price_cents BIGINT, o_orderstatus STRING) " +
+          "PARTITIONED BY (o_orderstatus)")
+        s.sql(s"INSERT INTO $cat.db.part " +
+          s"SELECT * FROM cat_src_$tag WHERE o_orderkey % 4 = 1")
+        // maintenance THROUGH SQL (r14, ProcedureCatalog): a DV delete
+        // folded clean by CALL compact_deletes, then CALL checkpoint
+        s.sql(s"CREATE TABLE $cat.db.proc AS SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 9 = 4")
+        s.sql(s"DELETE FROM $cat.db.proc WHERE o_orderkey % 2 = 0")
+        s.sql(s"CALL $cat.system.compact_deletes(table => 'db.proc', " +
+          "min_deleted_fraction => 0.1)")
+        s.sql(s"CALL $cat.system.checkpoint(table => 'db.proc')")
+        // ALTER COLUMN TYPE widening (r14): int->bigint, float->double
+        // across two file generations; f holds integral values so the
+        // float->double conversion is exact for the oracle
+        s.sql(s"CREATE TABLE $cat.db.wide (o_orderkey INT, f FLOAT)")
+        s.sql(s"INSERT INTO $cat.db.wide SELECT CAST(o_orderkey AS INT), " +
+          s"CAST(o_orderkey % 97 AS FLOAT) FROM cat_src_$tag WHERE o_orderkey % 19 = 2")
+        s.sql(s"ALTER TABLE $cat.db.wide ALTER COLUMN o_orderkey TYPE BIGINT")
+        s.sql(s"ALTER TABLE $cat.db.wide ALTER COLUMN f TYPE DOUBLE")
+        s.sql(s"INSERT INTO $cat.db.wide SELECT o_orderkey + 4000000000, " +
+          s"CAST(o_orderkey % 89 AS DOUBLE) FROM cat_src_$tag WHERE o_orderkey % 23 = 3")
+        // STREAMING WRITE (r14): db.ctas relayed into db.sw through
+        // readStream.table -> writeStream.toTable — the exactly-once
+        // epoch commit path, drained and stopped inside the fixture
+        s.sql(s"CREATE TABLE $cat.db.sw (o_orderkey BIGINT, price_cents BIGINT)")
+        val q = s.readStream.table(s"$cat.db.ctas")
+          .writeStream.option("checkpointLocation", s"$wh/_ckpt_sw")
+          .toTable(s"$cat.db.sw")
+        try q.processAllAvailable() finally q.stop()
         ()
       }
     }
@@ -998,6 +1037,48 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"""SELECT version, action, read_version
                   FROM $cat.db.ord.history""")
+      }),
+      // ---- r14 surface ----
+      // PARTITIONED BY identity: the partition predicate prunes to
+      // the files whose collapsed o_orderstatus range admits 'F'
+      "tx_cat_part" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT o_orderkey, price_cents FROM $cat.db.part
+                  WHERE o_orderstatus = 'F'""")
+      }),
+      // maintenance through SQL: the table as CALL compact_deletes +
+      // CALL checkpoint left it — vectors folded in, content = the
+      // pure predicate
+      "tx_cat_call" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.proc")
+      }),
+      // ALTER COLUMN TYPE widening: one scan spans the int/float era
+      // and the bigint/double era
+      "tx_cat_widen" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, f FROM $cat.db.wide")
+      }),
+      // writeStream.toTable: the stream-written relay equals its
+      // batch source (exactly-once epoch commits)
+      "tx_cat_stream" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.sw")
+      }),
+      // the change feed as SQL: adds of v2..v3 with their stamps
+      "tx_cat_changes" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.read.option("startingVersion", 2).option("endingVersion", 3)
+          .table(s"$cat.db.ord.changes")
+          .select(col("o_orderkey"), col("price_cents"),
+            col(graft.sources.TxnStream.CommitVersionCol).as("commit_version"))
+      }),
+      // ...and the delete half: pre-images the v4 DV commit killed
+      "tx_cat_deletes" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.read.option("endingVersion", 4).table(s"$cat.db.ord.deletes")
+          .select(col("o_orderkey"), col("price_cents"),
+            col(graft.sources.TxnStream.CommitVersionCol).as("commit_version"))
       })
     )
   }
@@ -1376,7 +1457,51 @@ object SparkEntry {
            (CAST(7 AS BIGINT), 'mor-update', CAST(6 AS BIGINT)),
            (CAST(8 AS BIGINT), 'schema-evolve', CAST(7 AS BIGINT)),
            (CAST(9 AS BIGINT), 'append',     CAST(0 AS BIGINT)))
-         AS t(version, action, read_version)"""
+         AS t(version, action, read_version)""",
+
+    "tx_cat_part" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 4 = 1 AND o_orderstatus = 'F'""",
+
+    "tx_cat_call" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 9 = 4 AND o_orderkey % 2 = 1""",
+
+    "tx_cat_widen" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                CAST(o_orderkey % 97 AS DOUBLE) AS f
+         FROM orders WHERE o_orderkey % 19 = 2
+         UNION ALL
+         SELECT o_orderkey + 4000000000 AS o_orderkey,
+                CAST(o_orderkey % 89 AS DOUBLE) AS f
+         FROM orders WHERE o_orderkey % 23 = 3""",
+
+    "tx_cat_stream" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey % 11 = 3""",
+
+    "tx_cat_changes" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(3 AS BIGINT) AS commit_version
+         FROM orders WHERE o_orderkey % 3 = 1""",
+
+    "tx_cat_deletes" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(4 AS BIGINT) AS commit_version
+         FROM orders
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 = 2"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -150,7 +150,17 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
                              maxVersionsPerTrigger: Long, maxBytesPerTrigger: Long,
                              startingVersion: Long,
                              stampVersion: Boolean = true)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: the head is PINNED when the query starts —
+    * the stream drains commits <= the pin (under the normal admission
+    * caps) and stops; commits landing mid-drain wait for the next run.
+    */
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = TxnLog.currentVersion(root)
 
   /** The read schema, PINNED at stream construction: the declared
     * logical fields translated to their stable physical storage
@@ -186,7 +196,7 @@ class TxnLogMicroBatchStream(root: String, schema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = Option(start).collect { case TxnVersionOffset(v) => v }
       .getOrElse(startingVersion)
-    val head = TxnLog.currentVersion(root)
+    val head = math.min(TxnLog.currentVersion(root), availableNowCap)
     val byVersions = math.min(head, math.addExact(from,
       math.min(maxVersionsPerTrigger, math.max(head - from, 0L) + 1)))
     val end =

@@ -1088,6 +1088,39 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
       if (counts.forall(_.isDefined)) OptionalLong.of(counts.flatten.sum)
       else OptionalLong.empty()
     }
+
+    /** Per-COLUMN statistics over the post-prune file set, fed to
+      * Catalyst through `transformV2Stats` — distinctCount is the
+      * union of the per-file HLL sketches an ANALYZE recorded
+      * ([[TxnLog.analyzeTable]]), nullCount the fold of per-file null
+      * counts. This is what CBO join reordering keys on; columns
+      * without sketches (never analyzed) simply report nothing.
+      */
+    override def columnStats(): util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      required.fields.foreach { fd =>
+        val stats = kept.flatMap(_._2.stats.get(physName(fd.name)))
+        if (stats.size == kept.size && kept.nonEmpty) {
+          val ndv = TxnLog.ndvFromSketches(stats.map(_.hll).filter(_.nonEmpty))
+            .filter(_ => stats.forall(_.hll.nonEmpty))
+          val nulls =
+            if (stats.forall(_.nulls >= 0L)) Some(stats.map(_.nulls).sum)
+            else None
+          if (ndv.isDefined || nulls.isDefined)
+            out.put(org.apache.spark.sql.connector.expressions.Expressions
+                .column(fd.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong =
+                  ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+                override def nullCount(): OptionalLong =
+                  nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              })
+        }
+      }
+      out
+    }
   }
 
   private def dvPopcount(dv: String): Long =

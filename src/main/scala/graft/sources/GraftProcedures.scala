@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("checkpoint", "vacuum", "vacuum_staging", "optimize_zorder",
-      "compact_deletes")
+      "compact_deletes", "analyze")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -125,6 +125,19 @@ private[sources] object GraftProcedures {
               txnId = s"call-compact-a$uuid12")
             Seq(Seq(c.map(_.version).getOrElse(-1L),
               c.map(_.removed.size.toLong).getOrElse(0L)))
+        }
+      case "analyze" =>
+        bound(Seq(param("table", StringType),
+            paramWithDefault("columns", StringType, "''")),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("analyzed_files", LongType, nullable = false)))) {
+          (s, in) =>
+            val colsArg = if (in.isNullAt(1)) "" else in.getUTF8String(1).toString
+            val cols = colsArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val c = TxnLog.analyzeTable(s, root(in), cols,
+              txnId = s"call-analyze-a$uuid12")
+            Seq(Seq(c.version, c.restatFiles.size.toLong))
         }
       case other =>
         throw new UnsupportedOperationException(s"graft: no procedure system.$other")

@@ -94,7 +94,7 @@ object TxnLog {
     */
   case class FileStat(lo: Long, hi: Long, rows: Long = -1L,
                       typ: String = "l", loS: String = "", hiS: String = "",
-                      nulls: Long = -1L)
+                      nulls: Long = -1L, hll: String = "")
 
   /** Unsigned lexicographic byte comparison — the order Spark's
     * UTF8String (and thus its string min/max) uses. Java String
@@ -179,7 +179,9 @@ object TxnLog {
                     rename: String = "",
                     sizes: Seq[Long] = Nil,
                     cadds: Seq[String] = Nil,
-                    partitionBy: String = "")
+                    partitionBy: String = "",
+                    restatFiles: Seq[String] = Nil,
+                    restats: Seq[String] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -284,16 +286,19 @@ object TxnLog {
   //                                    ':', '|', ',' or spaces)
   // field COUNT dispatches the two shapes; column names are validated
   // separator-free at commit time.
-  private def renderOneStat(c: String, s: FileStat): String =
-    if (s.typ == "l" && s.nulls < 0L) s"$c:${s.lo}:${s.hi}:${s.rows}"
+  private def renderOneStat(c: String, s: FileStat): String = {
+    val h = if (s.hll.isEmpty) "" else s":${s.hll}"
+    if (s.typ == "l" && s.nulls < 0L && s.hll.isEmpty) s"$c:${s.lo}:${s.hi}:${s.rows}"
     else if (s.typ == "s" || s.typ == "f")
-      s"$c:${s.typ}:${s.loS}:${s.hiS}:${s.rows}:${s.nulls}"
-    else s"$c:${s.typ}:${s.lo}:${s.hi}:${s.rows}:${s.nulls}"
+      s"$c:${s.typ}:${s.loS}:${s.hiS}:${s.rows}:${s.nulls}$h"
+    else s"$c:${s.typ}:${s.lo}:${s.hi}:${s.rows}:${s.nulls}$h"
+  }
 
   private def parseOneStat(typ: String, lo: String, hi: String,
-                           rows: Long, nulls: Long): FileStat =
-    if (typ == "s" || typ == "f") FileStat(0L, 0L, rows, typ, lo, hi, nulls)
-    else FileStat(lo.toLong, hi.toLong, rows, typ, "", "", nulls)
+                           rows: Long, nulls: Long,
+                           hll: String = ""): FileStat =
+    if (typ == "s" || typ == "f") FileStat(0L, 0L, rows, typ, lo, hi, nulls, hll)
+    else FileStat(lo.toLong, hi.toLong, rows, typ, "", "", nulls, hll)
 
   private def renderMultiStat(m: Map[String, FileStat]): String =
     m.toSeq.sortBy(_._1)
@@ -306,6 +311,8 @@ object TxnLog {
         case Array(c, lo, hi, n) => c -> FileStat(lo.toLong, hi.toLong, n.toLong)
         case Array(c, t, lo, hi, n, nl) =>
           c -> parseOneStat(t, lo, hi, n.toLong, nl.toLong)
+        case Array(c, t, lo, hi, n, nl, h) => // + base64 HLL sketch (r14)
+          c -> parseOneStat(t, lo, hi, n.toLong, nl.toLong, h)
         case _ => sys.error(s"bad multi-stat token: $tok")
       }
     }.toMap
@@ -341,9 +348,12 @@ object TxnLog {
       if (c.cadds.isEmpty) "" else s""","cadds":${arr(c.cadds)}"""
     val partByPart = // comma-joined partition columns (identity transforms)
       if (c.partitionBy.isEmpty) "" else s""","partitionBy":"${c.partitionBy}""""
+    val restatPart = // ANALYZE overlays: stats refreshed onto LIVE files
+      if (c.restatFiles.isEmpty) ""
+      else s""","restatFiles":${arr(c.restatFiles)},"restats":${arr(c.restats)}"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -374,7 +384,8 @@ object TxnLog {
       numOpt("ts"), arr("mstats", required = false), strOpt("constraint"),
       strOpt("schemaJson"), strOpt("rename"),
       arr("sizes", required = false).map(_.toLong),
-      arr("cadds", required = false), strOpt("partitionBy"))
+      arr("cadds", required = false), strOpt("partitionBy"),
+      arr("restatFiles", required = false), arr("restats", required = false))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -520,6 +531,9 @@ object TxnLog {
           case Seq("F", f, c, t, lo, hi, n, nl) => // typed stat (r13+)
             addStat(f, if (c == "-") "" else c,
               parseOneStat(t, lo, hi, n.toLong, nl.toLong))
+          case Seq("F", f, c, t, lo, hi, n, nl, h) => // + HLL sketch (r14)
+            addStat(f, if (c == "-") "" else c,
+              parseOneStat(t, lo, hi, n.toLong, nl.toLong, h))
           case Seq("B", f, c, hex)   =>
             files(f) = files.getOrElse(f, FileMeta())
               .copy(bloom = Some(hex), bloomCol = c)
@@ -615,6 +629,13 @@ object TxnLog {
         live.get(f).foreach(m => live(f) = m.copy(dv = Some(hexOr(m.dv, hex))))
       }
       c.removed.foreach(live.remove)
+      // ANALYZE overlay: refreshed stats (typed ranges + HLL
+      // sketches) merge into files STILL LIVE — a file removed by a
+      // concurrent or later rewrite is simply skipped, so an overlay
+      // can never resurrect data or clobber a deletion vector
+      c.restatFiles.zip(c.restats).foreach { case (f, ms) =>
+        live.get(f).foreach(m => live(f) = m.copy(stats = m.stats ++ parseMultiStat(ms)))
+      }
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
       if (c.partitionBy.nonEmpty) partitionBy = c.partitionBy
@@ -694,7 +715,7 @@ object TxnLog {
       else meta.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
         body.append("F ").append(f)
           .append(' ').append(if (c.isEmpty) "-" else c)
-        if (s.typ == "l" && s.nulls < 0L) // legacy long line
+        if (s.typ == "l" && s.nulls < 0L && s.hll.isEmpty) // legacy long line
           body.append(' ').append(s.lo).append(' ').append(s.hi)
             .append(' ').append(s.rows).append('\n')
         else {
@@ -702,7 +723,9 @@ object TxnLog {
           if (s.typ == "s" || s.typ == "f")
             body.append(' ').append(s.loS).append(' ').append(s.hiS)
           else body.append(' ').append(s.lo).append(' ').append(s.hi)
-          body.append(' ').append(s.rows).append(' ').append(s.nulls).append('\n')
+          body.append(' ').append(s.rows).append(' ').append(s.nulls)
+          if (s.hll.nonEmpty) body.append(' ').append(s.hll)
+          body.append('\n')
         }
       }
       if (meta.size >= 0L)
@@ -1537,9 +1560,27 @@ object TxnLog {
                      cols: Seq[String],
                      files: Seq[String]): Seq[Map[String, FileStat]] = {
     require(cols.nonEmpty, "statsForStaged needs at least one column")
+    val byFile = typedStatsByFile(
+      spark.read.parquet(Paths.get(root, "data", txnId).toString), cols, hllLgK = -1)
+    files.map(byFile.getOrElse(_, Map.empty[String, FileStat]))
+  }
+
+  /** The shared stats pass: per-file per-column typed (min, max, rows,
+    * nulls) over `df`, grouped by source file — ONE distributed scan,
+    * map-side combined, one result row per file. `hllLgK >= 0` adds a
+    * per-file HLL DISTINCT sketch per column (Apache DataSketches via
+    * Spark's own `hll_sketch_agg`), base64 in [[FileStat.hll]] —
+    * sketches UNION across files, which is what makes table-level NDV
+    * (the optimizer's join-cardinality input) computable from
+    * metadata alone at any file count. Non-integral/string columns
+    * sketch their canonical stat representation (micros/days as
+    * longs, doubles as strings).
+    */
+  private def typedStatsByFile(df: DataFrame, cols: Seq[String],
+                               hllLgK: Int): Map[String, Map[String, FileStat]] = {
     import org.apache.spark.sql.functions.{col, count, lit, unix_date, unix_micros, max => fmax, min => fmin}
     import org.apache.spark.sql.types._
-    val staged = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+    val staged = df
     val kinds: Seq[(String, String, org.apache.spark.sql.Column)] = cols.map { c =>
       staged.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -1551,35 +1592,98 @@ object TxnLog {
         case _             => (c, "", lit(null)) // unsupported: no range
       }
     }
-    val aggs = kinds.flatMap { case (c, _, e) => Seq(
-      fmin(e).as(s"lo_$c"), fmax(e).as(s"hi_$c"), count(col(c)).as(s"nn_$c")) } :+
-      count(lit(1)).as("n")
-    val byFile = staged
+    val withHll = hllLgK >= 0
+    val aggs = kinds.flatMap { case (c, k, e) =>
+      val base = Seq(
+        fmin(e).as(s"lo_$c"), fmax(e).as(s"hi_$c"), count(col(c)).as(s"nn_$c"))
+      if (!withHll) base
+      else {
+        // hll_sketch_agg takes int/long/string/binary: sketch the
+        // canonical long/string form (doubles via their string form)
+        val key = k match {
+          case "l" | "t" | "d" => e
+          case "s"             => e
+          case "f"             => e.cast("string")
+          case _               => lit(null)
+        }
+        base :+ org.apache.spark.sql.functions.hll_sketch_agg(key, lit(hllLgK))
+          .as(s"hll_$c")
+      }
+    } :+ count(lit(1)).as("n")
+    val w = if (withHll) 4 else 3
+    staged
       .groupBy(inputFilePath.as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val n = r.getLong(1 + 3 * cols.size)
+        val n = r.getLong(1 + w * cols.size)
         // an all-null (or empty) column has no range: record no stat
         // for it — the file then always survives pruning on that
         // column (sound) and takes the scan path in aggregates
         val m = kinds.zipWithIndex.flatMap { case ((c, k, _), i) =>
-          val (loI, hiI, nnI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+          val (loI, hiI, nnI) = (1 + w * i, 2 + w * i, 3 + w * i)
           if (k.isEmpty || r.isNullAt(loI) || r.isNullAt(hiI)) None
           else {
             val nulls = n - r.getLong(nnI)
+            val hll =
+              if (!withHll || r.isNullAt(4 + w * i)) ""
+              else java.util.Base64.getEncoder.encodeToString(
+                r.getAs[Array[Byte]](4 + w * i))
             Some(c -> (k match {
               case "s" => FileStat(0L, 0L, n, "s",
-                b64enc(r.getString(loI)), b64enc(r.getString(hiI)), nulls)
+                b64enc(r.getString(loI)), b64enc(r.getString(hiI)), nulls, hll)
               case "f" => FileStat(0L, 0L, n, "f",
-                r.getDouble(loI).toString, r.getDouble(hiI).toString, nulls)
-              case t   => FileStat(r.getLong(loI), r.getLong(hiI), n, t, "", "", nulls)
+                r.getDouble(loI).toString, r.getDouble(hiI).toString, nulls, hll)
+              case t   => FileStat(r.getLong(loI), r.getLong(hiI), n, t, "", "", nulls, hll)
             }))
           }
         }.toMap
         (r.getString(0), m)
       }.toMap
-    files.map(byFile.getOrElse(_, Map.empty[String, FileStat]))
+  }
+
+  /** Union per-file HLL sketches (base64, as [[FileStat.hll]]) into
+    * one table-level distinct-count estimate. None when the list is
+    * empty. O(files) driver work over KB-scale sketches.
+    */
+  private[sources] def ndvFromSketches(hlls: Seq[String]): Option[Long] =
+    if (hlls.isEmpty) None
+    else {
+      val u = new org.apache.datasketches.hll.Union(12)
+      hlls.foreach { b =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(b64dec(b))))
+      }
+      Some(math.round(u.getEstimate))
+    }
+
+  /** ANALYZE: refresh per-file typed stats AND per-file HLL distinct
+    * sketches for `cols` (default: every stat-able column) over the
+    * LIVE snapshot, in one distributed pass, committed as a stats
+    * OVERLAY (`restatFiles`/`restats` — an append-class commit that
+    * merges into still-live files and can never resurrect removed
+    * data). Afterwards [[graft.sources.GraftScan]] reports per-column
+    * distinctCount/nullCount/min/max to the optimizer, which is what
+    * CBO join reordering needs. The Iceberg puffin-NDV recipe as a
+    * log record: opt-in, off the write hot path, metadata-priced at
+    * read time (union of per-file sketches).
+    */
+  def analyzeTable(s: SparkSession, root: String, cols0: Seq[String],
+                   txnId: String, lgK: Int = 12): Commit = {
+    val readV = currentVersion(root)
+    val st0 = resolveState(root, readV)
+    require(st0.files.nonEmpty, s"nothing to analyze at $root")
+    val files = st0.files.map(_._1)
+    val df = s.read.option("mergeSchema", "true").parquet(files: _*)
+    val cols =
+      if (cols0.nonEmpty) cols0.map(c => physicalName(st0.renames, c))
+      else df.schema.fields.filter(f => GraftTable.statable(f.dataType))
+        .map(_.name).toSeq
+    require(cols.nonEmpty, s"no stat-able columns to analyze at $root")
+    val byFile = typedStatsByFile(df, cols, hllLgK = lgK)
+    val ordered = files.filter(byFile.contains)
+    commit(root, "analyze", Nil, Nil, readVersion = readV, txnId = txnId,
+      restatFiles = ordered, restats = ordered.map(byFile))
   }
 
   /** [[stageWithStats]] plus a per-file BLOOM FILTER over `bloomCol`
@@ -1794,8 +1898,10 @@ object TxnLog {
              failOnConcurrentAppend: Boolean = false,
              rename: String = "",
              cadds: Seq[(String, String)] = Nil,
-             partitionBy: Seq[String] = Nil): Commit = {
-    validatePaths(added ++ removed ++ dvFiles)
+             partitionBy: Seq[String] = Nil,
+             restatFiles: Seq[String] = Nil,
+             restats: Seq[Map[String, FileStat]] = Nil): Commit = {
+    validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
     if (bloomCol.nonEmpty) validateToken("bloomCol", bloomCol)
@@ -1832,6 +1938,11 @@ object TxnLog {
       require(!c.exists(":|,".contains(_)),
         s"txn $txnId: partition column names may not contain separators: $c")
     }
+    require(restatFiles.size == restats.size,
+      s"txn $txnId: restatFiles (${restatFiles.size}) must align with restats (${restats.size})")
+    require(restats.flatMap(_.keys).forall(c =>
+        c.nonEmpty && !c.exists(":|, \"".contains(_))),
+      s"txn $txnId: restat column names must be non-empty and separator-free")
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
     // Dense vectors spill to immutable per-attempt sidecars before
@@ -1940,7 +2051,8 @@ object TxnLog {
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
-        rename, sizes, caddsB64, partitionBy.mkString(","))
+        rename, sizes, caddsB64, partitionBy.mkString(","),
+        restatFiles, restats.map(renderMultiStat))
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {

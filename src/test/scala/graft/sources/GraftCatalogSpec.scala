@@ -729,6 +729,48 @@ class GraftCatalogSpec extends SparkTestBase {
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType))
   }
 
+  test("CALL analyze records HLL sketches; CBO sees NDV and reorders a 3-table join") {
+    warehouse
+    // fact(100k rows, fk1 NDV=1000, fk2 NDV=10), mid(1000), tiny(10)
+    spark.sql("CREATE TABLE gcat.db.fact AS SELECT id, id % 1000 AS fk1, " +
+      "id % 10 AS fk2 FROM range(0, 100000)")
+    spark.sql("CREATE TABLE gcat.db.mid AS SELECT id AS k1, id * 2 AS m " +
+      "FROM range(0, 1000)")
+    spark.sql("CREATE TABLE gcat.db.tiny AS SELECT id AS k2, id * 3 AS t " +
+      "FROM range(0, 10)")
+    for (t <- Seq("fact", "mid", "tiny"))
+      assert(spark.sql(s"CALL gcat.system.analyze(table => 'db.$t')")
+        .head.getLong(1) > 0L)
+    // the union of per-file sketches reaches Catalyst as distinctCount
+    withSQLConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val attrStats = spark.table("gcat.db.fact")
+        .queryExecution.optimizedPlan.stats.attributeStats
+      val byName = attrStats.map { case (a, cs) => a.name -> cs }
+      assert(byName("fk2").distinctCount.exists(n =>
+        n.toLong >= 9L && n.toLong <= 11L), s"fk2 NDV off: ${byName.get("fk2")}")
+      assert(byName("fk1").distinctCount.exists(n =>
+        n.toLong >= 950L && n.toLong <= 1050L))
+      assert(byName("id").nullCount.contains(BigInt(0)))
+      // join-order pin: with stats the optimizer joins fact with the
+      // SMALLER effective side first; the syntactic order puts mid
+      // first, the stats-implied order starts from tiny
+      val q = spark.sql(
+        """SELECT count(*) FROM gcat.db.fact f
+           JOIN gcat.db.mid d1 ON f.fk1 = d1.k1
+           JOIN gcat.db.tiny d2 ON f.fk2 = d2.k2""")
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.nonEmpty)
+      val innermost = joins.last
+      val innerTables = innermost.collectLeaves().map(_.toString).mkString(" ")
+      assert(innerTables.contains("tiny"),
+        s"CBO must join the low-NDV/small side first, innermost joined: $innerTables")
+      assert(q.head.getLong(0) === 100000L)
+    }
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

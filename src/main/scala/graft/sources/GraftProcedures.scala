@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("checkpoint", "vacuum", "vacuum_staging", "optimize_zorder",
-      "compact_deletes", "analyze")
+      "compact_deletes", "compact_files", "analyze")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -123,6 +123,21 @@ private[sources] object GraftProcedures {
           (s, in) =>
             val c = TxnLog.optimizeCompactDeletes(s, root(in), in.getDouble(1),
               txnId = s"call-compact-a$uuid12")
+            Seq(Seq(c.map(_.version).getOrElse(-1L),
+              c.map(_.removed.size.toLong).getOrElse(0L)))
+        }
+      case "compact_files" =>
+        bound(Seq(param("table", StringType),
+            paramWithDefault("small_mb", LongType, "32"),
+            paramWithDefault("target_mb", LongType, "128")),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("compacted_files", LongType, nullable = false)))) {
+          (s, in) =>
+            val c = TxnLog.compactSmallFiles(s, root(in),
+              smallBytes = in.getLong(1) * 1024 * 1024,
+              targetBytes = in.getLong(2) * 1024 * 1024,
+              txnId = s"call-cfiles-a$uuid12")
             Seq(Seq(c.map(_.version).getOrElse(-1L),
               c.map(_.removed.size.toLong).getOrElse(0L)))
         }

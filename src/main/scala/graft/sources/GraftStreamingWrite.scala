@@ -98,6 +98,27 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
             schemaId = TxnLog.schemaFingerprint(physSchema),
             schemaJson = GraftTable.declareJson(root, physSchema))
           if (rec.version % TxnLog.CheckpointInterval == 0) TxnLog.checkpoint(root)
+          // opt-in AUTO-COMPACT: long-lived ingest manufactures small
+          // files faster than unscheduled maintenance folds them, so
+          // the writer itself folds once enough accumulate — an
+          // ordinary `compact` transaction, OPPORTUNISTIC by design:
+          // a conflict with concurrent maintenance just skips (the
+          // next epoch retries); the epoch's own commit stands
+          // regardless. Tuned by spark.graft.stream.autoCompact.
+          // {minFiles, smallBytes, targetBytes} (0 = off, default).
+          val acMin = spark.conf.get(
+            "spark.graft.stream.autoCompact.minFiles", "0").toInt
+          if (acMin > 0) {
+            val small = spark.conf.get(
+              "spark.graft.stream.autoCompact.smallBytes",
+              (32L * 1024 * 1024).toString).toLong
+            val target = spark.conf.get(
+              "spark.graft.stream.autoCompact.targetBytes",
+              (128L * 1024 * 1024).toString).toLong
+            try TxnLog.compactSmallFiles(spark, root, small, target,
+              txnId = s"$txnId-ac", minFiles = acMin)
+            catch { case _: TxnLog.ConflictException => () }
+          }
         }
         // an empty epoch publishes nothing: replaying it is a no-op
         // with or without a record, so no version is burned

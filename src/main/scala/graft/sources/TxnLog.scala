@@ -999,7 +999,10 @@ object TxnLog {
         val ws = r.getSeq[org.apache.spark.sql.Row](1)
         val maxW = ws.last.getLong(0)
         require(maxW < (1L << 27), // a 1-GiB bitmap no longer fits a log record
-          s"deletion vector for ${r.getString(0)} spans row index ${maxW * 64}")
+          s"deletion vector for ${r.getString(0)} spans row index ${maxW * 64} " +
+            "(> 8.6B rows in one file — far past sane file sizing); delete in " +
+            "partitioned key ranges, or rewrite the file smaller first " +
+            "(optimizeZorder / compactSmallFiles), so each vector stays metadata-scale")
         val words = new Array[Long](maxW.toInt + 1)
         ws.foreach(w => words(w.getLong(0).toInt) = w.getLong(1))
         (r.getString(0), words.map(w => f"$w%016x").mkString)
@@ -1352,6 +1355,60 @@ object TxnLog {
         Seq.empty[Map[String, FileStat]])
       else stageWithStatsFor(clean, root, attemptId(txnId), cols)
     Some(commit(root, "compact-deletes", files, removed = victims.map(_._1),
+      readVersion = readV, txnId = txnId, multiStats = multi))
+  }
+
+  /** Fold the live snapshot's SMALL files (recorded size under
+    * `smallBytes`) into ~`targetBytes` outputs as ONE transaction —
+    * the bin-packing half of OPTIMIZE (Delta's file compaction;
+    * [[optimizeCompactDeletes]] is the DV-density half). Selection is
+    * METADATA-ONLY (sizes ride the log records); the rewrite reads
+    * only the victims DV-filtered (vectors compact in and die with
+    * the old files), re-collects stats on the victims' statted
+    * columns, and — when the table declares partitioning — re-range-
+    * clusters by the partition columns so the fold never widens
+    * per-file partition ranges. `removed` = the victims puts it under
+    * the standard conflict matrix; a concurrent append lands freely.
+    * Returns None (no version burned) below `minFiles` victims.
+    *
+    * This is the standing fold-back path for high-frequency small
+    * commits — streaming ingest and MOR post-images — runnable as
+    * `CALL graft.system.compact_files(...)` or automatically via the
+    * streaming writer's opt-in auto-compact
+    * (`spark.graft.stream.autoCompact.minFiles`).
+    */
+  def compactSmallFiles(s: SparkSession, root: String,
+                        smallBytes: Long, targetBytes: Long,
+                        txnId: String, minFiles: Int = 2): Option[Commit] = {
+    require(smallBytes > 0L && targetBytes >= smallBytes,
+      s"need 0 < smallBytes ($smallBytes) <= targetBytes ($targetBytes)")
+    val readV = currentVersion(root)
+    val st0 = resolveState(root, readV)
+    val victims = st0.files.filter { case (f, m) =>
+      val sz =
+        if (m.size >= 0L) m.size
+        else try Files.size(Paths.get(f)) catch { case _: Exception => Long.MaxValue }
+      sz < smallBytes
+    }
+    if (victims.size < math.max(2, minFiles)) return None
+    val totalBytes = victims.map { case (f, m) =>
+      if (m.size >= 0L) m.size else Files.size(Paths.get(f)) }.sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val clean = applyDeletionVectors(s.read.parquet(victims.map(_._1): _*), victims)
+    val pcols = (if (st0.partitionBy.isEmpty) Nil
+                 else st0.partitionBy.split(",").toSeq)
+      .filter(clean.columns.contains)
+    val folded =
+      if (pcols.nonEmpty)
+        clean.repartitionByRange(math.max(nOut, pcols.size),
+          pcols.map(clean.col): _*)
+      else clean.repartition(nOut)
+    val cols = victims.flatMap(_._2.stats.keys).filter(_.nonEmpty).distinct
+    val (files, multi) =
+      if (cols.isEmpty) (stage(folded, root, attemptId(txnId)),
+        Seq.empty[Map[String, FileStat]])
+      else stageWithStatsFor(folded, root, attemptId(txnId), cols)
+    Some(commit(root, "compact", files, removed = victims.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = multi))
   }
 

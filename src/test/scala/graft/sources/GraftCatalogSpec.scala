@@ -771,6 +771,59 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL compact_files bin-packs small files; streaming auto-compact bounds ingest") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.smc (k BIGINT, v BIGINT)")
+    (0 until 8).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.smc SELECT /*+ REPARTITION(1) */ id, id * 2 " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})"))
+    assert(TxnLog.snapshotFiles(root("smc")).size === 8)
+    val r = spark.sql(
+      "CALL gcat.system.compact_files(table => 'db.smc', small_mb => 1, target_mb => 1)").head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 8L)
+    assert(TxnLog.snapshotFiles(root("smc")).size === 1,
+      "8 tiny files must fold into one")
+    assert(spark.sql("SELECT count(*), sum(v) FROM gcat.db.smc").head.toSeq ===
+      Seq(800L, (0L until 800L).map(_ * 2).sum))
+    // DVs compact in: delete, then compact again folds the vector away
+    spark.sql("DELETE FROM gcat.db.smc WHERE k < 100")
+    spark.sql("INSERT INTO gcat.db.smc VALUES (9999, 0)")
+    spark.sql("CALL gcat.system.compact_files(table => 'db.smc', small_mb => 1, target_mb => 1)")
+    assert(TxnLog.snapshotState(root("smc")).forall(_._2.dv.isEmpty))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.smc").head.getLong(0) === 701L)
+
+    // streaming: with auto-compact on, a 12-epoch trickle never
+    // accumulates 12 small files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE gcat.db.swa (k BIGINT)")
+    spark.conf.set("spark.graft.stream.autoCompact.minFiles", "4")
+    spark.conf.set("spark.graft.stream.autoCompact.smallBytes", (1024L * 1024).toString)
+    spark.conf.set("spark.graft.stream.autoCompact.targetBytes", (1024L * 1024).toString)
+    try {
+      val ckpt = Files.createTempDirectory("graft-swa-ckpt").toString
+      val in = MemoryStream[Long](spark)
+      val q = in.toDF().selectExpr("value AS k")
+        .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.swa")
+      try {
+        (0 until 12).foreach { i =>
+          in.addData(i * 10L until i * 10L + 10L: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(TxnLog.snapshotFiles(root("swa")).size <= 6,
+        s"auto-compact must bound the small-file count, got " +
+          TxnLog.snapshotFiles(root("swa")).size)
+      assert(spark.sql("SELECT count(*), sum(k) FROM gcat.db.swa").head.toSeq ===
+        Seq(120L, (0L until 120L).sum), "folding must lose or duplicate nothing")
+      assert(spark.sql("SELECT action FROM gcat.db.swa.history")
+        .collect().map(_.getString(0)).contains("compact"))
+    } finally {
+      spark.conf.unset("spark.graft.stream.autoCompact.minFiles")
+      spark.conf.unset("spark.graft.stream.autoCompact.smallBytes")
+      spark.conf.unset("spark.graft.stream.autoCompact.targetBytes")
+    }
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

@@ -678,6 +678,40 @@ object ScaleProbe {
       runMode("mor")
     }
 
+    // Streaming-WRITE probe (X-A54): 16 exactly-once epochs through
+    // writeStream.toTable — per-epoch cost includes the engine's own
+    // checkpoint round-trip, the distributed stats pass and the log
+    // commit; the floor is Structured Streaming's per-trigger cost,
+    // same class as the read-side txn_source drain.
+    if (enabled("txn_stream_write")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val wh = java.nio.file.Files.createTempDirectory("graft-swprobe").toString
+      val cat = "swprobe"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-swprobe-ck").toString
+      implicit val enc = org.apache.spark.sql.Encoders.scalaLong
+      val in = MemoryStream[Long](spark)
+      val t0 = System.nanoTime()
+      val q = in.toDF().selectExpr("value AS k", "value * 7 AS v")
+        .writeStream.option("checkpointLocation", ckpt).toTable(s"$cat.t")
+      try {
+        (0 until 16).foreach { i =>
+          in.addData(i * 8192L until (i + 1) * 8192L: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+      require(n == 16 * 8192L, s"stream-wrote $n rows")
+      val commits = graft.sources.TxnLog.commits(s"$wh/t")
+        .count(_.action == "stream-append")
+      require(commits == 16, s"$commits epoch commits")
+      println(f"""{"op":"txn_stream_write","k":16,"rows":$n,"sec":$sec%.3f}""")
+    }
+
     // Mirror-maintenance ladder (X-A41): apply ONE new source version
     // (a small append + a small DV delete) to a mirror of a table
     // that is k× bigger — per-version cost must be ~flat in table

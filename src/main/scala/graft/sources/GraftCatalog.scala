@@ -65,6 +65,25 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *    micro-batch stream ([[TxnLogMicroBatchStream]]), un-stamped to
   *    the table's own schema; admission-control options pass through
   *    `readStream.option(...)`.
+  *  - `df.writeStream.toTable("graft.db.t")` — exactly-once epoch
+  *    commits through the txn ledger ([[GraftStreamingWrite]]), the
+  *    write-side twin of the stream above.
+  *  - `CREATE TABLE ... PARTITIONED BY (c)` — identity transforms
+  *    over the point-stat recipe: inserts range-cluster by the
+  *    partition columns, pruning reuses the typed-stats machinery.
+  *  - `CALL graft.system.{checkpoint, vacuum, vacuum_staging,
+  *    optimize_zorder, compact_deletes, compact_files, analyze}` —
+  *    the maintenance lifecycle as SQL procedures
+  *    ([[GraftProcedures]]).
+  *  - `SELECT ... FROM graft.db.t.changes` / `.deletes` — the
+  *    change-data feed with `startingVersion`/`endingVersion` read
+  *    options ([[GraftFeedTable]]); `.history` / `.files` serve the
+  *    metadata inventory.
+  *  - `ALTER TABLE ... ALTER COLUMN c TYPE <wider>` — widening with
+  *    era-aware reads and representation-sound stats.
+  *  - `CALL graft.system.analyze(...)` records per-file HLL distinct
+  *    sketches; scans then report column-level NDV/null counts to
+  *    Catalyst, enabling CBO join reordering over catalog tables.
   *
   * Identifiers map to directories: `graft.db.t` lives at
   * `<warehouse>/db/t` (a table is any directory with a `_log`).

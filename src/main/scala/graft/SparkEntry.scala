@@ -292,7 +292,8 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/part") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/proc") != 3L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/wide") != 5L ||
-          graft.sources.TxnLog.currentVersion(s"$wh/db/sw") != 2L) {
+          graft.sources.TxnLog.currentVersion(s"$wh/db/sw") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
           .select(col("o_orderkey"),
@@ -375,6 +376,17 @@ object SparkEntry {
           .writeStream.option("checkpointLocation", s"$wh/_ckpt_sw")
           .toTable(s"$cat.db.sw")
         try q.processAllAvailable() finally q.stop()
+        // MERGE WHEN NOT MATCHED BY SOURCE (r14): %26=1 is exactly
+        // half of the %13=1 target (26 = 2*13), so matched rows
+        // double and the other half deletes — fully oracle-closed
+        s.sql(s"CREATE TABLE $cat.db.nmbs AS SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 13 = 1")
+        s.sql(s"""MERGE INTO $cat.db.nmbs t
+                  USING (SELECT o_orderkey, price_cents FROM cat_src_$tag
+                         WHERE o_orderkey % 26 = 1) s
+                  ON t.o_orderkey = s.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET price_cents = 2 * s.price_cents
+                  WHEN NOT MATCHED BY SOURCE THEN DELETE""")
         ()
       }
     }
@@ -1079,6 +1091,12 @@ object SparkEntry {
         s.read.option("endingVersion", 4).table(s"$cat.db.ord.deletes")
           .select(col("o_orderkey"), col("price_cents"),
             col(graft.sources.TxnStream.CommitVersionCol).as("commit_version"))
+      }),
+      // MERGE with a NOT MATCHED BY SOURCE delete arm: matched rows
+      // doubled, target-only rows gone — one commit
+      "tx_cat_nmbs" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.nmbs")
       })
     )
   }
@@ -1501,7 +1519,13 @@ object SparkEntry {
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
                 CAST(4 AS BIGINT) AS commit_version
          FROM orders
-         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 = 2"""
+         WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 = 2""",
+
+    "tx_cat_nmbs" ->
+      """SELECT o_orderkey,
+                CAST(2 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
+                  AS price_cents
+         FROM orders WHERE o_orderkey % 26 = 1"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

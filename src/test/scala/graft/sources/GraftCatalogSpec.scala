@@ -824,6 +824,51 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: delete/update arms in both cow and mor") {
+    warehouse
+    for ((mode, t) <- Seq(("cow", "nm1"), ("mor", "nm2"))) {
+      spark.sql(s"CREATE TABLE gcat.db.$t AS SELECT id AS k, id AS v FROM range(0, 100)")
+      spark.conf.set("spark.graft.dml.mode", mode)
+      try {
+        // source holds 50..149: 50..99 match (update), 100..149 are
+        // inserts, 0..49 are target-only -> NOT MATCHED BY SOURCE
+        spark.range(50, 150).selectExpr("id AS k", "id * 10 AS v")
+          .createOrReplaceTempView(s"nmbs_src_$t")
+        spark.sql(
+          s"""MERGE INTO gcat.db.$t t USING nmbs_src_$t s ON t.k = s.k
+              WHEN MATCHED THEN UPDATE SET v = s.v
+              WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+              WHEN NOT MATCHED BY SOURCE AND k < 25 THEN DELETE
+              WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""")
+        val got = spark.sql(s"SELECT k, v FROM gcat.db.$t")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val want = ((25L until 50L).map(k => k -> -1L) ++
+          (50L until 150L).map(k => k -> k * 10L)).toMap
+        assert(got === want, s"mode=$mode diverged")
+      } finally spark.conf.set("spark.graft.dml.mode", "cow")
+    }
+  }
+
+  test("DataFrameWriterV2: writeTo append / overwrite / createOrReplace plan through the catalog") {
+    warehouse
+    spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+      .writeTo("gcat.db.wv2").createOrReplace()
+    assert(TxnLog.currentVersion(root("wv2")) === 1L, "createOrReplace is atomic CTAS")
+    spark.range(50, 80).selectExpr("id AS k", "id * 2 AS v")
+      .writeTo("gcat.db.wv2").append()
+    assert(spark.sql("SELECT count(*), sum(v) FROM gcat.db.wv2").head.toSeq ===
+      Seq(80L, (0L until 80L).map(_ * 2).sum))
+    // truncate-overwrite swaps the live set in one commit
+    val v = TxnLog.currentVersion(root("wv2"))
+    spark.range(0, 10).selectExpr("id AS k", "id AS v")
+      .writeTo("gcat.db.wv2").overwrite(org.apache.spark.sql.functions.lit(true))
+    assert(TxnLog.currentVersion(root("wv2")) === v + 1)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.wv2").head.getLong(0) === 10L)
+    // replace keeps history: the pre-replace snapshot still travels
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.wv2 VERSION AS OF $v")
+      .head.getLong(0) === 80L)
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

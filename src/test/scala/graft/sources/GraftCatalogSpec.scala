@@ -869,6 +869,37 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(0) === 80L)
   }
 
+  test("two concurrent streaming writers into one table: appends interleave, nothing lost") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE gcat.db.sw2 (k BIGINT, src BIGINT)")
+    val ins = Seq(1L, 2L).map { srcId =>
+      val ckpt = Files.createTempDirectory(s"graft-sw2-$srcId").toString
+      val in = MemoryStream[Long](spark)
+      val q = in.toDF().selectExpr("value AS k", s"CAST($srcId AS BIGINT) AS src")
+        .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.sw2")
+      (srcId, in, q)
+    }
+    try {
+      // interleaved epochs from both queries; each epoch is an
+      // append-class commit, so the CAS retries but never conflicts
+      (0 until 5).foreach { i =>
+        ins.foreach { case (srcId, in, _) =>
+          in.addData(srcId * 1000L + i * 10L until srcId * 1000L + i * 10L + 10L: _*)
+        }
+        ins.foreach(_._3.processAllAvailable())
+      }
+    } finally ins.foreach(_._3.stop())
+    assert(spark.sql("SELECT count(*) FROM gcat.db.sw2").head.getLong(0) === 100L)
+    assert(spark.sql("SELECT src, count(*) AS n FROM gcat.db.sw2 GROUP BY src")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 50L), (2L, 50L)))
+    // 10 epoch commits landed, distinct query ids in the txn ids
+    val txns = TxnLog.commits(root("sw2")).filter(_.action == "stream-append")
+      .map(_.txnId)
+    assert(txns.size === 10 && txns.map(_.split("-e")(0)).distinct.size === 2)
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

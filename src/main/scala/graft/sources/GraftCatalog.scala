@@ -519,20 +519,16 @@ private[sources] object GraftTable {
     TxnLog.checkConstraints(s, root, data)
     val readV = TxnLog.currentVersion(root)
     val phys0 = TxnLog.toPhysical(data, TxnLog.columnMapping(root, readV))
-    // declared partitioning: cluster the staged files by the
-    // partition columns, so each file's recorded range collapses
-    // toward a point and a partition predicate prunes to the
-    // matching files (multi-value files stay SOUND: their wider
-    // range simply keeps them)
+    // declared partitioning: RANGE-cluster by the partition columns,
+    // explicit count (exempt from AQE partition coalescing) — each
+    // staged file holds one value or a contiguous run, so ranges
+    // collapse and partition predicates prune; multi-value files stay
+    // SOUND (their wider range simply keeps them). The V1 insert
+    // bridge does not apply the write's requiredDistribution (that
+    // path serves writeStream.toTable), so the batch path clusters
+    // here.
     val pcols = TxnLog.partitionColumns(root, readV)
       .filter(phys0.columns.contains)
-    // RANGE partitioning, explicit count (exempt from AQE partition
-    // coalescing): each staged file holds one value — or a CONTIGUOUS
-    // run when distinct values exceed the partition count — so ranges
-    // collapse to points and stay narrow either way. Hash clustering
-    // would non-deterministically co-locate unrelated values (4
-    // values into 32 buckets collide ~17% of the time), widening a
-    // file's range to the whole domain.
     val phys =
       if (pcols.isEmpty) phys0
       else phys0.repartitionByRange(s.sessionState.conf.numShufflePartitions,
@@ -888,7 +884,44 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
     * ([[GraftStreamingWrite]]: per-epoch distributed staging,
     * exactly-once commits keyed by (queryId, epochId)).
     */
-  override def build(): Write = new V1Write {
+  override def build(): Write = new V1Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    /** Declared partitioning, LOGICAL names (what the write query's
+      * attributes resolve against) — drives the required distribution
+      * below for batch AND streaming writes alike.
+      */
+    private val pcols: Seq[String] = {
+      val p2l = TxnLog.columnMapping(root).map(_.swap)
+      TxnLog.partitionColumns(root).map(c => p2l.getOrElse(c, c))
+    }
+
+    /** Partitioned tables ask Spark for a RANGE distribution on the
+      * partition columns (exactly `repartitionByRange`): each staged
+      * file holds one value or a contiguous run, so per-file ranges
+      * collapse and partition predicates prune. The explicit
+      * partition count keeps AQE from coalescing adjacent values
+      * back together. Spark applies this in ONE place for `INSERT`,
+      * `writeTo` and `writeStream.toTable` — the streaming path gets
+      * partition-aware placement with no writer-side code.
+      */
+    override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+      if (pcols.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          pcols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray)
+
+    override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
+    override def requiredNumPartitions(): Int =
+      if (pcols.isEmpty) 0
+      else SparkSession.active.sessionState.conf.numShufflePartitions
+
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =

@@ -900,6 +900,29 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(txns.size === 10 && txns.map(_.split("-e")(0)).distinct.size === 2)
   }
 
+  test("streaming writes into a PARTITIONED table range-cluster per epoch") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE gcat.db.swp (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    val ckpt = Files.createTempDirectory("graft-swp-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().selectExpr("value AS k", "value % 4 AS p")
+      .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.swp")
+    try {
+      in.addData(0L until 4000L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the write's requiredDistribution (ordered on p) reaches the
+    // micro-batch plan: per-file p-ranges collapse like batch inserts
+    val state = TxnLog.snapshotState(root("swp"))
+    assert(state.nonEmpty && state.size <= 4)
+    assert(state.forall { case (_, m) =>
+      val st = m.stats("p"); st.hi - st.lo <= 1L },
+      s"streamed partitioned files must hold narrow contiguous ranges: " +
+        state.map(_._2.stats("p")).map(st => (st.lo, st.hi)).mkString(","))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.swp WHERE p = 2").head.getLong(0) === 1000L)
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

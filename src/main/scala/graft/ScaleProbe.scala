@@ -678,6 +678,45 @@ object ScaleProbe {
       runMode("mor")
     }
 
+    // Partitioned-INSERT overhead probe (X-A56): the same 1M-row
+    // insert into a plain vs PARTITIONED BY table — the partitioned
+    // path pays one range-sampling pass + one shuffle for its
+    // point-collapsed file layout; the receipt bounds that price and
+    // verifies the collapse (every staged file's partition range is
+    // a point or a contiguous pair).
+    if (enabled("catalog_part")) {
+      def freshPartCat(tag: String, partitioned: Boolean): (String, String) = {
+        val wh = java.nio.file.Files.createTempDirectory(s"graft-catpart-$tag").toString
+        val cat = s"catpart_$tag"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE TABLE $cat.t (k BIGINT, p BIGINT, v BIGINT)" +
+          (if (partitioned) " PARTITIONED BY (p)" else ""))
+        (cat, s"$wh/t")
+      }
+      def runIns(tag: String, partitioned: Boolean): Unit = {
+        val (cat, tRoot) = freshPartCat(tag, partitioned)
+        val t0 = System.nanoTime()
+        spark.sql(s"INSERT INTO $cat.t SELECT id, id % 16, id * 3 " +
+          "FROM range(0, 1048576)")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val state = graft.sources.TxnLog.snapshotState(tRoot)
+        if (partitioned)
+          require(state.forall { case (_, m) =>
+            val st = m.stats("p"); st.hi - st.lo <= 1L },
+            "partition ranges must collapse")
+        println(f"""{"op":"catalog_part_$tag%s","k":16,"rows":1048576,"sec":$sec%.3f,"files":${state.size}}""")
+      }
+      // warm-up pair then the measured pair: the first insert of a
+      // probe JVM carries codegen/JIT warm-up, which would otherwise
+      // masquerade as partitioning overhead
+      runIns("plain_warm", partitioned = false)
+      runIns("ranged_warm", partitioned = true)
+      runIns("plain", partitioned = false)
+      runIns("ranged", partitioned = true)
+    }
+
     // Streaming-WRITE probe (X-A54): 16 exactly-once epochs through
     // writeStream.toTable — per-epoch cost includes the engine's own
     // checkpoint round-trip, the distributed stats pass and the log

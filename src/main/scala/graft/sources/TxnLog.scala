@@ -1726,7 +1726,8 @@ object TxnLog {
     * read time (union of per-file sketches).
     */
   def analyzeTable(s: SparkSession, root: String, cols0: Seq[String],
-                   txnId: String, lgK: Int = 12): Commit = {
+                   txnId: String, lgK: Int = 12,
+                   chunkFiles: Int = AnalyzeChunkFiles): Commit = {
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
     require(st0.files.nonEmpty, s"nothing to analyze at $root")
@@ -1739,9 +1740,25 @@ object TxnLog {
     require(cols.nonEmpty, s"no stat-able columns to analyze at $root")
     val byFile = typedStatsByFile(df, cols, hllLgK = lgK)
     val ordered = files.filter(byFile.contains)
-    commit(root, "analyze", Nil, Nil, readVersion = readV, txnId = txnId,
-      restatFiles = ordered, restats = ordered.map(byFile))
+    // CHUNKED overlay commits: per-file sketches are ~KB each, so a
+    // million-file analyze in one record would be a GB-scale log
+    // entry (and a driver-side string of the same size). Each chunk
+    // is an independent append-class commit with its own replayable
+    // txnId — a crash mid-analyze leaves the earlier chunks' stats
+    // live and the re-run dedups them chunk by chunk.
+    val chunks = ordered.grouped(math.max(1, chunkFiles)).toSeq
+    val commits = chunks.zipWithIndex.map { case (chunk, i) =>
+      commit(root, "analyze", Nil, Nil, readVersion = readV,
+        txnId = if (chunks.size == 1) txnId else s"$txnId-c$i",
+        restatFiles = chunk, restats = chunk.map(byFile))
+    }
+    commits.last
   }
+
+  /** Files per ANALYZE overlay commit — bounds a single record (and
+    * the driver string building it) to ~chunk × cols × sketch-KB.
+    */
+  val AnalyzeChunkFiles = 2048
 
   /** [[stageWithStats]] plus a per-file BLOOM FILTER over `bloomCol`
     * (a high-cardinality lookup key — typically NOT the clustering

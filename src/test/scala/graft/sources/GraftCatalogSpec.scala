@@ -923,6 +923,30 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gcat.db.swp WHERE p = 2").head.getLong(0) === 1000L)
   }
 
+  test("a chunked ANALYZE overlays in several commits; NDV unions across chunks") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.anc (k BIGINT)")
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO gcat.db.anc SELECT /*+ REPARTITION(1) */ id " +
+        s"FROM range(${i * 200}, ${i * 200 + 200})"))
+    val v = TxnLog.currentVersion(root("anc"))
+    TxnLog.analyzeTable(spark, root("anc"), Seq("k"), "anc-chunked", chunkFiles = 2)
+    val analyzed = TxnLog.commits(root("anc")).filter(_.action == "analyze")
+    assert(analyzed.size === 3, "5 files at chunk size 2 -> 3 overlay commits")
+    assert(analyzed.flatMap(_.restatFiles).toSet ===
+      TxnLog.snapshotFiles(root("anc")).toSet)
+    // sketches from ALL chunks union into one table NDV
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val cs = spark.table("gcat.db.anc").queryExecution.optimizedPlan
+        .stats.attributeStats.map { case (a, c) => a.name -> c }
+      assert(cs("k").distinctCount.exists(n =>
+        n.toLong >= 950L && n.toLong <= 1050L), s"NDV off: ${cs.get("k")}")
+    }
+    // pre-analyze versions are untouched
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.anc VERSION AS OF $v")
+      .head.getLong(0) === 1000L)
+  }
+
   test("metadata tables: SELECT over .history and .files reads only the log") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.meta (k BIGINT, v BIGINT)")

@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Name-preserving test diagnostics: -oDF prints full stack traces with
+// durations to stdout; -u writes per-suite JUnit XML under
+// target/test-reports so a failing test's NAME survives any log
+// truncation (a flake you cannot name is a flake you cannot fix).
+Test / testOptions ++= Seq(
+  Tests.Argument(TestFrameworks.ScalaTest, "-oDF"),
+  Tests.Argument(TestFrameworks.ScalaTest, "-u", "target/test-reports"),
+)
 // The round driver parses the LAST stdout line of `sbt runMain` as JSON;
 // sbt's default logger prefixes forked-process output with "[info] ",
 // which breaks that parse (BENCH_r{1..6}.json all show parsed:null).

@@ -293,6 +293,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/proc") != 3L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/wide") != 5L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/sw") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/swc") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
@@ -376,6 +377,18 @@ object SparkEntry {
           .writeStream.option("checkpointLocation", s"$wh/_ckpt_sw")
           .toTable(s"$cat.db.sw")
         try q.processAllAvailable() finally q.stop()
+        // COMPLETE-MODE STREAMING WRITE (r15): a streaming aggregate
+        // over db.ctas materialized into db.swc — each epoch is ONE
+        // stream-replace transaction (the reference's own
+        // aggregate-to-sink topology, spark_stream.py:58–84)
+        s.sql(s"CREATE TABLE $cat.db.swc (grp BIGINT, n BIGINT, sum_pc BIGINT)")
+        val qc = s.readStream.table(s"$cat.db.ctas")
+          .groupBy((col("o_orderkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_pc"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$wh/_ckpt_swc")
+          .toTable(s"$cat.db.swc")
+        try qc.processAllAvailable() finally qc.stop()
         // MERGE WHEN NOT MATCHED BY SOURCE (r14): %26=1 is exactly
         // half of the %13=1 target (26 = 2*13), so matched rows
         // double and the other half deletes — fully oracle-closed
@@ -1077,6 +1090,13 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.sw")
       }),
+      // complete-mode streaming write: the materialized streaming
+      // aggregate equals the batch aggregate of its source (each
+      // epoch was ONE stream-replace transaction)
+      "tx_cat_complete" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT grp, n, sum_pc FROM $cat.db.swc")
+      }),
       // the change feed as SQL: adds of v2..v3 with their stamps
       "tx_cat_changes" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
@@ -1502,6 +1522,14 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders WHERE o_orderkey % 11 = 3""",
+
+    "tx_cat_complete" ->
+      """SELECT o_orderkey % 7 AS grp,
+                count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_pc
+         FROM orders WHERE o_orderkey % 11 = 3
+         GROUP BY 1""",
 
     "tx_cat_changes" ->
       """SELECT o_orderkey,

@@ -927,12 +927,17 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
           GraftTable.insertInto(root, data, overwriteAll)
       }
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(!overwriteAll,
-        "graft streaming writes support the append output mode only " +
-          "(update/complete would truncate the log per epoch)")
-      new GraftStreamingWrite(root, info.schema(), info.queryId())
-    }
+    /** Append mode streams `stream-append` epochs; COMPLETE mode
+      * (Spark calls `truncate()` before building the streaming write)
+      * streams one `stream-replace` transaction per epoch. UPDATE
+      * mode never reaches here: this builder deliberately does not
+      * implement `SupportsStreamingUpdateAsAppend` (whose contract is
+      * to silently append changed rows) — keyed upserts belong in
+      * `foreachBatch` + `mergeInto`/`maintainInto`.
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(root, info.schema(), info.queryId(),
+        replaceEach = overwriteAll)
   }
 }
 

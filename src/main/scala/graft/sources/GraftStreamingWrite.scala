@@ -44,12 +44,24 @@ import org.apache.spark.util.SerializableConfiguration
   *  - every [[TxnLog.CheckpointInterval]]-th commit auto-checkpoints,
   *    keeping a long-lived ingest stream's per-commit cost O(tail).
   *
-  * Only append output mode is supported (update/complete would need
-  * per-epoch truncation semantics a log of immutable appends should
-  * not silently fake).
+  * Output modes: APPEND publishes each epoch's rows as a
+  * `stream-append`. COMPLETE (`replaceEach = true` — Spark signals it
+  * by calling `truncate()` on the write builder before `toStreaming`)
+  * publishes each epoch as ONE honest `stream-replace` transaction:
+  * removed = the live snapshot at commit time, added = the epoch's
+  * full result — the same single-commit swap INSERT OVERWRITE / RTAS
+  * use, so time travel keeps every epoch's aggregate and a replayed
+  * epoch still resolves through the txnId ledger. This is the
+  * reference's own topology (`spark_stream.py:58–84`: a streaming
+  * aggregate materialized at a sink) landing in the lakehouse.
+  * UPDATE mode is structurally rejected (the builder does not
+  * implement `SupportsStreamingUpdateAsAppend`, whose contract would
+  * silently append changed rows): keyed upsert streams belong in
+  * `foreachBatch` + [[TxnLog.mergeInto]] / `TxnStream.maintainInto`.
   */
 private class GraftStreamingWrite(root: String, logicalSchema: StructType,
-                                  queryId: String) extends StreamingWrite {
+                                  queryId: String,
+                                  replaceEach: Boolean) extends StreamingWrite {
 
   private def spark = SparkSession.active
 
@@ -83,20 +95,34 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
         val files = messages.collect {
           case GraftFileMessage(p, n) if n > 0 => p
         }.toSeq.sorted
-        if (files.nonEmpty) {
-          if (TxnLog.activeConstraints(root).nonEmpty)
+        // COMPLETE mode: the epoch output IS the table — one replace
+        // transaction swaps the live set (an EMPTY result still
+        // truncates a non-empty table; only empty-onto-empty skips,
+        // so no version is ever burned on a no-op).
+        val readV = if (replaceEach) TxnLog.currentVersion(root) else 0L
+        val live = if (replaceEach) TxnLog.snapshotFiles(root, readV) else Nil
+        if (files.nonEmpty || (replaceEach && live.nonEmpty)) {
+          if (files.nonEmpty && TxnLog.activeConstraints(root).nonEmpty)
             TxnLog.checkConstraints(spark, root,
               TxnLog.toLogical(spark.read.parquet(files: _*),
                 TxnLog.columnMapping(root)))
           val statCols = physSchema.fields
             .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
           val multi =
-            if (statCols.isEmpty) Nil
+            if (statCols.isEmpty || files.isEmpty) Nil
             else TxnLog.statsForStaged(spark, root, epochDir(epochId), statCols, files)
-          val rec = TxnLog.commit(root, "stream-append", added = files,
-            removed = Nil, readVersion = 0L, txnId = txnId, multiStats = multi,
-            schemaId = TxnLog.schemaFingerprint(physSchema),
-            schemaJson = GraftTable.declareJson(root, physSchema))
+          val rec =
+            if (replaceEach)
+              TxnLog.commit(root, "stream-replace", added = files,
+                removed = live, readVersion = readV,
+                txnId = txnId, multiStats = multi,
+                schemaId = TxnLog.schemaFingerprint(physSchema),
+                schemaJson = GraftTable.declareJson(root, physSchema))
+            else
+              TxnLog.commit(root, "stream-append", added = files,
+                removed = Nil, readVersion = 0L, txnId = txnId, multiStats = multi,
+                schemaId = TxnLog.schemaFingerprint(physSchema),
+                schemaJson = GraftTable.declareJson(root, physSchema))
           if (rec.version % TxnLog.CheckpointInterval == 0) TxnLog.checkpoint(root)
           // opt-in AUTO-COMPACT: long-lived ingest manufactures small
           // files faster than unscheduled maintenance folds them, so
@@ -108,7 +134,9 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
           // {minFiles, smallBytes, targetBytes} (0 = off, default).
           val acMin = spark.conf.get(
             "spark.graft.stream.autoCompact.minFiles", "0").toInt
-          if (acMin > 0) {
+          // (pointless under replaceEach: the next epoch swaps the
+          // whole live set anyway, so small files never accumulate)
+          if (acMin > 0 && !replaceEach) {
             val small = spark.conf.get(
               "spark.graft.stream.autoCompact.smallBytes",
               (32L * 1024 * 1024).toString).toLong

@@ -1221,4 +1221,80 @@ class GraftCatalogSpec extends SparkTestBase {
         "the catalog stream emits the table's own schema, un-stamped")
     } finally q.stop()
   }
+
+  test("complete-mode streaming aggregate: one stream-replace per epoch, " +
+       "restart converges to the batch answer, every epoch travels") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, lit}
+    spark.sql("CREATE TABLE gcat.db.cm (k BIGINT, n BIGINT)")
+    val ckpt = Files.createTempDirectory("graft-cm-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    def start() = in.toDF().selectExpr("value % 3 AS k").groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt).toTable("gcat.db.cm")
+    def tableNow(): Map[Long, Long] = spark.sql("SELECT k, n FROM gcat.db.cm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val q1 = start()
+    try {
+      in.addData(0L until 10L: _*)
+      q1.processAllAvailable()
+      // epoch 0 (v2): counts of 0..9 by k%3
+      assert(tableNow() === Map(0L -> 4L, 1L -> 3L, 2L -> 3L))
+      in.addData(10L until 30L: _*)
+      q1.processAllAvailable()
+      assert(tableNow() === Map(0L -> 10L, 1L -> 10L, 2L -> 10L),
+        "the table IS the aggregate — not an accumulation of epochs")
+    } finally q1.stop()
+    // restart from the checkpoint: state recovers, more data lands,
+    // the final table equals the batch aggregate over ALL input
+    val q2 = start()
+    try {
+      in.addData(30L until 37L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(tableNow() === Map(0L -> 13L, 1L -> 12L, 2L -> 12L),
+      "post-restart the materialized aggregate must equal the batch answer")
+    // ledger: every data epoch is exactly ONE stream-replace commit
+    // keyed stream-<queryId>-e<epoch>; time travel keeps each epoch
+    val cs = TxnLog.commits(root("cm")).filter(_.action == "stream-replace")
+    assert(cs.size === 3, s"3 data epochs -> 3 replace commits, got ${cs.size}")
+    assert(cs.map(_.txnId).distinct.size === 3 &&
+      cs.forall(_.txnId.startsWith("stream-")))
+    // two query runs over one checkpoint share the STABLE query id
+    assert(cs.map(_.txnId.split("-e")(0)).distinct.size === 1,
+      "queryId must be checkpoint-stable across restarts")
+    val v2 = cs.head.version
+    assert(spark.sql(s"SELECT k, n FROM gcat.db.cm VERSION AS OF $v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(0L -> 4L, 1L -> 3L, 2L -> 3L),
+      "each epoch's aggregate must stay time-travelable")
+    // each replace removed the previous epoch's whole live set
+    assert(cs.tail.forall(_.removed.nonEmpty))
+  }
+
+  test("update-mode streaming writes are rejected: the builder is not update-as-append") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, lit}
+    spark.sql("CREATE TABLE gcat.db.cmu (k BIGINT, n BIGINT)")
+    val ckpt = Files.createTempDirectory("graft-cmu-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    // update-as-append would silently append changed rows and corrupt
+    // the materialized aggregate; keyed upserts belong in foreachBatch
+    // + mergeInto/maintainInto
+    val e = intercept[Exception] {
+      val q = in.toDF().selectExpr("value % 3 AS k").groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt).toTable("gcat.db.cmu")
+      try { in.addData(1L, 2L); q.processAllAvailable() } finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(m =>
+      m.toLowerCase.contains("update"))), s"got: $e")
+    assert(TxnLog.currentVersion(root("cmu")) === 1L, "nothing may publish")
+  }
 }

@@ -294,6 +294,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/wide") != 5L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/sw") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/swc") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/bkt") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
@@ -351,6 +352,15 @@ object SparkEntry {
           "PARTITIONED BY (o_orderstatus)")
         s.sql(s"INSERT INTO $cat.db.part " +
           s"SELECT * FROM cat_src_$tag WHERE o_orderkey % 4 = 1")
+        // BUCKET partition transform (r15): writers cluster by
+        // pmod(hash(k), 8), each file records its collapsed bucket id
+        // as a derived point stat, equality predicates prune to one
+        // bucket (Iceberg-style bucket(n, c) through X-A38's stats)
+        s.sql(s"CREATE TABLE $cat.db.bkt " +
+          "(o_orderkey BIGINT, price_cents BIGINT) " +
+          "PARTITIONED BY (bucket(8, o_orderkey))")
+        s.sql(s"INSERT INTO $cat.db.bkt SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 6 = 5")
         // maintenance THROUGH SQL (r14, ProcedureCatalog): a DV delete
         // folded clean by CALL compact_deletes, then CALL checkpoint
         s.sql(s"CREATE TABLE $cat.db.proc AS SELECT o_orderkey, price_cents " +
@@ -1090,6 +1100,14 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.sw")
       }),
+      // bucket partition transform: equality predicates prune to one
+      // bucket through the derived bucket(8;k) point stats; content
+      // stays a pure predicate for the oracle
+      "tx_cat_bucket" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT o_orderkey, price_cents FROM $cat.db.bkt
+                  WHERE o_orderkey % 10 = 5""")
+      }),
       // complete-mode streaming write: the materialized streaming
       // aggregate equals the batch aggregate of its source (each
       // epoch was ONE stream-replace transaction)
@@ -1522,6 +1540,12 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders WHERE o_orderkey % 11 = 3""",
+
+    "tx_cat_bucket" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 6 = 5 AND o_orderkey % 10 = 5""",
 
     "tx_cat_complete" ->
       """SELECT o_orderkey % 7 AS grp,

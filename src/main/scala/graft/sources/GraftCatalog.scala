@@ -196,7 +196,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val pcols = GraftTable.identityPartitionCols(partitions, schema)
+    val pcols = GraftTable.partitionTokens(partitions, schema)
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     TxnLog.init(root)
@@ -344,7 +344,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     new StagedGraftTable(root, schema, replaceExisting = false,
       GraftTable.constraintProps(properties),
-      GraftTable.identityPartitionCols(partitions, schema))
+      GraftTable.partitionTokens(partitions, schema))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -355,7 +355,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(root)) throw new NoSuchTableException(ident)
     new StagedGraftTable(root, schema, replaceExisting = true,
       GraftTable.constraintProps(properties),
-      GraftTable.identityPartitionCols(partitions, schema))
+      GraftTable.partitionTokens(partitions, schema))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -365,7 +365,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     new StagedGraftTable(root, schema, replaceExisting = isTable(root),
       GraftTable.constraintProps(properties),
-      GraftTable.identityPartitionCols(partitions, schema))
+      GraftTable.partitionTokens(partitions, schema))
   }
 
   // ---- namespaces: directories without a _log ----
@@ -452,16 +452,18 @@ private[sources] object GraftTable {
     * properties (location/comment/provider) are warehouse-managed and
     * ignored.
     */
-  /** `PARTITIONED BY (c, ...)` — IDENTITY transforms only, mapped to
-    * the log's point-stat recipe (X-A38): a partition column is a
-    * stat column whose per-file range collapses toward a point, so
-    * partition pruning needs no new reader physics. Writers cluster
-    * inserts by these columns ([[insertInto]]); bucket/days/etc.
-    * transforms are rejected (no hive directory layout to serve
-    * them).
+  /** `PARTITIONED BY (c, bucket(n, c2), ...)` — IDENTITY and BUCKET
+    * transforms, both mapped to the log's point-stat recipe (X-A38):
+    * an identity column is a stat column whose per-file range
+    * collapses toward a point; a bucket is a DERIVED point stat
+    * (`pmod(hash(c), n)` collapses per file when the writer clusters
+    * by it), so equality predicates prune to one bucket with zero new
+    * reader physics. Writers cluster inserts accordingly
+    * ([[insertInto]]); days/hours/etc. transforms are rejected (no
+    * hive directory layout to serve them).
     */
-  def identityPartitionCols(partitions: Array[Transform],
-                            schema: StructType): Seq[String] =
+  def partitionTokens(partitions: Array[Transform],
+                      schema: StructType): Seq[String] =
     partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
@@ -469,9 +471,24 @@ private[sources] object GraftTable {
         require(schema.fieldNames.contains(c),
           s"graft: PARTITIONED BY column $c is not in the schema")
         c
+      case t if t.name == "bucket" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"graft: PARTITIONED BY bucket column $c is not in the schema")
+        require(TxnLog.bucketableType(schema(c).dataType),
+          s"graft: bucket transform needs an integral/string/date/timestamp " +
+            s"column, got $c: ${schema(c).dataType.simpleString}")
+        val n = t.arguments.collectFirst {
+          case l: V2Literal[_] => l.value.toString.toInt
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft: bucket transform without a literal bucket count: $t"))
+        require(n > 0, s"graft: bucket count must be positive, got $n")
+        TxnLog.bucketStatKey(n, c)
       case t => throw new UnsupportedOperationException(
-        s"graft: only identity partition transforms are supported, got $t " +
-          "(per-file typed stats subsume hive-style partitioning)")
+        s"graft: only identity and bucket partition transforms are " +
+          s"supported, got $t (per-file typed stats subsume hive-style " +
+          "partitioning)")
     }
 
   def constraintProps(properties: util.Map[String, String]): Seq[(String, String)] =
@@ -527,17 +544,19 @@ private[sources] object GraftTable {
     // bridge does not apply the write's requiredDistribution (that
     // path serves writeStream.toTable), so the batch path clusters
     // here.
-    val pcols = TxnLog.partitionColumns(root, readV)
-      .filter(phys0.columns.contains)
-    val phys =
-      if (pcols.isEmpty) phys0
-      else phys0.repartitionByRange(s.sessionState.conf.numShufflePartitions,
-        pcols.map(phys0.col): _*)
+    val pfields = TxnLog.partitionFields(root, readV)
+      .filter(f => phys0.columns.contains(f.col))
+    // identity columns range-cluster; a bucket transform hash-routes
+    // each row to its own bucket's partition, so each staged file
+    // holds one bucket and its derived stat collapses to a point
+    val phys = TxnLog.clusterByPartitioning(phys0, pfields,
+      s.sessionState.conf.numShufflePartitions)
     val txnId = s"sql-write-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     val statCols = phys.schema.fields.filter(f => statable(f.dataType)).map(_.name).toSeq
+    val buckets = pfields.collect { case TxnLog.BucketField(n, c) => (n, c) }
     val (files, multi) =
-      if (statCols.isEmpty) (TxnLog.stage(phys, root, txnId), Nil)
-      else TxnLog.stageWithStatsFor(phys, root, txnId, statCols)
+      if (statCols.isEmpty && buckets.isEmpty) (TxnLog.stage(phys, root, txnId), Nil)
+      else TxnLog.stageWithStatsFor(phys, root, txnId, statCols, buckets)
     TxnLog.commit(root, if (overwrite) "overwrite" else "append",
       added = files,
       removed = if (overwrite) TxnLog.snapshotFiles(root, readV) else Nil,
@@ -617,14 +636,19 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
   override def name(): String = s"graft:$root" +
     (if (timeTraveled) s"@v$version" else "")
 
-  /** DESCRIBE surfaces the declared partitioning (identity columns,
-    * LOGICAL names as of this version).
+  /** DESCRIBE surfaces the declared partitioning (identity and bucket
+    * transforms, LOGICAL names as of this version).
     */
   override def partitioning(): Array[Transform] = {
     val p2l = TxnLog.columnMapping(root, version).map(_.swap)
-    TxnLog.partitionColumns(root, version).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(
-        p2l.getOrElse(c, c))).toArray
+    TxnLog.partitionFields(root, version).map {
+      case TxnLog.IdentityField(c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(
+          p2l.getOrElse(c, c))
+      case TxnLog.BucketField(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          n, p2l.getOrElse(c, c))
+    }.toArray
   }
 
   override lazy val schema: StructType =
@@ -816,17 +840,20 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
                   TxnLog.toPhysical(data, TxnLog.columnMapping(root))
                 else data
               // declared partitioning clusters the CTAS data too
-              // (range + explicit count, like insertInto)
-              val phys =
-                if (partitionBy.isEmpty) phys0
-                else phys0.repartitionByRange(
-                  data.sparkSession.sessionState.conf.numShufflePartitions,
-                  partitionBy.filter(phys0.columns.contains).map(phys0.col): _*)
+              // (like insertInto: identity range-clusters, a bucket
+              // transform hash-routes rows to their bucket)
+              val pfields = partitionBy.map(TxnLog.parsePartitionToken)
+                .filter(f => phys0.columns.contains(f.col))
+              val phys = TxnLog.clusterByPartitioning(phys0, pfields,
+                data.sparkSession.sessionState.conf.numShufflePartitions)
               val statCols = phys.schema.fields
                 .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+              val buckets = pfields.collect {
+                case TxnLog.BucketField(n, c) => (n, c) }
               val (files, multi) =
-                if (statCols.isEmpty) (TxnLog.stage(phys, root, txnId), Nil)
-                else TxnLog.stageWithStatsFor(phys, root, txnId, statCols)
+                if (statCols.isEmpty && buckets.isEmpty)
+                  (TxnLog.stage(phys, root, txnId), Nil)
+                else TxnLog.stageWithStatsFor(phys, root, txnId, statCols, buckets)
               staged = Some((files, multi, phys.schema))
             }
           }
@@ -887,13 +914,21 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   override def build(): Write = new V1Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-    /** Declared partitioning, LOGICAL names (what the write query's
-      * attributes resolve against) — drives the required distribution
-      * below for batch AND streaming writes alike.
+    /** Declared IDENTITY partition columns, LOGICAL names (what the
+      * write query's attributes resolve against) — drives the
+      * required distribution below for batch AND streaming writes
+      * alike. Bucket transforms are excluded: expressing
+      * pmod(hash(c), n) through the V2 distribution API would need a
+      * FunctionCatalog round-trip; the batch paths cluster by bucket
+      * id in [[GraftTable.insertInto]]/CTAS instead, and streaming
+      * appends into bucketed tables stay SOUND (their wider bucket
+      * stat range simply keeps the file at prune time).
       */
     private val pcols: Seq[String] = {
       val p2l = TxnLog.columnMapping(root).map(_.swap)
-      TxnLog.partitionColumns(root).map(c => p2l.getOrElse(c, c))
+      TxnLog.partitionFields(root).collect {
+        case TxnLog.IdentityField(c) => p2l.getOrElse(c, c)
+      }
     }
 
     /** Partitioned tables ask Spark for a RANGE distribution on the

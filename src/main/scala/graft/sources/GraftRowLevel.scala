@@ -265,9 +265,14 @@ private class GraftDeltaBatchWrite(root: String, logicalSchema: StructType,
     val readV = scanned().map(_._2).getOrElse(TxnLog.currentVersion(root))
     val statCols = physSchema.fields
       .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+    // bucket-partitioned tables: post-image files re-record their
+    // derived bucket stats so rewrites never lose bucket pruning
+    val buckets = TxnLog.partitionFields(root).collect {
+      case TxnLog.BucketField(n, c) if physSchema.fieldNames.contains(c) => (n, c)
+    }
     val multi =
-      if (files.isEmpty || statCols.isEmpty) Nil
-      else TxnLog.statsForStaged(spark, root, txnId, statCols, files)
+      if (files.isEmpty || (statCols.isEmpty && buckets.isEmpty)) Nil
+      else TxnLog.statsForStaged(spark, root, txnId, statCols, files, buckets)
     // declare the write schema only when rows were added: a DELETE's
     // LogicalWriteInfo schema is the operation's (not the table's),
     // and a pure-DV commit changes no schema anyway
@@ -392,9 +397,14 @@ private class GraftBatchWrite(root: String, logicalSchema: StructType,
     if (files.isEmpty && removed.isEmpty) return // nothing matched, nothing inserted
     val statCols = physSchema.fields
       .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+    // bucket-partitioned tables: post-image files re-record their
+    // derived bucket stats so rewrites never lose bucket pruning
+    val buckets = TxnLog.partitionFields(root).collect {
+      case TxnLog.BucketField(n, c) if physSchema.fieldNames.contains(c) => (n, c)
+    }
     val multi =
-      if (files.isEmpty || statCols.isEmpty) Nil
-      else TxnLog.statsForStaged(spark, root, txnId, statCols, files)
+      if (files.isEmpty || (statCols.isEmpty && buckets.isEmpty)) Nil
+      else TxnLog.statsForStaged(spark, root, txnId, statCols, files, buckets)
     TxnLog.commit(root, action, added = files, removed = removed,
       readVersion = readV, txnId = txnId, multiStats = multi,
       schemaId = TxnLog.schemaFingerprint(physSchema),

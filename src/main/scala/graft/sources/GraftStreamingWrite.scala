@@ -108,9 +108,17 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
                 TxnLog.columnMapping(root)))
           val statCols = physSchema.fields
             .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+          // bucket stats recorded but typically un-collapsed here (the
+          // streaming path declares no bucket distribution): SOUND by
+          // construction — a wide bucket range just keeps the file
+          val buckets = TxnLog.partitionFields(root).collect {
+            case TxnLog.BucketField(n, c)
+              if physSchema.fieldNames.contains(c) => (n, c)
+          }
           val multi =
-            if (statCols.isEmpty || files.isEmpty) Nil
-            else TxnLog.statsForStaged(spark, root, epochDir(epochId), statCols, files)
+            if ((statCols.isEmpty && buckets.isEmpty) || files.isEmpty) Nil
+            else TxnLog.statsForStaged(spark, root, epochDir(epochId), statCols,
+              files, buckets)
           val rec =
             if (replaceEach)
               TxnLog.commit(root, "stream-replace", added = files,

@@ -1349,11 +1349,12 @@ object TxnLog {
     if (victimSet.isEmpty) return None
     val victims = state.filter(f => victimSet(f._1))
     val clean = applyDeletionVectors(s.read.parquet(victims.map(_._1): _*), victims)
-    val cols = victims.flatMap(_._2.stats.keys).filter(_.nonEmpty).distinct
+    val (cols, buckets) =
+      splitStatKeys(victims.flatMap(_._2.stats.keys).filter(_.nonEmpty).distinct)
     val (files, multi) =
-      if (cols.isEmpty) (stage(clean, root, attemptId(txnId)),
+      if (cols.isEmpty && buckets.isEmpty) (stage(clean, root, attemptId(txnId)),
         Seq.empty[Map[String, FileStat]])
-      else stageWithStatsFor(clean, root, attemptId(txnId), cols)
+      else stageWithStatsFor(clean, root, attemptId(txnId), cols, buckets)
     Some(commit(root, "compact-deletes", files, removed = victims.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = multi))
   }
@@ -1395,19 +1396,22 @@ object TxnLog {
       if (m.size >= 0L) m.size else Files.size(Paths.get(f)) }.sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val clean = applyDeletionVectors(s.read.parquet(victims.map(_._1): _*), victims)
-    val pcols = (if (st0.partitionBy.isEmpty) Nil
-                 else st0.partitionBy.split(",").toSeq)
-      .filter(clean.columns.contains)
+    // the fold re-clusters by the declared partitioning — identity
+    // columns range-cluster, a bucket transform hash-routes rows to
+    // their bucket — so compaction never widens per-file
+    // partition/bucket ranges
+    val pfields = (if (st0.partitionBy.isEmpty) Nil
+                   else st0.partitionBy.split(",").toSeq.map(parsePartitionToken))
+      .filter(f => clean.columns.contains(f.col))
     val folded =
-      if (pcols.nonEmpty)
-        clean.repartitionByRange(math.max(nOut, pcols.size),
-          pcols.map(clean.col): _*)
+      if (pfields.nonEmpty) clusterByPartitioning(clean, pfields, nOut)
       else clean.repartition(nOut)
-    val cols = victims.flatMap(_._2.stats.keys).filter(_.nonEmpty).distinct
+    val (cols, buckets) =
+      splitStatKeys(victims.flatMap(_._2.stats.keys).filter(_.nonEmpty).distinct)
     val (files, multi) =
-      if (cols.isEmpty) (stage(folded, root, attemptId(txnId)),
+      if (cols.isEmpty && buckets.isEmpty) (stage(folded, root, attemptId(txnId)),
         Seq.empty[Map[String, FileStat]])
-      else stageWithStatsFor(folded, root, attemptId(txnId), cols)
+      else stageWithStatsFor(folded, root, attemptId(txnId), cols, buckets)
     Some(commit(root, "compact", files, removed = victims.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = multi))
   }
@@ -1594,9 +1598,11 @@ object TxnLog {
     * point). Pass the result to [[commit]]'s `multiStats`.
     */
   def stageWithStatsFor(df: DataFrame, root: String, txnId: String,
-                        cols: Seq[String]): (Seq[String], Seq[Map[String, FileStat]]) = {
+                        cols: Seq[String],
+                        buckets: Seq[(Int, String)] = Nil)
+    : (Seq[String], Seq[Map[String, FileStat]]) = {
     val files = stage(df, root, txnId)
-    (files, statsForStaged(df.sparkSession, root, txnId, cols, files))
+    (files, statsForStaged(df.sparkSession, root, txnId, cols, files, buckets))
   }
 
   /** Per-file per-column (min, max, rowCount, nullCount) over an
@@ -1615,11 +1621,23 @@ object TxnLog {
     */
   def statsForStaged(spark: SparkSession, root: String, txnId: String,
                      cols: Seq[String],
-                     files: Seq[String]): Seq[Map[String, FileStat]] = {
-    require(cols.nonEmpty, "statsForStaged needs at least one column")
-    val byFile = typedStatsByFile(
-      spark.read.parquet(Paths.get(root, "data", txnId).toString), cols, hllLgK = -1)
-    files.map(byFile.getOrElse(_, Map.empty[String, FileStat]))
+                     files: Seq[String],
+                     buckets: Seq[(Int, String)] = Nil): Seq[Map[String, FileStat]] = {
+    require(cols.nonEmpty || buckets.nonEmpty,
+      "statsForStaged needs at least one column")
+    val base = spark.read.parquet(Paths.get(root, "data", txnId).toString)
+    // bucket stats are DERIVED columns over the staged bytes — same
+    // single scan pass, temp-named then re-keyed to the self-
+    // describing `bucket(N;c)` stat key
+    val live = buckets.filter { case (_, c) => base.columns.contains(c) }
+    val withB = live.zipWithIndex.foldLeft(base) { case (d, ((n, c), i)) =>
+      d.withColumn(s"_gbk$i", bucketColumn(n, d.col(c), d.schema(c).dataType))
+    }
+    val tempNames = live.indices.map(i => s"_gbk$i")
+    val byFile = typedStatsByFile(withB, cols ++ tempNames, hllLgK = -1)
+    val rekey = tempNames.zip(live.map { case (n, c) => bucketStatKey(n, c) }).toMap
+    files.map(f => byFile.getOrElse(f, Map.empty[String, FileStat])
+      .map { case (k, st) => rekey.getOrElse(k, k) -> st })
   }
 
   /** The shared stats pass: per-file per-column typed (min, max, rows,
@@ -2301,6 +2319,142 @@ object TxnLog {
                        version: Long = Long.MaxValue): Seq[String] = {
     val p = resolveState(root, version).partitionBy
     if (p.isEmpty) Nil else p.split(",").toSeq
+  }
+
+  /** A declared partition transform, parsed from its log token:
+    * identity (`c`) or bucket (`bucket(N;c)`). `col` is the PHYSICAL
+    * source column in both cases.
+    */
+  sealed trait PartField { def col: String }
+  case class IdentityField(col: String) extends PartField
+  case class BucketField(n: Int, col: String) extends PartField
+
+  /** Bucket tokens double as the per-file STAT KEY (`bucket(N;c)`):
+    * each file self-describes the modulus its bucket range was
+    * computed under, so pruning is sound even across a re-declared
+    * bucketing — no version plumbing into the file index.
+    */
+  private[sources] val BucketKeyRe = """bucket\((\d+);(.+)\)""".r
+
+  def bucketStatKey(n: Int, col: String): String = s"bucket($n;$col)"
+
+  def parsePartitionToken(t: String): PartField = t match {
+    case BucketKeyRe(n, c) => BucketField(n.toInt, c)
+    case c                 => IdentityField(c)
+  }
+
+  /** The declared partitioning as parsed transforms. */
+  def partitionFields(root: String,
+                      version: Long = Long.MaxValue): Seq[PartField] =
+    partitionColumns(root, version).map(parsePartitionToken)
+
+  /** Column types a bucket transform accepts: the ones with a stable
+    * CANONICAL long/string representation, so the bucket of a value
+    * survives `ALTER COLUMN TYPE` widening (int- and bigint-era files
+    * hash the same long and land in the same bucket; Spark's raw
+    * `hash()` would hash 4 vs 8 bytes differently).
+    */
+  def bucketableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           StringType | DateType | TimestampType => true
+      case _ => false
+    }
+  }
+
+  /** The write-side bucket id of a column: `pmod(hash(canonical), n)`,
+    * canonical = long for integral/date/timestamp, raw for strings —
+    * the SAME Murmur3(seed 42) the driver-side [[bucketOf]] evaluates,
+    * so a file clustered by this expression records a collapsed
+    * bucket range and an equality predicate prunes to one bucket.
+    */
+  def bucketColumn(n: Int, c: org.apache.spark.sql.Column,
+                   dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    pmod(hash(bucketCanonical(c, dt)), lit(n))
+  }
+
+  /** The canonical pre-hash representation of a bucket source column.
+    * Exposed separately because `df.repartition(n, canonical)` IS
+    * `pmod(hash(canonical), n)` (Spark's HashPartitioning) — so
+    * hash-repartitioning by the canonical column with EXACTLY n
+    * partitions routes every row to its own bucket's partition, with
+    * no range-sampler merging adjacent buckets.
+    */
+  def bucketCanonical(c: org.apache.spark.sql.Column,
+                      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+      case TimestampType => unix_micros(c)
+      case DateType      => unix_date(c).cast(LongType)
+      case StringType    => c
+      case other => sys.error(s"graft: bucket transform over unbucketable type $other")
+    }
+  }
+
+  /** Driver-side bucket of a LITERAL comparand (Catalyst internal
+    * value of the attribute's type) — what file pruning compares
+    * against a `bucket(N;c)` stat. None = type not bucketable (the
+    * caller keeps the file; pruning stays sound).
+    */
+  def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType,
+               n: Int): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    import org.apache.spark.sql.types._
+    val canonical: Option[Literal] = (dt, v) match {
+      case (ByteType, b: Byte)    => Some(Literal(b.toLong, LongType))
+      case (ShortType, s: Short)  => Some(Literal(s.toLong, LongType))
+      case (IntegerType, i: Int)  => Some(Literal(i.toLong, LongType))
+      case (LongType, l: Long)    => Some(Literal(l, LongType))
+      case (TimestampType, l: Long) => Some(Literal(l, LongType))
+      case (DateType, i: Int)     => Some(Literal(i.toLong, LongType))
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(Literal(u, StringType))
+      case _ => None
+    }
+    canonical.map(l =>
+      Pmod(Murmur3Hash(Seq(l), 42), Literal(n)).eval(null).asInstanceOf[Int])
+  }
+
+  /** Cluster a write by the declared partitioning. A SINGLE bucket
+    * transform hash-routes each row to its own bucket's partition
+    * (`repartition(n, canonical)` — exact, no range-sampler merging
+    * adjacent buckets), so every staged file holds ONE bucket and its
+    * derived stat collapses to a point. Identity columns — and mixed
+    * identity+bucket declarations — range-cluster (contiguous runs;
+    * a rare boundary file spans two adjacent values, which pruning
+    * keeps, soundly).
+    */
+  def clusterByPartitioning(df: DataFrame, pfields: Seq[PartField],
+                            defaultPartitions: Int): DataFrame = {
+    val live = pfields.filter(f => df.columns.contains(f.col))
+    live match {
+      case Seq() => df
+      case Seq(BucketField(n, c)) =>
+        df.repartition(n, bucketCanonical(df.col(c), df.schema(c).dataType))
+      case fields =>
+        df.repartitionByRange(math.max(defaultPartitions, fields.size), fields.map {
+          case IdentityField(c)  => df.col(c)
+          case BucketField(n, c) => bucketColumn(n, df.col(c), df.schema(c).dataType)
+        }: _*)
+    }
+  }
+
+  /** Split a re-stat key set (e.g. a compaction victim's stat keys)
+    * into plain columns and the bucket specs hiding among them —
+    * bucket keys are DERIVED stats recomputed from their source
+    * column, never read as columns themselves.
+    */
+  private[sources] def splitStatKeys(keys: Seq[String])
+    : (Seq[String], Seq[(Int, String)]) = {
+    val (bucketKeys, plain) = keys.partition {
+      case BucketKeyRe(_, _) => true
+      case _                 => false
+    }
+    (plain, bucketKeys.collect { case BucketKeyRe(n, c) => (n.toInt, c) })
   }
 
   /** Every PHYSICAL column name any generation of the table ever

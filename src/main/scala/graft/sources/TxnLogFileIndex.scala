@@ -217,8 +217,9 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
         TxnLog.byteCompare(lo.take(pb.length), pb) <= 0
     }
 
-  /** Point predicate: the typed range stats AND the bloom filter (any
-    * value the build hashed) must both admit the value.
+  /** Point predicate: the typed range stats, any `bucket(N;c)` stat
+    * (a hash-partitioned table admits an equality probe only in its
+    * one bucket) AND the bloom filter must ALL admit the value.
     */
   private def pointOk(m: TxnLog.FileMeta, a: AttributeReference, v: Any): Boolean = {
     if (v == null) return nullOk(m, a) // `=` NULL matches nothing; null presence is the sound cap
@@ -227,6 +228,24 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
       case u: UTF8String => u.toString // catalyst strings → lit()-able
       case other         => other
     }
-    rangeOk && TxnLog.bloomAdmits(spark, m, a.name, probe)
+    rangeOk && bucketOk(m, a, v) && TxnLog.bloomAdmits(spark, m, a.name, probe)
   }
+
+  /** Bucket-transform pruning: a file written under `PARTITIONED BY
+    * (bucket(N, c))` carries a `bucket(N;c)` stat whose [lo, hi] is
+    * its range of bucket ids (a point when the writer clustered). An
+    * equality probe admits the file only if pmod(hash(v), N) falls in
+    * that range. The stat key itself names N, so files from different
+    * bucketing eras each prune under their OWN modulus — a file that
+    * spans buckets (wide range) is simply kept. [[TxnLog.bucketOf]]
+    * hashes the CANONICAL representation, so type widening never
+    * flips a bucket.
+    */
+  private def bucketOk(m: TxnLog.FileMeta, a: AttributeReference, v: Any): Boolean =
+    m.stats.forall {
+      case (TxnLog.BucketKeyRe(nStr, c), st) if c == a.name && st.typ == "l" =>
+        TxnLog.bucketOf(v, a.dataType, nStr.toInt)
+          .forall(b => st.lo <= b && b <= st.hi)
+      case _ => true
+    }
 }

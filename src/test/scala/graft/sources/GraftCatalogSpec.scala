@@ -594,10 +594,13 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gcat.db.pt WHERE p = 2").head.getLong(0) === 1000L)
     assert(spark.sql("SELECT sum(k) FROM gcat.db.pt WHERE p = 2").head.getLong(0) ===
       (0L until 4000L).filter(_ % 4 == 2).sum)
-    // non-identity transforms are rejected loudly
+    // bucket transforms are ACCEPTED (r15); anything else is rejected
+    // loudly
+    spark.sql("CREATE TABLE gcat.db.ptb (k BIGINT, p BIGINT) PARTITIONED BY (bucket(4, p))")
+    assert(TxnLog.partitionColumns(root("ptb")) === Seq(TxnLog.bucketStatKey(4, "p")))
     val e = intercept[Exception](
-      spark.sql("CREATE TABLE gcat.db.ptb (k BIGINT, p BIGINT) PARTITIONED BY (bucket(4, p))"))
-    assert(e.getMessage.contains("identity"))
+      spark.sql("CREATE TABLE gcat.db.ptt (k BIGINT, p BIGINT) PARTITIONED BY (truncate(5, p))"))
+    assert(e.getMessage.contains("identity and bucket"))
     // CTAS accepts PARTITIONED BY too
     spark.sql("CREATE TABLE gcat.db.ptc PARTITIONED BY (p) " +
       "AS SELECT id AS k, id % 3 AS p FROM range(0, 300)")
@@ -1272,6 +1275,97 @@ class GraftCatalogSpec extends SparkTestBase {
       "each epoch's aggregate must stay time-travelable")
     // each replace removed the previous epoch's whole live set
     assert(cs.tail.forall(_.removed.nonEmpty))
+  }
+
+  test("PARTITIONED BY bucket(n, c): equality prunes to ONE bucket; " +
+       "wide or unstatted files are never wrongly pruned") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.bk (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gcat.db.bk SELECT id, concat('v', id) FROM range(0, 400)")
+    // DESCRIBE surfaces the transform
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val part = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "bk")).partitioning.map(_.describe).toSeq
+    assert(part === Seq("bucket(4, k)"), s"got $part")
+    // the writer clustered by bucket id: every file's bucket stat is
+    // a POINT, and all 4 buckets exist
+    val key = TxnLog.bucketStatKey(4, "k")
+    val state = TxnLog.snapshotState(root("bk"))
+    assert(state.nonEmpty && state.forall { case (_, m) =>
+      val st = m.stats(key); st.typ == "l" && st.lo == st.hi })
+    assert(state.map(_._2.stats(key).lo).toSet === Set(0L, 1L, 2L, 3L))
+    // corrupt every file outside k=123's bucket: the probe must still
+    // answer, proving out-of-bucket files are never opened
+    val b123 = TxnLog.bucketOf(123L,
+      org.apache.spark.sql.types.LongType, 4).get.toLong
+    val victims = state.filterNot { case (_, m) =>
+      val st = m.stats(key); st.lo <= b123 && b123 <= st.hi }
+    assert(victims.nonEmpty, "4 buckets must spread across files")
+    victims.foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](9)) }
+    assert(spark.sql("SELECT v FROM gcat.db.bk WHERE k = 123").head.getString(0)
+      === "v123")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.bk WHERE k IN (123)")
+      .head.getLong(0) === 1L)
+  }
+
+  test("bucket pruning soundness: a hand-committed file SPANNING buckets is kept") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.bks (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // stage an UNCLUSTERED file (all buckets in one file) through the
+    // raw API — its bucket stat records the WIDE range, not a point
+    val df = spark.range(0, 100).selectExpr("id AS k", "concat('w', id) AS v")
+      .repartition(1)
+    val (files, multi) = TxnLog.stageWithStatsFor(df, root("bks"),
+      "hand-wide", Seq("k", "v"), buckets = Seq((4, "k")))
+    TxnLog.commit(root("bks"), "append", files, Nil, readVersion = 0L,
+      txnId = "hand-wide", multiStats = multi)
+    val key = TxnLog.bucketStatKey(4, "k")
+    val st = TxnLog.snapshotState(root("bks")).head._2.stats(key)
+    assert(st.lo === 0L && st.hi === 3L, "unclustered file must record a wide range")
+    // every probe into the wide file resolves — never wrongly pruned
+    assert(spark.sql("SELECT v FROM gcat.db.bks WHERE k = 57").head.getString(0)
+      === "w57")
+    // ...and a file with NO bucket stat at all is also kept
+    val (f2, m2) = TxnLog.stageWithStatsFor(
+      spark.range(1000, 1010).selectExpr("id AS k", "concat('n', id) AS v"),
+      root("bks"), "hand-nostat", Seq("k", "v"))
+    TxnLog.commit(root("bks"), "append", f2, Nil, readVersion = 0L,
+      txnId = "hand-nostat", multiStats = m2)
+    assert(spark.sql("SELECT v FROM gcat.db.bks WHERE k = 1005").head.getString(0)
+      === "n1005")
+  }
+
+  test("bucket pruning survives ALTER COLUMN TYPE widening: canonical hashing " +
+       "keeps int-era and bigint-era buckets aligned") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.bkw (k INT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gcat.db.bkw SELECT CAST(id AS INT), concat('a', id) " +
+      "FROM range(0, 200)")
+    spark.sql("ALTER TABLE gcat.db.bkw ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO gcat.db.bkw SELECT id, concat('b', id) FROM range(200, 400)")
+    val key = TxnLog.bucketStatKey(4, "k")
+    val state = TxnLog.snapshotState(root("bkw"))
+    assert(state.forall(_._2.stats.contains(key)))
+    // corrupt everything outside k=57's bucket — files of BOTH eras
+    // whose bucket admits 57 must survive, and the probe answers from
+    // the int-era file (the long literal hashes to the same bucket)
+    val b = TxnLog.bucketOf(57L, org.apache.spark.sql.types.LongType, 4).get.toLong
+    val victims = state.filterNot { case (_, m) =>
+      val st = m.stats(key); st.lo <= b && b <= st.hi }
+    assert(victims.nonEmpty)
+    victims.foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](9)) }
+    assert(spark.sql("SELECT v FROM gcat.db.bkw WHERE k = 57").head.getString(0)
+      === "a57")
+    // a bigint-era key from the SAME bucket also answers: both eras
+    // keep their bucket alignment under the canonical hash
+    val k2 = (200L until 400L).find(x => TxnLog.bucketOf(x,
+      org.apache.spark.sql.types.LongType, 4).get.toLong == b).get
+    assert(spark.sql(s"SELECT v FROM gcat.db.bkw WHERE k = $k2").head.getString(0)
+      === s"b$k2")
   }
 
   test("update-mode streaming writes are rejected: the builder is not update-as-append") {

@@ -21,7 +21,7 @@ import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -1185,11 +1185,17 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
       * Catalyst through `transformV2Stats` — distinctCount is the
       * union of the per-file HLL sketches an ANALYZE recorded
       * ([[TxnLog.analyzeTable]]), nullCount the fold of per-file null
-      * counts. This is what CBO join reordering keys on; columns
+      * counts, min/max the fold of the typed ranges (as CATALYST
+      * internal values of the attribute's type), and histogram the
+      * table-level equi-height histogram an
+      * `ANALYZE ... histogram_bins` recorded — what gives a skewed
+      * range predicate a non-uniform selectivity estimate. This is
+      * what CBO filter estimation and join reordering key on; columns
       * without sketches (never analyzed) simply report nothing.
       */
     override def columnStats(): util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val hists = TxnLog.tableHistograms(root, version)
       val out = new util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       required.fields.foreach { fd =>
@@ -1200,6 +1206,41 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
           val nulls =
             if (stats.forall(_.nulls >= 0L)) Some(stats.map(_.nulls).sum)
             else None
+          // typed min/max folds, converted to the CATALYST internal
+          // value of the ATTRIBUTE's type (what ColumnStat.min/max
+          // hold); a kind mismatch (widened column mid-era) reports
+          // nothing — estimation must never compare across scales
+          val kind = fd.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => "l"
+            case TimestampType => "t"
+            case DateType      => "d"
+            case FloatType | DoubleType => "f"
+            case _             => ""
+          }
+          val (minV, maxV): (Option[Any], Option[Any]) =
+            if (kind.isEmpty || !stats.forall(_.typ == kind)) (None, None)
+            else kind match {
+              case "f" =>
+                val los = stats.map(_.loS.toDouble)
+                val his = stats.map(_.hiS.toDouble)
+                fd.dataType match {
+                  case FloatType => (Some(los.min.toFloat), Some(his.max.toFloat))
+                  case _         => (Some(los.min), Some(his.max))
+                }
+              case _ =>
+                val lo = stats.map(_.lo).min
+                val hi = stats.map(_.hi).max
+                fd.dataType match {
+                  case ByteType     => (Some(lo.toByte), Some(hi.toByte))
+                  case ShortType    => (Some(lo.toShort), Some(hi.toShort))
+                  case IntegerType | DateType => (Some(lo.toInt), Some(hi.toInt))
+                  case _            => (Some(lo), Some(hi)) // long, ts micros
+                }
+            }
+          // the histogram only ever accompanies min/max (Catalyst's
+          // estimator assumes complete numeric stats around one)
+          val hist = hists.get(physName(fd.name))
+            .filter(_ => kind.nonEmpty && minV.isDefined)
           if (ndv.isDefined || nulls.isDefined)
             out.put(org.apache.spark.sql.connector.expressions.Expressions
                 .column(fd.name),
@@ -1208,6 +1249,29 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
                   ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
                 override def nullCount(): OptionalLong =
                   nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  minV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  maxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] =
+                  hist.map { h =>
+                    java.util.Optional.of(
+                      new org.apache.spark.sql.connector.read.colstats.Histogram {
+                        override def height(): Double = h.height
+                        override def bins(): Array[
+                            org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                          h.bins.map { case (l, u, d) =>
+                            new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                              override def lo(): Double = l
+                              override def hi(): Double = u
+                              override def ndv(): Long = d
+                            }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                          }.toArray
+                      }: org.apache.spark.sql.connector.read.colstats.Histogram)
+                  }.getOrElse(java.util.Optional.empty())
               })
         }
       }

@@ -96,9 +96,21 @@ private[sources] object GraftProcedures {
         }
       case "vacuum" =>
         bound(Seq(param("table", StringType),
-            param("retain_from_version", LongType)),
+            paramWithDefault("retain_from_version", LongType, "-1"),
+            // Delta's RETAIN n HOURS spelling: the horizon resolves
+            // through the monotonized commit timestamps
+            paramWithDefault("retain_hours",
+              org.apache.spark.sql.types.DoubleType, "CAST(-1.0 AS DOUBLE)")),
           StructType(Seq(StructField("deleted_files", LongType, nullable = false)))) {
-          (_, in) => Seq(Seq(TxnLog.vacuum(root(in), in.getLong(1)).size.toLong))
+          (_, in) =>
+            val v = if (in.isNullAt(1)) -1L else in.getLong(1)
+            val h = if (in.isNullAt(2)) -1.0 else in.getDouble(2)
+            require((v >= 0L) ^ (h >= 0.0),
+              "vacuum: give exactly one of retain_from_version / retain_hours")
+            val deleted =
+              if (v >= 0L) TxnLog.vacuum(root(in), v)
+              else TxnLog.vacuumRetainHours(root(in), h)
+            Seq(Seq(deleted.size.toLong))
         }
       case "vacuum_staging" =>
         bound(Seq(param("table", StringType)),
@@ -143,15 +155,19 @@ private[sources] object GraftProcedures {
         }
       case "analyze" =>
         bound(Seq(param("table", StringType),
-            paramWithDefault("columns", StringType, "''")),
+            paramWithDefault("columns", StringType, "''"),
+            // > 0 additionally records TABLE-level equi-height
+            // histograms (range-predicate selectivity for CBO)
+            paramWithDefault("histogram_bins", LongType, "0")),
           StructType(Seq(
             StructField("version", LongType, nullable = false),
             StructField("analyzed_files", LongType, nullable = false)))) {
           (s, in) =>
             val colsArg = if (in.isNullAt(1)) "" else in.getUTF8String(1).toString
             val cols = colsArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val bins = if (in.isNullAt(2)) 0 else in.getLong(2).toInt
             val c = TxnLog.analyzeTable(s, root(in), cols,
-              txnId = s"call-analyze-a$uuid12")
+              txnId = s"call-analyze-a$uuid12", histBins = bins)
             Seq(Seq(c.version, c.restatFiles.size.toLong))
         }
       case other =>

@@ -181,7 +181,8 @@ object TxnLog {
                     cadds: Seq[String] = Nil,
                     partitionBy: String = "",
                     restatFiles: Seq[String] = Nil,
-                    restats: Seq[String] = Nil)
+                    restats: Seq[String] = Nil,
+                    hists: Seq[String] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -351,9 +352,11 @@ object TxnLog {
     val restatPart = // ANALYZE overlays: stats refreshed onto LIVE files
       if (c.restatFiles.isEmpty) ""
       else s""","restatFiles":${arr(c.restatFiles)},"restats":${arr(c.restats)}"""
+    val histsPart = // base64("col payload") per TABLE-level histogram
+      if (c.hists.isEmpty) "" else s""","hists":${arr(c.hists)}"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -385,7 +388,8 @@ object TxnLog {
       strOpt("schemaJson"), strOpt("rename"),
       arr("sizes", required = false).map(_.toLong),
       arr("cadds", required = false), strOpt("partitionBy"),
-      arr("restatFiles", required = false), arr("restats", required = false))
+      arr("restatFiles", required = false), arr("restats", required = false),
+      arr("hists", required = false))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -467,7 +471,8 @@ object TxnLog {
                                constraints: Map[String, String] = Map.empty,
                                schemaJson: String = "",
                                renames: Map[String, String] = Map.empty,
-                               partitionBy: String = "")
+                               partitionBy: String = "",
+                               hists: Map[String, String] = Map.empty)
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -505,6 +510,7 @@ object TxnLog {
       val txns = Map.newBuilder[String, Long]
       val constraints = Map.newBuilder[String, String]
       val renames = Map.newBuilder[String, String]
+      val hists = Map.newBuilder[String, String]
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
         def addStat(f: String, c: String, st: FileStat): Unit = {
@@ -541,6 +547,7 @@ object TxnLog {
             files(f) = files.getOrElse(f, FileMeta()).copy(dv = Some(hex))
           case Seq("R", l2, p)       => renames += (l2 -> p)
           case Seq("P", cols)        => partitionBy = cols
+          case Seq("H", c, payload)  => hists += (c -> payload)
           case Seq("Z", f, sz)       =>
             files(f) = files.getOrElse(f, FileMeta()).copy(size = sz.toLong)
           case Seq("Z", f, sz, mt)   =>
@@ -550,7 +557,8 @@ object TxnLog {
         }
       }
       CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
-        constraints.result(), schemaJson, renames.result(), partitionBy)
+        constraints.result(), schemaJson, renames.result(), partitionBy,
+        hists.result())
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -605,6 +613,8 @@ object TxnLog {
     val renames = scala.collection.mutable.LinkedHashMap.empty[String, String]
     renames ++= seed.renames
     var partitionBy = seed.partitionBy
+    val hists = scala.collection.mutable.Map.empty[String, String]
+    hists ++= seed.hists
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
@@ -635,6 +645,13 @@ object TxnLog {
       // can never resurrect data or clobber a deletion vector
       c.restatFiles.zip(c.restats).foreach { case (f, ms) =>
         live.get(f).foreach(m => live(f) = m.copy(stats = m.stats ++ parseMultiStat(ms)))
+      }
+      // TABLE-level histograms (ANALYZE ... histogram_bins): latest
+      // analyze wins per column
+      c.hists.foreach { b =>
+        val dec = new String(b64dec(b), java.nio.charset.StandardCharsets.UTF_8)
+        val cut = dec.indexOf(' ')
+        hists(dec.take(cut)) = dec.drop(cut + 1)
       }
       txns(c.txnId) = c.version
       if (c.schemaId.nonEmpty) schema = c.schemaId
@@ -680,7 +697,7 @@ object TxnLog {
       top = c.version
     }
     CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
-      constraints.toMap, schemaJson, renames.toMap, partitionBy)
+      constraints.toMap, schemaJson, renames.toMap, partitionBy, hists.toMap)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -708,6 +725,8 @@ object TxnLog {
       body.append("R ").append(l).append(' ').append(p).append('\n') }
     if (st.partitionBy.nonEmpty)
       body.append("P ").append(st.partitionBy).append('\n')
+    st.hists.toSeq.sortBy(_._1).foreach { case (c, p) =>
+      body.append("H ").append(c).append(' ').append(p).append('\n') }
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
       body.append("T ").append(t).append(' ').append(ver).append('\n') }
     st.files.foreach { case (f, meta) =>
@@ -1745,7 +1764,8 @@ object TxnLog {
     */
   def analyzeTable(s: SparkSession, root: String, cols0: Seq[String],
                    txnId: String, lgK: Int = 12,
-                   chunkFiles: Int = AnalyzeChunkFiles): Commit = {
+                   chunkFiles: Int = AnalyzeChunkFiles,
+                   histBins: Int = 0): Commit = {
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
     require(st0.files.nonEmpty, s"nothing to analyze at $root")
@@ -1757,6 +1777,10 @@ object TxnLog {
         .map(_.name).toSeq
     require(cols.nonEmpty, s"no stat-able columns to analyze at $root")
     val byFile = typedStatsByFile(df, cols, hllLgK = lgK)
+    // TABLE-level equi-height histograms (opt-in): ride the LAST
+    // chunk commit so a crash mid-analyze never publishes a histogram
+    // ahead of its sketches
+    val hists = if (histBins > 0) equiHeightHistograms(df, cols, histBins) else Nil
     val ordered = files.filter(byFile.contains)
     // CHUNKED overlay commits: per-file sketches are ~KB each, so a
     // million-file analyze in one record would be a GB-scale log
@@ -1768,10 +1792,84 @@ object TxnLog {
     val commits = chunks.zipWithIndex.map { case (chunk, i) =>
       commit(root, "analyze", Nil, Nil, readVersion = readV,
         txnId = if (chunks.size == 1) txnId else s"$txnId-c$i",
-        restatFiles = chunk, restats = chunk.map(byFile))
+        restatFiles = chunk, restats = chunk.map(byFile),
+        hists = if (i == chunks.size - 1) hists else Nil)
     }
     commits.last
   }
+
+  /** Equi-height histograms over the live data, one per NUMERIC /
+    * date / timestamp column (strings have no double embedding):
+    * boundaries from ONE `approx_percentile` pass, per-bin NDV from
+    * ONE conditional-aggregation pass (`approx_count_distinct` per
+    * bin — Spark's own ANALYZE ... FOR COLUMNS histogram recipe).
+    * Payload: `height;lo,hi,ndv;...` — what range-predicate
+    * selectivity estimation consumes through the V2 column-stats
+    * surface ([[GraftScan.estimateStatistics]]).
+    */
+  private def equiHeightHistograms(df: DataFrame, cols: Seq[String],
+                                   k: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, unix_date, unix_micros, when}
+    import org.apache.spark.sql.types._
+    require(k >= 1 && k <= 254, s"histogram bins must be in [1, 254]: $k")
+    val numeric = cols.flatMap { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => Some(c -> col(c).cast("double"))
+        case TimestampType => Some(c -> unix_micros(col(c)).cast("double"))
+        case DateType      => Some(c -> unix_date(col(c)).cast("double"))
+        case _             => None
+      }
+    }
+    if (numeric.isEmpty) return Nil
+    val pcts = (0 to k).map(_.toDouble / k)
+    val pctAggs = numeric.map { case (c, e) =>
+      org.apache.spark.sql.functions.percentile_approx(
+        e, lit(pcts.toArray), lit(10000)).as(s"p_$c")
+    }
+    val pctRow = df.agg(pctAggs.head, pctAggs.tail: _*).head
+    val bounded = numeric.flatMap { case (c, e) =>
+      val idx = pctRow.fieldIndex(s"p_$c")
+      if (pctRow.isNullAt(idx)) None // all-null column: no histogram
+      else Some((c, e, pctRow.getSeq[Double](idx)))
+    }.filter(_._3.size == k + 1)
+    if (bounded.isEmpty) return Nil
+    // per-bin counts + NDV for every column in ONE conditional pass
+    val aggs = bounded.flatMap { case (c, e, b) =>
+      val bin = (1 until k).map(j => when(e > lit(b(j)), 1).otherwise(0))
+        .foldLeft(lit(0))(_ + _)
+      (0 until k).flatMap { i =>
+        Seq(count(when(bin === i, e)).as(s"n_${c}_$i"),
+          approx_count_distinct(when(bin === i, e)).as(s"d_${c}_$i"))
+      }
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    bounded.map { case (c, _, b) =>
+      val counts = (0 until k).map(i => r.getLong(r.fieldIndex(s"n_${c}_$i")))
+      val ndvs = (0 until k).map(i => r.getLong(r.fieldIndex(s"d_${c}_$i")))
+      val height = counts.sum.toDouble / k
+      val bins = (0 until k).map(i => s"${b(i)},${b(i + 1)},${ndvs(i)}")
+      c -> s"$height;${bins.mkString(";")}"
+    }
+  }
+
+  /** A parsed table-level histogram: (rows per bin, bins as
+    * (lo, hi, ndv)). Keys are PHYSICAL column names.
+    */
+  case class ColHistogram(height: Double, bins: Seq[(Double, Double, Long)])
+
+  def tableHistograms(root: String,
+                      version: Long = Long.MaxValue): Map[String, ColHistogram] =
+    resolveState(root, version).hists.flatMap { case (c, payload) =>
+      try {
+        val parts = payload.split(";")
+        val bins = parts.tail.toSeq.map { t =>
+          val Array(lo, hi, ndv) = t.split(",")
+          (lo.toDouble, hi.toDouble, ndv.toLong)
+        }
+        Some(c -> ColHistogram(parts.head.toDouble, bins))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Files per ANALYZE overlay commit — bounds a single record (and
     * the driver string building it) to ~chunk × cols × sketch-KB.
@@ -1992,7 +2090,8 @@ object TxnLog {
              cadds: Seq[(String, String)] = Nil,
              partitionBy: Seq[String] = Nil,
              restatFiles: Seq[String] = Nil,
-             restats: Seq[Map[String, FileStat]] = Nil): Commit = {
+             restats: Seq[Map[String, FileStat]] = Nil,
+             hists: Seq[(String, String)] = Nil): Commit = {
     validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
@@ -2035,6 +2134,14 @@ object TxnLog {
     require(restats.flatMap(_.keys).forall(c =>
         c.nonEmpty && !c.exists(":|, \"".contains(_))),
       s"txn $txnId: restat column names must be non-empty and separator-free")
+    // table-level histograms: (col, payload) — payload rides a
+    // space-delimited checkpoint H line, so it must be space-free
+    hists.foreach { case (c, p) =>
+      validateToken("histogram column", c)
+      require(p.nonEmpty && p.matches("[-0-9.,;Ee]+"),
+        s"txn $txnId: malformed histogram payload for $c")
+    }
+    val histsB64 = hists.map { case (c, p) => b64enc(s"$c $p") }
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
     // Dense vectors spill to immutable per-attempt sidecars before
@@ -2144,7 +2251,7 @@ object TxnLog {
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
         rename, sizes, caddsB64, partitionBy.mkString(","),
-        restatFiles, restats.map(renderMultiStat))
+        restatFiles, restats.map(renderMultiStat), histsB64)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -2605,6 +2712,26 @@ object TxnLog {
       .collect { case (f, rv) if rv >= 0 && rv <= from => f }
       .filter(f => Files.deleteIfExists(Paths.get(f)))
       .toSeq
+  }
+
+  /** [[vacuum]] with Delta's `RETAIN n HOURS` contract: the horizon
+    * version is the snapshot live `retainHours` ago by the
+    * MONOTONIZED commit timestamps ([[versionAsOf]] — a wall clock
+    * stepping backwards between sessions can never widen the
+    * reclaimable set), so every version readable within the retention
+    * window keeps its files and `versionAsOf(ts)` composes for any ts
+    * inside it. A horizon predating the first commit reclaims
+    * nothing. `nowMillis` is injectable for deterministic tests.
+    */
+  def vacuumRetainHours(root: String, retainHours: Double,
+                        nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    require(retainHours >= 0.0 && !retainHours.isNaN,
+      s"retainHours must be >= 0: $retainHours")
+    val horizonTs = nowMillis - (retainHours * 3600.0 * 1000.0).toLong
+    val horizonV =
+      try versionAsOf(root, horizonTs)
+      catch { case _: IllegalArgumentException => return Nil }
+    vacuum(root, horizonV)
   }
 
   /** Per-txnId JVM locks: two threads replaying the same transaction

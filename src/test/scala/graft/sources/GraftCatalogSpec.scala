@@ -774,6 +774,95 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("ANALYZE histogram_bins: a skewed range filter estimates near truth, " +
+       "and the join order flips with the histogram present vs absent") {
+    warehouse
+    // x is SKEWED: 90% of the mass in [0, 10), a thin tail out to ~2000
+    spark.sql("CREATE TABLE gcat.db.hsk AS SELECT id AS k, " +
+      "CASE WHEN id < 9000 THEN id % 10 ELSE (id - 9000) * 2 + 10 END AS x " +
+      "FROM range(0, 10000)")
+    // join cardinalities: f JOIN dima keeps 70% of fact (70k); f JOIN
+    // hsk-filtered keeps ~90% truly (90k) but ~0.5% under the uniform
+    // estimate (~500) — so which join the reorderer runs FIRST hinges
+    // exactly on the histogram
+    spark.sql("CREATE TABLE gcat.db.hfact AS SELECT id, id % 10000 AS hk, " +
+      "id AS ak FROM range(0, 100000)")
+    spark.sql("CREATE TABLE gcat.db.dima AS SELECT id AS ka, id AS va " +
+      "FROM range(0, 70000)")
+    for (t <- Seq("hsk", "hfact", "dima"))
+      spark.sql(s"CALL gcat.system.analyze(table => 'db.$t')")
+    withSQLConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+      def est(): BigInt = spark.table("gcat.db.hsk").filter("x < 10")
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      def innermostTables(): String = {
+        val q = spark.sql(
+          """SELECT count(*) FROM gcat.db.hfact f
+             JOIN gcat.db.dima a ON f.ak = a.ka
+             JOIN (SELECT * FROM gcat.db.hsk WHERE x < 10) h ON f.hk = h.k""")
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        joins.last.collectLeaves().map(_.toString).mkString(" ")
+      }
+      // min/max alone: uniform interpolation under-guesses the skewed
+      // mass by >10x, and reorder joins the "tiny" filtered hsk first
+      val uniform = est()
+      assert(uniform < BigInt(900),
+        s"uniform estimate must undershoot the skew: $uniform (true 9000)")
+      assert(innermostTables().contains("hsk"),
+        "without a histogram the filtered skew table looks smallest")
+      // the equi-height histogram puts ~90% of bins inside [0, 10):
+      // the same filter now estimates within 1.5x of the true count
+      spark.sql("CALL gcat.system.analyze(table => 'db.hsk', histogram_bins => 20)")
+      val withHist = est()
+      assert(withHist >= BigInt(6000) && withHist <= BigInt(13500),
+        s"histogram estimate must track the true 9000: $withHist")
+      assert(innermostTables().contains("dima"),
+        "with the histogram the filtered skew table outweighs dima: " +
+          "the join order must flip")
+      // ...and the histogram survives a checkpoint round-trip
+      spark.sql("CALL gcat.system.checkpoint(table => 'db.hsk')")
+      assert(TxnLog.tableHistograms(root("hsk")).get("x")
+        .exists(h => h.bins.size === 20 && h.height > 0), "H-line round-trip")
+      assert(est() === withHist)
+    }
+  }
+
+  test("timestamp-horizon VACUUM: RETAIN n HOURS resolves through monotonized " +
+       "commit timestamps; retained versions untouched, pre-horizon travel fails loudly") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.vh (k BIGINT)")                        // v1
+    spark.sql("INSERT INTO gcat.db.vh SELECT id FROM range(0, 50)")        // v2
+    spark.sql("INSERT OVERWRITE gcat.db.vh SELECT id FROM range(100, 150)") // v3
+    spark.sql("INSERT OVERWRITE gcat.db.vh SELECT id FROM range(200, 260)") // v4
+    // freeze `now` AT v3's commit stamp: horizon = the snapshot live
+    // then = v3, so v2's stranded files go and v3's survive
+    val ts3 = TxnLog.commits(root("vh")).find(_.version == 3L).get.ts
+    val deleted = TxnLog.vacuumRetainHours(root("vh"), 0.0, nowMillis = ts3)
+    assert(deleted.nonEmpty, "v2's overwritten files must reclaim")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.vh VERSION AS OF 3")
+      .head.getLong(0) === 50L, "the horizon version itself stays readable")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.vh").head.getLong(0) === 60L)
+    val e = intercept[Exception](
+      spark.sql("SELECT count(*) FROM gcat.db.vh VERSION AS OF 2").collect())
+    assert(e != null, "pre-horizon travel must fail loudly, not partially")
+    // a horizon predating the first commit reclaims nothing
+    assert(TxnLog.vacuumRetainHours(root("vh"), 1e6) === Nil)
+    // the SQL spelling: retain_hours => 0 reclaims everything dead now
+    spark.sql("INSERT OVERWRITE gcat.db.vh SELECT id FROM range(0, 10)")   // v5
+    val r = spark.sql(
+      "CALL gcat.system.vacuum(table => 'db.vh', retain_hours => 0.0)").head
+    assert(r.getLong(0) >= 1L, "v4's files stranded by v5 must reclaim")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.vh").head.getLong(0) === 10L)
+    // exactly one horizon argument, never zero, never both
+    intercept[Exception](
+      spark.sql("CALL gcat.system.vacuum(table => 'db.vh')").collect())
+    intercept[Exception](spark.sql(
+      "CALL gcat.system.vacuum(table => 'db.vh', retain_from_version => 3, " +
+        "retain_hours => 1.0)").collect())
+  }
+
   test("CALL compact_files bin-packs small files; streaming auto-compact bounds ingest") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.smc (k BIGINT, v BIGINT)")

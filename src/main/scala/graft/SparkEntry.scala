@@ -295,7 +295,8 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/sw") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/swc") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/bkt") != 2L ||
-          graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L) {
+          graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L ||
+          graft.sources.TxnStream.appliedVersion(s"$wh/db/mv", "mv-db.mv") != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
           .select(col("o_orderkey"),
@@ -410,6 +411,12 @@ object SparkEntry {
                   ON t.o_orderkey = s.o_orderkey
                   WHEN MATCHED THEN UPDATE SET price_cents = 2 * s.price_cents
                   WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        // MATERIALIZED VIEW through SQL (r15): db.mv mirrors db.nmbs
+        // via CALL refresh_mv — offsets live in the target's own
+        // ledger, so a replayed refresh applies nothing twice
+        s.sql(s"CREATE TABLE $cat.db.mv (o_orderkey BIGINT, price_cents BIGINT)")
+        s.sql(s"CALL $cat.system.refresh_mv(source => 'db.nmbs', " +
+          "target => 'db.mv', key => 'o_orderkey')")
         ()
       }
     }
@@ -1135,6 +1142,13 @@ object SparkEntry {
       "tx_cat_nmbs" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.nmbs")
+      }),
+      // the SQL materialized view: CALL refresh_mv maintained db.mv
+      // as an exact keyed mirror of db.nmbs (including the merge's
+      // rewrite-retraction), so its content is the same pure predicate
+      "tx_cat_mv" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.mv")
       })
     )
   }
@@ -1574,6 +1588,12 @@ object SparkEntry {
          WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 = 2""",
 
     "tx_cat_nmbs" ->
+      """SELECT o_orderkey,
+                CAST(2 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
+                  AS price_cents
+         FROM orders WHERE o_orderkey % 26 = 1""",
+
+    "tx_cat_mv" ->
       """SELECT o_orderkey,
                 CAST(2 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
                   AS price_cents

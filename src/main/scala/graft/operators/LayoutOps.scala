@@ -18,19 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
-  /** Morton z-value: interleave the low `bits` bits of `x` (even bit
-    * positions) and `y` (odd positions) into a single long sort key.
-    * Pure codegen'd integer shifts — scan-fused, shuffle-free.
-    * Callers normalize x/y into [0, 2^bits) first (pmod / rank / bin).
+  /** N-dimensional Morton z-value: bit `i` of dimension `j` lands at
+    * interleave position `i * d + j`, so `d * bits` must fit a long's
+    * sign-free 63 bits. Pure codegen'd integer shifts — scan-fused,
+    * shuffle-free. Callers normalize every dimension into [0, 2^bits)
+    * first (pmod / rank / bin / [[withNormalizedDimsN]]).
+    */
+  def zValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    val d = dims.size
+    require(d >= 1, "zValueN needs at least one dimension")
+    require(bits >= 1 && d * bits <= 63,
+      s"d=$d dims at bits=$bits overflow a long sort key (d*bits must be <= 63)")
+    val longs = dims.map(_.cast("long"))
+    (for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** The 2-dim special case (x even positions, y odd) — bit-identical
+    * to `zValueN(Seq(x, y), bits)`; kept for the established callers
+    * and the SQL oracle that spells the interleave longhand.
     */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    require(bits <= 31, s"bits=$bits outside [1, 31]")
+    zValueN(Seq(x, y), bits)
   }
 
   /** Affine-normalize both dimensions into [0, 2^bits) before
@@ -44,21 +57,30 @@ object LayoutOps {
     * identical double affine + floor on any engine.
     */
   private def withNormalizedDims(df: DataFrame, xCol: String, yCol: String,
-                                 bits: Int): DataFrame = {
+                                 bits: Int): DataFrame =
+    withNormalizedDimsN(df, Seq(xCol, yCol), bits)
+      .withColumnRenamed("__zd0", "__zx").withColumnRenamed("__zd1", "__zy")
+
+  /** The N-dim normalization: one broadcast min/max aggregate over
+    * ALL dimensions, each scaled into [0, 2^bits) as `__zd<j>`.
+    */
+  private def withNormalizedDimsN(df: DataFrame, cols: Seq[String],
+                                  bits: Int): DataFrame = {
     val maxCode = (1L << bits) - 1
-    val stats = df.agg(
-      min(col(xCol).cast("long")).as("__xmin"),
-      max(col(xCol).cast("long")).as("__xmax"),
-      min(col(yCol).cast("long")).as("__ymin"),
-      max(col(yCol).cast("long")).as("__ymax"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
+      Seq(min(col(c).cast("long")).as(s"__min$j"),
+        max(col(c).cast("long")).as(s"__max$j"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
     def scaled(c: Column, lo: Column, hi: Column): Column =
       when(hi === lo, lit(0L)).otherwise(
         floor((c.cast("double") - lo.cast("double")) * lit(maxCode.toDouble) /
           (hi.cast("double") - lo.cast("double"))).cast("long"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("__zx", scaled(col(xCol), col("__xmin"), col("__xmax")))
-      .withColumn("__zy", scaled(col(yCol), col("__ymin"), col("__ymax")))
-      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+    val joined = df.crossJoin(broadcast(stats))
+    val withDims = cols.zipWithIndex.foldLeft(joined) { case (d, (c, j)) =>
+      d.withColumn(s"__zd$j", scaled(col(c), col(s"__min$j"), col(s"__max$j")))
+    }
+    withDims.drop(cols.indices.flatMap(j => Seq(s"__min$j", s"__max$j")): _*)
   }
 
   /** Per-file bounding boxes of a z-ordered layout: rows sort by
@@ -140,11 +162,23 @@ object LayoutOps {
     */
   def zorderClustered(df: DataFrame, xCol: String, yCol: String,
                       nFiles: Int, bits: Int = 16): DataFrame =
-    withNormalizedDims(df, xCol, yCol, bits)
-      .withColumn("__z", zValue(col("__zx"), col("__zy"), bits))
+    zorderClusteredN(df, Seq(xCol, yCol), nFiles, bits)
+
+  /** N-dim clustering: rows range-partitioned and sorted by their
+    * d-dim Morton code, helper columns dropped. `bits` defaults shrink
+    * with dimensionality so the code always fits a long (the caller
+    * can pass an explicit budget).
+    */
+  def zorderClusteredN(df: DataFrame, cols: Seq[String],
+                       nFiles: Int, bits0: Int = 0): DataFrame = {
+    val bits = if (bits0 > 0) bits0 else math.min(16, 63 / cols.size)
+    withNormalizedDimsN(df, cols, bits)
+      .withColumn("__z",
+        zValueN(cols.indices.map(j => col(s"__zd$j")), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__zx", "__zy", "__z")
+      .drop(cols.indices.map(j => s"__zd$j") :+ "__z": _*)
+  }
 
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
                   nFiles: Int, bits: Int = 16): Unit =

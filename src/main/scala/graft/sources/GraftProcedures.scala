@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("checkpoint", "vacuum", "vacuum_staging", "optimize_zorder",
-      "compact_deletes", "compact_files", "analyze")
+      "compact_deletes", "compact_files", "analyze", "refresh_mv")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -118,13 +118,24 @@ private[sources] object GraftProcedures {
           (_, in) => Seq(Seq(TxnLog.vacuumStaging(root(in)).size.toLong))
         }
       case "optimize_zorder" =>
+        // either the legacy 2-dim spelling (x_col/y_col) or the
+        // N-dim one (cols => 'a,b,c') — exactly one of the two
         bound(Seq(param("table", StringType),
-            param("x_col", StringType), param("y_col", StringType),
-            paramWithDefault("n_files", LongType, "8")),
+            paramWithDefault("x_col", StringType, "''"),
+            paramWithDefault("y_col", StringType, "''"),
+            paramWithDefault("n_files", LongType, "8"),
+            paramWithDefault("cols", StringType, "''")),
           StructType(Seq(StructField("version", LongType, nullable = false)))) {
-          (s, in) => Seq(Seq(TxnLog.optimizeZorder(s, root(in),
-            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-            in.getLong(3).toInt, txnId = s"call-zorder-a$uuid12").version))
+          (s, in) =>
+            def str(i: Int) = if (in.isNullAt(i)) "" else in.getUTF8String(i).toString
+            val (x, y, csv) = (str(1), str(2), str(4))
+            val cols =
+              if (csv.nonEmpty) csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              else Seq(x, y).filter(_.nonEmpty)
+            require(cols.nonEmpty && (csv.isEmpty || (x.isEmpty && y.isEmpty)),
+              "optimize_zorder: give x_col/y_col OR cols => 'a,b,...', not both")
+            Seq(Seq(TxnLog.optimizeZorderN(s, root(in), cols,
+              in.getLong(3).toInt, txnId = s"call-zorder-a$uuid12").version))
         }
       case "compact_deletes" =>
         bound(Seq(param("table", StringType),
@@ -169,6 +180,35 @@ private[sources] object GraftProcedures {
             val c = TxnLog.analyzeTable(s, root(in), cols,
               txnId = s"call-analyze-a$uuid12", histBins = bins)
             Seq(Seq(c.version, c.restatFiles.size.toLong))
+        }
+      // SQL materialized-view refresh: the target is an exact KEYED
+      // MIRROR of the source, maintained incrementally — per source
+      // version one target transaction (adds merge, DV retractions
+      // and rewrite-dropped keys delete), exactly-once via the
+      // offsets-in-the-target-ledger contract (TxnStream.maintainMirror,
+      // X-A30): a replayed refresh — crash, duplicate scheduler, two
+      // racing CALLs — applies nothing twice, and there is no side
+      // offset store to desync.
+      case "refresh_mv" =>
+        bound(Seq(param("source", StringType), param("target", StringType),
+            param("key", StringType)),
+          StructType(Seq(
+            StructField("applied_versions", LongType, nullable = false),
+            StructField("source_head", LongType, nullable = false)))) {
+          (s, in) =>
+            val srcRoot = resolveRoot(in.getUTF8String(0).toString)
+            val tgtIdent = in.getUTF8String(1).toString
+            val tgtRoot = resolveRoot(tgtIdent)
+            val key = in.getUTF8String(2).toString
+            require(TxnLog.currentVersion(tgtRoot) > 0L,
+              s"refresh_mv: target $tgtIdent must be a created graft table " +
+                "(CREATE TABLE it with the mirror's schema first)")
+            // one MV = one consumer: the target's identifier IS the
+            // stable consumer id, so any scheduler instance resumes
+            // from the target's own ledger
+            val applied = TxnStream.maintainMirror(s, srcRoot, tgtRoot,
+              consumerId = s"mv-$tgtIdent", keyCol = key)
+            Seq(Seq(applied.size.toLong, TxnLog.currentVersion(srcRoot)))
         }
       case other =>
         throw new UnsupportedOperationException(s"graft: no procedure system.$other")

@@ -814,7 +814,16 @@ object TxnLog {
     val st = resolveState(root, version)
     val state = st.files
     val files = state.map(_._1)
-    if (files.isEmpty) s.emptyDataFrame
+    if (files.isEmpty)
+      // an empty snapshot of a DECLARED table still has a schema — a
+      // freshly-created (or fully-truncated) table must read as zero
+      // ROWS, not zero COLUMNS, or every downstream keyed operation
+      // (merge, change-feed consumers) fails resolution on version 1
+      tableSchema(root, version) match {
+        case Some(sch) => toLogical(s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch), st.renames)
+        case None => s.emptyDataFrame
+      }
     else {
       val base =
         if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
@@ -1283,21 +1292,30 @@ object TxnLog {
     * works: clustering changes bytes' ADDRESSES, never their content.
     */
   def optimizeZorder(s: SparkSession, root: String, xCol: String, yCol: String,
-                     nFiles: Int, txnId: String, bits: Int = 16): Commit = {
+                     nFiles: Int, txnId: String, bits: Int = 16): Commit =
+    optimizeZorderN(s, root, Seq(xCol, yCol), nFiles, txnId, bits)
+
+  /** N-dimensional OPTIMIZE ZORDER: one rewrite transaction clustering
+    * the live rows along a d-dim Morton curve, per-file stats
+    * re-collected on EVERY clustering dimension so each file gets a
+    * tight d-dim bounding box and predicates on any dimension prune.
+    */
+  def optimizeZorderN(s: SparkSession, root: String, cols: Seq[String],
+                      nFiles: Int, txnId: String, bits: Int = 0): Commit = {
+    require(cols.nonEmpty, "optimizeZorderN needs at least one column")
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
     // rewrite in PHYSICAL names (staging the logical read of a
     // renamed table would fork the storage column names); the caller
     // names logical dims, translated here for clustering and stats
-    val physX = physicalName(st0.renames, xCol)
-    val physY = physicalName(st0.renames, yCol)
+    val phys = cols.map(physicalName(st0.renames, _))
     val base =
       if (st0.files.isEmpty) s.emptyDataFrame
       else applyDeletionVectors(s.read.parquet(st0.files.map(_._1): _*), st0.files)
-    val clustered = graft.operators.LayoutOps.zorderClustered(
-      base, physX, physY, nFiles, bits)
+    val clustered = graft.operators.LayoutOps.zorderClusteredN(
+      base, phys, nFiles, bits)
     val (files, multi) = stageWithStatsFor(clustered, root, attemptId(txnId),
-      Seq(physX, physY))
+      phys)
     commit(root, "zorder", files, removed = st0.files.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = multi)
   }

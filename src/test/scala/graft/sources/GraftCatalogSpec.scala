@@ -829,6 +829,79 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL refresh_mv: a keyed mirror MV converges to the source across " +
+       "updates, deletes, rewrites and replayed refreshes") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mvsrc (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gcat.db.mvt (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.mvsrc SELECT id, id FROM range(0, 100)")
+    def refresh(): Long = spark.sql(
+      "CALL gcat.system.refresh_mv(source => 'db.mvsrc', target => 'db.mvt', " +
+        "key => 'k')").head.getLong(0)
+    def diverged(): Long = spark.sql(
+      """SELECT (SELECT count(*) FROM (SELECT * FROM gcat.db.mvsrc
+                                       EXCEPT SELECT * FROM gcat.db.mvt)) +
+                (SELECT count(*) FROM (SELECT * FROM gcat.db.mvt
+                                       EXCEPT SELECT * FROM gcat.db.mvsrc))""")
+      .head.getLong(0)
+    assert(refresh() >= 1L)
+    assert(diverged() === 0L, "after the first refresh the MV IS the source")
+    // update in place, delete, rewrite and append — one refresh
+    // applies them all incrementally
+    spark.sql("UPDATE gcat.db.mvsrc SET v = v * 10 WHERE k % 7 = 0")  // COW rewrite
+    spark.sql("DELETE FROM gcat.db.mvsrc WHERE k % 10 = 3")           // DV retraction
+    spark.sql("INSERT INTO gcat.db.mvsrc SELECT id, -id FROM range(100, 130)")
+    assert(refresh() === 3L, "three unapplied source versions")
+    assert(diverged() === 0L, "updates must not duplicate, deletes must retract")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mvt").head.getLong(0) === 120L)
+    // a REPLAYED refresh (crash recovery, racing scheduler) applies
+    // nothing twice: the offset is the target's own txn ledger
+    assert(refresh() === 0L)
+    assert(diverged() === 0L)
+    // refreshing into a never-created target fails loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL gcat.system.refresh_mv(source => 'db.mvsrc', target => 'db.nope', " +
+        "key => 'k')").collect())
+    assert(e.getMessage.contains("no table"))
+  }
+
+  test("N-dim z-order: CALL optimize_zorder(cols => 'a,b,c') gives tight 3-dim " +
+       "boxes and every dimension prunes") {
+    warehouse
+    // a 20x20x20 cube, one row per cell: after a 3-dim Morton rewrite
+    // into 8 files each file is ~an octant
+    spark.sql("CREATE TABLE gcat.db.z3 AS SELECT id, id % 20 AS a, " +
+      "(id DIV 20) % 20 AS b, (id DIV 400) % 20 AS c FROM range(0, 8000)")
+    // 32 files over 8 octants: interior files dominate, so the
+    // assertion is robust to range-sampler boundary jitter (the
+    // sampler seeds off the global RDD id — suite-order dependent)
+    spark.sql("CALL gcat.system.optimize_zorder(table => 'db.z3', " +
+      "cols => 'a,b,c', n_files => 32)")
+    val state = TxnLog.snapshotState(root("z3"))
+    assert(state.size === 32)
+    // every dimension prunes: a half-domain probe must rule out a
+    // quarter of the files on EACH dim (a 1-D sort prunes on one dim
+    // and zero on the others; files straddling curve seams are kept)
+    for (d <- Seq("a", "b", "c"))
+      assert(state.count(_._2.stats(d).lo >= 10L) >= 8,
+        s"dim $d must prune files for `$d < 10`: " +
+          state.map(_._2.stats(d)).map(st => (st.lo, st.hi)).mkString(","))
+    // the all-high octant is excluded by each of the three probes:
+    // corrupt it — every probe must still answer, proving 3-dim prune
+    val victims = state.filter { case (_, m) =>
+      Seq("a", "b", "c").forall(d => m.stats(d).lo >= 10L) }
+    assert(victims.nonEmpty, "an all-high octant file must exist")
+    victims.foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](7)) }
+    for (d <- Seq("a", "b", "c"))
+      assert(spark.sql(s"SELECT count(*) FROM gcat.db.z3 WHERE $d < 10")
+        .head.getLong(0) === 4000L,
+        s"pruning on $d must skip the corrupted all-high octant")
+    // the 2-dim spelling keeps working (and rejects mixing with cols)
+    intercept[Exception](spark.sql(
+      "CALL gcat.system.optimize_zorder(table => 'db.z3', x_col => 'a', " +
+        "cols => 'a,b')").collect())
+  }
+
   test("timestamp-horizon VACUUM: RETAIN n HOURS resolves through monotonized " +
        "commit timestamps; retained versions untouched, pre-horizon travel fails loudly") {
     warehouse

@@ -825,8 +825,12 @@ object TxnLog {
         case None => s.emptyDataFrame
       }
     else {
+      // a DECLARED schema makes the read era-aware (type widening,
+      // added columns) — the mergeSchema flag only governs the
+      // schema-less raw-API fallback
       val base =
-        if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
+        if (st.schemaJson.nonEmpty) openFiles(s, st.schemaJson, files)
+        else if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
         else s.read.parquet(files: _*)
       // files store PHYSICAL names; the snapshot surfaces the logical
       // names AS OF this version — time travel under a rename shows
@@ -1311,7 +1315,7 @@ object TxnLog {
     val phys = cols.map(physicalName(st0.renames, _))
     val base =
       if (st0.files.isEmpty) s.emptyDataFrame
-      else applyDeletionVectors(s.read.parquet(st0.files.map(_._1): _*), st0.files)
+      else readForRewrite(s, st0.schemaJson, st0.files)
     val clustered = graft.operators.LayoutOps.zorderClusteredN(
       base, phys, nFiles, bits)
     val (files, multi) = stageWithStatsFor(clustered, root, attemptId(txnId),
@@ -1385,7 +1389,7 @@ object TxnLog {
     val victimSet = candidatesIn(state, minDeletedFraction).toSet
     if (victimSet.isEmpty) return None
     val victims = state.filter(f => victimSet(f._1))
-    val clean = applyDeletionVectors(s.read.parquet(victims.map(_._1): _*), victims)
+    val clean = readForRewrite(s, resolveState(root, readV).schemaJson, victims)
     val (cols, buckets) =
       splitStatKeys(victims.flatMap(_._2.stats.keys).filter(_.nonEmpty).distinct)
     val (files, multi) =
@@ -1395,6 +1399,44 @@ object TxnLog {
     Some(commit(root, "compact-deletes", files, removed = victims.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = multi))
   }
+
+  /** Read a victim file set for a REWRITE (compaction / zorder),
+    * ERA-AWARE: victims may span type-widening generations (one
+    * column stored as int32 in pre-widen files and int64 after), so a
+    * plain `read.parquet` — which types the scan off ONE footer —
+    * fails with a parquet type mismatch on the other era's files (and
+    * `mergeSchema` refuses to merge INT with BIGINT outright). Pass
+    * the CURRENT declared physical schema explicitly — the parquet
+    * reader widens each file into it, exactly like the V2 scan path —
+    * so the rewritten file is written in the current era's types
+    * (pre-rewrite versions still travel through the untouched
+    * originals, so no era is ever violated).
+    */
+  private def readForRewrite(s: SparkSession, schemaJsonB64: String,
+                             victims: Seq[(String, FileMeta)]): DataFrame =
+    applyDeletionVectors(openFiles(s, schemaJsonB64, victims.map(_._1)), victims)
+
+  /** Open data files under the DECLARED physical schema when the log
+    * has one: the parquet reader widens each pre-widen file into the
+    * declared type and serves NULL for columns a file predates —
+    * spanning type-widening AND add-column generations in one scan,
+    * which `mergeSchema` cannot (it refuses to merge INT with
+    * BIGINT). Schema-less raw-API tables fall back to mergeSchema.
+    */
+  private[sources] def openFiles(s: SparkSession, schemaJsonB64: String,
+                                 files: Seq[String]): DataFrame =
+    if (schemaJsonB64.isEmpty)
+      s.read.option("mergeSchema", "true").parquet(files: _*)
+    else s.read.schema(org.apache.spark.sql.types.DataType.fromJson(
+        new String(b64dec(schemaJsonB64), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+      .parquet(files: _*)
+
+  /** The declared physical-schema payload at `version` ("" = none) —
+    * what cross-era readers hand to [[openFiles]]. */
+  private[sources] def declaredSchemaJson(root: String,
+                                          version: Long = Long.MaxValue): String =
+    resolveState(root, version).schemaJson
 
   /** Fold the live snapshot's SMALL files (recorded size under
     * `smallBytes`) into ~`targetBytes` outputs as ONE transaction —
@@ -1432,7 +1474,7 @@ object TxnLog {
     val totalBytes = victims.map { case (f, m) =>
       if (m.size >= 0L) m.size else Files.size(Paths.get(f)) }.sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val clean = applyDeletionVectors(s.read.parquet(victims.map(_._1): _*), victims)
+    val clean = readForRewrite(s, st0.schemaJson, victims)
     // the fold re-clusters by the declared partitioning — identity
     // columns range-cluster, a bucket transform hash-routes rows to
     // their bucket — so compaction never widens per-file
@@ -1788,7 +1830,7 @@ object TxnLog {
     val st0 = resolveState(root, readV)
     require(st0.files.nonEmpty, s"nothing to analyze at $root")
     val files = st0.files.map(_._1)
-    val df = s.read.option("mergeSchema", "true").parquet(files: _*)
+    val df = openFiles(s, st0.schemaJson, files)
     val cols =
       if (cols0.nonEmpty) cols0.map(c => physicalName(st0.renames, c))
       else df.schema.fields.filter(f => GraftTable.statable(f.dataType))

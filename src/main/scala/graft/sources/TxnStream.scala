@@ -64,7 +64,11 @@ object TxnStream {
     else {
       import s.implicits._
       val dim = fileToVersion.toDF("_path", CommitVersionCol)
-      val out = s.read.option("mergeSchema", "true").parquet(fileToVersion.map(_._1): _*)
+      // era-aware open: the range-end declared schema spans widening
+      // and add-column generations (mergeSchema cannot widen INT to
+      // BIGINT across a mid-range ALTER COLUMN TYPE)
+      val out = TxnLog.openFiles(s,
+          TxnLog.declaredSchemaJson(root, toInclusive), fileToVersion.map(_._1))
         .withColumn("_path", // URI -> raw path, same decode as the DV join
           org.apache.spark.sql.functions.url_decode(
             regexp_replace(input_file_name(), "^file:(//)?", "")))
@@ -100,7 +104,8 @@ object TxnStream {
         .withColumn(CommitVersionCol, lit(0L))
     else {
       val dim = s.createDataFrame(dels).toDF("_path", "_dv", CommitVersionCol)
-      val out = s.read.option("mergeSchema", "true").parquet(dels.map(_._1).distinct: _*)
+      val out = TxnLog.openFiles(s,
+          TxnLog.declaredSchemaJson(root, toInclusive), dels.map(_._1).distinct)
         .withColumn("_path", TxnLog.metaFilePath)
         .withColumn("_ri", col("_metadata.row_index"))
         .join(broadcast(dim), "_path")
@@ -189,8 +194,8 @@ object TxnStream {
           if (rewrites.nonEmpty) {
             val physKey = TxnLog.columnMapping(sourceRoot, v)
               .getOrElse(keyCol, keyCol)
-            val pre = s.read.option("mergeSchema", "true")
-              .parquet(rewrites.flatMap(_.removed).distinct: _*)
+            val pre = TxnLog.openFiles(s, TxnLog.declaredSchemaJson(sourceRoot, v),
+                rewrites.flatMap(_.removed).distinct)
               .select(col(physKey).as(keyCol))
             val gone = pre.except(adds.select(col(keyCol)))
             TxnLog.deleteWhereKeys(s, targetRoot, gone, keyCol,

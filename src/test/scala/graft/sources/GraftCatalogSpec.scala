@@ -1500,6 +1500,50 @@ class GraftCatalogSpec extends SparkTestBase {
       === "n1005")
   }
 
+  test("streamed appends into a bucketed table stay SOUND (wide bucket stats); " +
+       "compaction re-derives exact bucket clustering") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE gcat.db.bkst (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val ckpt = Files.createTempDirectory("graft-bkst-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().selectExpr("value AS k", "value * 2 AS v")
+      .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.bkst")
+    try {
+      (0 until 3).foreach { i =>
+        in.addData(i * 100L until i * 100L + 100L: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val key = TxnLog.bucketStatKey(4, "k")
+    // the streaming path declares no bucket distribution: files carry
+    // the WIDE range — kept for every probe, never wrongly pruned
+    val streamed = TxnLog.snapshotState(root("bkst"))
+    assert(streamed.forall(_._2.stats.contains(key)))
+    assert(spark.sql("SELECT v FROM gcat.db.bkst WHERE k = 123").head.getLong(0)
+      === 246L)
+    // CALL compact_files re-clusters by the declared partitioning:
+    // bucket stats collapse to points and equality pruning turns on
+    spark.sql("CALL gcat.system.compact_files(table => 'db.bkst', " +
+      "small_mb => 64, target_mb => 64)")
+    val compacted = TxnLog.snapshotState(root("bkst"))
+    assert(compacted.size === 4 && compacted.forall { case (_, m) =>
+      val st = m.stats(key); st.lo == st.hi },
+      "the fold must hash-route every row to its own bucket's file")
+    val b = TxnLog.bucketOf(123L, org.apache.spark.sql.types.LongType, 4).get.toLong
+    compacted.filterNot { case (_, m) =>
+      val st = m.stats(key); st.lo <= b && b <= st.hi }
+      .foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](3)) }
+    assert(spark.sql("SELECT v FROM gcat.db.bkst WHERE k = 123").head.getLong(0)
+      === 246L, "post-compaction probes read one bucket")
+    // an IN-list inside the surviving bucket also answers
+    val k2 = (0L until 300L).find(x => x != 123L && TxnLog.bucketOf(x,
+      org.apache.spark.sql.types.LongType, 4).get.toLong == b).get
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.bkst WHERE k IN (123, $k2)")
+      .head.getLong(0) === 2L)
+  }
+
   test("bucket pruning survives ALTER COLUMN TYPE widening: canonical hashing " +
        "keeps int-era and bigint-era buckets aligned") {
     warehouse

@@ -35,6 +35,8 @@ class GraftSqlModelSpec extends SparkTestBase {
   private case class Overwrite(rows: Map[Long, Long]) extends Op
   private case object Truncate extends Op
   private case object Widen extends Op
+  private case object Compact extends Op
+  private case object Analyze extends Op
 
   private val rowsGen: Gen[Map[Long, Long]] = for {
     n <- Gen.choose(1, 12)
@@ -58,7 +60,13 @@ class GraftSqlModelSpec extends SparkTestBase {
       yield MergeOp(rows, mor)),
     1 -> rowsGen.map(Overwrite),
     1 -> Gen.const(Truncate),
-    1 -> Gen.const(Widen))
+    1 -> Gen.const(Widen),
+    // maintenance interleaved with DML: both are ROW-PRESERVING, so
+    // the model is untouched — but compaction re-clusters (and on the
+    // bucketed variant re-derives bucket stats via splitStatKeys) and
+    // analyze overlays sketches + histograms mid-history
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(Analyze))
 
   /** INSERTs must not create duplicate keys (the table's merge
     * invariant) — restrict to keys absent from the model.
@@ -73,15 +81,19 @@ class GraftSqlModelSpec extends SparkTestBase {
   test("random SQL statement sequences track the model; every version travels back") {
     val seeds = sys.env.get("GRAFT_SQL_MODEL_SEEDS").map(_.toLong).getOrElse(3L)
     val nOps = sys.env.get("GRAFT_SQL_MODEL_OPS").map(_.toInt).getOrElse(10)
-    for (seed <- 1L to seeds) {
-      val wh = Files.createTempDirectory(s"graft-sqlmodel-$seed").toString
-      val cat = s"gsqlm$seed"
+    // every seed sweeps twice: a plain table and one PARTITIONED BY
+    // (bucket(4, k)) — so every random interleaving also exercises
+    // bucket-stat staging, pruning and compaction re-derivation
+    for (seed <- 1L to seeds; bucketed <- Seq(false, true)) {
+      val wh = Files.createTempDirectory(s"graft-sqlmodel-$seed-$bucketed").toString
+      val cat = s"gsqlm${seed}_$bucketed"
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       // v starts NARROW so a random Widen op can ALTER it to BIGINT
       // mid-history: pre-widen versions must keep traveling back
       // through their own era's schema
-      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v INT)")
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v INT)" +
+        (if (bucketed) " PARTITIONED BY (bucket(4, k))" else ""))
       val root = s"$wh/t"
       var model = Map.empty[Long, Long]
       var widened = false
@@ -147,6 +159,21 @@ class GraftSqlModelSpec extends SparkTestBase {
             if (!widened) {
               spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v TYPE BIGINT")
               widened = true
+            }
+          case Compact =>
+            // row-preserving: folds small files (DVs compact in), the
+            // model is untouched; below-minFiles returns version -1
+            // and burns nothing
+            spark.sql(s"CALL $cat.system.compact_files(" +
+              "table => 't', small_mb => 64, target_mb => 64)")
+            ()
+          case Analyze =>
+            // row-preserving overlay: sketches + equi-height
+            // histograms land mid-history without moving the model
+            if (model.nonEmpty) {
+              spark.sql(s"CALL $cat.system.analyze(" +
+                "table => 't', histogram_bins => 8)")
+              ()
             }
         }
         val v = TxnLog.currentVersion(root)

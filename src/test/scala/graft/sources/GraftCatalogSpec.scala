@@ -829,6 +829,37 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("rewrites, ANALYZE and the change feed span type-widening generations " +
+       "(era-aware opens; regression for the model-sweep parquet mismatch)") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.wc (k BIGINT, v INT)")
+    spark.sql("INSERT INTO gcat.db.wc SELECT id, CAST(id AS INT) FROM range(0, 50)")
+    spark.sql("ALTER TABLE gcat.db.wc ALTER COLUMN v TYPE BIGINT")
+    spark.sql("INSERT INTO gcat.db.wc SELECT id, id * 2 FROM range(50, 100)")
+    val preCompact = TxnLog.currentVersion(root("wc"))
+    // compaction folds int32-era and int64-era files into ONE file in
+    // the CURRENT era's types — this crashed with
+    // PARQUET_COLUMN_DATA_TYPE_MISMATCH before the era-aware open
+    val r = spark.sql("CALL gcat.system.compact_files(table => 'db.wc', " +
+      "small_mb => 64, target_mb => 64)").head
+    assert(r.getLong(1) >= 2L)
+    assert(spark.sql("SELECT sum(v) FROM gcat.db.wc").head.getLong(0) ===
+      (0L until 50L).sum + (50L until 100L).map(_ * 2).sum)
+    // pre-compaction versions still travel through their own era
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.wc VERSION AS OF $preCompact")
+      .head.getLong(0) === 100L)
+    // ANALYZE with histograms over the compacted cross-era table
+    assert(spark.sql("CALL gcat.system.analyze(table => 'db.wc', " +
+      "histogram_bins => 8)").head.getLong(1) >= 1L)
+    // the change feed crossing the widen boundary reads BOTH eras
+    // under the range-end schema (old rows widen, nothing fails)
+    val feed = spark.read.option("startingVersion", 1)
+      .option("endingVersion", preCompact).table("gcat.db.wc.changes")
+    assert(feed.count() === 100L)
+    assert(feed.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ===
+      (0L until 50L).sum + (50L until 100L).map(_ * 2).sum)
+  }
+
   test("CALL refresh_mv: a keyed mirror MV converges to the source across " +
        "updates, deletes, rewrites and replayed refreshes") {
     warehouse

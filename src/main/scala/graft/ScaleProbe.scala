@@ -751,6 +751,124 @@ object ScaleProbe {
       println(f"""{"op":"txn_stream_write","k":16,"rows":$n,"sec":$sec%.3f}""")
     }
 
+    // Bucket-transform probe (X-A63): the same 1M-row insert into a
+    // hash-shuffled plain table vs PARTITIONED BY (bucket(16, k)),
+    // then a burst of equality lookups — the bucketed path must admit
+    // ~files/16 per probe while the unclustered plain table scans all
+    // of them. Receipts bound the write-side price of bucket routing
+    // and measure the read-side payoff.
+    if (enabled("catalog_bucket")) {
+      import graft.sources.TxnLog
+      def fresh(tag: String, bucketed: Boolean): (String, String) = {
+        val wh = java.nio.file.Files.createTempDirectory(s"graft-catbkt-$tag").toString
+        val cat = s"catbkt_$tag"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)" +
+          (if (bucketed) " PARTITIONED BY (bucket(16, k))" else ""))
+        (cat, s"$wh/t")
+      }
+      def insertTimed(cat: String, hint: String): Double = {
+        val t0 = System.nanoTime()
+        spark.sql(s"INSERT INTO $cat.t SELECT $hint id, id * 3 " +
+          "FROM range(0, 1048576)")
+        (System.nanoTime() - t0) / 1e9
+      }
+      def probeTimed(cat: String): Double = {
+        val t0 = System.nanoTime()
+        var s = 0L
+        (0 until 64).foreach { i =>
+          s += spark.sql(s"SELECT coalesce(sum(v), 0) FROM $cat.t " +
+            s"WHERE k = ${i * 16384L + 7L}").head.getLong(0)
+        }
+        require(s == (0 until 64).map(i => (i * 16384L + 7L) * 3).sum, s"sum $s")
+        (System.nanoTime() - t0) / 1e9
+      }
+      for ((tag, bucketed, hint) <- Seq(
+          ("plain_warm", false, "/*+ REPARTITION(16) */"),
+          ("bucket_warm", true, ""),
+          ("plain", false, "/*+ REPARTITION(16) */"),
+          ("bucket", true, ""))) {
+        val (cat, tRoot) = fresh(tag, bucketed)
+        val insSec = insertTimed(cat, hint)
+        val state = TxnLog.snapshotState(tRoot)
+        // admissibility of one representative probe, from stats alone
+        val key = TxnLog.bucketStatKey(16, "k")
+        val b = TxnLog.bucketOf(7L, org.apache.spark.sql.types.LongType, 16)
+          .get.toLong
+        val admitted =
+          if (!bucketed) state.size
+          else state.count { case (_, m) =>
+            m.stats.get(key).forall(st => st.lo <= b && b <= st.hi) }
+        val prSec = probeTimed(cat)
+        println(f"""{"op":"catalog_bucket_$tag%s","rows":1048576,"files":${state.size},"insert_sec":$insSec%.3f,"probe64_sec":$prSec%.3f,"files_admitted_per_probe":$admitted}""")
+      }
+    }
+
+    // Histogram-ANALYZE probe (X-A64): the added price of equi-height
+    // histograms (one approx-percentile pass + one conditional
+    // per-bin NDV pass) over the plain NDV-sketch ANALYZE on a 1M-row
+    // 2-column table.
+    if (enabled("catalog_hist")) {
+      val wh = java.nio.file.Files.createTempDirectory("graft-cathist").toString
+      val cat = "cathist"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.t AS SELECT id AS k, " +
+        "CASE WHEN id % 10 < 9 THEN id % 100 ELSE id END AS x " +
+        "FROM range(0, 1048576)")
+      def timed(sql: String): Double = {
+        val t0 = System.nanoTime(); spark.sql(sql).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timed(s"CALL $cat.system.analyze(table => 't')") // warm-up
+      val plain = timed(s"CALL $cat.system.analyze(table => 't')")
+      val hist = timed(s"CALL $cat.system.analyze(table => 't', " +
+        "histogram_bins => 32)")
+      val got = graft.sources.TxnLog.tableHistograms(s"$wh/t")
+      require(got.contains("x") && got("x").bins.size == 32, s"hists: ${got.keys}")
+      println(f"""{"op":"catalog_hist","rows":1048576,"analyze_sec":$plain%.3f,"analyze_hist32_sec":$hist%.3f}""")
+    }
+
+    // COMPLETE-mode streaming-write probe (X-A62): 16 exactly-once
+    // stream-replace epochs of a running aggregate — per-epoch cost
+    // includes recomputing + rewriting the (small) full aggregate,
+    // the same class as the append-mode per-trigger floor.
+    if (enabled("catalog_complete")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val wh = java.nio.file.Files.createTempDirectory("graft-ccprobe").toString
+      val cat = "ccprobe"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.t (g BIGINT, n BIGINT, sv BIGINT)")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ccprobe-ck").toString
+      implicit val enc = org.apache.spark.sql.Encoders.scalaLong
+      val in = MemoryStream[Long](spark)
+      val t0 = System.nanoTime()
+      val q = in.toDF().selectExpr("value % 64 AS g", "value AS v")
+        .groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt).toTable(s"$cat.t")
+      try {
+        (0 until 16).foreach { i =>
+          in.addData(i * 8192L until (i + 1) * 8192L: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = 16 * 8192L
+      val got = spark.sql(s"SELECT CAST(sum(n) AS BIGINT), CAST(sum(sv) AS BIGINT) FROM $cat.t").head
+      require(got.getLong(0) == n && got.getLong(1) == (0L until n).sum,
+        s"complete aggregate diverged: $got")
+      val commits = graft.sources.TxnLog.commits(s"$wh/t")
+        .count(_.action == "stream-replace")
+      require(commits == 16, s"$commits replace epochs")
+      println(f"""{"op":"catalog_complete","epochs":16,"rows":$n,"sec":$sec%.3f}""")
+    }
+
     // Mirror-maintenance ladder (X-A41): apply ONE new source version
     // (a small append + a small DV delete) to a mirror of a table
     // that is k× bigger — per-version cost must be ~flat in table

@@ -27,6 +27,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins over co-bucketed graft tables: the
+      // scan reports KeyGroupedPartitioning only for tables declared
+      // PARTITIONED BY (bucket(n, c)) with point bucket stats, so
+      // this changes no other plan
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // managed tables (the j9 bucketed layout) land in tmp, not
       // ./spark-warehouse — and in a PER-JVM dir: the in-memory catalog
       // dies with the JVM, and saveAsTable refuses to overwrite a

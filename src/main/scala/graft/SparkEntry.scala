@@ -295,6 +295,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/sw") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/swc") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/bkt") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/bkt2") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv", "mv-db.mv") != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
@@ -362,6 +363,13 @@ object SparkEntry {
           "PARTITIONED BY (bucket(8, o_orderkey))")
         s.sql(s"INSERT INTO $cat.db.bkt SELECT o_orderkey, price_cents " +
           s"FROM cat_src_$tag WHERE o_orderkey % 6 = 5")
+        // a CO-BUCKETED sibling: joining it with db.bkt is a
+        // storage-partitioned join — zero shuffles on either side
+        s.sql(s"CREATE TABLE $cat.db.bkt2 " +
+          "(o_orderkey BIGINT, pc3 BIGINT) " +
+          "PARTITIONED BY (bucket(8, o_orderkey))")
+        s.sql(s"INSERT INTO $cat.db.bkt2 SELECT o_orderkey, price_cents * 3 " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 4 = 1")
         // maintenance THROUGH SQL (r14, ProcedureCatalog): a DV delete
         // folded clean by CALL compact_deletes, then CALL checkpoint
         s.sql(s"CREATE TABLE $cat.db.proc AS SELECT o_orderkey, price_cents " +
@@ -756,8 +764,13 @@ object SparkEntry {
           "file_id", "n", targetRows = 5000)),
       "io_jdbc_roundtrip" -> ((s, dir) => {
         val tag = dirTag(dir)
+        // PER-JVM database dir: embedded Derby takes an exclusive
+        // file lock per booting JVM, so a fingerprint-shared path
+        // flakes with "Failed to start database" whenever two test
+        // or bench JVMs overlap on the box
         val url = JdbcIO.derbyUrl(
-          s"${System.getProperty("java.io.tmpdir")}/graft_derby_$tag/db")
+          s"${System.getProperty("java.io.tmpdir")}/graft_derby_${tag}_" +
+            s"${java.lang.ProcessHandle.current().pid()}/db")
         JdbcIO.write(Tables.nation(s, dir), url, "nation_rt")
         JdbcIO.read(s, url, "nation_rt")
           .select("n_nationkey", "n_name", "n_regionkey")
@@ -1114,6 +1127,15 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"""SELECT o_orderkey, price_cents FROM $cat.db.bkt
                   WHERE o_orderkey % 10 = 5""")
+      }),
+      // storage-partitioned join: the co-bucketed pair joins with
+      // ZERO shuffles on either side (KeyGroupedPartitioning over
+      // bucket(8, o_orderkey) through the V2 function catalog)
+      "tx_cat_spj" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT t1.o_orderkey, t1.price_cents, t2.pc3
+                  FROM $cat.db.bkt t1 JOIN $cat.db.bkt2 t2
+                  ON t1.o_orderkey = t2.o_orderkey""")
       }),
       // complete-mode streaming write: the materialized streaming
       // aggregate equals the batch aggregate of its source (each
@@ -1560,6 +1582,14 @@ object SparkEntry {
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders
          WHERE o_orderkey % 6 = 5 AND o_orderkey % 10 = 5""",
+
+    "tx_cat_spj" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(3 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
+                  AS pc3
+         FROM orders
+         WHERE o_orderkey % 6 = 5 AND o_orderkey % 4 = 1""",
 
     "tx_cat_complete" ->
       """SELECT o_orderkey % 7 AS grp,

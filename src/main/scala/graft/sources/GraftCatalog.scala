@@ -100,7 +100,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
@@ -136,6 +137,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]: the
+    * `bucket` transform as a loadable V2 function — what Spark's
+    * storage-partitioned-join planner resolves a scan's reported
+    * `KeyGroupedPartitioning(bucket(n, c))` against. The bound
+    * function computes EXACTLY the write-side bucket id
+    * ([[TxnLog.bucketOf]]: Murmur3 seed 42 over the canonical
+    * long/string representation), so co-bucketed rows provably meet
+    * in the same partition.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.name != "bucket")
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    GraftBucketFunction
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
@@ -1014,6 +1034,69 @@ private[sources] class GraftScanBuilder(
 private case class GraftFilePartition(path: String, length: Long,
                                       dvHex: String) extends InputPartition
 
+/** One BUCKET of a `PARTITIONED BY (bucket(n, c))` table as a single
+  * input partition carrying its key — what lets Spark's
+  * storage-partitioned join line two co-bucketed scans up WITHOUT a
+  * shuffle. Empty buckets still emit (both join sides then always
+  * report identical key sets).
+  */
+private case class GraftBucketPartition(bucketId: Int,
+                                        files: Seq[GraftFilePartition])
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
+
+private object GraftPartitions {
+  /** Both factories accept plain file partitions and bucket groups. */
+  def filesOf(p: InputPartition): Seq[GraftFilePartition] = p match {
+    case f: GraftFilePartition      => Seq(f)
+    case GraftBucketPartition(_, fs) => fs
+    case other => sys.error(s"graft: unexpected partition $other")
+  }
+}
+
+/** The `bucket` transform as a V2 catalog function: binding
+  * `(numBuckets INT, c <bucketable>)` yields a scalar whose result is
+  * the write-side bucket id — [[TxnLog.bucketOf]]'s Murmur3(seed 42)
+  * over the canonical representation — so the storage-partitioned
+  * join's view of "which partition does this key live in" is
+  * identical to where the writers actually put it.
+  */
+private[sources] object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft bucket transform: pmod(murmur3(canonical(c)), n)"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(numBuckets, col) takes 2 arguments, got ${inputType.length}")
+    val dt = inputType.fields(1).dataType
+    require(TxnLog.bucketableType(dt),
+      s"bucket: unbucketable column type ${dt.simpleString}")
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      // canonical-name equality is what SPJ compares across the two
+      // sides; the semantics depend only on the canonical KIND
+      override def canonicalName(): String =
+        s"graft.bucket(${if (dt == StringType) "string" else "long"})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v = if (input.isNullAt(1)) null else input.get(1, dt)
+        Integer.valueOf(TxnLog.bucketOf(v, dt, n).getOrElse(
+          sys.error(s"graft bucket: unbucketable value $v: ${dt.simpleString}")))
+      }
+    }
+  }
+}
+
 /** The batch (and streaming) scan over a pinned snapshot. Planning is
   * METADATA-ONLY: the log names the files with their sizes, the
   * pushed filters prune against typed stats + blooms
@@ -1031,7 +1114,8 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
                         options: CaseInsensitiveStringMap,
                         onPlan: Option[(Seq[String], Long) => Unit] = None)
   extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // pin "head" to a concrete version at construction: the scan is a
   // stable snapshot however long the query runs, and a row-level
@@ -1108,11 +1192,54 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
     allowed.foreach(set => kept = kept.filter { case (f, _) => set(f) })
   }
 
+  /** Storage-partitioned-join support (the Iceberg SPJ recipe): a
+    * table declared `PARTITIONED BY (bucket(n, c))` whose kept files
+    * ALL carry point bucket stats reports KeyGroupedPartitioning over
+    * `bucket(n, c)` — two tables co-bucketed on their join key then
+    * join WITHOUT a shuffle on either side (at 100 TB, the shuffle IS
+    * the join cost). Gated on the session's V2 bucketing switch;
+    * row-level-operation scans (onPlan) keep the per-file shape their
+    * rewrites expect; a file with a wide or missing bucket stat
+    * (streamed appends before compaction, hand commits) disables the
+    * report — plans stay correct, just shuffled.
+    */
+  private def bucketGroups: Option[(Int, String, Map[Long, Seq[(String, TxnLog.FileMeta)]])] =
+    if (onPlan.isDefined ||
+        !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      None
+    else TxnLog.partitionFields(root, pinnedV) match {
+      case Seq(TxnLog.BucketField(n, c)) =>
+        val key = TxnLog.bucketStatKey(n, c)
+        val snapshot = kept
+        val pts = snapshot.map { case fm @ (_, m) =>
+          m.stats.get(key).filter(st => st.typ == "l" && st.lo == st.hi &&
+            st.lo >= 0L && st.lo < n).map(st => st.lo -> fm)
+        }
+        if (pts.exists(_.isEmpty)) None
+        else Some((n, c, pts.flatten.groupBy(_._1).map {
+          case (b, fs) => b -> fs.map(_._2)
+        }))
+      case _ => None
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketGroups match {
+      case Some((n, c, _)) =>
+        val logical = renames.map(_.swap).getOrElse(c, c)
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            n, logical)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          kept.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // re-planned after [[filter]] narrows `kept`; the LAST capture —
     // the set the rewrite actually read — is what the commit removes
     onPlan.foreach(_(kept.map(_._1), pinnedV))
-    kept.map { case (f, m) =>
+    def toFile(f: String, m: TxnLog.FileMeta): GraftFilePartition = {
       val len =
         if (m.size >= 0L) m.size
         else java.nio.file.Files.size(java.nio.file.Paths.get(f))
@@ -1120,7 +1247,17 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
       // ships the bitmap bytes, O(file rows / 8), same order as the
       // log record itself
       GraftFilePartition(f, len, m.dv.map(TxnLog.dvHex).getOrElse(""))
-    }.toArray
+    }
+    bucketGroups match {
+      case Some((n, _, groups)) =>
+        // one partition per bucket, EMPTY buckets included: both join
+        // sides always report the identical key set
+        (0 until n).map(b => GraftBucketPartition(b,
+          groups.getOrElse(b.toLong, Nil).map { case (f, m) => toFile(f, m) })
+          : InputPartition).toArray
+      case None =>
+        kept.map { case (f, m) => toFile(f, m): InputPartition }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1313,10 +1450,10 @@ private class GraftColumnarReaderFactory(
     throw new UnsupportedOperationException("columnar factory: use createColumnarReader")
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
-    val pf = PartitionedFile(InternalRow.empty,
-      TxnLog.sparkPath(p.path), 0L, p.length)
-    val batches = readFile(pf).asInstanceOf[Iterator[ColumnarBatch]]
+    val batches = GraftPartitions.filesOf(partition).iterator.flatMap { p =>
+      readFile(PartitionedFile(InternalRow.empty,
+        TxnLog.sparkPath(p.path), 0L, p.length)).asInstanceOf[Iterator[ColumnarBatch]]
+    }
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = batches.hasNext
       override def get(): ColumnarBatch = batches.next()
@@ -1334,7 +1471,19 @@ private class GraftReaderFactory(
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val rows = GraftPartitions.filesOf(partition).iterator.flatMap(fileRows)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = rows.hasNext
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = ()
+    }
+  }
+
+  /** One file's rows (DV applied, metadata columns spliced) — the row
+    * counter is PER FILE, so concatenating files in a bucket
+    * partition keeps `_pos` and the DV coordinate exact.
+    */
+  private def fileRows(p: GraftFilePartition): Iterator[InternalRow] = {
     val pf = PartitionedFile(InternalRow.empty,
       TxnLog.sparkPath(p.path), 0L, p.length)
     val readFile = if (p.dvHex.isEmpty) readFiltered else readAll
@@ -1371,11 +1520,7 @@ private class GraftReaderFactory(
           }
         }
       }
-    new PartitionReader[InternalRow] {
-      override def next(): Boolean = rows.hasNext
-      override def get(): InternalRow = rows.next()
-      override def close(): Unit = ()
-    }
+    rows
   }
 }
 

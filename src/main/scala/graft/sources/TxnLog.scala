@@ -2575,6 +2575,10 @@ object TxnLog {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
     import org.apache.spark.sql.types._
     val canonical: Option[Literal] = (dt, v) match {
+      // hash() ignores a NULL child (the seed passes through), so a
+      // null key's bucket is pmod(42, n) regardless of type — the
+      // same place the write-side clustering routes null rows
+      case (_, null) if bucketableType(dt) => Some(Literal(null, LongType))
       case (ByteType, b: Byte)    => Some(Literal(b.toLong, LongType))
       case (ShortType, s: Short)  => Some(Literal(s.toLong, LongType))
       case (IntegerType, i: Int)  => Some(Literal(i.toLong, LongType))

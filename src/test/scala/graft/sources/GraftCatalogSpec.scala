@@ -1575,6 +1575,57 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(0) === 2L)
   }
 
+  test("storage-partitioned join: two co-bucketed tables join with NO shuffle " +
+       "on either side; a plain table still shuffles") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.spj1 (k BIGINT, a BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gcat.db.spj2 (k BIGINT, b BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gcat.db.spjp (k BIGINT, c BIGINT)")
+    spark.sql("INSERT INTO gcat.db.spj1 SELECT id, id * 2 FROM range(0, 1000)")
+    spark.sql("INSERT INTO gcat.db.spj2 SELECT id, id * 3 FROM range(500, 1500)")
+    spark.sql("INSERT INTO gcat.db.spjp SELECT id, id * 5 FROM range(0, 1000)")
+    // shuffles UNDER the join (the final scalar aggregate's
+    // SinglePartition exchange is unrelated to co-location)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+    withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql(
+        """SELECT sum(t1.a + t2.b) AS s, count(*) AS n
+           FROM gcat.db.spj1 t1 JOIN gcat.db.spj2 t2 ON t1.k = t2.k""")
+      assert(shuffles(q) === 0,
+        s"co-bucketed join must be shuffle-FREE:\n${q.queryExecution.executedPlan}")
+      assert(q.head.toSeq === Seq((500L until 1000L).map(k => k * 2 + k * 3).sum, 500L),
+        "the shuffle-free join must still be CORRECT")
+      // the un-bucketed side forces ordinary shuffles
+      val qp = spark.sql(
+        """SELECT count(*) AS n
+           FROM gcat.db.spj1 t1 JOIN gcat.db.spjp tp ON t1.k = tp.k""")
+      assert(shuffles(qp) >= 1, "a plain side cannot co-locate")
+      assert(qp.head.getLong(0) === 1000L)
+    }
+    // with the switch OFF the same join shuffles — and stays correct
+    withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql(
+        """SELECT count(*) AS n
+           FROM gcat.db.spj1 t1 JOIN gcat.db.spj2 t2 ON t1.k = t2.k""")
+      assert(shuffles(q) >= 1)
+      assert(q.head.getLong(0) === 500L)
+    }
+  }
+
   test("bucket pruning survives ALTER COLUMN TYPE widening: canonical hashing " +
        "keeps int-era and bigint-era buckets aligned") {
     warehouse

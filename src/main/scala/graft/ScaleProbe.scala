@@ -327,7 +327,7 @@ object ScaleProbe {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       ks.foreach { k =>
         val snapDir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_mv_probe_$k"
+          s"${System.getProperty("java.io.tmpdir")}/graft_mv_probe_${java.lang.ProcessHandle.current().pid()}_$k"
         aggOf(replicateEvents(k)).write.mode("overwrite").parquet(snapDir)
         if (enabled("mv_merge")) time("mv_merge", k)(
           graft.operators.RelationalOps.mergeAggSnapshot(

@@ -43,6 +43,23 @@ object SparkEntry {
   private def dirTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Integer.toHexString(dir.hashCode)
 
+  /** PER-JVM fixture base. Every /tmp fixture root below is rebuilt
+    * in place (delete + re-create) whenever its generation check
+    * fails, so a path shared ACROSS JVMs races any concurrently
+    * running test/bench/verify JVM mid-rebuild — observed as
+    * "version N out of range (head 2)" mid-query and as embedded
+    * Derby's one-JVM boot lock refusing the database. One fixture
+    * rebuild per JVM costs seconds at gate scale; correctness under
+    * concurrent JVMs is the contract. (`materializeOnce` remains the
+    * WITHIN-JVM once-guard.)
+    */
+  private lazy val jvmTmp: String = {
+    val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-jvm-${java.lang.ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   /** Once-per-JVM side-artifact memo: `computeIfAbsent` runs the write
     * INSIDE the mapping function, so a concurrent caller for the same
     * key blocks until the winner's write completes instead of racing
@@ -71,7 +88,7 @@ object SparkEntry {
     */
   private def ensureFileTopic(s: SparkSession, dir: String): String = {
     val topicDir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_topic_${dirTag(dir)}"
+      s"$jvmTmp/graft_topic_${dirTag(dir)}"
     materializeOnce(materializedTopics, topicDir) {
       Tables.events(s, dir)
         .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"),
@@ -127,7 +144,7 @@ object SparkEntry {
     */
   private def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
     val pdir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_part_events_${dirTag(dir)}"
+      s"$jvmTmp/graft_part_events_${dirTag(dir)}"
     materializeOnce(materializedPartitionDirs, pdir) {
       Tables.events(s, dir)
         .withColumn("cents", round(col("value") * 100).cast("long"))
@@ -149,7 +166,7 @@ object SparkEntry {
     */
   private def ensureEvolvedEvents(s: SparkSession, dir: String): String = {
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_evolve_${dirTag(dir)}"
+      s"$jvmTmp/graft_evolve_${dirTag(dir)}"
     materializeOnce(materializedEvolvedDirs, root) {
       val e = Tables.events(s, dir)
       e.filter(col("event_id") % 2 === 0)
@@ -192,7 +209,7 @@ object SparkEntry {
     */
   private def ensureZorderStats(s: SparkSession, dir: String): String = {
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_zstats_${dirTag(dir)}"
+      s"$jvmTmp/graft_zstats_${dirTag(dir)}"
     materializeOnce(materializedZorderStats, path) {
       ordersZorderStats(s, dir).write.mode("overwrite").parquet(path)
     }
@@ -228,7 +245,7 @@ object SparkEntry {
   private def ensureTxnTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txn_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_txn_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnTables, root) {
       // /tmp outlives JVMs: a COMPLETE table (head = v3) from an
       // earlier run is reused as-is; anything partial is wiped and
@@ -281,7 +298,7 @@ object SparkEntry {
     val tag = dirTag(dir)
     val cat = s"gcat_$tag"
     val wh =
-      s"${System.getProperty("java.io.tmpdir")}/graft_cat_${tag}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_cat_${tag}_${ordersFingerprint(dir)}"
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -453,7 +470,7 @@ object SparkEntry {
   private def ensureTxnRangeTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnr_g3_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_txnr_g3_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnRangeTables, root) {
       if (TxnLog.currentVersion(root) != 1L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
@@ -495,7 +512,7 @@ object SparkEntry {
   private def ensureTxnDeleteTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnd_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_txnd_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnDeleteTables, root) {
       if (TxnLog.currentVersion(root) != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
@@ -529,7 +546,7 @@ object SparkEntry {
   private def ensureTxnMergeTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnm_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_txnm_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnMergeTables, root) {
       if (TxnLog.currentVersion(root) != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
@@ -566,7 +583,7 @@ object SparkEntry {
   private def ensureTxnZorderTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnz_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_txnz_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnZorderTables, root) {
       if (TxnLog.currentVersion(root) != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
@@ -606,7 +623,7 @@ object SparkEntry {
   private def ensureTxnCompactTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnc_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_txnc_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnCompactTables, root) {
       if (TxnLog.currentVersion(root) != 4L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
@@ -646,7 +663,7 @@ object SparkEntry {
   private def ensureTxnTypedTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_txnt_${dirTag(dir)}_${ordersFingerprint(dir)}"
+      s"$jvmTmp/graft_txnt_${dirTag(dir)}_${ordersFingerprint(dir)}"
     materializeOnce(materializedTxnTypedTables, root) {
       if (TxnLog.currentVersion(root) != 1L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
@@ -764,13 +781,7 @@ object SparkEntry {
           "file_id", "n", targetRows = 5000)),
       "io_jdbc_roundtrip" -> ((s, dir) => {
         val tag = dirTag(dir)
-        // PER-JVM database dir: embedded Derby takes an exclusive
-        // file lock per booting JVM, so a fingerprint-shared path
-        // flakes with "Failed to start database" whenever two test
-        // or bench JVMs overlap on the box
-        val url = JdbcIO.derbyUrl(
-          s"${System.getProperty("java.io.tmpdir")}/graft_derby_${tag}_" +
-            s"${java.lang.ProcessHandle.current().pid()}/db")
+        val url = JdbcIO.derbyUrl(s"$jvmTmp/graft_derby_$tag/db")
         JdbcIO.write(Tables.nation(s, dir), url, "nation_rt")
         JdbcIO.read(s, url, "nation_rt")
           .select("n_nationkey", "n_name", "n_regionkey")

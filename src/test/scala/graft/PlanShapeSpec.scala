@@ -231,6 +231,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("tx_cat_spj plans a storage-partitioned join: zero shuffles under the join") {
+    // broadcast would also be shuffle-free at gate scale, but the pin
+    // is the CO-BUCKETED property — force the shuffle-join regime
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = SparkEntry.queries("tx_cat_spj")(spark, sfDir)
+      val smj = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${q.queryExecution.executedPlan}")
+      val shuffles = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"the co-bucketed join must be shuffle-free:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
   test("no query plans a cartesian product") {
     // The brute-force similarity baselines are non-equi self-joins and
     // legitimately plan BroadcastNestedLoopJoin (one side is known

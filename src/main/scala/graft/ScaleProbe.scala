@@ -869,6 +869,45 @@ object ScaleProbe {
       println(f"""{"op":"catalog_complete","epochs":16,"rows":$n,"sec":$sec%.3f}""")
     }
 
+    // Storage-partitioned-join probe (X-A68): two 2M-row tables
+    // co-bucketed on the join key, joined with the V2 bucketing
+    // switch ON (zero shuffles under the join) vs OFF (both sides
+    // shuffle) — the receipt for "the shuffle IS the join cost".
+    if (enabled("catalog_spj")) {
+      val wh = java.nio.file.Files.createTempDirectory("graft-spjprobe").toString
+      val cat = "spjprobe"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.a (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(16, k))")
+      spark.sql(s"CREATE TABLE $cat.b (k BIGINT, w BIGINT) " +
+        "PARTITIONED BY (bucket(16, k))")
+      spark.sql(s"INSERT INTO $cat.a SELECT id, id * 2 FROM range(0, 2097152)")
+      spark.sql(s"INSERT INTO $cat.b SELECT id, id * 3 FROM range(1048576, 3145728)")
+      val expect = 1048576L
+      def joinTimed(): Double = {
+        val t0 = System.nanoTime()
+        val n = spark.sql(s"SELECT count(*) FROM $cat.a JOIN $cat.b USING (k)")
+          .head.getLong(0)
+        require(n == expect, s"join count $n != $expect")
+        (System.nanoTime() - t0) / 1e9
+      }
+      def withSwitch(on: Boolean)(f: => Double): Double = {
+        val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", on.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try f finally {
+          prev.foreach(spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+      withSwitch(on = true)(joinTimed()) // warm-up
+      val spj = withSwitch(on = true)(joinTimed())
+      val shuffled = withSwitch(on = false)(joinTimed())
+      println(f"""{"op":"catalog_spj","rows":2097152,"spj_sec":$spj%.3f,"shuffled_sec":$shuffled%.3f}""")
+    }
+
     // Mirror-maintenance ladder (X-A41): apply ONE new source version
     // (a small append + a small DV delete) to a mirror of a table
     // that is k× bigger — per-version cost must be ~flat in table

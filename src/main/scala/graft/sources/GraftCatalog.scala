@@ -1203,7 +1203,7 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
     * (streamed appends before compaction, hand commits) disables the
     * report — plans stay correct, just shuffled.
     */
-  private def bucketGroups: Option[(Int, String, Map[Long, Seq[(String, TxnLog.FileMeta)]])] =
+  private lazy val bucketGroups: Option[(Int, String, Map[Long, Seq[(String, TxnLog.FileMeta)]])] =
     if (onPlan.isDefined ||
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
       None

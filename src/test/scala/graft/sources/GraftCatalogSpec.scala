@@ -1626,6 +1626,38 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("storage-partitioned join composes with deletion vectors: still " +
+       "shuffle-free, deleted rows stay dead") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.spjd1 (k BIGINT, a BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gcat.db.spjd2 (k BIGINT, b BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gcat.db.spjd1 SELECT id, id FROM range(0, 1000)")
+    spark.sql("INSERT INTO gcat.db.spjd2 SELECT id, id FROM range(0, 1000)")
+    // a DV delete on one side: files keep their bytes AND their point
+    // bucket stats, so the key-grouped report must survive
+    spark.sql("DELETE FROM gcat.db.spjd1 WHERE k % 10 = 3")
+    assert(TxnLog.snapshotState(root("spjd1")).exists(_._2.dv.nonEmpty),
+      "the delete must be a deletion vector, not a rewrite")
+    withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql(
+        """SELECT count(*) AS n FROM gcat.db.spjd1 t1
+           JOIN gcat.db.spjd2 t2 ON t1.k = t2.k""")
+      val smj = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.nonEmpty)
+      assert(smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty, s"DV'd buckets must still co-locate:\n${q.queryExecution.executedPlan}")
+      assert(q.head.getLong(0) === 900L,
+        "deleted rows must not resurface through the bucket partitions")
+    }
+  }
+
   test("bucket pruning survives ALTER COLUMN TYPE widening: canonical hashing " +
        "keeps int-era and bigint-era buckets aligned") {
     warehouse

@@ -967,6 +967,36 @@ class GraftCatalogSpec extends SparkTestBase {
         "retain_hours => 1.0)").collect())
   }
 
+  test("histograms canonicalize timestamps and dates; strings are skipped soundly") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.hts AS SELECT " +
+      "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS BIGINT)) AS ts, " +
+      "date_add(DATE '2024-01-01', CAST(id % 365 AS INT)) AS d, " +
+      "concat('s', id) AS s, id AS k FROM range(0, 5000)")
+    spark.sql("CALL gcat.system.analyze(table => 'db.hts', histogram_bins => 8)")
+    val hists = TxnLog.tableHistograms(root("hts"))
+    // timestamps histogram over epoch MICROS, dates over epoch DAYS
+    val ts = hists("ts")
+    assert(ts.bins.size === 8 && ts.height > 0 &&
+      ts.bins.forall { case (lo, hi, ndv) => lo <= hi && ndv >= 0 } &&
+      ts.bins.head._1 >= 1.699e15 && ts.bins.last._2 <= 1.71e15, s"ts: $ts")
+    val d = hists("d")
+    assert(d.bins.size === 8 &&
+      d.bins.head._1 >= 19700 && d.bins.last._2 <= 20100, s"d: $d")
+    assert(hists.contains("k"))
+    assert(!hists.contains("s"), "strings have no double embedding: no histogram")
+    // a range predicate on the timestamp estimates through the
+    // histogram (uniform data: the estimate tracks the true half)
+    withSQLConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val est = spark.table("gcat.db.hts")
+        .filter("ts < timestamp_micros(1700002500000000)")
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(est >= BigInt(1500) && est <= BigInt(3500),
+        s"true 2500, got $est")
+    }
+  }
+
   test("CALL compact_files bin-packs small files; streaming auto-compact bounds ingest") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.smc (k BIGINT, v BIGINT)")

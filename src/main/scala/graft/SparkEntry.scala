@@ -314,7 +314,9 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/bkt") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/bkt2") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L ||
-          graft.sources.TxnStream.appliedVersion(s"$wh/db/mv", "mv-db.mv") != 2L) {
+          graft.sources.TxnLog.currentVersion(s"$wh/db/swu") != 2L ||
+          graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
+            graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
         Tables.orders(s, dir)
           .select(col("o_orderkey"),
@@ -425,6 +427,20 @@ object SparkEntry {
           .option("checkpointLocation", s"$wh/_ckpt_swc")
           .toTable(s"$cat.db.swc")
         try qc.processAllAvailable() finally qc.stop()
+        // UPDATE-MODE STREAMING WRITE (r16): the same aggregate in
+        // update mode, materialized through the mergeKey sink — each
+        // epoch's changed keys MERGE into db.swu, so the table equals
+        // the batch aggregate (the reference's actual output mode,
+        // spark_stream.py:73,83, as a lakehouse table)
+        s.sql(s"CREATE TABLE $cat.db.swu (grp BIGINT, n BIGINT, sum_pc BIGINT)")
+        val qu = s.readStream.table(s"$cat.db.ctas")
+          .groupBy((col("o_orderkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_pc"))
+          .writeStream.outputMode("update")
+          .option("mergeKey", "grp")
+          .option("checkpointLocation", s"$wh/_ckpt_swu")
+          .toTable(s"$cat.db.swu")
+        try qu.processAllAvailable() finally qu.stop()
         // MERGE WHEN NOT MATCHED BY SOURCE (r14): %26=1 is exactly
         // half of the %13=1 target (26 = 2*13), so matched rows
         // double and the other half deletes — fully oracle-closed
@@ -1155,6 +1171,27 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT grp, n, sum_pc FROM $cat.db.swc")
       }),
+      // update-mode streaming write via the mergeKey sink: each epoch
+      // MERGED its changed keys, so the table equals the batch
+      // aggregate (same oracle shape as tx_cat_complete — that is
+      // the point)
+      "tx_cat_upsert" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT grp, n, sum_pc FROM $cat.db.swu")
+      }),
+      // dynamic file pruning (r16): a fact ⋈ filtered-dim join with
+      // NO static fact predicate — the dim's surviving keys reach the
+      // fact scan as a runtime filter and the log's stats/blooms drop
+      // inadmissible files before they are opened (receipts with
+      // corrupted out-of-range files live in DynamicFilePruningSpec;
+      // the driver hashes the ANSWER)
+      "tx_cat_dfp" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT /*+ BROADCAST(d) */ f.o_orderkey, f.price_cents
+                  FROM $cat.db.part f JOIN $cat.db.ctas d
+                  ON f.o_orderkey = d.o_orderkey
+                  WHERE d.price_cents % 10 < 3""")
+      }),
       // the change feed as SQL: adds of v2..v3 with their stamps
       "tx_cat_changes" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
@@ -1603,6 +1640,21 @@ object SparkEntry {
          WHERE o_orderkey % 6 = 5 AND o_orderkey % 4 = 1""",
 
     "tx_cat_complete" ->
+      """SELECT o_orderkey % 7 AS grp,
+                count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_pc
+         FROM orders WHERE o_orderkey % 11 = 3
+         GROUP BY 1""",
+
+    "tx_cat_dfp" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 4 = 1 AND o_orderkey % 11 = 3
+           AND CAST(round(o_totalprice * 100) AS BIGINT) % 10 < 3""",
+
+    "tx_cat_upsert" ->
       """SELECT o_orderkey % 7 AS grp,
                 count(*) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

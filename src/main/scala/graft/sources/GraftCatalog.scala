@@ -691,8 +691,15 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, root, version, schema, options)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root, info)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // `option("mergeKey", c)` switches the STREAMING sink to per-epoch
+    // keyed MERGE — the update-mode lakehouse spelling. Without it,
+    // update mode stays structurally rejected (a blind
+    // update-as-append would silently corrupt aggregates).
+    val mergeKey = info.options.get("mergeKey")
+    if (mergeKey != null) new GraftUpsertWriteBuilder(root, info, mergeKey)
+    else new GraftWriteBuilder(root, info)
+  }
 
   /** SQL `UPDATE` / `MERGE INTO` (and rewrite-path DELETE) — the
     * group-based copy-on-write framework, [[GraftRowLevelOperation]].
@@ -996,6 +1003,32 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   }
 }
 
+/** The UPDATE-mode write builder, selected by the `mergeKey` write
+  * option: implements Spark's `SupportsStreamingUpdateAsAppend`
+  * marker — the ONLY channel Structured Streaming offers a V2 sink
+  * for update mode (`StreamExecution.createStreamingWrite` requires
+  * the marker, then calls plain `build()`) — but routes each epoch
+  * through [[GraftStreamingUpsertWrite]] (per-epoch
+  * [[TxnLog.mergeInto]]) instead of the blind append the marker's
+  * name suggests. COMPLETE mode with a mergeKey is contradictory and
+  * stays structurally rejected (no `SupportsTruncate` here); batch
+  * INSERT never carries write options, so it cannot land here.
+  */
+private class GraftUpsertWriteBuilder(root: String, info: LogicalWriteInfo,
+                                      keyCol: String)
+  extends org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+
+  require(info.schema().fieldNames.contains(keyCol),
+    s"graft: mergeKey '$keyCol' is not a column of the write " +
+      s"(${info.schema().fieldNames.mkString(", ")})")
+
+  override def build(): Write = new Write {
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingUpsertWrite(root, info.schema(), info.queryId(), keyCol)
+  }
+}
+
 private[sources] class GraftScanBuilder(
     spark: SparkSession, root: String, version: Long,
     logicalSchema: StructType, options: CaseInsensitiveStringMap,
@@ -1177,19 +1210,52 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
     * predicate shapes narrow nothing — sound.
     */
   override def filterAttributes(): Array[NamedReference] =
-    // only the row-level operation scans (onPlan set) advertise the
-    // attribute: their relations carry `_file` in their output, so
-    // Spark's matched-group subquery resolves; a plain query scan
-    // exposing it would invite join-time runtime filters that
-    // reference a column the relation doesn't output
+    // Row-level operation scans (onPlan set) advertise `_file`: their
+    // relations carry it in their output, so Spark's matched-group
+    // subquery resolves. Plain query scans advertise their PRUNABLE
+    // data columns instead — DYNAMIC FILE PRUNING: Spark's
+    // PartitionPruning rule then plants a DynamicPruningSubquery on a
+    // fact ⋈ filtered-dim join key, and [[filter]] narrows the fact
+    // files through the log's stats/blooms at RUNTIME (the Delta DFP
+    // recipe). Only read-schema columns some kept file can actually
+    // prune on (range stat, bucket stat, or bloom) are advertised —
+    // a filter on anything else couldn't drop a file anyway.
     if (onPlan.isDefined)
       Array(org.apache.spark.sql.connector.expressions.Expressions.column(
         GraftTable.FileMetaCol))
-    else Array.empty
+    else if (!spark.conf.get("spark.graft.runtimeFilePruning.enabled", "true")
+        .toBoolean) Array.empty
+    else {
+      val logicalOf = renames.map(_.swap)
+      val prunablePhys: Set[String] = kept.iterator.flatMap { case (_, m) =>
+        m.stats.keysIterator.map {
+          case TxnLog.BucketKeyRe(_, c) => c
+          case c                        => c
+        } ++ (if (m.bloom.isDefined && m.bloomCol.nonEmpty)
+                Iterator(m.bloomCol) else Iterator.empty)
+      }.filter(_.nonEmpty).toSet
+      required.fields.iterator.map(_.name)
+        .filter(n => prunablePhys(physName(n)))
+        .map(n =>
+          org.apache.spark.sql.connector.expressions.Expressions.column(n))
+        .toArray
+    }
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val allowed = predicates.flatMap(GraftFilters.fileSet).reduceOption(_ & _)
     allowed.foreach(set => kept = kept.filter { case (f, _) => set(f) })
+    // data-column runtime filters (DFP): translate the materialized
+    // subquery's IN/= predicate and re-prune through the SAME
+    // stats/bloom admission the static push-down uses — unrecognized
+    // shapes narrow nothing (sound)
+    val exprs = predicates.iterator
+      .filter(p => GraftFilters.fileSet(p).isEmpty)
+      .flatMap(GraftFilters.v2ToCatalyst(_, fullSchema, renames))
+      .toSeq
+    if (exprs.nonEmpty) {
+      val idx = new TxnLogFileIndex(spark, root, kept)
+      kept = kept.filter { case (_, m) => idx.keep(m, exprs) }
+    }
   }
 
   /** Storage-partitioned-join support (the Iceberg SPJ recipe): a
@@ -1203,29 +1269,46 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
     * (streamed appends before compaction, hand commits) disables the
     * report — plans stay correct, just shuffled.
     */
-  private lazy val bucketGroups: Option[(Int, String, Map[Long, Seq[(String, TxnLog.FileMeta)]])] =
+  /** (bucket id → files) over `snapshot`, or None if any file lacks a
+    * point bucket stat. Pure function of the snapshot so callers can
+    * regroup after runtime filtering narrows `kept`.
+    */
+  private def bucketPoints(n: Int, c: String,
+      snapshot: Seq[(String, TxnLog.FileMeta)])
+      : Option[Map[Long, Seq[(String, TxnLog.FileMeta)]]] = {
+    val key = TxnLog.bucketStatKey(n, c)
+    val pts = snapshot.map { case fm @ (_, m) =>
+      m.stats.get(key).filter(st => st.typ == "l" && st.lo == st.hi &&
+        st.lo >= 0L && st.lo < n).map(st => st.lo -> fm)
+    }
+    if (pts.exists(_.isEmpty)) None
+    else Some(pts.flatten.groupBy(_._1).map {
+      case (b, fs) => b -> fs.map(_._2)
+    })
+  }
+
+  /** Only the GATING decision (n, clustering column) is pinned here;
+    * the bucket→files grouping is recomputed in
+    * [[planInputPartitions]] from the CURRENT `kept`, so a runtime
+    * [[filter]] that lands after planning-time outputPartitioning()
+    * still prunes the files actually read. The decision stays valid
+    * under narrowing: filter() only removes files, and every survivor
+    * already proved its point stat here.
+    */
+  private lazy val bucketGroups: Option[(Int, String)] =
     if (onPlan.isDefined ||
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
       None
     else TxnLog.partitionFields(root, pinnedV) match {
-      case Seq(TxnLog.BucketField(n, c)) =>
-        val key = TxnLog.bucketStatKey(n, c)
-        val snapshot = kept
-        val pts = snapshot.map { case fm @ (_, m) =>
-          m.stats.get(key).filter(st => st.typ == "l" && st.lo == st.hi &&
-            st.lo >= 0L && st.lo < n).map(st => st.lo -> fm)
-        }
-        if (pts.exists(_.isEmpty)) None
-        else Some((n, c, pts.flatten.groupBy(_._1).map {
-          case (b, fs) => b -> fs.map(_._2)
-        }))
+      case Seq(TxnLog.BucketField(n, c)) if bucketPoints(n, c, kept).isDefined =>
+        Some((n, c))
       case _ => None
     }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketGroups match {
-      case Some((n, c, _)) =>
+      case Some((n, c)) =>
         val logical = renames.map(_.swap).getOrElse(c, c)
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
@@ -1249,7 +1332,10 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
       GraftFilePartition(f, len, m.dv.map(TxnLog.dvHex).getOrElse(""))
     }
     bucketGroups match {
-      case Some((n, _, groups)) =>
+      case Some((n, c)) =>
+        // regrouped from the CURRENT kept (post-runtime-filter); the
+        // subset of a point-stat'd set is point-stat'd, so .get holds
+        val groups = bucketPoints(n, c, kept).get
         // one partition per bucket, EMPTY buckets included: both join
         // sides always report the identical key set
         (0 until n).map(b => GraftBucketPartition(b,
@@ -1587,6 +1673,58 @@ private[sources] object GraftFilters {
         // translated OR could unsoundly drop files
         for (le <- toCatalyst(l, schema, renames);
              re <- toCatalyst(r, schema, renames)) yield ce.Or(le, re)
+      case _ => None
+    }
+  }
+
+  /** V2 runtime-filter [[V2Predicate]] → a catalyst predicate over
+    * PHYSICAL attribute names, in the shapes
+    * [[TxnLogFileIndex.keep]] prunes on. Covers what Spark's
+    * dynamic-pruning machinery actually emits (the materialized
+    * subquery arrives as `IN` / `=` over one column, possibly under
+    * AND/OR); anything else — including a literal whose V2 type
+    * differs from the attribute's — returns None, and the caller
+    * skips it (sound: no narrowing).
+    */
+  def v2ToCatalyst(p: V2Predicate, schema: StructType,
+                   renames: Map[String, String]): Option[ce.Expression] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr}
+    def attr(e: V2Expr): Option[ce.AttributeReference] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        schema.fields.find(_.name == r.fieldNames()(0)).map(fd =>
+          ce.AttributeReference(renames.getOrElse(fd.name, fd.name), fd.dataType)())
+      case _ => None
+    }
+    def lit(e: V2Expr, dt: DataType): Option[ce.Literal] = e match {
+      // V2 LiteralValue carries the CATALYST-INTERNAL value
+      // (UTF8String, micros, days) — wrap as-is; require the exact
+      // attribute type so stats never compare across kinds
+      case l: V2Literal[_] if l.dataType == dt => Some(ce.Literal(l.value, dt))
+      case _ => None
+    }
+    def sub(e: V2Expr): Option[ce.Expression] = e match {
+      case q: V2Predicate => v2ToCatalyst(q, schema, renames)
+      case _              => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty =>
+        attr(kids.head).flatMap { a =>
+          val ls = kids.tail.toSeq.map(lit(_, a.dataType))
+          if (ls.nonEmpty && ls.forall(_.isDefined)) Some(ce.In(a, ls.flatten))
+          else None
+        }
+      case "=" | "<=>" if kids.length == 2 =>
+        val mk: (ce.AttributeReference, ce.Literal) => ce.Expression =
+          if (p.name() == "=") ce.EqualTo(_, _) else ce.EqualNullSafe(_, _)
+        attr(kids(0)).flatMap(a => lit(kids(1), a.dataType).map(mk(a, _)))
+          .orElse(attr(kids(1)).flatMap(a => lit(kids(0), a.dataType).map(mk(a, _))))
+      case "AND" if kids.length == 2 =>
+        for (l <- sub(kids(0)); r <- sub(kids(1))) yield ce.And(l, r)
+      case "OR" if kids.length == 2 =>
+        for (l <- sub(kids(0)); r <- sub(kids(1))) yield ce.Or(l, r)
+      case "IS_NULL" if kids.length == 1     => attr(kids(0)).map(ce.IsNull)
+      case "IS_NOT_NULL" if kids.length == 1 => attr(kids(0)).map(ce.IsNotNull)
       case _ => None
     }
   }

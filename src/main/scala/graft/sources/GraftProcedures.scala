@@ -42,6 +42,18 @@ private[sources] object GraftProcedures {
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
+  /** The materialized view's exactly-once consumer id: derived from
+    * the RESOLVED target root's canonical path (hashed — a raw path
+    * can carry characters the txnId token grammar forbids), so every
+    * spelling of one target shares one ledger offset.
+    */
+  def mvConsumerId(tgtRoot: String): String = {
+    val canon = new java.io.File(tgtRoot).getCanonicalPath
+    "mv-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** One finished procedure result: a single-partition local relation
     * of the receipt rows (metadata-scale by construction).
     */
@@ -203,11 +215,15 @@ private[sources] object GraftProcedures {
             require(TxnLog.currentVersion(tgtRoot) > 0L,
               s"refresh_mv: target $tgtIdent must be a created graft table " +
                 "(CREATE TABLE it with the mirror's schema first)")
-            // one MV = one consumer: the target's identifier IS the
-            // stable consumer id, so any scheduler instance resumes
-            // from the target's own ledger
+            // one MV = one consumer: the RESOLVED target root (not
+            // the user-typed identifier text) is the stable consumer
+            // id, so every spelling of the same target — quoting,
+            // case, qualification — shares one ledger offset instead
+            // of a fresh consumer replaying the source's history
+            // (which fails outright once pre-horizon source versions
+            // are vacuumed)
             val applied = TxnStream.maintainMirror(s, srcRoot, tgtRoot,
-              consumerId = s"mv-$tgtIdent", keyCol = key)
+              consumerId = GraftProcedures.mvConsumerId(tgtRoot), keyCol = key)
             Seq(Seq(applied.size.toLong, TxnLog.currentVersion(srcRoot)))
         }
       case other =>

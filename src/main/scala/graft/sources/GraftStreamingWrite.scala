@@ -59,14 +59,14 @@ import org.apache.spark.util.SerializableConfiguration
   * silently append changed rows): keyed upsert streams belong in
   * `foreachBatch` + [[TxnLog.mergeInto]] / `TxnStream.maintainInto`.
   */
-private class GraftStreamingWrite(root: String, logicalSchema: StructType,
-                                  queryId: String,
-                                  replaceEach: Boolean) extends StreamingWrite {
+private abstract class GraftStreamingStaging(root: String,
+                                             logicalSchema: StructType,
+                                             queryId: String) extends StreamingWrite {
 
-  private def spark = SparkSession.active
+  protected def spark = SparkSession.active
 
   // staged files carry PHYSICAL names, like every other write path
-  private val physSchema = {
+  protected val physSchema = {
     val renames = TxnLog.columnMapping(root)
     StructType(logicalSchema.fields.map(f =>
       f.copy(name = renames.getOrElse(f.name, f.name))))
@@ -76,10 +76,15 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
     * stage into their own directories and can never clobber another
     * attempt's files — the [[TxnLog.stageAttempt]] contract.
     */
-  private val runToken =
+  protected val runToken =
     s"stream-$queryId-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
 
-  private def epochDir(epochId: Long): String = s"$runToken-e$epochId"
+  protected def epochDir(epochId: Long): String = s"$runToken-e$epochId"
+
+  /** The exactly-once txnId: stable across restarts (queryId persists
+    * in the checkpoint), unique per epoch.
+    */
+  protected def epochTxnId(epochId: Long): String = s"stream-$queryId-e$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
@@ -88,8 +93,20 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
       physSchema, new SerializableConfiguration(job.getConfiguration), owf)
   }
 
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftFileMessage(p, _) => Files.deleteIfExists(Paths.get(p)); ()
+      case _                      => ()
+    }
+}
+
+private class GraftStreamingWrite(root: String, logicalSchema: StructType,
+                                  queryId: String,
+                                  replaceEach: Boolean)
+  extends GraftStreamingStaging(root, logicalSchema, queryId) {
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val txnId = s"stream-$queryId-e$epochId"
+    val txnId = epochTxnId(epochId)
     TxnLog.withTxnLock(txnId) {
       if (TxnLog.findCommit(root, txnId).isEmpty) {
         val files = messages.collect {
@@ -162,12 +179,55 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
     }
     ()
   }
+}
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftFileMessage(p, _) => Files.deleteIfExists(Paths.get(p)); ()
-      case _                      => ()
+/** UPDATE-mode `writeStream.option("mergeKey", k).toTable(...)`: each
+  * epoch's rows MERGE into the table by `keyCol` —
+  * [[TxnLog.mergeInto]], the per-epoch keyed upsert (the Delta
+  * upsert-sink recipe, reference topology `spark_stream.py:73,83`: an
+  * update-mode streaming aggregate materialized at a sink). An
+  * update-mode aggregate emits each CHANGED key once per trigger, so
+  * merging by the grouping key leaves the table equal to the batch
+  * aggregate over everything ingested so far; the same sink under
+  * append mode is a CDC upsert (each batch's rows must still be
+  * key-unique — [[TxnLog.mergeInto]] enforces it, a multi-row key
+  * would make the merge order-dependent).
+  *
+  * Exactly-once rides the SAME (queryId, epochId) txnId ledger as the
+  * append/replace sinks: a replayed epoch — crash between the table's
+  * merge commit and the checkpoint's own marker — finds its txnId
+  * already published and applies NOTHING (the replay's staged bytes
+  * orphan for [[TxnLog.vacuumStaging]]). File pruning inside
+  * [[TxnLog.mergeInto]] keeps the 100 TB property: an epoch touching
+  * a handful of keys rewrites the handful of files whose key ranges
+  * admit them, never the table.
+  */
+private class GraftStreamingUpsertWrite(root: String,
+                                        logicalSchema: StructType,
+                                        queryId: String, keyCol: String)
+  extends GraftStreamingStaging(root, logicalSchema, queryId) {
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val txnId = epochTxnId(epochId)
+    TxnLog.withTxnLock(txnId) {
+      if (TxnLog.findCommit(root, txnId).isEmpty) {
+        val files = messages.collect {
+          case GraftFileMessage(p, n) if n > 0 => p
+        }.toSeq.sorted
+        if (files.nonEmpty) {
+          // read the staged epoch back LOGICAL-named: mergeInto owns
+          // the physical translation, constraint check, key-unique
+          // guard, affected-file pruning, and the conflict matrix
+          val batch = TxnLog.toLogical(
+            spark.read.parquet(files: _*), TxnLog.columnMapping(root))
+          TxnLog.mergeInto(spark, root, batch, keyCol, txnId)
+          ()
+        }
+        // an empty epoch merges nothing; no version is burned
+      }
     }
+    ()
+  }
 }
 
 /** The streaming sibling of `GraftDataWriterFactory`: one parquet

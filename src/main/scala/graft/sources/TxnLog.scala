@@ -1709,10 +1709,15 @@ object TxnLog {
     // single scan pass, temp-named then re-keyed to the self-
     // describing `bucket(N;c)` stat key
     val live = buckets.filter { case (_, c) => base.columns.contains(c) }
+    // temp-name prefix extended until NO user column shares it — a
+    // table that legitimately names a column `_gbk0` must not have
+    // its stats rekeyed or dropped by the derived-column pass
+    val prefix = Iterator.iterate("_gbk")(_ + "x")
+      .find(p => !base.columns.exists(_.startsWith(p))).get
     val withB = live.zipWithIndex.foldLeft(base) { case (d, ((n, c), i)) =>
-      d.withColumn(s"_gbk$i", bucketColumn(n, d.col(c), d.schema(c).dataType))
+      d.withColumn(s"$prefix$i", bucketColumn(n, d.col(c), d.schema(c).dataType))
     }
-    val tempNames = live.indices.map(i => s"_gbk$i")
+    val tempNames = live.indices.map(i => s"$prefix$i")
     val byFile = typedStatsByFile(withB, cols ++ tempNames, hllLgK = -1)
     val rekey = tempNames.zip(live.map { case (n, c) => bucketStatKey(n, c) }).toMap
     files.map(f => byFile.getOrElse(f, Map.empty[String, FileStat])
@@ -1892,7 +1897,14 @@ object TxnLog {
       val idx = pctRow.fieldIndex(s"p_$c")
       if (pctRow.isNullAt(idx)) None // all-null column: no histogram
       else Some((c, e, pctRow.getSeq[Double](idx)))
-    }.filter(_._3.size == k + 1)
+    }.filter { case (_, _, b) =>
+      // A column containing ±Infinity (or NaN) yields non-finite
+      // percentile boundaries the space-delimited H-line payload
+      // cannot carry — skip the column (like strings), rather than
+      // letting commit()'s payload guard abort the LAST chunk after
+      // earlier restat chunks already landed.
+      b.size == k + 1 && b.forall(java.lang.Double.isFinite)
+    }
     if (bounded.isEmpty) return Nil
     // per-bin counts + NDV: one GROUPED pass per column (k groups) —
     // the bin id is computed ONCE per row and the aggregation is a
@@ -2604,17 +2616,71 @@ object TxnLog {
     */
   def clusterByPartitioning(df: DataFrame, pfields: Seq[PartField],
                             defaultPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, element_at, lit, pmod, xxhash64}
     val live = pfields.filter(f => df.columns.contains(f.col))
     live match {
       case Seq() => df
       case Seq(BucketField(n, c)) =>
-        df.repartition(n, bucketCanonical(df.col(c), df.schema(c).dataType))
+        val dt = df.schema(c).dataType
+        val canonical = bucketCanonical(df.col(c), dt)
+        // When the caller's desired output count exceeds n (a big
+        // INSERT/CTAS/compaction into a low-n bucket table), shard
+        // WITHIN buckets: partition id = bucket·S + shard, routed
+        // through a precomputed hash PREIMAGE so HashPartitioning
+        // lands each row at exactly that id. Every output partition
+        // still holds ONE bucket (per-file stats stay points → SPJ
+        // intact) while file sizes respect targetBytes and write
+        // parallelism is n·S tasks, not n.
+        val shards = math.min(
+          math.max(1, (defaultPartitions + n - 1) / n),
+          math.max(1, MaxBucketRoutePartitions / n))
+        if (shards <= 1) df.repartition(n, canonical)
+        else {
+          val num = n * shards
+          val pre = hashPreimages(num)
+          // shard key: an INDEPENDENT hash of the same canonical key
+          // (xxhash64 vs the bucket's murmur3) — deterministic across
+          // task retries, uniform within a bucket, null-safe
+          val pid = (bucketColumn(n, df.col(c), dt).cast("long") * shards +
+            pmod(xxhash64(canonical), lit(shards.toLong))).cast("int")
+          df.repartition(num,
+            element_at(array(pre.map(lit(_)).toIndexedSeq: _*), pid + lit(1)))
+        }
       case fields =>
         df.repartitionByRange(math.max(defaultPartitions, fields.size), fields.map {
           case IdentityField(c)  => df.col(c)
           case BucketField(n, c) => bucketColumn(n, df.col(c), df.schema(c).dataType)
         }: _*)
     }
+  }
+
+  /** Ceiling on n·shards for within-bucket routed writes — bounds the
+    * preimage search and the folded route-array literal.
+    */
+  val MaxBucketRoutePartitions = 4096
+
+  /** preimages(i) = a long whose Spark HashPartitioning id under
+    * `num` partitions is exactly i: pmod(murmur3(x, 42), num) == i.
+    * Found by scanning x = 0, 1, 2, … (deterministic; expected
+    * num·ln(num) hash evaluations — microseconds at the 4096 cap).
+    * `repartition(num, element_at(preimages, pid + 1))` is therefore
+    * an EXACT partitioner expressed in the DataFrame API.
+    */
+  private[sources] def hashPreimages(num: Int): Array[Long] = {
+    require(num >= 1 && num <= MaxBucketRoutePartitions,
+      s"preimage table size out of range: $num")
+    val pre = new Array[Long](num)
+    val found = new Array[Boolean](num)
+    var left = num
+    var x = 0L
+    while (left > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(x, 42)
+      val i = ((h % num) + num) % num
+      if (!found(i)) { found(i) = true; pre(i) = x; left -= 1 }
+      x += 1
+      require(x < 100000000L, s"graft: murmur3 preimage search diverged at $num")
+    }
+    pre
   }
 
   /** Split a re-stat key set (e.g. a compaction victim's stat keys)

@@ -115,6 +115,13 @@ object TxnStream {
     }
   }
 
+  /** The consumer id `CALL refresh_mv` uses for a given target root —
+    * public so callers can check a materialized view's applied offset
+    * through [[appliedVersion]].
+    */
+  def mvConsumerId(tgtRoot: String): String =
+    GraftProcedures.mvConsumerId(tgtRoot)
+
   /** The highest source version this consumer has applied to
     * `targetRoot`, recovered from the target's OWN committed-txn
     * ledger (O(tail) with checkpoints). 0 = nothing applied.

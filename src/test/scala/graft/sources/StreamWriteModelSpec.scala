@@ -148,4 +148,71 @@ class StreamWriteModelSpec extends SparkTestBase {
       TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
     }
   }
+
+  test("UPDATE-mode (mergeKey) crash-replay: the merged table equals the " +
+       "batch aggregate after every round; replayed epochs merge nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, lit}
+    val seeds = sys.env.get("GRAFT_SW_MODEL_SEEDS").map(_.toLong).getOrElse(2L)
+    val rounds = sys.env.get("GRAFT_SW_MODEL_ROUNDS").map(_.toInt).getOrElse(6)
+    for (seed <- 1L to seeds) {
+      val wh = Files.createTempDirectory(s"graft-uwmodel-$seed").toString
+      val cat = s"guwm$seed"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.t (g BIGINT, n BIGINT)")
+      val ckpt = Files.createTempDirectory(s"graft-uwmodel-ck-$seed").toString
+      val in = MemoryStream[Long](spark)
+      def start() = in.toDF().selectExpr("value % 5 AS g").groupBy("g")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .option("mergeKey", "g")
+        .option("checkpointLocation", ckpt).toTable(s"$cat.t")
+
+      var fed = List.empty[Long]
+      var next = seed * 100000L
+      var q = start()
+      try {
+        val plan = sample(Gen.listOfN(rounds,
+          for (n <- Gen.choose(0, 30); crash <- Gen.prob(0.4)) yield (n, crash)),
+          seed + 191)
+        plan.zipWithIndex.foreach { case ((n, crash), i) =>
+          val batch = (next until next + n).toList
+          next += n
+          if (batch.nonEmpty) { in.addData(batch: _*); fed = fed ++ batch }
+          q.processAllAvailable()
+          if (crash) {
+            // crash INSIDE the exactly-once window: the merge commit
+            // stood, the engine's own marker did not — the replayed
+            // epoch must find its txnId and merge NOTHING (a double
+            // merge would stand stale counts for re-updated keys)
+            q.stop()
+            val commits = Files.list(Paths.get(ckpt, "commits"))
+            val latest = try commits.iterator().asScala.toSeq
+              .filter(_.getFileName.toString.matches("\\d+"))
+              .sortBy(_.getFileName.toString.toLong).lastOption
+            finally commits.close()
+            latest.foreach { p =>
+              Files.delete(p)
+              Files.deleteIfExists(p.getParent.resolve(
+                "." + p.getFileName.toString + ".crc"))
+            }
+            q = start()
+            q.processAllAvailable()
+          }
+          val got = spark.sql(s"SELECT g, n FROM $cat.t")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          val want = fed.groupBy(_ % 5).map { case (g, vs) => g -> vs.size.toLong }
+          assert(got === want,
+            s"seed $seed: update-mode merge diverged after round $i (crash=$crash)")
+        }
+      } finally q.stop()
+      // one ledger entry per merged epoch, never a duplicate
+      val txns = TxnLog.commits(s"$wh/t")
+        .filter(_.txnId.startsWith("stream-")).map(_.txnId)
+      assert(txns.distinct.size === txns.size,
+        "a replayed epoch must never publish a second merge")
+      TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
+    }
+  }
 }

@@ -315,6 +315,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/bkt2") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/swu") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/dflt") != 4L ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
@@ -441,6 +442,16 @@ object SparkEntry {
           .option("checkpointLocation", s"$wh/_ckpt_swu")
           .toTable(s"$cat.db.swu")
         try qu.processAllAvailable() finally qu.stop()
+        // NOT NULL + DEFAULT contracts (r16): rows written BEFORE the
+        // ADD COLUMN read the frozen default ('bronze'), rows after
+        // carry their own value — zero rewrites, oracle-closed
+        s.sql(s"CREATE TABLE $cat.db.dflt " +
+          "(o_orderkey BIGINT NOT NULL, price_cents BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.dflt SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 21 = 2")
+        s.sql(s"ALTER TABLE $cat.db.dflt ADD COLUMN tier STRING DEFAULT 'bronze'")
+        s.sql(s"INSERT INTO $cat.db.dflt SELECT o_orderkey + 20000000, " +
+          s"price_cents, 'gold' FROM cat_src_$tag WHERE o_orderkey % 21 = 9")
         // MERGE WHEN NOT MATCHED BY SOURCE (r14): %26=1 is exactly
         // half of the %13=1 target (26 = 2*13), so matched rows
         // double and the other half deletes — fully oracle-closed
@@ -1192,6 +1203,13 @@ object SparkEntry {
                   ON f.o_orderkey = d.o_orderkey
                   WHERE d.price_cents % 10 < 3""")
       }),
+      // ADD COLUMN ... DEFAULT (r16): pre-evolution rows read the
+      // frozen default through the EXISTS_DEFAULT metadata — the scan
+      // substitutes it for files that predate the column
+      "tx_cat_default" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents, tier FROM $cat.db.dflt")
+      }),
       // the change feed as SQL: adds of v2..v3 with their stamps
       "tx_cat_changes" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
@@ -1661,6 +1679,17 @@ object SparkEntry {
                   AS sum_pc
          FROM orders WHERE o_orderkey % 11 = 3
          GROUP BY 1""",
+
+    "tx_cat_default" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                'bronze' AS tier
+         FROM orders WHERE o_orderkey % 21 = 2
+         UNION ALL
+         SELECT o_orderkey + 20000000,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                'gold' AS tier
+         FROM orders WHERE o_orderkey % 21 = 9""",
 
     "tx_cat_changes" ->
       """SELECT o_orderkey,

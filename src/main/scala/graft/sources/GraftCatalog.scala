@@ -213,6 +213,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       timeTraveled = true)
   }
 
+  /** Column DEFAULTs are supported: Spark then encodes a column's
+    * `DEFAULT <expr>` into the schema's field metadata
+    * (`CURRENT_DEFAULT` for future inserts, `EXISTS_DEFAULT` — the
+    * frozen fold — for rows that predate the column), the log stores
+    * the schema verbatim, and the parquet readers fill missing
+    * columns from `EXISTS_DEFAULT` — so old files yield the declared
+    * default, not null, with zero rewrites.
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -250,15 +263,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         TxnLog.dropConstraint(root, p.property.stripPrefix(GraftTable.ConstraintProp),
           txnId = s"sql-dropconstraint-a$uuid12")
       // ADD/DROP COLUMN: one schema-evolve commit, zero files touched.
-      // Old files serve NULL for an added column (the scan's required
-      // schema simply exceeds their footer); a dropped column's bytes
-      // stay in place but leave every projection. Columns must be
-      // nullable to add (old rows have no value to give).
+      // Old files serve the column's EXISTS_DEFAULT when one is
+      // declared, else NULL (the scan's required schema simply
+      // exceeds their footer); a dropped column's bytes stay in place
+      // but leave every projection. A column added WITHOUT a default
+      // must be nullable (old rows have no value to give); with a
+      // non-null DEFAULT, NOT NULL adds soundly.
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft: only top-level columns add: ${a.fieldNames.mkString(".")}")
-        require(a.isNullable,
-          s"graft: added column ${a.fieldNames()(0)} must be nullable — existing rows read NULL")
+        val dv = Option(a.defaultValue())
+        require(a.isNullable || dv.exists(d =>
+            d.getValue != null && d.getValue.value != null),
+          s"graft: added NOT NULL column ${a.fieldNames()(0)} needs a " +
+            "non-null DEFAULT — existing rows have no value to give")
         val raw = TxnLog.rawTableSchema(root).getOrElse(throw new IllegalStateException(
           s"graft table at $root has no logged schema to evolve"))
         val nm = a.fieldNames()(0)
@@ -278,8 +296,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val phys =
           if (!used.contains(nm)) nm
           else Iterator.continually(s"${nm}_$uuid12").dropWhile(used.contains).next()
+        // DEFAULT rides the field metadata (Spark's own keys):
+        // CURRENT_DEFAULT feeds future INSERT resolution,
+        // EXISTS_DEFAULT — the constant the declaration folds to,
+        // FROZEN here — is what readers substitute for files that
+        // predate the column
+        val meta = dv.map { d =>
+          val v = d.getValue
+          require(v != null,
+            s"graft: ADD COLUMN DEFAULT must fold to a constant " +
+              s"(got ${Option(d.getSql).getOrElse(d.toString)})")
+          val existsSql = ce.Literal(v.value, v.dataType).sql
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", Option(d.getSql).getOrElse(existsSql))
+            .putString("EXISTS_DEFAULT", existsSql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         val evolved = StructType(raw.fields :+
-          org.apache.spark.sql.types.StructField(phys, a.dataType, nullable = true))
+          org.apache.spark.sql.types.StructField(phys, a.dataType,
+            nullable = a.isNullable, metadata = meta))
         // ONE commit: the evolved schema and (when fresh) the
         // logical->physical mapping publish atomically
         TxnLog.commit(root, "schema-evolve", Nil, Nil,
@@ -287,6 +322,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schemaId = TxnLog.schemaFingerprint(evolved),
           schemaJson = TxnLog.encodeSchema(evolved),
           rename = if (phys == nm) "" else s"$phys $nm")
+      // SET / DROP NOT NULL: a metadata commit; SET first proves the
+      // live rows are null-free (stats fast path, else one probe)
+      case nl: TableChange.UpdateColumnNullability =>
+        require(nl.fieldNames.length == 1,
+          s"graft: only top-level columns alter: ${nl.fieldNames.mkString(".")}")
+        TxnLog.setColumnNullability(SparkSession.active, root,
+          nl.fieldNames()(0), nl.nullable(),
+          txnId = s"sql-nullability-a$uuid12")
+        ()
+      // SET / DROP DEFAULT: updates CURRENT_DEFAULT only —
+      // EXISTS_DEFAULT stays frozen at ADD time (rows written before
+      // this statement keep reading the value that was promised then)
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          s"graft: only top-level columns alter: ${ud.fieldNames.mkString(".")}")
+        val raw = TxnLog.rawTableSchema(root).getOrElse(throw new IllegalStateException(
+          s"graft table at $root has no logged schema to evolve"))
+        val phys = TxnLog.columnMapping(root)
+          .getOrElse(ud.fieldNames()(0), ud.fieldNames()(0))
+        require(raw.fieldNames.contains(phys),
+          s"graft: no column ${ud.fieldNames()(0)}")
+        val idx = raw.fieldIndex(phys)
+        val f = raw.fields(idx)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(ud.newDefaultValue())).filter(s0 => s0 != null && s0.nonEmpty)
+        newSql match {
+          case Some(sqlText) => mb.putString("CURRENT_DEFAULT", sqlText)
+          case None          => mb.remove("CURRENT_DEFAULT")
+        }
+        val evolved = StructType(raw.fields.updated(idx,
+          f.copy(metadata = mb.build())))
+        TxnLog.commit(root, "schema-evolve", Nil, Nil,
+          readVersion = TxnLog.currentVersion(root),
+          txnId = s"sql-setdefault-a$uuid12",
+          schemaId = TxnLog.schemaFingerprint(evolved),
+          schemaJson = TxnLog.encodeSchema(evolved))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           s"graft: only top-level columns drop: ${d.fieldNames.mkString(".")}")

@@ -49,8 +49,17 @@ private[sources] class GraftFeedTable(root: String, kind: String)
     GraftTable.logicalSchema(spark, root, Long.MaxValue).fields :+
       StructField(GraftFeedTable.VersionCol, LongType, nullable = false))
 
+  /** `changes` also streams (`readStream.table("cat.db.t.changes")`):
+    * the CDF subscription point is SQL-only end to end — same adds
+    * feed, same `_commit_version` stamp, resumable via the engine's
+    * checkpoint. `deletes` stays batch-only (a streaming pre-image
+    * feed would need DV diffs as retractions; the batch feed serves
+    * that analysis shape).
+    */
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    if (kind == "changes")
+      Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -62,7 +71,9 @@ private[sources] class GraftFeedTable(root: String, kind: String)
           Option(options.get(k)).map(_.toLong).getOrElse(dflt)
         new GraftFeedScan(spark, root, kind, schema, required,
           fromInclusive = num("startingVersion", 1L),
-          toInclusive = num("endingVersion", Long.MaxValue))
+          toInclusive = num("endingVersion", Long.MaxValue),
+          maxVersionsPerTrigger = num("maxVersionsPerTrigger", Long.MaxValue),
+          maxBytesPerTrigger = num("maxBytesPerTrigger", Long.MaxValue))
       }
     }
 }
@@ -77,8 +88,27 @@ private case class GraftFeedPartition(path: String, length: Long,
 
 private class GraftFeedScan(spark: SparkSession, root: String, kind: String,
                             fullSchema: StructType, required: StructType,
-                            fromInclusive: Long, toInclusive: Long)
+                            fromInclusive: Long, toInclusive: Long,
+                            maxVersionsPerTrigger: Long = Long.MaxValue,
+                            maxBytesPerTrigger: Long = Long.MaxValue)
   extends Scan with Batch {
+
+  /** The streaming half of `t.changes`: the SAME adds feed through
+    * [[TxnLogMicroBatchStream]]. `startingVersion` keeps the batch
+    * feed's INCLUSIVE contract (one table name, one meaning) — the
+    * stream's exclusive lower bound is `fromInclusive - 1`; a
+    * restarted query resumes from its checkpoint offset as usual.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(kind == "changes",
+      s"graft: only the `changes` feed streams; `$kind` is batch-only")
+    new TxnLogMicroBatchStream(root, required,
+      maxVersionsPerTrigger, maxBytesPerTrigger,
+      startingVersion = fromInclusive - 1L,
+      stampVersion =
+        required.fieldNames.contains(GraftFeedTable.VersionCol))
+  }
 
   private val commits =
     TxnLog.commitsInRange(root, fromInclusive - 1L, toInclusive)

@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("checkpoint", "vacuum", "vacuum_staging", "optimize_zorder",
-      "compact_deletes", "compact_files", "analyze", "refresh_mv")
+      "compact_deletes", "compact_files", "analyze", "refresh_mv",
+      "set_not_null")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -225,6 +226,22 @@ private[sources] object GraftProcedures {
             val applied = TxnStream.maintainMirror(s, srcRoot, tgtRoot,
               consumerId = GraftProcedures.mvConsumerId(tgtRoot), keyCol = key)
             Seq(Seq(applied.size.toLong, TxnLog.currentVersion(srcRoot)))
+        }
+      // SET NOT NULL as a procedure: Spark's analyzer refuses the
+      // nullable -> non-nullable direction of ALTER COLUMN outright
+      // ("Cannot change nullable column to non-nullable") because IT
+      // cannot prove the data; the log CAN — stats fast path, else
+      // one DV-filtered probe — so the tightening gets its own CALL.
+      // (DROP NOT NULL stays plain `ALTER COLUMN ... DROP NOT NULL`.)
+      case "set_not_null" =>
+        bound(Seq(param("table", StringType), param("column", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false)))) {
+          (s, in) =>
+            val c = TxnLog.setColumnNullability(s, root(in),
+              in.getUTF8String(1).toString, nullable = false,
+              txnId = s"call-setnotnull-a$uuid12")
+            Seq(Seq(c.version))
         }
       case other =>
         throw new UnsupportedOperationException(s"graft: no procedure system.$other")

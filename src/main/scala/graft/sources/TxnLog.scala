@@ -1268,17 +1268,73 @@ object TxnLog {
     * the batch, all constraints fused into a single pass.
     */
   def checkConstraints(s: SparkSession, root: String, df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{count_if, expr, lit, not}
+    import org.apache.spark.sql.functions.{col, count_if, expr, isnull, lit, not}
     val active = activeConstraints(root)
-    if (active.isEmpty) return
-    val counts = df.select(active.toSeq.sortBy(_._1).map { case (n, e) =>
+    // NOT NULL columns are write contracts too: enforced HERE, at
+    // commit time, fused into the same single pass as the CHECK
+    // constraints — so the raw-API writes, MERGE sources and
+    // streaming epochs all honor them, not just SQL INSERT's
+    // analysis-time checks. A declared NOT NULL column MISSING from
+    // the batch is rejected without scanning (it would land as null).
+    val notNull = tableSchema(root).toSeq
+      .flatMap(_.fields.filterNot(_.nullable).map(_.name))
+    val absent = notNull.filterNot(df.columns.contains)
+    if (absent.nonEmpty) throw new ConstraintViolationException(
+      s"NOT NULL column(s) ${absent.mkString(", ")} missing from the write; rejected")
+    if (active.isEmpty && notNull.isEmpty) return
+    val cSorted = active.toSeq.sortBy(_._1)
+    val aggs = cSorted.zipWithIndex.map { case ((_, e), i) =>
       count_if(not(org.apache.spark.sql.functions.coalesce(expr(e), lit(false))))
-        .as(n) }: _*).head()
-    active.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((n, e), i) =>
+        .as(s"__c$i") } ++
+      notNull.zipWithIndex.map { case (c, i) =>
+        count_if(isnull(col(c))).as(s"__n$i") }
+    val counts = df.select(aggs: _*).head()
+    cSorted.zipWithIndex.foreach { case ((n, e), i) =>
       val bad = counts.getLong(i)
       if (bad > 0) throw new ConstraintViolationException(
         s"constraint $n (CHECK $e) violated by $bad row(s); write rejected")
     }
+    notNull.zipWithIndex.foreach { case (c, i) =>
+      val bad = counts.getLong(cSorted.size + i)
+      if (bad > 0) throw new ConstraintViolationException(
+        s"column $c is NOT NULL but the write carries $bad null row(s); write rejected")
+    }
+  }
+
+  /** `ALTER COLUMN ... SET / DROP NOT NULL` as one schema-evolve
+    * commit. SET NOT NULL first PROVES the claim over the LIVE rows:
+    * the per-file null-count stats settle it metadata-only when every
+    * live file recorded zero nulls; otherwise one DV-filtered
+    * existence probe across the snapshot (a DDL-priced scan — the
+    * Delta contract). Old files that predate an added column serve
+    * its EXISTS_DEFAULT (or null — which rejects), so the check sees
+    * exactly what queries see.
+    */
+  def setColumnNullability(s: SparkSession, root: String, col0: String,
+                           nullable: Boolean, txnId: String): Commit = {
+    val readV = currentVersion(root)
+    val st = resolveState(root, readV)
+    val raw = rawTableSchema(root, readV).getOrElse(throw new IllegalStateException(
+      s"graft table at $root has no logged schema to evolve"))
+    val phys = physicalName(st.renames, col0)
+    require(raw.fieldNames.contains(phys), s"graft: no column $col0")
+    val idx = raw.fieldIndex(phys)
+    if (!nullable && st.files.nonEmpty) {
+      val statsProve = st.files.forall { case (_, m) =>
+        m.stats.get(phys).exists(_.nulls == 0L) }
+      if (!statsProve) {
+        val live = applyDeletionVectors(
+          openFiles(s, st.schemaJson, st.files.map(_._1)), st.files)
+        val bad = live.filter(org.apache.spark.sql.functions.col(phys).isNull)
+          .limit(1).count()
+        require(bad == 0L,
+          s"graft: cannot SET NOT NULL on $col0 — live rows hold nulls")
+      }
+    }
+    val evolved = StructType(raw.fields.updated(idx,
+      raw.fields(idx).copy(nullable = nullable)))
+    commit(root, "schema-evolve", Nil, Nil, readVersion = readV, txnId = txnId,
+      schemaId = schemaFingerprint(evolved), schemaJson = encodeSchema(evolved))
   }
 
   /** OPTIMIZE ZORDER BY (x, y) as ONE transaction: rewrite the

@@ -37,6 +37,10 @@ class GraftSqlModelSpec extends SparkTestBase {
   private case object Widen extends Op
   private case object Compact extends Op
   private case object Analyze extends Op
+  private case object AddTag extends Op
+  private case class SetTagDefault(n: Int) extends Op
+  private case object SetNotNull extends Op
+  private case object NullProbe extends Op
 
   private val rowsGen: Gen[Map[Long, Long]] = for {
     n <- Gen.choose(1, 12)
@@ -66,7 +70,16 @@ class GraftSqlModelSpec extends SparkTestBase {
     // bucketed variant re-derives bucket stats via splitStatKeys) and
     // analyze overlays sketches + histograms mid-history
     1 -> Gen.const(Compact),
-    1 -> Gen.const(Analyze))
+    1 -> Gen.const(Analyze),
+    // column contracts interleaved with DML: ADD COLUMN ... DEFAULT
+    // (older rows must read the FROZEN default forever after), SET
+    // DEFAULT (future writes only), SET NOT NULL (via CALL — proven
+    // against live rows), and a null-write probe that must publish
+    // NOTHING once the contract is up
+    1 -> Gen.const(AddTag),
+    1 -> Gen.choose(1, 9).map(SetTagDefault),
+    1 -> Gen.const(SetNotNull),
+    1 -> Gen.const(NullProbe))
 
   /** INSERTs must not create duplicate keys (the table's merge
     * invariant) — restrict to keys absent from the model.
@@ -97,6 +110,14 @@ class GraftSqlModelSpec extends SparkTestBase {
       val root = s"$wh/t"
       var model = Map.empty[Long, Long]
       var widened = false
+      // DEFAULT/NOT NULL contract state: once `tag` exists, every key
+      // carries the default that was CURRENT when it was written
+      // (pre-add keys carry the frozen 'd0'); once v is NOT NULL, a
+      // null write must publish nothing
+      var tagAdded = false
+      var currentDefault = "d0"
+      var tagModel = Map.empty[Long, String]
+      var notNull = false
       val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
       history(TxnLog.currentVersion(root)) = model
 
@@ -116,17 +137,22 @@ class GraftSqlModelSpec extends SparkTestBase {
           case Insert(rows0) =>
             val rows = freshOnly(rows0, model)
             if (rows.nonEmpty) {
-              spark.sql(s"INSERT INTO $cat.t VALUES ${values(rows)}")
+              // explicit column list: once `tag` exists, the missing
+              // column must resolve to the CURRENT default
+              spark.sql(s"INSERT INTO $cat.t (k, v) VALUES ${values(rows)}")
               model = model ++ rows
+              if (tagAdded) tagModel ++= rows.keys.map(_ -> currentDefault)
             }
           case DeleteMod(mod, rem) =>
             val hit = model.keys.exists(_ % mod == rem)
             spark.sql(s"DELETE FROM $cat.t WHERE k % $mod = $rem")
             model = model.filterNot { case (k, _) => k % mod == rem }
+            tagModel = tagModel.filterNot { case (k, _) => k % mod == rem }
             if (!hit) history.remove(TxnLog.currentVersion(root)) // no-op burns no version
           case DeleteSubquery(lo, n) =>
             spark.sql(s"DELETE FROM $cat.t WHERE k IN (SELECT id FROM range($lo, ${lo + n}))")
             model = model.filterNot { case (k, _) => k >= lo && k < lo + n }
+            tagModel = tagModel.filterNot { case (k, _) => k >= lo && k < lo + n }
           case Update(mod, rem, add, mor) =>
             withMode(mor) {
               spark.sql(s"UPDATE $cat.t SET v = v + $add WHERE k % $mod = $rem")
@@ -136,6 +162,7 @@ class GraftSqlModelSpec extends SparkTestBase {
           case MergeOp(rows, mor) =>
             spark.createDataset(rows.toSeq).toDF("k", "v")
               .createOrReplaceTempView(s"gsqlm_src_$seed")
+            val inserted = rows.keySet -- model.keySet
             withMode(mor) {
               spark.sql(
                 s"""MERGE INTO $cat.t t USING gsqlm_src_$seed s ON t.k = s.k
@@ -143,15 +170,23 @@ class GraftSqlModelSpec extends SparkTestBase {
                     WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
             }
             model = model ++ rows
+            // matched rows KEEP their tag; inserted rows get the
+            // current default through the merge's column-list arm
+            if (tagAdded) tagModel ++= inserted.map(_ -> currentDefault)
           case Overwrite(rows) =>
             spark.createDataset(rows.toSeq).toDF("k", "v")
               .createOrReplaceTempView(s"gsqlm_ow_$seed")
-            spark.sql(s"INSERT OVERWRITE $cat.t SELECT k, v FROM gsqlm_ow_$seed")
+            val sel =
+              if (tagAdded) s"SELECT k, v, '$currentDefault' AS tag FROM gsqlm_ow_$seed"
+              else s"SELECT k, v FROM gsqlm_ow_$seed"
+            spark.sql(s"INSERT OVERWRITE $cat.t $sel")
             model = rows
+            if (tagAdded) tagModel = rows.keys.map(_ -> currentDefault).toMap
           case Truncate =>
             val wasEmpty = model.isEmpty
             spark.sql(s"TRUNCATE TABLE $cat.t")
             model = Map.empty
+            tagModel = Map.empty
             if (wasEmpty) history.remove(TxnLog.currentVersion(root))
           case Widen =>
             // int -> bigint, at most once; values are unchanged, so
@@ -175,11 +210,49 @@ class GraftSqlModelSpec extends SparkTestBase {
                 "table => 't', histogram_bins => 8)")
               ()
             }
+          case AddTag =>
+            // at most once: existing keys FREEZE on 'd0' (the
+            // EXISTS_DEFAULT) no matter how the current default moves
+            if (!tagAdded) {
+              spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tag STRING DEFAULT 'd0'")
+              tagAdded = true
+              currentDefault = "d0"
+              tagModel = model.keys.map(_ -> "d0").toMap
+            }
+          case SetTagDefault(n) =>
+            // future writes only; rows already on disk keep theirs
+            if (tagAdded) {
+              spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN tag SET DEFAULT 'd$n'")
+              currentDefault = s"d$n"
+            }
+          case SetNotNull =>
+            // v is never null in this model, so the proof always
+            // passes; afterwards the null probe below must bounce
+            if (!notNull) {
+              spark.sql(s"CALL $cat.system.set_not_null(table => 't', column => 'v')")
+              notNull = true
+            }
+          case NullProbe =>
+            if (notNull) {
+              val vBefore = TxnLog.currentVersion(root)
+              intercept[Exception] {
+                spark.sql(s"INSERT INTO $cat.t (k, v) " +
+                  "VALUES (999999, CAST(NULL AS BIGINT))")
+              }
+              assert(TxnLog.currentVersion(root) === vBefore,
+                s"seed $seed: a rejected null write must publish nothing")
+            }
         }
         val v = TxnLog.currentVersion(root)
         history(v) = model
         assert(tableRows() === model,
           s"seed $seed diverged after op #$i ($op) at version $v")
+        if (tagAdded) {
+          val gotTags = spark.sql(s"SELECT k, tag FROM $cat.t")
+            .as[(Long, String)].collect().toMap
+          assert(gotTags === tagModel,
+            s"seed $seed: tag defaults diverged after op #$i ($op) at version $v")
+        }
       }
 
       // time-travel sweep: every recorded version resolves to its model

@@ -316,6 +316,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/swu") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/dflt") != 4L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/brt") != 2L ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
@@ -442,6 +443,16 @@ object SparkEntry {
           .option("checkpointLocation", s"$wh/_ckpt_swu")
           .toTable(s"$cat.db.swu")
         try qu.processAllAvailable() finally qu.stop()
+        // BRANCH REFS (r16): write-audit-publish — fork, branch DML
+        // (insert + DV delete) invisible to main, then ONE strictly
+        // fast-forward publish commit lands the audited state
+        s.sql(s"CREATE TABLE $cat.db.brt AS SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 14 = 3")
+        s.sql(s"CALL $cat.system.create_branch(table => 'db.brt', branch => 'wap')")
+        s.sql(s"INSERT INTO $cat.db.brt.branch_wap SELECT o_orderkey + 30000000, " +
+          s"price_cents FROM cat_src_$tag WHERE o_orderkey % 14 = 10")
+        s.sql(s"DELETE FROM $cat.db.brt.branch_wap WHERE o_orderkey % 2 = 0")
+        s.sql(s"CALL $cat.system.publish_branch(table => 'db.brt', branch => 'wap')")
         // NOT NULL + DEFAULT contracts (r16): rows written BEFORE the
         // ADD COLUMN read the frozen default ('bronze'), rows after
         // carry their own value — zero rewrites, oracle-closed
@@ -1203,6 +1214,13 @@ object SparkEntry {
                   ON f.o_orderkey = d.o_orderkey
                   WHERE d.price_cents % 10 < 3""")
       }),
+      // branch publish (r16): the table equals the branch's audited
+      // state — forked rows, branch inserts, branch DV deletes — via
+      // ONE fast-forward commit; pure predicate logic for the oracle
+      "tx_cat_branch" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.brt")
+      }),
       // ADD COLUMN ... DEFAULT (r16): pre-evolution rows read the
       // frozen default through the EXISTS_DEFAULT metadata — the scan
       // substitutes it for files that predate the column
@@ -1679,6 +1697,17 @@ object SparkEntry {
                   AS sum_pc
          FROM orders WHERE o_orderkey % 11 = 3
          GROUP BY 1""",
+
+    "tx_cat_branch" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 14 = 3 AND o_orderkey % 2 = 1
+         UNION ALL
+         SELECT o_orderkey + 30000000,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 14 = 10 AND (o_orderkey + 30000000) % 2 = 1""",
 
     "tx_cat_default" ->
       """SELECT o_orderkey,

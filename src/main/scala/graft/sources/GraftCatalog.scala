@@ -186,6 +186,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val parent = nsDir(ident.namespace).toString
       if (isTable(parent)) return new GraftFeedTable(parent, ident.name)
     }
+    // a branch as a WRITABLE table: `cat.db.t.branch_<name>` — every
+    // DML/maintenance statement lands on the branch's own log,
+    // invisible to main until CALL publish_branch (the Iceberg
+    // branch-identifier spelling)
+    if (ident.name.startsWith("branch_") && ident.namespace.nonEmpty) {
+      val parent = nsDir(ident.namespace).toString
+      val bname = ident.name.stripPrefix("branch_")
+      if (isTable(parent) && TxnLog.isBranch(parent, bname))
+        return new GraftTable(TxnLog.branchRoot(parent, bname),
+          Long.MaxValue, timeTraveled = false)
+    }
     throw new NoSuchTableException(ident)
   }
 
@@ -196,8 +207,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val v =
       try version.toLong
       catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft table versions are commit numbers, got '$version'") }
+        // named refs: `VERSION AS OF 'tag'` pins the tagged snapshot;
+        // `VERSION AS OF 'branch'` reads the branch's current state
+        TxnLog.tagVersion(root, version) match {
+          case Some(tv) => return new GraftTable(root, tv, timeTraveled = true)
+          case None =>
+            if (TxnLog.isBranch(root, version))
+              return new GraftTable(TxnLog.branchRoot(root, version),
+                Long.MaxValue, timeTraveled = false)
+            throw new IllegalArgumentException(
+              s"graft table versions are commit numbers or ref names; " +
+                s"'$version' is neither")
+        }
+      }
     require(v >= 1L && v <= TxnLog.currentVersion(root),
       s"version $v out of range for $root (head ${TxnLog.currentVersion(root)})")
     new GraftTable(root, v, timeTraveled = true)
@@ -248,8 +270,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val root = tableRoot(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
+    // `ALTER TABLE db.t.branch_<name> ...` evolves the BRANCH's log —
+    // same resolution the read/write paths use
+    val root = {
+      val direct = tableRoot(ident)
+      if (isTable(direct)) direct
+      else if (ident.name.startsWith("branch_") && ident.namespace.nonEmpty) {
+        val parent = nsDir(ident.namespace).toString
+        val bname = ident.name.stripPrefix("branch_")
+        if (isTable(parent) && TxnLog.isBranch(parent, bname))
+          TxnLog.branchRoot(parent, bname)
+        else throw new NoSuchTableException(ident)
+      } else throw new NoSuchTableException(ident)
+    }
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,

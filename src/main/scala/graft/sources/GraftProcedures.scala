@@ -38,7 +38,8 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] =
     Seq("checkpoint", "vacuum", "vacuum_staging", "optimize_zorder",
       "compact_deletes", "compact_files", "analyze", "refresh_mv",
-      "set_not_null")
+      "set_not_null", "create_branch", "create_tag", "publish_branch",
+      "drop_ref")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -242,6 +243,56 @@ private[sources] object GraftProcedures {
               in.getUTF8String(1).toString, nullable = false,
               txnId = s"call-setnotnull-a$uuid12")
             Seq(Seq(c.version))
+        }
+      // ---- named refs: the write-audit-publish workflow ----
+      // create_branch forks the table at its current head (O(files)
+      // metadata, zero data copied); writes land on
+      // `db.t.branch_<name>` invisible to main; publish_branch
+      // fast-forwards main ATOMICALLY (any main movement since the
+      // fork conflicts, racing publishes included). create_tag pins a
+      // version under a name for `VERSION AS OF 'name'`; both kinds
+      // of ref hold the vacuum horizon.
+      case "create_branch" =>
+        bound(Seq(param("table", StringType), param("branch", StringType)),
+          StructType(Seq(
+            StructField("fork_version", LongType, nullable = false)))) {
+          (_, in) =>
+            val r = root(in)
+            val name = in.getUTF8String(1).toString
+            TxnLog.createBranch(r, name, txnId = s"fork-$name-a$uuid12")
+            Seq(Seq(TxnLog.branchForkVersion(r, name)))
+        }
+      case "create_tag" =>
+        bound(Seq(param("table", StringType), param("tag", StringType),
+            paramWithDefault("version", LongType, "-1")),
+          StructType(Seq(
+            StructField("tagged_version", LongType, nullable = false)))) {
+          (_, in) =>
+            val v = if (in.isNullAt(2) || in.getLong(2) < 0L) Long.MaxValue
+                    else in.getLong(2)
+            Seq(Seq(TxnLog.createTag(root(in),
+              in.getUTF8String(1).toString, v)))
+        }
+      case "publish_branch" =>
+        bound(Seq(param("table", StringType), param("branch", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("added_files", LongType, nullable = false),
+            StructField("removed_files", LongType, nullable = false)))) {
+          (s, in) =>
+            val name = in.getUTF8String(1).toString
+            val c = TxnLog.publishBranch(s, root(in), name,
+              txnId = s"publish-$name-a$uuid12")
+            Seq(Seq(c.version, c.added.size.toLong, c.removed.size.toLong))
+        }
+      case "drop_ref" =>
+        bound(Seq(param("table", StringType), param("name", StringType)),
+          StructType(Seq(
+            StructField("dropped", org.apache.spark.sql.types.BooleanType,
+              nullable = false)))) {
+          (_, in) =>
+            Seq(Seq(java.lang.Boolean.valueOf(
+              TxnLog.dropRef(root(in), in.getUTF8String(1).toString))))
         }
       case other =>
         throw new UnsupportedOperationException(s"graft: no procedure system.$other")

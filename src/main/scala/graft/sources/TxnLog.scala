@@ -2222,7 +2222,8 @@ object TxnLog {
              partitionBy: Seq[String] = Nil,
              restatFiles: Seq[String] = Nil,
              restats: Seq[Map[String, FileStat]] = Nil,
-             hists: Seq[(String, String)] = Nil): Commit = {
+             hists: Seq[(String, String)] = Nil,
+             requireHead: Long = -1L): Commit = {
     validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
@@ -2318,6 +2319,17 @@ object TxnLog {
       // so a concurrent duplicate that wins the race is also caught.
       val dup = tail.find(_.txnId == txnId)
       if (dup.isDefined) return dup.get
+      // STRICT fast-forward gate (branch publish): the commit may
+      // only land as version requireHead + 1 — ANY movement of the
+      // table since the fork, append included, is a conflict. Checked
+      // against the same listing the CAS races on (and AFTER the
+      // replay dedup, so an exactly-once replay still finds its own
+      // earlier publish), a racing publish that wins the version
+      // makes this one conflict, never silently stack.
+      if (requireHead >= 0L && head != requireHead)
+        throw new ConflictException(
+          s"txn $txnId requires head v$requireHead but the table is at v$head; " +
+            "re-fork (or re-audit) and retry")
       // File-level lost-update check against everything that landed
       // after our snapshot: if a concurrent commit removed (rewrote)
       // a file we also remove, both transactions rewrote the same
@@ -2887,9 +2899,202 @@ object TxnLog {
     * snapshot iff its final removal is at or before the horizon —
     * O(commits), not O(versions × commits).
     */
+  // ---- named refs: tags and branches (the Iceberg refs /
+  // write-audit-publish workflow, expressed over a linear log) ----
+  //
+  // A TAG pins a main-table version under a name: `VERSION AS OF
+  // 'name'` resolves it, and vacuum protects every file that version
+  // can read. A BRANCH is a full table FORK under `_refs/branch.<n>/`
+  // — one metadata commit materializes the main snapshot (live files
+  // by absolute path, their stats and deletion vectors, the schema,
+  // constraints, partitioning, renames), after which the branch is an
+  // ordinary graft table: every DML/maintenance path works on it
+  // unchanged, invisible to main. PUBLISH fast-forwards main to the
+  // branch's state as ONE commit whose `requireHead` gate makes ANY
+  // main movement since the fork — racing publishes included — a
+  // ConflictException. Publishing is data-only by design: a branch
+  // that evolved its schema or renamed columns must re-land those as
+  // DDL on main (refused with a message, never silently merged).
+
+  private val RefNameRe = "[A-Za-z0-9_-]{1,64}".r
+
+  private def refsDir(root: String): Path = Paths.get(root, "_refs")
+  private def tagPath(root: String, name: String): Path =
+    refsDir(root).resolve(s"tag.$name")
+
+  /** The branch's own table root. */
+  def branchRoot(root: String, name: String): String =
+    refsDir(root).resolve(s"branch.$name").toString
+
+  private def forkPath(broot: String): Path = Paths.get(broot, "FORK")
+
+  private def validateRefName(name: String): Unit =
+    require(RefNameRe.matches(name),
+      s"ref names are [A-Za-z0-9_-]{1,64}: '$name'")
+
+  def isBranch(root: String, name: String): Boolean =
+    Files.isDirectory(Paths.get(branchRoot(root, name), "_log"))
+
+  def tagVersion(root: String, name: String): Option[Long] =
+    if (!Files.isRegularFile(tagPath(root, name))) None
+    else Some(Files.readString(tagPath(root, name)).trim.toLong)
+
+  /** The fork point: the MAIN version the branch materialized. */
+  def branchForkVersion(root: String, name: String): Long =
+    Files.readString(forkPath(branchRoot(root, name))).trim.toLong
+
+  /** Every ref's pinned MAIN version (tag → tagged version, branch →
+    * fork version) — what vacuum must keep readable.
+    */
+  def refPinnedVersions(root: String): Seq[Long] = {
+    if (!Files.isDirectory(refsDir(root))) return Nil
+    val entries = listDir(refsDir(root))
+    entries.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("tag."))
+        scala.util.Try(Files.readString(p).trim.toLong).toOption
+      else if (n.startsWith("branch.") && Files.isRegularFile(p.resolve("FORK")))
+        scala.util.Try(Files.readString(p.resolve("FORK")).trim.toLong).toOption
+      else None
+    }
+  }
+
+  /** Create an immutable tag at `version` (default: the current
+    * head). Atomic and first-writer-wins (CREATE_NEW); re-tagging a
+    * name is a drop + create.
+    */
+  def createTag(root: String, name: String,
+                version: Long = Long.MaxValue): Long = {
+    validateRefName(name)
+    require(!isBranch(root, name), s"ref $name already exists as a branch")
+    val head = currentVersion(root)
+    val v = if (version == Long.MaxValue) head else version
+    require(v >= 1L && v <= head, s"cannot tag version $v (head is $head)")
+    Files.createDirectories(refsDir(root))
+    try Files.writeString(tagPath(root, name), v.toString,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: FileAlreadyExistsException =>
+      sys.error(s"graft: tag $name already exists") }
+    v
+  }
+
+  /** Fork a branch at the current main head: ONE metadata commit on
+    * the branch's own log re-declares the snapshot — live files by
+    * absolute path with their stats and DV payloads, schema,
+    * constraints, partitioning — plus one rename commit per column
+    * mapping. O(files) metadata, zero data bytes copied. Blooms do
+    * not carry (sound: absent bloom never prunes; ANALYZE or
+    * compaction on the branch rebuilds them).
+    */
+  def createBranch(root: String, name: String, txnId: String): String = {
+    validateRefName(name)
+    require(tagVersion(root, name).isEmpty, s"ref $name already exists as a tag")
+    val broot = branchRoot(root, name)
+    require(!Files.exists(Paths.get(broot)), s"graft: branch $name already exists")
+    val forkV = currentVersion(root)
+    require(forkV >= 1L, s"cannot branch an uncreated table at $root")
+    val st = resolveState(root, forkV)
+    Files.createDirectories(Paths.get(broot))
+    // FORK lands before the _log: a directory without a _log is not a
+    // table, so a crash between the two leaves an inert husk that a
+    // re-create refuses loudly (and a human deletes), never a branch
+    // with an ambiguous fork point
+    Files.writeString(forkPath(broot), forkV.toString,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    init(broot)
+    val files = st.files
+    val dvd = files.collect { case (f, m) if m.dv.isDefined => (f, dvHex(m.dv.get)) }
+    commit(broot, "fork", added = files.map(_._1), removed = Nil,
+      readVersion = 0L, txnId = txnId,
+      multiStats = files.map(_._2.stats),
+      dvFiles = dvd.map(_._1), dvs = dvd.map(_._2),
+      schemaId = if (st.schemaJson.isEmpty) "" else schemaFingerprint(
+        org.apache.spark.sql.types.DataType.fromJson(
+          new String(b64dec(st.schemaJson), java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType]),
+      schemaJson = st.schemaJson,
+      cadds = st.constraints.toSeq,
+      partitionBy = if (st.partitionBy.isEmpty) Nil
+                    else st.partitionBy.split(",").toSeq)
+    // column mapping carries as the same rename records main holds
+    st.renames.foreach { case (logical, physical) =>
+      if (logical != physical)
+        commit(broot, "fork-rename", Nil, Nil, readVersion = 0L,
+          txnId = s"$txnId-rn-$physical", rename = s"$physical $logical")
+    }
+    broot
+  }
+
+  /** PUBLISH: fast-forward main to the branch's state as ONE commit.
+    * added = branch files main lacks (absolute paths — the log
+    * addresses bytes wherever they live, so nothing copies), removed
+    * = fork files the branch dropped, DV deltas ride along (deletion
+    * vectors only grow, so the branch's bitmap IS the union). The
+    * `requireHead = forkVersion` gate makes the fast-forward STRICT
+    * and atomic: any main commit since the fork — including a racing
+    * publish — conflicts; the loser re-forks or re-audits. Replays
+    * (same txnId) return the existing publish and apply nothing.
+    */
+  def publishBranch(s: SparkSession, root: String, name: String,
+                    txnId: String): Commit = {
+    require(isBranch(root, name), s"graft: no branch $name at $root")
+    val broot = branchRoot(root, name)
+    val forkV = branchForkVersion(root, name)
+    val main = resolveState(root, forkV)
+    val br = resolveState(broot, currentVersion(broot))
+    require(br.schemaJson == main.schemaJson && br.renames == main.renames,
+      s"graft: branch $name changed the schema; publish is data-only — " +
+        "land DDL on the main table and re-fork")
+    val mainFiles = main.files.toMap
+    val brFiles = br.files.map(_._1).toSet
+    val added = br.files.filterNot { case (f, _) => mainFiles.contains(f) }
+    val removed = main.files.map(_._1).filterNot(brFiles.contains)
+    // DV payloads ride in two shapes: surviving FORK files whose
+    // bitmap grew on the branch (vectors only grow, so the branch's
+    // bitmap IS the union), and branch-ADDED files that already carry
+    // one (a branch delete after a branch insert) — dropping the
+    // latter would resurrect branch-deleted rows on main
+    val dvDelta = br.files.collect {
+      case (f, m) if mainFiles.contains(f) && m.dv.map(dvHex) !=
+        mainFiles(f).dv.map(dvHex) => (f, dvHex(m.dv.getOrElse(
+          sys.error(s"graft: branch $name lost a deletion vector on $f"))))
+      case (f, m) if !mainFiles.contains(f) && m.dv.isDefined =>
+        (f, dvHex(m.dv.get))
+    }
+    commit(root, "branch-publish", added = added.map(_._1), removed = removed,
+      readVersion = forkV, txnId = txnId,
+      multiStats = added.map(_._2.stats),
+      dvFiles = dvDelta.map(_._1), dvs = dvDelta.map(_._2),
+      schemaId = if (main.schemaJson.isEmpty) "" else schemaFingerprint(
+        org.apache.spark.sql.types.DataType.fromJson(
+          new String(b64dec(main.schemaJson), java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType]),
+      requireHead = forkV)
+  }
+
+  /** Drop a ref. A branch drop removes its LOG and fork marker only:
+    * data files a publish made main-visible stay exactly where the
+    * main log addresses them; unpublished branch bytes orphan (the
+    * price of never risking main's data).
+    */
+  def dropRef(root: String, name: String): Boolean = {
+    validateRefName(name)
+    val tag = tagPath(root, name)
+    if (Files.isRegularFile(tag)) return Files.deleteIfExists(tag)
+    val broot = Paths.get(branchRoot(root, name))
+    if (!Files.isDirectory(broot)) return false
+    deleteRecursively(broot.resolve("_log"))
+    Files.deleteIfExists(forkPath(broot.toString))
+    true
+  }
+
   def vacuum(root: String, retainFromVersion: Long): Seq[String] = {
     val head = currentVersion(root)
-    val from = math.min(retainFromVersion, head)
+    // refs PIN their versions: a tag (or a branch fork) at v needs
+    // every file live AT v, so the reclaim horizon can never pass the
+    // oldest pinned ref
+    val from = (Seq(math.min(retainFromVersion, head)) ++
+      refPinnedVersions(root)).min
     // file -> final removal version (-1 while live); a re-added file
     // overwrites its earlier removal, so the END state decides
     val state = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -2897,8 +3102,14 @@ object TxnLog {
       c.added.foreach(state(_) = -1L)
       c.removed.foreach(state(_) = c.version)
     }
+    // only bytes under THIS root's tree are ours to reclaim: a
+    // branch's log references files the MAIN table owns (and an
+    // external-location table references files nobody granted us) —
+    // deleting those would corrupt a table whose log still serves them
+    val own = Paths.get(root).toAbsolutePath.normalize
     state.iterator
       .collect { case (f, rv) if rv >= 0 && rv <= from => f }
+      .filter(f => Paths.get(f).toAbsolutePath.normalize.startsWith(own))
       .filter(f => Files.deleteIfExists(Paths.get(f)))
       .toSeq
   }

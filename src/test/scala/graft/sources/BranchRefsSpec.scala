@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+/** Named refs on the transaction log — tags and branches, the
+  * write-audit-publish workflow (Iceberg refs over a linear log):
+  * a branch forks the table as O(files) metadata, takes every DML
+  * invisibly to main, and publishes back as ONE strictly-fast-forward
+  * commit (any main movement since the fork conflicts — racing
+  * publishes included). Tags pin versions under names for
+  * `VERSION AS OF 'name'`, and both kinds of ref hold the vacuum
+  * horizon so a pinned snapshot's files never reclaim.
+  */
+class BranchRefsSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft-br-wh").toString
+    spark.conf.set("spark.sql.catalog.gbr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbr.db")
+    wh
+  }
+
+  private def root(table: String): String = s"$warehouse/db/$table"
+
+  test("write-audit-publish: branch writes invisible on main; one atomic ff commit publishes") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.wap (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gbr.db.wap SELECT id, id * 2 FROM range(0, 50)")
+    val mainV = TxnLog.currentVersion(root("wap"))
+    spark.sql("CALL gbr.system.create_branch(table => 'db.wap', branch => 'audit')")
+
+    // WRITE on the branch: an append, an update, a DV delete
+    spark.sql("INSERT INTO gbr.db.wap.branch_audit SELECT id, id * 2 FROM range(50, 80)")
+    spark.sql("UPDATE gbr.db.wap.branch_audit SET v = v + 1000 WHERE k < 5")
+    spark.sql("DELETE FROM gbr.db.wap.branch_audit WHERE k % 10 = 9")
+    println("== DBG BRANCH COMMITS:")
+    TxnLog.commits(TxnLog.branchRoot(root("wap"), "audit")).foreach(c => println(
+      s"  v${c.version} ${c.action} added=${c.added.size} removed=${c.removed.size} dvFiles=${c.dvFiles.size} dvs=${c.dvs.mkString(",").take(100)}"))
+    println("== DBG BRANCH SNAPSHOT:")
+    TxnLog.snapshotState(TxnLog.branchRoot(root("wap"), "audit")).foreach {
+      case (f, m) => println(s"  dv=${m.dv.isDefined} $f") }
+
+    // main is UNTOUCHED — same version, same rows
+    assert(TxnLog.currentVersion(root("wap")) === mainV)
+    assert(spark.sql("SELECT count(*) FROM gbr.db.wap").head.getLong(0) === 50L)
+    assert(spark.sql("SELECT sum(v) FROM gbr.db.wap").head.getLong(0) ===
+      (0L until 50L).map(_ * 2).sum)
+
+    // AUDIT reads the branch (both spellings)
+    val audited = (0L until 80L).filterNot(_ % 10 == 9)
+      .map(k => k -> (k * 2 + (if (k < 5) 1000L else 0L))).toMap
+    val viaBranchIdent = spark.sql(
+        "SELECT k, v FROM gbr.db.wap.branch_audit")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBranchIdent === audited)
+    val viaVersionAsOf = spark.sql(
+        "SELECT k, v FROM gbr.db.wap VERSION AS OF 'audit'")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaVersionAsOf === audited)
+
+    // PUBLISH: one commit, exactly the audited state, strictly ff
+    val rec = spark.sql(
+      "CALL gbr.system.publish_branch(table => 'db.wap', branch => 'audit')").head
+    assert(rec.getLong(0) === mainV + 1, "publish is ONE commit on main")
+    val published = spark.sql("SELECT k, v FROM gbr.db.wap")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(published === audited)
+    // the pre-publish snapshot still time-travels
+    assert(spark.sql(s"SELECT count(*) FROM gbr.db.wap VERSION AS OF $mainV")
+      .head.getLong(0) === 50L)
+  }
+
+  test("racing publishes / main movement since fork: the ff gate conflicts, nothing stacks") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.race (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gbr.db.race SELECT id, id FROM range(0, 20)")
+    spark.sql("CALL gbr.system.create_branch(table => 'db.race', branch => 'b1')")
+    spark.sql("INSERT INTO gbr.db.race.branch_b1 VALUES (100, 100)")
+    // main moves AFTER the fork — even a pure append must conflict
+    spark.sql("INSERT INTO gbr.db.race VALUES (999, 999)")
+    val vBefore = TxnLog.currentVersion(root("race"))
+    val e = intercept[Exception] {
+      spark.sql("CALL gbr.system.publish_branch(table => 'db.race', branch => 'b1')")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[TxnLog.ConflictException]), s"got: $e")
+    assert(TxnLog.currentVersion(root("race")) === vBefore,
+      "a conflicted publish must publish nothing")
+    assert(spark.sql("SELECT count(*) FROM gbr.db.race WHERE k = 100")
+      .head.getLong(0) === 0L)
+  }
+
+  test("branch carries stats, DVs, constraints and partitioning; schema changes refuse to publish") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.full (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('graft.constraint.pos' = 'v >= 0')")
+    spark.sql("INSERT INTO gbr.db.full SELECT id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM gbr.db.full WHERE k % 7 = 3") // DVs on main pre-fork
+    spark.sql("CALL gbr.system.create_branch(table => 'db.full', branch => 'bx')")
+    val broot = TxnLog.branchRoot(root("full"), "bx")
+    // the fork carried the DV'd live rows exactly
+    assert(spark.sql("SELECT count(*) FROM gbr.db.full.branch_bx").head.getLong(0)
+      === (0L until 100L).count(_ % 7 != 3).toLong)
+    // ...the constraint (a violating branch write publishes nothing)
+    val bv = TxnLog.currentVersion(broot)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gbr.db.full.branch_bx VALUES (1000, -5)")
+    }
+    assert(TxnLog.currentVersion(broot) === bv)
+    // ...the bucket partitioning (branch writes cluster + point-stat)
+    spark.sql("INSERT INTO gbr.db.full.branch_bx SELECT id, id FROM range(100, 140)")
+    val key = TxnLog.bucketStatKey(4, "k")
+    val newFiles = TxnLog.snapshotState(broot)
+      .filter { case (f, _) => f.startsWith(broot) }
+    assert(newFiles.nonEmpty && newFiles.forall { case (_, m) =>
+      m.stats.get(key).exists(st => st.lo == st.hi) })
+    // schema evolution on the branch: publish refuses, data-only
+    spark.sql("ALTER TABLE gbr.db.full.branch_bx ADD COLUMN extra STRING")
+    val e = intercept[Exception] {
+      spark.sql("CALL gbr.system.publish_branch(table => 'db.full', branch => 'bx')")
+    }
+    assert((e +: Option(e.getCause).toSeq).exists(c =>
+      Option(c.getMessage).exists(_.contains("data-only"))), s"got: $e")
+  }
+
+  test("tags: VERSION AS OF 'name' pins; refs hold the vacuum horizon") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.tg (k BIGINT)")
+    spark.sql("INSERT INTO gbr.db.tg SELECT id FROM range(0, 10)")   // v2
+    val taggedV = TxnLog.currentVersion(root("tg"))
+    spark.sql(s"CALL gbr.system.create_tag(table => 'db.tg', tag => 'golden', " +
+      s"version => $taggedV)")
+    spark.sql("INSERT OVERWRITE gbr.db.tg SELECT id FROM range(100, 105)") // v3 swaps files
+    assert(spark.sql("SELECT count(*) FROM gbr.db.tg VERSION AS OF 'golden'")
+      .head.getLong(0) === 10L)
+    // vacuum with an aggressive horizon: the tag PINS v2's files
+    spark.sql("CALL gbr.system.vacuum(table => 'db.tg', " +
+      s"retain_from_version => ${TxnLog.currentVersion(root("tg"))})")
+    assert(spark.sql("SELECT count(*) FROM gbr.db.tg VERSION AS OF 'golden'")
+      .head.getLong(0) === 10L, "a tagged snapshot must survive vacuum")
+    // drop the tag -> the same vacuum now reclaims
+    spark.sql("CALL gbr.system.drop_ref(table => 'db.tg', name => 'golden')")
+    spark.sql("CALL gbr.system.vacuum(table => 'db.tg', " +
+      s"retain_from_version => ${TxnLog.currentVersion(root("tg"))})")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM gbr.db.tg VERSION AS OF $taggedV").head
+    }
+    assert(e != null)
+  }
+
+  test("publish replays exactly once; fork is metadata-only (no data bytes copied)") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.ro (k BIGINT)")
+    spark.sql("INSERT INTO gbr.db.ro SELECT id FROM range(0, 1000)")
+    val dataBytes = {
+      val d = Paths.get(root("ro"), "data")
+      val s = Files.walk(d)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+      finally s.close()
+    }
+    spark.sql("CALL gbr.system.create_branch(table => 'db.ro', branch => 'meta')")
+    val broot = TxnLog.branchRoot(root("ro"), "meta")
+    // no data bytes under the branch: the fork references main's files
+    val branchData = Paths.get(broot, "data")
+    val branchBytes =
+      if (!Files.isDirectory(branchData)) 0L
+      else {
+        val s = Files.walk(branchData)
+        try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+        finally s.close()
+      }
+    assert(branchBytes === 0L, "fork must copy zero data bytes")
+    assert(dataBytes > 0L)
+    // publish once with a KNOWN txnId, then replay it: the ledger
+    // returns the same commit and applies nothing (exactly-once)
+    spark.sql("INSERT INTO gbr.db.ro.branch_meta VALUES (5000)")
+    val first = TxnLog.publishBranch(spark, root("ro"), "meta",
+      txnId = "publish-meta-t1")
+    val replay = TxnLog.publishBranch(spark, root("ro"), "meta",
+      txnId = "publish-meta-t1")
+    assert(replay.version === first.version)
+    assert(TxnLog.currentVersion(root("ro")) === first.version,
+      "a replayed publish must not stack a second commit")
+    // a FRESH publish attempt now conflicts: main's head moved past
+    // the fork the moment the first publish landed
+    val e = intercept[Exception] {
+      TxnLog.publishBranch(spark, root("ro"), "meta", txnId = "publish-meta-t2")
+    }
+    assert(e.isInstanceOf[TxnLog.ConflictException], s"got: $e")
+  }
+}

@@ -32,6 +32,14 @@ object Sessions {
       // PARTITIONED BY (bucket(n, c)) with point bucket stats, so
       // this changes no other plan
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // ...and across COMPATIBLE bucket counts: bucket(k·n) reduces to
+      // bucket(n) through GraftBucketBound's reducer (id % n), so an
+      // 8-bucket fact joins a 4-bucket dim with zero shuffles; both
+      // confs only take effect when our scans report key-grouped
+      // partitioning, so no other plan moves
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+        "true")
       // managed tables (the j9 bucketed layout) land in tmp, not
       // ./spark-warehouse — and in a PER-JVM dir: the in-memory catalog
       // dies with the JVM, and saveAsTable refuses to overwrite a

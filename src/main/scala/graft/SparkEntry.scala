@@ -313,6 +313,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/swc") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/bkt") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/bkt2") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/bkt4") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/nmbs") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/swu") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/dflt") != 4L ||
@@ -391,6 +392,14 @@ object SparkEntry {
           "PARTITIONED BY (bucket(8, o_orderkey))")
         s.sql(s"INSERT INTO $cat.db.bkt2 SELECT o_orderkey, price_cents * 3 " +
           s"FROM cat_src_$tag WHERE o_orderkey % 4 = 1")
+        // a COMPATIBLE-count sibling (r16): bucket(4) joins the
+        // bucket(8) fact shuffle-free through the bucket reducer
+        // (8 % 4 == 0 -> fine id % 4 == coarse id)
+        s.sql(s"CREATE TABLE $cat.db.bkt4 " +
+          "(o_orderkey BIGINT, pc5 BIGINT) " +
+          "PARTITIONED BY (bucket(4, o_orderkey))")
+        s.sql(s"INSERT INTO $cat.db.bkt4 SELECT o_orderkey, price_cents * 5 " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 3 = 2")
         // maintenance THROUGH SQL (r14, ProcedureCatalog): a DV delete
         // folded clean by CALL compact_deletes, then CALL checkpoint
         s.sql(s"CREATE TABLE $cat.db.proc AS SELECT o_orderkey, price_cents " +
@@ -1186,6 +1195,16 @@ object SparkEntry {
                   FROM $cat.db.bkt t1 JOIN $cat.db.bkt2 t2
                   ON t1.o_orderkey = t2.o_orderkey""")
       }),
+      // compatible-count storage-partitioned join (r16): bucket(8)
+      // fact joins the bucket(4) dim with zero shuffles under the
+      // join — the reducer folds fine buckets pairwise; pure
+      // predicate logic for the oracle
+      "tx_cat_spjc" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT t1.o_orderkey, t1.price_cents, t4.pc5
+                  FROM $cat.db.bkt t1 JOIN $cat.db.bkt4 t4
+                  ON t1.o_orderkey = t4.o_orderkey""")
+      }),
       // complete-mode streaming write: the materialized streaming
       // aggregate equals the batch aggregate of its source (each
       // epoch was ONE stream-replace transaction)
@@ -1674,6 +1693,14 @@ object SparkEntry {
                   AS pc3
          FROM orders
          WHERE o_orderkey % 6 = 5 AND o_orderkey % 4 = 1""",
+
+    "tx_cat_spjc" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(5 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
+                  AS pc5
+         FROM orders
+         WHERE o_orderkey % 6 = 5 AND o_orderkey % 3 = 2""",
 
     "tx_cat_complete" ->
       """SELECT o_orderkey % 7 AS grp,

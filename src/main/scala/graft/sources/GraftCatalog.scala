@@ -1217,23 +1217,58 @@ private[sources] object GraftBucketFunction
     val dt = inputType.fields(1).dataType
     require(TxnLog.bucketableType(dt),
       s"bucket: unbucketable column type ${dt.simpleString}")
-    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
-      override def resultType(): DataType = IntegerType
-      override def name(): String = "bucket"
-      // canonical-name equality is what SPJ compares across the two
-      // sides; the semantics depend only on the canonical KIND
-      override def canonicalName(): String =
-        s"graft.bucket(${if (dt == StringType) "string" else "long"})"
-      override def isResultNullable: Boolean = false
-      override def produceResult(input: InternalRow): Integer = {
-        val n = input.getInt(0)
-        val v = if (input.isNullAt(1)) null else input.get(1, dt)
-        Integer.valueOf(TxnLog.bucketOf(v, dt, n).getOrElse(
-          sys.error(s"graft bucket: unbucketable value $v: ${dt.simpleString}")))
-      }
-    }
+    new GraftBucketBound(dt)
   }
+}
+
+/** The bound bucket function. Also a [[org.apache.spark.sql.connector
+  * .catalog.functions.ReducibleFunction]]: `bucket(k·n, c)` REDUCES to
+  * `bucket(n, c)` by `id % n` — `pmod(h, k·n) ≡ h (mod n)`, so the
+  * coarse id of a row is exactly its fine id mod n. Spark's
+  * compatible-transforms SPJ (`spark.sql.sources.v2.bucketing
+  * .allowCompatibleTransforms.enabled`) consults this to join a
+  * bucket(2n) table with a bucket(n) table with ZERO shuffles: the
+  * fine side's groups fold pairwise into the coarse side's. Reduction
+  * only within one canonical KIND — a string-bucketed and a
+  * long-bucketed column never co-group.
+  */
+private[sources] class GraftBucketBound(dt: DataType)
+  extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[Integer, Integer]
+    with Serializable {
+
+  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  // canonical-name equality is what SPJ compares across the two
+  // sides; the semantics depend only on the canonical KIND
+  override def canonicalName(): String =
+    s"graft.bucket(${if (dt == StringType) "string" else "long"})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val v = if (input.isNullAt(1)) null else input.get(1, dt)
+    Integer.valueOf(TxnLog.bucketOf(v, dt, n).getOrElse(
+      sys.error(s"graft bucket: unbucketable value $v: ${dt.simpleString}")))
+  }
+
+  override def reducer(thisNumBuckets: Int,
+      otherFunction: org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[_, _],
+      otherNumBuckets: Int)
+      : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+    otherFunction match {
+      case o: GraftBucketBound if o.canonicalName() == canonicalName() &&
+          thisNumBuckets != otherNumBuckets &&
+          otherNumBuckets > 0 && thisNumBuckets % otherNumBuckets == 0 =>
+        new GraftBucketReducer(otherNumBuckets)
+      case _ => null // incompatible counts/kinds: sound fallback to shuffle
+    }
+}
+
+private[sources] class GraftBucketReducer(coarse: Int)
+  extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+    with Serializable {
+  override def reduce(b: Integer): Integer = Integer.valueOf(b.intValue() % coarse)
 }
 
 /** The batch (and streaming) scan over a pinned snapshot. Planning is

@@ -247,6 +247,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("tx_cat_spjc joins COMPATIBLE bucket counts (8 vs 4) with zero shuffles under the join") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = SparkEntry.queries("tx_cat_spjc")(spark, sfDir)
+      val smj = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${q.queryExecution.executedPlan}")
+      val shuffles = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"the reduced compatible-count join must be shuffle-free:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
   test("no query plans a cartesian product") {
     // The brute-force similarity baselines are non-equi self-joins and
     // legitimately plan BroadcastNestedLoopJoin (one side is known

@@ -1688,6 +1688,65 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("SPJ with COMPATIBLE bucket counts: bucket(8) joins bucket(4) shuffle-free " +
+       "through the reducer; non-divisible counts degrade soundly to shuffle") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.spc8 (k BIGINT, a BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE gcat.db.spc4 (k BIGINT, b BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gcat.db.spc3 (k BIGINT, c BIGINT) " +
+      "PARTITIONED BY (bucket(3, k))")
+    spark.sql("INSERT INTO gcat.db.spc8 SELECT id, id * 2 FROM range(0, 1000)")
+    spark.sql("INSERT INTO gcat.db.spc4 SELECT id, id * 3 FROM range(500, 1500)")
+    spark.sql("INSERT INTO gcat.db.spc3 SELECT id, id * 5 FROM range(0, 1000)")
+    def shuffles(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+    withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      // 8 % 4 == 0: the fine side's groups fold pairwise (id % 4)
+      // into the coarse side's — ZERO shuffles UNDER THE JOIN (the
+      // global aggregate above it legitimately gathers), exact answer
+      val q = spark.sql(
+        """SELECT sum(t1.a + t2.b) AS s, count(*) AS n
+           FROM gcat.db.spc8 t1 JOIN gcat.db.spc4 t2 ON t1.k = t2.k""")
+      val smj = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected SMJ:\n${q.queryExecution.executedPlan}")
+      assert(smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty,
+        s"compatible-count join must be shuffle-FREE:\n${q.queryExecution.executedPlan}")
+      assert(q.head.toSeq === Seq((500L until 1000L).map(k => k * 2 + k * 3).sum, 500L),
+        "the reduced join must still be CORRECT")
+      // 8 % 3 != 0: no reducer — sound fallback to an ordinary shuffle
+      val q3 = spark.sql(
+        """SELECT count(*) AS n
+           FROM gcat.db.spc8 t1 JOIN gcat.db.spc3 t3 ON t1.k = t3.k""")
+      assert(shuffles(q3) >= 1, "non-divisible bucket counts cannot co-locate")
+      assert(q3.head.getLong(0) === 1000L)
+    }
+    // reducer disabled (compatible-transforms off): still correct,
+    // just shuffled
+    withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql(
+        """SELECT count(*) AS n
+           FROM gcat.db.spc8 t1 JOIN gcat.db.spc4 t2 ON t1.k = t2.k""")
+      assert(shuffles(q) >= 1)
+      assert(q.head.getLong(0) === 500L)
+    }
+  }
+
   test("bucket pruning survives ALTER COLUMN TYPE widening: canonical hashing " +
        "keeps int-era and bigint-era buckets aligned") {
     warehouse

@@ -950,18 +950,28 @@ object TxnLog {
     * char `15 - b/4` of that word with value `2^(b mod 4)`. Rows past
     * the bitmap's end (and files with no bitmap) are NOT deleted.
     * Builtins only — whole-stage codegen'd.
+    *
+    * `dvCol` MUST be BINARY (the hex digits as ASCII bytes): binary
+    * `substring`/`length` are O(1) byte slices, where their STRING
+    * forms walk UTF-8 from the start — a per-row O(file-bytes) scan
+    * that turned DV'd raw-API reads QUADRATIC per file (measured 70×
+    * wall at 10× rows before the r16 sf1 receipt caught it).
     */
   private[sources] def dvBitSet(dvCol: org.apache.spark.sql.Column,
                                 riCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val b = pmod(riCol, lit(64L))
     val charPos = (floor(riCol / 64) * 16 + lit(15L) - floor(b / 4) + 1).cast("int")
-    val nib = conv(call_function("substring", dvCol, charPos, lit(1)), 16, 10)
-      .cast("int")
+    val nib = conv(call_function("substring", dvCol, charPos, lit(1)).cast("string"),
+      16, 10).cast("int")
     coalesce(dvCol.isNotNull && charPos <= length(dvCol) &&
       call_function("shiftright", nib, pmod(b, lit(4L)).cast("int")) % 2 =!= 0,
       lit(false))
   }
+
+  /** The hex bitmap as the BINARY column [[dvBitSet]] requires. */
+  private[sources] def dvBytes(v: String): Array[Byte] =
+    dvHex(v).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Join the (file, bitmap) dim and keep only live rows; the frame
     * gains `__fp`/`__ri` helper columns the caller may use or drop.
@@ -970,9 +980,11 @@ object TxnLog {
                          dvs: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions._
     // sidecar refs resolve HERE, at read time — O(DV'd files ×
-    // bitmap bytes), the same dim the join broadcasts anyway
+    // bitmap bytes), the same dim the join broadcasts anyway. Bitmaps
+    // ride as BINARY (see [[dvBitSet]]: O(1) slicing vs the string
+    // form's per-row UTF-8 walk)
     val dim = base.sparkSession
-      .createDataFrame(dvs.map { case (f, v) => (f, dvHex(v)) })
+      .createDataFrame(dvs.map { case (f, v) => (f, dvBytes(v)) })
       .toDF("__dvf", "__dv")
     base.withColumn("__fp", metaFilePath)
       .withColumn("__ri", col("_metadata.row_index"))

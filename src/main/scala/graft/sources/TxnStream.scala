@@ -98,7 +98,8 @@ object TxnStream {
     import org.apache.spark.sql.functions.col
     val dels = TxnLog.commitsInRange(root, fromExclusive, toInclusive)
       .flatMap(c => c.dvFiles.zip(c.dvs).map { case (f, dv) =>
-        (f, TxnLog.dvHex(dv), c.version) }) // sidecar refs resolve here
+        // sidecar refs resolve here; BINARY for O(1) bit probes
+        (f, TxnLog.dvBytes(dv), c.version) })
     if (dels.isEmpty)
       TxnLog.read(s, root, toInclusive, mergeSchema = true).limit(0)
         .withColumn(CommitVersionCol, lit(0L))

@@ -318,6 +318,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/swu") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/dflt") != 4L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/brt") != 2L ||
+          !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
         graft.sources.TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
@@ -462,6 +463,8 @@ object SparkEntry {
           s"price_cents FROM cat_src_$tag WHERE o_orderkey % 14 = 10")
         s.sql(s"DELETE FROM $cat.db.brt.branch_wap WHERE o_orderkey % 2 = 0")
         s.sql(s"CALL $cat.system.publish_branch(table => 'db.brt', branch => 'wap')")
+        s.sql(s"CALL $cat.system.create_tag(table => 'db.brt', " +
+          "tag => 'prewap', version => 1)")
         // NOT NULL + DEFAULT contracts (r16): rows written BEFORE the
         // ADD COLUMN read the frozen default ('bronze'), rows after
         // carry their own value — zero rewrites, oracle-closed
@@ -1240,6 +1243,13 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.brt")
       }),
+      // the ref inventory as SQL (r16): tags pin, branches carry
+      // fork + head — fully deterministic, so the oracle is a VALUES
+      // literal (like tx_cat_history)
+      "tx_cat_refs" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT name, kind, pinned_version, branch_head FROM $cat.db.brt.refs")
+      }),
       // ADD COLUMN ... DEFAULT (r16): pre-evolution rows read the
       // frozen default through the EXISTS_DEFAULT metadata — the scan
       // substitutes it for files that predate the column
@@ -1735,6 +1745,12 @@ object SparkEntry {
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders
          WHERE o_orderkey % 14 = 10 AND (o_orderkey + 30000000) % 2 = 1""",
+
+    "tx_cat_refs" ->
+      """SELECT * FROM (VALUES
+           ('prewap', 'tag', CAST(1 AS BIGINT), CAST(-1 AS BIGINT)),
+           ('wap', 'branch', CAST(1 AS BIGINT), CAST(3 AS BIGINT)))
+         t(name, kind, pinned_version, branch_head)""",
 
     "tx_cat_default" ->
       """SELECT o_orderkey,

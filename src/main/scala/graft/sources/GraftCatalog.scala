@@ -855,10 +855,17 @@ private[sources] object GraftMetaTable {
     * a `files` query over a million-file table reads the log fold,
     * never the files.
     */
-  val Kinds: Set[String] = Set("history", "files")
+  val Kinds: Set[String] = Set("history", "files", "refs")
 
   import org.apache.spark.sql.types._
   def schemaOf(kind: String): StructType = kind match {
+    // `refs` = the named-ref inventory: tags pin a main version,
+    // branches carry their fork point AND their own head
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("pinned_version", LongType, nullable = false),
+      StructField("branch_head", LongType, nullable = false)))
     case "history" => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("action", StringType, nullable = false),
@@ -879,6 +886,9 @@ private[sources] object GraftMetaTable {
   }
 
   def rowsOf(root: String, kind: String): Seq[Array[Any]] = kind match {
+    case "refs" =>
+      TxnLog.listRefs(root).map { case (name, k, pinned, head) =>
+        Array[Any](name, k, pinned, head) }
     case "history" =>
       TxnLog.commits(root).map(c => Array[Any](c.version, c.action, c.txnId,
         c.readVersion, c.ts * 1000L, c.added.size.toLong,
@@ -1852,8 +1862,25 @@ private[sources] object GraftFilters {
       case "IN" if kids.nonEmpty =>
         attr(kids.head).flatMap { a =>
           val ls = kids.tail.toSeq.map(lit(_, a.dataType))
-          if (ls.nonEmpty && ls.forall(_.isDefined)) Some(ce.In(a, ls.flatten))
-          else None
+          if (ls.isEmpty || !ls.forall(_.isDefined)) None
+          // a big runtime IN (a DPP subquery can carry 10^5 keys)
+          // COLLAPSES to its [min, max] envelope: per-file admission
+          // is then one range test instead of an exists() over every
+          // literal — a PRUNED file would otherwise scan the whole
+          // list before rejecting. Sound (the envelope is a superset);
+          // small sets keep the exact form for bloom-precise points.
+          else if (ls.size > 64) {
+            val vals = ls.flatten
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(a.dataType)
+            val nn = vals.filter(_.value != null)
+            if (nn.isEmpty) Some(ce.In(a, vals))
+            else {
+              val lo = nn.minBy(_.value)(ord)
+              val hi = nn.maxBy(_.value)(ord)
+              Some(ce.And(ce.GreaterThanOrEqual(a, lo), ce.LessThanOrEqual(a, hi)))
+            }
+          } else Some(ce.In(a, ls.flatten))
         }
       case "=" | "<=>" if kids.length == 2 =>
         val mk: (ce.AttributeReference, ce.Literal) => ce.Expression =

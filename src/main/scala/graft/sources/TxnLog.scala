@@ -2971,6 +2971,25 @@ object TxnLog {
     }
   }
 
+  /** Every ref, sorted by name: (name, kind, pinned main version,
+    * branch head — -1 for tags). Metadata-only: one directory listing
+    * plus one small read per ref.
+    */
+  def listRefs(root: String): Seq[(String, String, Long, Long)] = {
+    if (!Files.isDirectory(refsDir(root))) return Nil
+    listDir(refsDir(root)).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("tag."))
+        scala.util.Try(Files.readString(p).trim.toLong).toOption
+          .map(v => (n.stripPrefix("tag."), "tag", v, -1L))
+      else if (n.startsWith("branch.") && Files.isRegularFile(p.resolve("FORK")))
+        scala.util.Try(Files.readString(p.resolve("FORK")).trim.toLong).toOption
+          .map(v => (n.stripPrefix("branch."), "branch", v,
+            currentVersion(p.toString)))
+      else None
+    }.sortBy(_._1)
+  }
+
   /** Create an immutable tag at `version` (default: the current
     * head). Atomic and first-writer-wins (CREATE_NEW); re-tagging a
     * name is a drop + create.

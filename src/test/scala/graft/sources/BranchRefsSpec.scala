@@ -128,6 +128,22 @@ class BranchRefsSpec extends SparkTestBase {
       Option(c.getMessage).exists(_.contains("data-only"))), s"got: $e")
   }
 
+  test("the refs metadata table lists tags and branches with fork points and heads") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.rt (k BIGINT)")
+    spark.sql("INSERT INTO gbr.db.rt SELECT id FROM range(0, 5)")        // v2
+    spark.sql("CALL gbr.system.create_tag(table => 'db.rt', tag => 't1')")
+    spark.sql("CALL gbr.system.create_branch(table => 'db.rt', branch => 'b1')")
+    spark.sql("INSERT INTO gbr.db.rt.branch_b1 VALUES (99)")             // branch v2
+    val got = spark.sql(
+        "SELECT name, kind, pinned_version, branch_head FROM gbr.db.rt.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got === List(("b1", "branch", 2L, 2L), ("t1", "tag", 2L, -1L)))
+    spark.sql("CALL gbr.system.drop_ref(table => 'db.rt', name => 't1')")
+    assert(spark.sql("SELECT count(*) FROM gbr.db.rt.refs").head.getLong(0) === 1L)
+  }
+
   test("tags: VERSION AS OF 'name' pins; refs hold the vacuum horizon") {
     warehouse
     spark.sql("CREATE TABLE gbr.db.tg (k BIGINT)")

@@ -1131,17 +1131,22 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   * INSERT never carries write options, so it cannot land here.
   */
 private class GraftUpsertWriteBuilder(root: String, info: LogicalWriteInfo,
-                                      keyCol: String)
+                                      mergeKey: String)
   extends org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
-  require(info.schema().fieldNames.contains(keyCol),
-    s"graft: mergeKey '$keyCol' is not a column of the write " +
-      s"(${info.schema().fieldNames.mkString(", ")})")
+  // comma-separated for COMPOSITE grouping keys: every named column
+  // must exist; the epoch merge matches on the full tuple
+  private val keyCols: Seq[String] =
+    mergeKey.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  require(keyCols.nonEmpty, "graft: mergeKey must name at least one column")
+  keyCols.foreach(k => require(info.schema().fieldNames.contains(k),
+    s"graft: mergeKey '$k' is not a column of the write " +
+      s"(${info.schema().fieldNames.mkString(", ")})"))
 
   override def build(): Write = new Write {
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingUpsertWrite(root, info.schema(), info.queryId(), keyCol)
+      new GraftStreamingUpsertWrite(root, info.schema(), info.queryId(), keyCols)
   }
 }
 

@@ -54,10 +54,10 @@ import org.apache.spark.util.SerializableConfiguration
   * epoch still resolves through the txnId ledger. This is the
   * reference's own topology (`spark_stream.py:58–84`: a streaming
   * aggregate materialized at a sink) landing in the lakehouse.
-  * UPDATE mode is structurally rejected (the builder does not
-  * implement `SupportsStreamingUpdateAsAppend`, whose contract would
-  * silently append changed rows): keyed upsert streams belong in
-  * `foreachBatch` + [[TxnLog.mergeInto]] / `TxnStream.maintainInto`.
+  * UPDATE mode takes the `mergeKey` write option
+  * ([[GraftStreamingUpsertWrite]]: per-epoch keyed MERGE on the same
+  * exactly-once ledger); without the option it stays structurally
+  * rejected — a blind update-as-append would corrupt aggregates.
   */
 private abstract class GraftStreamingStaging(root: String,
                                              logicalSchema: StructType,
@@ -204,7 +204,7 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
   */
 private class GraftStreamingUpsertWrite(root: String,
                                         logicalSchema: StructType,
-                                        queryId: String, keyCol: String)
+                                        queryId: String, keyCols: Seq[String])
   extends GraftStreamingStaging(root, logicalSchema, queryId) {
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -220,7 +220,7 @@ private class GraftStreamingUpsertWrite(root: String,
           // guard, affected-file pruning, and the conflict matrix
           val batch = TxnLog.toLogical(
             spark.read.parquet(files: _*), TxnLog.columnMapping(root))
-          TxnLog.mergeInto(spark, root, batch, keyCol, txnId)
+          TxnLog.mergeIntoKeys(spark, root, batch, keyCols, txnId)
           ()
         }
         // an empty epoch merges nothing; no version is burned

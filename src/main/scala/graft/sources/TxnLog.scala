@@ -1175,20 +1175,36 @@ object TxnLog {
     * the pruning corresponds to its file-skipping on the ON clause.
     */
   def mergeInto(s: SparkSession, root: String, source: DataFrame,
-                keyCol: String, txnId: String): Commit = {
+                keyCol: String, txnId: String): Commit =
+    mergeIntoKeys(s, root, source, Seq(keyCol), txnId)
+
+  /** [[mergeInto]] over a COMPOSITE key: rows replace table rows that
+    * match on EVERY key column. Affected-file pruning intersects the
+    * per-column admissions (a file lacking any source value in range
+    * on ANY statted integral key column cannot hold a match), so a
+    * composite key prunes at least as hard as its best single column;
+    * columns that cannot prune (non-integral, unstatted) simply do
+    * not narrow. One row per key TUPLE enforced, same conflict matrix.
+    */
+  def mergeIntoKeys(s: SparkSession, root: String, source: DataFrame,
+                    keyCols: Seq[String], txnId: String): Commit = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"merge keys must be non-empty and distinct: ${keyCols.mkString(", ")}")
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
     val state = st0.files
-    val dup = source.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val dup = source.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
-      s"merge source has multiple rows for $keyCol = ${dup.headOption.map(_.get(0)).orNull}")
+      s"merge source has multiple rows for (${keyCols.mkString(", ")}) = " +
+        s"${dup.headOption.map(_.toSeq.init).orNull}")
     checkConstraints(s, root, source) // incoming rows only — O(batch)
-    // storage is physical-named: translate the source and the key
+    // storage is physical-named: translate the source and the keys
     // before touching files or stats (no-ops on rename-free tables)
     val physSource = toPhysical(source, st0.renames)
-    val physKey = physicalName(st0.renames, keyCol)
+    val physKeys = keyCols.map(physicalName(st0.renames, _))
+    val physKey = physKeys.head
     // EXACT column match only: the legacy unnamed ("") stat is
     // caller-asserted on the explicit readRange path, but a merge's
     // key-uniqueness invariant must not ride an assertion — a pre-r12
@@ -1199,32 +1215,39 @@ object TxnLog {
     // all: cast("long") of a string key is not order-preserving (a
     // non-numeric key nulls/throws), so a non-integral key disables
     // pruning — every file is affected, correct just unpruned.
-    val keyIntegral = physSource.schema(physKey).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    val ranged = if (!keyIntegral) Nil else state.collect {
-      case (f, m) if m.stats.get(physKey).exists(_.typ == "l") =>
-        val st = m.stats(physKey)
-        (f, st.lo, st.hi)
-    }
-    val unranged = state.map(_._1).toSet -- ranged.map(_._1)
-    val affected: Set[String] =
-      if (ranged.isEmpty) state.map(_._1).toSet
+    // per-column admission, intersected across the key columns
+    def admittedFor(pk: String): Option[Set[String]] = {
+      val integral = physSource.schema(pk).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!integral) return None // cannot prune on this column
+      val ranged = state.collect {
+        case (f, m) if m.stats.get(pk).exists(_.typ == "l") =>
+          val st = m.stats(pk)
+          (f, st.lo, st.hi)
+      }
+      if (ranged.isEmpty) None
       else {
+        val unranged = state.map(_._1).toSet -- ranged.map(_._1)
         val dim = s.createDataFrame(ranged).toDF("__mf", "__lo", "__hi")
-        val hits = physSource.select(col(physKey).cast("long").as("__mk"))
+        val hits = physSource.select(col(pk).cast("long").as("__mk"))
           .join(broadcast(dim),
             col("__mk") >= col("__lo") && col("__mk") <= col("__hi"))
           .select(col("__mf")).distinct().collect().map(_.getString(0))
-        unranged ++ hits
+        Some(unranged ++ hits)
       }
+    }
+    val admissions = physKeys.flatMap(admittedFor)
+    val affected: Set[String] =
+      if (admissions.isEmpty) state.map(_._1).toSet
+      else admissions.reduce(_ & _)
     if (affected.isEmpty) {
       // pure insert: no live file can hold any source key
-      val (files, stats) = stageWithStats(physSource, root, attemptId(txnId), physKey)
+      val (files, stats) = stageWithStatsFor(physSource, root, attemptId(txnId), physKeys)
       return commit(root, "merge", files, Nil, readVersion = readV,
-        txnId = txnId, stats = stats, statsCol = physKey,
+        txnId = txnId, multiStats = stats,
         schemaId = schemaFingerprint(physSource.schema),
         schemaJson = encodeSchema(physSource.schema),
         failOnConcurrentAppend = true)
@@ -1232,11 +1255,12 @@ object TxnLog {
     val affectedState = state.filter(f => affected(f._1))
     val existing = applyDeletionVectors(
       s.read.parquet(affectedState.map(_._1): _*), affectedState)
-    val out = existing.join(physSource.select(col(physKey)), Seq(physKey), "left_anti")
+    val out = existing.join(physSource.select(physKeys.map(col): _*),
+        physKeys, "left_anti")
       .unionByName(physSource)
-    val (files, stats) = stageWithStats(out, root, attemptId(txnId), physKey)
+    val (files, stats) = stageWithStatsFor(out, root, attemptId(txnId), physKeys)
     commit(root, "merge", files, removed = affectedState.map(_._1),
-      readVersion = readV, txnId = txnId, stats = stats, statsCol = physKey,
+      readVersion = readV, txnId = txnId, multiStats = stats,
       schemaId = schemaFingerprint(physSource.schema),
       schemaJson = encodeSchema(physSource.schema),
       failOnConcurrentAppend = true)

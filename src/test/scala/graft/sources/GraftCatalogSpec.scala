@@ -1747,6 +1747,35 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("SPJ under partially-clustered distribution: a skewed co-bucketed join stays correct") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.skw1 (k BIGINT, a BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gcat.db.skw2 (k BIGINT, b BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // one HOT key carries 50k rows on the probe side (classic skew);
+    // the build side is uniform
+    spark.sql("INSERT INTO gcat.db.skw1 " +
+      "SELECT IF(id < 50000, 7, id), id FROM range(0, 60000)")
+    spark.sql("INSERT INTO gcat.db.skw2 SELECT id, id * 2 FROM range(0, 100)")
+    withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql(
+        """SELECT count(*) AS n, sum(t1.a + t2.b) AS s
+           FROM gcat.db.skw1 t1 JOIN gcat.db.skw2 t2 ON t1.k = t2.k""")
+      val row = q.head
+      // hot key 7 matches (50k rows x 1) + ids 50000..59999 match none
+      // except... every t1.k in [50000,60000) has no t2 match; t1 also
+      // holds NO plain ids < 100 except the hot 7
+      assert(row.getLong(0) === 50000L)
+      assert(row.getLong(1) === (0L until 50000L).map(_ + 14L).sum)
+    }
+  }
+
   test("bucket pruning survives ALTER COLUMN TYPE widening: canonical hashing " +
        "keeps int-era and bigint-era buckets aligned") {
     warehouse

@@ -100,6 +100,40 @@ class GraftUpsertSinkSpec extends SparkTestBase {
     assert(got === Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
   }
 
+  test("COMPOSITE mergeKey: an update-mode aggregate over two grouping columns merges by the tuple") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    spark.sql("CREATE TABLE gups.db.cmp (g BIGINT, h BIGINT, n BIGINT, s BIGINT)")
+    val ckpt = Files.createTempDirectory("graft-cmp-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF()
+      .selectExpr("value AS v", "value % 3 AS g", "value % 4 AS h")
+      .groupBy("g", "h")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .select("g", "h", "n", "s")
+      .writeStream.outputMode("update")
+      .option("mergeKey", "g, h")
+      .option("checkpointLocation", ckpt)
+      .toTable("gups.db.cmp")
+    var fed = List.empty[Long]
+    def check(): Unit = {
+      val got = spark.sql("SELECT g, h, n, s FROM gups.db.cmp")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+      val want = fed.groupBy(v => (v % 3, v % 4)).map { case (k, vs) =>
+        k -> ((vs.size.toLong, vs.sum)) }
+      assert(got === want)
+    }
+    try {
+      in.addData(0L to 10L: _*); fed = fed ++ (0L to 10L)
+      q.processAllAvailable(); check()
+      // second epoch updates SOME (g,h) cells and creates none new —
+      // a single-column merge would collide tuples sharing g
+      in.addData(12L, 24L, 13L); fed = fed ++ List(12L, 24L, 13L)
+      q.processAllAvailable(); check()
+    } finally q.stop()
+  }
+
   test("guard rails: bad mergeKey fails fast; complete+mergeKey is rejected; nothing publishes") {
     warehouse
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

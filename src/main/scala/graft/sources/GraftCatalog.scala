@@ -1382,7 +1382,6 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
     else if (!spark.conf.get("spark.graft.runtimeFilePruning.enabled", "true")
         .toBoolean) Array.empty
     else {
-      val logicalOf = renames.map(_.swap)
       val prunablePhys: Set[String] = kept.iterator.flatMap { case (_, m) =>
         m.stats.keysIterator.map {
           case TxnLog.BucketKeyRe(_, c) => c

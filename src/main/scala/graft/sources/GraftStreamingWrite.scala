@@ -119,7 +119,14 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
         val readV = if (replaceEach) TxnLog.currentVersion(root) else 0L
         val live = if (replaceEach) TxnLog.snapshotFiles(root, readV) else Nil
         if (files.nonEmpty || (replaceEach && live.nonEmpty)) {
-          if (files.nonEmpty && TxnLog.activeConstraints(root).nonEmpty)
+          // gate on BOTH write contracts: CHECK constraints and NOT
+          // NULL columns (checkConstraints enforces the two in one
+          // fused pass) — a table with only NOT NULL declarations
+          // must still reject a null-bearing epoch at commit time
+          val mustCheck = files.nonEmpty &&
+            (TxnLog.activeConstraints(root).nonEmpty ||
+              TxnLog.tableSchema(root).exists(_.fields.exists(!_.nullable)))
+          if (mustCheck)
             TxnLog.checkConstraints(spark, root,
               TxnLog.toLogical(spark.read.parquet(files: _*),
                 TxnLog.columnMapping(root)))

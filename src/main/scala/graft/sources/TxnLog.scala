@@ -1204,7 +1204,6 @@ object TxnLog {
     // before touching files or stats (no-ops on rename-free tables)
     val physSource = toPhysical(source, st0.renames)
     val physKeys = keyCols.map(physicalName(st0.renames, _))
-    val physKey = physKeys.head
     // EXACT column match only: the legacy unnamed ("") stat is
     // caller-asserted on the explicit readRange path, but a merge's
     // key-uniqueness invariant must not ride an assertion — a pre-r12
@@ -1243,11 +1242,49 @@ object TxnLog {
     val affected: Set[String] =
       if (admissions.isEmpty) state.map(_._1).toSet
       else admissions.reduce(_ & _)
+    // INSERT-grade metadata on merge output: every statable column
+    // gets typed per-file stats — NOT just the merge keys — plus
+    // bucket stats where the table is bucketed, and a rebuilt bloom
+    // where the table's live files carry one. The upsert sink (X-A70)
+    // routes every epoch through here, so stats-only-on-keys would
+    // decay a continuously-merged table to key-only skipping on
+    // exactly its hottest (most-rewritten) files: a predicate on any
+    // non-key column would stop pruning them, and the metadata-agg
+    // fast path (X-A33) would lose them too.
+    val statCols = (physSource.schema.fields
+      .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+      ++ physKeys).distinct
+    val buckets = partitionFields(root).collect {
+      case BucketField(n, c) if physSource.columns.contains(c) => (n, c)
+    }
+    // bloom carry: the dominant (column, bits, k) among live files'
+    // filters — rewrites and inserts keep point-lookup skipping alive
+    // instead of eroding it file by file. Absent/legacy encodings =
+    // no bloom (sound: an absent bloom never prunes).
+    val bloomPlan: Option[(String, Int, Int)] = state.iterator
+      .flatMap { case (_, m) =>
+        m.bloom.filter(_ => m.bloomCol.nonEmpty)
+          .flatMap(bloomSpec).map { case (bits, k) => (m.bloomCol, bits, k) }
+      }
+      .toSeq.groupBy(identity).toSeq
+      .sortBy { case (spec, hits) => (-hits.size, spec._1) }
+      .collectFirst { case (spec, _)
+        if physSource.columns.contains(spec._1) => spec }
+    def stageMergeOut(df: DataFrame): (Seq[String], Seq[Map[String, FileStat]],
+        Seq[String], String) = {
+      val dirId = attemptId(txnId)
+      val (files, stats) = stageWithStatsFor(df, root, dirId, statCols, buckets)
+      bloomPlan match {
+        case Some((bcol, bits, k)) if files.nonEmpty =>
+          (files, stats, bloomsForStaged(s, root, dirId, bcol, files, bits, k), bcol)
+        case _ => (files, stats, Nil, "")
+      }
+    }
     if (affected.isEmpty) {
       // pure insert: no live file can hold any source key
-      val (files, stats) = stageWithStatsFor(physSource, root, attemptId(txnId), physKeys)
+      val (files, stats, blooms, bcol) = stageMergeOut(physSource)
       return commit(root, "merge", files, Nil, readVersion = readV,
-        txnId = txnId, multiStats = stats,
+        txnId = txnId, multiStats = stats, blooms = blooms, bloomCol = bcol,
         schemaId = schemaFingerprint(physSource.schema),
         schemaJson = encodeSchema(physSource.schema),
         failOnConcurrentAppend = true)
@@ -1258,9 +1295,10 @@ object TxnLog {
     val out = existing.join(physSource.select(physKeys.map(col): _*),
         physKeys, "left_anti")
       .unionByName(physSource)
-    val (files, stats) = stageWithStatsFor(out, root, attemptId(txnId), physKeys)
+    val (files, stats, blooms, bcol) = stageMergeOut(out)
     commit(root, "merge", files, removed = affectedState.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = stats,
+      blooms = blooms, bloomCol = bcol,
       schemaId = schemaFingerprint(physSource.schema),
       schemaJson = encodeSchema(physSource.schema),
       failOnConcurrentAppend = true)
@@ -1696,9 +1734,24 @@ object TxnLog {
     */
   def vacuumStaging(root: String): Seq[String] = {
     val allCommits = commits(root)
-    val referenced = allCommits
+    // a BRANCH root's staging dirs may also be referenced by the
+    // PARENT table's log (publish addresses branch bytes by absolute
+    // path): a re-forked branch must never sweep dirs a prior
+    // incarnation published to main, so the parent's referenced dir
+    // names join the keep set (dir names are txn-unique — the union
+    // can only over-keep, never under-keep)
+    val rootP = Paths.get(root).toAbsolutePath.normalize
+    val parentRoot = Option(rootP.getFileName)
+      .filter(_.toString.startsWith("branch."))
+      .flatMap(_ => Option(rootP.getParent))
+      .filter(p => Option(p.getFileName).exists(_.toString == "_refs"))
+      .flatMap(p => Option(p.getParent))
+    val parentRefs = parentRoot.toSeq.flatMap(p => commits(p.toString))
       .flatMap(c => c.added ++ c.removed)
       .map(f => Paths.get(f).getParent.getFileName.toString).toSet
+    val referenced = allCommits
+      .flatMap(c => c.added ++ c.removed)
+      .map(f => Paths.get(f).getParent.getFileName.toString).toSet ++ parentRefs
     val stagingOrphans = listDir(Paths.get(root, "data"))
       .filter(d => Files.isDirectory(d) &&
         !referenced.contains(d.getFileName.toString))
@@ -2063,9 +2116,23 @@ object TxnLog {
                      statsCol: String, bloomCol: String,
                      bloomBits: Int = 8192, bloomK: Int = 4)
       : (Seq[String], Seq[Option[FileStat]], Seq[String]) = {
-    require(Integer.bitCount(bloomBits) == 1, s"bloomBits must be a power of two: $bloomBits")
     val (files, stats) = stageWithStats(df, root, txnId, statsCol)
-    val spark = df.sparkSession
+    (files, stats,
+      bloomsForStaged(df.sparkSession, root, txnId, bloomCol, files,
+        bloomBits, bloomK))
+  }
+
+  /** The bloom half of [[stageWithIndex]], over an ALREADY-staged txn
+    * dir: per-file filters over `bloomCol`, aligned with `files` —
+    * factored out so rewrite paths ([[mergeIntoKeys]]) can re-attach
+    * the point-lookup index their victim files carried with the same
+    * (column, bits, k) the victims were built under. Same build/probe
+    * contract as [[stageWithIndex]].
+    */
+  def bloomsForStaged(spark: SparkSession, root: String, txnId: String,
+                      bloomCol: String, files: Seq[String],
+                      bloomBits: Int = 8192, bloomK: Int = 4): Seq[String] = {
+    require(Integer.bitCount(bloomBits) == 1, s"bloomBits must be a power of two: $bloomBits")
     import org.apache.spark.sql.functions.{array, col, collect_set, explode}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val staged = spark.read.parquet(Paths.get(root, "data", txnId).toString)
@@ -2096,7 +2163,21 @@ object TxnLog {
         (r.getString(0),
           s"$bloomK${if (integral) "n" else ""}:" + words.map(w => f"$w%016x").mkString)
       }.toMap
-    (files, stats, files.map(bits.getOrElse(_, "")))
+    files.map(bits.getOrElse(_, ""))
+  }
+
+  /** Parse a bloom encoding's (bits, k) back out of its
+    * `"<k>[n]:<hex>"` form — how a rewrite recovers the parameters
+    * its victim files were built under. None for legacy/opaque
+    * encodings (sound: the rewrite then just carries no bloom).
+    */
+  private def bloomSpec(enc: String): Option[(Int, Int)] = {
+    val i = enc.indexOf(':')
+    if (i <= 0) return None
+    val k = enc.take(i).takeWhile(_.isDigit)
+    val bits = (enc.length - i - 1) * 4
+    if (k.isEmpty || bits <= 0 || Integer.bitCount(bits) != 1) None
+    else Some((bits, k.toInt))
   }
 
   /** The double-hash bit positions for one value: `(h1 + i·h2) mod m`
@@ -3030,6 +3111,21 @@ object TxnLog {
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch { case _: FileAlreadyExistsException =>
       sys.error(s"graft: tag $name already exists") }
+    // a vacuum RACING this tag lists the refs dir before the tag file
+    // lands, so it may reclaim v's files in the window between the
+    // head read above and the CREATE_NEW: re-verify AFTER the tag is
+    // durable (the tag now pins v against any later vacuum, so a
+    // post-verify reclaim is impossible) and fail loudly — deleting
+    // the bad tag — rather than leave a name pinning an unreadable
+    // snapshot. O(files-at-v) existence probes, metadata-scale.
+    val missing = resolveState(root, v).files.iterator
+      .map(_._1).filterNot(f => Files.exists(Paths.get(f))).toSeq
+    if (missing.nonEmpty) {
+      Files.deleteIfExists(tagPath(root, name))
+      sys.error(s"graft: tag $name at version $v raced a vacuum — " +
+        s"${missing.size} file(s) of that snapshot are already reclaimed " +
+        s"(first: ${missing.head}); re-tag a retained version")
+    }
     v
   }
 
@@ -3045,7 +3141,16 @@ object TxnLog {
     validateRefName(name)
     require(tagVersion(root, name).isEmpty, s"ref $name already exists as a tag")
     val broot = branchRoot(root, name)
-    require(!Files.exists(Paths.get(broot)), s"graft: branch $name already exists")
+    // a LIVE branch (has a _log) or an ambiguous-crash husk (FORK but
+    // no _log) refuses; a DROPPED branch's husk — data files only,
+    // neither marker ([[dropRef]] removes both) — is re-forkable:
+    // staging dirs are txn-unique, so new writes can never clobber
+    // the husk's published bytes, and the CREATE_NEW fork marker
+    // below still arbitrates racing re-creates first-writer-wins
+    require(!Files.exists(Paths.get(broot)) ||
+      (!Files.isDirectory(Paths.get(broot, "_log")) &&
+        !Files.exists(forkPath(broot))),
+      s"graft: branch $name already exists")
     val forkV = currentVersion(root)
     require(forkV >= 1L, s"cannot branch an uncreated table at $root")
     val st = resolveState(root, forkV)

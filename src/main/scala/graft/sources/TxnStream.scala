@@ -170,10 +170,19 @@ object TxnStream {
     */
   def maintainMirror(s: SparkSession, sourceRoot: String, targetRoot: String,
                      consumerId: String, keyCol: String,
-                     upTo: Long = Long.MaxValue): Seq[Long] = {
+                     upTo: Long = Long.MaxValue,
+                     minApplied: Long = 0L): Seq[Long] = {
     import org.apache.spark.sql.functions.col
     val head = math.min(TxnLog.currentVersion(sourceRoot), upTo)
-    val from = appliedVersion(targetRoot, consumerId)
+    // `minApplied` floors the resume point for consumers whose offset
+    // markers live under a LEGACY id (`refresh_mv` pre-r17 used the
+    // typed identifier, not the canonical root): the caller reads the
+    // legacy consumer's applied version and passes it here, so an
+    // upgraded MV resumes instead of replaying the full source
+    // history (which fails outright once pre-horizon source versions
+    // have been vacuumed). Markers written from here on use
+    // `consumerId`; the floor is a one-time migration bridge.
+    val from = math.max(appliedVersion(targetRoot, consumerId), minApplied)
     ((from + 1) to head).flatMap { v =>
       val txnId = s"$consumerId-v$v"
       TxnLog.withTxnLock(txnId) {

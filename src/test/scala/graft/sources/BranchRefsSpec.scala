@@ -36,12 +36,6 @@ class BranchRefsSpec extends SparkTestBase {
     spark.sql("INSERT INTO gbr.db.wap.branch_audit SELECT id, id * 2 FROM range(50, 80)")
     spark.sql("UPDATE gbr.db.wap.branch_audit SET v = v + 1000 WHERE k < 5")
     spark.sql("DELETE FROM gbr.db.wap.branch_audit WHERE k % 10 = 9")
-    println("== DBG BRANCH COMMITS:")
-    TxnLog.commits(TxnLog.branchRoot(root("wap"), "audit")).foreach(c => println(
-      s"  v${c.version} ${c.action} added=${c.added.size} removed=${c.removed.size} dvFiles=${c.dvFiles.size} dvs=${c.dvs.mkString(",").take(100)}"))
-    println("== DBG BRANCH SNAPSHOT:")
-    TxnLog.snapshotState(TxnLog.branchRoot(root("wap"), "audit")).foreach {
-      case (f, m) => println(s"  dv=${m.dv.isDefined} $f") }
 
     // main is UNTOUCHED — same version, same rows
     assert(TxnLog.currentVersion(root("wap")) === mainV)
@@ -167,6 +161,76 @@ class BranchRefsSpec extends SparkTestBase {
       spark.sql(s"SELECT count(*) FROM gbr.db.tg VERSION AS OF $taggedV").head
     }
     assert(e != null)
+  }
+
+  test("a dropped branch name can be re-forked; published bytes in the husk survive the new branch's staging sweep") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.rf (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gbr.db.rf SELECT id, id FROM range(0, 20)")
+    val r = root("rf")
+
+    // round 1: fork, write, publish, drop — the published bytes live
+    // under the husk (main's log addresses them absolutely)
+    spark.sql("CALL gbr.system.create_branch(table => 'db.rf', branch => 'wap')")
+    spark.sql("INSERT INTO gbr.db.rf.branch_wap VALUES (100, 100)")
+    spark.sql("CALL gbr.system.publish_branch(table => 'db.rf', branch => 'wap')")
+    spark.sql("CALL gbr.system.drop_ref(table => 'db.rf', name => 'wap')")
+    assert(!TxnLog.isBranch(r, "wap"))
+    assert(spark.sql("SELECT count(*) FROM gbr.db.rf WHERE k = 100")
+      .head.getLong(0) === 1L, "published rows stay readable after the drop")
+
+    // main OVERWRITES: the husk file leaves main's LIVE set but stays
+    // time-travel-reachable (retention) — the hard case for the sweep
+    val publishedV = TxnLog.currentVersion(r)
+    spark.sql("INSERT OVERWRITE gbr.db.rf SELECT id, id FROM range(0, 5)")
+
+    // round 2: the SAME name re-forks into the husk (the publish
+    // conflict message says 're-fork and retry' — it must be possible)
+    spark.sql("CALL gbr.system.create_branch(table => 'db.rf', branch => 'wap')")
+    assert(TxnLog.isBranch(r, "wap"))
+    spark.sql("INSERT INTO gbr.db.rf.branch_wap VALUES (200, 200)")
+
+    // the new branch's staging sweep must NOT reclaim husk dirs a
+    // PRIOR incarnation published to main: the new fork no longer
+    // references them (main overwrote), but main's LOG still does —
+    // time travel to the published version must survive the sweep
+    val broot = TxnLog.branchRoot(r, "wap")
+    TxnLog.vacuumStaging(broot)
+    assert(spark.sql(
+        s"SELECT count(*) FROM gbr.db.rf VERSION AS OF $publishedV WHERE k = 100")
+      .head.getLong(0) === 1L,
+      "a re-forked branch's vacuumStaging must keep main-published bytes")
+    spark.sql("CALL gbr.system.publish_branch(table => 'db.rf', branch => 'wap')")
+    // main is now the overwritten base (0..4) plus the re-fork's row
+    assert(spark.sql("SELECT count(*) FROM gbr.db.rf WHERE k >= 100")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gbr.db.rf").head.getLong(0) === 6L)
+
+    // a LIVE branch still refuses a duplicate create
+    val e = intercept[Exception] {
+      spark.sql("CALL gbr.system.create_branch(table => 'db.rf', branch => 'wap')")
+    }
+    assert(e != null)
+  }
+
+  test("createTag re-verifies the snapshot after the tag lands: a tag racing vacuum fails loudly and leaves no ref") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.tr (k BIGINT)")
+    spark.sql("INSERT INTO gbr.db.tr SELECT id FROM range(0, 10)") // v2
+    val r = root("tr")
+    val taggedV = TxnLog.currentVersion(r)
+    spark.sql("INSERT OVERWRITE gbr.db.tr SELECT id FROM range(100, 105)") // v3
+    // simulate vacuum winning the race: v2's files are already gone
+    // when createTag's post-write verification runs
+    TxnLog.snapshotFiles(r, taggedV).foreach(f =>
+      Files.deleteIfExists(Paths.get(f)))
+    val e = intercept[Exception] { TxnLog.createTag(r, "gone", taggedV) }
+    assert(Option(e.getMessage).exists(_.contains("vacuum")), s"got: $e")
+    assert(TxnLog.tagVersion(r, "gone").isEmpty,
+      "a failed tag must not leave a ref pinning an unreadable snapshot")
+    // tagging the LIVE head still works
+    TxnLog.createTag(r, "head")
+    assert(TxnLog.tagVersion(r, "head").contains(TxnLog.currentVersion(r)))
   }
 
   test("publish replays exactly once; fork is metadata-only (no data bytes copied)") {

@@ -58,6 +58,36 @@ class NotNullDefaultSpec extends SparkTestBase {
     assert(TxnLog.currentVersion(root("nnm")) === vBefore)
   }
 
+  test("streamed epochs honor NOT NULL even with zero CHECK constraints: a null-bearing epoch fails, nothing publishes") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // NOT NULL column, NO CHECK constraints — pre-fix, the sink's
+    // gate keyed the commit-time pass on activeConstraints alone and
+    // a null-bearing epoch sailed through
+    spark.sql("CREATE TABLE gnnd.db.nns (k BIGINT NOT NULL, v BIGINT)")
+    val ckpt = Files.createTempDirectory("graft-nns-ckpt").toString
+    val in = MemoryStream[(Option[Long], Long)](spark)
+    val q = in.toDF().selectExpr("_1 AS k", "_2 AS v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("gnnd.db.nns")
+    try {
+      in.addData((Some(1L), 10L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gnnd.db.nns").head.getLong(0) === 1L)
+      val vBefore = TxnLog.currentVersion(root("nns"))
+      in.addData((None, 99L), (Some(2L), 20L))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("NOT NULL"))) ||
+        causes(e).exists(_.isInstanceOf[TxnLog.ConstraintViolationException]),
+        s"got: $e")
+      assert(TxnLog.currentVersion(root("nns")) === vBefore,
+        "a null-bearing epoch must publish nothing")
+      assert(spark.sql("SELECT count(*) FROM gnnd.db.nns").head.getLong(0) === 1L)
+    } finally q.stop()
+  }
+
   test("SET NOT NULL proves the live rows; DROP NOT NULL is metadata-only") {
     warehouse
     spark.sql("CREATE TABLE gnnd.db.sn (k BIGINT, v BIGINT)")

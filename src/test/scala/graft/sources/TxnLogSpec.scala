@@ -697,6 +697,60 @@ class TxnLogSpec extends SparkTestBase {
     }
   }
 
+  test("merge rewrites carry INSERT-grade metadata: non-key stats and blooms survive; a non-key predicate prunes freshly-merged files") {
+    val root = freshRoot()
+    // k = merge key, v = NON-key stat column, tag = bloom column
+    val data = (1L to 64L).map(k => (k, k * 10L, k * 2654435761L % 1000000007L))
+    val df = data.toDF("k", "v", "tag").repartitionByRange(8, $"k")
+    val files = TxnLog.stage(df, root, "t1")
+    val multi = TxnLog.statsForStaged(spark, root, "t1", Seq("k", "v", "tag"), files)
+    val blooms = TxnLog.bloomsForStaged(spark, root, "t1", "tag", files)
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      multiStats = multi, blooms = blooms, bloomCol = "tag",
+      schemaJson = TxnLog.encodeSchema(df.schema))
+
+    // merge confined to keys 20..29: rewrites <= 3 of the 8 range files
+    val src = (20L to 29L)
+      .map(k => (k, k * 1000L, k * 2654435761L % 1000000007L))
+      .toDF("k", "v", "tag")
+    val c = TxnLog.mergeIntoKeys(spark, root, src, Seq("k"), "m1")
+    assert(c.removed.nonEmpty && c.removed.size <= 3)
+    assert(c.added.nonEmpty)
+
+    // every rewritten file carries typed stats for EVERY column (the
+    // INSERT contract) and a rebuilt bloom under the victims' column
+    val st = TxnLog.snapshotState(root).toMap
+    c.added.foreach { f =>
+      val m = st(f)
+      assert(Seq("k", "v", "tag").forall(m.stats.contains),
+        s"merged file must stat every column, got ${m.stats.keySet}")
+      assert(m.bloom.isDefined && m.bloomCol === "tag",
+        "merged file must carry a rebuilt bloom on the victims' column")
+    }
+
+    // adversarial pruning proof on the NON-key column: merged rows
+    // hold v = k*1000 (>= 20000); every untouched file's v <= 640.
+    // Corrupt every file whose v-range excludes the probe — a correct
+    // answer PROVES the non-key predicate pruned via the MERGED
+    // files' stats (pre-fix, merge output carried key-only stats and
+    // this scan would open a corrupted file and throw).
+    corruptParquet(TxnLog.snapshotState(root).collect {
+      case (f, m) if m.stats.get("v").exists(s => s.hi < 20000L) => f
+    })
+    val got = TxnLog.table(spark, root).filter($"v" >= 20000L)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(got === (20L to 29L).map(k => (k, k * 1000L)).toSet,
+      "non-key predicate must prune through merged files' stats")
+
+    // point lookup on a MERGED row's tag works end-to-end through
+    // readPoint even with the out-of-range files corrupted — the
+    // rebuilt blooms (and stats) keep the lookup off dead files
+    val probe = 25L * 2654435761L % 1000000007L
+    assert(TxnLog.readPoint(spark, root, "tag", probe)
+      .select("k").as[Long].collect().toSeq === Seq(25L),
+      "rebuilt bloom must serve point lookups on merged files")
+  }
+
   test("mergeInto: merge∥merge on overlapping keys conflicts; merge compacts deletion vectors in") {
     val root = freshRoot()
     val data = (1L to 16L).map(k => (k, k))

@@ -184,9 +184,13 @@ object ScaleProbe {
           bucketCap = 32))
       // A/B vs sim_ann_lsh: band on 8-dim projections instead of the
       // full 64-dim vectors — isolates what the narrower banding stage
-      // buys (and what recall it costs) on the same dup-heavy load
+      // buys (and what recall it costs) on the same dup-heavy load.
+      // Probes the occupancy-adaptive default spelling (r17): band
+      // bits grow with k, expected occupancy constant, so the ladder
+      // must stay ~linear where the fixed-bits form was superlinear
       if (enabled("sim_ann_projected")) time("sim_ann_projected", k)(
-        VectorOps.annCosinePairsProjected(replicateVecs(k), "vec_id", "embedding", 0.4))
+        VectorOps.annCosinePairsProjected(replicateVecs(k), "vec_id", "embedding", 0.4,
+          targetOccupancy = 16))
       if (enabled("sim_ann_proj_capped")) time("sim_ann_proj_capped", k)(
         VectorOps.annCosinePairsProjected(replicateVecs(k), "vec_id", "embedding", 0.4,
           bucketCap = 32))

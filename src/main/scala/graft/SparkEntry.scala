@@ -2368,10 +2368,14 @@ object SparkEntry {
         annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
       // project 64→8 dims first, band in projected space, exact cosine
       // in the original space — index artifacts shrink 8×, precision
-      // stays exact (projection costs recall only)
+      // stays exact (projection costs recall only). Band bits are
+      // OCCUPANCY-ADAPTIVE (derived from the corpus count, constant
+      // expected bucket occupancy): the r16 sf1 receipt measured the
+      // fixed-bits spelling at 11× wall for 10× data — a fixed 2^bits
+      // bucket space makes candidate pairs grow ~quadratically.
       "sim_ann_projected" -> ((s, dir) =>
         annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4)),
+          minCosine = 0.4, targetOccupancy = 16)),
       // coarse projected buckets + the hash-order cap: the dup-heavy
       // guard the r6 probe showed projected banding needs
       "sim_ann_proj_capped" -> ((s, dir) =>
@@ -2583,6 +2587,17 @@ object SparkEntry {
         s"(CASE WHEN ${projPlaneDot(t, b)} >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
     }.mkString("[", ", ", "]")
+    // table t's bucket string with DYNAMIC band width: one sign char
+    // per b in [0, bits) — bits from the `bt` CTE (occupancy ladder)
+    def projBucketAdaptive(t: Int): String =
+      s"""list_aggregate(list_transform(range(0, bt.bits), b ->
+            CASE WHEN list_sum(list_transform(range(1, 9),
+              i -> proj[i] *
+                   (CASE WHEN CAST('0x' || substr(md5(
+                             '${t}_' || CAST(b AS VARCHAR) || '_' ||
+                             CAST(i - 1 AS VARCHAR)), 1, 7)
+                         AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END))) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '')"""
     Map(
       "sim_cosine_pairs" ->
         s"""WITH p AS (SELECT vec_id, embedding,
@@ -2799,12 +2814,23 @@ object SparkEntry {
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
 
+      // occupancy-adaptive band bits: the smallest b in [4, 16] with
+      // (n >> b) <= 16 — the exact integer ladder of
+      // VectorOps.adaptiveBits, so bits (and buckets) match Spark's
+      // at every corpus size
       "sim_ann_projected" ->
-        s"""WITH p0 AS (SELECT vec_id, embedding,
+        s"""WITH nb AS (SELECT count(*) AS n FROM embeddings),
+           bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 16) AS bits
+                  FROM range(4, 17) r(b), nb
+                  WHERE (nb.n >> CAST(r.b AS INT)) <= 16),
+           p0 AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
               $projList AS proj
             FROM embeddings),
-           p AS (SELECT vec_id, embedding, nrm, $projBuckets AS buckets FROM p0),
+           p AS (SELECT vec_id, embedding, nrm,
+                   [${(0 until 4).map(projBucketAdaptive).mkString(", ")}]
+                     AS buckets
+                 FROM p0, bt),
            e AS (SELECT vec_id, embedding, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine

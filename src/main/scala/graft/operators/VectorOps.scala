@@ -531,18 +531,48 @@ object VectorOps {
     * throughput is the bottleneck; prefer [[annCosinePairs]] or the
     * capped variant when candidate volume is.
     */
+  /** Occupancy-adaptive band width: the smallest `bits >= minBits`
+    * whose 2^bits-per-table bucket space keeps EXPECTED occupancy at
+    * or under `targetOccupancy` for an n-vector corpus (ladder stops
+    * at `maxBits`). A FIXED bucket space makes occupancy — and the
+    * within-bucket candidate pairs, which grow with occupancy² — scale
+    * with the corpus: the r16 sf1 receipt measured the fixed-8-bit
+    * projected spelling at 11× wall for 10× data. Constant occupancy
+    * makes total candidate work ~n·occ/2, LINEAR in n. Integer shift
+    * ladder, no floating log — the DuckDB oracle reproduces the exact
+    * same comparisons (`n >> bits <= target`).
+    */
+  def adaptiveBits(n: Long, targetOccupancy: Int = 16,
+                   minBits: Int = 4, maxBits: Int = 16): Int = {
+    require(targetOccupancy > 0 && minBits >= 1 && maxBits >= minBits)
+    var bits = minBits
+    while (bits < maxBits && (n >> bits) > targetOccupancy) bits += 1
+    bits
+  }
+
   def annCosinePairsProjected(vecs: DataFrame, idCol: String, vecCol: String,
                               minCosine: Double, rdim: Int = 8, tables: Int = 4,
                               bitsPerTable: Int = 4, dim: Int = 64,
                               seed: Int = 101,
-                              bucketCap: Int = Int.MaxValue): DataFrame = {
+                              bucketCap: Int = Int.MaxValue,
+                              targetOccupancy: Int = 0): DataFrame = {
+    // targetOccupancy > 0 = the occupancy-adaptive DEFAULT SPELLING:
+    // band bits derived from the corpus count (one metadata-priced
+    // count job) so expected bucket occupancy — and per-vector
+    // candidate work — stays constant as the corpus grows. The fixed
+    // `bitsPerTable` form remains available as the documented
+    // baseline (its exponent degrades superlinearly on big corpora,
+    // like sim_cosine_pairs' exact O(n²)).
+    val bits =
+      if (targetOccupancy <= 0) bitsPerTable
+      else adaptiveBits(vecs.count(), targetOccupancy)
     val p = withNorm(vecs, idCol, vecCol)
     val projected = array((0 until rdim).map { j =>
       val plane = typedlit((0 until dim).map(i => planeSign(seed, j, i)))
       round(dot(col("__v"), plane), 6)
     }: _*)
     val banded0 = p.select(col("__id"), col("__v"), col("__nrm"),
-      posexplode(lshBuckets(projected, tables, bitsPerTable, rdim))
+      posexplode(lshBuckets(projected, tables, bits, rdim))
         .as(Seq("__tbl", "__bucket")))
     // The coarser rdim-dim buckets make dup-heavy candidate blowup
     // MORE likely than in full-width banding (measured 3× at the 16×

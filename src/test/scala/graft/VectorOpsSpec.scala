@@ -367,6 +367,42 @@ class VectorOpsSpec extends SparkTestBase {
     assert(loose === proj)
   }
 
+  test("occupancy-adaptive projected ANN: the bits ladder is exact, results stay an exact subset, near-dup recall holds") {
+    // the integer ladder (no floating log): smallest b in [4,16] with
+    // (n >> b) <= 16
+    assert(adaptiveBits(0L) === 4)
+    assert(adaptiveBits(272L) === 5)   // 272 >> 4 = 17 > 16
+    assert(adaptiveBits(256L) === 4)   // 256 >> 4 = 16 <= 16
+    assert(adaptiveBits(500L) === 5)
+    assert(adaptiveBits(2000L) === 7)
+    assert(adaptiveBits(20000L) === 11)
+    assert(adaptiveBits(Long.MaxValue) === 16)
+    val e = Tables.embeddings(spark, sfDir)
+    import spark.implicits._
+    val exact = cosinePairsBruteForce(e, "vec_id", "embedding", minCosine = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    val adaptive = annCosinePairsProjected(e, "vec_id", "embedding",
+      minCosine = 0.4, targetOccupancy = 16)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(adaptive.keySet.subsetOf(exact.keySet),
+      "adaptive banding admitted a false pair")
+    adaptive.foreach { case (k, c) => assert(c === exact(k)) }
+    // genuinely-near duplicates survive the finer banding: pin the
+    // floor on the >= 0.9 pairs (per-bit collision prob ~0.86 there,
+    // so even 16 bits x 4 tables keeps most of them)
+    val nearDups = exact.filter(_._2 >= 0.9).keySet
+    if (nearDups.nonEmpty) {
+      val recall = (nearDups & adaptive.keySet).size.toDouble / nearDups.size
+      assert(recall >= 0.5,
+        f"near-dup recall $recall%.3f fell below the pinned floor")
+    }
+    // determinism
+    val again = annCosinePairsProjected(e, "vec_id", "embedding",
+      minCosine = 0.4, targetOccupancy = 16)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(again === adaptive)
+  }
+
   test("randomProject: deterministic, linear, and JL error shrinks as 1/sqrt(rdim)") {
     val e = Tables.embeddings(spark, sfDir)
     def cosStats(rdim: Int): Double = {

@@ -318,6 +318,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/swu") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/dflt") != 4L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/brt") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/nest") != 4L ||
           !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
@@ -492,6 +493,20 @@ object SparkEntry {
         s.sql(s"CREATE TABLE $cat.db.mv (o_orderkey BIGINT, price_cents BIGINT)")
         s.sql(s"CALL $cat.system.refresh_mv(source => 'db.nmbs', " +
           "target => 'db.mv', key => 'o_orderkey')")
+        // NESTED/STRUCT columns (r17): writes stat struct LEAVES under
+        // dotted paths (meta.cents prunes like a top-level column),
+        // and one level of nesting evolves metadata-only — v3 ADDs
+        // meta.tier touching zero files (old rows read NULL), v4
+        // inserts carry it
+        s.sql(s"CREATE TABLE $cat.db.nest " +
+          "(o_orderkey BIGINT, meta STRUCT<cents: BIGINT, status: STRING>)")
+        s.sql(s"INSERT INTO $cat.db.nest SELECT o_orderkey, " +
+          "named_struct('cents', price_cents, 'status', o_orderstatus) " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 8 = 6")
+        s.sql(s"ALTER TABLE $cat.db.nest ADD COLUMN meta.tier STRING")
+        s.sql(s"INSERT INTO $cat.db.nest SELECT o_orderkey + 40000000, " +
+          "named_struct('cents', price_cents, 'status', o_orderstatus, " +
+          s"'tier', 'gold') FROM cat_src_$tag WHERE o_orderkey % 8 = 2")
         ()
       }
     }
@@ -1284,6 +1299,21 @@ object SparkEntry {
       "tx_cat_mv" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.mv")
+      }),
+      // NESTED columns (r17): a dotted predicate + aggregate over a
+      // struct-typed table whose struct EVOLVED mid-history (v3 ADDed
+      // meta.tier metadata-only; pre-evolution rows read NULL for it,
+      // post-evolution rows carry 'gold'). The dotted filter prunes
+      // through per-file leaf stats — NestedColumnsSpec proves the
+      // pruning with corrupted out-of-range files; this row hashes
+      // the VALUES against DuckDB
+      "tx_cat_nested" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT meta.status AS status, count(*) AS n,
+                         sum(meta.cents) AS cents, count(meta.tier) AS tiered
+                  FROM $cat.db.nest
+                  WHERE meta.cents >= 1000000
+                  GROUP BY meta.status""")
       })
     )
   }
@@ -1791,7 +1821,24 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CAST(2 * CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
                   AS price_cents
-         FROM orders WHERE o_orderkey % 26 = 1"""
+         FROM orders WHERE o_orderkey % 26 = 1""",
+
+    // the nested fixture replayed flat: %8=6 rows predate the ADD
+    // COLUMN (tier NULL), %8=2 rows carry 'gold'
+    "tx_cat_nested" ->
+      """WITH src AS (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        o_orderstatus AS status
+                      FROM orders),
+         base AS (SELECT cents, status, NULL AS tier FROM src
+                  WHERE o_orderkey % 8 = 6
+                  UNION ALL
+                  SELECT cents, status, 'gold' AS tier FROM src
+                  WHERE o_orderkey % 8 = 2)
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents,
+                CAST(count(tier) AS BIGINT) AS tiered
+         FROM base WHERE cents >= 1000000 GROUP BY status"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

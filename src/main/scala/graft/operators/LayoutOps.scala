@@ -61,14 +61,56 @@ object LayoutOps {
     withNormalizedDimsN(df, Seq(xCol, yCol), bits)
       .withColumnRenamed("__zd0", "__zx").withColumnRenamed("__zd1", "__zy")
 
+  /** A STRING dimension's order-preserving long embedding: skip
+    * `skipChars` leading characters, then read the next 7 UTF-8
+    * bytes zero-right-padded as a big-endian integer — binary
+    * comparison of two strings sharing those skipped characters
+    * equals numeric comparison of these longs whenever they differ
+    * inside the 7-byte window (ties beyond it coarsen the curve but
+    * never mis-order it: clustering is a layout decision, and the
+    * per-file TYPED string stats collected after the rewrite (X-A44
+    * base64 bounds) are what pruning actually compares). 7 bytes =
+    * 56 bits keeps the value non-negative, so signed long order IS
+    * unsigned byte order. Pure built-ins (substr/encode/rpad/hex/
+    * conv) — codegen'd, no UDF, reproducible in a SQL oracle. NULL
+    * embeds as 0 (sorts first, deterministic).
+    */
+  private[graft] def stringPrefixLong(c: Column,
+                                      skipChars: Column = lit(0)): Column =
+    coalesce(
+      conv(hex(call_function("rpad",
+        encode(c.substr(skipChars + lit(1), lit(16)), "UTF-8"),
+        lit(7), lit(Array[Byte](0)))), 16, 10)
+        .cast("long"),
+      lit(0L))
+
+  /** Character length of the common prefix of `lo` and `hi` (capped
+    * at 64). Every string BETWEEN them in binary order shares that
+    * prefix, so skipping it before the 7-byte embedding spends the
+    * window on the bytes that actually discriminate — without this, a
+    * `tenant-001`-style key population (one shared prefix, the most
+    * common real shape) would collapse to a single embedded value.
+    */
+  private[graft] def commonPrefixChars(lo: Column, hi: Column): Column =
+    aggregate(sequence(lit(1), lit(64)), lit(0),
+      (acc, i) => when(acc === i - lit(1) &&
+          lo.substr(i, lit(1)) === hi.substr(i, lit(1)) &&
+          lo.substr(i, lit(1)) =!= lit(""), i).otherwise(acc))
+
   /** The N-dim normalization: one broadcast min/max aggregate over
     * ALL dimensions, each scaled into [0, 2^bits) as `__zd<j>`.
+    * String dimensions participate through an order-preserving
+    * common-prefix-stripped 7-byte embedding — `(tenant_id STRING,
+    * ts)` clustering keys z-order like numeric ones.
     */
   private def withNormalizedDimsN(df: DataFrame, cols: Seq[String],
                                   bits: Int): DataFrame = {
     val maxCode = (1L << bits) - 1
+    val isStr = cols.map(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
-      Seq(min(col(c).cast("long")).as(s"__min$j"),
+      if (isStr(j)) Seq(min(col(c)).as(s"__min$j"), max(col(c)).as(s"__max$j"))
+      else Seq(min(col(c).cast("long")).as(s"__min$j"),
         max(col(c).cast("long")).as(s"__max$j"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*)
@@ -78,7 +120,19 @@ object LayoutOps {
           (hi.cast("double") - lo.cast("double"))).cast("long"))
     val joined = df.crossJoin(broadcast(stats))
     val withDims = cols.zipWithIndex.foldLeft(joined) { case (d, (c, j)) =>
-      d.withColumn(s"__zd$j", scaled(col(c), col(s"__min$j"), col(s"__max$j")))
+      val (lo, hi) = (col(s"__min$j"), col(s"__max$j"))
+      val dim =
+        if (!isStr(j)) scaled(col(c).cast("long"), lo, hi)
+        else {
+          // skip the corpus-wide common prefix (a column expression
+          // over the broadcast stats), then embed the discriminating
+          // window; lo/hi embed with the SAME skip so the affine
+          // normalization sees one consistent coordinate system
+          val skip = commonPrefixChars(lo, hi)
+          scaled(stringPrefixLong(col(c), skip),
+            stringPrefixLong(lo, skip), stringPrefixLong(hi, skip))
+        }
+      d.withColumn(s"__zd$j", dim)
     }
     withDims.drop(cols.indices.flatMap(j => Seq(s"__min$j", s"__max$j")): _*)
   }

@@ -285,8 +285,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     changes.foreach {
       case r: TableChange.RenameColumn =>
+        // nested rename is refused LOUDLY, never silently mis-read:
+        // the column mapping is flat (top-level physical identities),
+        // and parquet binds struct leaves by name — a metadata-only
+        // nested rename would read NULL from every pre-rename file
         require(r.fieldNames.length == 1,
-          s"graft: only top-level columns rename: ${r.fieldNames.mkString(".")}")
+          s"graft: nested fields do not rename " +
+            s"(${r.fieldNames.mkString(".")}): the column mapping " +
+            "addresses top-level columns only — ADD a fresh leaf and " +
+            "rewrite, or rename the top-level column")
         TxnLog.renameColumn(root, r.fieldNames()(0), r.newName,
           txnId = s"sql-rename-a$uuid12")
       case p: TableChange.SetProperty if p.property.startsWith(GraftTable.ConstraintProp) =>
@@ -302,6 +309,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // but leave every projection. A column added WITHOUT a default
       // must be nullable (old rows have no value to give); with a
       // non-null DEFAULT, NOT NULL adds soundly.
+      // nested ADD (one level): `ALTER TABLE t ADD COLUMN s.x T` —
+      // one schema-evolve commit, zero files touched; old rows serve
+      // NULL for the new leaf (Spark's parquet reader clips missing
+      // nested fields to null). Struct leaves get no fresh physical
+      // identity (parquet binds them BY NAME), so a leaf name that
+      // EVER existed in this struct is refused — re-binding it would
+      // resurrect pre-drop bytes instead of the documented NULL.
+      case a: TableChange.AddColumn if a.fieldNames.length == 2 =>
+        val (topL, leaf) = (a.fieldNames()(0), a.fieldNames()(1))
+        require(a.isNullable,
+          s"graft: added nested field $topL.$leaf must be nullable — " +
+            "existing rows have no value to give (nested DEFAULTs are " +
+            "not supported)")
+        val raw = TxnLog.rawTableSchema(root).getOrElse(throw new IllegalStateException(
+          s"graft table at $root has no logged schema to evolve"))
+        val physTop = TxnLog.columnMapping(root).getOrElse(topL, topL)
+        require(raw.fieldNames.contains(physTop), s"graft: no column $topL")
+        val idx = raw.fieldIndex(physTop)
+        raw.fields(idx).dataType match {
+          case st: StructType =>
+            require(!st.fieldNames.contains(leaf),
+              s"graft: field $topL.$leaf already exists")
+            require(!leaf.contains('.'),
+              s"graft: one level of struct nesting only: $topL.$leaf")
+            require(!TxnLog.historicalNestedNames(root, physTop).contains(leaf),
+              s"graft: nested field $topL.$leaf existed before — old files " +
+                "may still hold bytes under that name (parquet binds nested " +
+                "fields by name); re-add it under a fresh name or rewrite " +
+                "the struct")
+            val evolved = StructType(raw.fields.updated(idx,
+              raw.fields(idx).copy(dataType = StructType(st.fields :+
+                org.apache.spark.sql.types.StructField(leaf, a.dataType,
+                  nullable = true)))))
+            TxnLog.commit(root, "schema-evolve", Nil, Nil,
+              readVersion = TxnLog.currentVersion(root),
+              txnId = s"sql-addnested-a$uuid12",
+              schemaId = TxnLog.schemaFingerprint(evolved),
+              schemaJson = TxnLog.encodeSchema(evolved))
+          case other => throw new IllegalArgumentException(
+            s"graft: $topL is ${other.simpleString}, not a struct")
+        }
+      // nested DROP (one level): metadata-only — the leaf leaves the
+      // declared schema; its bytes stay in old files but leave every
+      // projection (the scan reads only declared fields)
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 2 =>
+        val (topL, leaf) = (d.fieldNames()(0), d.fieldNames()(1))
+        val raw = TxnLog.rawTableSchema(root).getOrElse(throw new IllegalStateException(
+          s"graft table at $root has no logged schema to evolve"))
+        val physTop = TxnLog.columnMapping(root).getOrElse(topL, topL)
+        require(raw.fieldNames.contains(physTop), s"graft: no column $topL")
+        val idx = raw.fieldIndex(physTop)
+        raw.fields(idx).dataType match {
+          case st: StructType =>
+            require(st.fieldNames.contains(leaf),
+              s"graft: no field $topL.$leaf to drop")
+            require(st.fields.length > 1,
+              s"graft: cannot drop struct $topL's last field — drop the column")
+            val evolved = StructType(raw.fields.updated(idx,
+              raw.fields(idx).copy(dataType =
+                StructType(st.fields.filterNot(_.name == leaf)))))
+            TxnLog.commit(root, "schema-evolve", Nil, Nil,
+              readVersion = TxnLog.currentVersion(root),
+              txnId = s"sql-dropnested-a$uuid12",
+              schemaId = TxnLog.schemaFingerprint(evolved),
+              schemaJson = TxnLog.encodeSchema(evolved))
+          case other => throw new IllegalArgumentException(
+            s"graft: $topL is ${other.simpleString}, not a struct")
+        }
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft: only top-level columns add: ${a.fieldNames.mkString(".")}")
@@ -678,7 +753,7 @@ private[sources] object GraftTable {
     val phys = TxnLog.clusterByPartitioning(phys0, pfields,
       s.sessionState.conf.numShufflePartitions)
     val txnId = s"sql-write-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
-    val statCols = phys.schema.fields.filter(f => statable(f.dataType)).map(_.name).toSeq
+    val statCols = statPaths(phys.schema)
     val buckets = pfields.collect { case TxnLog.BucketField(n, c) => (n, c) }
     val (files, multi) =
       if (statCols.isEmpty && buckets.isEmpty) (TxnLog.stage(phys, root, txnId), Nil)
@@ -731,6 +806,29 @@ private[sources] object GraftTable {
          org.apache.spark.sql.types.DoubleType => true
     case _ => false
   }
+
+  /** The stat-column PATHS a write collects: every statable top-level
+    * column plus one-level struct LEAVES as dotted paths (`s.x`) —
+    * per-file typed stats on struct leaves are what let a dotted
+    * predicate prune files (the public Delta recipe collects nested
+    * leaf min/max the same way). Dotted keys ride the existing stat
+    * grammar unchanged (a dot is separator-free); a field name that
+    * itself contains a dot is skipped — its path would be ambiguous
+    * with a genuine nested one.
+    */
+  private[sources] def statPaths(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case _ if statable(f.dataType) =>
+          if (f.name.contains('.')) Nil else Seq(f.name)
+        case st: org.apache.spark.sql.types.StructType if !f.name.contains('.') =>
+          st.fields.toSeq.collect {
+            case g if statable(g.dataType) && !g.name.contains('.') =>
+              s"${f.name}.${g.name}"
+          }
+        case _ => Nil
+      }
+    }
 }
 
 /** One [[TxnLog]] table through the V2 connector API. `version` pins
@@ -989,8 +1087,7 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
                 .filter(f => phys0.columns.contains(f.col))
               val phys = TxnLog.clusterByPartitioning(phys0, pfields,
                 data.sparkSession.sessionState.conf.numShufflePartitions)
-              val statCols = phys.schema.fields
-                .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+              val statCols = GraftTable.statPaths(phys.schema)
               val buckets = pfields.collect {
                 case TxnLog.BucketField(n, c) => (n, c) }
               val (files, multi) =
@@ -1783,6 +1880,28 @@ private object GraftReaderFactory {
   * SOUND: anything unrecognized translates to None, which keeps files
   * (pruning) or fails `canDeleteWhere` (DELETE) instead of guessing.
   */
+/** A big runtime IN-set carried as a PRE-SORTED value array — the
+  * marker [[TxnLogFileIndex]] consumes for per-file window probing
+  * (binary search of the file's typed [lo, hi] into the set, then
+  * bloom/bucket point probes on the survivors). Never evaluated
+  * row-wise: the engine re-evaluates the ORIGINAL predicate above the
+  * scan (every pushed filter stays a residual), this node only decides
+  * which files open. `values` are catalyst-internal, null-free,
+  * sorted by `attr.dataType`'s interpreted ordering.
+  */
+private[sources] case class GraftInProbe(
+    attr: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+    values: Seq[Any])
+  extends org.apache.spark.sql.catalyst.expressions.Expression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[ce.Expression] = Seq(attr)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[ce.Expression]): ce.Expression =
+    copy(attr = newChildren.head.asInstanceOf[ce.AttributeReference])
+}
+
 private[sources] object GraftFilters {
 
   /** V1 [[Filter]] → a catalyst predicate over PHYSICAL attribute
@@ -1792,9 +1911,28 @@ private[sources] object GraftFilters {
     */
   def toCatalyst(f: Filter, schema: StructType,
                  renames: Map[String, String]): Option[ce.Expression] = {
-    def attr(name: String): Option[ce.AttributeReference] =
-      schema.fields.find(_.name == name).map(fd =>
-        ce.AttributeReference(renames.getOrElse(name, name), fd.dataType)())
+    // a DOTTED attribute (`s.x` — Spark encodes nested pushdown
+    // references this way) resolves through the struct to its LEAF
+    // type; the emitted attribute keeps the dotted name, which is the
+    // stat key [[GraftTable.statPaths]] collects under. Renames apply
+    // to the TOP-level segment only (nested fields never rename — the
+    // flat column mapping does not address struct leaves).
+    def attr(name: String): Option[ce.AttributeReference] = {
+      val i = name.indexOf('.')
+      if (i < 0)
+        schema.fields.find(_.name == name).map(fd =>
+          ce.AttributeReference(renames.getOrElse(name, name), fd.dataType)())
+      else {
+        val (top, leaf) = (name.take(i), name.drop(i + 1))
+        if (leaf.contains('.')) None // one level of nesting only
+        else schema.fields.find(_.name == top).map(_.dataType).flatMap {
+          case st: StructType => st.fields.find(_.name == leaf).map(g =>
+            ce.AttributeReference(
+              s"${renames.getOrElse(top, top)}.$leaf", g.dataType)())
+          case _ => None
+        }
+      }
+    }
     def lit(v: Any, dt: DataType): Option[ce.Literal] =
       try Some(ce.Literal.create(v, dt))
       catch { case _: RuntimeException => None }
@@ -1868,22 +2006,23 @@ private[sources] object GraftFilters {
           val ls = kids.tail.toSeq.map(lit(_, a.dataType))
           if (ls.isEmpty || !ls.forall(_.isDefined)) None
           // a big runtime IN (a DPP subquery can carry 10^5 keys)
-          // COLLAPSES to its [min, max] envelope: per-file admission
-          // is then one range test instead of an exists() over every
-          // literal — a PRUNED file would otherwise scan the whole
-          // list before rejecting. Sound (the envelope is a superset);
-          // small sets keep the exact form for bloom-precise points.
+          // becomes a SORTED-SET PROBE ([[GraftInProbe]]): per-file
+          // admission binary-searches the file's [lo, hi] window into
+          // the sorted key set — O(log |keys|) per file instead of an
+          // exists() over every literal — then (when the window is
+          // small) probes the file's bloom/bucket stats per surviving
+          // key. Strictly tighter than the r16 [min, max] envelope: a
+          // SPARSE key set admits only files whose range actually
+          // contains a key, and bloom point-precision survives at any
+          // set size. Sound: the window is a superset of the file's
+          // matching keys.
           else if (ls.size > 64) {
             val vals = ls.flatten
             val ord = org.apache.spark.sql.catalyst.util.TypeUtils
               .getInterpretedOrdering(a.dataType)
-            val nn = vals.filter(_.value != null)
+            val nn = vals.map(_.value).filter(_ != null)
             if (nn.isEmpty) Some(ce.In(a, vals))
-            else {
-              val lo = nn.minBy(_.value)(ord)
-              val hi = nn.maxBy(_.value)(ord)
-              Some(ce.And(ce.GreaterThanOrEqual(a, lo), ce.LessThanOrEqual(a, hi)))
-            }
+            else Some(GraftInProbe(a, nn.sorted(ord.asInstanceOf[Ordering[Any]])))
           } else Some(ce.In(a, ls.flatten))
         }
       case "=" | "<=>" if kids.length == 2 =>

@@ -36,10 +36,10 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   val Names: Seq[String] =
-    Seq("checkpoint", "vacuum", "vacuum_staging", "optimize_zorder",
-      "compact_deletes", "compact_files", "analyze", "refresh_mv",
-      "set_not_null", "create_branch", "create_tag", "publish_branch",
-      "drop_ref")
+    Seq("checkpoint", "vacuum", "vacuum_staging", "vacuum_refs",
+      "optimize_zorder", "compact_deletes", "compact_files", "analyze",
+      "refresh_mv", "set_not_null", "create_branch", "create_tag",
+      "publish_branch", "drop_ref")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -130,6 +130,14 @@ private[sources] object GraftProcedures {
         bound(Seq(param("table", StringType)),
           StructType(Seq(StructField("reclaimed", LongType, nullable = false)))) {
           (_, in) => Seq(Seq(TxnLog.vacuumStaging(root(in)).size.toLong))
+        }
+      // reclaim bytes stranded under DROPPED branches (log-less husk
+      // dirs): files main's log never referenced delete, published
+      // bytes stay where main addresses them
+      case "vacuum_refs" =>
+        bound(Seq(param("table", StringType)),
+          StructType(Seq(StructField("reclaimed", LongType, nullable = false)))) {
+          (_, in) => Seq(Seq(TxnLog.vacuumRefs(root(in)).size.toLong))
         }
       case "optimize_zorder" =>
         // either the legacy 2-dim spelling (x_col/y_col) or the

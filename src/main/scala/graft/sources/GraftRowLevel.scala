@@ -263,8 +263,7 @@ private class GraftDeltaBatchWrite(root: String, logicalSchema: StructType,
     }.unzip
     if (files.isEmpty && dvFiles.isEmpty) return
     val readV = scanned().map(_._2).getOrElse(TxnLog.currentVersion(root))
-    val statCols = physSchema.fields
-      .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+    val statCols = GraftTable.statPaths(physSchema)
     // bucket-partitioned tables: post-image files re-record their
     // derived bucket stats so rewrites never lose bucket pruning
     val buckets = TxnLog.partitionFields(root).collect {
@@ -395,8 +394,7 @@ private class GraftBatchWrite(root: String, logicalSchema: StructType,
     val (removed, readV) =
       scanned().getOrElse((Nil, TxnLog.currentVersion(root)))
     if (files.isEmpty && removed.isEmpty) return // nothing matched, nothing inserted
-    val statCols = physSchema.fields
-      .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+    val statCols = GraftTable.statPaths(physSchema)
     // bucket-partitioned tables: post-image files re-record their
     // derived bucket stats so rewrites never lose bucket pruning
     val buckets = TxnLog.partitionFields(root).collect {

@@ -130,8 +130,7 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
             TxnLog.checkConstraints(spark, root,
               TxnLog.toLogical(spark.read.parquet(files: _*),
                 TxnLog.columnMapping(root)))
-          val statCols = physSchema.fields
-            .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
+          val statCols = GraftTable.statPaths(physSchema)
           // bucket stats recorded but typically un-collapsed here (the
           // streaming path declares no bucket distribution): SOUND by
           // construction — a wide bucket range just keeps the file

@@ -1251,9 +1251,8 @@ object TxnLog {
     // exactly its hottest (most-rewritten) files: a predicate on any
     // non-key column would stop pruning them, and the metadata-agg
     // fast path (X-A33) would lose them too.
-    val statCols = (physSource.schema.fields
-      .filter(f => GraftTable.statable(f.dataType)).map(_.name).toSeq
-      ++ physKeys).distinct
+    val statCols =
+      (GraftTable.statPaths(physSource.schema) ++ physKeys).distinct
     val buckets = partitionFields(root).collect {
       case BucketField(n, c) if physSource.columns.contains(c) => (n, c)
     }
@@ -1448,8 +1447,13 @@ object TxnLog {
       else readForRewrite(s, st0.schemaJson, st0.files)
     val clustered = graft.operators.LayoutOps.zorderClusteredN(
       base, phys, nFiles, bits)
+    // INSERT-grade stats on the rewrite (r17, same contract as merge):
+    // the clustering dims get their tight boxes AND every other
+    // statable column keeps skipping — a layout job must never erode
+    // the table's metadata
+    val statCols = (GraftTable.statPaths(clustered.schema) ++ phys).distinct
     val (files, multi) = stageWithStatsFor(clustered, root, attemptId(txnId),
-      phys)
+      statCols)
     commit(root, "zorder", files, removed = st0.files.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = multi)
   }
@@ -1886,7 +1890,7 @@ object TxnLog {
     import org.apache.spark.sql.types._
     val staged = df
     val kinds: Seq[(String, String, org.apache.spark.sql.Column)] = cols.map { c =>
-      staged.schema(c).dataType match {
+      leafType(staged.schema, c) match {
         case ByteType | ShortType | IntegerType | LongType =>
           (c, "l", col(c).cast("long"))
         case TimestampType => (c, "t", unix_micros(col(c)))
@@ -1946,6 +1950,25 @@ object TxnLog {
       }.toMap
   }
 
+  /** The type of a stat PATH: a top-level column, or a one-level
+    * struct leaf addressed as `s.x` (what [[GraftTable.statPaths]]
+    * emits). An unknown path types as NullType — the stats pass then
+    * records no range for it (sound: the file is never pruned on it).
+    */
+  private def leafType(schema: org.apache.spark.sql.types.StructType,
+                       path: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{NullType, StructType}
+    val i = path.indexOf('.')
+    if (i < 0)
+      schema.fields.find(_.name == path).map(_.dataType).getOrElse(NullType)
+    else schema.fields.find(_.name == path.take(i)).map(_.dataType) match {
+      case Some(st: StructType) =>
+        st.fields.find(_.name == path.drop(i + 1)).map(_.dataType)
+          .getOrElse(NullType)
+      case _ => NullType
+    }
+  }
+
   /** Union per-file HLL sketches (base64, as [[FileStat.hll]]) into
     * one table-level distinct-count estimate. None when the list is
     * empty. O(files) driver work over KB-scale sketches.
@@ -1983,8 +2006,7 @@ object TxnLog {
     val df = openFiles(s, st0.schemaJson, files)
     val cols =
       if (cols0.nonEmpty) cols0.map(c => physicalName(st0.renames, c))
-      else df.schema.fields.filter(f => GraftTable.statable(f.dataType))
-        .map(_.name).toSeq
+      else GraftTable.statPaths(df.schema)
     require(cols.nonEmpty, s"no stat-able columns to analyze at $root")
     val byFile = typedStatsByFile(df, cols, hllLgK = lgK)
     // TABLE-level equi-height histograms (opt-in): ride the LAST
@@ -2899,6 +2921,30 @@ object TxnLog {
       catch { case scala.util.control.NonFatal(_) => Nil }
     }.toSet
 
+  /** Every leaf name the struct column `physTop` has EVER declared —
+    * the nested sibling of [[historicalPhysicalNames]]. Parquet binds
+    * nested fields BY NAME (struct leaves get no fresh physical
+    * identity), so re-adding a dropped leaf would resurrect pre-drop
+    * bytes from old files; nested ADD refuses those names outright.
+    * O(history) schema decodes — a DDL-time cost.
+    */
+  private[sources] def historicalNestedNames(root: String,
+                                             physTop: String): Set[String] =
+    commits(root).iterator.filter(_.schemaJson.nonEmpty).flatMap { c =>
+      val leaves =
+        try {
+          org.apache.spark.sql.types.DataType.fromJson(
+            new String(java.util.Base64.getDecoder.decode(c.schemaJson),
+              java.nio.charset.StandardCharsets.UTF_8))
+            .asInstanceOf[StructType].fields
+            .find(_.name == physTop).map(_.dataType)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      leaves match {
+        case Some(st: StructType) => st.fieldNames.toSeq
+        case _                    => Nil
+      }
+    }.toSet
+
   /** A raw stored path as a Hadoop [[org.apache.hadoop.fs.Path]] with
     * the URI built COMPONENT-WISE, so reserved characters ('#', '%',
     * a space) percent-encode instead of parsing as fragment/escape —
@@ -3255,6 +3301,23 @@ object TxnLog {
     // oldest pinned ref
     val from = (Seq(math.min(retainFromVersion, head)) ++
       refPinnedVersions(root)).min
+    // LIVE branch HEADS pin their files too, not just their forks: a
+    // file the branch added and PUBLISHED lives under main's root —
+    // if main later rewrites it away (compaction, overwrite) it
+    // leaves main's live set while the still-live branch's own log
+    // keeps serving it; reclaiming it would break every branch read.
+    // O(branches) metadata folds, only when refs exist.
+    val branchLive: Set[String] =
+      if (!Files.isDirectory(refsDir(root))) Set.empty
+      else listDir(refsDir(root)).iterator
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("branch."))
+        .map(_.stripPrefix("branch."))
+        .filter(isBranch(root, _))
+        .flatMap(n => resolveState(branchRoot(root, n), Long.MaxValue)
+          .files.iterator.map(_._1))
+        .map(f => Paths.get(f).toAbsolutePath.normalize.toString)
+        .toSet
     // file -> final removal version (-1 while live); a re-added file
     // overwrites its earlier removal, so the END state decides
     val state = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -3269,9 +3332,54 @@ object TxnLog {
     val own = Paths.get(root).toAbsolutePath.normalize
     state.iterator
       .collect { case (f, rv) if rv >= 0 && rv <= from => f }
-      .filter(f => Paths.get(f).toAbsolutePath.normalize.startsWith(own))
+      .filter { f =>
+        val n = Paths.get(f).toAbsolutePath.normalize
+        n.startsWith(own) && !branchLive.contains(n.toString)
+      }
       .filter(f => Files.deleteIfExists(Paths.get(f)))
       .toSeq
+  }
+
+  /** Reclaim bytes stranded under DROPPED branches: [[dropRef]]
+    * removes a branch's `_log` and fork marker but leaves its data
+    * files (never risking main's bytes at drop time); this sweep
+    * deletes, per log-less husk directory, every file MAIN's log has
+    * never referenced — published bytes stay exactly where main
+    * addresses them (main's own [[vacuum]] reclaims those on its
+    * normal horizon, since the husk lives under main's root) — then
+    * prunes emptied directories so a fully-orphaned husk disappears
+    * and its name becomes re-forkable. Same no-writer-mid-stage
+    * contract as [[vacuumStaging]].
+    */
+  def vacuumRefs(root: String): Seq[String] = {
+    if (!Files.isDirectory(refsDir(root))) return Nil
+    val referenced = commits(root).iterator
+      .flatMap(c => c.added.iterator ++ c.removed.iterator)
+      .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet
+    listDir(refsDir(root))
+      .filter(p => p.getFileName.toString.startsWith("branch.") &&
+        Files.isDirectory(p) &&
+        !Files.isDirectory(p.resolve("_log")) &&
+        !Files.exists(p.resolve("FORK")))
+      .flatMap { husk =>
+        val all = {
+          val s = Files.walk(husk)
+          try s.collect(Collectors.toList[Path]).asScala.toSeq finally s.close()
+        }
+        val gone = all
+          .filter(Files.isRegularFile(_))
+          .filterNot(f => referenced.contains(
+            f.toAbsolutePath.normalize.toString))
+          .filter(f => Files.deleteIfExists(f))
+          .map(_.toString)
+        // prune now-empty dirs deepest-first (the husk itself last)
+        all.filter(Files.isDirectory(_))
+          .sortBy(-_.getNameCount)
+          .foreach { d =>
+            if (listDir(d).isEmpty) { Files.deleteIfExists(d); () }
+          }
+        gone
+      }
   }
 
   /** [[vacuum]] with Delta's `RETAIN n HOURS` contract: the horizon

@@ -72,7 +72,30 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
     */
   private[sources] def keep(m: TxnLog.FileMeta,
                             dataFilters: Seq[Expression]): Boolean =
-    dataFilters.forall(mayMatch(m, _))
+    dataFilters.forall(f => mayMatch(m, flattenPaths(f)))
+
+  /** Fold `GetStructField` hops over an attribute into ONE flat
+    * attribute whose name is the DOTTED leaf path (`s.x`) and whose
+    * type is the leaf's — the stats pass keys struct-leaf stats under
+    * exactly that path ([[GraftTable.statPaths]]), so a predicate on a
+    * nested field prunes through the same typed machinery as a
+    * top-level one. Paths deeper than the collected stats simply find
+    * no stat (sound keep); names containing a literal dot cannot
+    * collide because statPaths skips them.
+    */
+  private def flattenPaths(e: Expression): Expression = e.transformUp {
+    case g: GetStructField =>
+      pathOf(g).map { case (n, dt) =>
+        AttributeReference(n, dt, nullable = g.nullable)()
+      }.getOrElse(g)
+  }
+
+  private def pathOf(e: Expression): Option[(String, DataType)] = e match {
+    case a: AttributeReference => Some((a.name, a.dataType))
+    case g: GetStructField =>
+      pathOf(g.child).map { case (p, _) => (s"$p.${g.extractFieldName}", g.dataType) }
+    case _ => None
+  }
 
   /** The kind tag a stat must carry to compare against an attribute
     * of this type — [[TxnLog.FileStat.typ]]'s vocabulary. The
@@ -177,6 +200,7 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
       vs.exists { case Literal(v, _) => pointOk(m, a, v) }
     case InSet(a: AttributeReference, vs) =>
       vs.exists(v => pointOk(m, a, v))
+    case GraftInProbe(a, values) => inProbeOk(m, a, values)
     case IsNull(a: AttributeReference)    => nullOk(m, a)
     case IsNotNull(a: AttributeReference) => notNullOk(m, a)
     case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
@@ -229,6 +253,59 @@ class TxnLogFileIndex(spark: SparkSession, root: String,
       case other         => other
     }
     rangeOk && bucketOk(m, a, v) && TxnLog.bloomAdmits(spark, m, a.name, probe)
+  }
+
+  /** Per-file bloom probes for one [[GraftInProbe]] window are capped
+    * here: positions are cached per VALUE across files
+    * ([[TxnLog.bloomAdmits]]'s probe cache), so the bound is on hash
+    * tests per file, not on hashing work. Past the cap the range
+    * window alone decides (sound: a superset).
+    */
+  private val InProbeBloomCap = 1024
+
+  /** A big sorted IN-set against one file: binary-search the file's
+    * typed [lo, hi] into the set — O(log |keys|), never a scan of the
+    * whole list — then, when the surviving window is small and the
+    * file carries a bloom on the column, point-probe each survivor.
+    * A file whose range contains NO key prunes outright (this is what
+    * the r16 [min, max] envelope could not do for SPARSE key sets);
+    * bloom precision survives at any set size. Files without a
+    * usable range stat keep the whole window (sound).
+    */
+  private def inProbeOk(m: TxnLog.FileMeta, a: AttributeReference,
+                        values: Seq[Any]): Boolean = {
+    if (values.isEmpty) return false
+    val indexed = values.toIndexedSeq
+    // cmp depends only on (stat presence, kind): probe once to learn
+    // whether this file can range-discriminate at all
+    val window: IndexedSeq[Any] =
+      if (cmp(m, a, indexed.head).isEmpty) indexed
+      else {
+        // first index with stat.lo <= v (values ascend, so the
+        // predicate is monotone true-ward)
+        var l = 0; var r = indexed.length
+        while (l < r) {
+          val mid = (l + r) >>> 1
+          if (cmp(m, a, indexed(mid)).exists(_._1 <= 0)) r = mid else l = mid + 1
+        }
+        val loI = l
+        // first index PAST the last v with stat.hi >= v
+        l = loI; r = indexed.length
+        while (l < r) {
+          val mid = (l + r) >>> 1
+          if (cmp(m, a, indexed(mid)).exists(_._2 >= 0)) l = mid + 1 else r = mid
+        }
+        indexed.slice(loI, l)
+      }
+    if (window.isEmpty) false
+    else if (window.size <= InProbeBloomCap)
+      window.exists { v =>
+        bucketOk(m, a, v) && TxnLog.bloomAdmits(spark, m, a.name, v match {
+          case u: UTF8String => u.toString
+          case other         => other
+        })
+      }
+    else true
   }
 
   /** Bucket-transform pruning: a file written under `PARTITIONED BY

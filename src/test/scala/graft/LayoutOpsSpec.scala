@@ -98,6 +98,53 @@ class LayoutOpsSpec extends SparkTestBase {
       f"z-order should prune: scans $zFrac%.2f vs id-ordered $idFrac%.2f")
   }
 
+  test("string clustering keys: the 7-byte prefix embedding is order-preserving and both dims bound tightly") {
+    // order preservation on adversarial shapes: shorter-prefix vs
+    // longer ("az" < "b"), shared prefixes, empties, multi-byte UTF-8
+    val strs = Seq("", "a", "az", "b", "ba", "tenant-001", "tenant-002",
+      "tenant-0021", "z", "ü", "é")
+    val emb = strs.toDF("s")
+      .select(col("s"), graft.operators.LayoutOps.stringPrefixLong(col("s")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def binLt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+    }
+    for (a <- strs; b <- strs if binLt(a, b) &&
+           !a.getBytes("UTF-8").take(7).sameElements(b.getBytes("UTF-8").take(7)))
+      assert(emb(a) < emb(b), s"'$a' must embed below '$b'")
+
+    // a (tenant STRING, ts LONG) z-order bounds BOTH dims per file
+    val src = (0 until 4000).map { i =>
+      (f"tenant-${i % 40}%03d", (i * 37 % 1000).toLong, i.toLong)
+    }.toDF("tenant", "ts", "rid")
+    val clustered = graft.operators.LayoutOps.zorderClusteredN(
+      src, Seq("tenant", "ts"), nFiles = 8)
+    assert(clustered.count() === 4000L)
+    // per-partition (file) bounding boxes: most files must span far
+    // less than the full tenant range AND less than the full ts range
+    val boxes = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("tenant").as("t_lo"), max("tenant").as("t_hi"),
+        min("ts").as("ts_lo"), max("ts").as("ts_hi"))
+      .collect()
+    assert(boxes.length >= 4)
+    val tightTenant = boxes.count(r =>
+      r.getString(1).take(9) != "tenant-00" ||
+        r.getString(2).take(9) == r.getString(1).take(9) ||
+        (r.getString(2).stripPrefix("tenant-").toInt -
+          r.getString(1).stripPrefix("tenant-").toInt) <= 20)
+    assert(tightTenant >= boxes.length / 2,
+      s"string dim must bound tighter than the full range: " +
+        boxes.map(r => (r.getString(1), r.getString(2))).mkString(", "))
+    val tightTs = boxes.count(r => r.getLong(4) - r.getLong(3) <= 700)
+    assert(tightTs >= 1, "ts dim must also gain some bounding")
+  }
+
   test("zorderFileStats files carry rowsPerFile rows and cover all rows") {
     val src = Tables.orders(spark, sfDir).select(
       pmod(col("o_custkey"), lit(65536)).as("x"),

@@ -233,6 +233,110 @@ class BranchRefsSpec extends SparkTestBase {
     assert(TxnLog.tagVersion(r, "head").contains(TxnLog.currentVersion(r)))
   }
 
+  test("branch byte hygiene: vacuum_refs reclaims dropped-unpublished bytes; live branch heads pin through main vacuum") {
+    warehouse
+    spark.sql("CREATE TABLE gbr.db.hy (k BIGINT)")
+    spark.sql("INSERT INTO gbr.db.hy SELECT id FROM range(0, 20)")
+    val r = root("hy")
+
+    // (a) a dropped branch with UNPUBLISHED writes leaks bytes under
+    // its husk — vacuum_refs reclaims them and removes the husk
+    spark.sql("CALL gbr.system.create_branch(table => 'db.hy', branch => 'dead')")
+    spark.sql("INSERT INTO gbr.db.hy.branch_dead SELECT id FROM range(100, 200)")
+    spark.sql("CALL gbr.system.drop_ref(table => 'db.hy', name => 'dead')")
+    val husk = Paths.get(TxnLog.branchRoot(r, "dead"))
+    assert(Files.isDirectory(husk), "dropRef leaves the husk by design")
+    val reclaimed = spark.sql(
+      "CALL gbr.system.vacuum_refs(table => 'db.hy')").head.getLong(0)
+    assert(reclaimed > 0L, "abandoned branch bytes must reclaim")
+    assert(!Files.exists(husk), "a fully-orphaned husk disappears")
+
+    // (b) PUBLISHED bytes under a dropped branch stay (main's log
+    // addresses them): vacuum_refs must not touch them, time travel
+    // keeps reading them, and main's own vacuum reclaims them later
+    spark.sql("CALL gbr.system.create_branch(table => 'db.hy', branch => 'pub')")
+    spark.sql("INSERT INTO gbr.db.hy.branch_pub VALUES (999)")
+    spark.sql("CALL gbr.system.publish_branch(table => 'db.hy', branch => 'pub')")
+    val publishedV = TxnLog.currentVersion(r)
+    spark.sql("INSERT OVERWRITE gbr.db.hy SELECT id FROM range(0, 5)")
+    spark.sql("CALL gbr.system.drop_ref(table => 'db.hy', name => 'pub')")
+    spark.sql("CALL gbr.system.vacuum_refs(table => 'db.hy')")
+    assert(spark.sql(
+        s"SELECT count(*) FROM gbr.db.hy VERSION AS OF $publishedV WHERE k = 999")
+      .head.getLong(0) === 1L,
+      "vacuum_refs must never touch bytes main's log references")
+    // ...main's normal vacuum owns them: aggressive horizon reclaims
+    TxnLog.vacuum(r, TxnLog.currentVersion(r))
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM gbr.db.hy VERSION AS OF $publishedV")
+        .head.getLong(0)
+    }
+
+    // (c) LIVE branch heads pin: a branch file published then
+    // rewritten away on main survives an aggressive main vacuum as
+    // long as the branch lives — and reclaims once dropped
+    spark.sql("CREATE TABLE gbr.db.hy2 (k BIGINT)")
+    val r2 = root("hy2")
+    spark.sql("INSERT INTO gbr.db.hy2 SELECT id FROM range(0, 10)")
+    spark.sql("CALL gbr.system.create_branch(table => 'db.hy2', branch => 'live')")
+    spark.sql("INSERT INTO gbr.db.hy2.branch_live VALUES (777)")
+    spark.sql("CALL gbr.system.publish_branch(table => 'db.hy2', branch => 'live')")
+    spark.sql("INSERT OVERWRITE gbr.db.hy2 SELECT id FROM range(0, 3)")
+    TxnLog.vacuum(r2, TxnLog.currentVersion(r2))
+    assert(spark.sql("SELECT count(*) FROM gbr.db.hy2.branch_live WHERE k = 777")
+      .head.getLong(0) === 1L,
+      "a live branch must keep reading its published-then-rewritten file")
+    spark.sql("CALL gbr.system.drop_ref(table => 'db.hy2', name => 'live')")
+    val swept = TxnLog.vacuum(r2, TxnLog.currentVersion(r2))
+    assert(swept.nonEmpty, "dropping the branch releases the pin")
+  }
+
+  test("streaming write-audit-publish: epochs land on the branch invisibly, constraints gate them, publish lands exactly the audited rows") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    spark.sql("CREATE TABLE gbr.db.swap (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.constraint.pos' = 'v >= 0')")
+    spark.sql("INSERT INTO gbr.db.swap SELECT id, id FROM range(0, 10)")
+    val r = root("swap")
+    val mainV = TxnLog.currentVersion(r)
+    spark.sql("CALL gbr.system.create_branch(table => 'db.swap', branch => 'audit')")
+    val broot = TxnLog.branchRoot(r, "audit")
+
+    // streamed epochs land ON THE BRANCH through the exactly-once sink
+    val ckpt = Files.createTempDirectory("graft-swap-ckpt").toString
+    val in = MemoryStream[(Long, Long)](spark)
+    val q = in.toDF().selectExpr("_1 AS k", "_2 AS v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("gbr.db.swap.branch_audit")
+    try {
+      in.addData((100L, 100L)); q.processAllAvailable()
+      in.addData((101L, 101L)); q.processAllAvailable()
+      // invisible to main; visible on the branch
+      assert(TxnLog.currentVersion(r) === mainV)
+      assert(spark.sql("SELECT count(*) FROM gbr.db.swap.branch_audit " +
+        "WHERE k >= 100").head.getLong(0) === 2L)
+      // the table's CHECK constraint gates branch epochs too (the
+      // fork carried it): a violating epoch publishes nothing
+      val bv = TxnLog.currentVersion(broot)
+      in.addData((102L, -1L))
+      intercept[Exception] { q.processAllAvailable() }
+      assert(TxnLog.currentVersion(broot) === bv,
+        "a violating audit epoch must publish nothing")
+    } finally q.stop()
+
+    // PUBLISH: exactly the audited rows fast-forward to main
+    spark.sql("CALL gbr.system.publish_branch(table => 'db.swap', branch => 'audit')")
+    assert(spark.sql("SELECT count(*) FROM gbr.db.swap WHERE k >= 100")
+      .head.getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM gbr.db.swap").head.getLong(0) === 12L)
+    // the streamed epochs' txnIds are unique in the branch ledger
+    // (exactly-once held through the branch write path)
+    val streamTxns = TxnLog.commits(broot)
+      .map(_.txnId).filter(_.startsWith("stream-"))
+    assert(streamTxns.nonEmpty && streamTxns.distinct.size === streamTxns.size)
+  }
+
   test("publish replays exactly once; fork is metadata-only (no data bytes copied)") {
     warehouse
     spark.sql("CREATE TABLE gbr.db.ro (k BIGINT)")

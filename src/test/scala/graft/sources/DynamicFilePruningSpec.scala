@@ -139,6 +139,31 @@ class DynamicFilePruningSpec extends SparkTestBase {
     assert(row.getLong(0) === (120L + 121L + 122L) * 3L)
   }
 
+  test("sparse 100-key runtime IN prunes past the min/max envelope (sorted-window probe)") {
+    warehouse
+    mkFact("fact4")
+    // 100 hot keys (> the 64-literal exact-IN bound): 3 inside the
+    // fact's [100,150) file, 97 far above every file. The r16
+    // envelope [120, ~100672] admits the [200,250) and [300,350)
+    // files too; the r17 sorted-window probe binary-searches each
+    // file's range into the key set and finds those windows EMPTY
+    spark.sql("CREATE TABLE gdfp.db.dim4 (k BIGINT, flag STRING)")
+    spark.sql("INSERT INTO gdfp.db.dim4 SELECT 120 + id, 'hot' FROM range(0, 3)")
+    spark.sql("INSERT INTO gdfp.db.dim4 SELECT 100000 + id * 7, 'hot' FROM range(0, 97)")
+    assert(corruptOutside("fact4", Seq(120L, 121L, 122L)) === 3,
+      "all three no-key files must be corruptible")
+    val q =
+      """SELECT /*+ BROADCAST(d) */ sum(f.v) AS s, count(*) AS n
+        |FROM gdfp.db.fact4 f JOIN gdfp.db.dim4 d ON f.k = d.k
+        |WHERE d.flag = 'hot'""".stripMargin
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"expected DFP in:\n$plan")
+    val row = spark.sql(q).head
+    assert(row.getLong(1) === 3L, "only the 3 in-file keys join")
+    assert(row.getLong(0) === (120L + 121L + 122L) * 7L,
+      "a correct answer proves the sparse IN pruned the envelope-admitted files")
+  }
+
   test("v2ToCatalyst translates the runtime shapes over physical names, rejects the rest") {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.connector.expressions.Expressions

@@ -965,6 +965,39 @@ class GraftCatalogSpec extends SparkTestBase {
         "cols => 'a,b')").collect())
   }
 
+  test("string clustering keys: CALL optimize_zorder over (tenant STRING, ts) — both dims prune, common prefix stripped") {
+    warehouse
+    // 40 tenants sharing the 'tenant-0' prefix x 1000 ts values: the
+    // r17 embedding strips the corpus-wide common prefix, so the
+    // 7-byte window lands on the digits that discriminate
+    spark.sql("CREATE TABLE gcat.db.zs AS SELECT id, " +
+      "concat('tenant-', lpad(CAST(id % 40 AS STRING), 3, '0')) AS tenant, " +
+      "(id * 37) % 1000 AS ts FROM range(0, 8000)")
+    spark.sql("CALL gcat.system.optimize_zorder(table => 'db.zs', " +
+      "cols => 'tenant,ts', n_files => 16)")
+    val state = TxnLog.snapshotState(root("zs"))
+    assert(state.size === 16)
+    // the string dim must BOUND: at least a quarter of the files have
+    // their whole tenant range above the half-domain probe (a layout
+    // that collapsed the prefix would leave every file spanning
+    // tenant-000..tenant-039)
+    def loTenant(m: TxnLog.FileMeta) =
+      new String(TxnLog.b64dec(m.stats("tenant").loS),
+        java.nio.charset.StandardCharsets.UTF_8)
+    assert(state.count(s => loTenant(s._2) >= "tenant-020") >= 4,
+      "string dim must bound: " + state.map(s => loTenant(s._2)).sorted.mkString(","))
+    // ...and ts must bound too (that's the z-order point)
+    assert(state.count(_._2.stats("ts").lo >= 500L) >= 4,
+      "ts dim must bound under a string co-dimension")
+    // adversarial: corrupt every all-high-tenant file; a tenant-range
+    // probe must still answer — string pruning through typed stats
+    val victims = state.filter(s => loTenant(s._2) >= "tenant-020")
+    victims.foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](7)) }
+    assert(spark.sql("SELECT count(*) FROM gcat.db.zs " +
+      "WHERE tenant < 'tenant-020'").head.getLong(0) === 4000L,
+      "a string predicate must skip the corrupted high-tenant files")
+  }
+
   test("timestamp-horizon VACUUM: RETAIN n HOURS resolves through monotonized " +
        "commit timestamps; retained versions untouched, pre-horizon travel fails loudly") {
     warehouse

@@ -319,6 +319,8 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/dflt") != 4L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/brt") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/nest") != 4L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/rcs") != 4L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/cln") != 2L ||
           !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
@@ -507,6 +509,20 @@ object SparkEntry {
         s.sql(s"INSERT INTO $cat.db.nest SELECT o_orderkey + 40000000, " +
           "named_struct('cents', price_cents, 'status', o_orderstatus, " +
           s"'tier', 'gold') FROM cat_src_$tag WHERE o_orderkey % 8 = 2")
+        // RESTORE (r17): damage the CTAS state (a DV delete + an
+        // append), then ONE restore commit snaps files, DVs and
+        // schema back to v1 — history keeps all four versions
+        s.sql(s"CREATE TABLE $cat.db.rcs AS SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 17 = 4")             // v1
+        s.sql(s"DELETE FROM $cat.db.rcs WHERE o_orderkey % 2 = 0")    // v2
+        s.sql(s"INSERT INTO $cat.db.rcs SELECT o_orderkey + 50000000, " +
+          s"price_cents FROM cat_src_$tag WHERE o_orderkey % 17 = 9") // v3
+        s.sql(s"CALL $cat.system.restore(table => 'db.rcs', version => 1)") // v4
+        // SHALLOW CLONE (r17): db.cln shares db.rcs's bytes (zero
+        // copied; the fork version pinned on rcs against vacuum),
+        // then diverges with its own DV delete — rcs unchanged
+        s.sql(s"CALL $cat.system.clone(source => 'db.rcs', target => 'db.cln')")
+        s.sql(s"DELETE FROM $cat.db.cln WHERE o_orderkey % 3 = 0")
         ()
       }
     }
@@ -1314,6 +1330,30 @@ object SparkEntry {
                   FROM $cat.db.nest
                   WHERE meta.cents >= 1000000
                   GROUP BY meta.status""")
+      }),
+      // RESTORE (r17): the table equals its pre-damage CTAS state —
+      // one commit undid a DV delete AND an append, shrinking a grown
+      // DV back and dropping the late files; the damaged snapshot
+      // still time-travels (RestoreCloneSpec pins that side)
+      "tx_cat_restore" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.rcs")
+      }),
+      // SHALLOW CLONE (r17): the clone diverged with its own DV
+      // delete while sharing every source byte (zero copied; the
+      // source row above proves rcs is untouched by the clone's DML)
+      "tx_cat_clone" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.cln")
+      }),
+      // `partitions` metadata table (r17): the live partition
+      // inventory folded from per-file point stats — metadata-only
+      // (file counts ride the real table; rows here are the
+      // DETERMINISTIC columns: value, physical rows, DV'd rows)
+      "tx_cat_partitions" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT partition AS part, rows AS n_rows, deleted_rows
+                  FROM $cat.db.part.partitions""")
       })
     )
   }
@@ -1838,7 +1878,33 @@ object SparkEntry {
          SELECT status, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(cents) AS BIGINT) AS cents,
                 CAST(count(tier) AS BIGINT) AS tiered
-         FROM base WHERE cents >= 1000000 GROUP BY status"""
+         FROM base WHERE cents >= 1000000 GROUP BY status""",
+
+    // restore undid BOTH the %2=0 delete and the +50000000 append:
+    // the table is exactly its CTAS slice again
+    "tx_cat_restore" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 17 = 4""",
+
+    // the clone = the restored source minus its own %3=0 delete
+    "tx_cat_clone" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey % 17 = 4 AND o_orderkey % 3 <> 0""",
+
+    // db.part = the %4=1 orders slice partitioned by o_orderstatus,
+    // no deletes: the inventory is one row per status with physical
+    // row counts and zero DV'd rows
+    "tx_cat_partitions" ->
+      """SELECT concat('o_orderstatus=', o_orderstatus) AS part,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(0 AS BIGINT) AS deleted_rows
+         FROM orders
+         WHERE o_orderkey % 4 = 1
+         GROUP BY o_orderstatus"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -516,6 +516,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val root = tableRoot(ident)
     if (!isTable(root)) return false
+    // a shallow clone releases its source-side vacuum pin on drop
+    // (best-effort: the source may itself be gone already)
+    TxnLog.cloneSourcePin(root).foreach { case (src, pin) =>
+      try TxnLog.dropRef(src, pin)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     TxnLog.deleteRecursively(java.nio.file.Paths.get(root))
     true
   }
@@ -627,6 +633,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val parts = table.split("[.]")
       val r = tableRoot(Identifier.of(parts.init, parts.last))
       require(isTable(r), s"graft: no table $table in this warehouse")
+      r
+    }, { table =>
+      // a NOT-YET-EXISTING table (clone's target): same identifier
+      // hygiene, existence refused instead of required
+      val parts = table.split("[.]")
+      val r = tableRoot(Identifier.of(parts.init, parts.last))
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(r)),
+        s"graft: table $table already exists")
       r
     })
   }
@@ -953,10 +967,23 @@ private[sources] object GraftMetaTable {
     * a `files` query over a million-file table reads the log fold,
     * never the files.
     */
-  val Kinds: Set[String] = Set("history", "files", "refs")
+  val Kinds: Set[String] = Set("history", "files", "refs", "partitions")
 
   import org.apache.spark.sql.types._
   def schemaOf(kind: String): StructType = kind match {
+    // `partitions` = the live partition inventory (Iceberg's
+    // `t.partitions`): one row per declared-partition tuple, folded
+    // from the per-file point stats the writer already records —
+    // identity values render as themselves (strings) or their stat
+    // ordinal (ints/dates: the long key; timestamps: micros), bucket
+    // transforms as `bucket(n;c)=<id>`; a file whose stat spans
+    // values lands under `<multi>` (pre-partitioning generations)
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("deleted_rows", LongType, nullable = false)))
     // `refs` = the named-ref inventory: tags pin a main version,
     // branches carry their fork point AND their own head
     case "refs" => StructType(Seq(
@@ -984,6 +1011,36 @@ private[sources] object GraftMetaTable {
   }
 
   def rowsOf(root: String, kind: String): Seq[Array[Any]] = kind match {
+    case "partitions" =>
+      val pfields = TxnLog.partitionFields(root)
+      val dvBits = (m: TxnLog.FileMeta) => m.dv.map(dv =>
+        TxnLog.dvHex(dv).foldLeft(0L)((n, ch) =>
+          n + java.lang.Integer.bitCount(Character.digit(ch, 16)))).getOrElse(0L)
+      def partOf(m: TxnLog.FileMeta): String = pfields.map {
+        case TxnLog.IdentityField(c) => m.stats.get(c) match {
+          // string bounds ride the log base64-encoded (X-A44);
+          // render the partition VALUE
+          case Some(st) if st.typ == "s" && st.loS == st.hiS =>
+            s"$c=${new String(java.util.Base64.getDecoder.decode(st.loS),
+              java.nio.charset.StandardCharsets.UTF_8)}"
+          case Some(st) if st.typ != "s" && st.lo == st.hi   => s"$c=${st.lo}"
+          case _ => s"$c=<multi>"
+        }
+        case TxnLog.BucketField(n, c) =>
+          m.stats.get(TxnLog.bucketStatKey(n, c)) match {
+            case Some(st) if st.lo == st.hi => s"bucket($n;$c)=${st.lo}"
+            case _ => s"bucket($n;$c)=<multi>"
+          }
+      }.mkString("/")
+      TxnLog.snapshotState(root).groupBy { case (_, m) => partOf(m) }
+        .toSeq.sortBy(_._1).map { case (part, fs) =>
+          val rows = fs.map(_._2.stats.values.map(_.rows).find(_ >= 0L).getOrElse(-1L))
+          val sizes = fs.map(_._2.size)
+          Array[Any](part, fs.size.toLong,
+            if (rows.forall(_ >= 0L)) rows.sum else -1L,
+            if (sizes.forall(_ >= 0L)) sizes.sum else -1L,
+            fs.map { case (_, m) => dvBits(m) }.sum)
+        }
     case "refs" =>
       TxnLog.listRefs(root).map { case (name, k, pinned, head) =>
         Array[Any](name, k, pinned, head) }

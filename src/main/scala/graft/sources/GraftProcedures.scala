@@ -39,7 +39,7 @@ private[sources] object GraftProcedures {
     Seq("checkpoint", "vacuum", "vacuum_staging", "vacuum_refs",
       "optimize_zorder", "compact_deletes", "compact_files", "analyze",
       "refresh_mv", "set_not_null", "create_branch", "create_tag",
-      "publish_branch", "drop_ref")
+      "publish_branch", "drop_ref", "restore", "clone")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -82,7 +82,15 @@ private[sources] object GraftProcedures {
     * identifier hygiene (no separators, no dot-dot) is enforced in
     * exactly one place.
     */
-  def load(procName: String, resolveRoot: String => String): UnboundProcedure = {
+  /** `resolveFreshRoot` maps an identifier to a NOT-YET-EXISTING
+    * table's directory (same hygiene, no existence requirement) —
+    * only `clone` needs it, for its target.
+    */
+  def load(procName: String, resolveRoot: String => String,
+           resolveFreshRoot: String => String = { t =>
+             throw new UnsupportedOperationException(
+               s"graft: procedure cannot create table $t here")
+           }): UnboundProcedure = {
     def bound(params: Seq[ProcedureParameter], outSchema: StructType)
              (run: (SparkSession, InternalRow) => Seq[Seq[Any]]): UnboundProcedure =
       new UnboundProcedure {
@@ -308,6 +316,31 @@ private[sources] object GraftProcedures {
           (_, in) =>
             Seq(Seq(java.lang.Boolean.valueOf(
               TxnLog.dropRef(root(in), in.getUTF8String(1).toString))))
+        }
+      case "restore" =>
+        // RESTORE TABLE t TO VERSION AS OF v: one strict commit resets
+        // the live set (files + DVs + schema + constraints) to v's;
+        // history keeps every intermediate version
+        bound(Seq(param("table", StringType), param("version", LongType)),
+          StructType(Seq(
+            StructField("restored_version", LongType, nullable = false),
+            StructField("new_head", LongType, nullable = false)))) {
+          (_, in) =>
+            val v = in.getLong(1)
+            Seq(Seq(v, TxnLog.restore(root(in), v,
+              txnId = s"restore-v$v-a$uuid12")))
+        }
+      case "clone" =>
+        // SHALLOW CLONE: target becomes an independent table sharing
+        // the source's bytes (zero copied); the fork version is
+        // pinned on the source against vacuum until the clone drops
+        bound(Seq(param("source", StringType), param("target", StringType)),
+          StructType(Seq(
+            StructField("cloned_version", LongType, nullable = false)))) {
+          (_, in) =>
+            Seq(Seq(TxnLog.cloneTable(root(in),
+              resolveFreshRoot(in.getUTF8String(1).toString),
+              txnId = s"clone-a$uuid12")))
         }
       case other =>
         throw new UnsupportedOperationException(s"graft: no procedure system.$other")

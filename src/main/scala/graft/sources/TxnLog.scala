@@ -2515,7 +2515,9 @@ object TxnLog {
               s"or row-deleted by txn ${c.txnId} at v${c.version}")
         }
       }
-      if (schemaId.nonEmpty && action != "schema-evolve") {
+      // restore legitimately re-declares a PRIOR version's schema
+      // (X-A31's gate is about accidental drift, not the time machine)
+      if (schemaId.nonEmpty && action != "schema-evolve" && action != "restore") {
         val current = (ckpt.map(_.schema).toSeq ++ tail.map(_.schemaId))
           .filter(_.nonEmpty).lastOption.getOrElse("")
         if (current.nonEmpty && current != schemaId)
@@ -3173,6 +3175,147 @@ object TxnLog {
         s"(first: ${missing.head}); re-tag a retained version")
     }
     v
+  }
+
+  /** RESTORE TABLE to `toVersion` (the Delta RESTORE verb): ONE
+    * metadata commit on the SAME log re-declares the target
+    * snapshot's live set — its files (already in this log's
+    * addressing: zero data bytes move), their stats and deletion
+    * vectors AS OF that version (a DV that grew since shrinks back,
+    * because a re-add resets the file's meta before the commit's own
+    * DV applies), its schema and CHECK constraints. History is never
+    * rewritten: the restore is a new head, every intermediate version
+    * still time-travels, and the change feed sees it as one
+    * rewrite-shaped commit.
+    *
+    * Honest refusals instead of silent half-restores, each a separate
+    * explicit step the caller can take first:
+    *  - a target file already vacuumed (the same per-file existence
+    *    proof [[createTag]] runs) — that snapshot is gone;
+    *  - column RENAMES or PARTITIONING that differ from the target
+    *    version (each rename is its own commit record; rename back
+    *    explicitly);
+    *  - CHECK constraints ADDED since the target version (one
+    *    drop-constraint commit each; drop them first — restore will
+    *    re-add the target's own set atomically).
+    *
+    * Table-level histograms carry from the target version where it
+    * had them; re-run ANALYZE after a restore for fresh CBO inputs.
+    * Blooms do not carry (sound: absent bloom never prunes), matching
+    * the branch-fork contract.
+    */
+  def restore(root: String, toVersion: Long, txnId: String): Long = {
+    val head = currentVersion(root)
+    require(toVersion >= 1L && toVersion <= head,
+      s"restore: version $toVersion out of range for $root (head $head)")
+    if (toVersion == head) return head // already there: no-op, no commit
+    val stThen = resolveState(root, toVersion)
+    val stNow = resolveState(root, head)
+    require(stNow.partitionBy == stThen.partitionBy,
+      s"restore: partitioning changed since v$toVersion " +
+        s"('${stThen.partitionBy}' -> '${stNow.partitionBy}'); unrestorable")
+    require(stNow.renames == stThen.renames,
+      s"restore: column renames moved since v$toVersion; rename back " +
+        s"explicitly, then restore (then: ${stThen.renames}, now: ${stNow.renames})")
+    val addedSince = stNow.constraints.keySet -- stThen.constraints.keySet
+    require(addedSince.isEmpty,
+      s"restore: CHECK constraint(s) ${addedSince.mkString(", ")} were added " +
+        s"after v$toVersion; drop them first (restore re-adds v$toVersion's own set)")
+    val files = stThen.files
+    val missing = files.iterator.map(_._1)
+      .filterNot(f => Files.exists(Paths.get(f))).toSeq
+    require(missing.isEmpty,
+      s"restore: ${missing.size} file(s) of v$toVersion already vacuumed " +
+        s"(first: ${missing.headOption.getOrElse("")}); that snapshot is gone")
+    val dvd = files.collect { case (f, m) if m.dv.isDefined => (f, dvHex(m.dv.get)) }
+    val thenSet = files.map(_._1).toSet
+    val gone = stNow.files.map(_._1).filterNot(thenSet.contains)
+    commit(root, "restore",
+      added = files.map(_._1), removed = gone,
+      readVersion = head, txnId = txnId,
+      multiStats = files.map(_._2.stats),
+      dvFiles = dvd.map(_._1), dvs = dvd.map(_._2),
+      schemaId = if (stThen.schemaJson.isEmpty) "" else schemaFingerprint(
+        org.apache.spark.sql.types.DataType.fromJson(
+          new String(b64dec(stThen.schemaJson),
+            java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]),
+      schemaJson = stThen.schemaJson,
+      cadds = stThen.constraints.toSeq,
+      hists = stThen.hists.toSeq,
+      requireHead = head).version
+  }
+
+  /** SHALLOW CLONE (the Delta CLONE verb): `dstRoot` becomes an
+    * INDEPENDENT table whose first commit re-declares `srcRoot`'s
+    * live snapshot by absolute path — zero data bytes copied. Writes
+    * after the clone stage under the clone's own root, so the two
+    * tables evolve independently while sharing every unrewritten
+    * byte; vacuum on either side reclaims only bytes under its OWN
+    * root (the standing rule), and the clone additionally PINS its
+    * fork version on the source as a `clone_…` tag, so source-side
+    * vacuum can never reclaim shared bytes out from under it — the
+    * failure mode Delta documents for shallow clones, closed here by
+    * the same ref-pinning the branches use. DROP TABLE on the clone
+    * releases the pin (the catalog reads the `_log/CLONE` marker);
+    * a clone that outlives its source simply keeps its own bytes
+    * (shared ones die with the source directory — the marker names
+    * the dependency for operators to see). A crash between the pin
+    * and the first commit leaves an orphan tag (`drop_ref` cleans)
+    * and no table.
+    */
+  def cloneTable(srcRoot: String, dstRoot: String, txnId: String): Long = {
+    require(Files.isDirectory(Paths.get(srcRoot, "_log")),
+      s"clone: source $srcRoot is not a graft table")
+    require(!Files.exists(Paths.get(dstRoot)),
+      s"clone: target $dstRoot already exists")
+    val forkV = currentVersion(srcRoot)
+    require(forkV >= 1L, s"clone: cannot clone an uncreated table at $srcRoot")
+    // PIN FIRST: createTag's own post-write existence proof closes
+    // the clone-vs-vacuum race (it deletes the tag and errors if the
+    // snapshot lost the race)
+    val pinName = s"clone_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    createTag(srcRoot, pinName, forkV)
+    try {
+      val st = resolveState(srcRoot, forkV)
+      Files.createDirectories(Paths.get(dstRoot))
+      init(dstRoot)
+      Files.writeString(Paths.get(dstRoot, "_log", "CLONE"),
+        s"$srcRoot $pinName", java.nio.file.StandardOpenOption.CREATE_NEW)
+      val files = st.files
+      val dvd = files.collect { case (f, m) if m.dv.isDefined => (f, dvHex(m.dv.get)) }
+      commit(dstRoot, "clone", added = files.map(_._1), removed = Nil,
+        readVersion = 0L, txnId = txnId,
+        multiStats = files.map(_._2.stats),
+        dvFiles = dvd.map(_._1), dvs = dvd.map(_._2),
+        schemaId = if (st.schemaJson.isEmpty) "" else schemaFingerprint(
+          org.apache.spark.sql.types.DataType.fromJson(
+            new String(b64dec(st.schemaJson),
+              java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]),
+        schemaJson = st.schemaJson,
+        cadds = st.constraints.toSeq,
+        hists = st.hists.toSeq,
+        partitionBy = if (st.partitionBy.isEmpty) Nil
+                      else st.partitionBy.split(",").toSeq)
+      st.renames.foreach { case (logical, physical) =>
+        if (logical != physical)
+          commit(dstRoot, "clone-rename", Nil, Nil, readVersion = 0L,
+            txnId = s"$txnId-rn-$physical", rename = s"$physical $logical")
+      }
+      currentVersion(dstRoot)
+    } catch { case e: Throwable =>
+      dropRef(srcRoot, pinName)
+      throw e
+    }
+  }
+
+  /** The (sourceRoot, pinTag) this table recorded at clone time, if
+    * it is a shallow clone. */
+  def cloneSourcePin(root: String): Option[(String, String)] = {
+    val marker = Paths.get(root, "_log", "CLONE")
+    if (!Files.isRegularFile(marker)) return None
+    val s = Files.readString(marker).trim
+    val cut = s.lastIndexOf(' ')
+    if (cut < 0) None else Some((s.take(cut), s.drop(cut + 1)))
   }
 
   /** Fork a branch at the current main head: ONE metadata commit on

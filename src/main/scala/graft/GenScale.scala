@@ -51,9 +51,14 @@ object GenScale {
       }.reduce(_ unionAll _)
 
     def write(name: String, df: DataFrame, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite")
+      // Partition counts are sized for k=10; keep per-file row counts
+      // constant as k grows (the receipt should scale data, not files'
+      // individual size — a 100x run with 10x-sized files would
+      // conflate the two).
+      val scaled = parts * math.max(1, k / 10)
+      df.repartition(scaled).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
-      println(s"[genscale] $name x$k -> $out/$name.parquet")
+      println(s"[genscale] $name x$k -> $out/$name.parquet ($scaled files)")
     }
 
     val cust = Tables.customer(spark, src)

@@ -321,6 +321,8 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/nest") != 4L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/rcs") != 4L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/cln") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/cpy") != 3L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/tday") != 2L ||
           !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
@@ -523,6 +525,48 @@ object SparkEntry {
         // then diverges with its own DV delete — rcs unchanged
         s.sql(s"CALL $cat.system.clone(source => 'db.rcs', target => 'db.cln')")
         s.sql(s"DELETE FROM $cat.db.cln WHERE o_orderkey % 3 = 0")
+        // COPY INTO (r17): a landing directory ingested in two waves
+        // with a full replay after each — the replay publishes NO
+        // commit (the guard pins head at v3), and a double-ingest
+        // would double the rows and fail the hash
+        val landing = java.nio.file.Paths.get(s"$wh/landing_cpy")
+        java.nio.file.Files.createDirectories(landing)
+        def landFile(name: String, m: Int): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_cpy_src")
+          s.sql(s"SELECT o_orderkey, price_cents FROM cat_src_$tag " +
+              s"WHERE o_orderkey % 3 = $m")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val it = java.nio.file.Files.list(tmp).iterator()
+          val part = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, landing.resolve(s"$name.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        s.sql(s"CREATE TABLE $cat.db.cpy " +
+          "(o_orderkey BIGINT, price_cents BIGINT)")                  // v1
+        landFile("w0", 0); landFile("w1", 1)
+        s.sql(s"CALL $cat.system.copy_into(table => 'db.cpy', " +
+          s"source => '$landing')")                                   // v2
+        s.sql(s"CALL $cat.system.copy_into(table => 'db.cpy', " +
+          s"source => '$landing')")                                   // replay: no-op
+        landFile("w2", 2)
+        s.sql(s"CALL $cat.system.copy_into(table => 'db.cpy', " +
+          s"source => '$landing')")                                   // v3: the delta
+        s.sql(s"CALL $cat.system.copy_into(table => 'db.cpy', " +
+          s"source => '$landing')")                                   // replay: no-op
+        // TEMPORAL partition transform (r17): days(ts) range-clusters
+        // inserts by UTC epoch day, so each staged file spans few
+        // days and ts predicates prune through the existing typed
+        // micros stats (the transform needs NO new pruning domain)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate").as("ts"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .where(col("o_orderkey") % 9 === 7)
+          .createOrReplaceTempView(s"cat_ts_$tag")
+        s.sql(s"CREATE TABLE $cat.db.tday " +
+          "(o_orderkey BIGINT, ts TIMESTAMP, price_cents BIGINT) " +
+          "PARTITIONED BY (days(ts))")                                // v1
+        s.sql(s"INSERT INTO $cat.db.tday SELECT * FROM cat_ts_$tag")  // v2
         ()
       }
     }
@@ -1354,6 +1398,25 @@ object SparkEntry {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"""SELECT partition AS part, rows AS n_rows, deleted_rows
                   FROM $cat.db.part.partitions""")
+      }),
+      // COPY INTO (r17): the landing dir's three waves ingested
+      // exactly once each (two full replays published nothing — the
+      // fixture guard pins head at v3); content = ALL orders
+      "tx_cat_copy_into" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents FROM $cat.db.cpy")
+      }),
+      // days(ts) temporal partitioning (r17): a monthly rollup with a
+      // ts range predicate — the predicate prunes day-clustered files
+      // through their micros stats (TemporalPartitionSpec proves the
+      // pruning with corrupted out-of-range files)
+      "tx_cat_days" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT date_trunc('month', ts) AS mon,
+                         count(*) AS n, sum(price_cents) AS cents
+                  FROM $cat.db.tday
+                  WHERE ts >= TIMESTAMP '1995-01-01 00:00:00'
+                  GROUP BY date_trunc('month', ts)""")
       })
     )
   }
@@ -1904,7 +1967,24 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS deleted_rows
          FROM orders
          WHERE o_orderkey % 4 = 1
-         GROUP BY o_orderstatus"""
+         GROUP BY o_orderstatus""",
+
+    // the three %3 waves union to ALL orders — exactly once each:
+    // a replayed (or doubled) ingest would double the rows
+    "tx_cat_copy_into" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders""",
+
+    "tx_cat_days" ->
+      """SELECT date_trunc('month', o_orderdate) AS mon,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders
+         WHERE o_orderkey % 9 = 7
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         GROUP BY date_trunc('month', o_orderdate)"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class

@@ -700,10 +700,20 @@ private[sources] object GraftTable {
           s"graft: bucket transform without a literal bucket count: $t"))
         require(n > 0, s"graft: bucket count must be positive, got $n")
         TxnLog.bucketStatKey(n, c)
+      case t if Seq("years", "months", "days", "hours").contains(t.name) &&
+          t.references.length == 1 && t.references()(0).fieldNames.length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"graft: PARTITIONED BY ${t.name} column $c is not in the schema")
+        require(TxnLog.temporalableType(t.name, schema(c).dataType),
+          s"graft: ${t.name} transform needs a timestamp" +
+            (if (t.name == "hours") "" else "/date") +
+            s" column, got $c: ${schema(c).dataType.simpleString}")
+        TxnLog.temporalToken(t.name, c)
       case t => throw new UnsupportedOperationException(
-        s"graft: only identity and bucket partition transforms are " +
-          s"supported, got $t (per-file typed stats subsume hive-style " +
-          "partitioning)")
+        s"graft: only identity, bucket and years/months/days/hours " +
+          s"partition transforms are supported, got $t (per-file typed " +
+          "stats subsume hive-style partitioning)")
     }
 
   def constraintProps(properties: util.Map[String, String]): Seq[(String, String)] =
@@ -886,6 +896,15 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
       case TxnLog.BucketField(n, c) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(
           n, p2l.getOrElse(c, c))
+      case TxnLog.TemporalField(u, c) =>
+        import org.apache.spark.sql.connector.expressions.Expressions._
+        val l = p2l.getOrElse(c, c)
+        u match {
+          case "years"  => years(l)
+          case "months" => months(l)
+          case "days"   => days(l)
+          case _        => hours(l)
+        }
     }.toArray
   }
 
@@ -1030,6 +1049,37 @@ private[sources] object GraftMetaTable {
           m.stats.get(TxnLog.bucketStatKey(n, c)) match {
             case Some(st) if st.lo == st.hi => s"bucket($n;$c)=${st.lo}"
             case _ => s"bucket($n;$c)=<multi>"
+          }
+        // temporal transforms fold the SOURCE column's typed stat to
+        // the period index: a file whose [lo, hi] lands in one period
+        // renders it (ISO calendar spelling); one that spans periods
+        // is <multi> — honest, exactly like identity
+        case TxnLog.TemporalField(u, c) =>
+          def period(raw: Long, typ: String): Long = {
+            val days = if (typ == "d") raw else Math.floorDiv(raw, 86400000000L)
+            u match {
+              case "hours"  => Math.floorDiv(raw, 3600000000L)
+              case "days"   => days
+              case "months" =>
+                val d = java.time.LocalDate.ofEpochDay(days)
+                (d.getYear - 1970L) * 12L + d.getMonthValue - 1L
+              case _        => java.time.LocalDate.ofEpochDay(days).getYear - 1970L
+            }
+          }
+          def render(p: Long): String = u match {
+            case "hours" =>
+              val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(p, 24L))
+              f"$d-${Math.floorMod(p, 24L)}%02d"
+            case "days"   => java.time.LocalDate.ofEpochDay(p).toString
+            case "months" =>
+              f"${1970 + Math.floorDiv(p, 12L)}%04d-${Math.floorMod(p, 12L) + 1}%02d"
+            case _        => f"${1970 + p}%04d"
+          }
+          m.stats.get(c) match {
+            case Some(st) if (st.typ == "t" || st.typ == "d") &&
+                period(st.lo, st.typ) == period(st.hi, st.typ) =>
+              s"$u($c)=${render(period(st.lo, st.typ))}"
+            case _ => s"$u($c)=<multi>"
           }
       }.mkString("/")
       TxnLog.snapshotState(root).groupBy { case (_, m) => partOf(m) }

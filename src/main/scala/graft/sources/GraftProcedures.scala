@@ -39,7 +39,7 @@ private[sources] object GraftProcedures {
     Seq("checkpoint", "vacuum", "vacuum_staging", "vacuum_refs",
       "optimize_zorder", "compact_deletes", "compact_files", "analyze",
       "refresh_mv", "set_not_null", "create_branch", "create_tag",
-      "publish_branch", "drop_ref", "restore", "clone")
+      "publish_branch", "drop_ref", "restore", "clone", "copy_into")
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -146,6 +146,25 @@ private[sources] object GraftProcedures {
         bound(Seq(param("table", StringType)),
           StructType(Seq(StructField("reclaimed", LongType, nullable = false)))) {
           (_, in) => Seq(Seq(TxnLog.vacuumRefs(root(in)).size.toLong))
+        }
+      // idempotent bulk file ingest: files already in the table's
+      // ingest ledger are skipped, the rest land as ONE commit
+      case "copy_into" =>
+        bound(Seq(param("table", StringType),
+            param("source", StringType),
+            paramWithDefault("format", StringType, "'parquet'"),
+            paramWithDefault("pattern", StringType, "'*'")),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("loaded_files", LongType, nullable = false),
+            StructField("skipped_files", LongType, nullable = false),
+            StructField("rows", LongType, nullable = false)))) {
+          (s, in) =>
+            val r = TxnLog.copyInto(s, root(in),
+              in.getUTF8String(1).toString,
+              in.getUTF8String(2).toString,
+              in.getUTF8String(3).toString)
+            Seq(Seq(r.version, r.loadedFiles, r.skippedFiles, r.rows))
         }
       case "optimize_zorder" =>
         // either the legacy 2-dim spelling (x_col/y_col) or the

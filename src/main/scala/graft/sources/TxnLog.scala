@@ -182,7 +182,8 @@ object TxnLog {
                     partitionBy: String = "",
                     restatFiles: Seq[String] = Nil,
                     restats: Seq[String] = Nil,
-                    hists: Seq[String] = Nil)
+                    hists: Seq[String] = Nil,
+                    ingests: Seq[String] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -354,9 +355,11 @@ object TxnLog {
       else s""","restatFiles":${arr(c.restatFiles)},"restats":${arr(c.restats)}"""
     val histsPart = // base64("col payload") per TABLE-level histogram
       if (c.hists.isEmpty) "" else s""","hists":${arr(c.hists)}"""
+    val ingestsPart = // "md5(path):size" per COPY INTO source file
+      if (c.ingests.isEmpty) "" else s""","ingests":${arr(c.ingests)}"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -389,7 +392,7 @@ object TxnLog {
       arr("sizes", required = false).map(_.toLong),
       arr("cadds", required = false), strOpt("partitionBy"),
       arr("restatFiles", required = false), arr("restats", required = false),
-      arr("hists", required = false))
+      arr("hists", required = false), arr("ingests", required = false))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -472,7 +475,8 @@ object TxnLog {
                                schemaJson: String = "",
                                renames: Map[String, String] = Map.empty,
                                partitionBy: String = "",
-                               hists: Map[String, String] = Map.empty)
+                               hists: Map[String, String] = Map.empty,
+                               ingests: Set[String] = Set.empty)
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -511,6 +515,7 @@ object TxnLog {
       val constraints = Map.newBuilder[String, String]
       val renames = Map.newBuilder[String, String]
       val hists = Map.newBuilder[String, String]
+      val ingests = Set.newBuilder[String]
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
         def addStat(f: String, c: String, st: FileStat): Unit = {
@@ -548,6 +553,7 @@ object TxnLog {
           case Seq("R", l2, p)       => renames += (l2 -> p)
           case Seq("P", cols)        => partitionBy = cols
           case Seq("H", c, payload)  => hists += (c -> payload)
+          case Seq("I", id)          => ingests += id
           case Seq("Z", f, sz)       =>
             files(f) = files.getOrElse(f, FileMeta()).copy(size = sz.toLong)
           case Seq("Z", f, sz, mt)   =>
@@ -558,7 +564,7 @@ object TxnLog {
       }
       CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
         constraints.result(), schemaJson, renames.result(), partitionBy,
-        hists.result())
+        hists.result(), ingests.result())
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -615,6 +621,8 @@ object TxnLog {
     var partitionBy = seed.partitionBy
     val hists = scala.collection.mutable.Map.empty[String, String]
     hists ++= seed.hists
+    val ingests = scala.collection.mutable.Set.empty[String]
+    ingests ++= seed.ingests
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
@@ -654,6 +662,7 @@ object TxnLog {
         hists(dec.take(cut)) = dec.drop(cut + 1)
       }
       txns(c.txnId) = c.version
+      ingests ++= c.ingests
       if (c.schemaId.nonEmpty) schema = c.schemaId
       if (c.partitionBy.nonEmpty) partitionBy = c.partitionBy
       if (c.schemaJson.nonEmpty) {
@@ -697,7 +706,8 @@ object TxnLog {
       top = c.version
     }
     CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
-      constraints.toMap, schemaJson, renames.toMap, partitionBy, hists.toMap)
+      constraints.toMap, schemaJson, renames.toMap, partitionBy, hists.toMap,
+      ingests.toSet)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -727,6 +737,8 @@ object TxnLog {
       body.append("P ").append(st.partitionBy).append('\n')
     st.hists.toSeq.sortBy(_._1).foreach { case (c, p) =>
       body.append("H ").append(c).append(' ').append(p).append('\n') }
+    st.ingests.toSeq.sorted.foreach { id =>
+      body.append("I ").append(id).append('\n') }
     st.txns.toSeq.sortBy(_._2).foreach { case (t, ver) =>
       body.append("T ").append(t).append(' ').append(ver).append('\n') }
     st.files.foreach { case (f, meta) =>
@@ -2362,7 +2374,8 @@ object TxnLog {
              restatFiles: Seq[String] = Nil,
              restats: Seq[Map[String, FileStat]] = Nil,
              hists: Seq[(String, String)] = Nil,
-             requireHead: Long = -1L): Commit = {
+             requireHead: Long = -1L,
+             ingests: Seq[String] = Nil): Commit = {
     validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
@@ -2413,6 +2426,11 @@ object TxnLog {
         s"txn $txnId: malformed histogram payload for $c")
     }
     val histsB64 = hists.map { case (c, p) => b64enc(s"$c $p") }
+    // COPY INTO source markers: md5(path):size — hex + digits keeps
+    // them safe in both the record's JSON array and the checkpoint's
+    // space-delimited I line
+    require(ingests.forall(_.matches("[0-9a-f]{32}:\\d+")),
+      s"txn $txnId: malformed ingest marker (want md5hex:size)")
     val myRemoved = removed.toSet
     val myDvFiles = dvFiles.toSet
     // Dense vectors spill to immutable per-attempt sidecars before
@@ -2535,7 +2553,7 @@ object TxnLog {
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
         rename, sizes, caddsB64, partitionBy.mkString(","),
-        restatFiles, restats.map(renderMultiStat), histsB64)
+        restatFiles, restats.map(renderMultiStat), histsB64, ingests)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -2719,6 +2737,16 @@ object TxnLog {
   sealed trait PartField { def col: String }
   case class IdentityField(col: String) extends PartField
   case class BucketField(n: Int, col: String) extends PartField
+  /** Iceberg-style temporal transform: `unit` ∈ years|months|days|
+    * hours over a timestamp/date column. Write-side it RANGE-clusters
+    * rows by the UTC-epoch unit value so each staged file spans (at
+    * most) one period and the source column's own typed stat collapses
+    * to it; read-side NOTHING new is needed — a timestamp predicate
+    * already prunes through the per-file micros range, which is
+    * strictly tighter than the folded unit (the reason hive-style
+    * partition values never became a separate metadata domain here).
+    */
+  case class TemporalField(unit: String, col: String) extends PartField
 
   /** Bucket tokens double as the per-file STAT KEY (`bucket(N;c)`):
     * each file self-describes the modulus its bucket range was
@@ -2726,12 +2754,16 @@ object TxnLog {
     * bucketing — no version plumbing into the file index.
     */
   private[sources] val BucketKeyRe = """bucket\((\d+);(.+)\)""".r
+  private[sources] val TemporalKeyRe = """(years|months|days|hours)\((.+)\)""".r
 
   def bucketStatKey(n: Int, col: String): String = s"bucket($n;$col)"
 
+  def temporalToken(unit: String, col: String): String = s"$unit($col)"
+
   def parsePartitionToken(t: String): PartField = t match {
-    case BucketKeyRe(n, c) => BucketField(n.toInt, c)
-    case c                 => IdentityField(c)
+    case BucketKeyRe(n, c)   => BucketField(n.toInt, c)
+    case TemporalKeyRe(u, c) => TemporalField(u, c)
+    case c                   => IdentityField(c)
   }
 
   /** The declared partitioning as parsed transforms. */
@@ -2859,7 +2891,56 @@ object TxnLog {
         df.repartitionByRange(math.max(defaultPartitions, fields.size), fields.map {
           case IdentityField(c)  => df.col(c)
           case BucketField(n, c) => bucketColumn(n, df.col(c), df.schema(c).dataType)
+          case TemporalField(u, c) =>
+            temporalColumn(u, df.col(c), df.schema(c).dataType)
         }: _*)
+    }
+  }
+
+  /** Types a temporal transform accepts (`hours` needs sub-day
+    * resolution, so dates only carry the coarser three).
+    */
+  def temporalableType(unit: String,
+                       dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.DateType      => unit != "hours"
+      case _                                        => false
+    }
+
+  /** The UTC-epoch period index of a temporal transform — all four
+    * units derive from fixed-point epoch arithmetic (micros → days by
+    * integer division, days → calendar fields through DATE functions,
+    * which are timezone-free), so the SAME row lands in the SAME
+    * period on every cluster regardless of session timezone (the
+    * Iceberg transform-spec contract).
+    */
+  def temporalColumn(unit: String, c: org.apache.spark.sql.Column,
+                     dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{date_from_unix_date, lit, month, pmod, unix_date, unix_micros, year}
+    import org.apache.spark.sql.types._
+    // exact floor division on longs: `/` is double division in Spark
+    // SQL and floor(x / d) can misround at period boundaries once x
+    // outgrows the mantissa's slack — subtracting pmod first makes
+    // the quotient an exact multiple, so the division IS exact
+    def floorDiv(x: org.apache.spark.sql.Column, d: Long) =
+      ((x - pmod(x, lit(d))) / lit(d)).cast(LongType)
+    val days = dt match {
+      case TimestampType => floorDiv(unix_micros(c), 86400000000L)
+      case DateType      => unix_date(c).cast(LongType)
+      case other => sys.error(s"graft: temporal transform over un-temporal type $other")
+    }
+    unit match {
+      case "hours" =>
+        require(dt == TimestampType, "graft: hours() needs a timestamp column")
+        floorDiv(unix_micros(c), 3600000000L)
+      case "days"   => days
+      case "months" =>
+        val d = date_from_unix_date(days.cast(IntegerType))
+        ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast(LongType)
+      case "years"  =>
+        (year(date_from_unix_date(days.cast(IntegerType))) - lit(1970)).cast(LongType)
+      case other    => sys.error(s"graft: unknown temporal unit $other")
     }
   }
 
@@ -3612,5 +3693,134 @@ object TxnLog {
         rec
       }
     }
+  }
+
+  /** One finished [[copyInto]] call. `loadedFiles`/`skippedFiles`
+    * count SOURCE files; `rows` is the staged row count (0 on a pure
+    * replay); `version` is the published commit (or the unchanged
+    * head when nothing was new).
+    */
+  case class CopyReceipt(version: Long, loadedFiles: Long,
+                         skippedFiles: Long, rows: Long)
+
+  /** The source-file markers every COPY INTO so far has recorded:
+    * md5(canonical path) -> byte size. Resolved from the checkpoint's
+    * `I` lines plus the log tail — O(tail), like every other piece of
+    * table state.
+    */
+  def ingestedSources(root: String): Map[String, Long] =
+    resolveState(root, Long.MaxValue).ingests.toSeq.map { e =>
+      val cut = e.indexOf(':')
+      e.take(cut) -> e.drop(cut + 1).toLong
+    }.toMap
+
+  /** COPY INTO: idempotent bulk file ingest (the Delta `COPY INTO` /
+    * Auto Loader batch recipe re-expressed over the linear log). Every
+    * matching file under `sourceDir` not yet recorded in the table's
+    * ingest ledger is loaded in ONE distributed read, staged with
+    * INSERT-grade typed stats (declared partitioning clustered, bucket
+    * stats included), and published as ONE commit whose record also
+    * carries one `md5(path):size` marker per source file — so a
+    * re-run (crash recovery, a scheduler firing twice, tomorrow's
+    * sweep of a landing directory that gained three files) loads
+    * exactly the delta and a full replay publishes nothing.
+    *
+    * Contract: source files are IMMUTABLE once ingested — a seen path
+    * whose size changed refuses loudly (re-ingesting would duplicate
+    * the rows already committed; changed data belongs in a NEW file).
+    * Same-size in-place edits are undetectable by design, exactly as
+    * in the public recipes (Delta keys COPY INTO file identity the
+    * same way). The ledger rides the log: checkpoint `I` lines bound
+    * resolution to O(tail) at any ingest count, and VACUUM never
+    * touches it (markers are metadata, not data files).
+    *
+    * Scale shape: one Spark job per CALL, not per file — 10^4 new
+    * files read as one multi-path scan; the ledger diff is a driver
+    * set-difference over md5 keys (~50 B/file). Cross-process races
+    * are serialized by the commit CAS: the loser's `requireHead`
+    * check fails, the ledger is re-read, and already-ingested files
+    * drop out of its retry.
+    *
+    * For non-self-describing formats (csv/json) the table's declared
+    * schema is REQUIRED and applied to the read — schema inference
+    * run-to-run would silently fork the table's types.
+    */
+  def copyInto(s: SparkSession, root: String, sourceDir: String,
+               format: String = "parquet", pattern: String = "*",
+               options: Map[String, String] = Map.empty): CopyReceipt = {
+    val dir = Paths.get(sourceDir)
+    require(Files.isDirectory(dir), s"copy-into source is not a directory: $sourceDir")
+    val matcher = dir.getFileSystem.getPathMatcher(s"glob:$pattern")
+    val sources = listDir(dir)
+      .filter(p => Files.isRegularFile(p) && matcher.matches(p.getFileName))
+      .filter { p => // sidecars (_SUCCESS, .crc) are not data
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(p => (p.toAbsolutePath.normalize.toString, Files.size(p)))
+      .sortBy(_._1)
+    def idOf(path: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    var retries = 0
+    while (true) {
+      val ledger = ingestedSources(root)
+      val (seen, fresh) = sources.partition { case (p, _) => ledger.contains(idOf(p)) }
+      seen.foreach { case (p, sz) =>
+        val prior = ledger(idOf(p))
+        if (prior != sz) sys.error(
+          s"copy-into source $p was already ingested at $prior bytes but is " +
+            s"now $sz: ingested sources are immutable — write changed data " +
+            "to a new file name")
+      }
+      if (fresh.isEmpty)
+        return CopyReceipt(currentVersion(root), 0L, seen.size.toLong, 0L)
+      val readV = currentVersion(root)
+      val declared = rawTableSchema(root)
+      require(format == "parquet" || format == "orc" || declared.isDefined,
+        s"copy-into from $format needs the table's declared schema " +
+          "(create the table first): run-to-run inference would fork the types")
+      val reader = s.read.format(format).options(options)
+      val raw = (declared match {
+        // csv/json read under the DECLARED (logical) schema; parquet
+        // stays self-describing (its footers already bind names) and
+        // evolution rides the standard schema gate
+        case Some(sch) if format != "parquet" && format != "orc" =>
+          reader.schema(StructType(sch.fields.map(f =>
+            f.copy(name = physicalName(columnMapping(root), f.name)))))
+        case _ => reader
+      }).load(fresh.map(_._1): _*)
+      checkConstraints(s, root, raw)
+      val phys0 = toPhysical(raw, columnMapping(root))
+      val pfields = partitionFields(root, readV)
+        .filter(f => phys0.columns.contains(f.col))
+      val phys = clusterByPartitioning(phys0, pfields,
+        s.sessionState.conf.numShufflePartitions)
+      val txnId = s"copy-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+      val statCols = GraftTable.statPaths(phys.schema)
+      val buckets = pfields.collect { case BucketField(n, c) => (n, c) }
+      val (files, multi) =
+        if (statCols.isEmpty && buckets.isEmpty) (stage(phys, root, txnId), Nil)
+        else stageWithStatsFor(phys, root, txnId, statCols, buckets)
+      val rows = multi.map(_.values.map(_.rows).maxOption.getOrElse(0L)).sum
+      try {
+        val rec = commit(root, "copy-into", added = files, removed = Nil,
+          readVersion = readV, txnId = txnId, multiStats = multi,
+          schemaId = schemaFingerprint(phys.schema),
+          schemaJson = GraftTable.declareJson(root, phys.schema),
+          // the ledger read above IS this commit's read set: any
+          // commit landing since may be a concurrent copy-into whose
+          // markers overlap ours — requireHead forces the re-read
+          requireHead = readV,
+          ingests = fresh.map { case (p, sz) => s"${idOf(p)}:$sz" })
+        if (rec.version % CheckpointInterval == 0) checkpoint(root)
+        return CopyReceipt(rec.version, fresh.size.toLong, seen.size.toLong, rows)
+      } catch {
+        case _: ConflictException if retries < 8 =>
+          retries += 1 // staged orphans reclaim via vacuumStaging
+      }
+    }
+    sys.error("unreachable")
   }
 }

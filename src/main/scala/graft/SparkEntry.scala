@@ -2570,10 +2570,14 @@ object SparkEntry {
         annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4, targetOccupancy = 16)),
       // coarse projected buckets + the hash-order cap: the dup-heavy
-      // guard the r6 probe showed projected banding needs
+      // guard the r6 probe showed projected banding needs. The cap
+      // COMPOSES with the adaptive bits (r17): occupancy-adaptive
+      // banding keeps UNIFORM growth linear, the cap bounds the
+      // dup-heavy buckets adaptivity cannot thin (identical vectors
+      // share every band at any width)
       "sim_ann_proj_capped" -> ((s, dir) =>
         annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, bucketCap = 32)),
+          minCosine = 0.4, bucketCap = 32, targetOccupancy = 16)),
       // bucketCap sized to the bucket geometry: 4 sign bits = 16
       // buckets/table, so 32 keeps typical buckets whole and only
       // truncates pathological (dup-heavy) ones.
@@ -3032,11 +3036,18 @@ object SparkEntry {
            WHERE $pairCos >= 0.4""",
 
       "sim_ann_proj_capped" ->
-        s"""WITH p0 AS (SELECT vec_id, embedding,
+        s"""WITH nb AS (SELECT count(*) AS n FROM embeddings),
+           bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 16) AS bits
+                  FROM range(4, 17) r(b), nb
+                  WHERE (nb.n >> CAST(r.b AS INT)) <= 16),
+           p0 AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
               $projList AS proj
             FROM embeddings),
-           p AS (SELECT vec_id, embedding, nrm, $projBuckets AS buckets FROM p0),
+           p AS (SELECT vec_id, embedding, nrm,
+                   [${(0 until 4).map(projBucketAdaptive).mkString(", ")}]
+                     AS buckets
+                 FROM p0, bt),
            e AS (SELECT vec_id, embedding, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
            ek AS (SELECT vec_id, embedding, nrm, bucket, tbl FROM (

@@ -323,6 +323,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/cln") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/cpy") != 3L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/tday") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/rw") != 3L ||
           !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
@@ -567,6 +568,17 @@ object SparkEntry {
           "(o_orderkey BIGINT, ts TIMESTAMP, price_cents BIGINT) " +
           "PARTITIONED BY (days(ts))")                                // v1
         s.sql(s"INSERT INTO $cat.db.tday SELECT * FROM cat_ts_$tag")  // v2
+        // predicate-scoped overwrite (r17): INSERT OVERWRITE one
+        // PARTITION = delete-matching + append in ONE commit; the
+        // other partitions' rows must survive byte-identically
+        s.sql(s"CREATE TABLE $cat.db.rw " +
+          "(o_orderkey BIGINT, price_cents BIGINT, o_orderstatus STRING) " +
+          "PARTITIONED BY (o_orderstatus)")                           // v1
+        s.sql(s"INSERT INTO $cat.db.rw " +
+          s"SELECT * FROM cat_src_$tag WHERE o_orderkey % 5 = 0")     // v2
+        s.sql(s"INSERT OVERWRITE $cat.db.rw PARTITION (o_orderstatus = 'F') " +
+          s"SELECT o_orderkey, price_cents * 3 FROM cat_src_$tag " +
+          "WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'")         // v3
         ()
       }
     }
@@ -1417,6 +1429,14 @@ object SparkEntry {
                   FROM $cat.db.tday
                   WHERE ts >= TIMESTAMP '1995-01-01 00:00:00'
                   GROUP BY date_trunc('month', ts)""")
+      }),
+      // predicate-scoped overwrite (r17): the 'F' partition was
+      // atomically replaced by the tripled %7 slice; every other
+      // partition's rows survive untouched (ReplaceWhereSpec pins the
+      // file triage — removals, DVs, never-opened disjoint files)
+      "tx_cat_replace" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT o_orderkey, price_cents, o_orderstatus FROM $cat.db.rw")
       })
     )
   }
@@ -1984,7 +2004,20 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 9 = 7
            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-         GROUP BY date_trunc('month', o_orderdate)"""
+         GROUP BY date_trunc('month', o_orderdate)""",
+
+    // the %5 base minus its 'F' partition, plus the tripled %7 'F'
+    // slice that atomically replaced it
+    "tx_cat_replace" ->
+      """WITH src AS (SELECT o_orderkey,
+                             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                             o_orderstatus
+                      FROM orders)
+         SELECT o_orderkey, cents AS price_cents, o_orderstatus FROM src
+         WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'F'
+         UNION ALL
+         SELECT o_orderkey, cents * 3 AS price_cents, o_orderstatus FROM src
+         WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'"""
   )
 
   /** Corpus curation extensions: deterministic hash sampling, per-class
@@ -2557,8 +2590,13 @@ object SparkEntry {
       "sim_pq_topk" -> ((s, dir) =>
         topKNeighborsPq(Tables.embeddings(s, dir), "vec_id", "embedding",
           col("vec_id") % 100 === 0, k = 10)),
+      // full-width LSH, occupancy-adaptive band bits (r17): the scale
+      // path's default spelling must itself scale — the sf10 receipt
+      // caught the fixed-bits geometry (via cur_embed_prune) at 83×
+      // wall for 10× data
       "sim_ann_lsh" -> ((s, dir) =>
-        annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)),
+        annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4, targetOccupancy = 16)),
       // project 64→8 dims first, band in projected space, exact cosine
       // in the original space — index artifacts shrink 8×, precision
       // stays exact (projection costs recall only). Band bits are
@@ -2595,10 +2633,11 @@ object SparkEntry {
         ivfCosinePairsTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4, trainPct = 25)),
       // quantize-then-search: the whole ANN pipeline (bucketing AND
-      // exact-cosine verify) runs on the int8-quantized coordinates
+      // exact-cosine verify) runs on the int8-quantized coordinates —
+      // band bits occupancy-adaptive like the float spellings
       "sim_ann_int8" -> ((s, dir) =>
         annCosinePairsInt8(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4)),
+          minCosine = 0.4, targetOccupancy = 16)),
       // incremental ingest dedup: the new-vector batch (every 10th id)
       // bands itself and probes the EXISTING corpus's persisted
       // postings index; dup_of = min existing id with cosine >= 0.45
@@ -2620,7 +2659,8 @@ object SparkEntry {
       "cur_embed_prune" -> ((s, dir) => {
         val vecs = Tables.embeddings(s, dir)
         val losers = graft.operators.GraphOps.dedupClusters(
-          annCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.45), "v1", "v2")
+          annCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.45,
+            targetOccupancy = 16), "v1", "v2")
           .filter(!col("is_kept")).select(col("doc_id").as("vec_id"))
         vecs.join(losers, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("label"))
@@ -2764,6 +2804,27 @@ object SparkEntry {
         s"(CASE WHEN ${duckPlaneDot(t, b)} >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
     }.mkString("[", ", ", "]")
+    // occupancy-adaptive CTEs shared by the full-width adaptive rows:
+    // bits = smallest b in [4, 24] with (n >> b) <= 16, the exact
+    // integer ladder of VectorOps.adaptiveBits
+    val adaptiveBitsCtes =
+      """nb AS (SELECT count(*) AS n FROM embeddings),
+         bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 24) AS bits
+                FROM range(4, 25) r(b), nb
+                WHERE (nb.n >> CAST(r.b AS INT)) <= 16)"""
+    // table t's FULL-WIDTH (64-dim) bucket string with DYNAMIC band
+    // width — the b-dynamic twin of duckPlaneDot's literal planes
+    def bucketAdaptive(t: Int): String =
+      s"""list_aggregate(list_transform(range(0, bt.bits), b ->
+            CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) *
+                   (CASE WHEN CAST('0x' || substr(md5(
+                             '${t}_' || CAST(b AS VARCHAR) || '_' ||
+                             CAST(i - 1 AS VARCHAR)), 1, 7)
+                         AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END))) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '')"""
+    val bucketsAdaptive =
+      s"[${(0 until 4).map(bucketAdaptive).mkString(", ")}]"
     // the 64→8 ±1 projection (seed 101) and the 8-dim bucket planes —
     // mirrors VectorOps.annCosinePairsProjected's two md5 domains
     val projList =
@@ -3000,10 +3061,11 @@ object SparkEntry {
              FROM ex) WHERE rnk <= 10""",
 
       "sim_ann_lsh" ->
-        s"""WITH p AS (SELECT vec_id, embedding,
+        s"""WITH $adaptiveBitsCtes,
+           p AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
-              $buckets AS buckets
-            FROM embeddings),
+              $bucketsAdaptive AS buckets
+            FROM embeddings, bt),
            e AS (SELECT vec_id, embedding, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
@@ -3011,14 +3073,14 @@ object SparkEntry {
              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            WHERE $pairCos >= 0.4""",
 
-      // occupancy-adaptive band bits: the smallest b in [4, 16] with
+      // occupancy-adaptive band bits: the smallest b in [4, 24] with
       // (n >> b) <= 16 — the exact integer ladder of
       // VectorOps.adaptiveBits, so bits (and buckets) match Spark's
       // at every corpus size
       "sim_ann_projected" ->
         s"""WITH nb AS (SELECT count(*) AS n FROM embeddings),
-           bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 16) AS bits
-                  FROM range(4, 17) r(b), nb
+           bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 24) AS bits
+                  FROM range(4, 25) r(b), nb
                   WHERE (nb.n >> CAST(r.b AS INT)) <= 16),
            p0 AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
@@ -3037,8 +3099,8 @@ object SparkEntry {
 
       "sim_ann_proj_capped" ->
         s"""WITH nb AS (SELECT count(*) AS n FROM embeddings),
-           bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 16) AS bits
-                  FROM range(4, 17) r(b), nb
+           bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 24) AS bits
+                  FROM range(4, 25) r(b), nb
                   WHERE (nb.n >> CAST(r.b AS INT)) <= 16),
            p0 AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
@@ -3144,7 +3206,8 @@ object SparkEntry {
       // CTE provides). Int dots are exact in double, so the hash check
       // is bit-for-bit like the float path.
       "sim_ann_int8" ->
-        s"""WITH q0 AS (SELECT vec_id, embedding AS raw,
+        s"""WITH $adaptiveBitsCtes,
+           q0 AS (SELECT vec_id, embedding AS raw,
               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
             FROM embeddings),
            qq AS (SELECT vec_id,
@@ -3155,8 +3218,8 @@ object SparkEntry {
             FROM q0),
            p AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
-              $buckets AS buckets
-            FROM qq),
+              $bucketsAdaptive AS buckets
+            FROM qq, bt),
            e AS (SELECT vec_id, embedding, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p)
            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, $pairCos AS cosine
@@ -3214,10 +3277,11 @@ object SparkEntry {
       // embedding-space near-dup prune: LSH candidate pairs at 0.45,
       // recursive reachability for components, min-id survivor
       "cur_embed_prune" ->
-        s"""WITH RECURSIVE p AS (SELECT vec_id, embedding,
+        s"""WITH RECURSIVE $adaptiveBitsCtes,
+           p AS (SELECT vec_id, embedding,
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
-              $buckets AS buckets
-            FROM embeddings),
+              $bucketsAdaptive AS buckets
+            FROM embeddings, bt),
            e AS (SELECT vec_id, embedding, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
            pairs AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2

@@ -491,10 +491,20 @@ object VectorOps {
     */
   def annCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, targetOccupancy: Int = 0): DataFrame = {
+    // targetOccupancy > 0 = occupancy-adaptive band width (the same
+    // ladder as the projected spelling): fixed 2^bits buckets make
+    // within-bucket candidate pairs grow quadratically with the
+    // corpus — the r17 sf10 receipt measured the fixed form (inside
+    // cur_embed_prune) at 83× wall for 10× data; the adaptive ladder
+    // keeps expected occupancy, and so per-vector candidate work,
+    // constant
+    val bits =
+      if (targetOccupancy <= 0) bitsPerTable
+      else adaptiveBits(vecs.count(), targetOccupancy)
     val p = withNorm(vecs, idCol, vecCol)
     val banded = p.select(col("__id"), col("__v"), col("__nrm"),
-      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+      posexplode(lshBuckets(col("__v"), tables, bits, dim))
         .as(Seq("__tbl", "__bucket")))
     banded.alias("a").hint("merge")
       .join(banded.alias("b"),
@@ -543,7 +553,7 @@ object VectorOps {
     * same comparisons (`n >> bits <= target`).
     */
   def adaptiveBits(n: Long, targetOccupancy: Int = 16,
-                   minBits: Int = 4, maxBits: Int = 16): Int = {
+                   minBits: Int = 4, maxBits: Int = 24): Int = {
     require(targetOccupancy > 0 && minBits >= 1 && maxBits >= minBits)
     var bits = minBits
     while (bits < maxBits && (n >> bits) > targetOccupancy) bits += 1
@@ -956,10 +966,10 @@ object VectorOps {
     */
   def annCosinePairsInt8(vecs: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, targetOccupancy: Int = 0): DataFrame = {
     val (_, q) = quantizeInt8(col(vecCol))
     annCosinePairs(vecs.select(col(idCol), q.cast("array<double>").as(vecCol)),
-      idCol, vecCol, minCosine, tables, bitsPerTable, dim)
+      idCol, vecCol, minCosine, tables, bitsPerTable, dim, targetOccupancy)
   }
 
   /** [[annCosinePairs]] with a per-(table, bucket) candidate cap — the

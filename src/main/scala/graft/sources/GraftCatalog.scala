@@ -792,6 +792,70 @@ private[sources] object GraftTable {
     ()
   }
 
+  /** Predicate-scoped atomic overwrite — Delta's `replaceWhere` /
+    * `INSERT OVERWRITE t PARTITION (p = v)` / `writeTo(t).overwrite
+    * (cond)`: ONE commit deletes every live row matching the
+    * condition and lands the incoming data. The 100 TB shape is the
+    * triage: files the typed stats prove DISJOINT from the condition
+    * are never opened, files WHOLLY inside it are removed as
+    * metadata, only straddling files pay a row-level scan — and those
+    * carry deletion vectors, not rewrites. The incoming rows must all
+    * satisfy the condition (the public replaceWhere contract — rows
+    * outside it would silently survive the very predicate that claims
+    * to own them); a condition with an untranslatable filter refuses
+    * loudly rather than over- or under-deleting.
+    */
+  def replaceWhere(root: String, data: DataFrame,
+                   filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, not}
+    val s = data.sparkSession
+    val cond = filters.toSeq.map { f =>
+      GraftFilters.toColumn(f).getOrElse(throw new UnsupportedOperationException(
+        s"graft: replaceWhere condition not expressible: $f"))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    // contract: every incoming row satisfies the condition (a NULL
+    // verdict is a violation too — such a row would neither replace
+    // nor be replaceable)
+    val stray = data.filter(not(coalesce(cond, lit(false)))).limit(1)
+    require(stray.isEmpty,
+      s"graft: replaceWhere data contains rows NOT matching the overwrite " +
+        s"condition [${filters.mkString(", ")}] — rows outside the predicate " +
+        "belong in a plain INSERT")
+    TxnLog.checkConstraints(s, root, data)
+    val readV = TxnLog.currentVersion(root)
+    val renames = TxnLog.columnMapping(root, readV)
+    val state = TxnLog.snapshotState(root, readV)
+    // stat triage: only files the condition can touch pay the scan
+    val exprs = filters.toSeq.flatMap(
+      GraftFilters.toCatalyst(_, logicalSchema(s, root, readV), renames))
+    val idx = new TxnLogFileIndex(s, root, state)
+    val scanState =
+      if (exprs.isEmpty) state
+      else state.filter { case (_, m) => idx.keep(m, exprs) }
+    val (dead, dvFiles, dvs) =
+      TxnLog.replaceDeletes(s, root, cond, scanState, renames)
+    // stage the incoming data exactly like insertInto
+    val phys0 = TxnLog.toPhysical(data, renames)
+    val pfields = TxnLog.partitionFields(root, readV)
+      .filter(f => phys0.columns.contains(f.col))
+    val phys = TxnLog.clusterByPartitioning(phys0, pfields,
+      s.sessionState.conf.numShufflePartitions)
+    val txnId = s"sql-replace-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    val statCols = statPaths(phys.schema)
+    val buckets = pfields.collect { case TxnLog.BucketField(n, c) => (n, c) }
+    val (files, multi) =
+      if (statCols.isEmpty && buckets.isEmpty) (TxnLog.stage(phys, root, txnId), Nil)
+      else TxnLog.stageWithStatsFor(phys, root, txnId, statCols, buckets)
+    if (files.isEmpty && dead.isEmpty && dvFiles.isEmpty) return // no-op
+    TxnLog.commit(root, "replace-where",
+      added = files, removed = dead,
+      readVersion = readV, txnId = txnId, multiStats = multi,
+      schemaId = TxnLog.schemaFingerprint(phys.schema),
+      schemaJson = declareJson(root, phys.schema),
+      dvFiles = dvFiles, dvs = dvs)
+    ()
+  }
+
   /** The schemaJson a WRITE should carry: "" when the log already
     * declares a schema — an append must never REDEFINE the table's
     * schema (the write query's nullability is an artifact of the
@@ -915,7 +979,7 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
     if (timeTraveled) Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def properties(): util.Map[String, String] =
     (Map(TableCatalog.PROP_PROVIDER -> "graft",
@@ -1244,11 +1308,22 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
 }
 
 private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwriteAll = false
+  // a predicate-scoped overwrite (INSERT OVERWRITE ... PARTITION /
+  // writeTo.overwrite(cond)): delete-matching + append as ONE commit
+  private var replaceFilters: Option[Array[Filter]] = None
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      overwriteAll = true // plain INSERT OVERWRITE = truncate semantics
+    else replaceFilters = Some(filters)
+    this
+  }
 
   /** The V1 write bridge: `INSERT` hands us the WHOLE DataFrame, so
     * the existing staging/stats/constraint/commit machinery applies
@@ -1307,7 +1382,10 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          GraftTable.insertInto(root, data, overwriteAll)
+          replaceFilters match {
+            case Some(fs) => GraftTable.replaceWhere(root, data, fs)
+            case None     => GraftTable.insertInto(root, data, overwriteAll)
+          }
       }
     /** Append mode streams `stream-append` epochs; COMPLETE mode
       * (Spark calls `truncate()` before building the streaming write)
@@ -1317,9 +1395,13 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
       * to silently append changed rows) — keyed upserts belong in
       * `foreachBatch` + `mergeInto`/`maintainInto`.
       */
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(replaceFilters.isEmpty,
+        "graft: predicate-scoped overwrite is a batch verb; streaming " +
+          "writes are append / complete / update(mergeKey)")
       new GraftStreamingWrite(root, info.schema(), info.queryId(),
         replaceEach = overwriteAll)
+    }
   }
 }
 
@@ -2016,6 +2098,38 @@ private[sources] object GraftFilters {
     * Literals convert to Catalyst internal values (`Literal.create`),
     * so string stats compare as UTF8String and timestamps as micros.
     */
+  /** V1 source Filter → a row-level [[org.apache.spark.sql.Column]]
+    * over LOGICAL names — what [[GraftTable.replaceWhere]] deletes
+    * by. Dotted attribute names resolve through structs naturally
+    * (`col("s.x")`); values are the EXTERNAL Scala types the V1
+    * Filter API carries, which `lit` maps back to Catalyst. None =
+    * not expressible (the caller must refuse, not approximate: this
+    * predicate DELETES).
+    */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{not => fnot}
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+      case StringContains(a, p)     => Some(col(a).contains(p))
+      case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case Or(l, r)  => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case Not(c)    => toColumn(c).map(fnot)
+      case _: AlwaysTrue  => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   def toCatalyst(f: Filter, schema: StructType,
                  renames: Map[String, String]): Option[ce.Expression] = {
     // a DOTTED attribute (`s.x` — Spark encodes nested pushdown

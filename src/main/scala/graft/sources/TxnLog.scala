@@ -957,52 +957,74 @@ object TxnLog {
     url_decode(regexp_replace(input_file_name(), "^file:(//)?", ""))
   }
 
-  /** Is `riCol`'s bit set in the `dvCol` hex bitmap? Word `ri/64`
-    * prints as 16 hex chars MSB-first, so bit b = ri mod 64 lives in
-    * char `15 - b/4` of that word with value `2^(b mod 4)`. Rows past
-    * the bitmap's end (and files with no bitmap) are NOT deleted.
-    * Builtins only — whole-stage codegen'd.
+  /** A deletion vector as its NONZERO 64-bit words: (word index,
+    * word), where bit b of the word marks row `wordIdx * 64 + b`
+    * deleted (the hex prints each word as 16 chars MSB-first, so the
+    * parsed long's bit b IS position b). Sidecar refs resolve here.
     *
-    * `dvCol` MUST be BINARY (the hex digits as ASCII bytes): binary
-    * `substring`/`length` are O(1) byte slices, where their STRING
-    * forms walk UTF-8 from the start — a per-row O(file-bytes) scan
-    * that turned DV'd raw-API reads QUADRATIC per file (measured 70×
-    * wall at 10× rows before the r16 sf1 receipt caught it).
+    * This shape exists because the DV read path has now been made
+    * quadratic TWICE: the r16 receipt caught hex bitmaps riding the
+    * join as STRING (per-row `substring` walked UTF-8 from the start
+    * — O(file-bytes) per row), and the fix (BINARY, O(1) slices)
+    * still left the BroadcastHashJoin COPYING the full bitmap out of
+    * the build row for every probe row (`UnsafeRow.getBinary`) —
+    * invisible at sf1, ~75× wall at 100× rows on the r17 sf10
+    * receipt. Joining on (file, ri div 64) against one row per
+    * nonzero word carries EIGHT BYTES per matched row, is codegen'd
+    * end to end, and the dim is SMALLER for sparse vectors (zero
+    * bytes for untouched words).
     */
-  private[sources] def dvBitSet(dvCol: org.apache.spark.sql.Column,
-                                riCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val b = pmod(riCol, lit(64L))
-    val charPos = (floor(riCol / 64) * 16 + lit(15L) - floor(b / 4) + 1).cast("int")
-    val nib = conv(call_function("substring", dvCol, charPos, lit(1)).cast("string"),
-      16, 10).cast("int")
-    coalesce(dvCol.isNotNull && charPos <= length(dvCol) &&
-      call_function("shiftright", nib, pmod(b, lit(4L)).cast("int")) % 2 =!= 0,
-      lit(false))
+  private[sources] def dvWords(v: String): Seq[(Long, Long)] = {
+    val hex0 = dvHex(v)
+    val hex = // defensive word alignment (writers always align)
+      if (hex0.length % 16 == 0) hex0
+      else hex0 + "0" * (16 - hex0.length % 16)
+    (0 until hex.length / 16).flatMap { w =>
+      val word = java.lang.Long.parseUnsignedLong(
+        hex.substring(w * 16, w * 16 + 16), 16)
+      if (word != 0L) Some((w.toLong, word)) else None
+    }
   }
 
-  /** The hex bitmap as the BINARY column [[dvBitSet]] requires. */
-  private[sources] def dvBytes(v: String): Array[Byte] =
-    dvHex(v).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  /** Is `riCol`'s bit set in its file's `ri div 64` word (`wordCol`,
+    * nullable — no dim match = no deletes in that word = live)?
+    * Builtins only — whole-stage codegen'd.
+    */
+  private[sources] def dvWordBitSet(wordCol: org.apache.spark.sql.Column,
+                                    riCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(call_function("shiftright", wordCol,
+      pmod(riCol, lit(64L)).cast("int")).bitwiseAND(lit(1L)) =!= 0, lit(false))
+  }
 
-  /** Join the (file, bitmap) dim and keep only live rows; the frame
+  /** `ri div 64` without double-division drift (row indexes are far
+    * below 2^53, but exactness should not depend on that).
+    */
+  private[sources] def dvWordIdx(riCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    ((riCol - pmod(riCol, lit(64L))) / lit(64L)).cast("long")
+  }
+
+  /** Join the per-word DV dim and keep only live rows; the frame
     * gains `__fp`/`__ri` helper columns the caller may use or drop.
     */
   private def dvFiltered(base: DataFrame,
                          dvs: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions._
-    // sidecar refs resolve HERE, at read time — O(DV'd files ×
-    // bitmap bytes), the same dim the join broadcasts anyway. Bitmaps
-    // ride as BINARY (see [[dvBitSet]]: O(1) slicing vs the string
-    // form's per-row UTF-8 walk)
-    val dim = base.sparkSession
-      .createDataFrame(dvs.map { case (f, v) => (f, dvBytes(v)) })
-      .toDF("__dvf", "__dv")
-    base.withColumn("__fp", metaFilePath)
+    val words = dvs.flatMap { case (f, v) =>
+      dvWords(v).map { case (w, bits) => (f, w, bits) }
+    }
+    val positioned = base.withColumn("__fp", metaFilePath)
       .withColumn("__ri", col("_metadata.row_index"))
-      .join(broadcast(dim), col("__fp") === col("__dvf"), "left")
-      .filter(!dvBitSet(col("__dv"), col("__ri")))
-      .drop("__dvf", "__dv")
+    if (words.isEmpty) return positioned // all-zero bitmaps: nothing dead
+    val dim = base.sparkSession.createDataFrame(words)
+      .toDF("__dvf", "__dvw", "__dvbits")
+    positioned
+      .join(broadcast(dim),
+        col("__fp") === col("__dvf") && dvWordIdx(col("__ri")) === col("__dvw"),
+        "left")
+      .filter(!dvWordBitSet(col("__dvbits"), col("__ri")))
+      .drop("__dvf", "__dvw", "__dvbits")
   }
 
   private def applyDeletionVectors(base: DataFrame,
@@ -1104,6 +1126,41 @@ object TxnLog {
     val (dvFiles, dvs) = bitmaps.unzip
     Some(commit(root, "delete", added = Nil, removed = Nil,
       readVersion = readV, txnId = txnId, dvFiles = dvFiles, dvs = dvs))
+  }
+
+  /** The delete half of a predicate-scoped overwrite
+    * ([[GraftTable.replaceWhere]]): DV bitmaps for the live rows of
+    * `scanState` matching `condition` (logical names), each folded
+    * with the file's EXISTING vector — a file whose union covers
+    * every physical row returns as a whole-file removal instead
+    * (metadata delete + the vector dies with the file), partial files
+    * return their fresh bitmap. The caller composes the result with
+    * its staged adds into ONE commit; `scanState` should already be
+    * stat-pruned to the files the predicate can touch.
+    *
+    * Returns (whollyDeadFiles, dvFiles, dvs).
+    */
+  private[sources] def replaceDeletes(s: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      scanState: Seq[(String, FileMeta)],
+      renames: Map[String, String]): (Seq[String], Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    if (scanState.isEmpty) return (Nil, Nil, Nil)
+    val live = toLogical(liveWithPosition(s, scanState), renames)
+    val bitmaps = dvBitmaps(live.filter(condition)
+      .select(col("__fp"), col("__ri")))
+    if (bitmaps.isEmpty) return (Nil, Nil, Nil)
+    def popcount(hex: String): Long =
+      hex.foldLeft(0L)((n, c) => n + Integer.bitCount(Character.digit(c, 16)))
+    val metaOf = scanState.toMap
+    val (dead, partial) = bitmaps.partition { case (f, hex) =>
+      val m = metaOf(f)
+      // physical row count from any recorded stat; unknown (-1) keeps
+      // the file as a DV carrier (sound, merely less tidy)
+      val rows = m.stats.values.map(_.rows).find(_ >= 0L).getOrElse(-1L)
+      rows >= 0L && popcount(hexOr(m.dv, hex)) == rows
+    }
+    (dead.map(_._1), partial.map(_._1), partial.map(_._2))
   }
 
   /** Keyed row-level DELETE: mark every live row whose `keyCol` value

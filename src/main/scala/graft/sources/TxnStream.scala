@@ -97,21 +97,26 @@ object TxnStream {
                   toInclusive: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dels = TxnLog.commitsInRange(root, fromExclusive, toInclusive)
-      .flatMap(c => c.dvFiles.zip(c.dvs).map { case (f, dv) =>
-        // sidecar refs resolve here; BINARY for O(1) bit probes
-        (f, TxnLog.dvBytes(dv), c.version) })
+      .flatMap(c => c.dvFiles.zip(c.dvs).flatMap { case (f, dv) =>
+        // sidecar refs resolve here; one dim row per NONZERO 64-bit
+        // word so the join carries 8 bytes per matched row, never the
+        // whole bitmap (see [[TxnLog.dvWords]] — the full-bitmap join
+        // was O(rows × bitmap-bytes) through the build-row copy)
+        TxnLog.dvWords(dv).map { case (w, bits) => (f, w, bits, c.version) } })
     if (dels.isEmpty)
       TxnLog.read(s, root, toInclusive, mergeSchema = true).limit(0)
         .withColumn(CommitVersionCol, lit(0L))
     else {
-      val dim = s.createDataFrame(dels).toDF("_path", "_dv", CommitVersionCol)
+      val dim = s.createDataFrame(dels).toDF("_dvp", "_w", "_bits", CommitVersionCol)
       val out = TxnLog.openFiles(s,
           TxnLog.declaredSchemaJson(root, toInclusive), dels.map(_._1).distinct)
         .withColumn("_path", TxnLog.metaFilePath)
         .withColumn("_ri", col("_metadata.row_index"))
-        .join(broadcast(dim), "_path")
-        .filter(TxnLog.dvBitSet(col("_dv"), col("_ri")))
-        .drop("_path", "_dv", "_ri")
+        .join(broadcast(dim),
+          col("_path") === col("_dvp") &&
+            TxnLog.dvWordIdx(col("_ri")) === col("_w"))
+        .filter(TxnLog.dvWordBitSet(col("_bits"), col("_ri")))
+        .drop("_path", "_dvp", "_w", "_bits", "_ri")
       TxnLog.toLogical(out, TxnLog.columnMapping(root, toInclusive))
     }
   }

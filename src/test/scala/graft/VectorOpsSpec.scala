@@ -368,15 +368,18 @@ class VectorOpsSpec extends SparkTestBase {
   }
 
   test("occupancy-adaptive projected ANN: the bits ladder is exact, results stay an exact subset, near-dup recall holds") {
-    // the integer ladder (no floating log): smallest b in [4,16] with
-    // (n >> b) <= 16
+    // the integer ladder (no floating log): smallest b in [4,24] with
+    // (n >> b) <= 16 (ceiling raised 16 -> 24 after the r17 sf10
+    // receipt measured the 16-bit cap binding at 5M vectors —
+    // occupancy crept to 76 and the wall ratio to 8.9x)
     assert(adaptiveBits(0L) === 4)
     assert(adaptiveBits(272L) === 5)   // 272 >> 4 = 17 > 16
     assert(adaptiveBits(256L) === 4)   // 256 >> 4 = 16 <= 16
     assert(adaptiveBits(500L) === 5)
     assert(adaptiveBits(2000L) === 7)
     assert(adaptiveBits(20000L) === 11)
-    assert(adaptiveBits(Long.MaxValue) === 16)
+    assert(adaptiveBits(5_000_000L) === 19) // past the old 16 cap
+    assert(adaptiveBits(Long.MaxValue) === 24)
     val e = Tables.embeddings(spark, sfDir)
     import spark.implicits._
     val exact = cosinePairsBruteForce(e, "vec_id", "embedding", minCosine = 0.4)

@@ -600,7 +600,7 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(TxnLog.partitionColumns(root("ptb")) === Seq(TxnLog.bucketStatKey(4, "p")))
     val e = intercept[Exception](
       spark.sql("CREATE TABLE gcat.db.ptt (k BIGINT, p BIGINT) PARTITIONED BY (truncate(5, p))"))
-    assert(e.getMessage.contains("identity and bucket"))
+    assert(e.getMessage.contains("identity, bucket and years/months/days/hours"))
     // CTAS accepts PARTITIONED BY too
     spark.sql("CREATE TABLE gcat.db.ptc PARTITIONED BY (p) " +
       "AS SELECT id AS k, id % 3 AS p FROM range(0, 300)")

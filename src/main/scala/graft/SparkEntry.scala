@@ -2039,6 +2039,13 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"), col("rnk"))),
       "txt_vocab_topk" -> ((s, dir) =>
         vocabTopK(Tables.documents(s, dir), "text", k = 50)),
+      // X-T13: cross-document boilerplate profile (CCNet line dedup
+      // adapted to unsegmented text): 10-word pseudo-paragraphs, a
+      // chunk in ≥2 distinct docs is boilerplate — the planted
+      // duplicate pairs in the corpus light this up
+      "txt_boilerplate" -> ((s, dir) =>
+        boilerplateProfile(Tables.documents(s, dir), "doc_id", "text",
+          chunkWords = 10, dfThreshold = 2)),
       "txt_tfidf" -> ((s, dir) =>
         tfIdf(Tables.documents(s, dir), "doc_id", "text")),
       // eval-set hygiene: drop docs sharing any 3-gram with the
@@ -2163,6 +2170,31 @@ object SparkEntry {
     "samp_hash_mod" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 10""",
+
+    // 10-word chunk hashes (56-bit md5 prefix), document frequency via
+    // a window on the (hash, doc) grain — the same three-stage shape
+    // the Spark side runs; slices clamp identically on both engines
+    "txt_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         ix AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+                FROM t),
+         ch AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(array_to_string(
+                    toks[i*10+1 : i*10+10], ' ')), 1, 14) AS BIGINT) AS h,
+                  CAST(len(toks[i*10+1 : i*10+10]) AS BIGINT) AS w
+                FROM ix
+                WHERE len(toks[i*10+1 : i*10+10]) > 0),
+         pd AS (SELECT h, doc_id, count(*) AS occ, CAST(SUM(w) AS BIGINT) AS words
+                FROM ch GROUP BY 1, 2),
+         fl AS (SELECT *, count(*) OVER (PARTITION BY h) >= 2 AS boiler FROM pd)
+         SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_chunks,
+                CAST(SUM(CASE WHEN boiler THEN occ ELSE 0 END) AS BIGINT) AS n_boiler,
+                CAST(SUM(CASE WHEN boiler THEN 0 ELSE words END) AS BIGINT)
+                  AS n_kept_words
+         FROM fl GROUP BY doc_id""",
 
     // domain mix: per-class keep rate = min(1, target·total/count),
     // selection by h7(doc_id) mod 1e6 under the floored micro-rate.
@@ -2584,6 +2616,18 @@ object SparkEntry {
       "sim_rerank" -> ((s, dir) =>
         topKNeighborsRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
           col("vec_id") % 100 === 0, k = 10)),
+      // X-S20: 1-bit (sign) quantization — Hamming-distance shortlist
+      // over two packed 32-bit words per vector, exact float rerank;
+      // same (qid, vec_id, cosine, rnk) contract as sim_topk
+      "sim_binary_topk" -> ((s, dir) =>
+        topKNeighborsBinary(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 100 === 0, k = 10, shortlist = 40)),
+      // X-S21: ColBERT MaxSim late interaction — docs are bags of 4
+      // token vectors (doc = vec_id div 4); score(q,d) = Σ_qv max_dv
+      // cos, in exact integer micro units
+      "sim_maxsim" -> ((s, dir) =>
+        maxSimTopK(Tables.embeddings(s, dir).withColumn("doc", expr("vec_id div 4")),
+          "doc", "vec_id", "embedding", col("doc") % 25 === 0, k = 3)),
       // IVFADC (Jégou 2011): coarse cells route candidates, 8×4-bit
       // product-quantization codes + integer micro-unit ADC tables
       // rank them, exact cosine reranks the 40-row shortlist
@@ -2877,6 +2921,59 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY qid
                                        ORDER BY cosine DESC, vec_id ASC) AS rnk
              FROM s) WHERE rnk <= 10""",
+
+      // sign-bit packing into two 32-bit words (2**i stays exactly
+      // representable), Hamming shortlist of 40, exact float rerank —
+      // the identical three-stage trace as the Spark side
+      "sim_binary_topk" ->
+        s"""WITH p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              CAST(list_sum(list_transform(range(0, 32),
+                i -> CASE WHEN embedding[i+1] > 0 THEN 2**i ELSE 0 END))
+                AS BIGINT) AS lo,
+              CAST(list_sum(list_transform(range(0, 32),
+                i -> CASE WHEN embedding[i+33] > 0 THEN 2**i ELSE 0 END))
+                AS BIGINT) AS hi
+            FROM embeddings),
+           c AS (SELECT q.vec_id AS qid, p.vec_id AS vid,
+                   bit_count(xor(p.lo, q.lo)) + bit_count(xor(p.hi, q.hi)) AS hd
+                 FROM p, (SELECT * FROM p WHERE vec_id % 100 = 0) q
+                 WHERE p.vec_id <> q.vec_id),
+           sh AS (SELECT qid, vid FROM (
+                    SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                             ORDER BY hd ASC, vid ASC) AS r
+                    FROM c) WHERE r <= 40),
+           s AS (SELECT sh.qid, sh.vid AS vec_id,
+                   round(${duckDot("pq.embedding", "pv.embedding")} /
+                         (pq.nrm * pv.nrm), 6) AS cosine
+                 FROM sh
+                 JOIN p pq ON sh.qid = pq.vec_id
+                 JOIN p pv ON sh.vid = pv.vec_id)
+           SELECT qid, vec_id, cosine, rnk FROM (
+             SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+             FROM s) WHERE rnk <= 10""",
+
+      // MaxSim: per-(qtoken, doc) max of micro-rounded cosines, summed
+      // per (qdoc, doc) as exact longs — no float summation order
+      "sim_maxsim" ->
+        s"""WITH p AS (SELECT vec_id, vec_id // 4 AS doc, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+           q AS (SELECT vec_id AS qid, doc AS qdoc, embedding AS qe, nrm AS qnrm
+                 FROM p WHERE doc % 25 = 0),
+           s AS (SELECT q.qdoc, q.qid, p.doc,
+                   CAST(round(${duckDot("qe", "p.embedding")} / (qnrm * p.nrm)
+                              * 1000000) AS BIGINT) AS cm
+                 FROM q, p WHERE p.doc <> q.qdoc),
+           m AS (SELECT qdoc, qid, doc, max(cm) AS mx FROM s GROUP BY 1, 2, 3),
+           d AS (SELECT qdoc, doc, CAST(SUM(mx) AS BIGINT) AS score_micro
+                 FROM m GROUP BY 1, 2)
+           SELECT qdoc, doc, score_micro, rnk FROM (
+             SELECT qdoc, doc, score_micro,
+                    row_number() OVER (PARTITION BY qdoc
+                                       ORDER BY score_micro DESC, doc ASC) AS rnk
+             FROM d) WHERE rnk <= 3""",
 
       // ANN top-k: candidates = corpus vectors sharing any of the
       // probe's (table, bucket) LSH keys; exact cosine + rank over the
@@ -4505,6 +4602,77 @@ object SparkEntry {
           (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("acov_num"))
     }),
 
+    // ---- X-G52: CUSUM changepoint per event-type daily series — the
+    //      position maximizing |n·prefix_k − k·total| (the scaled
+    //      single-changepoint location statistic; see
+    //      RelationalOps.cusumChangepoint for the integer contract).
+    //      The fact scan collapses to the (type, day) grain first; the
+    //      windows run on that grain only. ----
+    "ts_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("__cents"))
+      graft.operators.RelationalOps.cusumChangepoint(
+        daily, "event_type", "day", "__cents")
+    }),
+
+    // ---- X-Q12: reconciliation summary between a table and its
+    //      "migrated" twin — the one-pass damage report (keys lost,
+    //      keys invented, per-column drift counts) run BEFORE any
+    //      row-level diff is materialized. The twin derives
+    //      deterministically from orders: every 97th key dropped,
+    //      every 31st price nudged one cent, every 53rd status
+    //      flipped, every 89th key re-added negated — so all four
+    //      metric classes and both per-column counters are
+    //      exercised. ----
+    "dq_table_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderstatus").as("status"))
+      val migrated = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 31 === 0, col("price_cents") + 1)
+            .otherwise(col("price_cents")).as("price_cents"),
+          when(col("o_orderkey") % 53 === 0, lit("X"))
+            .otherwise(col("status")).as("status"))
+        .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("price_cents"), col("status")))
+      graft.operators.RelationalOps.reconcile(o, migrated,
+        Seq("o_orderkey"), Seq("price_cents", "status"))
+    }),
+
+    // ---- X-G53: recursive CTE hierarchy walk (Spark 4's WITH
+    //      RECURSIVE → UnionLoopExec). Each customer walks an implicit
+    //      forest where parent(c) = md5₂₈(c) mod c — strictly
+    //      decreasing, so every walk reaches node 0, and the md5
+    //      arithmetic is the engine-portable h7 idiom, so DuckDB runs
+    //      the SAME recursion. Depth distribution is the output: per
+    //      final depth, customer count + balance cents. Iteration
+    //      count is max-depth ≈ e·ln n (≈ 60 at 10¹⁰ rows — well under
+    //      the level limit); total materialized rows are Σ depth ≈
+    //      n·ln n, so the row-limit guard lifts to "unlimited" and the
+    //      real bound is the harmonic sum, not a config. ----
+    "gr_reachability" -> ((s, dir) => {
+      val v = s"cust_walk_${dirTag(dir)}"
+      Tables.customer(s, dir).select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .createOrReplaceTempView(v)
+      s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+      s.sql(
+        s"""WITH RECURSIVE walk (node, cur, depth, bal) AS (
+           |  SELECT c_custkey, c_custkey, 0, bal_cents FROM $v
+           |  UNION ALL
+           |  SELECT node,
+           |         CAST(conv(substring(md5(CAST(cur AS STRING)), 1, 7), 16, 10)
+           |              AS BIGINT) % cur,
+           |         depth + 1, bal
+           |  FROM walk WHERE cur > 0
+           |)
+           |SELECT depth, count(*) AS n_customers, sum(bal) AS bal_cents
+           |FROM walk WHERE cur = 0 GROUP BY depth""".stripMargin)
+    }),
+
     // ---- Co-occurrence matrix: which event types happen TOGETHER in
     //      the same (user, hour) — the association signal behind
     //      "users who err also retry" dashboards. DISTINCT types per
@@ -5481,6 +5649,70 @@ object SparkEntry {
                 CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
                   AS acov_num
          FROM u WHERE y IS NOT NULL GROUP BY 1, 2""",
+
+    // the scaled CUSUM statistic |n·prefix_k − k·total| is pure
+    // integer, so the argmax day is engine-exact; ties break earliest
+    "ts_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      SUM(CAST(round(value * 100) AS BIGINT)) AS c
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, day,
+                 CAST(SUM(c) OVER w AS BIGINT) AS prefix,
+                 CAST(row_number() OVER w AS BIGINT) AS k,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                 CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+               FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day AS cp,
+                CAST(abs(n * prefix - k * total) AS BIGINT) AS s_max,
+                n AS n_points
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(n * prefix - k * total) DESC, day ASC) AS r
+               FROM s)
+         WHERE r = 1""",
+
+    // one full-outer join, six conditional counts — the same single
+    // pass the Spark side runs
+    "dq_table_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+                      o_orderstatus AS st
+                    FROM orders),
+         m AS (SELECT k, CASE WHEN k % 31 = 0 THEN p + 1 ELSE p END AS p,
+                      CASE WHEN k % 53 = 0 THEN 'X' ELSE st END AS st
+               FROM o WHERE k % 97 <> 0
+               UNION ALL SELECT -k, p, st FROM o WHERE k % 89 = 0),
+         j AS (SELECT o.k AS lk, m.k AS rk, o.p AS lp, m.p AS rp,
+                      o.st AS lst, m.st AS rst
+               FROM o FULL OUTER JOIN m ON o.k = m.k)
+         SELECT 'only_left' AS metric, count(*) AS n FROM j WHERE rk IS NULL
+         UNION ALL SELECT 'only_right', count(*) FROM j WHERE lk IS NULL
+         UNION ALL SELECT 'matched_equal', count(*) FROM j
+           WHERE lk IS NOT NULL AND rk IS NOT NULL
+             AND lp IS NOT DISTINCT FROM rp AND lst IS NOT DISTINCT FROM rst
+         UNION ALL SELECT 'matched_differ', count(*) FROM j
+           WHERE lk IS NOT NULL AND rk IS NOT NULL
+             AND (lp IS DISTINCT FROM rp OR lst IS DISTINCT FROM rst)
+         UNION ALL SELECT 'col_diff:price_cents', count(*) FROM j
+           WHERE lk IS NOT NULL AND rk IS NOT NULL AND lp IS DISTINCT FROM rp
+         UNION ALL SELECT 'col_diff:status', count(*) FROM j
+           WHERE lk IS NOT NULL AND rk IS NOT NULL AND lst IS DISTINCT FROM rst""",
+
+    // the identical md5-mod walk, recursion for recursion — DuckDB's
+    // WITH RECURSIVE checks Spark's UnionLoop execution end to end
+    "gr_reachability" ->
+      """WITH RECURSIVE walk AS (
+           SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           FROM customer
+           UNION ALL
+           SELECT node,
+                  CAST('0x' || substr(md5(CAST(cur AS VARCHAR)), 1, 7) AS BIGINT)
+                    % cur,
+                  depth + 1, bal
+           FROM walk WHERE cur > 0)
+         SELECT depth, count(*) AS n_customers,
+                CAST(sum(bal) AS BIGINT) AS bal_cents
+         FROM walk WHERE cur = 0 GROUP BY depth""",
 
     // pair counts over per-basket DISTINCT items; micro-unit ratios
     // with truncating // match Spark's div exactly

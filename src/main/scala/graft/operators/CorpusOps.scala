@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{h7, tokens}
@@ -634,5 +635,54 @@ object CorpusOps {
           t => element_at(weights, (bucketOf(t) + 1).cast("int"))), lit(0L), _ + _)
           .as("score_micro"))
       .withColumn("keep", col("score_micro") > 0)
+  }
+
+  /** Cross-document boilerplate profile (the CCNet line-dedup recipe,
+    * Wenzek et al. LREC'20, adapted to unsegmented text): split each
+    * document into fixed-`chunkWords` pseudo-paragraphs, count how many
+    * DISTINCT documents each chunk appears in, and mark chunks shared
+    * by ≥ `dfThreshold` documents as boilerplate — headers, footers,
+    * cookie banners, license blurbs. Returns the per-document removal
+    * profile (what a cleaning pass would keep) rather than mutated
+    * text, so the decision is auditable before any byte is dropped.
+    *
+    * Scale shape: chunks shuffle ONCE as 56-bit md5 longs to the
+    * (hash, doc) grain (map-side combined — intra-doc repeats collapse
+    * before the exchange), document frequency is a window count on
+    * that grain's own partitioning, and the per-doc rollup re-shuffles
+    * only the reduced grain. No joins, no strings past the first
+    * exchange, work bounded by distinct (chunk, doc) — never tokens².
+    * A 56-bit collision (≈2⁻⁴⁰ at 10M distinct chunks) could flag one
+    * spurious chunk; the threshold semantics stay exact otherwise.
+    *
+    * @return (doc_id, n_chunks, n_boiler, n_kept_words) — kept words =
+    *         words in chunks below the document-frequency threshold
+    */
+  def boilerplateProfile(docs: DataFrame, idCol: String, textCol: String,
+                         chunkWords: Int = 10, dfThreshold: Int = 3): DataFrame = {
+    val cw = chunkWords
+    val toks = tokens(col(textCol))
+    val chunks = spread(docs).select(col(idCol).as("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((size(toks) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
+          i => struct(
+            conv(substring(md5(array_join(slice(toks, i * cw + 1, lit(cw)), " ")), 1, 14),
+              16, 10).cast("long").as("h"),
+            size(slice(toks, i * cw + 1, lit(cw))).cast("long").as("w")))).as("c"))
+      // an empty doc makes the end bound -1 and `sequence` walks
+      // DOWNWARD to it ([0,-1]) — both phantom chunks slice to empty
+      // arrays, so the w>0 filter drops them
+      .filter(col("c.w") > 0)
+      .select(col("doc_id"), col("c.h").as("h"), col("c.w").as("w"))
+    val perDocChunk = chunks.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"), sum(col("w")).as("words"))
+    val byHash = Window.partitionBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDocChunk
+      .withColumn("__boiler", count(lit(1)).over(byHash) >= dfThreshold)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_chunks"),
+        sum(when(col("__boiler"), col("occ")).otherwise(0L)).as("n_boiler"),
+        sum(when(!col("__boiler"), col("words")).otherwise(0L)).as("n_kept_words"))
   }
 }

@@ -718,4 +718,91 @@ object RelationalOps {
         java.util.Collections.singletonList(row), schema)
     }
   }
+
+  /** CUSUM changepoint detection per series — for each group, the
+    * order-position whose cumulative deviation from the series mean is
+    * largest is the classic single-changepoint estimator (Page 1954 /
+    * the CUSUM location statistic): a level shift at position k makes
+    * |Σ_{i≤k}(x_i − x̄)| peak exactly at k. The monitoring primitive
+    * behind "when did this metric's regime change" questions.
+    *
+    * Exact integer arithmetic: the statistic is scaled by n —
+    * S_k = |n·prefix_k − k·total| = n·|Σ_{i≤k}(x_i − x̄)| — so no
+    * division or float ever happens and the argmax is hash-stable on
+    * any engine. Ties break to the EARLIEST position.
+    *
+    * Plan shape: one map-side-combined aggregate to the (group, ord)
+    * grain, then ONE ordered window per group computing the prefix sum,
+    * row index, and the per-group (n, total) frame aggregates in the
+    * same exchange, then a per-group argmax window on the same
+    * partitioning (ReusedExchange). Work after the first aggregate is
+    * proportional to the series grain (|groups| × |positions|), never
+    * to event volume.
+    *
+    * @param values pre-aggregated exact-integer series:
+    *        (grpCol, ordCol, valCol) with one row per position
+    * @return (grpCol, cp = changepoint ordCol, s_max = n·|CUSUM| peak,
+    *          n_points)
+    */
+  def cusumChangepoint(values: DataFrame, grpCol: String, ordCol: String,
+                       valCol: String): DataFrame = {
+    val byOrd = Window.partitionBy(col(grpCol)).orderBy(col(ordCol))
+    val whole = Window.partitionBy(col(grpCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = values.select(col(grpCol), col(ordCol),
+      sum(col(valCol)).over(byOrd).as("__prefix"),
+      row_number().over(byOrd).cast("long").as("__k"),
+      count(lit(1)).over(whole).as("__n"),
+      sum(col(valCol)).over(whole).as("__total"))
+      .select(col(grpCol), col(ordCol), col("__n"),
+        abs(col("__n") * col("__prefix") - col("__k") * col("__total")).as("__s"))
+    topKPerGroup(scored, Seq(grpCol),
+      Seq(col("__s").desc, col(ordCol).asc), 1, "__rnk")
+      .select(col(grpCol), col(ordCol).as("cp"), col("__s").as("s_max"),
+        col("__n").as("n_points"))
+  }
+
+  /** Table reconciliation summary — the "did the migration/backfill
+    * produce the same table" report: ONE row per metric counting keys
+    * present only on one side, keys matching on every compared column,
+    * keys differing anywhere, plus a per-column mismatch count. The
+    * complement of [[snapshotDiff]] (which emits the differing ROWS):
+    * run the summary first — at 100 TB you want the damage sized in
+    * one pass before materializing a row-level diff.
+    *
+    * Plan shape: ONE full-outer join on the key (zero exchanges when
+    * both sides are bucketed on it) and ONE scalar aggregate over the
+    * joined rows — the per-column counts are conditional sums riding
+    * the same pass, never per-column re-joins. The wide count row
+    * unpivots to (metric, n) driver-side via `stack` (|cols|+4 rows).
+    * Keys must be unique per side.
+    */
+  def reconcile(left: DataFrame, right: DataFrame,
+                keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "reconcile: at least one compared column")
+    val l = left.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_l", lit(1))
+    val r = right.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_r", lit(1))
+    val joined = l.alias("l").join(r.alias("r"),
+      keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _), "full_outer")
+    val onlyL = col("r.__in_r").isNull
+    val onlyR = col("l.__in_l").isNull
+    val both = !onlyL && !onlyR
+    val colDiffers = compareCols.map(c => c -> (both && !(col(s"l.$c") <=> col(s"r.$c"))))
+    val anyDiffer = colDiffers.map(_._2).reduce(_ || _)
+    val counts =
+      Seq("only_left" -> onlyL, "only_right" -> onlyR,
+        "matched_equal" -> (both && !anyDiffer),
+        "matched_differ" -> (both && anyDiffer)) ++
+        colDiffers.map { case (c, d) => s"col_diff:$c" -> d }
+    val wide = joined.agg(
+      count(when(counts.head._2, 1)).as("c0"),
+      counts.tail.zipWithIndex.map { case ((_, p), i) =>
+        count(when(p, 1)).as(s"c${i + 1}")
+      }: _*)
+    val stacked = counts.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', c$i" }.mkString(", ")
+    wide.select(expr(s"stack(${counts.size}, $stacked) AS (metric, n)"))
+  }
 }

@@ -137,6 +137,109 @@ object VectorOps {
       Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
   }
 
+  /** Sign bits [lo, lo+32) of an embedding packed into one long
+    * (component > 0 ⇒ bit set). 32-bit words, not 64: the oracle's
+    * `2**i` stays exactly representable and nothing brushes the sign
+    * bit on either engine.
+    */
+  private[graft] def signWord(vec: Column, lo: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(31)), i =>
+        when(element_at(vec, i + lit(lo + 1)).cast("double") > 0.0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Binary-quantized top-k retrieval — 1-bit quantization (sign of
+    * each component) with Hamming-distance shortlisting and exact
+    * float rerank. The most aggressive point on the quantization
+    * ladder ([[quantizeInt8]] is 8-bit): a 64-dim float vector becomes
+    * 8 BYTES, Hamming distance is two XOR+popcount instructions, and
+    * for angle-distributed data the collision probability of each sign
+    * bit is proportional to the angle (Charikar STOC'02) — which is
+    * why sign-bit search is the memory-bound regime's default in
+    * production vector stores.
+    *
+    * Plan shape: packing is scan-fused per-row arithmetic (no shuffle,
+    * no stored index); query signatures broadcast WITHOUT their float
+    * vectors, so the coarse pass streams the corpus past 16 bytes per
+    * probe; the per-probe `shortlist` (Hamming ties broken by id) is a
+    * rank window, and only the ≤ shortlist·|probes| survivors join
+    * back to float vectors for the exact cosine. Same output contract
+    * as [[topKNeighbors]]; recall vs exact is pinned in VectorOpsSpec.
+    */
+  def topKNeighborsBinary(vecs: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, k: Int, shortlist: Int = 40): DataFrame = {
+    val p = withNorm(vecs, idCol, vecCol)
+      .select(col("__id"), col("__v"), col("__nrm"),
+        signWord(col("__v"), 0).as("__lo"), signWord(col("__v"), 32).as("__hi"))
+    val q = withNorm(vecs.filter(queryPred), idCol, vecCol)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__nrm").as("__qnrm"),
+        signWord(col("__v"), 0).as("__qlo"), signWord(col("__v"), 32).as("__qhi"))
+    val qSig = q.select(col("__qid"), col("__qlo"), col("__qhi"))
+    val coarse = p.select(col("__id"), col("__lo"), col("__hi"))
+      .crossJoin(broadcast(qSig))
+      .filter(col("__id") =!= col("__qid"))
+      .select(col("__qid"), col("__id"),
+        (call_function("bit_count", col("__lo").bitwiseXOR(col("__qlo"))) +
+          call_function("bit_count", col("__hi").bitwiseXOR(col("__qhi"))))
+          .as("__hamming"))
+    val short = RelationalOps.topKPerGroup(coarse, Seq("__qid"),
+      Seq(col("__hamming").asc, col("__id").asc), shortlist, "__crnk")
+    val scored = short.select(col("__qid"), col("__id"))
+      .join(p.select(col("__id"), col("__v"), col("__nrm")), Seq("__id"))
+      .join(broadcast(q.select(col("__qid"), col("__qv"), col("__qnrm"))), Seq("__qid"))
+      .select(col("__qid").as("qid"), col("__id").as("vec_id"),
+        round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")), 6).as("cosine"))
+    RelationalOps.topKPerGroup(scored, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, "rnk")
+  }
+
+  /** Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    * scoring rule, Khattab & Zaharia SIGIR'20): documents and queries
+    * are BAGS of token vectors sharing a doc id; score(q, d) =
+    * Σ_{qv ∈ q} max_{dv ∈ d} cos(qv, dv). The retrieval shape modern
+    * RAG rerankers use — single-vector cosine collapses a document to
+    * one point, MaxSim lets every query token find its own best match.
+    *
+    * Exact integer contract: each (qv, dv) cosine rounds to micro
+    * units BEFORE the max, and the per-query sum is a sum of ≤
+    * |q-tokens| longs — no float summation order anywhere, so the
+    * score is hash-stable.
+    *
+    * Plan shape: query token vectors broadcast (a probe set is
+    * thousands of rows, never corpus-scale); the corpus streams past
+    * them ONCE; the (qdoc, qtoken, doc) max and the (qdoc, doc) sum
+    * are two map-side-combined aggregates on successively coarser
+    * grains — the shuffle carries the candidate grain, not the token
+    * cross product. At 100 TB, feed `tokenVecs` a per-qtoken candidate
+    * shortlist from [[topKNeighborsAnn]]/[[topKNeighborsIvf]] first —
+    * MaxSim composes with any ANN router because the scoring rule
+    * only needs (qtoken, candidate-doc) pairs.
+    *
+    * @return (qdoc, doc, score_micro, rnk) — top-k docs per query doc
+    */
+  def maxSimTopK(tokenVecs: DataFrame, docCol: String, idCol: String,
+                 vecCol: String, queryPred: Column, k: Int): DataFrame = {
+    val corpus = RelationalOps.spread(tokenVecs)
+      .select(col(docCol).as("__doc"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__nrm"))
+    val q = tokenVecs.filter(queryPred)
+      .select(col(docCol).as("__qdoc"), col(idCol).as("__qid"),
+        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qnrm"))
+    val pairScores = corpus.crossJoin(broadcast(q))
+      .filter(col("__doc") =!= col("__qdoc"))
+      .select(col("__qdoc"), col("__qid"), col("__doc"),
+        round(dot(col("__qv"), col("__v")) / (col("__qnrm") * col("__nrm")) * 1e6)
+          .cast("long").as("__cos_micro"))
+    val bestPerToken = pairScores.groupBy(col("__qdoc"), col("__qid"), col("__doc"))
+      .agg(max(col("__cos_micro")).as("__m"))
+    val perDoc = bestPerToken.groupBy(col("__qdoc"), col("__doc"))
+      .agg(sum(col("__m")).as("score_micro"))
+      .select(col("__qdoc").as("qdoc"), col("__doc").as("doc"), col("score_micro"))
+    RelationalOps.topKPerGroup(perDoc, Seq("qdoc"),
+      Seq(col("score_micro").desc, col("doc").asc), k, "rnk")
+  }
+
   /** ANN-routed top-k retrieval — the scale path for [[topKNeighbors]]
     * with the SAME (qid, vec_id, cosine, rnk) output contract.
     * Production similarity search is "nearest neighbors of these probe

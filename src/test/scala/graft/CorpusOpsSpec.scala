@@ -267,4 +267,30 @@ class CorpusOpsSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(again === out)
   }
+
+  test("boilerplateProfile flags cross-doc repeated chunks, not intra-doc repeats") {
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, header + " tail one two"), // header chunk + 3-word tail
+      (2L, header + " other tail words here"), // header chunk + 4-word tail
+      (3L, header), // header only: everything boilerplate
+      (4L, "all alone words that repeat nowhere"), // 1 unique 6-word chunk
+      (5L, uniq + " " + uniq), // SAME chunk twice in ONE doc: df = 1, kept
+      (6L, "")) // empty: zero chunks, no output row
+      .toDF("doc_id", "text")
+    val out = boilerplateProfile(docs, "doc_id", "text",
+      chunkWords = 10, dfThreshold = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 3L)))
+    assert(out(2L) === ((2L, 1L, 4L)))
+    assert(out(3L) === ((1L, 1L, 0L)))
+    assert(out(4L) === ((1L, 0L, 6L)))
+    // CCNet semantics: document frequency counts DISTINCT docs — an
+    // intra-doc repeat is repetition (X-T7's job), not boilerplate
+    assert(out(5L) === ((2L, 0L, 20L)))
+    assert(!out.contains(6L), "an empty document yields no chunks")
+  }
 }

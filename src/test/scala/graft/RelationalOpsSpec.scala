@@ -419,4 +419,47 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(empty.length === 1 && empty.head.getLong(0) === 0L)
     assert(empty.head.isNullAt(1), "sum over an empty table is NULL, not 0")
   }
+
+  test("cusumChangepoint finds the planted level shift; flat series ties earliest") {
+    import spark.implicits._
+    val series = (1 to 40).map(d => ("a", d, if (d <= 20) 100L else 200L)) ++
+      (1 to 10).map(d => ("b", d, 50L))
+    val out = RelationalOps
+      .cusumChangepoint(series.toDF("g", "pos", "v"), "g", "pos", "v")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a: the scaled CUSUM |n·prefix_k − k·total| peaks at the LAST
+    // pre-shift point: S_20 = |40·2000 − 20·6000| = 40000, S_19/S_21 = 38000
+    assert(out("a") === ((20, 40000L, 40L)))
+    // b: flat series ⇒ statistic identically 0 ⇒ earliest position
+    assert(out("b") === ((1, 0L, 10L)))
+  }
+
+  test("reconcile sizes side-only keys, per-column drift, and null-safe equality") {
+    import spark.implicits._
+    val l = Seq((1L, Option(10L), "a"), (2L, Option(20L), "b"),
+      (3L, Option.empty[Long], "c"), (4L, Option(40L), "d")).toDF("k", "p", "s")
+    val r = Seq(
+      (1L, Option(10L), "a"), // equal
+      (2L, Option(21L), "b"), // p differs
+      (3L, Option.empty[Long], "x"), // s differs; null p <=> null p is EQUAL
+      (5L, Option(50L), "e")) // only right (and key 4 only left)
+      .toDF("k", "p", "s")
+    val out = RelationalOps.reconcile(l, r, Seq("k"), Seq("p", "s"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(out === Map("only_left" -> 1L, "only_right" -> 1L,
+      "matched_equal" -> 1L, "matched_differ" -> 2L,
+      "col_diff:p" -> 1L, "col_diff:s" -> 1L))
+  }
+
+  test("gr_reachability (recursive CTE): one depth per customer, balance conserved") {
+    val out = run("gr_reachability")
+      .agg(sum(col("n_customers")), sum(col("bal_cents"))).head()
+    val cust = Tables.customer(spark, sfDir)
+      .agg(count(lit(1)), sum(round(col("c_acctbal") * 100).cast("long"))).head()
+    // every walk strictly descends to node 0 exactly once, so the
+    // depth histogram partitions the customer set
+    assert(out.getLong(0) === cust.getLong(0))
+    assert(out.getLong(1) === cust.getLong(1))
+  }
 }

@@ -458,6 +458,63 @@ class VectorOpsSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("signWord packs exactly the positive components' bits") {
+    import spark.implicits._
+    // component i > 0 ⇔ bit (i − lo) set: plant signs at 0, 2, 31 in
+    // the low word and 32, 63 in the high word
+    val v = Array.fill(64)(-1.0f)
+    Seq(0, 2, 31, 32, 63).foreach(i => v(i) = 0.5f)
+    val row = Seq(Tuple1(v)).toDF("e")
+      .select(signWord(col("e"), 0).as("lo"),
+        signWord(col("e"), 32).as("hi"))
+      .head()
+    assert(row.getLong(0) === ((1L << 0) | (1L << 2) | (1L << 31)))
+    assert(row.getLong(1) === ((1L << 0) | (1L << 31)))
+  }
+
+  test("topKNeighborsBinary: exact reranked cosines, dense ranks, recall pinned") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") % 100 === 0
+    val k = 10
+    val bin = topKNeighborsBinary(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id", "cosine", "rnk").as[(Long, Long, Double, Int)].collect()
+    assert(bin.nonEmpty)
+    // every hit's cosine is the exact cosine (rerank-on-candidates)
+    val exactCos = topKNeighbors(vecs, "vec_id", "embedding", pred, Int.MaxValue)
+      .select("qid", "vec_id", "cosine").as[(Long, Long, Double)].collect().toMap2
+    bin.foreach { case (q, v, c, _) => assert(c === exactCos((q, v))) }
+    // ranks dense per qid
+    bin.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // recall@10 vs exact: 64 sign bits + shortlist 40 of 500 — pin the
+    // floor so a packing/shortlist regression surfaces
+    val exactSet = topKNeighbors(vecs, "vec_id", "embedding", pred, k)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exactSet & bin.map(r => (r._1, r._2)).toSet).size.toDouble / exactSet.size
+    info(f"binary-quantized recall@10: $recall%.3f")
+    assert(recall >= 0.3, f"binary recall $recall%.3f fell below the pinned floor")
+  }
+
+  test("maxSimTopK equals the hand-computed MaxSim on a planted bag") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, 0L, Array(1f, 0f, 0f, 0f)), // query token 0
+      (1L, 0L, Array(0f, 1f, 0f, 0f)), // query token 1
+      (2L, 1L, Array(1f, 0f, 0f, 0f)), // doc 1: perfect match for qt0
+      (3L, 1L, Array(0f, 0f, 1f, 0f)),
+      (4L, 2L, Array(0.6f, 0.8f, 0f, 0f)), // doc 2: cos .6 / .8 vs qt0/qt1
+      (5L, 2L, Array(0f, 0f, 0f, 1f)))
+    val df = rows.toDF("vec_id", "doc", "embedding")
+    val out = maxSimTopK(df, "doc", "vec_id", "embedding", col("doc") === 0, k = 2)
+      .select("qdoc", "doc", "score_micro", "rnk")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // doc2: max(.6,0)+max(.8,0) = 1.4; doc1: max(1,0)+max(0,0) = 1.0;
+    // the query doc itself never appears
+    assert(out.toSeq === Seq((0L, 2L, 1400000L, 1), (0L, 1L, 1000000L, 2)))
+  }
+
   private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap

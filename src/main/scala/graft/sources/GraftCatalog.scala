@@ -246,7 +246,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
-      .SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      // X-A89: GENERATED ALWAYS AS (expr) columns — the analyzer
+      // validates determinism/typing at CREATE and ships the
+      // expression in the field metadata; the log stores it verbatim
+      // (schema JSON carries metadata), inserts COMPUTE omitted/null
+      // values, and a synthetic CHECK `col <=> (expr)` makes every
+      // write path — SQL INSERT, raw appends, DML post-images,
+      // streaming epochs — honor the invariant or refuse
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // X-A90: GENERATED ALWAYS AS IDENTITY — inserts allocate from
+      // the table's own per-file stats (high-water mark is a
+      // metadata-only MAX) and the commit conflicts with any
+      // concurrent append, so two writers can never mint one value
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS).asJava
+
+  /** The V2 `Column[]` overload is the one the analyzer actually
+    * calls: generation expressions ride the Column objects, and the
+    * default StructType bridge DROPS them — re-attach each as field
+    * metadata (the key [[GraftTable.generatedColumns]] reads and the
+    * log's schema JSON preserves) before the shared create path.
+    */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val withGen = StructType(columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      // DEFAULT encodes under Spark's own keys, exactly like the
+      // ADD COLUMN path: CURRENT_DEFAULT feeds INSERT resolution,
+      // EXISTS_DEFAULT (frozen fold) serves pre-column files
+      Option(c.defaultValue()).foreach { d =>
+        val v = d.getValue
+        require(v != null,
+          s"graft: column ${c.name()} DEFAULT must fold to a constant " +
+            s"(got ${Option(d.getSql).getOrElse(d.toString)})")
+        val existsSql = ce.Literal(v.value, v.dataType).sql
+        mb.putString("CURRENT_DEFAULT", Option(d.getSql).getOrElse(existsSql))
+        mb.putString("EXISTS_DEFAULT", existsSql)
+      }
+      Option(c.generationExpression()).foreach(
+        mb.putString("GENERATION_EXPRESSION", _))
+      // identity spec under Spark's own metadata keys (DESCRIBE and
+      // the schema JSON round-trip them)
+      Option(c.identityColumnSpec()).foreach { i =>
+        mb.putLong("identity.start", i.getStart)
+        mb.putLong("identity.step", i.getStep)
+        mb.putBoolean("identity.allowExplicitInsert", i.isAllowExplicitInsert)
+      }
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createTable(ident, withGen, partitions, properties)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -255,6 +312,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     TxnLog.init(root)
+    // generated columns enforce as CHECK constraints (null-safe
+    // equality: never a NULL verdict), created atomically with the
+    // table like every user CHECK
+    val genChecks = GraftTable.generatedColumns(schema).map { case (c, e) =>
+      (s"gen_$c", s"$c <=> ($e)")
+    }
     // schema AND constraints in ONE record: there is no version at
     // which the table is visible but unconstrained (a concurrent
     // insert either precedes the create commit — and fails schema
@@ -264,7 +327,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       txnId = s"create-table-a$uuid12",
       schemaId = TxnLog.schemaFingerprint(schema),
       schemaJson = TxnLog.encodeSchema(schema),
-      cadds = GraftTable.constraintProps(properties),
+      cadds = GraftTable.constraintProps(properties) ++ genChecks,
       partitionBy = pcols)
     new GraftTable(root, Long.MaxValue, timeTraveled = false)
   }
@@ -722,6 +785,37 @@ private[sources] object GraftTable {
         (k.stripPrefix(ConstraintProp), v)
     }.sortBy(_._1)
 
+  /** GENERATED ALWAYS AS columns declared on the schema, as
+    * (column, generation-expression SQL) — the analyzer validated
+    * determinism and type agreement at CREATE and ships the text in
+    * the field metadata, which [[TxnLog.encodeSchema]] preserves
+    * verbatim (schema JSON carries metadata), so the declaration
+    * round-trips through the log with zero extra machinery.
+    */
+  def generatedColumns(schema: StructType): Seq[(String, String)] = {
+    val Key = "GENERATION_EXPRESSION"
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(Key) => (f.name, f.metadata.getString(Key))
+    }
+  }
+
+  /** One GENERATED ... AS IDENTITY declaration. */
+  case class IdentitySpec(col: String, start: Long, step: Long,
+                          allowExplicit: Boolean)
+
+  /** Identity columns declared on the schema (Spark's own metadata
+    * keys, written by [[GraftCatalog.createTable]]'s Column[] overload
+    * and preserved by the log's schema JSON).
+    */
+  def identityColumns(schema: StructType): Seq[IdentitySpec] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("identity.start") =>
+        IdentitySpec(f.name, f.metadata.getLong("identity.start"),
+          f.metadata.getLong("identity.step"),
+          f.metadata.contains("identity.allowExplicitInsert") &&
+            f.metadata.getBoolean("identity.allowExplicitInsert"))
+    }
+
   /** The `_file` metadata column: the data file each row came from —
     * standard lakehouse observability (`SELECT _file, count(*) ...`)
     * and the metadata attribute the row-level operations require.
@@ -758,6 +852,99 @@ private[sources] object GraftTable {
     */
   def insertInto(root: String, data: DataFrame, overwrite: Boolean): Unit = {
     val s = data.sparkSession
+    // GENERATED ALWAYS AS columns: compute omitted/null values from
+    // the declared expression (logical names — exactly the CREATE
+    // statement's terms); a SUPPLIED non-null value must agree, which
+    // the synthetic gen_<col> CHECK then proves in the same pass as
+    // every other constraint
+    val schema = TxnLog.tableSchema(root).getOrElse(data.schema)
+    val withGen = generatedColumns(schema)
+      .foldLeft(data) { case (d, (c, e)) =>
+        import org.apache.spark.sql.functions.{coalesce, col, expr}
+        if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+        else d.withColumn(c, coalesce(col(c), expr(e)))
+      }
+    val idents = identityColumns(schema)
+    if (idents.isEmpty) insertPrepared(root, withGen, overwrite)
+    else insertWithIdentity(root, schema, withGen, overwrite, idents)
+  }
+
+  /** X-A90: IDENTITY allocation — optimistic and exactly-once. The
+    * high-water mark is a METADATA-only extreme over the live files'
+    * typed stats (scan fallback only for stat-less raw-API files);
+    * null/omitted values fill `hwm + step, hwm + 2·step, …` in
+    * deterministic column order (identical input multisets always
+    * mint the same value SET — the cur_assign_ids discipline, so even
+    * identity values are oracle-checkable); and the commit runs under
+    * `failOnConcurrentAppend`, so a concurrent insert that might have
+    * minted the same range CONFLICTS — the loser deletes its staged
+    * files, re-reads the mark and re-stages. Uniqueness is guaranteed
+    * transactionally, not by luck; monotonic per commit, gaps allowed
+    * (the standard identity contract).
+    */
+  private def insertWithIdentity(root: String, schema: StructType,
+                                 data: DataFrame, overwrite: Boolean,
+                                 idents: Seq[IdentitySpec]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    idents.foreach { is =>
+      if (!is.allowExplicit && data.columns.contains(is.col)) {
+        val supplied = data.filter(col(is.col).isNotNull).limit(1)
+        require(supplied.isEmpty,
+          s"graft: identity column ${is.col} is GENERATED ALWAYS — " +
+            "explicit values are not allowed (declare GENERATED BY DEFAULT)")
+      }
+    }
+    val renames = TxnLog.columnMapping(root)
+    var attempts = 0
+    while (true) {
+      val readV = TxnLog.currentVersion(root)
+      val filled = idents.foldLeft(data) { (d, is) =>
+        def beyond(a: Long, b: Long): Long =
+          if (is.step > 0) math.max(a, b) else math.min(a, b)
+        // the mark to clear: the table's live extreme (metadata-only;
+        // an OVERWRITE truncates it away) combined with the BATCH's
+        // own explicit values — minted ids must clear both
+        val tableExtreme =
+          if (overwrite) None
+          else TxnLog.columnExtremeLong(d.sparkSession, root,
+            renames.getOrElse(is.col, is.col), readV, maximize = is.step > 0)
+        val explicitExtreme =
+          if (!d.columns.contains(is.col)) None
+          else {
+            import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+            val agg = if (is.step > 0) fmax(col(is.col)) else fmin(col(is.col))
+            d.agg(agg).head().get(0) match {
+              case n: Number => Some(n.longValue)
+              case _         => None
+            }
+          }
+        val next = (tableExtreme.toSeq ++ explicitExtreme.toSeq)
+          .reduceOption(beyond)
+          .map(m => beyond(is.start, m + is.step))
+          .getOrElse(is.start)
+        val orderCols = d.columns.toIndexedSeq.filterNot(_ == is.col).map(col)
+        val dt = schema(is.col).dataType
+        def minted(nulls: DataFrame) = graft.operators.RelationalOps
+          .globalRowNumber(nulls, orderCols, "__rid")
+          .withColumn(is.col,
+            (lit(next) + (col("__rid") - 1L) * lit(is.step)).cast(dt))
+          .drop("__rid")
+        if (!d.columns.contains(is.col)) minted(d)
+        else d.filter(col(is.col).isNotNull)
+          .unionByName(minted(d.filter(col(is.col).isNull).drop(is.col))
+            .select(d.columns.toIndexedSeq.map(col): _*))
+      }
+      try { insertPrepared(root, filled, overwrite, guardAppends = !overwrite); return }
+      catch {
+        case _: TxnLog.ConflictException if attempts < 8 => attempts += 1
+      }
+    }
+  }
+
+  private def insertPrepared(root: String, data: DataFrame,
+                             overwrite: Boolean,
+                             guardAppends: Boolean = false): Unit = {
+    val s = data.sparkSession
     TxnLog.checkConstraints(s, root, data)
     val readV = TxnLog.currentVersion(root)
     val phys0 = TxnLog.toPhysical(data, TxnLog.columnMapping(root, readV))
@@ -782,13 +969,24 @@ private[sources] object GraftTable {
     val (files, multi) =
       if (statCols.isEmpty && buckets.isEmpty) (TxnLog.stage(phys, root, txnId), Nil)
       else TxnLog.stageWithStatsFor(phys, root, txnId, statCols, buckets)
-    TxnLog.commit(root, if (overwrite) "overwrite" else "append",
+    // guarded appends (identity allocation): the commit must observe
+    // the readVersion the high-water mark was read at and CONFLICT
+    // with any concurrent append — the staged files are deleted so a
+    // retry re-stages clean
+    try TxnLog.commit(root, if (overwrite) "overwrite" else "append",
       added = files,
       removed = if (overwrite) TxnLog.snapshotFiles(root, readV) else Nil,
-      readVersion = if (overwrite) readV else 0L,
+      readVersion = if (overwrite || guardAppends) readV else 0L,
       txnId = txnId, multiStats = multi,
       schemaId = TxnLog.schemaFingerprint(phys.schema),
-      schemaJson = declareJson(root, phys.schema))
+      schemaJson = declareJson(root, phys.schema),
+      failOnConcurrentAppend = guardAppends)
+    catch {
+      case e: TxnLog.ConflictException =>
+        files.foreach(f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+        throw e
+    }
     ()
   }
 

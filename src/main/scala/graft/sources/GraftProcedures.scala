@@ -39,7 +39,33 @@ private[sources] object GraftProcedures {
     Seq("checkpoint", "vacuum", "vacuum_staging", "vacuum_refs",
       "optimize_zorder", "compact_deletes", "compact_files", "analyze",
       "refresh_mv", "set_not_null", "create_branch", "create_tag",
-      "publish_branch", "drop_ref", "restore", "clone", "copy_into")
+      "publish_branch", "drop_ref", "restore", "clone", "copy_into",
+      "set_partitioning")
+
+  /** Parse a `set_partitioning` spec — comma-separated transforms over
+    * LOGICAL column names: `c`, `bucket(n, c)`, `years|months|days|
+    * hours(c)`; '' clears. Returns log tokens over PHYSICAL names.
+    */
+  def parsePartitionSpec(spec: String,
+                         toPhysical: String => String): Seq[String] = {
+    val BucketRe = """bucket\(\s*(\d+)\s*[,;]\s*([^)]+?)\s*\)""".r
+    val TemporalRe = """(years|months|days|hours)\(\s*([^)]+?)\s*\)""".r
+    // split on commas OUTSIDE parens (bucket(8, uid) carries one)
+    val items = new scala.collection.mutable.ArrayBuffer[String]
+    var depth = 0; val cur = new StringBuilder
+    spec.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => items += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    items += cur.result()
+    items.map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case BucketRe(n, c)   => TxnLog.bucketStatKey(n.toInt, toPhysical(c))
+      case TemporalRe(u, c) => TxnLog.temporalToken(u, toPhysical(c))
+      case c                => toPhysical(c)
+    }
+  }
 
   private def uuid12: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -122,16 +148,22 @@ private[sources] object GraftProcedures {
             // Delta's RETAIN n HOURS spelling: the horizon resolves
             // through the monotonized commit timestamps
             paramWithDefault("retain_hours",
-              org.apache.spark.sql.types.DoubleType, "CAST(-1.0 AS DOUBLE)")),
+              org.apache.spark.sql.types.DoubleType, "CAST(-1.0 AS DOUBLE)"),
+            // dry_run = true: report the exact reclaim set, delete
+            // nothing (Delta's VACUUM DRY RUN — audit before the
+            // horizon moves)
+            paramWithDefault("dry_run",
+              org.apache.spark.sql.types.BooleanType, "false")),
           StructType(Seq(StructField("deleted_files", LongType, nullable = false)))) {
           (_, in) =>
             val v = if (in.isNullAt(1)) -1L else in.getLong(1)
             val h = if (in.isNullAt(2)) -1.0 else in.getDouble(2)
+            val dry = !in.isNullAt(3) && in.getBoolean(3)
             require((v >= 0L) ^ (h >= 0.0),
               "vacuum: give exactly one of retain_from_version / retain_hours")
             val deleted =
-              if (v >= 0L) TxnLog.vacuum(root(in), v)
-              else TxnLog.vacuumRetainHours(root(in), h)
+              if (v >= 0L) TxnLog.vacuum(root(in), v, dryRun = dry)
+              else TxnLog.vacuumRetainHours(root(in), h, dryRun = dry)
             Seq(Seq(deleted.size.toLong))
         }
       case "vacuum_staging" =>
@@ -201,15 +233,21 @@ private[sources] object GraftProcedures {
       case "compact_files" =>
         bound(Seq(param("table", StringType),
             paramWithDefault("small_mb", LongType, "32"),
-            paramWithDefault("target_mb", LongType, "128")),
+            paramWithDefault("target_mb", LongType, "128"),
+            // Delta's OPTIMIZE ... WHERE: scope the rewrite to files
+            // the predicate admits through per-file stats — the
+            // "optimize yesterday's partition" shape; '' = whole table
+            paramWithDefault("where", StringType, "''")),
           StructType(Seq(
             StructField("version", LongType, nullable = false),
             StructField("compacted_files", LongType, nullable = false)))) {
           (s, in) =>
+            val w = if (in.isNullAt(3)) "" else in.getUTF8String(3).toString
             val c = TxnLog.compactSmallFiles(s, root(in),
               smallBytes = in.getLong(1) * 1024 * 1024,
               targetBytes = in.getLong(2) * 1024 * 1024,
-              txnId = s"call-cfiles-a$uuid12")
+              txnId = s"call-cfiles-a$uuid12",
+              where = Option(w).filter(_.nonEmpty))
             Seq(Seq(c.map(_.version).getOrElse(-1L),
               c.map(_.removed.size.toLong).getOrElse(0L)))
         }
@@ -335,6 +373,24 @@ private[sources] object GraftProcedures {
           (_, in) =>
             Seq(Seq(java.lang.Boolean.valueOf(
               TxnLog.dropRef(root(in), in.getUTF8String(1).toString))))
+        }
+      case "set_partitioning" =>
+        // X-A86: partition-spec evolution — one metadata commit, zero
+        // data movement; new writes cluster by the new spec, old files
+        // keep their (still sound) stats. spec = 'days(ts), bucket(8,
+        // uid), c' over logical names; '' clears the partitioning.
+        bound(Seq(param("table", StringType), param("spec", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("partitioning", StringType, nullable = false)))) {
+          (_, in) =>
+            val r = root(in)
+            val renames = TxnLog.columnMapping(r)
+            val tokens = parsePartitionSpec(in.getUTF8String(1).toString,
+              c => renames.getOrElse(c, c))
+            val c = TxnLog.setPartitioning(r, tokens,
+              txnId = s"setpart-a$uuid12")
+            Seq(Seq(c.version, tokens.mkString(",")))
         }
       case "restore" =>
         // RESTORE TABLE t TO VERSION AS OF v: one strict commit resets

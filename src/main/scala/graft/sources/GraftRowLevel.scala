@@ -262,6 +262,10 @@ private class GraftDeltaBatchWrite(root: String, logicalSchema: StructType,
       (f, ws.map(w => f"$w%016x").mkString)
     }.unzip
     if (files.isEmpty && dvFiles.isEmpty) return
+    // MOR post-images (insert halves of update pairs + merge inserts)
+    // honor CHECK + NOT NULL like every other write; pure-DV deletes
+    // stage no rows and skip via the empty-files early return
+    TxnLog.checkStagedConstraints(spark, root, files)
     val readV = scanned().map(_._2).getOrElse(TxnLog.currentVersion(root))
     val statCols = GraftTable.statPaths(physSchema)
     // bucket-partitioned tables: post-image files re-record their
@@ -394,6 +398,10 @@ private class GraftBatchWrite(root: String, logicalSchema: StructType,
     val (removed, readV) =
       scanned().getOrElse((Nil, TxnLog.currentVersion(root)))
     if (files.isEmpty && removed.isEmpty) return // nothing matched, nothing inserted
+    // X-A42's contract covers DML too: UPDATE/MERGE post-images must
+    // honor CHECK + NOT NULL before anything publishes (a DELETE's
+    // staged rows are carried-over survivors — already proven)
+    if (action != "delete") TxnLog.checkStagedConstraints(spark, root, files)
     val statCols = GraftTable.statPaths(physSchema)
     // bucket-partitioned tables: post-image files re-record their
     // derived bucket stats so rewrites never lose bucket pruning

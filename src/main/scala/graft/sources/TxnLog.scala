@@ -1443,6 +1443,29 @@ object TxnLog {
     }
   }
 
+  /** Enforce CHECK + NOT NULL constraints over already-STAGED parquet
+    * files — the SQL DML write paths ([[GraftRowLevelOperation]] COW
+    * rewrites, [[GraftDeltaOperation]] MOR post-images), whose rows
+    * exist only as executor-written files by commit time. One extra
+    * scan of the staged bytes — O(changed data), never O(table); a
+    * table with no constraints pays nothing (metadata-only early
+    * return). On violation the staged files are deleted and NOTHING
+    * publishes (same all-or-nothing contract as the insert path).
+    */
+  private[sources] def checkStagedConstraints(s: SparkSession, root: String,
+                                              files: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    if (activeConstraints(root).isEmpty &&
+        tableSchema(root).forall(_.fields.forall(_.nullable))) return
+    val df = toLogical(s.read.parquet(files: _*), columnMapping(root))
+    try checkConstraints(s, root, df)
+    catch {
+      case e: Throwable =>
+        files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+        throw e
+    }
+  }
+
   /** `ALTER COLUMN ... SET / DROP NOT NULL` as one schema-evolve
     * commit. SET NOT NULL first PROVES the claim over the LIVE rows:
     * the per-file null-count stats settle it metadata-only when every
@@ -1660,18 +1683,65 @@ object TxnLog {
     * streaming writer's opt-in auto-compact
     * (`spark.graft.stream.autoCompact.minFiles`).
     */
+  /** Analyze a predicate (SQL text over LOGICAL column names) against
+    * the table's schema and return its conjuncts over PHYSICAL names —
+    * the expression form [[TxnLogFileIndex.keep]] evaluates per file.
+    * Driver-side, metadata-only: the empty frame never schedules a
+    * task; analysis is just name/type resolution.
+    */
+  private[sources] def statFiltersFromSql(s: SparkSession, root: String, readV: Long,
+      text: String): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+    val logSch = GraftTable.logicalSchema(s, root, readV)
+    val analyzed = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), logSch)
+      .filter(org.apache.spark.sql.functions.expr(text))
+      .queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(sys.error(s"graft: could not analyze predicate: $text"))
+    val renames = columnMapping(root, readV)
+    val phys = cond.transformUp {
+      case a: AttributeReference if renames.contains(a.name) =>
+        a.withName(renames(a.name))
+    }
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    split(phys)
+  }
+
+  /** `where` scopes the compaction to files the predicate can touch
+    * (Delta's `OPTIMIZE ... WHERE`): the predicate — logical column
+    * names, parsed and analyzed against the table's schema — runs
+    * through the SAME per-file stat admission as a read
+    * ([[TxnLogFileIndex.keep]]), so "optimize yesterday's partition"
+    * on a 100 TB table prices at O(files-in-the-predicate). A file
+    * STRADDLING the predicate compacts wholly (row-preserving, so
+    * always sound); untranslatable predicate shapes simply admit
+    * every file (conservative: more compaction, never wrong).
+    */
   def compactSmallFiles(s: SparkSession, root: String,
                         smallBytes: Long, targetBytes: Long,
-                        txnId: String, minFiles: Int = 2): Option[Commit] = {
+                        txnId: String, minFiles: Int = 2,
+                        where: Option[String] = None): Option[Commit] = {
     require(smallBytes > 0L && targetBytes >= smallBytes,
       s"need 0 < smallBytes ($smallBytes) <= targetBytes ($targetBytes)")
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
+    val admit: FileMeta => Boolean = where match {
+      case None => _ => true
+      case Some(text) =>
+        val exprs = statFiltersFromSql(s, root, readV, text)
+        val idx = new TxnLogFileIndex(s, root, st0.files)
+        m => idx.keep(m, exprs)
+    }
     val victims = st0.files.filter { case (f, m) =>
       val sz =
         if (m.size >= 0L) m.size
         else try Files.size(Paths.get(f)) catch { case _: Exception => Long.MaxValue }
-      sz < smallBytes
+      sz < smallBytes && admit(m)
     }
     if (victims.size < math.max(2, minFiles)) return None
     val totalBytes = victims.map { case (f, m) =>
@@ -2784,7 +2854,91 @@ object TxnLog {
   def partitionColumns(root: String,
                        version: Long = Long.MaxValue): Seq[String] = {
     val p = resolveState(root, version).partitionBy
-    if (p.isEmpty) Nil else p.split(",").toSeq
+    // "-" is the CLEARED sentinel (setPartitioning(Nil)): the state
+    // fold only replaces partitionBy on non-empty commit fields, so
+    // clearing needs a value that is not ""
+    if (p.isEmpty || p == ClearedPartitioning) Nil else p.split(",").toSeq
+  }
+
+  /** Sentinel partitionBy value meaning "explicitly unpartitioned". */
+  private[sources] val ClearedPartitioning = "-"
+
+  /** The live MAX (or MIN) of an integral column at `version`,
+    * metadata-only where possible: every file carrying a typed long
+    * stat answers from its range bound; only stat-less files (raw
+    * commit-API writes) pay a scan. DV'd rows may inflate the bound —
+    * sound for the identity high-water mark (uniqueness needs ≥ the
+    * true extreme, never =). None = no live rows carry the column.
+    */
+  private[sources] def columnExtremeLong(s: SparkSession, root: String,
+                                         physCol: String, version: Long,
+                                         maximize: Boolean): Option[Long] = {
+    val files = snapshotState(root, version)
+    if (files.isEmpty) return None
+    val (withStat, without) = files.partition(
+      _._2.stats.get(physCol).exists(_.typ == "l"))
+    def pick(a: Long, b: Long): Long =
+      if (maximize) math.max(a, b) else math.min(a, b)
+    val statExtreme = withStat
+      .map(f => if (maximize) f._2.stats(physCol).hi else f._2.stats(physCol).lo)
+      .reduceOption(pick)
+    val scanExtreme =
+      if (without.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{col, max, min}
+        val agg = if (maximize) max(col(physCol)) else min(col(physCol))
+        val row = s.read.parquet(without.map(_._1): _*).agg(agg).head()
+        row.get(0) match {
+          case n: Number => Some(n.longValue)
+          case _         => None
+        }
+      }
+    (statExtreme.toSeq ++ scanExtreme.toSeq).reduceOption(pick)
+  }
+
+  /** X-A86: partition-spec EVOLUTION — re-declare the table's
+    * partitioning as ONE metadata commit. Zero data bytes move and
+    * nothing about reads changes: partitioning here is write-side
+    * CLUSTERING plus per-file stats (X-A38/A56/A63/A84), and pruning
+    * is stats-driven, so files written under the OLD spec keep their
+    * old (still sound) stats while every write after this commit
+    * clusters by the new spec — the Iceberg headline feature priced
+    * at one history row, because there is no directory layout to
+    * migrate. The `partitions` metadata table folds under the head
+    * spec; pre-evolution files whose stat spans values render as
+    * `<multi>` rather than being lied about (X-A82's contract).
+    *
+    * `tokens` are log tokens over PHYSICAL column names (`c`,
+    * `bucket(n;c)`, `days(c)`, …) — [[GraftProcedures]]' spelling
+    * maps logical names first. Empty = clear the partitioning.
+    * RESTORE across a set-partitioning boundary keeps refusing with
+    * its explicit message (the restore contract names partitioning
+    * drift; evolve back first).
+    */
+  def setPartitioning(root: String, tokens: Seq[String], txnId: String): Commit = {
+    val head = currentVersion(root)
+    val sch = tableSchema(root, head).getOrElse(sys.error(
+      s"set-partitioning: table at $root has no logged schema"))
+    tokens.map(parsePartitionToken).foreach { f =>
+      require(sch.fieldNames.contains(f.col),
+        s"set-partitioning: no column ${f.col} in ${sch.fieldNames.mkString(",")}")
+      f match {
+        case BucketField(n, c) =>
+          require(n > 0, s"set-partitioning: bucket count must be positive, got $n")
+          require(bucketableType(sch(c).dataType),
+            s"set-partitioning: bucket transform needs an integral/string/" +
+              s"date/timestamp column, got $c: ${sch(c).dataType.simpleString}")
+        case TemporalField(u, c) =>
+          require(temporalableType(u, sch(c).dataType),
+            s"set-partitioning: $u transform needs a timestamp" +
+              (if (u == "hours") "" else "/date") +
+              s" column, got $c: ${sch(c).dataType.simpleString}")
+        case IdentityField(_) => ()
+      }
+    }
+    commit(root, "set-partitioning", added = Nil, removed = Nil,
+      readVersion = head, txnId = txnId,
+      partitionBy = if (tokens.isEmpty) Seq(ClearedPartitioning) else tokens)
   }
 
   /** A declared partition transform, parsed from its log token:
@@ -3349,9 +3503,13 @@ object TxnLog {
     if (toVersion == head) return head // already there: no-op, no commit
     val stThen = resolveState(root, toVersion)
     val stNow = resolveState(root, head)
-    require(stNow.partitionBy == stThen.partitionBy,
+    // normalize the cleared sentinel: "" and "-" are both
+    // "unpartitioned" — only a REAL spec change refuses
+    def pNorm(p: String) = if (p == ClearedPartitioning) "" else p
+    require(pNorm(stNow.partitionBy) == pNorm(stThen.partitionBy),
       s"restore: partitioning changed since v$toVersion " +
-        s"('${stThen.partitionBy}' -> '${stNow.partitionBy}'); unrestorable")
+        s"('${stThen.partitionBy}' -> '${stNow.partitionBy}'); evolve it " +
+        "back with set_partitioning first")
     require(stNow.renames == stThen.renames,
       s"restore: column renames moved since v$toVersion; rename back " +
         s"explicitly, then restore (then: ${stThen.renames}, now: ${stNow.renames})")
@@ -3575,7 +3733,14 @@ object TxnLog {
     true
   }
 
-  def vacuum(root: String, retainFromVersion: Long): Seq[String] = {
+  /** `dryRun = true` returns the exact reclaim set WITHOUT deleting a
+    * byte — the "what would vacuum destroy" audit every operator runs
+    * before the real horizon move (Delta's VACUUM DRY RUN). Same
+    * candidate computation to the last filter, so the dry run's
+    * answer IS the wet run's victim list at this head.
+    */
+  def vacuum(root: String, retainFromVersion: Long,
+             dryRun: Boolean = false): Seq[String] = {
     val head = currentVersion(root)
     // refs PIN their versions: a tag (or a branch fork) at v needs
     // every file live AT v, so the reclaim horizon can never pass the
@@ -3617,7 +3782,9 @@ object TxnLog {
         val n = Paths.get(f).toAbsolutePath.normalize
         n.startsWith(own) && !branchLive.contains(n.toString)
       }
-      .filter(f => Files.deleteIfExists(Paths.get(f)))
+      .filter(f =>
+        if (dryRun) Files.exists(Paths.get(f))
+        else Files.deleteIfExists(Paths.get(f)))
       .toSeq
   }
 
@@ -3673,14 +3840,15 @@ object TxnLog {
     * nothing. `nowMillis` is injectable for deterministic tests.
     */
   def vacuumRetainHours(root: String, retainHours: Double,
-                        nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+                        nowMillis: Long = System.currentTimeMillis(),
+                        dryRun: Boolean = false): Seq[String] = {
     require(retainHours >= 0.0 && !retainHours.isNaN,
       s"retainHours must be >= 0: $retainHours")
     val horizonTs = nowMillis - (retainHours * 3600.0 * 1000.0).toLong
     val horizonV =
       try versionAsOf(root, horizonTs)
       catch { case _: IllegalArgumentException => return Nil }
-    vacuum(root, horizonV)
+    vacuum(root, horizonV, dryRun)
   }
 
   /** Per-txnId JVM locks: two threads replaying the same transaction

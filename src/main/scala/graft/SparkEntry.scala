@@ -324,6 +324,9 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/cpy") != 3L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/tday") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/rw") != 3L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/pev") != 4L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/genc") != 2L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/idn") != 3L ||
           !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
@@ -579,6 +582,51 @@ object SparkEntry {
         s.sql(s"INSERT OVERWRITE $cat.db.rw PARTITION (o_orderstatus = 'F') " +
           s"SELECT o_orderkey, price_cents * 3 FROM cat_src_$tag " +
           "WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'")         // v3
+        // PARTITION-SPEC EVOLUTION (r17, X-A86): one generation
+        // written under identity(o_orderstatus), one metadata commit
+        // re-declaring days(ts), one generation under the new spec —
+        // zero data movement, both generations readable and prunable
+        // through their own (sound) stats
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate").as("ts"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+            col("o_orderstatus"))
+          .where(col("o_orderkey") % 9 === 2)
+          .createOrReplaceTempView(s"cat_pev_$tag")
+        s.sql(s"CREATE TABLE $cat.db.pev " +
+          "(o_orderkey BIGINT, ts TIMESTAMP, price_cents BIGINT, " +
+          "o_orderstatus STRING) " +
+          "PARTITIONED BY (o_orderstatus)")                           // v1
+        s.sql(s"INSERT INTO $cat.db.pev " +
+          s"SELECT * FROM cat_pev_$tag WHERE o_orderkey % 2 = 0")     // v2
+        s.sql(s"CALL $cat.system.set_partitioning(table => 'db.pev', " +
+          "spec => 'days(ts)')")                                      // v3
+        s.sql(s"INSERT INTO $cat.db.pev " +
+          s"SELECT * FROM cat_pev_$tag WHERE o_orderkey % 2 = 1")     // v4
+        // GENERATED ALWAYS AS (r17, X-A89): `day` computes from ts on
+        // insert (omitted by name), enforces via the synthetic
+        // gen_day CHECK on every write path, and is an ordinary
+        // stat/partition column
+        s.sql(s"CREATE TABLE $cat.db.genc " +
+          "(o_orderkey BIGINT, ts TIMESTAMP, price_cents BIGINT, " +
+          "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+          "PARTITIONED BY (day)")                                     // v1
+        s.sql(s"INSERT INTO $cat.db.genc (o_orderkey, ts, price_cents) " +
+          s"SELECT o_orderkey, ts, price_cents FROM cat_pev_$tag " +
+          "WHERE o_orderkey % 2 = 0")                                 // v2
+        // IDENTITY columns (r17, X-A90): two batches, ids minted in
+        // deterministic column order so even the VALUES are
+        // oracle-checkable; the second batch continues past the
+        // first's metadata-only high-water mark
+        s.sql(s"CREATE TABLE $cat.db.idn " +
+          "(id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+          "o_orderkey BIGINT, price_cents BIGINT)")                   // v1
+        s.sql(s"INSERT INTO $cat.db.idn (o_orderkey, price_cents) " +
+          s"SELECT o_orderkey, price_cents FROM cat_src_$tag " +
+          "WHERE o_orderkey % 11 = 4 AND o_orderkey % 2 = 0")         // v2
+        s.sql(s"INSERT INTO $cat.db.idn (o_orderkey, price_cents) " +
+          s"SELECT o_orderkey, price_cents FROM cat_src_$tag " +
+          "WHERE o_orderkey % 11 = 4 AND o_orderkey % 2 = 1")         // v3
         ()
       }
     }
@@ -1437,6 +1485,38 @@ object SparkEntry {
       "tx_cat_replace" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT o_orderkey, price_cents, o_orderstatus FROM $cat.db.rw")
+      }),
+      // partition-spec evolution (r17, X-A86): a rollup + ts predicate
+      // over a table whose first generation was written under
+      // identity(status) and second under days(ts) — both generations
+      // answer through their own stats; PartitionEvolutionSpec pins
+      // the zero-data-movement + pruning receipts
+      "tx_cat_evolve_part" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT o_orderstatus AS status, date_trunc('month', ts) AS mon,
+                         count(*) AS n, sum(price_cents) AS cents
+                  FROM $cat.db.pev
+                  WHERE ts >= TIMESTAMP '1995-07-01 00:00:00'
+                  GROUP BY o_orderstatus, date_trunc('month', ts)""")
+      }),
+      // generated columns (r17, X-A89): `day` was never supplied by
+      // the insert — every value below is engine-computed, and the
+      // day filter prunes through the generated column's own stats
+      // (GeneratedColumnsSpec pins compute/verify/refuse + the DML
+      // constraint gap both modes)
+      "tx_cat_generated" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT day, count(*) AS n, sum(price_cents) AS cents
+                  FROM $cat.db.genc
+                  WHERE day >= DATE '1996-01-01'
+                  GROUP BY day""")
+      }),
+      // identity columns (r17, X-A90): the id VALUES hash — engine
+      // allocation is deterministic (rank in column order per batch,
+      // second batch offset by the first's high-water mark)
+      "tx_cat_identity" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"SELECT id, o_orderkey, price_cents FROM $cat.db.idn")
       })
     )
   }
@@ -2005,6 +2085,48 @@ object SparkEntry {
          WHERE o_orderkey % 9 = 7
            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
          GROUP BY date_trunc('month', o_orderdate)""",
+
+    // both generations of the evolved table hold the same logical rows
+    // the source predicate selects — evolution moved zero data
+    "tx_cat_evolve_part" ->
+      """SELECT o_orderstatus AS status,
+                date_trunc('month', o_orderdate) AS mon,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders
+         WHERE o_orderkey % 9 = 2
+           AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+         GROUP BY o_orderstatus, date_trunc('month', o_orderdate)""",
+
+    // every day value is CAST(o_orderdate AS DATE) computed by the
+    // engine — the insert never supplied the column
+    "tx_cat_generated" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders
+         WHERE o_orderkey % 9 = 2 AND o_orderkey % 2 = 0
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY CAST(o_orderdate AS DATE)""",
+
+    // identity allocation is rank-in-column-order per batch, the
+    // second batch offset by the first's high-water mark — so even
+    // the minted VALUES reproduce in SQL
+    "tx_cat_identity" ->
+      """WITH src AS (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                      FROM orders WHERE o_orderkey % 11 = 4),
+         b1 AS (SELECT CAST(row_number() OVER (ORDER BY o_orderkey, price_cents)
+                        AS BIGINT) AS id, o_orderkey, price_cents
+                FROM src WHERE o_orderkey % 2 = 0),
+         b2 AS (SELECT CAST((SELECT count(*) FROM b1) +
+                        row_number() OVER (ORDER BY o_orderkey, price_cents)
+                        AS BIGINT) AS id, o_orderkey, price_cents
+                FROM src WHERE o_orderkey % 2 = 1)
+         SELECT id, o_orderkey, price_cents FROM b1
+         UNION ALL SELECT id, o_orderkey, price_cents FROM b2""",
 
     // the %5 base minus its 'F' partition, plus the tripled %7 'F'
     // slice that atomically replaced it
@@ -4602,6 +4724,46 @@ object SparkEntry {
           (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("acov_num"))
     }),
 
+    // ---- X-G54: day-of-week seasonal profile — the seasonality index
+    //      (dow mean over overall mean, exact integer milli units via
+    //      cents·total_days·1000 div (total_cents·days_dow)) per event
+    //      type. One grid aggregate to the (type, day) grain, one to
+    //      (type, dow), totals as a window on the same partitioning.
+    //      Values are non-negative so truncating div ≡ floor div on
+    //      both engines. ----
+    "ts_seasonal" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("__day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("__c"))
+      val perDow = daily
+        .groupBy(col("event_type"), weekday(col("__day")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("__c")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      perDow
+        .withColumn("__nt", sum(col("n_days")).over(w))
+        .withColumn("__tot", sum(col("cents")).over(w))
+        .select(col("event_type"), col("dow"), col("n_days"), col("cents"),
+          expr("cents * __nt * 1000 div (__tot * n_days)").as("idx_milli"))
+    }),
+
+    // ---- X-G55: per-node triangle counts by DEGREE-ORIENTED
+    //      enumeration (Suri & Vassilvitskii WWW'11) over the
+    //      co-purchase graph: nodes = part groups (mod 200), an edge
+    //      where two groups share >= 3 orders. The item coarsening
+    //      bounds the graph by the vocabulary at ANY scale factor
+    //      (the g20 discipline); the orientation bounds the wedge
+    //      join's fan-out by sqrt(|E|) per node on any degree
+    //      distribution. ----
+    "gr_triangles" -> ((s, dir) => {
+      val it = Tables.lineitem(s, dir).select(col("l_orderkey").as("oid"),
+        pmod(col("l_partkey"), lit(200)).as("item")).distinct()
+      val edges = it.alias("a").join(it.alias("b"),
+          col("a.oid") === col("b.oid") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 3)
+      graft.operators.GraphOps.triangleCounts(edges, "x", "y")
+    }),
+
     // ---- X-G52: CUSUM changepoint per event-type daily series — the
     //      position maximizing |n·prefix_k − k·total| (the scaled
     //      single-changepoint location statistic; see
@@ -5649,6 +5811,40 @@ object SparkEntry {
                 CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
                   AS acov_num
          FROM u WHERE y IS NOT NULL GROUP BY 1, 2""",
+
+    // dow via isodow-1 (Monday=0) matches Spark's weekday(); integer
+    // milli index over non-negative sums, so // equals div exactly
+    "ts_seasonal" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      SUM(CAST(round(value * 100) AS BIGINT)) AS c
+                    FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, CAST(isodow(day) - 1 AS BIGINT) AS dow,
+                 count(*) AS n_days, CAST(SUM(c) AS BIGINT) AS cents
+               FROM d GROUP BY 1, 2),
+         t AS (SELECT *,
+                 CAST(SUM(n_days) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+                 CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+               FROM p)
+         SELECT event_type, dow, n_days, cents,
+                CAST(cents * nt * 1000 // (tot * n_days) AS BIGINT) AS idx_milli
+         FROM t""",
+
+    // the oracle enumerates triangles DIRECTLY from the canonical
+    // a<b<c edge triples — an independent formulation checking the
+    // degree-oriented algorithm's result, not mirroring its steps
+    "gr_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey % 200 AS item
+                     FROM lineitem),
+         e0 AS (SELECT a.item AS lo, b.item AS hi
+                FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+         t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+               FROM e0 e1
+               JOIN e0 e2 ON e1.hi = e2.lo
+               JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+         SELECT node, count(*) AS n_triangles
+         FROM (SELECT unnest([a, b, c]) AS node FROM t)
+         GROUP BY node""",
 
     // the scaled CUSUM statistic |n·prefix_k − k·total| is pure
     // integer, so the argmax day is engine-exact; ties break earliest

@@ -112,4 +112,19 @@ class GraphOpsSpec extends SparkTestBase {
       .collect().toMap
     assert(rg(9L) > rg(8L))
   }
+
+  test("triangleCounts: K4 corners carry 3 each, paths none; dups/self-loops/direction ignored") {
+    // K4 on 1..4 (four triangles, each node on three of them), a
+    // 3-path 5-6-7 (none), plus a self-loop, a duplicate edge and a
+    // REVERSED duplicate that must all collapse
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 8L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = GraphOps.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total triangles = sum of corner credits / 3
+    assert(out.values.sum === 12L)
+  }
 }

@@ -327,6 +327,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/pev") != 4L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/genc") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/idn") != 3L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/fd") != 4L ||
           !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
@@ -627,6 +628,23 @@ object SparkEntry {
         s.sql(s"INSERT INTO $cat.db.idn (o_orderkey, price_cents) " +
           s"SELECT o_orderkey, price_cents FROM cat_src_$tag " +
           "WHERE o_orderkey % 11 = 4 AND o_orderkey % 2 = 1")         // v3
+        // unified CDF feed (r17, X-A91): insert + MOR update + MOR
+        // delete — the feed's _change_type classification is EXACT on
+        // deletion-vector DML
+        s.sql(s"CREATE TABLE $cat.db.fd " +
+          "(o_orderkey BIGINT, price_cents BIGINT)")                  // v1
+        s.sql(s"INSERT INTO $cat.db.fd SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 7 = 0")              // v2
+        val prevFd = s.conf.getOption("spark.graft.dml.mode")
+        s.conf.set("spark.graft.dml.mode", "mor")
+        try {
+          s.sql(s"UPDATE $cat.db.fd SET price_cents = price_cents + 1 " +
+            "WHERE o_orderkey % 14 = 0")                              // v3
+          s.sql(s"DELETE FROM $cat.db.fd WHERE o_orderkey % 21 = 0")  // v4
+        } finally prevFd match {
+          case Some(m) => s.conf.set("spark.graft.dml.mode", m)
+          case None    => s.conf.unset("spark.graft.dml.mode")
+        }
         ()
       }
     }
@@ -1517,6 +1535,15 @@ object SparkEntry {
       "tx_cat_identity" -> ((s, dir) => {
         val cat = ensureCatalogTable(s, dir)
         s.sql(s"SELECT id, o_orderkey, price_cents FROM $cat.db.idn")
+      }),
+      // unified CDF feed (r17, X-A91): every row of insert + MOR
+      // update (pre/post images) + MOR delete (pre-images carrying
+      // the values LIVE at delete time), classified by _change_type
+      "tx_cat_feed" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT _commit_version AS v, _change_type AS ct,
+                         o_orderkey, price_cents
+                  FROM $cat.db.fd.feed""")
       })
     )
   }
@@ -2127,6 +2154,24 @@ object SparkEntry {
                 FROM src WHERE o_orderkey % 2 = 1)
          SELECT id, o_orderkey, price_cents FROM b1
          UNION ALL SELECT id, o_orderkey, price_cents FROM b2""",
+
+    // the feed replayed from the source: v2 inserts everything, v3's
+    // MOR update emits pre AND post images of the %14 rows, v4's
+    // delete pre-images carry the value LIVE at delete time (updated
+    // rows deleted at their v3 post-image value)
+    "tx_cat_feed" ->
+      """WITH src AS (SELECT o_orderkey AS k,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS p
+                      FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT CAST(2 AS BIGINT) AS v, 'insert' AS ct,
+                k AS o_orderkey, p AS price_cents FROM src
+         UNION ALL SELECT 3, 'update_postimage', k, p + 1 FROM src
+           WHERE k % 14 = 0
+         UNION ALL SELECT 3, 'update_preimage', k, p FROM src
+           WHERE k % 14 = 0
+         UNION ALL SELECT 4, 'delete', k,
+                CASE WHEN k % 14 = 0 THEN p + 1 ELSE p END FROM src
+           WHERE k % 21 = 0""",
 
     // the %5 base minus its 'F' partition, plus the tripled %7 'F'
     // slice that atomically replaced it

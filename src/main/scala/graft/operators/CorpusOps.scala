@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{h7, tokens}
@@ -648,12 +647,15 @@ object CorpusOps {
     *
     * Scale shape: chunks shuffle ONCE as 56-bit md5 longs to the
     * (hash, doc) grain (map-side combined — intra-doc repeats collapse
-    * before the exchange), document frequency is a window count on
-    * that grain's own partitioning, and the per-doc rollup re-shuffles
-    * only the reduced grain. No joins, no strings past the first
-    * exchange, work bounded by distinct (chunk, doc) — never tokens².
-    * A 56-bit collision (≈2⁻⁴⁰ at 10M distinct chunks) could flag one
-    * spurious chunk; the threshold semantics stay exact otherwise.
+    * before the exchange); document frequency is a map-side-combined
+    * count per hash JOINED back (not a window: a chunk shared by 10M
+    * docs puts 10M rows in ONE window task, while the join is a shape
+    * AQE's skew split can rescue and the count side collapses to one
+    * row per hash before its exchange); the per-doc rollup re-shuffles
+    * only the reduced grain. No strings past the first exchange, work
+    * bounded by distinct (chunk, doc) — never tokens². A 56-bit
+    * collision (≈2⁻⁴⁰ at 10M distinct chunks) could flag one spurious
+    * chunk; the threshold semantics stay exact otherwise.
     *
     * @return (doc_id, n_chunks, n_boiler, n_kept_words) — kept words =
     *         words in chunks below the document-frequency threshold
@@ -676,10 +678,9 @@ object CorpusOps {
       .select(col("doc_id"), col("c.h").as("h"), col("c.w").as("w"))
     val perDocChunk = chunks.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("occ"), sum(col("w")).as("words"))
-    val byHash = Window.partitionBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perDocChunk
-      .withColumn("__boiler", count(lit(1)).over(byHash) >= dfThreshold)
+    val df = perDocChunk.groupBy(col("h"))
+      .agg((count(lit(1)) >= dfThreshold).as("__boiler"))
+    perDocChunk.join(df, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sum(col("occ")).as("n_chunks"),
         sum(when(col("__boiler"), col("occ")).otherwise(0L)).as("n_boiler"),

@@ -1597,6 +1597,16 @@ private class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
       require(replaceFilters.isEmpty,
         "graft: predicate-scoped overwrite is a batch verb; streaming " +
           "writes are append / complete / update(mergeKey)")
+      // identity allocation is a batch-commit protocol (metadata
+      // high-water mark + conflict-guarded commit); the streaming
+      // epoch path has no minting step and would land NULL ids
+      // silently — refuse at query start, not per epoch
+      val idents = GraftTable.identityColumns(
+        TxnLog.tableSchema(root).getOrElse(info.schema()))
+      require(idents.isEmpty,
+        s"graft: table has IDENTITY column(s) ${idents.map(_.col).mkString(", ")} " +
+          "— streaming writes cannot mint identity values; use foreachBatch " +
+          "with a batch INSERT")
       new GraftStreamingWrite(root, info.schema(), info.queryId(),
         replaceEach = overwriteAll)
     }
@@ -1626,6 +1636,12 @@ private class GraftUpsertWriteBuilder(root: String, info: LogicalWriteInfo,
   keyCols.foreach(k => require(info.schema().fieldNames.contains(k),
     s"graft: mergeKey '$k' is not a column of the write " +
       s"(${info.schema().fieldNames.mkString(", ")})"))
+  // same refusal as the append sink: epoch merges have no identity
+  // minting step and would land NULL ids silently
+  require(GraftTable.identityColumns(
+      TxnLog.tableSchema(root).getOrElse(info.schema())).isEmpty,
+    "graft: streaming upserts cannot mint IDENTITY values; use " +
+      "foreachBatch with a batch INSERT/MERGE")
 
   override def build(): Write = new Write {
     override def toStreaming

@@ -34,8 +34,26 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * the SQL twin of [[TxnStream.readChanges]]/[[TxnStream.readDeletes]].
   */
 private[sources] object GraftFeedTable {
-  val Kinds: Set[String] = Set("changes", "deletes")
+  val Kinds: Set[String] = Set("changes", "deletes", "feed")
   val VersionCol = "_commit_version"
+  val TypeCol = "_change_type"
+
+  /** X-A91: `_change_type` classification for the unified `t.feed` —
+    * Delta's CDF vocabulary derived from the commit ACTION at read
+    * time. Exact for deletion-vector DML (MOR UPDATE: the DV bits ARE
+    * the pre-images, the added rows ARE the post-images; MOR DELETE:
+    * pure DV). Conservative where read-time classification cannot
+    * split rows: a MERGE's adds report `insert` and its kills
+    * `delete` (matched/not-matched is decided per row at WRITE time —
+    * Delta's CDC files — which a metadata-only feed cannot recover),
+    * and COW rewrites report their whole post-image files as adds
+    * (the standing `changes` contract).
+    */
+  def changeTypeOf(action: String, killed: Boolean): String = action match {
+    case "update" | "mor-update" =>
+      if (killed) "update_preimage" else "update_postimage"
+    case _ => if (killed) "delete" else "insert"
+  }
 }
 
 private[sources] class GraftFeedTable(root: String, kind: String)
@@ -46,8 +64,12 @@ private[sources] class GraftFeedTable(root: String, kind: String)
   override def name(): String = s"graft:$root.$kind"
 
   override lazy val schema: StructType = StructType(
-    GraftTable.logicalSchema(spark, root, Long.MaxValue).fields :+
-      StructField(GraftFeedTable.VersionCol, LongType, nullable = false))
+    GraftTable.logicalSchema(spark, root, Long.MaxValue).fields ++
+      (StructField(GraftFeedTable.VersionCol, LongType, nullable = false) +:
+        (if (kind == "feed")
+          Seq(StructField(GraftFeedTable.TypeCol,
+            org.apache.spark.sql.types.StringType, nullable = false))
+        else Nil)))
 
   /** `changes` also streams (`readStream.table("cat.db.t.changes")`):
     * the CDF subscription point is SQL-only end to end — same adds
@@ -84,7 +106,8 @@ private[sources] class GraftFeedTable(root: String, kind: String)
   */
 private case class GraftFeedPartition(path: String, length: Long,
                                       dvHex: String, version: Long,
-                                      emitDeleted: Boolean) extends InputPartition
+                                      emitDeleted: Boolean,
+                                      changeType: String = "") extends InputPartition
 
 private class GraftFeedScan(spark: SparkSession, root: String, kind: String,
                             fullSchema: StructType, required: StructType,
@@ -118,13 +141,16 @@ private class GraftFeedScan(spark: SparkSession, root: String, kind: String,
   private val renames: Map[String, String] =
     TxnLog.columnMapping(root, toInclusive)
   private def physName(n: String): String = renames.getOrElse(n, n)
+  private val Synthetic = Set(GraftFeedTable.VersionCol, GraftFeedTable.TypeCol)
   private val physFull = StructType(fullSchema.fields
-    .filterNot(_.name == GraftFeedTable.VersionCol)
+    .filterNot(f => Synthetic(f.name))
     .map(f => f.copy(name = physName(f.name), nullable = true)))
   private val versionIdx: Int =
     required.fields.indexWhere(_.name == GraftFeedTable.VersionCol)
+  private val typeIdx: Int =
+    required.fields.indexWhere(_.name == GraftFeedTable.TypeCol)
   private val physRequiredData = StructType(required.fields
-    .filterNot(_.name == GraftFeedTable.VersionCol)
+    .filterNot(f => Synthetic(f.name))
     .map(f => f.copy(name = physName(f.name), nullable = true)))
 
   override def readSchema(): StructType = required
@@ -154,6 +180,27 @@ private class GraftFeedScan(spark: SparkSession, root: String, kind: String,
               emitDeleted = true)
           }
         }
+      case "feed" =>
+        // X-A91: adds ∪ DV pre-images, each slice stamped with its
+        // action-derived _change_type; row-PRESERVING layout commits
+        // (zorder/compact) are excluded entirely — their files change,
+        // their rows don't (the Delta CDF contract), unlike `changes`,
+        // whose documented job is the raw adds feed
+        commits.filterNot(c => TxnStream.RowPreservingActions(c.action))
+          .flatMap { c =>
+          val sizes = if (c.sizes.size == c.added.size) c.sizes
+                      else c.added.map(_ => -1L)
+          c.added.zip(sizes).map { case (f, sz) =>
+            GraftFeedPartition(f, len(f, sz), "", c.version,
+              emitDeleted = false,
+              changeType = GraftFeedTable.changeTypeOf(c.action, killed = false))
+          } ++
+            c.dvFiles.zip(c.dvs).map { case (f, dv) =>
+              GraftFeedPartition(f, len(f, -1L), TxnLog.dvHex(dv), c.version,
+                emitDeleted = true,
+                changeType = GraftFeedTable.changeTypeOf(c.action, killed = true))
+            }
+          }
       case other => sys.error(s"unknown feed kind $other")
     }
     parts.toArray
@@ -170,14 +217,14 @@ private class GraftFeedScan(spark: SparkSession, root: String, kind: String,
         options = Map(
           org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
         hadoopConf = spark.sessionState.newHadoopConf())
-    new GraftFeedReaderFactory(reader, versionIdx,
+    new GraftFeedReaderFactory(reader, versionIdx, typeIdx,
       required.fields.map(_.dataType))
   }
 }
 
 private class GraftFeedReaderFactory(
     readAll: PartitionedFile => Iterator[InternalRow],
-    versionIdx: Int,
+    versionIdx: Int, typeIdx: Int,
     outTypes: Array[org.apache.spark.sql.types.DataType])
   extends PartitionReaderFactory {
 
@@ -190,19 +237,21 @@ private class GraftFeedReaderFactory(
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow   => Iterator.single(r)
       }
-    // fast path: no stamp requested, nothing to filter
-    if (versionIdx < 0 && !p.emitDeleted)
+    // fast path: no synthetic column requested, nothing to filter
+    if (versionIdx < 0 && typeIdx < 0 && !p.emitDeleted)
       return new PartitionReader[InternalRow] {
         override def next(): Boolean = base.hasNext
         override def get(): InternalRow = base.next()
         override def close(): Unit = ()
       }
+    val changeType =
+      org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)
     val n = outTypes.length
     var ri = -1L
     val rows = base.flatMap { r =>
       ri += 1
-      // `deletes` emits exactly the rows THIS commit killed;
-      // `changes` emits every row of the added file
+      // `deletes`/`feed` kill slices emit exactly the rows THIS
+      // commit killed; add slices emit every row of the added file
       if (p.emitDeleted && !GraftReaderFactory.bitSet(p.dvHex, ri)) None
       else {
         val arr = new Array[Any](n)
@@ -210,6 +259,7 @@ private class GraftFeedReaderFactory(
         var i = 0
         while (i < n) {
           if (i == versionIdx) arr(i) = p.version
+          else if (i == typeIdx) arr(i) = changeType
           else { arr(i) = if (r.isNullAt(j)) null else r.get(j, outTypes(i)); j += 1 }
           i += 1
         }

@@ -3975,6 +3975,12 @@ object TxnLog {
                options: Map[String, String] = Map.empty): CopyReceipt = {
     val dir = Paths.get(sourceDir)
     require(Files.isDirectory(dir), s"copy-into source is not a directory: $sourceDir")
+    // landing files carry no identity values and this path has no
+    // minting step — refuse rather than land NULL ids silently
+    val idents = tableSchema(root).toSeq.flatMap(GraftTable.identityColumns)
+    require(idents.isEmpty,
+      s"graft: table has IDENTITY column(s) ${idents.map(_.col).mkString(", ")} " +
+        "— COPY INTO cannot mint identity values; load via INSERT INTO ... SELECT")
     val matcher = dir.getFileSystem.getPathMatcher(s"glob:$pattern")
     val sources = listDir(dir)
       .filter(p => Files.isRegularFile(p) && matcher.matches(p.getFileName))

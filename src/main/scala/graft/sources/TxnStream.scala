@@ -40,7 +40,7 @@ object TxnStream {
     * (layout maintenance): their files change, their rows don't, so
     * mirror maintenance never needs to diff them.
     */
-  private val RowPreservingActions =
+  private[sources] val RowPreservingActions =
     Set("zorder", "compact", "compact-deletes")
 
   /** The change feed: rows added by commits with

@@ -129,6 +129,35 @@ class GeneratedColumnsSpec extends SparkTestBase {
       "overwrite restarts the sequence at START WITH, stepping by 5")
   }
 
+  test("identity tables refuse the mint-less ingest paths: streaming writes and COPY INTO") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    spark.sql("CREATE TABLE ggc.db.idg (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "v BIGINT)")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // streaming append: refused at query start — an epoch has no
+    // minting step and would land NULL ids silently
+    val ckpt = Files.createTempDirectory("graft-idg-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    val e = intercept[Exception] {
+      val q = in.toDF().selectExpr("CAST(NULL AS BIGINT) AS id", "value AS v")
+        .writeStream.option("checkpointLocation", ckpt).toTable("ggc.db.idg")
+      try { in.addData(1L); q.processAllAvailable() } finally q.stop()
+    }
+    assert(causes(e).exists(c => Option(c.getMessage).exists(
+      _.contains("IDENTITY"))), s"got: $e")
+    // COPY INTO: same refusal
+    val landing = Files.createTempDirectory("graft-idg-landing").toString
+    spark.range(3).selectExpr("CAST(NULL AS BIGINT) AS id", "id AS v")
+      .write.mode("overwrite").parquet(landing)
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL ggc.system.copy_into(table => 'db.idg', source => '$landing')"))
+    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+    assert(TxnLog.currentVersion(root("idg")) === 1L, "nothing may publish")
+  }
+
   test("CHECK and NOT NULL bind UPDATE/MERGE post-images (the DML gap), cow and mor") {
     warehouse
     Seq("cow", "mor").foreach { mode =>

@@ -84,4 +84,24 @@ class MaintenanceScopeSpec extends SparkTestBase {
       "where => \"cat = 'zzz'\")").head
     assert(noop.getLong(0) === -1L && noop.getLong(1) === 0L)
   }
+
+  test("the unified feed excludes row-preserving layout commits; `changes` keeps them") {
+    warehouse
+    spark.sql("CREATE TABLE gms.db.fd (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gms.db.fd SELECT id, id FROM range(0, 10)")
+    spark.sql("INSERT INTO gms.db.fd SELECT id, id FROM range(10, 20)")
+    spark.sql("CALL gms.system.compact_files(table => 'db.fd', " +
+      "small_mb => 32, target_mb => 128)")
+    assert(TxnLog.currentVersion(root("fd")) === 4L)
+    // the feed: 20 inserts, zero rows from the compaction — its files
+    // changed, its rows did not (the Delta CDF contract)
+    val feed = spark.sql(
+      "SELECT _change_type, count(*) FROM gms.db.fd.feed GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("insert" -> 20L))
+    // `changes` keeps its documented raw-adds contract: the rewrite's
+    // post-image files DO appear there
+    assert(spark.sql("SELECT count(*) FROM gms.db.fd.changes")
+      .head.getLong(0) === 40L)
+  }
 }

@@ -934,6 +934,19 @@ object SparkEntry {
       // min/max stats a reader prunes row groups with. Pure integer
       // bit math + globalRowNumber, fully oracle-checkable.
       "io_zorder" -> ((s, dir) => ordersZorderStats(s, dir)),
+      // X-A92: the same layout receipt along the HILBERT curve — the
+      // jump-free curve gives consecutive-row files tighter bounding
+      // boxes than Morton's (LayoutOpsSpec pins the perimeter win);
+      // the oracle replays the identical 16-level xy2d fold as a
+      // generated CTE chain
+      "io_hilbert" -> ((s, dir) =>
+        graft.operators.LayoutOps.hilbertFileStats(
+          Tables.orders(s, dir).select(
+            pmod(col("o_custkey"), lit(65536)).as("x"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).as("y"),
+            col("o_orderkey")),
+          "x", "y", "o_orderkey", rowsPerFile = 1000)),
       // Reader-side pruning decision over the z-order stats: which
       // files a (custkey-bucket × day) rectangle query actually scans.
       // This is the metadata-only planning step — file stats in, scan
@@ -1558,6 +1571,8 @@ object SparkEntry {
     // dims: bit i of zx lands at position 2i, bit i of zy at 2i+1 —
     // identical shifts + scaling to LayoutOps.zValue/withNormalizedDims
     "io_zorder" -> duckZorderStats,
+
+    "io_hilbert" -> duckHilbertStats,
 
     // pruning decision = a pure predicate over the same per-file stats
     "io_prune_stats" ->
@@ -2958,6 +2973,61 @@ object SparkEntry {
        z AS (SELECT tb, x, y, $interleave AS z FROM nb),
        r AS (SELECT x, y,
                row_number() OVER (ORDER BY z ASC, tb ASC) AS rn FROM z)
+       SELECT CAST((rn - 1) // 1000 AS BIGINT) AS file_id,
+              count(*) AS n,
+              min(x) AS min_x, max(x) AS max_x,
+              min(y) AS min_y, max(y) AS max_y
+       FROM r GROUP BY 1"""
+  }
+
+  /** The Hilbert twin of [[duckZorderStats]]: the canonical xy2d fold
+    * replayed as a generated 16-level CTE chain (validated cell-exact
+    * against the reference implementation and the adjacency/bijection
+    * properties in LayoutOpsSpec). Per-level output names are
+    * suffixed — lateral-alias precedence must never decide which hx a
+    * reference binds to.
+    */
+  private def duckHilbertStats: String = {
+    val bits = 16
+    val n = 1L << bits
+    def scaled(c: String, lo: String, hi: String): String =
+      s"""CASE WHEN $hi = $lo THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor((CAST($c AS DOUBLE) - CAST($lo AS DOUBLE))
+                               * 65535.0 /
+                               (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)))
+                         AS BIGINT) END"""
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      val (p, c) = (k, k + 1)
+      s"""h$c AS (SELECT tb, x, y,
+           CASE WHEN ((hy$p >> $i) & 1) = 0 THEN
+                (CASE WHEN ((hx$p >> $i) & 1) = 1
+                      THEN ${n - 1} - hy$p ELSE hy$p END)
+                ELSE hx$p END AS hx$c,
+           CASE WHEN ((hy$p >> $i) & 1) = 0 THEN
+                (CASE WHEN ((hx$p >> $i) & 1) = 1
+                      THEN ${n - 1} - hx$p ELSE hx$p END)
+                ELSE hy$p END AS hy$c,
+           hd$p + ${s * s} * xor(3 * ((hx$p >> $i) & 1), (hy$p >> $i) & 1)
+             AS hd$c
+         FROM h$p)"""
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS tb,
+            CAST(o_custkey % 65536 AS BIGINT) AS x,
+            CAST(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+          FROM orders),
+       st AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                     min(y) AS ymin, max(y) AS ymax FROM b),
+       h0 AS (SELECT b.tb, b.x, b.y,
+                ${scaled("b.x", "st.xmin", "st.xmax")} AS hx0,
+                ${scaled("b.y", "st.ymin", "st.ymax")} AS hy0,
+                CAST(0 AS BIGINT) AS hd0
+              FROM b, st),
+       $levels,
+       r AS (SELECT x, y,
+               row_number() OVER (ORDER BY hd$bits ASC, tb ASC) AS rn
+             FROM h$bits)
        SELECT CAST((rn - 1) // 1000 AS BIGINT) AS file_id,
               count(*) AS n,
               min(x) AS min_x, max(x) AS max_x,

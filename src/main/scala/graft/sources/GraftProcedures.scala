@@ -205,7 +205,10 @@ private[sources] object GraftProcedures {
             paramWithDefault("x_col", StringType, "''"),
             paramWithDefault("y_col", StringType, "''"),
             paramWithDefault("n_files", LongType, "8"),
-            paramWithDefault("cols", StringType, "''")),
+            paramWithDefault("cols", StringType, "''"),
+            // X-A92: curve => 'hilbert' clusters along the jump-free
+            // Hilbert curve (2-dim only); morton stays the N-dim default
+            paramWithDefault("curve", StringType, "'morton'")),
           StructType(Seq(StructField("version", LongType, nullable = false)))) {
           (s, in) =>
             def str(i: Int) = if (in.isNullAt(i)) "" else in.getUTF8String(i).toString
@@ -215,8 +218,10 @@ private[sources] object GraftProcedures {
               else Seq(x, y).filter(_.nonEmpty)
             require(cols.nonEmpty && (csv.isEmpty || (x.isEmpty && y.isEmpty)),
               "optimize_zorder: give x_col/y_col OR cols => 'a,b,...', not both")
+            val curve = Option(str(5)).filter(_.nonEmpty).getOrElse("morton")
             Seq(Seq(TxnLog.optimizeZorderN(s, root(in), cols,
-              in.getLong(3).toInt, txnId = s"call-zorder-a$uuid12").version))
+              in.getLong(3).toInt, txnId = s"call-zorder-a$uuid12",
+              curve = curve).version))
         }
       case "compact_deletes" =>
         bound(Seq(param("table", StringType),

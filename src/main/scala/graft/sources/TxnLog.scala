@@ -1526,8 +1526,14 @@ object TxnLog {
     * tight d-dim bounding box and predicates on any dimension prune.
     */
   def optimizeZorderN(s: SparkSession, root: String, cols: Seq[String],
-                      nFiles: Int, txnId: String, bits: Int = 0): Commit = {
+                      nFiles: Int, txnId: String, bits: Int = 0,
+                      curve: String = "morton"): Commit = {
     require(cols.nonEmpty, "optimizeZorderN needs at least one column")
+    require(curve == "morton" || curve == "hilbert",
+      s"optimize: curve must be morton or hilbert, got $curve")
+    require(curve == "morton" || cols.size == 2,
+      s"optimize: the hilbert curve is 2-dimensional (got ${cols.size} " +
+        "columns); morton handles N dims")
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
     // rewrite in PHYSICAL names (staging the logical read of a
@@ -1537,8 +1543,12 @@ object TxnLog {
     val base =
       if (st0.files.isEmpty) s.emptyDataFrame
       else readForRewrite(s, st0.schemaJson, st0.files)
-    val clustered = graft.operators.LayoutOps.zorderClusteredN(
-      base, phys, nFiles, bits)
+    val clustered =
+      if (curve == "hilbert")
+        graft.operators.LayoutOps.hilbertClustered(
+          base, phys(0), phys(1), nFiles, if (bits > 0) bits else 16)
+      else graft.operators.LayoutOps.zorderClusteredN(
+        base, phys, nFiles, bits)
     // INSERT-grade stats on the rewrite (r17, same contract as merge):
     // the clustering dims get their tight boxes AND every other
     // statable column keeps skipping — a layout job must never erode

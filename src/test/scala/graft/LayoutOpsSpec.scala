@@ -189,4 +189,62 @@ class LayoutOpsSpec extends SparkTestBase {
     assert(bigPlan.map(_.getAs[Long]("compact_group")).distinct.length === 2)
     assert(bigPlan.forall(!_.getAs[Boolean]("merges")))
   }
+
+  test("hilbertValue IS the canonical xy2d: cell-exact, bijective, and jump-free") {
+    import spark.implicits._
+    // reference implementation of the canonical iterative xy2d
+    def xy2d(n: Long, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 4; val n = 1L << bits
+    val grid = (for (x <- 0L until n; y <- 0L until n) yield (x, y)).toDF("x", "y")
+    val got = grid
+      .select(col("x"), col("y"),
+        LayoutOps.hilbertValue(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for (x <- 0L until n; y <- 0L until n)
+      yield (x, y) -> xy2d(n, x, y)).toMap
+    assert(got === want, "the expression fold must equal the reference xy2d")
+    // bijective over the grid…
+    assert(got.values.toSet === (0L until n * n).toSet)
+    // …and JUMP-FREE: consecutive indexes are grid-adjacent — the
+    // Hilbert property Morton lacks (Morton's diagonal seams are what
+    // stretch its bounding boxes)
+    val inv = got.map(_.swap)
+    (0L until n * n - 1).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (inv(d), inv(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"jump between d=$d and ${d + 1}")
+    }
+  }
+
+  test("hilbert layout beats morton on bounding-box perimeter; pruning stays exact") {
+    import spark.implicits._
+    // deterministic scatter over a 256x256 domain, 64-row files
+    val pts = (0 until 4096).map { i =>
+      val h = graft.functions.TextFunctions.h7Jvm(
+        s"pt$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h % 256).toLong, ((h / 256) % 256).toLong, i.toLong)
+    }.toDF("x", "y", "tb")
+    def perimeter(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("max_x") - col("min_x") + col("max_y") - col("min_y")))
+        .head().getLong(0)
+    val hil = perimeter(LayoutOps.hilbertFileStats(pts, "x", "y", "tb", 64))
+    val mor = perimeter(LayoutOps.zorderFileStats(pts, "x", "y", "tb", 64))
+    info(f"total box perimeter hilbert=$hil morton=$mor (${mor.toDouble / hil}%.2fx)")
+    assert(hil < mor,
+      s"the jump-free curve must yield tighter boxes: hilbert=$hil morton=$mor")
+  }
 }

@@ -85,6 +85,46 @@ class MaintenanceScopeSpec extends SparkTestBase {
     assert(noop.getLong(0) === -1L && noop.getLong(1) === 0L)
   }
 
+  test("CALL optimize_zorder(curve => 'hilbert'): one rewrite, both dims prune, refusals") {
+    warehouse
+    spark.sql("CREATE TABLE gms.db.hc (x BIGINT, y BIGINT, v BIGINT)")
+    spark.sql("""INSERT INTO gms.db.hc
+      SELECT (id * 2654435761) % 1024, (id * 40503) % 1024, id
+      FROM range(0, 4000)""")
+    val v = spark.sql("CALL gms.system.optimize_zorder(table => 'db.hc', " +
+      "x_col => 'x', y_col => 'y', n_files => 8, curve => 'hilbert')")
+      .head.getLong(0)
+    assert(v === TxnLog.currentVersion(root("hc")))
+    // the hilbert layout's per-file stats prune BOTH dimensions:
+    // corrupt every file disjoint from the probe rectangle
+    val meta = TxnLog.snapshotState(root("hc"))
+    assert(meta.size === 8)
+    val keepLo = 0L; val keepHi = 127L
+    val victims = meta.filter { case (_, m) =>
+      !(m.stats.get("x").exists(s => s.lo <= keepHi && s.hi >= keepLo) &&
+        m.stats.get("y").exists(s => s.lo <= keepHi && s.hi >= keepLo))
+    }.map(_._1)
+    assert(victims.nonEmpty, "hilbert clustering must localize the corner")
+    victims.foreach(f => Files.write(Paths.get(f), Array[Byte](9)))
+    val want = (0 until 4000).count { id =>
+      val x = (id.toLong * 2654435761L) % 1024
+      val y = (id.toLong * 40503L) % 1024
+      x <= keepHi && y <= keepHi
+    }
+    assert(spark.sql("SELECT count(*) FROM gms.db.hc " +
+      s"WHERE x BETWEEN $keepLo AND $keepHi AND y BETWEEN $keepLo AND $keepHi")
+      .head.getLong(0) === want.toLong)
+    // refusals: 3 dims on the 2-d curve; unknown curve
+    val e1 = intercept[Exception](spark.sql(
+      "CALL gms.system.optimize_zorder(table => 'db.hc', " +
+        "cols => 'x,y,v', curve => 'hilbert')"))
+    assert(e1.getMessage.contains("2-dimensional"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CALL gms.system.optimize_zorder(table => 'db.hc', " +
+        "x_col => 'x', y_col => 'y', curve => 'peano')"))
+    assert(e2.getMessage.contains("morton or hilbert"), e2.getMessage)
+  }
+
   test("the unified feed excludes row-preserving layout commits; `changes` keeps them") {
     warehouse
     spark.sql("CREATE TABLE gms.db.fd (k BIGINT, v BIGINT)")

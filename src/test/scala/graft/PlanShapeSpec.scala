@@ -199,6 +199,8 @@ class PlanShapeSpec extends SparkTestBase {
       "cur_assign_ids",                   // globalRowNumber offsets window
       "samp_stratified", "samp_reservoir", // globalRowNumber offsets window
       "io_zorder",                        // z-order file ids via globalRowNumber
+      "io_hilbert",                       // hilbert file ids: same globalRowNumber
+                                          // offsets window (one row per partition)
       // io_prune_stats dropped r11: it reads the once-per-JVM manifest
       // (r10 ensureZorderStats refactor) and no longer plans a window.
       "io_compact_plan"                   // metadata-only packing window (one row/file)

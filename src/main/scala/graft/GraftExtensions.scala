@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AdcTable, CellTopN, DotProductD, EntropyExpr, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
+import graft.functions.{AdcTable, CellTopN, DotProductD, EntropyExpr, HilbertIndex, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
 
 /** Session extensions registering graft's native Catalyst expressions,
   * wired via `spark.sql.extensions` in [[Sessions.configure]] — the
@@ -32,6 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(a, b) takes exactly 2 arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_hilbert(x, y, bits) takes exactly 3 arguments")
+        HilbertIndex(children.head, children(1),
+          litInt(children(2), "graft_hilbert", "bits"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

@@ -46,16 +46,6 @@ object LayoutOps {
     zValueN(Seq(x, y), bits)
   }
 
-  /** Expression-level let-binding (the VectorOps.bindScalar trick,
-    * struct-shaped): evaluate `c` ONCE, reference its fields many
-    * times inside `f`. The Hilbert fold below re-reads each level's
-    * (x, y, d) state 3–4 times per level — without the binding the
-    * expression TREE would multiply ~4× per level and a 16-level fold
-    * would blow up exponentially.
-    */
-  private def bindStruct(c: Column)(f: Column => Column): Column =
-    element_at(transform(array(c), v => f(v)), 1)
-
   /** 2-D HILBERT index (the canonical iterative xy2d — Hilbert 1891,
     * public-domain bit formulation): unlike Morton, the Hilbert curve
     * never jumps — consecutive indexes are always grid-adjacent — so
@@ -66,41 +56,19 @@ object LayoutOps {
     * liquid clustering's layout; Morton stays the N-dim default
     * because its interleave is a pure shift-or.
     *
-    * Algorithm: fold levels s = 2^(bits−1) … 1; at each level the
-    * quadrant index ((3·rx) XOR ry) scales by s² into the running d,
-    * then the quadrant's frame rotates/reflects (ry = 0 ⇒ optionally
-    * reflect both coordinates over n−1, then swap). Inputs must be
-    * normalized into [0, 2^bits) — same contract as [[zValueN]].
-    * Exact integer math; the SQL oracle replays the identical fold as
-    * a generated CTE chain.
+    * The fold (quadrant index (3·rx) XOR ry scaled by s², then
+    * rotate/reflect) runs as the NATIVE codegen'd
+    * [[graft.functions.HilbertIndex]] (`graft_hilbert`) — one tight
+    * Java loop per row; an expression-level fold would nest 32
+    * interpreted higher-order functions (measured ~4× the whole
+    * layout job's wall at sf0.1). Inputs must be normalized into
+    * [0, 2^bits) — same contract as [[zValueN]]. Exact integer math;
+    * the SQL oracle replays the identical fold as a generated CTE
+    * chain.
     */
   def hilbertValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
-    val n = 1L << bits
-    val init = struct(x.cast("long").as("x"), y.cast("long").as("y"),
-      lit(0L).as("d"))
-    val folded = ((bits - 1) to 0 by -1).foldLeft(init) { (st, i) =>
-      val s = 1L << i
-      bindStruct(st) { v =>
-        val rx = when(v.getField("x").bitwiseAND(lit(s)) > 0, lit(1L))
-          .otherwise(lit(0L))
-        val ry = when(v.getField("y").bitwiseAND(lit(s)) > 0, lit(1L))
-          .otherwise(lit(0L))
-        // second binding: rx/ry are each read three times below
-        bindStruct(struct(rx.as("rx"), ry.as("ry"), v.getField("x").as("x"),
-          v.getField("y").as("y"), v.getField("d").as("d"))) { w =>
-          val (rx2, ry2) = (w.getField("rx"), w.getField("ry"))
-          val (x2, y2, d2) = (w.getField("x"), w.getField("y"), w.getField("d"))
-          val nd = d2 + lit(s * s) * (lit(3L) * rx2).bitwiseXOR(ry2)
-          val nx = when(ry2 === 0,
-            when(rx2 === 1, lit(n - 1) - y2).otherwise(y2)).otherwise(x2)
-          val ny = when(ry2 === 0,
-            when(rx2 === 1, lit(n - 1) - x2).otherwise(x2)).otherwise(y2)
-          struct(nx.as("x"), ny.as("y"), nd.as("d"))
-        }
-      }
-    }
-    folded.getField("d")
+    call_function("graft_hilbert", x.cast("long"), y.cast("long"), lit(bits))
   }
 
   /** Affine-normalize both dimensions into [0, 2^bits) before

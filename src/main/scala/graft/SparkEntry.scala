@@ -2230,6 +2230,16 @@ object SparkEntry {
           chunkWords = 10, dfThreshold = 2)),
       "txt_tfidf" -> ((s, dir) =>
         tfIdf(Tables.documents(s, dir), "doc_id", "text")),
+      // X-C18: FUZZY decontamination — MinHash-estimated Jaccard >= 0.5
+      // against any doc of the same 5% sample (catches paraphrased /
+      // truncated leakage the exact n-gram recipes miss)
+      "cur_decontaminate_fuzzy" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val contam = hashModSample(docs, col("doc_id"), pct = 5)
+        graft.operators.DedupOps.decontaminateFuzzy(docs, contam,
+          "doc_id", "text", minAgreeMicro = 500000L)
+          .select(col("doc_id"), col("lang"))
+      }),
       // eval-set hygiene: drop docs sharing any 3-gram with the
       // (deterministic 5%) contamination sample
       "cur_decontaminate" -> ((s, dir) => {
@@ -2539,6 +2549,26 @@ object SparkEntry {
          SELECT doc_id, tf.term AS term, tf,
                 round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
          FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n""",
+
+    // fuzzy: the SAME signature/banding pipeline as dd_minhash_lsh,
+    // cross-joined docs × 5%-sample inside shared band buckets,
+    // agreement >= 8/16 (Jaccard-estimate 0.5) drops the doc
+    "cur_decontaminate_fuzzy" ->
+      s"""WITH $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, sig, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         cont AS (SELECT * FROM k2
+                  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                             AS BIGINT) % 100 < 5),
+         bad AS (SELECT DISTINCT d.doc_id
+                 FROM k2 d JOIN cont c ON d.band = c.band AND d.bkey = c.bkey
+                 WHERE CAST(list_sum(list_transform(range(1, 17),
+                         i -> CASE WHEN d.sig[i] = c.sig[i] THEN 1 ELSE 0 END))
+                       AS BIGINT) * 1000000 >= 500000 * 16)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
 
     "cur_decontaminate" ->
       """WITH t AS (SELECT doc_id, lang,

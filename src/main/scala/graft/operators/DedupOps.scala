@@ -172,6 +172,42 @@ object DedupOps {
       .select(col("__id").as("doc_id"), col("__band").as("band"),
         col("__key").as("band_key"))
 
+  /** X-C18: FUZZY benchmark decontamination — drop training documents
+    * whose MinHash-ESTIMATED Jaccard with any eval/benchmark document
+    * clears the threshold. The exact n-gram recipes (X-C4 anti-join,
+    * X-C14 graded containment, X-C17 bloom pre-filter) catch verbatim
+    * overlap; lightly-paraphrased or truncated benchmark leakage needs
+    * the similarity form — the GPT-3 appendix-C "13-gram fuzzy"
+    * hygiene step, here on the engine's standard MinHash stack.
+    *
+    * Plan shape: both sides band through the SAME
+    * (`graft_minhash` → band-slice key) pipeline as every LSH
+    * operator, meet ONLY inside shared (band, key) buckets (the eval
+    * side is benchmark-scale, so its banding is tiny), the agreement
+    * count is an integer fold over the already-carried signatures —
+    * no second text pass — and survivors come off one LEFT ANTI join
+    * on the doc id. Work is bounded by band collisions, never
+    * |docs| × |eval|. The corpus itself is never shuffled: banding
+    * carries (id, sig, key) projections only.
+    */
+  def decontaminateFuzzy(docs: DataFrame, contamination: DataFrame,
+                         idCol: String, textCol: String,
+                         minAgreeMicro: Long, numHashes: Int = 16,
+                         bands: Int = 4, n: Int = 3): DataFrame = {
+    val d = bandedKeys(docs, idCol, textCol, numHashes, bands, n)
+    val c = bandedKeys(contamination, idCol, textCol, numHashes, bands, n)
+      .select(col("__band"), col("__key"), col("__sig").as("__csig"))
+    val agree = aggregate(
+      zip_with(col("__sig"), col("__csig"),
+        (x, y) => when(x === y, 1L).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    // integer threshold: agree/numHashes >= micro/1e6
+    val bad = d.join(c, Seq("__band", "__key"))
+      .filter(agree * lit(1000000L) >= lit(minAgreeMicro * numHashes))
+      .select(col("__id")).distinct()
+    docs.join(bad.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Incremental (corpus-delta) near-dup dedup: decide keep/drop for
     * each INCOMING document against an existing corpus's [[bandIndex]]
     * — nobody re-deduplicates 100 TB per ingest batch. An incoming doc

@@ -196,4 +196,25 @@ class DedupOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].head()
     assert(repOut._3 === 0L, "self-repeated spans with no other doc stay non-dup")
   }
+
+  test("decontaminateFuzzy drops estimated-similar docs, keeps disjoint ones; threshold bites") {
+    import spark.implicits._
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, bench), // IS the benchmark doc: agree 16/16, dropped
+      (2L, bench), // verbatim copy: dropped
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // 1-word paraphrase
+      (4L, "totally different words about other things entirely here now"))
+      .toDF("doc_id", "text")
+    val contam = docs.filter(col("doc_id") === 1L)
+    val kept = graft.operators.DedupOps.decontaminateFuzzy(docs, contam, "doc_id", "text",
+      minAgreeMicro = 500000L).select("doc_id").as[Long].collect().toSet
+    assert(!kept(1L) && !kept(2L), "exact matches must drop")
+    assert(!kept(3L), "the one-word paraphrase shares most shingles — fuzzy catches it")
+    assert(kept(4L), "disjoint vocabulary survives")
+    // a near-exact threshold keeps the paraphrase and still drops copies
+    val strict = graft.operators.DedupOps.decontaminateFuzzy(docs, contam, "doc_id", "text",
+      minAgreeMicro = 999999L).select("doc_id").as[Long].collect().toSet
+    assert(strict === Set(3L, 4L), s"strict threshold: got $strict")
+  }
 }

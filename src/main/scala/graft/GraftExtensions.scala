@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AdcTable, CellTopN, DotProductD, EntropyExpr, HilbertIndex, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
+import graft.functions.{AdcTable, CellTopN, DotProductD, EntropyExpr, HilbertIndex, HilbertIndexN, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
 
 /** Session extensions registering graft's native Catalyst expressions,
   * wired via `spark.sql.extensions` in [[Sessions.configure]] — the
@@ -41,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hilbert(x, y, bits) takes exactly 3 arguments")
         HilbertIndex(children.head, children(1),
           litInt(children(2), "graft_hilbert", "bits"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert_n"),
+      new ExpressionInfo(classOf[HilbertIndexN].getName, "graft_hilbert_n"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_hilbert_n(coords, bits) takes exactly 2 arguments")
+        HilbertIndexN(children.head,
+          litInt(children(1), "graft_hilbert_n", "bits"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

@@ -284,6 +284,20 @@ object SparkEntry {
   private val materializedCatTables =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Corpus row counts memoized per sf dir (r18, X-V6): the
+    * occupancy-adaptive ANN rows' corpus-size input. A graft-table
+    * corpus reads this from per-file stats
+    * ([[graft.sources.TxnLog.rowCountFromStats]] — zero tasks); the
+    * driver's plain-parquet corpus has no log, so the count runs once
+    * per JVM and serves from memory thereafter — the same
+    * metadata-priced contract, instead of a count job per query.
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCount(s: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(s"emb:$dir",
+      _ => Tables.embeddings(s, dir).count())
+
   /** The SQL-native lakehouse fixture ([[graft.sources.GraftCatalog]]):
     * a per-sf catalog `gcat_<tag>` whose warehouse holds one table
     * `db.ord`, built ENTIRELY through SQL — CREATE TABLE (v1), two
@@ -328,6 +342,7 @@ object SparkEntry {
           graft.sources.TxnLog.currentVersion(s"$wh/db/genc") != 2L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/idn") != 3L ||
           graft.sources.TxnLog.currentVersion(s"$wh/db/fd") != 4L ||
+          graft.sources.TxnLog.currentVersion(s"$wh/db/fdc") != 4L ||
           !graft.sources.TxnLog.tagVersion(s"$wh/db/brt", "prewap").contains(1L) ||
           graft.sources.TxnStream.appliedVersion(s"$wh/db/mv",
             graft.sources.TxnStream.mvConsumerId(s"$wh/db/mv")) != 2L) {
@@ -645,6 +660,21 @@ object SparkEntry {
           case Some(m) => s.conf.set("spark.graft.dml.mode", m)
           case None    => s.conf.unset("spark.graft.dml.mode")
         }
+        // r18 (X-A93): the COW twin — default-mode (copy-on-write)
+        // DML through the finalized delta write, whose commit carries
+        // exact kill bitmaps + row-preserving survivor files, so the
+        // feed is row-exact here too. The DELETE condition is a
+        // subquery ON PURPOSE: it fails canDeleteWhere and takes the
+        // row-level rewrite path (a translatable predicate would take
+        // the metadata DV path, which the `fd` table already covers).
+        s.sql(s"CREATE TABLE $cat.db.fdc " +
+          "(o_orderkey BIGINT, price_cents BIGINT)")                  // v1
+        s.sql(s"INSERT INTO $cat.db.fdc SELECT o_orderkey, price_cents " +
+          s"FROM cat_src_$tag WHERE o_orderkey % 5 = 0")              // v2
+        s.sql(s"UPDATE $cat.db.fdc SET price_cents = price_cents + 1 " +
+          "WHERE o_orderkey % 10 = 0")                                // v3 (COW)
+        s.sql(s"DELETE FROM $cat.db.fdc WHERE o_orderkey IN " +
+          s"(SELECT o_orderkey FROM cat_src_$tag WHERE o_orderkey % 15 = 0)") // v4 (COW)
         ()
       }
     }
@@ -1557,6 +1587,17 @@ object SparkEntry {
         s.sql(s"""SELECT _commit_version AS v, _change_type AS ct,
                          o_orderkey, price_cents
                   FROM $cat.db.fd.feed""")
+      }),
+      // exact CDC through COPY-ON-WRITE DML (r18, X-A93): the default
+      // cow mode finalizes through the delta write, so the feed emits
+      // exactly the changed rows (pre/post images, delete pre-images
+      // at their live values) — never whole post-image files; the
+      // rewritten survivors are marked row-preserving and stay silent
+      "tx_feed_cow" -> ((s, dir) => {
+        val cat = ensureCatalogTable(s, dir)
+        s.sql(s"""SELECT _commit_version AS v, _change_type AS ct,
+                         o_orderkey, price_cents
+                  FROM $cat.db.fdc.feed""")
       })
     )
   }
@@ -2187,6 +2228,24 @@ object SparkEntry {
          UNION ALL SELECT 4, 'delete', k,
                 CASE WHEN k % 14 = 0 THEN p + 1 ELSE p END FROM src
            WHERE k % 21 = 0""",
+
+    // the COW twin: identical replay semantics — exact CDC is
+    // mode-independent (v3's rewrite emits only the %10 rows' pre and
+    // post images; v4's rewrite-path delete emits only the %15 rows,
+    // updated ones at their v3 post-image value)
+    "tx_feed_cow" ->
+      """WITH src AS (SELECT o_orderkey AS k,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS p
+                      FROM orders WHERE o_orderkey % 5 = 0)
+         SELECT CAST(2 AS BIGINT) AS v, 'insert' AS ct,
+                k AS o_orderkey, p AS price_cents FROM src
+         UNION ALL SELECT 3, 'update_postimage', k, p + 1 FROM src
+           WHERE k % 10 = 0
+         UNION ALL SELECT 3, 'update_preimage', k, p FROM src
+           WHERE k % 10 = 0
+         UNION ALL SELECT 4, 'delete', k,
+                CASE WHEN k % 10 = 0 THEN p + 1 ELSE p END FROM src
+           WHERE k % 15 = 0""",
 
     // the %5 base minus its 'F' partition, plus the tripled %7 'F'
     // slice that atomically replaced it
@@ -2858,7 +2917,8 @@ object SparkEntry {
       // wall for 10× data
       "sim_ann_lsh" -> ((s, dir) =>
         annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, targetOccupancy = 16)),
+          minCosine = 0.4, targetOccupancy = 16,
+          knownCount = embeddingsCount(s, dir))),
       // project 64→8 dims first, band in projected space, exact cosine
       // in the original space — index artifacts shrink 8×, precision
       // stays exact (projection costs recall only). Band bits are
@@ -2868,7 +2928,8 @@ object SparkEntry {
       // bucket space makes candidate pairs grow ~quadratically.
       "sim_ann_projected" -> ((s, dir) =>
         annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, targetOccupancy = 16)),
+          minCosine = 0.4, targetOccupancy = 16,
+          knownCount = embeddingsCount(s, dir))),
       // coarse projected buckets + the hash-order cap: the dup-heavy
       // guard the r6 probe showed projected banding needs. The cap
       // COMPOSES with the adaptive bits (r17): occupancy-adaptive
@@ -2877,7 +2938,8 @@ object SparkEntry {
       // share every band at any width)
       "sim_ann_proj_capped" -> ((s, dir) =>
         annCosinePairsProjected(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, bucketCap = 32, targetOccupancy = 16)),
+          minCosine = 0.4, bucketCap = 32, targetOccupancy = 16,
+          knownCount = embeddingsCount(s, dir))),
       // bucketCap sized to the bucket geometry: 4 sign bits = 16
       // buckets/table, so 32 keeps typical buckets whole and only
       // truncates pathological (dup-heavy) ones.
@@ -2899,7 +2961,8 @@ object SparkEntry {
       // band bits occupancy-adaptive like the float spellings
       "sim_ann_int8" -> ((s, dir) =>
         annCosinePairsInt8(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, targetOccupancy = 16)),
+          minCosine = 0.4, targetOccupancy = 16,
+          knownCount = embeddingsCount(s, dir))),
       // incremental ingest dedup: the new-vector batch (every 10th id)
       // bands itself and probes the EXISTING corpus's persisted
       // postings index; dup_of = min existing id with cosine >= 0.45
@@ -2922,7 +2985,8 @@ object SparkEntry {
         val vecs = Tables.embeddings(s, dir)
         val losers = graft.operators.GraphOps.dedupClusters(
           annCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.45,
-            targetOccupancy = 16), "v1", "v2")
+            targetOccupancy = 16, knownCount = embeddingsCount(s, dir)),
+          "v1", "v2")
           .filter(!col("is_kept")).select(col("doc_id").as("vec_id"))
         vecs.join(losers, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("label"))
@@ -4894,7 +4958,13 @@ object SparkEntry {
         .withColumn("__nt", sum(col("n_days")).over(w))
         .withColumn("__tot", sum(col("cents")).over(w))
         .select(col("event_type"), col("dow"), col("n_days"), col("cents"),
-          expr("cents * __nt * 1000 div (__tot * n_days)").as("idx_milli"))
+          // wide-integer arithmetic: cents·nt·1000 can clear Long at
+          // large SF, and non-ANSI Spark would wrap silently where the
+          // oracle raises — DECIMAL(38,0) keeps the product exact
+          // (mirrored by HUGEINT on the oracle side); values are
+          // non-negative so truncating div ≡ floor div on both engines
+          expr("CAST(cents AS DECIMAL(38,0)) * __nt * 1000 " +
+            "div (CAST(__tot AS DECIMAL(38,0)) * n_days)").as("idx_milli"))
     }),
 
     // ---- X-G55: per-node triangle counts by DEGREE-ORIENTED
@@ -4971,8 +5041,16 @@ object SparkEntry {
       Tables.customer(s, dir).select(col("c_custkey"),
           round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
         .createOrReplaceTempView(v)
+      // lift the recursion row limit for THIS query only (the real
+      // bound is the harmonic sum, see above) — restore the session's
+      // limit afterwards so the safety net stays up for everyone else
+      val prevLimit = s.conf.getOption("spark.sql.cteRecursionRowLimit")
       s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-      s.sql(
+      // the recursion must EXECUTE while the limit is lifted (the
+      // returned frame is otherwise lazy and would run after the
+      // restore) — the aggregate is tiny (≤ max walk depth rows), so
+      // an eager localCheckpoint pins it at negligible cost
+      try s.sql(
         s"""WITH RECURSIVE walk (node, cur, depth, bal) AS (
            |  SELECT c_custkey, c_custkey, 0, bal_cents FROM $v
            |  UNION ALL
@@ -4984,6 +5062,11 @@ object SparkEntry {
            |)
            |SELECT depth, count(*) AS n_customers, sum(bal) AS bal_cents
            |FROM walk WHERE cur = 0 GROUP BY depth""".stripMargin)
+        .localCheckpoint()
+      finally prevLimit match {
+        case Some(p) => s.conf.set("spark.sql.cteRecursionRowLimit", p)
+        case None    => s.conf.unset("spark.sql.cteRecursionRowLimit")
+      }
     }),
 
     // ---- Co-occurrence matrix: which event types happen TOGETHER in
@@ -5977,7 +6060,8 @@ object SparkEntry {
                  CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
                FROM p)
          SELECT event_type, dow, n_days, cents,
-                CAST(cents * nt * 1000 // (tot * n_days) AS BIGINT) AS idx_milli
+                CAST(CAST(cents AS HUGEINT) * nt * 1000
+                     // (CAST(tot AS HUGEINT) * n_days) AS BIGINT) AS idx_milli
          FROM t""",
 
     // the oracle enumerates triangles DIRECTLY from the canonical

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native 2-D Hilbert index `graft_hilbert(x, y, bits)` — the
   * canonical iterative xy2d as ONE whole-stage-codegen'd loop.
@@ -83,4 +84,115 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HilbertIndex =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native d-dimensional Hilbert index
+  * `graft_hilbert_n(array(x1..xd), bits)` — Skilling's transpose
+  * algorithm ("Programming the Hilbert curve", AIP Conf. Proc. 707,
+  * 2004; public domain pseudocode) as one whole-stage-codegen'd pass:
+  * AxesToTranspose (the inverse-undo + Gray-decode bit dance, O(d·b)
+  * long ops) followed by MSB-first bit interleave of the transposed
+  * axes into a single long distance.
+  *
+  * The 2-dim [[HilbertIndex]] keeps the canonical xy2d trace (its SQL
+  * oracle replays that exact fold); this is the d>2 generalization
+  * behind `optimize_zorder(cols => 'a,b,c', curve => 'hilbert')`.
+  * Inputs are longs already affine-normalized into [0, 2^bits);
+  * `d * bits` must fit 63 bits (checked per row — the driver-side
+  * caller also bounds `bits` by 63/d).
+  */
+case class HilbertIndexN(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 31, s"graft_hilbert_n: bits=$bits outside [1, 31]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hilbert_n requires array<bigint> coordinates, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_hilbert_n"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    require(n >= 1 && n * bits <= 63,
+      s"graft_hilbert_n: $n dims x $bits bits exceeds a 63-bit index")
+    val x = new Array[Long](n)
+    var j = 0
+    while (j < n) { x(j) = arr.getLong(j); j += 1 }
+    // AxesToTranspose: inverse undo
+    var q = 1L << (bits - 1)
+    while (q > 1L) {
+      val p = q - 1L
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t2 = 0L
+    q = 1L << (bits - 1)
+    while (q > 1L) { if ((x(n - 1) & q) != 0L) t2 ^= q - 1L; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t2; i += 1 }
+    // interleave the transpose MSB-first: X[0] carries the index's
+    // most significant bit at every level
+    var d = 0L
+    var k = 0
+    while (k < bits) {
+      var jj = 0
+      while (jj < n) {
+        d = (d << 1) | ((x(jj) >>> (bits - 1 - k)) & 1L)
+        jj += 1
+      }
+      k += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("hn"); val x = ctx.freshName("hxs")
+      val q = ctx.freshName("hq"); val p = ctx.freshName("hp")
+      val t = ctx.freshName("ht"); val i = ctx.freshName("hi")
+      val t2 = ctx.freshName("ht2"); val d = ctx.freshName("hd")
+      val k = ctx.freshName("hk"); val j = ctx.freshName("hj")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n < 1 || $n * $bits > 63)
+         |  throw new IllegalArgumentException(
+         |    "graft_hilbert_n: " + $n + " dims x $bits bits exceeds a 63-bit index");
+         |long[] $x = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) $x[$j] = $a.getLong($j);
+         |for (long $q = ${1L << (bits - 1)}L; $q > 1L; $q >>= 1) {
+         |  long $p = $q - 1L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (($x[$i] & $q) != 0L) $x[0] ^= $p;
+         |    else { long $t = ($x[0] ^ $x[$i]) & $p; $x[0] ^= $t; $x[$i] ^= $t; }
+         |  }
+         |}
+         |for (int $i = 1; $i < $n; $i++) $x[$i] ^= $x[$i - 1];
+         |long $t2 = 0L;
+         |for (long $q = ${1L << (bits - 1)}L; $q > 1L; $q >>= 1)
+         |  if (($x[$n - 1] & $q) != 0L) $t2 ^= $q - 1L;
+         |for (int $i = 0; $i < $n; $i++) $x[$i] ^= $t2;
+         |long $d = 0L;
+         |for (int $k = 0; $k < $bits; $k++)
+         |  for (int $j = 0; $j < $n; $j++)
+         |    $d = ($d << 1) | (($x[$j] >>> ($bits - 1 - $k)) & 1L);
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HilbertIndexN =
+    copy(child = newChild)
 }

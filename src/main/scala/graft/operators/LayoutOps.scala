@@ -71,6 +71,24 @@ object LayoutOps {
     call_function("graft_hilbert", x.cast("long"), y.cast("long"), lit(bits))
   }
 
+  /** d-dimensional HILBERT index (Skilling's transpose algorithm,
+    * AIP Conf. Proc. 707, 2004 — public domain) via the native
+    * codegen'd [[graft.functions.HilbertIndexN]]: the same jump-free
+    * locality as [[hilbertValue]] at any dimensionality, one tight
+    * O(d·bits) Java loop per row. Same normalization contract as
+    * [[zValueN]] ([0, 2^bits) per dim; `d·bits` ≤ 63). The 2-dim
+    * entry point keeps the canonical xy2d trace for its SQL oracle;
+    * this is the `cols => 'a,b,c', curve => 'hilbert'` path.
+    */
+  def hilbertValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    val d = dims.size
+    require(d >= 1, "hilbertValueN needs at least one dimension")
+    require(bits >= 1 && d * bits <= 63,
+      s"d=$d dims at bits=$bits overflow a long index (d*bits must be <= 63)")
+    call_function("graft_hilbert_n",
+      array(dims.map(_.cast("long")): _*), lit(bits))
+  }
+
   /** Affine-normalize both dimensions into [0, 2^bits) before
     * interleaving: x' = floor((x − min_x) · (2^bits − 1) / span).
     * Interleaving RAW values is wrong whenever the dimensions differ
@@ -275,6 +293,21 @@ object LayoutOps {
       .repartitionByRange(nFiles, col("__h"))
       .sortWithinPartitions(col("__h"))
       .drop("__zx", "__zy", "__h")
+
+  /** N-dim Hilbert clustering — [[zorderClusteredN]] with the
+    * jump-free curve ([[hilbertValueN]]); same bits-shrink-with-dims
+    * default so the index always fits a long.
+    */
+  def hilbertClusteredN(df: DataFrame, cols: Seq[String],
+                        nFiles: Int, bits0: Int = 0): DataFrame = {
+    val bits = if (bits0 > 0) bits0 else math.min(16, 63 / cols.size)
+    withNormalizedDimsN(df, cols, bits)
+      .withColumn("__h",
+        hilbertValueN(cols.indices.map(j => col(s"__zd$j")), bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop(cols.indices.map(j => s"__zd$j") :+ "__h": _*)
+  }
 
   /** Per-file bounding boxes of a Hilbert layout — [[zorderFileStats]]
     * with the Hilbert sort key; same deterministic

@@ -594,17 +594,23 @@ object VectorOps {
     */
   def annCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
-                     dim: Int = 64, targetOccupancy: Int = 0): DataFrame = {
+                     dim: Int = 64, targetOccupancy: Int = 0,
+                     knownCount: Long = -1L): DataFrame = {
     // targetOccupancy > 0 = occupancy-adaptive band width (the same
     // ladder as the projected spelling): fixed 2^bits buckets make
     // within-bucket candidate pairs grow quadratically with the
     // corpus — the r17 sf10 receipt measured the fixed form (inside
     // cur_embed_prune) at 83× wall for 10× data; the adaptive ladder
     // keeps expected occupancy, and so per-vector candidate work,
-    // constant
+    // constant. knownCount >= 0 serves the ladder's corpus-size input
+    // from METADATA (X-V6): a graft-table corpus reads it from
+    // per-file stats (TxnLog.rowCountFromStats, zero tasks), a
+    // pipeline that already knows its corpus passes it through — the
+    // count() job is the fallback, not the price of adaptivity
     val bits =
       if (targetOccupancy <= 0) bitsPerTable
-      else adaptiveBits(vecs.count(), targetOccupancy)
+      else adaptiveBits(
+        if (knownCount >= 0L) knownCount else vecs.count(), targetOccupancy)
     val p = withNorm(vecs, idCol, vecCol)
     val banded = p.select(col("__id"), col("__v"), col("__nrm"),
       posexplode(lshBuckets(col("__v"), tables, bits, dim))
@@ -668,7 +674,8 @@ object VectorOps {
                               bitsPerTable: Int = 4, dim: Int = 64,
                               seed: Int = 101,
                               bucketCap: Int = Int.MaxValue,
-                              targetOccupancy: Int = 0): DataFrame = {
+                              targetOccupancy: Int = 0,
+                              knownCount: Long = -1L): DataFrame = {
     // targetOccupancy > 0 = the occupancy-adaptive DEFAULT SPELLING:
     // band bits derived from the corpus count (one metadata-priced
     // count job) so expected bucket occupancy — and per-vector
@@ -678,7 +685,8 @@ object VectorOps {
     // like sim_cosine_pairs' exact O(n²)).
     val bits =
       if (targetOccupancy <= 0) bitsPerTable
-      else adaptiveBits(vecs.count(), targetOccupancy)
+      else adaptiveBits(
+        if (knownCount >= 0L) knownCount else vecs.count(), targetOccupancy)
     val p = withNorm(vecs, idCol, vecCol)
     val projected = array((0 until rdim).map { j =>
       val plane = typedlit((0 until dim).map(i => planeSign(seed, j, i)))
@@ -1069,10 +1077,12 @@ object VectorOps {
     */
   def annCosinePairsInt8(vecs: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
-                         dim: Int = 64, targetOccupancy: Int = 0): DataFrame = {
+                         dim: Int = 64, targetOccupancy: Int = 0,
+                         knownCount: Long = -1L): DataFrame = {
     val (_, q) = quantizeInt8(col(vecCol))
     annCosinePairs(vecs.select(col(idCol), q.cast("array<double>").as(vecCol)),
-      idCol, vecCol, minCosine, tables, bitsPerTable, dim, targetOccupancy)
+      idCol, vecCol, minCosine, tables, bitsPerTable, dim, targetOccupancy,
+      knownCount)
   }
 
   /** [[annCosinePairs]] with a per-(table, bucket) candidate cap — the

@@ -365,6 +365,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.RemoveProperty if p.property.startsWith(GraftTable.ConstraintProp) =>
         TxnLog.dropConstraint(root, p.property.stripPrefix(GraftTable.ConstraintProp),
           txnId = s"sql-dropconstraint-a$uuid12")
+      // X-A95: plain TBLPROPERTIES — one metadata commit each, the
+      // policy store the streaming sinks' auto-compact reads
+      // (`graft.autoCompact.minFiles` & co); folded like constraints,
+      // checkpoint-persisted, surfaced by DESCRIBE EXTENDED
+      case p: TableChange.SetProperty =>
+        TxnLog.setTableProperty(root, p.property, p.value,
+          txnId = s"sql-setprop-a$uuid12")
+      case p: TableChange.RemoveProperty =>
+        TxnLog.unsetTableProperty(root, p.property,
+          txnId = s"sql-unsetprop-a$uuid12")
       // ADD/DROP COLUMN: one schema-evolve commit, zero files touched.
       // Old files serve the column's EXISTS_DEFAULT when one is
       // declared, else NULL (the scan's required schema simply
@@ -883,9 +893,15 @@ private[sources] object GraftTable {
     * (the standard identity contract).
     */
   private def insertWithIdentity(root: String, schema: StructType,
-                                 data: DataFrame, overwrite: Boolean,
+                                 data0: DataFrame, overwrite: Boolean,
                                  idents: Seq[IdentitySpec]): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
+    // The input is consumed several times (explicit-value gate, the
+    // extreme aggregate, and the null/non-null split) — pin it once so
+    // a non-deterministic source query cannot send a row down both or
+    // neither branch and desync the minted ids.
+    val data = data0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     idents.foreach { is =>
       if (!is.allowExplicit && data.columns.contains(is.col)) {
         val supplied = data.filter(col(is.col).isNotNull).limit(1)
@@ -934,19 +950,28 @@ private[sources] object GraftTable {
           .unionByName(minted(d.filter(col(is.col).isNull).drop(is.col))
             .select(d.columns.toIndexedSeq.map(col): _*))
       }
-      try { insertPrepared(root, filled, overwrite, guardAppends = !overwrite); return }
+      // The guarded commit must observe THIS readV — the version the
+      // high-water mark was read at. Letting insertPrepared re-read
+      // currentVersion would open a window (spanning the constraint
+      // scan) where a concurrent identity insert commits invisibly to
+      // failOnConcurrentAppend and two writers mint the same ids.
+      try { insertPrepared(root, filled, overwrite,
+        guardAppends = !overwrite,
+        hwmReadV = if (overwrite) None else Some(readV)); return }
       catch {
         case _: TxnLog.ConflictException if attempts < 8 => attempts += 1
       }
     }
+    } finally data.unpersist()
   }
 
   private def insertPrepared(root: String, data: DataFrame,
                              overwrite: Boolean,
-                             guardAppends: Boolean = false): Unit = {
+                             guardAppends: Boolean = false,
+                             hwmReadV: Option[Long] = None): Unit = {
     val s = data.sparkSession
     TxnLog.checkConstraints(s, root, data)
-    val readV = TxnLog.currentVersion(root)
+    val readV = hwmReadV.getOrElse(TxnLog.currentVersion(root))
     val phys0 = TxnLog.toPhysical(data, TxnLog.columnMapping(root, readV))
     // declared partitioning: RANGE-cluster by the partition columns,
     // explicit count (exempt from AQE partition coalescing) — each
@@ -1183,6 +1208,7 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
     (Map(TableCatalog.PROP_PROVIDER -> "graft",
       TableCatalog.PROP_LOCATION -> root,
       "version" -> TxnLog.currentVersion(root).toString) ++
+      TxnLog.tableProperties(root, version) ++
       TxnLog.activeConstraints(root, version).map { case (n, e) =>
         (s"${GraftTable.ConstraintProp}$n", e)
       }).asJava

@@ -40,14 +40,19 @@ private[sources] object GraftFeedTable {
 
   /** X-A91: `_change_type` classification for the unified `t.feed` —
     * Delta's CDF vocabulary derived from the commit ACTION at read
-    * time. Exact for deletion-vector DML (MOR UPDATE: the DV bits ARE
-    * the pre-images, the added rows ARE the post-images; MOR DELETE:
-    * pure DV). Conservative where read-time classification cannot
-    * split rows: a MERGE's adds report `insert` and its kills
-    * `delete` (matched/not-matched is decided per row at WRITE time —
-    * Delta's CDC files — which a metadata-only feed cannot recover),
-    * and COW rewrites report their whole post-image files as adds
-    * (the standing `changes` contract).
+    * time. Exact for deletion-vector DML (UPDATE: the DV bits ARE the
+    * pre-images, the added rows ARE the post-images; DELETE: pure DV)
+    * — and since r18 that covers default-mode COW DML too: the COW
+    * write finalizes through the same delta machinery, its commit
+    * carries the kill bitmaps as metadata and marks the rewritten
+    * survivor files row-preserving (`radds`), so the feed emits
+    * exactly the changed rows, never whole post-image files.
+    * Conservative only where per-row provenance is genuinely absent:
+    * a MERGE's adds report `insert` and its kills `delete`
+    * (matched/not-matched is decided per row at WRITE time — Delta's
+    * CDC files — which a metadata-only feed cannot recover), and
+    * legacy `cow-group` rewrites report their whole post-image files
+    * as adds (the standing `changes` contract).
     */
   def changeTypeOf(action: String, killed: Boolean): String = action match {
     case "update" | "mor-update" =>
@@ -183,14 +188,17 @@ private class GraftFeedScan(spark: SparkSession, root: String, kind: String,
       case "feed" =>
         // X-A91: adds ∪ DV pre-images, each slice stamped with its
         // action-derived _change_type; row-PRESERVING layout commits
-        // (zorder/compact) are excluded entirely — their files change,
-        // their rows don't (the Delta CDF contract), unlike `changes`,
-        // whose documented job is the raw adds feed
+        // (zorder/compact) are excluded entirely, and so are a COW
+        // DML commit's survivor-rewrite files (`radds`) — their files
+        // change, their rows don't (the Delta CDF contract), unlike
+        // `changes`, whose documented job is the raw adds feed
         commits.filterNot(c => TxnStream.RowPreservingActions(c.action))
           .flatMap { c =>
           val sizes = if (c.sizes.size == c.added.size) c.sizes
                       else c.added.map(_ => -1L)
-          c.added.zip(sizes).map { case (f, sz) =>
+          val preserving = c.radds.toSet
+          c.added.zip(sizes).filterNot { case (f, _) => preserving(f) }
+            .map { case (f, sz) =>
             GraftFeedPartition(f, len(f, sz), "", c.version,
               emitDeleted = false,
               changeType = GraftFeedTable.changeTypeOf(c.action, killed = false))

@@ -206,8 +206,10 @@ private[sources] object GraftProcedures {
             paramWithDefault("y_col", StringType, "''"),
             paramWithDefault("n_files", LongType, "8"),
             paramWithDefault("cols", StringType, "''"),
-            // X-A92: curve => 'hilbert' clusters along the jump-free
-            // Hilbert curve (2-dim only); morton stays the N-dim default
+            // X-A92/X-A94: curve => 'hilbert' clusters along the
+            // jump-free Hilbert curve at ANY dimensionality (2-dim
+            // runs the canonical xy2d, d>2 Skilling's transpose);
+            // morton stays the default
             paramWithDefault("curve", StringType, "'morton'")),
           StructType(Seq(StructField("version", LongType, nullable = false)))) {
           (s, in) =>

@@ -48,9 +48,13 @@ import org.apache.spark.util.SerializableConfiguration
   * file set (files that actually hold matches — [[GraftScan.filter]]),
   * writes are executor-side and stats-collected in one distributed
   * pass; the driver sees file names and bitmap-scale metadata only.
-  * The merge-on-read sibling ([[GraftDeltaOperation]],
-  * `SET spark.graft.dml.mode=mor`) writes deletion vectors instead
-  * of rewriting groups.
+  *
+  * Since r18 this group-based single-pass rewrite is the
+  * `spark.graft.dml.mode=cow-group` variant: the DEFAULT `cow` mode
+  * runs [[GraftDeltaOperation]] with a synchronous finalize (exact
+  * per-row kill bitmaps for the change feed + survivor rewrite in
+  * the same commit), and `mor` writes deletion vectors only. See
+  * [[GraftRowLevelOperation.builder]] for the trade-off table.
   */
 private[sources] class GraftRowLevelOperation(root: String,
                                               tableSchema: StructType,
@@ -98,18 +102,37 @@ private[sources] class GraftRowLevelOperation(root: String,
 }
 
 private object GraftRowLevelOperation {
-  /** Copy-on-write (default) or merge-on-read, selected per session:
-    * `SET spark.graft.dml.mode = cow | mor`.
+  /** DML write-path selection, per session
+    * (`SET spark.graft.dml.mode = cow | mor | cow-group`):
+    *
+    *  - `cow` (default): the delta write computes exact per-row kill
+    *    bitmaps + change files, then a synchronous finalize step
+    *    rewrites the touched files' SURVIVORS into the same commit —
+    *    the table state ends fully copy-on-write (no residual DVs),
+    *    while the bitmaps ride the commit as metadata so `t.feed`
+    *    serves EXACT `update_preimage`/`update_postimage`/`delete`
+    *    rows for COW DML (O(changed rows), never whole post-image
+    *    files). Costs one extra read of the touched files.
+    *  - `mor`: deletion vectors + insert files, no rewrite — write
+    *    amplification O(changed rows); reads pay the DV filter until
+    *    `optimizeCompactDeletes`.
+    *  - `cow-group`: the single-pass group-based rewrite (Spark's
+    *    ReplaceData framework) — reads touched files once and writes
+    *    their full replacement; for near-full-file UPDATEs this is
+    *    the cheapest write path, but the feed can only report its
+    *    post-image files wholesale (conservative CDC).
     */
   def builder(root: String, tableSchema: StructType,
               info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = {
         val mode = SparkSession.active.conf.get("spark.graft.dml.mode", "cow")
-        require(mode == "cow" || mode == "mor",
-          s"spark.graft.dml.mode must be cow or mor, got $mode")
-        if (mode == "mor") new GraftDeltaOperation(root, tableSchema, info.command())
-        else new GraftRowLevelOperation(root, tableSchema, info.command())
+        require(mode == "cow" || mode == "mor" || mode == "cow-group",
+          s"spark.graft.dml.mode must be cow, mor or cow-group, got $mode")
+        if (mode == "cow-group")
+          new GraftRowLevelOperation(root, tableSchema, info.command())
+        else new GraftDeltaOperation(root, tableSchema, info.command(),
+          finalizeCow = mode == "cow")
       }
     }
 }
@@ -154,7 +177,8 @@ private case class GraftDeltaMessage(files: Seq[(String, Long)],
   */
 private[sources] class GraftDeltaOperation(root: String,
                                            tableSchema: StructType,
-                                           cmd: RowLevelOperation.Command)
+                                           cmd: RowLevelOperation.Command,
+                                           finalizeCow: Boolean = false)
   extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
 
   @volatile private var scanned: Option[(Seq[String], Long)] = None
@@ -209,9 +233,11 @@ private[sources] class GraftDeltaOperation(root: String,
 
           override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new GraftDeltaBatchWrite(root, info.schema(),
-              action = "mor-" + cmd.toString.toLowerCase(java.util.Locale.ROOT),
+              action = (if (finalizeCow) "" else "mor-") +
+                cmd.toString.toLowerCase(java.util.Locale.ROOT),
               () => scanned,
-              failOnConcurrentAppend = cmd == RowLevelOperation.Command.MERGE)
+              failOnConcurrentAppend = cmd == RowLevelOperation.Command.MERGE,
+              finalizeCow = finalizeCow)
         }
     }
 }
@@ -223,7 +249,8 @@ private[sources] class GraftDeltaOperation(root: String,
 private class GraftDeltaBatchWrite(root: String, logicalSchema: StructType,
                                    action: String,
                                    scanned: () => Option[(Seq[String], Long)],
-                                   failOnConcurrentAppend: Boolean)
+                                   failOnConcurrentAppend: Boolean,
+                                   finalizeCow: Boolean = false)
   extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private def spark = SparkSession.active
@@ -276,16 +303,36 @@ private class GraftDeltaBatchWrite(root: String, logicalSchema: StructType,
     val multi =
       if (files.isEmpty || (statCols.isEmpty && buckets.isEmpty)) Nil
       else TxnLog.statsForStaged(spark, root, txnId, statCols, files, buckets)
+    // COW finalize: rewrite the touched files' SURVIVORS into this
+    // same commit — added = change files + survivor files (survivors
+    // marked row-preserving via `radds`), removed = the touched
+    // files, and the kill bitmaps ride along as `dvFiles`/`dvs` so
+    // the change feed serves exact pre-images at O(changed rows).
+    // The table state ends pure copy-on-write: no residual vectors.
+    val (survivors, survMulti) =
+      if (finalizeCow && dvFiles.nonEmpty)
+        TxnLog.stageCowSurvivors(spark, root, readV, dvFiles.zip(dvs), txnId)
+      else (Nil, Nil)
+    val allAdds = files ++ survivors
+    val allMulti =
+      if (multi.isEmpty && survMulti.isEmpty) Nil
+      else (if (multi.isEmpty) files.map(_ => Map.empty[String, TxnLog.FileStat])
+            else multi) ++
+           (if (survMulti.isEmpty && survivors.nonEmpty)
+              survivors.map(_ => Map.empty[String, TxnLog.FileStat])
+            else survMulti)
     // declare the write schema only when rows were added: a DELETE's
     // LogicalWriteInfo schema is the operation's (not the table's),
     // and a pure-DV commit changes no schema anyway
-    TxnLog.commit(root, action, added = files, removed = Nil,
-      readVersion = readV, txnId = txnId, multiStats = multi,
+    TxnLog.commit(root, action, added = allAdds,
+      removed = if (finalizeCow) dvFiles else Nil,
+      readVersion = readV, txnId = txnId, multiStats = allMulti,
       dvFiles = dvFiles, dvs = dvs,
       schemaId = if (files.isEmpty) "" else TxnLog.schemaFingerprint(physSchema),
       schemaJson =
         if (files.isEmpty) "" else GraftTable.declareJson(root, physSchema),
-      failOnConcurrentAppend = failOnConcurrentAppend)
+      failOnConcurrentAppend = failOnConcurrentAppend,
+      radds = survivors)
     ()
   }
 

@@ -161,19 +161,23 @@ private class GraftStreamingWrite(root: String, logicalSchema: StructType,
           // ordinary `compact` transaction, OPPORTUNISTIC by design:
           // a conflict with concurrent maintenance just skips (the
           // next epoch retries); the epoch's own commit stands
-          // regardless. Tuned by spark.graft.stream.autoCompact.
-          // {minFiles, smallBytes, targetBytes} (0 = off, default).
-          val acMin = spark.conf.get(
-            "spark.graft.stream.autoCompact.minFiles", "0").toInt
+          // regardless. Policy resolves TABLE properties first
+          // (`graft.autoCompact.{minFiles, smallBytes, targetBytes}`,
+          // X-A95 — the threshold travels with the table, like
+          // Delta's delta.autoOptimize), session conf
+          // `spark.graft.stream.autoCompact.*` as the fallback
+          // (0 = off, default).
+          val tProps = TxnLog.tableProperties(root)
+          def knob(name: String, dflt: Long): Long =
+            tProps.get(s"graft.autoCompact.$name")
+              .orElse(spark.conf.getOption(s"spark.graft.stream.autoCompact.$name"))
+              .map(_.toLong).getOrElse(dflt)
+          val acMin = knob("minFiles", 0L).toInt
           // (pointless under replaceEach: the next epoch swaps the
           // whole live set anyway, so small files never accumulate)
           if (acMin > 0 && !replaceEach) {
-            val small = spark.conf.get(
-              "spark.graft.stream.autoCompact.smallBytes",
-              (32L * 1024 * 1024).toString).toLong
-            val target = spark.conf.get(
-              "spark.graft.stream.autoCompact.targetBytes",
-              (128L * 1024 * 1024).toString).toLong
+            val small = knob("smallBytes", 32L * 1024 * 1024)
+            val target = knob("targetBytes", 128L * 1024 * 1024)
             try TxnLog.compactSmallFiles(spark, root, small, target,
               txnId = s"$txnId-ac", minFiles = acMin)
             catch { case _: TxnLog.ConflictException => () }

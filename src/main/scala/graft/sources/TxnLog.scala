@@ -183,7 +183,8 @@ object TxnLog {
                     restatFiles: Seq[String] = Nil,
                     restats: Seq[String] = Nil,
                     hists: Seq[String] = Nil,
-                    ingests: Seq[String] = Nil)
+                    ingests: Seq[String] = Nil,
+                    radds: Seq[String] = Nil)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -357,9 +358,11 @@ object TxnLog {
       if (c.hists.isEmpty) "" else s""","hists":${arr(c.hists)}"""
     val ingestsPart = // "md5(path):size" per COPY INTO source file
       if (c.ingests.isEmpty) "" else s""","ingests":${arr(c.ingests)}"""
+    val raddsPart = // row-preserving subset of `added` (COW survivors)
+      if (c.radds.isEmpty) "" else s""","radds":${arr(c.radds)}"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart$raddsPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -392,7 +395,8 @@ object TxnLog {
       arr("sizes", required = false).map(_.toLong),
       arr("cadds", required = false), strOpt("partitionBy"),
       arr("restatFiles", required = false), arr("restats", required = false),
-      arr("hists", required = false), arr("ingests", required = false))
+      arr("hists", required = false), arr("ingests", required = false),
+      arr("radds", required = false))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -476,7 +480,8 @@ object TxnLog {
                                renames: Map[String, String] = Map.empty,
                                partitionBy: String = "",
                                hists: Map[String, String] = Map.empty,
-                               ingests: Set[String] = Set.empty)
+                               ingests: Set[String] = Set.empty,
+                               props: Map[String, String] = Map.empty)
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -516,6 +521,7 @@ object TxnLog {
       val renames = Map.newBuilder[String, String]
       val hists = Map.newBuilder[String, String]
       val ingests = Set.newBuilder[String]
+      val props = Map.newBuilder[String, String]
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
         def addStat(f: String, c: String, st: FileStat): Unit = {
@@ -528,6 +534,11 @@ object TxnLog {
           val rest = l.drop(2)
           val cut = rest.indexOf(' ')
           constraints += (rest.take(cut) -> rest.drop(cut + 1))
+        } else if (l.startsWith("K ")) {
+          // `K <key> <value…>`: the value half may contain spaces
+          val rest = l.drop(2)
+          val cut = rest.indexOf(' ')
+          props += (rest.take(cut) -> rest.drop(cut + 1))
         } else l.split(" ").toSeq match {
           case Seq("S", id)          => schema = id
           case Seq("J", b64)         => schemaJson = b64
@@ -564,7 +575,7 @@ object TxnLog {
       }
       CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
         constraints.result(), schemaJson, renames.result(), partitionBy,
-        hists.result(), ingests.result())
+        hists.result(), ingests.result(), props.result())
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -623,6 +634,8 @@ object TxnLog {
     hists ++= seed.hists
     val ingests = scala.collection.mutable.Set.empty[String]
     ingests ++= seed.ingests
+    val props = scala.collection.mutable.Map.empty[String, String]
+    props ++= seed.props
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
@@ -684,6 +697,14 @@ object TxnLog {
         constraints(c.constraint.take(cut)) = c.constraint.drop(cut + 1)
       }
       if (c.action == "drop-constraint") constraints.remove(c.constraint)
+      // table PROPERTIES (X-A95): `set-property` carries "key value"
+      // in the constraint slot (same validation), `drop-property` the
+      // bare key — the tblproperties fold, linear like constraints
+      if (c.action == "set-property" && c.constraint.nonEmpty) {
+        val cut = c.constraint.indexOf(' ')
+        props(c.constraint.take(cut)) = c.constraint.drop(cut + 1)
+      }
+      if (c.action == "drop-property") props.remove(c.constraint)
       // constraints born WITH a commit (atomic CREATE TABLE: schema,
       // data and constraints in ONE record — no window where the
       // table is visible unconstrained)
@@ -707,7 +728,7 @@ object TxnLog {
     }
     CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
       constraints.toMap, schemaJson, renames.toMap, partitionBy, hists.toMap,
-      ingests.toSet)
+      ingests.toSet, props.toMap)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -731,6 +752,8 @@ object TxnLog {
     if (st.schemaJson.nonEmpty) body.append("J ").append(st.schemaJson).append('\n')
     st.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
       body.append("C ").append(n).append(' ').append(e).append('\n') }
+    st.props.toSeq.sortBy(_._1).foreach { case (k, v2) =>
+      body.append("K ").append(k).append(' ').append(v2).append('\n') }
     st.renames.toSeq.sortBy(_._1).foreach { case (l, p) =>
       body.append("R ").append(l).append(' ').append(p).append('\n') }
     if (st.partitionBy.nonEmpty)
@@ -1181,11 +1204,26 @@ object TxnLog {
     */
   def deleteWhereKeys(s: SparkSession, root: String, keys: DataFrame,
                       keyCol: String, txnId: String): Option[Commit] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
+    if (st0.files.isEmpty) return None
+    val bitmaps = keyedKillBitmaps(s, st0, keys, keyCol)
+    if (bitmaps.isEmpty) return None
+    val (dvFiles, dvs) = bitmaps.unzip
+    Some(commit(root, "delete", added = Nil, removed = Nil,
+      readVersion = readV, txnId = txnId, dvFiles = dvFiles, dvs = dvs))
+  }
+
+  /** The bitmap half of [[deleteWhereKeys]], reusable by writers that
+    * fold a keyed retraction INTO a larger transaction
+    * ([[retractAndAppend]]): per affected file, the hex bitmap of
+    * live rows whose `keyCol` value appears in `keys`.
+    */
+  private def keyedKillBitmaps(s: SparkSession, st0: CkptState,
+                               keys: DataFrame,
+                               keyCol: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val state = st0.files
-    if (state.isEmpty) return None
     val physKey = physicalName(st0.renames, keyCol)
     // same integral-key guard as mergeInto: a non-integral key frame
     // cannot soundly range-compare against "l" stats — skip pruning
@@ -1211,16 +1249,42 @@ object TxnLog {
           .select(col("__mf")).distinct().collect().map(_.getString(0))
         unranged ++ hit
       }
-    if (affectedFiles.isEmpty) return None
+    if (affectedFiles.isEmpty) return Nil
     val scanState = state.filter(f => affectedFiles(f._1))
     val hits = toLogical(liveWithPosition(s, scanState), st0.renames)
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(col("__fp"), col("__ri"))
-    val bitmaps = dvBitmaps(hits)
-    if (bitmaps.isEmpty) return None
+    dvBitmaps(hits)
+  }
+
+  /** ONE transaction that retracts every live row whose `keyCol`
+    * value appears in `keys` (deletion-vector bitmaps, file-pruned
+    * like [[deleteWhereKeys]]) AND appends `adds` — the index-delta
+    * primitive behind [[TxnStream.maintainIndexInto]]. Retraction
+    * and insertion land atomically: no reader ever sees an index
+    * with a document's old band keys removed but its new ones not
+    * yet visible (or both at once). An empty delta (no kills, no
+    * adds) still commits, durably marking the consumer's offset.
+    */
+  def retractAndAppend(s: SparkSession, root: String, keys: DataFrame,
+                       keyCol: String, adds: DataFrame,
+                       txnId: String): Commit = {
+    val readV = currentVersion(root)
+    val st0 = resolveState(root, readV)
+    val bitmaps =
+      if (st0.files.isEmpty) Nil else keyedKillBitmaps(s, st0, keys, keyCol)
     val (dvFiles, dvs) = bitmaps.unzip
-    Some(commit(root, "delete", added = Nil, removed = Nil,
-      readVersion = readV, txnId = txnId, dvFiles = dvFiles, dvs = dvs))
+    val phys = toPhysical(adds, columnMapping(root, readV))
+    val statCols = GraftTable.statPaths(phys.schema)
+    val (files, multi) =
+      if (statCols.isEmpty) (stage(phys, root, attemptId(txnId)),
+        Seq.empty[Map[String, FileStat]])
+      else stageWithStatsFor(phys, root, attemptId(txnId), statCols)
+    commit(root, "index-delta", added = files, removed = Nil,
+      readVersion = readV, txnId = txnId, multiStats = multi,
+      dvFiles = dvFiles, dvs = dvs,
+      schemaId = schemaFingerprint(phys.schema),
+      schemaJson = GraftTable.declareJson(root, phys.schema))
   }
 
   /** Keyed MERGE (upsert): rows of `source` REPLACE table rows with
@@ -1404,6 +1468,37 @@ object TxnLog {
                         version: Long = Long.MaxValue): Map[String, String] =
     resolveState(root, version).constraints
 
+  /** Set a table property (X-A95 — the TBLPROPERTIES fold): one
+    * metadata commit, folded linearly like constraints and persisted
+    * through checkpoints, so policy travels WITH the table rather
+    * than with whichever session happens to write it (the Delta
+    * `delta.autoOptimize.*` shape — auto-compaction thresholds being
+    * the motivating consumer, [[graft.sources.GraftStreamingWrite]]).
+    * Properties are current-state metadata, not time-machined: a
+    * RESTORE rewinds data, not operational policy.
+    */
+  def setTableProperty(root: String, key: String, value: String,
+                       txnId: String): Commit = {
+    require(key.nonEmpty && !key.contains(' ') && !key.contains('"'),
+      s"bad property key: $key")
+    require(value.nonEmpty && !value.contains('"') &&
+        !value.exists(c => c == '\n' || c == '\r'),
+      "property values may not contain quotes or newlines")
+    commit(root, "set-property", Nil, Nil,
+      readVersion = currentVersion(root), txnId = txnId,
+      constraint = s"$key $value")
+  }
+
+  /** Unset a table property by key. */
+  def unsetTableProperty(root: String, key: String, txnId: String): Commit =
+    commit(root, "drop-property", Nil, Nil,
+      readVersion = currentVersion(root), txnId = txnId, constraint = key)
+
+  /** The table properties at `version` (key → value). Metadata-only. */
+  def tableProperties(root: String,
+                      version: Long = Long.MaxValue): Map[String, String] =
+    resolveState(root, version).props
+
   /** Enforce the table's CHECK constraints against a write batch:
     * throws [[ConstraintViolationException]] naming the first
     * violated constraint and its offending-row count. One scan of
@@ -1531,9 +1626,6 @@ object TxnLog {
     require(cols.nonEmpty, "optimizeZorderN needs at least one column")
     require(curve == "morton" || curve == "hilbert",
       s"optimize: curve must be morton or hilbert, got $curve")
-    require(curve == "morton" || cols.size == 2,
-      s"optimize: the hilbert curve is 2-dimensional (got ${cols.size} " +
-        "columns); morton handles N dims")
     val readV = currentVersion(root)
     val st0 = resolveState(root, readV)
     // rewrite in PHYSICAL names (staging the logical read of a
@@ -1543,10 +1635,16 @@ object TxnLog {
     val base =
       if (st0.files.isEmpty) s.emptyDataFrame
       else readForRewrite(s, st0.schemaJson, st0.files)
+    // hilbert 2-dim keeps the canonical xy2d trace (its SQL oracle
+    // replays that exact fold); d != 2 runs Skilling's d-dim
+    // transpose (graft_hilbert_n) — same jump-free locality, native
+    // codegen either way
     val clustered =
-      if (curve == "hilbert")
+      if (curve == "hilbert" && cols.size == 2)
         graft.operators.LayoutOps.hilbertClustered(
           base, phys(0), phys(1), nFiles, if (bits > 0) bits else 16)
+      else if (curve == "hilbert")
+        graft.operators.LayoutOps.hilbertClusteredN(base, phys, nFiles, bits)
       else graft.operators.LayoutOps.zorderClusteredN(
         base, phys, nFiles, bits)
     // INSERT-grade stats on the rewrite (r17, same contract as merge):
@@ -1651,6 +1749,39 @@ object TxnLog {
   private def readForRewrite(s: SparkSession, schemaJsonB64: String,
                              victims: Seq[(String, FileMeta)]): DataFrame =
     applyDeletionVectors(openFiles(s, schemaJsonB64, victims.map(_._1)), victims)
+
+  /** Stage the SURVIVORS of a copy-on-write row-level rewrite
+    * ([[graft.sources.GraftDeltaBatchWrite]]'s finalize step): each
+    * `(file, killHex)` victim re-reads under the declared schema with
+    * BOTH its prior deletion vector and this commit's kill bits
+    * applied, and the clean carried-over rows stage with full typed
+    * stats. The kill bitmaps stay O(changed rows) metadata — they ride
+    * the SAME commit as `dvFiles`/`dvs` so the change feed can serve
+    * exact pre-images, while the table state ends fully rewritten
+    * (COW = MOR + synchronous per-commit compaction of the touched
+    * files). Returns staged survivor files + aligned multiStats.
+    */
+  private[sources] def stageCowSurvivors(s: SparkSession, root: String,
+      readV: Long, kills: Seq[(String, String)], txnId: String)
+      : (Seq[String], Seq[Map[String, FileStat]]) = {
+    val state = snapshotState(root, readV).toMap
+    val victims = kills.map { case (f, hex) =>
+      val m = state.getOrElse(f, FileMeta())
+      (f, m.copy(dv = Some(hexOr(m.dv, hex))))
+    }
+    val clean = readForRewrite(s, declaredSchemaJson(root, readV), victims)
+    // INSERT-grade stats on the carried rows: every statable column of
+    // the TABLE's declared physical schema (not the write's — a
+    // DELETE's LogicalWriteInfo schema is the operation's), plus
+    // derived bucket stats where the table is bucket-partitioned
+    val cols = GraftTable.statPaths(clean.schema)
+    val buckets = partitionFields(root, readV).collect {
+      case BucketField(n, c) if clean.columns.contains(c) => (n, c)
+    }
+    if (cols.isEmpty && buckets.isEmpty)
+      (stage(clean, root, attemptId(txnId)), Nil)
+    else stageWithStatsFor(clean, root, attemptId(txnId), cols, buckets)
+  }
 
   /** Open data files under the DECLARED physical schema when the log
     * has one: the parquet reader widens each pre-widen file into the
@@ -2512,8 +2643,11 @@ object TxnLog {
              restats: Seq[Map[String, FileStat]] = Nil,
              hists: Seq[(String, String)] = Nil,
              requireHead: Long = -1L,
-             ingests: Seq[String] = Nil): Commit = {
+             ingests: Seq[String] = Nil,
+             radds: Seq[String] = Nil): Commit = {
     validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
+    require(radds.forall(added.contains),
+      s"txn $txnId: radds must be a subset of added")
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
     if (bloomCol.nonEmpty) validateToken("bloomCol", bloomCol)
@@ -2690,7 +2824,7 @@ object TxnLog {
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
         rename, sizes, caddsB64, partitionBy.mkString(","),
-        restatFiles, restats.map(renderMultiStat), histsB64, ingests)
+        restatFiles, restats.map(renderMultiStat), histsB64, ingests, radds)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -2834,6 +2968,29 @@ object TxnLog {
     metaDF.unionByName(scanDF)
       .agg(org.apache.spark.sql.functions.coalesce(sum(col("n")), lit(0L)).as("cnt"),
         fmin(col("lo")).as("min_v"), fmax(col("hi")).as("max_v"))
+  }
+
+  /** METADATA-only live row count: each live file's recorded per-file
+    * row count (any typed stat carries it) minus its deletion
+    * vector's set bits. `None` when some live file never recorded a
+    * count (raw-API staged without stats) — callers fall back to a
+    * scan count. O(files) driver work, ZERO tasks: this is what
+    * prices the occupancy-adaptive ANN ladder's corpus-size input
+    * (r18, X-V6) like the rest of planning instead of as a count job
+    * per query.
+    */
+  def rowCountFromStats(root: String,
+                        version: Long = Long.MaxValue): Option[Long] = {
+    val state = snapshotState(root, version)
+    var total = 0L
+    state.foreach { case (_, m) =>
+      m.stats.values.collectFirst { case st if st.rows >= 0 => st.rows } match {
+        case None => return None
+        case Some(r) =>
+          total += r - m.dv.map(d => popHex(dvHex(d))).getOrElse(0L)
+      }
+    }
+    Some(total)
   }
 
   // ---- column mapping (rename without rewrite) ----

@@ -121,6 +121,137 @@ object TxnStream {
     }
   }
 
+  /** Stamp column added by [[readFeed]] alongside the version. */
+  val ChangeTypeCol = "_change_type"
+
+  /** The UNIFIED change feed as a frame — the programmatic twin of
+    * the SQL `t.feed` (X-A91/X-A93): adds ∪ DV pre-images per commit
+    * in `(fromExclusive, toInclusive]`, stamped `_commit_version` +
+    * action-derived `_change_type`; row-preserving layout commits and
+    * a finalized-COW commit's survivor files (`radds`) are excluded,
+    * so the frame holds exactly the CHANGED rows. This is what the
+    * incremental index maintainers consume.
+    */
+  def readFeed(s: SparkSession, root: String, fromExclusive: Long,
+               toInclusive: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cs = TxnLog.commitsInRange(root, fromExclusive, toInclusive)
+      .filterNot(c => RowPreservingActions(c.action))
+    val fileVT: Seq[(String, Long, String)] = cs.flatMap { c =>
+      val preserving = c.radds.toSet
+      c.added.filterNot(preserving).map(f =>
+        (f, c.version, GraftFeedTable.changeTypeOf(c.action, killed = false)))
+    }
+    def emptyBase = TxnLog.read(s, root, toInclusive, mergeSchema = true)
+      .limit(0).withColumn(CommitVersionCol, lit(0L))
+      .withColumn(ChangeTypeCol, lit(""))
+    val adds =
+      if (fileVT.isEmpty) emptyBase
+      else {
+        val dim = s.createDataFrame(fileVT)
+          .toDF("_path", CommitVersionCol, ChangeTypeCol)
+        val out = TxnLog.openFiles(s,
+            TxnLog.declaredSchemaJson(root, toInclusive), fileVT.map(_._1))
+          .withColumn("_path", TxnLog.metaFilePath)
+          .join(broadcast(dim), "_path")
+          .drop("_path")
+        TxnLog.toLogical(out, TxnLog.columnMapping(root, toInclusive))
+      }
+    val dels: Seq[(String, Long, Long, Long, String)] = cs.flatMap { c =>
+      val t = GraftFeedTable.changeTypeOf(c.action, killed = true)
+      c.dvFiles.zip(c.dvs).flatMap { case (f, dv) =>
+        TxnLog.dvWords(dv).map { case (w, bits) => (f, w, bits, c.version, t) } }
+    }
+    val kills =
+      if (dels.isEmpty) emptyBase.limit(0)
+      else {
+        val dim = s.createDataFrame(dels)
+          .toDF("_dvp", "_w", "_bits", CommitVersionCol, ChangeTypeCol)
+        val out = TxnLog.openFiles(s,
+            TxnLog.declaredSchemaJson(root, toInclusive), dels.map(_._1).distinct)
+          .withColumn("_path", TxnLog.metaFilePath)
+          .withColumn("_ri", col("_metadata.row_index"))
+          .join(broadcast(dim),
+            col("_path") === col("_dvp") &&
+              TxnLog.dvWordIdx(col("_ri")) === col("_w"))
+          .filter(TxnLog.dvWordBitSet(col("_bits"), col("_ri")))
+          .drop("_path", "_dvp", "_w", "_bits", "_ri")
+        TxnLog.toLogical(out, TxnLog.columnMapping(root, toInclusive))
+      }
+    adds.unionByName(kills)
+  }
+
+  /** X-D17/X-S22: CDF-MAINTAINED derived index — keep an index table
+    * (MinHash band index, LSH postings, any per-row derivation) in
+    * sync with its source by applying each source version's FEED
+    * delta, so ingest keeps the index fresh WITHOUT a corpus re-scan:
+    * per version, `indexOf` runs over that version's changed rows
+    * only, stale index rows retract by source key, and both land as
+    * ONE target transaction ([[TxnLog.retractAndAppend]]) whose
+    * txnId `"<consumerId>-v<N>"` is the durable offset marker — the
+    * same exactly-once ledger as [[maintainInto]]: a crash-replay or
+    * duplicate consumer finds the txnId committed and applies
+    * nothing.
+    *
+    * Per-version work: O(changed rows) through `indexOf` + a
+    * file-pruned keyed retraction on the index — never proportional
+    * to the corpus or the index. A COW rewrite commit whose kills
+    * are not bitmap-described (legacy `cow-group`, overwrite)
+    * retracts by the removed-files diff, like [[maintainMirror]].
+    *
+    * @param indexOf maps a frame of source rows to their index rows;
+    *                its output must carry `keyCol` (the source key
+    *                every index row belongs to) so updates retract
+    *                the document's OLD index rows before its new
+    *                ones land.
+    */
+  def maintainIndexInto(s: SparkSession, sourceRoot: String,
+                        targetRoot: String, consumerId: String,
+                        keyCol: String, upTo: Long = Long.MaxValue)
+                       (indexOf: DataFrame => DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val head = math.min(TxnLog.currentVersion(sourceRoot), upTo)
+    val from = appliedVersion(targetRoot, consumerId)
+    ((from + 1) to head).flatMap { v =>
+      val txnId = s"$consumerId-v$v"
+      TxnLog.withTxnLock(txnId) {
+        if (TxnLog.findCommit(targetRoot, txnId).isDefined) None
+        else {
+          val delta = readFeed(s, sourceRoot, v - 1, v)
+          val killed = delta
+            .filter(col(ChangeTypeCol).isin("delete", "update_preimage"))
+            .select(col(keyCol))
+          val addRows = delta
+            .filter(col(ChangeTypeCol).isin("insert", "update_postimage"))
+            .drop(CommitVersionCol, ChangeTypeCol)
+          // non-bitmap rewrites (legacy cow-group, overwrite): the
+          // killed keys are the removed files' keys — retract them
+          // all; survivors re-add through addRows in the same txn
+          val cs = TxnLog.commitsInRange(sourceRoot, v - 1, v)
+          val rewrites = cs.filter(c => c.removed.nonEmpty &&
+            !RowPreservingActions(c.action) &&
+            !c.removed.toSet.subsetOf(c.dvFiles.toSet))
+          val rewriteKills =
+            if (rewrites.isEmpty) killed.limit(0)
+            else {
+              val physKey = TxnLog.columnMapping(sourceRoot, v)
+                .getOrElse(keyCol, keyCol)
+              TxnLog.openFiles(s, TxnLog.declaredSchemaJson(sourceRoot, v),
+                  rewrites.flatMap(_.removed).distinct)
+                .select(col(physKey).as(keyCol))
+            }
+          // updated docs retract their OLD index rows too: the
+          // retraction set is kills ∪ re-indexed keys
+          val retract = killed.union(rewriteKills)
+            .union(addRows.select(col(keyCol))).distinct()
+          TxnLog.retractAndAppend(s, targetRoot, retract, keyCol,
+            indexOf(addRows), txnId)
+          Some(v)
+        }
+      }
+    }
+  }
+
   /** The consumer id `CALL refresh_mv` uses for a given target root —
     * public so callers can check a materialized view's applied offset
     * through [[appliedVersion]].
@@ -211,8 +342,15 @@ object TxnStream {
           // travel), so the pre-image keys are exactly recoverable.
           // Idempotent on replay like the DV half (re-deleting dead
           // keys is a no-op).
+          // a FINALIZED COW commit (r18) removes exactly its DV'd
+          // files and marks survivors row-preserving: its kills are
+          // fully bitmap-described, so the DV half above already
+          // retracted them — skipping the removed-file re-read here
+          // is what makes the mirror's per-version work O(changed
+          // rows) on COW DML, not O(touched files)
           val rewrites = cs.filter(c => c.removed.nonEmpty &&
-            !RowPreservingActions(c.action))
+            !RowPreservingActions(c.action) &&
+            !c.removed.toSet.subsetOf(c.dvFiles.toSet))
           if (rewrites.nonEmpty) {
             val physKey = TxnLog.columnMapping(sourceRoot, v)
               .getOrElse(keyCol, keyCol)

@@ -462,4 +462,15 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(out.getLong(0) === cust.getLong(0))
     assert(out.getLong(1) === cust.getLong(1))
   }
+
+  test("gr_reachability leaves the session recursion row limit untouched") {
+    withSQLConf("spark.sql.cteRecursionRowLimit" -> "1000000") {
+      run("gr_reachability").count()
+      assert(spark.conf.get("spark.sql.cteRecursionRowLimit") === "1000000")
+    }
+    // and with no session override, the query must not leave one behind
+    val before = spark.conf.getOption("spark.sql.cteRecursionRowLimit")
+    run("gr_reachability").count()
+    assert(spark.conf.getOption("spark.sql.cteRecursionRowLimit") === before)
+  }
 }

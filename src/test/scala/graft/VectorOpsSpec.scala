@@ -258,6 +258,27 @@ class VectorOpsSpec extends SparkTestBase {
     ann.foreach { case (k, c) => assert(c === brute(k)) }
   }
 
+  test("knownCount serves the adaptive ladder from metadata: identical output, no count job") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val n = vecs.count()
+    val counted = annCosinePairs(vecs, "vec_id", "embedding",
+        minCosine = 0.4, targetOccupancy = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    val served = annCosinePairs(vecs, "vec_id", "embedding",
+        minCosine = 0.4, targetOccupancy = 16, knownCount = n)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served === counted,
+      "a metadata-served corpus count must pick the same band geometry")
+    // a WRONG count changes geometry, not correctness: still a subset
+    // of true pairs with exact cosines (adaptivity is a perf lever)
+    val coarse = annCosinePairs(vecs, "vec_id", "embedding",
+        minCosine = 0.4, targetOccupancy = 16, knownCount = n * 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = cosinePairsBruteForce(vecs, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    coarse.foreach { case (a, b, c) => assert(brute((a, b)) === c) }
+  }
+
   test("quantizeInt8 clamps to [-127,127], maps max|v| to ±127, zero vector to zeros") {
     val df = Seq((1L, Array(0f, 0f)), (2L, Array(1f, -2f))).toDF("vec_id", "embedding")
     val (scale, q) = quantizeInt8(col("embedding"))

@@ -965,6 +965,33 @@ class GraftCatalogSpec extends SparkTestBase {
         "cols => 'a,b')").collect())
   }
 
+  test("3-dim HILBERT clustering (r18, X-A94): curve => 'hilbert' on cols => 'a,b,c' " +
+       "gives tight 3-dim boxes and every dimension prunes") {
+    warehouse
+    // the same 20x20x20 cube as the Morton twin above — the Skilling
+    // d-dim curve must localize octants at least as well
+    spark.sql("CREATE TABLE gcat.db.z3h AS SELECT id, id % 20 AS a, " +
+      "(id DIV 20) % 20 AS b, (id DIV 400) % 20 AS c FROM range(0, 8000)")
+    spark.sql("CALL gcat.system.optimize_zorder(table => 'db.z3h', " +
+      "cols => 'a,b,c', n_files => 32, curve => 'hilbert')")
+    val state = TxnLog.snapshotState(root("z3h"))
+    assert(state.size === 32)
+    for (d <- Seq("a", "b", "c"))
+      assert(state.count(_._2.stats(d).lo >= 10L) >= 8,
+        s"dim $d must prune files for `$d < 10`: " +
+          state.map(_._2.stats(d)).map(st => (st.lo, st.hi)).mkString(","))
+    // corrupt the all-high octant: every half-domain probe must still
+    // answer — proof all three dims prune through the hilbert layout
+    val victims = state.filter { case (_, m) =>
+      Seq("a", "b", "c").forall(d => m.stats(d).lo >= 10L) }
+    assert(victims.nonEmpty, "an all-high octant file must exist")
+    victims.foreach { case (f, _) => Files.write(Paths.get(f), Array[Byte](7)) }
+    for (d <- Seq("a", "b", "c"))
+      assert(spark.sql(s"SELECT count(*) FROM gcat.db.z3h WHERE $d < 10")
+        .head.getLong(0) === 4000L,
+        s"pruning on $d must skip the corrupted all-high octant")
+  }
+
   test("string clustering keys: CALL optimize_zorder over (tenant STRING, ts) — both dims prune, common prefix stripped") {
     warehouse
     // 40 tenants sharing the 'tenant-0' prefix x 1000 ts values: the
@@ -1113,6 +1140,55 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.conf.unset("spark.graft.stream.autoCompact.smallBytes")
       spark.conf.unset("spark.graft.stream.autoCompact.targetBytes")
     }
+  }
+
+  test("table properties (r18, X-A95): TBLPROPERTIES fold, checkpoint persistence, " +
+       "and table-property-driven auto-compact") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.tp (k BIGINT)")
+    // set / read back / override / unset — one metadata commit each
+    spark.sql("ALTER TABLE gcat.db.tp SET TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '4', 'owner.team' = 'ingest')")
+    assert(TxnLog.tableProperties(root("tp")) ===
+      Map("graft.autoCompact.minFiles" -> "4", "owner.team" -> "ingest"))
+    spark.sql("ALTER TABLE gcat.db.tp SET TBLPROPERTIES ('owner.team' = 'core')")
+    spark.sql("ALTER TABLE gcat.db.tp UNSET TBLPROPERTIES ('graft.autoCompact.minFiles')")
+    assert(TxnLog.tableProperties(root("tp")) === Map("owner.team" -> "core"))
+    // DESCRIBE surfaces them
+    assert(spark.sql("DESCRIBE TABLE EXTENDED gcat.db.tp")
+      .collect().exists(r => r.getString(1).contains("owner.team")))
+    // properties survive a checkpoint (the K line)
+    spark.sql("INSERT INTO gcat.db.tp SELECT id FROM range(0, 10)")
+    TxnLog.checkpoint(root("tp"))
+    spark.sql("INSERT INTO gcat.db.tp SELECT id FROM range(10, 20)")
+    assert(TxnLog.tableProperties(root("tp")) === Map("owner.team" -> "core"),
+      "properties must fold through the checkpoint seed")
+
+    // the POLICY consumer: auto-compact thresholds riding the TABLE,
+    // no session conf set — the setting travels with the data
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE gcat.db.swt (k BIGINT)")
+    spark.sql("ALTER TABLE gcat.db.swt SET TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '4', " +
+      "'graft.autoCompact.smallBytes' = '1048576', " +
+      "'graft.autoCompact.targetBytes' = '1048576')")
+    val ckpt = Files.createTempDirectory("graft-swt-ckpt").toString
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().selectExpr("value AS k")
+      .writeStream.option("checkpointLocation", ckpt).toTable("gcat.db.swt")
+    try {
+      (0 until 12).foreach { i =>
+        in.addData(i * 10L until i * 10L + 10L: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(TxnLog.snapshotFiles(root("swt")).size <= 6,
+      "table-property auto-compact must bound the small-file count, got " +
+        TxnLog.snapshotFiles(root("swt")).size)
+    assert(spark.sql("SELECT count(*), sum(k) FROM gcat.db.swt").head.toSeq ===
+      Seq(120L, (0L until 120L).sum))
+    assert(spark.sql("SELECT action FROM gcat.db.swt.history")
+      .collect().map(_.getString(0)).contains("compact"))
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: delete/update arms in both cow and mor") {

@@ -114,11 +114,8 @@ class MaintenanceScopeSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gms.db.hc " +
       s"WHERE x BETWEEN $keepLo AND $keepHi AND y BETWEEN $keepLo AND $keepHi")
       .head.getLong(0) === want.toLong)
-    // refusals: 3 dims on the 2-d curve; unknown curve
-    val e1 = intercept[Exception](spark.sql(
-      "CALL gms.system.optimize_zorder(table => 'db.hc', " +
-        "cols => 'x,y,v', curve => 'hilbert')"))
-    assert(e1.getMessage.contains("2-dimensional"), e1.getMessage)
+    // refusal: unknown curve (3-dim hilbert is no longer a refusal —
+    // r18's Skilling transpose handles any d; see GraftCatalogSpec)
     val e2 = intercept[Exception](spark.sql(
       "CALL gms.system.optimize_zorder(table => 'db.hc', " +
         "x_col => 'x', y_col => 'y', curve => 'peano')"))

@@ -1398,4 +1398,25 @@ class TxnLogSpec extends SparkTestBase {
       Integer.bitCount(Integer.parseInt(ch.toString, 16))).sum).sum
     assert(deadBits === 16384, s"expected 16384 set bits, got $deadBits")
   }
+  test("rowCountFromStats (r18, X-V6): metadata-only live count, DV-aware; None without stats") {
+    val root = freshRoot()
+    val data = (1L to 100L).map(k => (k, k * 2L))
+    val (files, stats) = TxnLog.stageWithStats(
+      data.toDF("k", "v").repartitionByRange(4, $"k"), root, "t1", "k")
+    TxnLog.commit(root, "append", files, Nil, readVersion = 0L, txnId = "t1",
+      stats = stats, statsCol = "k")
+    assert(TxnLog.rowCountFromStats(root) === Some(100L))
+    // a deletion vector subtracts its set bits — still zero tasks
+    TxnLog.deleteWhere(spark, root, col("k") % 10 === 0, "d1")
+    assert(TxnLog.rowCountFromStats(root) === Some(90L))
+    assert(TxnLog.rowCountFromStats(root).get ===
+      TxnLog.read(spark, root).count(), "metadata count must equal scan count")
+    // time travel: the pre-delete snapshot still prices at 100
+    assert(TxnLog.rowCountFromStats(root, version = 1L) === Some(100L))
+    // a stat-less raw-API file makes the metadata count undefined
+    val raw = freshRoot()
+    append(raw, "r1", Seq((1L, 1L)))
+    assert(TxnLog.rowCountFromStats(raw) === None,
+      "files without recorded counts must refuse, not guess")
+  }
 }

@@ -65,9 +65,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // One-time side artifacts (the s8 file topic) are setup IO, not
-    // operator cost — materialize them before the clock starts.
-    try SparkEntry.prepare(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
+    // operator cost — materialize them before the clock starts. In
+    // ISOLATION mode skip the full prepare: each selected query
+    // self-materializes exactly the fixtures it needs (rep 1 absorbs
+    // the build; best-rep stays clean) — at big scale factors the
+    // 13-fixture prepare costs more wall and disk than the receipt.
+    if (only.isEmpty)
+      try SparkEntry.prepare(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
 
     val loadStart = loadavg()
     // key -> one observation per pass (sec, epoch-second start, 1-min loadavg)

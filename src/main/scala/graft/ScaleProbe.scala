@@ -308,6 +308,34 @@ object ScaleProbe {
       idx.unpersist()
     }
 
+    // CDF-maintained index refresh (r18, X-D17): the source corpus
+    // grows k×, the ingest DELTA is fixed (the base %10 slice) — the
+    // timed body is one maintainIndexInto refresh of that delta
+    // version. Per-refresh cost must track the delta, not the corpus:
+    // the feed reads only the delta commit's files, the retraction is
+    // file-pruned on the index, and indexOf runs over delta rows only.
+    if (enabled("ix_refresh")) ks.foreach { k =>
+      import graft.sources.{TxnLog, TxnStream}
+      val src = java.nio.file.Files.createTempDirectory(s"probe-ixsrc-$k").toString
+      val tgt = java.nio.file.Files.createTempDirectory(s"probe-ixtgt-$k").toString
+      TxnLog.init(src); TxnLog.init(tgt)
+      val base = replicateDocs(k).filter(col("doc_id") % 10 =!= 0)
+      TxnLog.commit(src, "append", TxnLog.stage(base, src, "b"), Nil,
+        readVersion = 0L, txnId = "b")
+      def indexOf(df: DataFrame) = DedupOps.bandIndex(df, "doc_id", "text")
+      TxnStream.maintainIndexInto(spark, src, tgt, "ix", "doc_id")(indexOf) // initial build, untimed
+      val batch = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      TxnLog.commit(src, "append", TxnLog.stage(batch, src, "d"), Nil,
+        readVersion = 0L, txnId = "d")
+      val t0 = System.nanoTime()
+      val applied = TxnStream.maintainIndexInto(spark, src, tgt, "ix", "doc_id")(indexOf)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(applied == Seq(2L), s"expected delta version applied, got $applied")
+      val deltaRows = TxnStream.readChanges(spark, tgt, 1L, 2L).count()
+      println(f"""{"op":"ix_refresh","k":$k,"rows":$deltaRows,"sec":$sec%.2f}""")
+    }
+
     // Incremental MV maintenance A/B: FIXED delta (the base corpus's
     // event_id < 10k slice) against a k×-grown base. mv_merge reads
     // the MATERIALIZED snapshot (|keys| rows, grows with k only

@@ -2980,12 +2980,22 @@ object SparkEntry {
         groupCentroids(Tables.embeddings(s, dir), "label", "embedding")),
       // embedding-cosine near-dup prune: ANN candidate pairs ->
       // connected components -> keep the min-id survivor per group
-      // (the embedding-space twin of cur_neardup_prune's text LSH)
+      // (the embedding-space twin of cur_neardup_prune's text LSH).
+      // r18: the candidate stage composes the occupancy-adaptive band
+      // width WITH the deterministic bucket cap — adaptivity keeps
+      // uniform growth linear, the cap bounds dup-heavy buckets that
+      // band width cannot thin (a replicated corpus's identical
+      // vectors share every band at any width; the r18 sf1/sf10
+      // receipt measured the uncapped spelling superlinear on exactly
+      // that load). Cap truncation only drops pairs inside over-full
+      // near-identical buckets, where surviving edges still merge the
+      // component.
       "cur_embed_prune" -> ((s, dir) => {
         val vecs = Tables.embeddings(s, dir)
         val losers = graft.operators.GraphOps.dedupClusters(
-          annCosinePairs(vecs, "vec_id", "embedding", minCosine = 0.45,
-            targetOccupancy = 16, knownCount = embeddingsCount(s, dir)),
+          annCosinePairsCapped(vecs, "vec_id", "embedding", minCosine = 0.45,
+            bucketCap = 32, targetOccupancy = 16,
+            knownCount = embeddingsCount(s, dir)),
           "v1", "v2")
           .filter(!col("is_kept")).select(col("doc_id").as("vec_id"))
         vecs.join(losers, Seq("vec_id"), "left_anti")
@@ -3718,8 +3728,15 @@ object SparkEntry {
             FROM embeddings, bt),
            e AS (SELECT vec_id, embedding, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
+           ek AS (SELECT vec_id, embedding, nrm, bucket, tbl FROM (
+                    SELECT vec_id, embedding, nrm, bucket, tbl,
+                           row_number() OVER (PARTITION BY tbl, bucket
+                             ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)
+                                           AS BIGINT) ASC,
+                                      vec_id ASC) AS rnk
+                    FROM e) WHERE rnk <= 32),
            pairs AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-                     FROM e a JOIN e b
+                     FROM ek a JOIN ek b
                        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
                      WHERE $pairCos >= 0.45),
            edges AS (SELECT v1 AS a, v2 AS b FROM pairs

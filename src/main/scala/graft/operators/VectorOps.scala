@@ -1103,14 +1103,25 @@ object VectorOps {
     */
   def annCosinePairsCapped(vecs: DataFrame, idCol: String, vecCol: String,
                            minCosine: Double, bucketCap: Int, tables: Int = 4,
-                           bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+                           bitsPerTable: Int = 4, dim: Int = 64,
+                           targetOccupancy: Int = 0,
+                           knownCount: Long = -1L): DataFrame = {
+    // cap ∘ adaptive bits (r18): adaptivity keeps UNIFORM growth
+    // linear (constant expected occupancy), the cap bounds the
+    // dup-heavy buckets adaptivity cannot thin (identical vectors
+    // share every band at any width) — the same composition the
+    // projected spelling carries since r17
+    val bits =
+      if (targetOccupancy <= 0) bitsPerTable
+      else adaptiveBits(
+        if (knownCount >= 0L) knownCount else vecs.count(), targetOccupancy)
     val p = withNorm(vecs, idCol, vecCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__tbl"), col("__bucket"))
       .orderBy(graft.functions.TextFunctions.h7(col("__id").cast("string")).asc,
         col("__id").asc)
     val banded = p.select(col("__id"), col("__v"), col("__nrm"),
-      posexplode(lshBuckets(col("__v"), tables, bitsPerTable, dim))
+      posexplode(lshBuckets(col("__v"), tables, bits, dim))
         .as(Seq("__tbl", "__bucket")))
       .withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= bucketCap)

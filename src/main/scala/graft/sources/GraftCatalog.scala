@@ -838,6 +838,7 @@ private[sources] object GraftTable {
     * operations ([[GraftDeltaOperation]]).
     */
   val PosMetaCol = "_pos"
+  val RowIdMetaCol = "_row_id"
 
   /** The table's LOGICAL schema at `version`: the logged schema with
     * column mapping applied, footer-merge fallback for tables written
@@ -850,7 +851,9 @@ private[sources] object GraftTable {
         s"graft table at $root has neither a logged schema nor data files")
       val p2l = TxnLog.columnMapping(root, version).map(_.swap)
       val inferred = s.read.option("mergeSchema", "true").parquet(files: _*).schema
-      StructType(inferred.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+      StructType(inferred.fields
+        .filterNot(_.name == TxnLog.RowIdPhysCol) // internal id column
+        .map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
     }
 
   /** The INSERT path: constraints checked first (nothing publishes on
@@ -1128,7 +1131,7 @@ private[sources] object GraftTable {
     * with a genuine nested one.
     */
   private[sources] def statPaths(schema: org.apache.spark.sql.types.StructType): Seq[String] =
-    schema.fields.toSeq.flatMap { f =>
+    schema.fields.toSeq.filterNot(_.name == TxnLog.RowIdPhysCol).flatMap { f =>
       f.dataType match {
         case _ if statable(f.dataType) =>
           if (f.name.contains('.')) Nil else Seq(f.name)
@@ -1164,6 +1167,14 @@ class GraftTable(val root: String, version: Long, timeTraveled: Boolean)
         override def dataType(): DataType = org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = false
         override def comment(): String = "row index within the data file (parquet scan order)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftTable.RowIdMetaCol
+        override def dataType(): DataType = org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "stable row id (X-A96): materialized through rewrites, else base + row index; " +
+            "null for files committed without row counts"
       })
 
   private def spark: SparkSession = SparkSession.active
@@ -1712,7 +1723,8 @@ private[sources] class GraftScanBuilder(
   * rows with zero extra IO.
   */
 private case class GraftFilePartition(path: String, length: Long,
-                                      dvHex: String) extends InputPartition
+                                      dvHex: String,
+                                      rowBase: Long = -1L) extends InputPartition
 
 /** One BUCKET of a `PARTITIONED BY (bucket(n, c))` table as a single
   * input partition carrying its key — what lets Spark's
@@ -1852,14 +1864,29 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
   private val physRequired = StructType(
     required.fields.map(f => f.copy(name = physName(f.name), nullable = true)))
 
-  // `_file` / `_pos` are served by the readers, not parquet: split
-  // them out of the schema the parquet closure reads
+  // `_file` / `_pos` / `_row_id` are served by the readers, not
+  // parquet: split them out of the schema the parquet closure reads.
+  // `_row_id` additionally pulls the MATERIALIZED id column (X-A96,
+  // carried through rewrites) into the read schema — appended LAST so
+  // the data-column splice indexes are untouched; files that never
+  // materialized it serve null and fall back to base + row index.
   private val fileMetaIdx: Int =
     required.fields.indexWhere(_.name == GraftTable.FileMetaCol)
   private val posMetaIdx: Int =
     required.fields.indexWhere(_.name == GraftTable.PosMetaCol)
-  private val physRequiredData = StructType(physRequired.fields.filterNot(f =>
-    f.name == GraftTable.FileMetaCol || f.name == GraftTable.PosMetaCol))
+  private val rowIdMetaIdx: Int =
+    required.fields.indexWhere(_.name == GraftTable.RowIdMetaCol)
+  private val physRequiredData = {
+    val data = physRequired.fields.filterNot(f =>
+      f.name == GraftTable.FileMetaCol || f.name == GraftTable.PosMetaCol ||
+        f.name == GraftTable.RowIdMetaCol)
+    StructType(
+      if (rowIdMetaIdx < 0) data
+      else data :+ org.apache.spark.sql.types.StructField(
+        TxnLog.RowIdPhysCol, org.apache.spark.sql.types.LongType, nullable = true))
+  }
+  private val matRidIdx: Int =
+    if (rowIdMetaIdx < 0) -1 else physRequiredData.length - 1
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -2010,7 +2037,8 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
       // sidecar DV refs resolve HERE, on the driver — the partition
       // ships the bitmap bytes, O(file rows / 8), same order as the
       // log record itself
-      GraftFilePartition(f, len, m.dv.map(TxnLog.dvHex).getOrElse(""))
+      GraftFilePartition(f, len, m.dv.map(TxnLog.dvHex).getOrElse(""),
+        m.rowBase.getOrElse(-1L))
     }
     bucketGroups match {
       case Some((n, c)) =>
@@ -2050,18 +2078,20 @@ private class GraftScan(spark: SparkSession, root: String, version: Long,
     // feeds whole-stage codegen ColumnarBatches exactly like Spark's
     // own parquet scan. The factory is all-or-nothing by engine
     // contract (BatchScanExec requires uniform partitions).
-    val columnar = fileMetaIdx < 0 && posMetaIdx < 0 &&
+    val columnar = fileMetaIdx < 0 && posMetaIdx < 0 && rowIdMetaIdx < 0 &&
       kept.forall(_._2.dv.isEmpty) &&
       new ParquetFileFormat().supportBatch(spark, physRequiredData)
     if (columnar)
       new GraftColumnarReaderFactory(reader(parquetFilters, batch = true))
     else
       new GraftReaderFactory(
-        // row order matters as soon as a DV or `_pos` is in play:
-        // parquet row-group/page skipping would break the index
-        reader(if (posMetaIdx < 0) parquetFilters else Nil, batch = false),
+        // row order matters as soon as a DV, `_pos` or `_row_id` is in
+        // play: parquet row-group/page skipping would break the index
+        reader(if (posMetaIdx < 0 && rowIdMetaIdx < 0) parquetFilters else Nil,
+          batch = false),
         reader(Nil, batch = false),
-        fileMetaIdx, posMetaIdx, required.fields.map(_.dataType))
+        fileMetaIdx, posMetaIdx, rowIdMetaIdx, matRidIdx,
+        required.fields.map(_.dataType))
   }
 
   /** Post-prune size and (when every kept file recorded a row count)
@@ -2234,6 +2264,8 @@ private class GraftReaderFactory(
     readAll: PartitionedFile => Iterator[InternalRow],
     fileMetaIdx: Int,
     posMetaIdx: Int,
+    rowIdMetaIdx: Int,
+    matRidIdx: Int,
     outTypes: Array[org.apache.spark.sql.types.DataType])
   extends PartitionReaderFactory {
 
@@ -2259,7 +2291,7 @@ private class GraftReaderFactory(
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow   => Iterator.single(r)
       }
-    val splice = fileMetaIdx >= 0 || posMetaIdx >= 0
+    val splice = fileMetaIdx >= 0 || posMetaIdx >= 0 || rowIdMetaIdx >= 0
     val rows =
       if (p.dvHex.isEmpty && !splice) base
       else {
@@ -2280,6 +2312,14 @@ private class GraftReaderFactory(
             while (i < n) {
               if (i == fileMetaIdx) arr(i) = path
               else if (i == posMetaIdx) arr(i) = ri
+              else if (i == rowIdMetaIdx)
+                // materialized id wins (carried through a rewrite);
+                // else this file's allocated base + row index; files
+                // committed without row counts serve null (sound)
+                arr(i) =
+                  if (matRidIdx >= 0 && !r.isNullAt(matRidIdx)) r.getLong(matRidIdx)
+                  else if (p.rowBase >= 0L) p.rowBase + ri
+                  else null
               else { arr(i) = if (r.isNullAt(j)) null else r.get(j, outTypes(i)); j += 1 }
               i += 1
             }

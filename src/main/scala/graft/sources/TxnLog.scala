@@ -137,7 +137,8 @@ object TxnLog {
   case class FileMeta(stats: Map[String, FileStat] = Map.empty,
                       bloom: Option[String] = None, bloomCol: String = "",
                       dv: Option[String] = None, size: Long = -1L,
-                      modTime: Long = 0L) {
+                      modTime: Long = 0L,
+                      rowBase: Option[Long] = None) {
     /** The stat governing a query on `column`: an exact column match,
       * else the legacy unnamed stat (caller-asserted). A query that
       * names no column is the pre-r12 single-clustering contract: it
@@ -184,13 +185,22 @@ object TxnLog {
                     restats: Seq[String] = Nil,
                     hists: Seq[String] = Nil,
                     ingests: Seq[String] = Nil,
-                    radds: Seq[String] = Nil)
+                    radds: Seq[String] = Nil,
+                    rbases: Seq[Long] = Nil,
+                    rowHwm: Long = -1L)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
     * must re-read and re-stage (a blind retry would lose its update).
     */
   class ConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Physical column name of the MATERIALIZED stable row id (X-A96).
+    * Never part of any logical schema: rewrites write it into their
+    * output files so ids survive layout maintenance and COW DML, and
+    * the scan serves it through the `_row_id` metadata column.
+    */
+  private[sources] val RowIdPhysCol = "__graft_rid"
 
   /** A commit's declared schema differs from the table's current one
     * and the commit is not an explicit `schema-evolve` — rejecting it
@@ -360,9 +370,13 @@ object TxnLog {
       if (c.ingests.isEmpty) "" else s""","ingests":${arr(c.ingests)}"""
     val raddsPart = // row-preserving subset of `added` (COW survivors)
       if (c.radds.isEmpty) "" else s""","radds":${arr(c.radds)}"""
+    val rbasesPart = // base row id per added file (X-A96 row tracking)
+      if (c.rbases.isEmpty) "" else s""","rbases":[${c.rbases.mkString(",")}]"""
+    val rowHwmPart =
+      if (c.rowHwm < 0L) "" else s""","rowHwm":${c.rowHwm}"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart$raddsPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart$raddsPart$rbasesPart$rowHwmPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -396,7 +410,10 @@ object TxnLog {
       arr("cadds", required = false), strOpt("partitionBy"),
       arr("restatFiles", required = false), arr("restats", required = false),
       arr("hists", required = false), arr("ingests", required = false),
-      arr("radds", required = false))
+      arr("radds", required = false),
+      arr("rbases", required = false).map(_.toLong),
+      s""""rowHwm":(-?\\d+)""".r.findFirstMatchIn(line)
+        .map(_.group(1).toLong).getOrElse(-1L))
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -481,7 +498,8 @@ object TxnLog {
                                partitionBy: String = "",
                                hists: Map[String, String] = Map.empty,
                                ingests: Set[String] = Set.empty,
-                               props: Map[String, String] = Map.empty)
+                               props: Map[String, String] = Map.empty,
+                               rowHwm: Long = 0L)
 
   private def ckptPath(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint")
@@ -522,6 +540,7 @@ object TxnLog {
       val hists = Map.newBuilder[String, String]
       val ingests = Set.newBuilder[String]
       val props = Map.newBuilder[String, String]
+      var rowHwm = 0L
       val files = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
       lines.drop(1).foreach { l =>
         def addStat(f: String, c: String, st: FileStat): Unit = {
@@ -570,12 +589,16 @@ object TxnLog {
           case Seq("Z", f, sz, mt)   =>
             files(f) = files.getOrElse(f, FileMeta())
               .copy(size = sz.toLong, modTime = mt.toLong)
+          case Seq("O", f, b)        => // base row id (X-A96)
+            files(f) = files.getOrElse(f, FileMeta())
+              .copy(rowBase = Some(b.toLong))
+          case Seq("W", hwm)         => rowHwm = hwm.toLong
           case other => sys.error(s"bad checkpoint line: $l")
         }
       }
       CkptState(v, files.toSeq, txns.result(), schema, hasLedger = true,
         constraints.result(), schemaJson, renames.result(), partitionBy,
-        hists.result(), ingests.result(), props.result())
+        hists.result(), ingests.result(), props.result(), rowHwm)
     } else // legacy v1: live paths only
       CkptState(v, lines.map(_ -> FileMeta()), Map.empty, "", hasLedger = false)
   }
@@ -636,6 +659,7 @@ object TxnLog {
     ingests ++= seed.ingests
     val props = scala.collection.mutable.Map.empty[String, String]
     props ++= seed.props
+    var rowHwm = seed.rowHwm
     var top = fromV
     commitsInRange(root, fromV, version).foreach { c =>
       val stats = if (c.stats.size == c.added.size) c.stats else c.added.map(_ => None)
@@ -643,6 +667,8 @@ object TxnLog {
       val multi = if (c.multiStats.size == c.added.size) c.multiStats
                   else c.added.map(_ => "")
       val sizes = if (c.sizes.size == c.added.size) c.sizes else c.added.map(_ => -1L)
+      val rbases = if (c.rbases.size == c.added.size) c.rbases
+                   else c.added.map(_ => -1L)
       c.added.zipWithIndex.foreach { case (f, i) =>
         val (st, bl, ms) = (stats(i), blooms(i), multi(i))
         val statMap = parseMultiStat(ms) ++
@@ -652,8 +678,10 @@ object TxnLog {
         // surfaces without a filesystem stat
         live(f) = FileMeta(statMap,
           Some(bl).filter(_.nonEmpty), if (bl.nonEmpty) c.bloomCol else "",
-          size = sizes(i), modTime = c.ts)
+          size = sizes(i), modTime = c.ts,
+          rowBase = Some(rbases(i)).filter(_ >= 0L))
       }
+      if (c.rowHwm > rowHwm) rowHwm = c.rowHwm
       c.dvFiles.zip(c.dvs).foreach { case (f, hex) =>
         // DVs union across delete commits (set bits only accumulate);
         // a DV for a file already removed is a no-op
@@ -728,7 +756,7 @@ object TxnLog {
     }
     CkptState(top, live.toSeq, txns.toMap, schema, hasLedger = true,
       constraints.toMap, schemaJson, renames.toMap, partitionBy, hists.toMap,
-      ingests.toSet, props.toMap)
+      ingests.toSet, props.toMap, rowHwm)
   }
 
   /** Write a checkpoint of the CURRENT table state (live files with
@@ -754,6 +782,8 @@ object TxnLog {
       body.append("C ").append(n).append(' ').append(e).append('\n') }
     st.props.toSeq.sortBy(_._1).foreach { case (k, v2) =>
       body.append("K ").append(k).append(' ').append(v2).append('\n') }
+    if (st.rowHwm > 0L)
+      body.append("W ").append(st.rowHwm).append('\n')
     st.renames.toSeq.sortBy(_._1).foreach { case (l, p) =>
       body.append("R ").append(l).append(' ').append(p).append('\n') }
     if (st.partitionBy.nonEmpty)
@@ -785,6 +815,8 @@ object TxnLog {
       if (meta.size >= 0L)
         body.append("Z ").append(f).append(' ').append(meta.size)
           .append(' ').append(meta.modTime).append('\n')
+      meta.rowBase.foreach { b =>
+        body.append("O ").append(f).append(' ').append(b).append('\n') }
       meta.bloom.foreach { hex =>
         body.append("B ").append(f).append(' ').append(meta.bloomCol)
           .append(' ').append(hex).append('\n')
@@ -871,6 +903,7 @@ object TxnLog {
       // names AS OF this version — time travel under a rename shows
       // the era's own names
       toLogical(applyDeletionVectors(base, state), st.renames)
+        .drop(RowIdPhysCol) // internal id column never surfaces
     }
   }
 
@@ -1747,8 +1780,48 @@ object TxnLog {
     * originals, so no era is ever violated).
     */
   private def readForRewrite(s: SparkSession, schemaJsonB64: String,
-                             victims: Seq[(String, FileMeta)]): DataFrame =
-    applyDeletionVectors(openFiles(s, schemaJsonB64, victims.map(_._1)), victims)
+                             victims: Seq[(String, FileMeta)]): DataFrame = {
+    // X-A96: every rewrite path carries STABLE ROW IDS through — the
+    // victim's materialized id column where present, else its
+    // allocated base + raw row index — so layout maintenance and COW
+    // survivors never re-identify a row
+    val files = victims.map(_._1)
+    val base =
+      if (schemaJsonB64.isEmpty) {
+        val b = s.read.option("mergeSchema", "true").parquet(files: _*)
+        b
+      } else {
+        val declared = org.apache.spark.sql.types.DataType.fromJson(
+          new String(b64dec(schemaJsonB64), java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType]
+        val sch =
+          if (declared.fieldNames.contains(RowIdPhysCol)) declared
+          else declared.add(org.apache.spark.sql.types.StructField(
+            RowIdPhysCol, org.apache.spark.sql.types.LongType, nullable = true))
+        s.read.schema(sch).parquet(files: _*)
+      }
+    applyDeletionVectors(withCarriedRowIds(base, victims), victims)
+  }
+
+  /** Materialize `__graft_rid` on a rewrite read: existing
+    * materialized ids win, else the file's allocated base + raw row
+    * index (null where the file never allocated — sound).
+    */
+  private def withCarriedRowIds(df: DataFrame,
+                                victims: Seq[(String, FileMeta)]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, typedlit}
+    val bases: Map[String, Long] =
+      victims.collect { case (f, m) if m.rowBase.isDefined => (f, m.rowBase.get) }
+        .toMap
+    val mat =
+      if (df.columns.contains(RowIdPhysCol)) col(RowIdPhysCol)
+      else lit(null).cast("long")
+    if (bases.isEmpty) df.withColumn(RowIdPhysCol, mat)
+    else df.withColumn(RowIdPhysCol,
+      coalesce(mat,
+        org.apache.spark.sql.functions.element_at(typedlit(bases), metaFilePath) +
+          col("_metadata.row_index")))
+  }
 
   /** Stage the SURVIVORS of a copy-on-write row-level rewrite
     * ([[graft.sources.GraftDeltaBatchWrite]]'s finalize step): each
@@ -2820,11 +2893,39 @@ object TxnLog {
       // across checkpoints at read time.
       val commitTs = math.max(System.currentTimeMillis(),
         tail.lastOption.map(_.ts + 1).getOrElse(1L))
+      // X-A96 row tracking: allocate each added file's BASE ROW ID
+      // from the table's high-water mark when every added file's row
+      // count is known (the stats the writers already collect).
+      // Inside the CAS loop on purpose: a lost race re-reads the tail
+      // and re-allocates above the winner's hwm, so two commits can
+      // never mint overlapping id ranges. Files without recorded
+      // counts allocate nothing (their rows read `_row_id` null —
+      // sound, never wrong).
+      val rowsPerFile: Seq[Long] = added.indices.map { i =>
+        val fromMulti =
+          if (multiStats.size == added.size)
+            multiStats(i).values.collectFirst { case st if st.rows >= 0 => st.rows }
+          else None
+        val fromStat =
+          if (stats.size == added.size)
+            stats(i).collect { case st if st.rows >= 0 => st.rows }
+          else None
+        fromMulti.orElse(fromStat).getOrElse(-1L)
+      }
+      val hwm0 = math.max(ckpt.map(_.rowHwm).getOrElse(0L),
+        tail.iterator.map(_.rowHwm).foldLeft(0L)(math.max))
+      val (rbases, newHwm) =
+        if (added.nonEmpty && rowsPerFile.forall(_ >= 0L)) {
+          var b = hwm0
+          val bs = rowsPerFile.map { r => val x = b; b += r; x }
+          (bs, b)
+        } else (Seq.empty[Long], -1L)
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
         rename, sizes, caddsB64, partitionBy.mkString(","),
-        restatFiles, restats.map(renderMultiStat), histsB64, ingests, radds)
+        restatFiles, restats.map(renderMultiStat), histsB64, ingests, radds,
+        rbases, newHwm)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -3454,9 +3555,15 @@ object TxnLog {
 
   /** Physical column names → current logical names. */
   private[sources] def toLogical(df: DataFrame,
-                                 renames: Map[String, String]): DataFrame =
-    if (renames.isEmpty) df
-    else df.withColumnsRenamed(renames.map { case (l, p) => (p, l) })
+                                 renames: Map[String, String]): DataFrame = {
+    // the internal materialized-row-id column (X-A96) is PHYSICAL
+    // metadata: no logical surface may leak it (schema-less
+    // mergeSchema reads of rewritten files would otherwise grow a
+    // column the declared tables never show)
+    val d = if (df.columns.contains(RowIdPhysCol)) df.drop(RowIdPhysCol) else df
+    if (renames.isEmpty) d
+    else d.withColumnsRenamed(renames.map { case (l, p) => (p, l) })
+  }
 
   /** Logical column names → physical storage names (the write side:
     * staged files must carry physical names so every generation of a

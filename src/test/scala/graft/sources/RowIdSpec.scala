@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** r18 (X-A96): STABLE ROW IDS — the Delta row-tracking recipe over
+  * the log's own stats. Every commit whose added files carry row
+  * counts allocates each file a base row id from a transactional
+  * high-water mark; a row's id is `base + row_index` until a rewrite
+  * MATERIALIZES it into the output file (`__graft_rid`, written by
+  * every readForRewrite path: compaction, clustering, COW survivors),
+  * after which the materialized value wins forever. The scan serves
+  * ids through the `_row_id` metadata column.
+  *
+  * The receipts: identity survives layout maintenance and COW DML
+  * survivors; fresh rows mint above the high-water mark (never
+  * reused); files without recorded counts serve null, never a wrong
+  * id; the hwm folds through checkpoints.
+  */
+class RowIdSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft-rid-wh").toString
+    spark.conf.set("spark.sql.catalog.grid", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grid.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grid.db")
+    wh
+  }
+
+  private def root(table: String): String = s"$warehouse/db/$table"
+
+  private def idsOf(table: String): Map[Long, Long] =
+    spark.sql(s"SELECT k, _row_id FROM grid.db.$table")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("append allocates dense ids; a second batch mints above the high-water mark") {
+    warehouse
+    spark.sql("CREATE TABLE grid.db.r1 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grid.db.r1 SELECT id, id * 2 FROM range(0, 100)")
+    val ids1 = idsOf("r1")
+    assert(ids1.size === 100 && ids1.values.toSet === (0L until 100L).toSet,
+      "first batch must occupy ids 0..99 (dense, file-contiguous)")
+    spark.sql("INSERT INTO grid.db.r1 SELECT id, id * 2 FROM range(100, 150)")
+    val ids2 = idsOf("r1")
+    assert(ids2.size === 150 && ids2.values.toSet === (0L until 150L).toSet)
+    assert((0L until 100L).forall(k => ids2(k) == ids1(k)),
+      "existing rows keep their ids across appends")
+  }
+
+  test("ids survive compaction and clustering (materialized through the rewrite)") {
+    warehouse
+    spark.sql("CREATE TABLE grid.db.r2 (k BIGINT, v BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO grid.db.r2 SELECT /*+ REPARTITION(1) */ id, id " +
+        s"FROM range(${i * 50}, ${i * 50 + 50})"))
+    val before = idsOf("r2")
+    spark.sql("CALL grid.system.compact_files(table => 'db.r2', " +
+      "small_mb => 1, target_mb => 1)")
+    assert(TxnLog.snapshotFiles(root("r2")).size === 1)
+    assert(idsOf("r2") === before, "compaction must not re-identify a row")
+    spark.sql("CALL grid.system.optimize_zorder(table => 'db.r2', " +
+      "x_col => 'k', y_col => 'v', n_files => 4)")
+    assert(idsOf("r2") === before, "clustering must not re-identify a row")
+    // and the row set itself is untouched
+    assert(spark.sql("SELECT count(*), sum(v) FROM grid.db.r2").head.toSeq ===
+      Seq(200L, (0L until 200L).sum))
+  }
+
+  test("COW DML: survivors keep ids, changed rows mint fresh ones, dead ids retire") {
+    warehouse
+    spark.sql("CREATE TABLE grid.db.r3 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grid.db.r3 SELECT id, id FROM range(0, 100)")
+    val before = idsOf("r3")
+    spark.sql("UPDATE grid.db.r3 SET v = -1 WHERE k % 10 = 0")        // COW
+    val after = idsOf("r3")
+    val untouched = (0L until 100L).filter(_ % 10 != 0)
+    assert(untouched.forall(k => after(k) == before(k)),
+      "rows the update did not touch keep their ids through the survivor rewrite")
+    val changed = (0L until 100L).filter(_ % 10 == 0)
+    assert(changed.forall(k => after(k) >= 100L),
+      "updated rows (delete+insert pairs) mint fresh ids above the hwm")
+    assert(changed.map(after).toSet.intersect(before.values.toSet).isEmpty,
+      "a retired id is never reused")
+    // DV delete: survivors untouched
+    spark.sql("DELETE FROM grid.db.r3 WHERE k % 25 = 1")
+    val after2 = idsOf("r3")
+    assert(after2.forall { case (k, id) => after(k) == id })
+    assert(!after2.contains(1L))
+  }
+
+  test("hwm folds through a checkpoint; stat-less raw files serve null") {
+    warehouse
+    spark.sql("CREATE TABLE grid.db.r4 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grid.db.r4 SELECT id, id FROM range(0, 40)")
+    TxnLog.checkpoint(root("r4"))
+    spark.sql("INSERT INTO grid.db.r4 SELECT id, id FROM range(40, 60)")
+    val ids = idsOf("r4")
+    assert(ids.values.toSet === (0L until 60L).toSet,
+      "post-checkpoint allocation must continue from the W-line hwm")
+
+    // a raw-API commit without stats: no allocation, ids read null
+    val raw = Files.createTempDirectory("graft-rid-raw").toString
+    TxnLog.init(raw)
+    import spark.implicits._
+    val files = TxnLog.stage(Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), raw, "t1")
+    TxnLog.commit(raw, "append", files, Nil, readVersion = 0L, txnId = "t1")
+    val st = TxnLog.snapshotState(raw)
+    assert(st.forall(_._2.rowBase.isEmpty),
+      "no recorded row counts => no base allocation")
+  }
+}

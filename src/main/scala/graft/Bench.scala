@@ -142,8 +142,12 @@ object Bench {
     // reps×-inflated total, a filtered run is partial, and a smoke at
     // another sf would silently replace the committed sf0.1 numbers —
     // those land in a tagged sibling file instead.
+    // ...and neither must a LOAD-FLAGGED run (r19): a contended-box
+    // pass is identifiable but not canonical — it lands in
+    // BENCH_FLAGGED.json so the committed quiet-box artifact survives
     val artifact =
       if (only.nonEmpty || reps > 1) "(not written: filtered/repeated run)"
+      else if (warn.nonEmpty) "BENCH_FLAGGED.json"
       else if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
       else "BENCH_FULL_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".json"
     if (only.isEmpty && reps == 1)

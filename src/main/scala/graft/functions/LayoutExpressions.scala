@@ -114,6 +114,10 @@ case class HilbertIndexN(child: Expression, bits: Int)
 
   override def dataType: DataType = LongType
 
+  // a null coordinate null-propagates (like the 2-dim [[HilbertIndex]])
+  // rather than silently reading 0 and clustering the row to a corner
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_hilbert_n"
 
   override protected def nullSafeEval(a: Any): Any = {
@@ -123,7 +127,10 @@ case class HilbertIndexN(child: Expression, bits: Int)
       s"graft_hilbert_n: $n dims x $bits bits exceeds a 63-bit index")
     val x = new Array[Long](n)
     var j = 0
-    while (j < n) { x(j) = arr.getLong(j); j += 1 }
+    while (j < n) {
+      if (arr.isNullAt(j)) return null
+      x(j) = arr.getLong(j); j += 1
+    }
     // AxesToTranspose: inverse undo
     var q = 1L << (bits - 1)
     while (q > 1L) {
@@ -172,24 +179,29 @@ case class HilbertIndexN(child: Expression, bits: Int)
          |  throw new IllegalArgumentException(
          |    "graft_hilbert_n: " + $n + " dims x $bits bits exceeds a 63-bit index");
          |long[] $x = new long[$n];
-         |for (int $j = 0; $j < $n; $j++) $x[$j] = $a.getLong($j);
-         |for (long $q = ${1L << (bits - 1)}L; $q > 1L; $q >>= 1) {
-         |  long $p = $q - 1L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if (($x[$i] & $q) != 0L) $x[0] ^= $p;
-         |    else { long $t = ($x[0] ^ $x[$i]) & $p; $x[0] ^= $t; $x[$i] ^= $t; }
-         |  }
+         |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+         |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+         |  else $x[$j] = $a.getLong($j);
          |}
-         |for (int $i = 1; $i < $n; $i++) $x[$i] ^= $x[$i - 1];
-         |long $t2 = 0L;
-         |for (long $q = ${1L << (bits - 1)}L; $q > 1L; $q >>= 1)
-         |  if (($x[$n - 1] & $q) != 0L) $t2 ^= $q - 1L;
-         |for (int $i = 0; $i < $n; $i++) $x[$i] ^= $t2;
-         |long $d = 0L;
-         |for (int $k = 0; $k < $bits; $k++)
-         |  for (int $j = 0; $j < $n; $j++)
-         |    $d = ($d << 1) | (($x[$j] >>> ($bits - 1 - $k)) & 1L);
-         |${ev.value} = $d;
+         |if (!${ev.isNull}) {
+         |  for (long $q = ${1L << (bits - 1)}L; $q > 1L; $q >>= 1) {
+         |    long $p = $q - 1L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (($x[$i] & $q) != 0L) $x[0] ^= $p;
+         |      else { long $t = ($x[0] ^ $x[$i]) & $p; $x[0] ^= $t; $x[$i] ^= $t; }
+         |    }
+         |  }
+         |  for (int $i = 1; $i < $n; $i++) $x[$i] ^= $x[$i - 1];
+         |  long $t2 = 0L;
+         |  for (long $q = ${1L << (bits - 1)}L; $q > 1L; $q >>= 1)
+         |    if (($x[$n - 1] & $q) != 0L) $t2 ^= $q - 1L;
+         |  for (int $i = 0; $i < $n; $i++) $x[$i] ^= $t2;
+         |  long $d = 0L;
+         |  for (int $k = 0; $k < $bits; $k++)
+         |    for (int $j = 0; $j < $n; $j++)
+         |      $d = ($d << 1) | (($x[$j] >>> ($bits - 1 - $k)) & 1L);
+         |  ${ev.value} = $d;
+         |}
        """.stripMargin
     })
 

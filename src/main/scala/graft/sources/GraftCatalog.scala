@@ -329,6 +329,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schemaJson = TxnLog.encodeSchema(schema),
       cadds = GraftTable.constraintProps(properties) ++ genChecks,
       partitionBy = pcols)
+    // user TBLPROPERTIES persist too (r19): CREATE-declared policy
+    // (graft.autoCompact.*) must behave exactly like a post-create
+    // ALTER ... SET TBLPROPERTIES — the table is not yet visible to
+    // any other writer, so the extra commits are uncontended
+    GraftTable.policyProps(properties).foreach { case (k, v) =>
+      TxnLog.setTableProperty(root, k, v, s"create-prop-a$uuid12-$k")
+    }
     new GraftTable(root, Long.MaxValue, timeTraveled = false)
   }
 
@@ -624,7 +631,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     new StagedGraftTable(root, schema, replaceExisting = false,
       GraftTable.constraintProps(properties),
-      GraftTable.partitionTokens(partitions, schema))
+      GraftTable.partitionTokens(partitions, schema),
+      GraftTable.policyProps(properties))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -635,7 +643,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(root)) throw new NoSuchTableException(ident)
     new StagedGraftTable(root, schema, replaceExisting = true,
       GraftTable.constraintProps(properties),
-      GraftTable.partitionTokens(partitions, schema))
+      GraftTable.partitionTokens(partitions, schema),
+      GraftTable.policyProps(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -645,7 +654,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     new StagedGraftTable(root, schema, replaceExisting = isTable(root),
       GraftTable.constraintProps(properties),
-      GraftTable.partitionTokens(partitions, schema))
+      GraftTable.partitionTokens(partitions, schema),
+      GraftTable.policyProps(properties))
   }
 
   // ---- namespaces: directories without a _log ----
@@ -793,6 +803,28 @@ private[sources] object GraftTable {
     properties.asScala.toSeq.collect {
       case (k, v) if k.startsWith(ConstraintProp) =>
         (k.stripPrefix(ConstraintProp), v)
+    }.sortBy(_._1)
+
+  /** Keys Spark's DDL layer injects into every CREATE's property map
+    * (provider, location, …) — catalog bookkeeping, not table policy;
+    * never persisted to the log's TBLPROPERTIES fold.
+    */
+  private val ReservedProps = Set(
+    "provider", "location", "comment", "owner", "external",
+    "is_managed_location")
+
+  /** The user's OWN `TBLPROPERTIES` at CREATE time (X-A95, r19):
+    * everything that is neither a CHECK-constraint spelling (those
+    * land as `cadds` in the create record itself) nor Spark's
+    * reserved bookkeeping. Persisted right after the create commit so
+    * a policy declared at CREATE (`graft.autoCompact.*`) actually
+    * takes effect — previously these were silently dropped. A key or
+    * value [[TxnLog.setTableProperty]] cannot encode rejects loudly.
+    */
+  def policyProps(properties: util.Map[String, String]): Seq[(String, String)] =
+    properties.asScala.toSeq.filterNot { case (k, _) =>
+      k.startsWith(ConstraintProp) || ReservedProps.contains(k) ||
+        k.startsWith("option.")
     }.sortBy(_._1)
 
   /** GENERATED ALWAYS AS columns declared on the schema, as
@@ -1457,7 +1489,8 @@ private class GraftMetaTable(root: String, kind: String)
 private class StagedGraftTable(root: String, stagedSchema: StructType,
                                replaceExisting: Boolean,
                                constraints: Seq[(String, String)] = Nil,
-                               partitionBy: Seq[String] = Nil)
+                               partitionBy: Seq[String] = Nil,
+                               policyProps: Seq[(String, String)] = Nil)
   extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -1525,6 +1558,10 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
         schemaId = TxnLog.schemaFingerprint(sch),
         schemaJson = TxnLog.encodeSchema(sch), cadds = constraints,
         partitionBy = partitionBy)
+    }
+    // CTAS/RTAS-declared TBLPROPERTIES persist like createTable's
+    policyProps.foreach { case (k, v) =>
+      TxnLog.setTableProperty(root, k, v, s"$txnId-prop-$k")
     }
     ()
   }

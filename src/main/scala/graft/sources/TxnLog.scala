@@ -2717,10 +2717,14 @@ object TxnLog {
              hists: Seq[(String, String)] = Nil,
              requireHead: Long = -1L,
              ingests: Seq[String] = Nil,
-             radds: Seq[String] = Nil): Commit = {
+             radds: Seq[String] = Nil,
+             rowBases: Seq[Long] = Nil,
+             rowHwmFloor: Long = -1L): Commit = {
     validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
     require(radds.forall(added.contains),
       s"txn $txnId: radds must be a subset of added")
+    require(rowBases.isEmpty || rowBases.size == added.size,
+      s"txn $txnId: rowBases (${rowBases.size}) must align with added (${added.size})")
     validateToken("txnId", txnId)
     if (statsCol.nonEmpty) validateToken("statsCol", statsCol)
     if (bloomCol.nonEmpty) validateToken("bloomCol", bloomCol)
@@ -2914,12 +2918,37 @@ object TxnLog {
       }
       val hwm0 = math.max(ckpt.map(_.rowHwm).getOrElse(0L),
         tail.iterator.map(_.rowHwm).foldLeft(0L)(math.max))
-      val (rbases, newHwm) =
-        if (added.nonEmpty && rowsPerFile.forall(_ >= 0L)) {
+      // EXPLICIT bases (r19): restore / clone / fork / publish re-add
+      // files that already carry allocated ids — those pass through
+      // verbatim (re-minting would silently re-identify every
+      // non-materialized row, breaking the X-A96 stability contract);
+      // only files WITHOUT a prior base mint fresh ids from the hwm.
+      // -1 in `rowBases` marks "no prior base" per file.
+      val explicitBases: Seq[Long] =
+        if (rowBases.size == added.size) rowBases else added.map(_ => -1L)
+      val freshIdx = added.indices.filter(explicitBases(_) < 0L)
+      val (rbases, allocTop) =
+        if (added.isEmpty) (Seq.empty[Long], hwm0)
+        else if (freshIdx.isEmpty) (explicitBases, hwm0)
+        else if (freshIdx.forall(rowsPerFile(_) >= 0L)) {
           var b = hwm0
-          val bs = rowsPerFile.map { r => val x = b; b += r; x }
+          val bs = added.indices.map { i =>
+            if (explicitBases(i) >= 0L) explicitBases(i)
+            else { val x = b; b += rowsPerFile(i); x }
+          }
           (bs, b)
-        } else (Seq.empty[Long], -1L)
+        } else if (explicitBases.exists(_ >= 0L)) (explicitBases, hwm0)
+        else (Seq.empty[Long], hwm0)
+      // the W line moves for fresh allocation, a cross-log floor
+      // (clone/fork/publish carry the source log's mark so later
+      // inserts never mint ids under carried ranges), or a passed-
+      // through range that tops the current mark
+      val passTop = added.indices.iterator
+        .filter(i => explicitBases(i) >= 0L && rowsPerFile(i) >= 0L)
+        .map(i => explicitBases(i) + rowsPerFile(i))
+        .foldLeft(-1L)(math.max)
+      val hwmTop = math.max(allocTop, math.max(rowHwmFloor, passTop))
+      val newHwm = if (hwmTop > hwm0) hwmTop else -1L
       val rec = Commit(head + 1, action, txnId, readVersion, added, removed,
         stats, schemaId, statsCol, blooms, bloomCol, dvFiles, dvPayloads,
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
@@ -3804,6 +3833,10 @@ object TxnLog {
       added = files.map(_._1), removed = gone,
       readVersion = head, txnId = txnId,
       multiStats = files.map(_._2.stats),
+      // re-added files keep their ORIGINAL base row ids (r19): a
+      // restore rewinds data, not row identity — re-minting would
+      // silently re-identify every non-materialized row
+      rowBases = files.map(_._2.rowBase.getOrElse(-1L)),
       dvFiles = dvd.map(_._1), dvs = dvd.map(_._2),
       schemaId = if (stThen.schemaJson.isEmpty) "" else schemaFingerprint(
         org.apache.spark.sql.types.DataType.fromJson(
@@ -3856,6 +3889,11 @@ object TxnLog {
       commit(dstRoot, "clone", added = files.map(_._1), removed = Nil,
         readVersion = 0L, txnId = txnId,
         multiStats = files.map(_._2.stats),
+        // row identity carries across the clone: same bases, and the
+        // source's high-water mark floors the clone's so post-clone
+        // inserts never mint ids under carried (or retired) ranges
+        rowBases = files.map(_._2.rowBase.getOrElse(-1L)),
+        rowHwmFloor = st.rowHwm,
         dvFiles = dvd.map(_._1), dvs = dvd.map(_._2),
         schemaId = if (st.schemaJson.isEmpty) "" else schemaFingerprint(
           org.apache.spark.sql.types.DataType.fromJson(
@@ -3926,6 +3964,12 @@ object TxnLog {
     commit(broot, "fork", added = files.map(_._1), removed = Nil,
       readVersion = 0L, txnId = txnId,
       multiStats = files.map(_._2.stats),
+      // row identity carries onto the branch; main's hwm floors the
+      // branch's so branch-side inserts mint above every main id —
+      // publish (strict fast-forward) can then carry branch ids back
+      // collision-free
+      rowBases = files.map(_._2.rowBase.getOrElse(-1L)),
+      rowHwmFloor = st.rowHwm,
       dvFiles = dvd.map(_._1), dvs = dvd.map(_._2),
       schemaId = if (st.schemaJson.isEmpty) "" else schemaFingerprint(
         org.apache.spark.sql.types.DataType.fromJson(
@@ -3983,6 +4027,13 @@ object TxnLog {
     commit(root, "branch-publish", added = added.map(_._1), removed = removed,
       readVersion = forkV, txnId = txnId,
       multiStats = added.map(_._2.stats),
+      // branch-minted ids publish verbatim: the fork floored the
+      // branch's hwm at main's, and the strict fast-forward gate
+      // (requireHead = forkV) proves main has not allocated since —
+      // so branch bases are collision-free on main by construction;
+      // the branch's hwm carries so main's next insert clears them
+      rowBases = added.map(_._2.rowBase.getOrElse(-1L)),
+      rowHwmFloor = br.rowHwm,
       dvFiles = dvDelta.map(_._1), dvs = dvDelta.map(_._2),
       schemaId = if (main.schemaJson.isEmpty) "" else schemaFingerprint(
         org.apache.spark.sql.types.DataType.fromJson(

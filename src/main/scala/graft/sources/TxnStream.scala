@@ -53,9 +53,18 @@ object TxnStream {
     * nulls for columns they predate).
     */
   def readChanges(s: SparkSession, root: String, fromExclusive: Long,
-                  toInclusive: Long = Long.MaxValue): DataFrame = {
+                  toInclusive: Long = Long.MaxValue,
+                  excludeRowPreserving: Boolean = false): DataFrame = {
+    // `excludeRowPreserving` drops a finalized-COW commit's survivor
+    // files (`radds` — row-preserving by contract): consumers that
+    // only need CHANGED rows (the mirror maintainer) skip re-reading
+    // every touched file; the default keeps the full re-add feed
     val fileToVersion = TxnLog.commitsInRange(root, fromExclusive, toInclusive)
-      .flatMap(c => c.added.map(_ -> c.version))
+      .flatMap { c =>
+        val adds = if (excludeRowPreserving && c.radds.nonEmpty)
+          c.added.filterNot(c.radds.toSet) else c.added
+        adds.map(_ -> c.version)
+      }
     if (fileToVersion.isEmpty)
       // empty range: keep the head snapshot's schema so downstream
       // plans still resolve (plus the stamp column)
@@ -329,7 +338,12 @@ object TxnStream {
             TxnLog.deleteWhereKeys(s, targetRoot,
               readDeletes(s, sourceRoot, v - 1, v).select(col(keyCol)),
               keyCol, s"$consumerId-v$v-del")
-          val adds = readChanges(s, sourceRoot, v - 1, v).drop(CommitVersionCol)
+          // survivor re-adds (`radds`) are excluded: row-preserving
+          // by contract, so re-merging them is pure idempotent waste —
+          // with them gone the merge half is O(changed rows) on
+          // finalized COW DML, matching the retraction half
+          val adds = readChanges(s, sourceRoot, v - 1, v,
+            excludeRowPreserving = true).drop(CommitVersionCol)
           // COPY-ON-WRITE retraction: a rewrite commit (SQL DELETE's
           // rewrite path, a manual upsert that drops rows) removes
           // files with NO deletion vector — rows it killed appear in

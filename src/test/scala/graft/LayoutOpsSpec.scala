@@ -315,6 +315,26 @@ class LayoutOpsSpec extends SparkTestBase {
     }
   }
 
+  test("hilbertValueN null-propagates a null coordinate like the 2-dim form (r19)") {
+    import spark.implicits._
+    val rows = Seq((Some(1L), Some(2L), Some(3L)), (Some(1L), None, Some(3L)),
+      (None, None, None)).toDF("x", "y", "z")
+    val dims = Seq(col("x"), col("y"), col("z"))
+    // codegen path (DataFrame select)
+    val got = rows.select(LayoutOps.hilbertValueN(dims, 4).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0).isDefined, "all-present coordinates index normally")
+    assert(got(1).isEmpty && got(2).isEmpty,
+      "a null coordinate must yield a null index, never cluster to a corner")
+    // interpreted path agrees (the eval twin of doGenCode)
+    val expr = graft.functions.HilbertIndexN(
+      org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.LongType))), 4)
+    assert(expr.eval(null) === null)
+  }
+
   test("3-dim hilbert beats morton on bounding-box extent; both curves cluster") {
     import spark.implicits._
     // deterministic scatter over a 64^3 domain, 64-row files

@@ -162,6 +162,25 @@ class CowFeedSpec extends SparkTestBase {
       s"per-version feed work must track changed rows, got $perVersionWork")
   }
 
+  test("readChanges excludeRowPreserving skips COW survivor re-adds: " +
+       "the mirror's merge half is O(changed rows) (r19)") {
+    warehouse
+    spark.sql("CREATE TABLE gcf.db.rc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcf.db.rc SELECT /*+ REPARTITION(4) */ id, id " +
+      "FROM range(0, 100)")
+    spark.sql("UPDATE gcf.db.rc SET v = -1 WHERE k = 7")              // v3, COW
+    // default feed: survivors re-read (full re-add view, idempotent)
+    val full = TxnStream.readChanges(spark, root("rc"), 2, 3).count()
+    // radd-excluding feed: exactly the changed rows
+    val changed = TxnStream.readChanges(spark, root("rc"), 2, 3,
+      excludeRowPreserving = true)
+    assert(changed.count() === 1L,
+      s"survivor files must not ride the changed-rows view (default saw $full)")
+    assert(changed.select("k", "v").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, -1L)))
+    assert(full > 1L, "the default full re-add view keeps its semantics")
+  }
+
   test("cow-group remains available as the single-pass conservative path") {
     warehouse
     spark.sql("CREATE TABLE gcf.db.cg (k BIGINT, v BIGINT)")

@@ -1142,6 +1142,31 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CREATE TABLE / CTAS TBLPROPERTIES persist as table policy (r19)") {
+    warehouse
+    // CREATE-declared policy behaves exactly like post-create ALTER:
+    // constraint spellings land as constraints, everything else as
+    // properties, Spark's reserved bookkeeping (provider/owner/...)
+    // stays out of the log
+    spark.sql("CREATE TABLE gcat.db.ctp (k BIGINT) TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '4', 'owner.team' = 'ingest', " +
+      "'graft.constraint.pos' = 'k >= 0')")
+    assert(TxnLog.tableProperties(root("ctp")) ===
+      Map("graft.autoCompact.minFiles" -> "4", "owner.team" -> "ingest"),
+      "CREATE-declared properties must take effect (constraints excluded)")
+    assert(TxnLog.activeConstraints(root("ctp")).contains("pos"),
+      "constraint spellings still land as CHECK constraints, not properties")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcat.db.ctp VALUES (-1)")
+    }
+    // CTAS carries its TBLPROPERTIES too (the staged-commit path)
+    spark.sql("CREATE TABLE gcat.db.ctp2 TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '8') AS SELECT id AS k FROM range(0, 5)")
+    assert(TxnLog.tableProperties(root("ctp2")) ===
+      Map("graft.autoCompact.minFiles" -> "8"))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ctp2").head.getLong(0) === 5L)
+  }
+
   test("table properties (r18, X-A95): TBLPROPERTIES fold, checkpoint persistence, " +
        "and table-property-driven auto-compact") {
     warehouse

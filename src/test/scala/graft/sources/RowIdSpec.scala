@@ -89,6 +89,61 @@ class RowIdSpec extends SparkTestBase {
     assert(!after2.contains(1L))
   }
 
+  test("restore re-declares the ORIGINAL bases: no re-identification, no id reuse (r19)") {
+    warehouse
+    spark.sql("CREATE TABLE grid.db.r5 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grid.db.r5 SELECT id, id FROM range(0, 60)")    // v2
+    val vGood = TxnLog.currentVersion(root("r5"))
+    val idsGood = idsOf("r5")
+    spark.sql("INSERT INTO grid.db.r5 SELECT id, id FROM range(60, 90)")   // v3: ids 60..89
+    TxnLog.restore(root("r5"), vGood, "rid-restore-1")
+    assert(idsOf("r5") === idsGood,
+      "restore must pass each re-added file's existing base through, never re-mint")
+    // the hwm survives the restore: post-restore inserts mint ABOVE
+    // the retired v3 range, so a restored-away id is never reissued
+    spark.sql("INSERT INTO grid.db.r5 SELECT id, id FROM range(100, 110)")
+    val after = idsOf("r5")
+    assert((100L until 110L).forall(k => after(k) >= 90L),
+      "post-restore allocation must clear the pre-restore high-water mark")
+  }
+
+  test("clone and branch fork/publish carry row identity; carried ranges are never re-minted (r19)") {
+    warehouse
+    spark.sql("CREATE TABLE grid.db.r6 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grid.db.r6 SELECT id, id FROM range(0, 50)")
+    val srcIds = idsOf("r6")
+    // ---- shallow clone: same ids, insert mints above the source hwm
+    TxnLog.cloneTable(root("r6"), root("r6c"), "rid-clone-1")
+    val cloneIds = spark.sql(s"SELECT k, _row_id FROM grid.db.r6c")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cloneIds === srcIds, "a shallow clone shares row identity byte-for-byte")
+    spark.sql("INSERT INTO grid.db.r6c SELECT id, id FROM range(50, 70)")
+    val cloneIds2 = idsOf("r6c")
+    assert((50L until 70L).forall(k => cloneIds2(k) >= 50L),
+      "clone-side inserts must mint above the carried source hwm")
+    assert(cloneIds2.values.toSeq.distinct.size === cloneIds2.size)
+    // ---- branch: fork carries ids + hwm, branch writes mint above,
+    //      publish carries branch ids back to main collision-free
+    TxnLog.createBranch(root("r6"), "wap", "rid-fork-1")
+    spark.sql("INSERT INTO grid.db.r6.branch_wap SELECT id, id FROM range(200, 220)")
+    val branchIds = spark.sql("SELECT k, _row_id FROM grid.db.r6.branch_wap")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 50L).forall(k => branchIds(k) == srcIds(k)),
+      "fork must carry main's row identity onto the branch")
+    assert((200L until 220L).forall(k => branchIds(k) >= 50L),
+      "branch inserts must mint above main's fork hwm")
+    TxnLog.publishBranch(spark, root("r6"), "wap", "rid-pub-1")
+    val mainIds = idsOf("r6")
+    assert(mainIds === branchIds,
+      "publish must carry branch-minted ids verbatim (strict ff gate makes them collision-free)")
+    // main's next insert clears everything the publish carried
+    spark.sql("INSERT INTO grid.db.r6 SELECT id, id FROM range(300, 310)")
+    val mainIds2 = idsOf("r6")
+    assert(mainIds2.values.toSeq.distinct.size === mainIds2.size,
+      "no duplicate ids after a post-publish insert")
+    assert((300L until 310L).forall(k => mainIds2(k) >= 70L))
+  }
+
   test("hwm folds through a checkpoint; stat-less raw files serve null") {
     warehouse
     spark.sql("CREATE TABLE grid.db.r4 (k BIGINT, v BIGINT)")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AdcTable, CellTopN, DotProductD, EntropyExpr, HilbertIndex, HilbertIndexN, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
+import graft.functions.{AdcTable, BpeTokens, CellTopN, DotProductD, DropSpansExpr, EntropyExpr, HilbertIndex, HilbertIndexN, MinHashSig, PqEncode, ShinglesExpr, SimHashExpr}
 
 /** Session extensions registering graft's native Catalyst expressions,
   * wired via `spark.sql.extensions` in [[Sessions.configure]] — the
@@ -50,6 +50,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hilbert_n(coords, bits) takes exactly 2 arguments")
         HilbertIndexN(children.head,
           litInt(children(1), "graft_hilbert_n", "bits"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_drop_spans"),
+      new ExpressionInfo(classOf[DropSpansExpr].getName, "graft_drop_spans"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_drop_spans(tokens, starts, window) takes exactly 3 arguments")
+        DropSpansExpr(children.head, children(1),
+          litInt(children(2), "graft_drop_spans", "window"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bpe(text, merges) takes exactly 2 arguments")
+        BpeTokens(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

@@ -681,6 +681,51 @@ object SparkEntry {
     cat
   }
 
+  /** Maintained doc band indexes already built this JVM. */
+  private val materializedDocIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** X-D17 end-to-end fixture (r19): a lakehouse `docs` table seeded
+    * with the EXISTING corpus (doc_id % 10 != 0), then mutated by a
+    * COW text UPDATE (doc_id % 7 = 1) and a DV DELETE (doc_id % 5 =
+    * 3), with its MinHash band index CDF-MAINTAINED into a sibling
+    * graft table via [[graft.sources.TxnStream.maintainIndexInto]] —
+    * the index the `dd_maintained_index` row answers through, so the
+    * maintenance machinery's end-to-end ANSWER (not just the spec's
+    * index-equality) sits under the DuckDB oracle.
+    */
+  private def ensureDocIndex(s: SparkSession, dir: String): String = {
+    import graft.sources.{TxnLog, TxnStream}
+    val tag = dirTag(dir)
+    val cat = s"gdix_$tag"
+    val wh = s"$jvmTmp/graft_dix_${tag}_${ordersFingerprint(dir)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    materializeOnce(materializedDocIndex, wh) {
+      val src = s"$wh/db/docs"
+      val idx = s"$wh/db/docsix"
+      if (TxnLog.currentVersion(src) != 4L ||
+          TxnStream.appliedVersion(idx, "bandix") != 4L) {
+        TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .createOrReplaceTempView(s"dix_src_$tag")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING)") // v1
+        s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM dix_src_$tag")    // v2
+        s.sql(s"UPDATE $cat.db.docs SET text = concat(text, ' updated twice over') " +
+          "WHERE doc_id % 7 = 1")                                        // v3 (COW)
+        s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 5 = 3")          // v4 (DV)
+        TxnLog.init(idx)
+        TxnStream.maintainIndexInto(s, src, idx, "bandix", "doc_id")(
+          df => graft.operators.DedupOps.bandIndex(df, "doc_id", "text"))
+        ()
+      }
+    }
+    wh
+  }
+
   /** Range-clustered stats-bearing txn tables already built this JVM. */
   private val materializedTxnRangeTables =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -2357,6 +2402,18 @@ object SparkEntry {
         packSequences(Tables.documents(s, dir), col("doc_id"),
           graft.functions.TextFunctions.nTokens(col("text")).cast("long"),
           budget = 2048, shards = 8)),
+      // X-C19 (r19): the same packing on REAL token counts — the
+      // trained merge-table BPE's subword count per doc drives the
+      // budget instead of the whitespace estimate.
+      "cur_pack_bpe" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val norm = graft.operators.DedupOps.normalizeText(col("text"))
+        val merges = graft.operators.BpeOps.trainMerges(
+          docs.select(norm.as("__nt")), col("__nt"))
+        packSequences(docs, col("doc_id"),
+          size(graft.operators.BpeOps.bpeTokens(norm, merges)).cast("long"),
+          budget = 2048, shards = 8)
+      }),
       // context-length chunking: 64-token windows, stride 48 (overlap
       // 16) — one row per window, scan-side explode
       "cur_chunk" -> ((s, dir) =>
@@ -2780,6 +2837,29 @@ object SparkEntry {
                            AS BIGINT) AS h
                     FROM documents),
          s AS (SELECT doc_id, n_tokens, h, h % 8 AS shard FROM t),
+         c AS (SELECT doc_id, n_tokens, shard,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM s)
+         SELECT doc_id, shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+                n_tokens
+         FROM c""",
+
+    // Packing on trained-BPE counts: the duckBpeCtes pipeline supplies
+    // per-doc subword counts, then the identical shard/cumsum/bin fold.
+    "cur_pack_bpe" ->
+      s"""WITH RECURSIVE ${duckBpeCtes(16, 2048)},
+         cnts AS (SELECT n.doc_id,
+                    CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_tokens,
+                    CAST('0x' || substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 7)
+                         AS BIGINT) AS h
+                  FROM norm n LEFT JOIN (
+                    SELECT d.doc_id,
+                           sum(length(f.wstr) - length(replace(f.wstr, '{', '')))
+                             AS n_bpe
+                    FROM dw d JOIN fin f USING (word) GROUP BY d.doc_id)
+                    a USING (doc_id)),
+         s AS (SELECT doc_id, n_tokens, h, h % 8 AS shard FROM cnts),
          c AS (SELECT doc_id, n_tokens, shard,
                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -3842,6 +3922,13 @@ object SparkEntry {
         exactDedupSummary(Tables.documents(s, dir), "doc_id", "text")),
       "dd_minhash_lsh" -> ((s, dir) =>
         lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")),
+      // Capped twin (X-D18, r19): per-(band, key) deterministic rank
+      // cap bounds a k-dup bucket at cap² candidates — the scale
+      // spelling a boilerplate-heavy crawl composes (the text twin of
+      // sim_ann_capped's guard)
+      "dd_lsh_capped" -> ((s, dir) =>
+        lshCandidatePairsCapped(Tables.documents(s, dir), "doc_id", "text",
+          bucketCap = 32)),
       "dd_simhash" -> ((s, dir) =>
         spread(Tables.documents(s, dir))
           .select(col("doc_id"), simhash(col("text")).as("simhash"))),
@@ -3872,6 +3959,27 @@ object SparkEntry {
       // span hash's own exchange — no pair join, no k^2 fan-out.
       "dd_span_dups" -> ((s, dir) =>
         dupSpans(Tables.documents(s, dir), "doc_id", "text",
+          window = 8, minDocs = 2)),
+      // X-D17 end to end (r19): same incremental-dedup ANSWER, but the
+      // index is the CDF-MAINTAINED lakehouse table after an insert, a
+      // COW text update and a DV delete on the source corpus — the
+      // production loop (ingest mutates the corpus, maintainIndexInto
+      // keeps the index fresh, dedup answers through it) under the
+      // DuckDB oracle.
+      "dd_maintained_index" -> ((s, dir) => {
+        val wh = ensureDocIndex(s, dir)
+        val index = graft.sources.TxnLog.read(s, s"$wh/db/docsix")
+        incrementalDedup(index,
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+      }),
+      // X-D19 (r19): the REMOVAL half of Lee et al. — rewrite every
+      // doc dropping the tokens covered by any cross-corpus duplicated
+      // 8-token window (adjacent windows merge into maximal spans via
+      // the native linear-sweep graft_drop_spans). Same no-pair-join
+      // shape as the profile; the rewrite rides the doc-id join.
+      "dd_span_rewrite" -> ((s, dir) =>
+        dropDupSpans(Tables.documents(s, dir), "doc_id", "text",
           window = 8, minDocs = 2)),
       // Span-profile for an ingest batch against the persisted span
       // index (docs with doc_id % 10 = 0 play the batch): duplication
@@ -3917,12 +4025,18 @@ object SparkEntry {
         graft.operators.CorpusOps.hashModSample(deduped, col("doc_id"), pct = 50)
           .select(col("doc_id"), col("lang"), col("quality"))
       }),
-      // Full fuzzy-dedup prune: LSH candidates -> components -> drop
-      // every non-survivor; docs with no near-dup pass through.
+      // Full fuzzy-dedup prune: CAPPED LSH candidates -> components ->
+      // drop every non-survivor; docs with no near-dup pass through.
+      // r19: composes lshCandidatePairsCapped (per-(band,key) rank cap
+      // 32) — the uncapped stage is k² per dup group on a boilerplate-
+      // heavy crawl (the r18 sf100 vector receipt measured 52×/decade
+      // for that shape); recall loss is confined to over-full buckets,
+      // whose members are near-dups of each other, and the component
+      // merge reunites survivors.
       "cur_neardup_prune" -> ((s, dir) => {
         val docs = Tables.documents(s, dir)
         val losers = graft.operators.GraphOps.dedupClusters(
-          lshCandidatePairs(docs, "doc_id", "text"))
+          lshCandidatePairsCapped(docs, "doc_id", "text", bucketCap = 32))
           .filter(!col("is_kept")).select(col("doc_id"))
         docs.join(losers, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"))
@@ -3970,6 +4084,29 @@ object SparkEntry {
                    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16, 4)
              AS sig_agree
          FROM k2 a JOIN k2 b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+
+    // Capped twin: each (band, bkey) bucket keeps only its 32 lowest-
+    // ranked members under the portable md5-hash-of-id order (the
+    // sim_ann_capped replay, on the text banding).
+    "dd_lsh_capped" ->
+      s"""WITH $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, sig, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         k3 AS (SELECT doc_id, sig, band, bkey FROM (
+                  SELECT doc_id, sig, band, bkey,
+                         row_number() OVER (PARTITION BY band, bkey
+                           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                                         AS BIGINT) ASC,
+                                    doc_id ASC) AS rnk
+                  FROM k2) WHERE rnk <= 32)
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           round(CAST(list_sum(list_transform(range(1, 17),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16, 4)
+             AS sig_agree
+         FROM k3 a JOIN k3 b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
 
     // Incremental dedup: same banding as dd_minhash_lsh; incoming =
@@ -4082,6 +4219,89 @@ object SparkEntry {
                   AS dup_micro
          FROM d GROUP BY doc_id""",
 
+    // Maintained-index dedup: the oracle replays the SOURCE MUTATIONS
+    // (COW text update on doc_id % 7 = 1, delete of % 5 = 3) on the
+    // existing corpus, then the standard banding — the maintained
+    // index must serve exactly that corpus state.
+    "dd_maintained_index" ->
+      """WITH uni AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 1 THEN text || ' updated twice over'
+                       ELSE text END AS text,
+                  0 AS inc
+           FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 3
+           UNION ALL
+           SELECT doc_id, text, 1 AS inc FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id, inc,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM uni),
+         sh AS (SELECT doc_id, inc,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM t),
+         hs AS (SELECT doc_id, inc,
+                  list_transform(shingles,
+                    s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+                FROM sh),
+         sig AS (SELECT doc_id, inc,
+                   list_transform(range(0, 16),
+                     j -> list_min(list_transform(hs,
+                            h -> ((1000003 + j*7919) * h + 12345 + j*104729)
+                                 % 2147483647))) AS sig
+                 FROM hs),
+         keys AS (SELECT doc_id, inc, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, inc, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         i AS (SELECT doc_id, band, bkey FROM k2 WHERE inc = 1),
+         e AS (SELECT doc_id, band, bkey FROM k2 WHERE inc = 0)
+         SELECT i.doc_id, min(e.doc_id) AS dup_of,
+                (min(e.doc_id) IS NULL) AS is_kept
+         FROM i LEFT JOIN e ON i.band = e.band AND i.bkey = e.bkey
+         GROUP BY i.doc_id""",
+
+    // Exact-substring rewrite: positions keep every occurrence (an
+    // intra-doc repeat of a cross-doc span is covered at BOTH
+    // positions), df counts per-doc-distinct spans, and the kept
+    // tokens are the complement of the merged [p, p+8) covers.
+    "dd_span_rewrite" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents),
+         sp AS (SELECT doc_id, toks,
+                  CASE WHEN len(toks) >= 8
+                       THEN list_transform(range(1, len(toks) - 6),
+                              i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS spans
+                FROM t),
+         pos AS (SELECT doc_id, unnest(spans) AS s,
+                   generate_subscripts(spans, 1) - 1 AS p
+                 FROM sp),
+         h AS (SELECT doc_id, p,
+                 CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) AS hs
+               FROM pos),
+         df AS (SELECT hs, count(*) AS df FROM (
+                  SELECT DISTINCT doc_id, hs FROM h) GROUP BY hs),
+         dup AS (SELECT doc_id, list(p ORDER BY p) AS starts
+                 FROM h JOIN df USING (hs) WHERE df.df >= 2
+                 GROUP BY doc_id),
+         r AS (SELECT t.doc_id, t.toks,
+                 coalesce(d.starts, []) AS starts
+               FROM t LEFT JOIN dup d USING (doc_id)),
+         k AS (SELECT doc_id, toks,
+                 list_filter(range(1, len(toks) + 1),
+                   i -> len(list_filter(starts,
+                          p -> p <= i - 1 AND i - 1 < p + 8)) = 0) AS keep
+               FROM r)
+         SELECT doc_id,
+                coalesce(array_to_string(list_transform(keep, i -> toks[i]), ' '), '')
+                  AS text_clean,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(toks) - len(keep) AS BIGINT) AS n_dropped
+         FROM k""",
+
     // Incremental span profile: corpus spans (doc_id % 10 <> 0) build
     // the df index; batch docs (doc_id % 10 = 0) count a span dup iff
     // corpus df + 1 (self) reaches the threshold.
@@ -4167,14 +4387,24 @@ object SparkEntry {
 
     // Near-dup prune: keep docs that are either untouched by any
     // candidate pair or the min-id survivor of their component.
+    // r19: candidates come from the CAPPED banding (rank cap 32 per
+    // (band, bkey) under the portable md5-of-id order) — the oracle
+    // replays the cap exactly like the Spark composition.
     "cur_neardup_prune" ->
       s"""WITH RECURSIVE $duckShingleCtes,
          keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
          k2 AS (SELECT doc_id, sig, band,
                   array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
                 FROM keys),
+         k3 AS (SELECT doc_id, band, bkey FROM (
+                  SELECT doc_id, band, bkey,
+                         row_number() OVER (PARTITION BY band, bkey
+                           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                                         AS BIGINT) ASC,
+                                    doc_id ASC) AS rnk
+                  FROM k2) WHERE rnk <= 32),
          pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                   FROM k2 a JOIN k2 b
+                   FROM k3 a JOIN k3 b
                      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
                    UNION SELECT d2, d1 FROM pairs),
@@ -4236,6 +4466,23 @@ object SparkEntry {
           nBpeTokens(col("text")).as("n_bpe_tokens"),
           length(col("text")).as("n_chars_calc"))
       }),
+      // X-T14 (r19): REAL merge-table BPE — 16 Sennrich merges trained
+      // driver-side on the corpus's own top-2048 weighted vocabulary
+      // (a bounded artifact, like the IVF codebooks), then every doc
+      // tokenized by the native graft_bpe expression (merges ride the
+      // codegen references table). The oracle replays training AND
+      // encoding in SQL, so the table and every subword are
+      // hash-checked end to end.
+      "txt_bpe_tokens" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val norm = graft.operators.DedupOps.normalizeText(col("text"))
+        val merges = graft.operators.BpeOps.trainMerges(
+          docs.select(norm.as("__nt")), col("__nt"))
+        val toks = graft.operators.BpeOps.bpeTokens(norm, merges)
+        docs.select(col("doc_id"),
+          array_join(toks, "|").as("bpe_tokens"),
+          size(toks).cast("long").as("n_bpe"))
+      }),
       // PII scrub: the corpus text itself is synthetic, so the query
       // splices a deterministic email + phone per doc into it — the
       // redactor must strip exactly those (plus any phone-ish digit
@@ -4279,7 +4526,89 @@ object SparkEntry {
     )
   }
 
+  /** Shared BPE CTEs (X-T14, r19): `numMerges` Sennrich training
+    * rounds unrolled over the top-`vocabSize` weighted vocabulary of
+    * normalized text, then a recursive-CTE encode of every distinct
+    * word under the trained `merges` table — the SQL mirror of
+    * [[graft.operators.BpeOps.trainMerges]] +
+    * [[graft.functions.BpeTokens]], exact to the byte via the shared
+    * `{sym}` representation (replace() has identical left-to-right
+    * non-overlapping semantics in the JVM and DuckDB). Ends with:
+    * `norm` (doc_id, nt), `dw` (doc_id, ord, word), `merges`
+    * (rank, a, b), `fin` (word, final wstr).
+    */
+  private def duckBpeCtes(numMerges: Int, vocabSize: Int): String = {
+    def round(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""p$r AS (SELECT a, b, sum(cnt) AS c FROM (
+            SELECT cnt,
+                   unnest(list_slice(syms, 1, len(syms) - 1)) AS a,
+                   unnest(list_slice(syms, 2, len(syms))) AS b
+            FROM (SELECT cnt,
+                    string_split(substr(wstr, 2, length(wstr) - 2), '}{') AS syms
+                  FROM $prev)) GROUP BY 1, 2),
+         b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         v$r AS MATERIALIZED (SELECT word, cnt,
+                   replace(wstr,
+                     coalesce((SELECT '{' || a || '}{' || b || '}' FROM b$r), '~~'),
+                     coalesce((SELECT '{' || a || b || '}' FROM b$r), '~~'))
+                     AS wstr
+                 FROM $prev)"""
+    }
+    val merges = (1 to numMerges)
+      .map(r => s"SELECT $r AS rank, a, b FROM b$r")
+      .mkString("merges AS MATERIALIZED (", " UNION ALL ", ")")
+    s"""norm AS MATERIALIZED (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')) AS nt
+        FROM documents),
+       dw AS MATERIALIZED (SELECT doc_id,
+                unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS word,
+                generate_subscripts(list_filter(string_split(nt, ' '), x -> x <> ''), 1)
+                  AS ord
+              FROM norm),
+       vocab AS MATERIALIZED (SELECT word, count(*) AS cnt FROM dw GROUP BY word
+                 ORDER BY cnt DESC, word ASC LIMIT $vocabSize),
+       v0 AS MATERIALIZED (SELECT word, cnt,
+                '{' || array_to_string(list_transform(range(1, length(word) + 1),
+                         i -> substr(word, CAST(i AS INT), 1)), '}{') || '}' AS wstr
+              FROM vocab),
+       ${(1 to numMerges).map(round).mkString(",\n")},
+       $merges,
+       wd0 AS (SELECT DISTINCT word FROM dw),
+       wr0 AS (SELECT word,
+                 '{' || array_to_string(list_transform(range(1, length(word) + 1),
+                          i -> substr(word, CAST(i AS INT), 1)), '}{') || '}' AS wstr
+               FROM wd0),
+       enc AS (SELECT word, wstr FROM wr0
+               UNION ALL
+               SELECT e.word,
+                      replace(e.wstr, '{' || m.a || '}{' || m.b || '}',
+                              '{' || m.a || m.b || '}')
+               FROM enc e JOIN merges m ON m.rank = (
+                 SELECT min(mm.rank) FROM merges mm
+                 WHERE contains(e.wstr, '{' || mm.a || '}{' || mm.b || '}'))),
+       fin AS MATERIALIZED (SELECT word, wstr FROM enc e WHERE NOT EXISTS (
+                 SELECT 1 FROM merges mm
+                 WHERE contains(e.wstr, '{' || mm.a || '}{' || mm.b || '}')))"""
+  }
+
   private def textOracle: Map[String, String] = Map(
+    // Merge-table BPE (X-T14): training + encode replayed end to end
+    // (the duckBpeCtes doc explains the unroll); tokens re-render as a
+    // '|'-joined stream, counts come off the brace count.
+    "txt_bpe_tokens" ->
+      s"""WITH RECURSIVE ${duckBpeCtes(16, 2048)}
+         SELECT n.doc_id,
+                coalesce(a.bpe_tokens, '') AS bpe_tokens,
+                CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe
+         FROM norm n LEFT JOIN (
+           SELECT d.doc_id,
+                  string_agg(replace(substr(f.wstr, 2, length(f.wstr) - 2),
+                                     '}{', '|'), '|' ORDER BY d.ord) AS bpe_tokens,
+                  sum(length(f.wstr) - length(replace(f.wstr, '{', ''))) AS n_bpe
+           FROM dw d JOIN fin f USING (word) GROUP BY d.doc_id) a USING (doc_id)""",
+
     // same email/phone automata (Java regex ∩ RE2 dialect), same
     // order: emails first, then phones; n_pii counted pre-redaction
     "txt_redact" ->

@@ -179,6 +179,48 @@ object PortableHash {
     }
   }
 
+  /** Drop every token covered by a duplicated `window`-token span —
+    * the REWRITE kernel of exact-substring dedup (Lee et al. ACL'22,
+    * the half [[graft.operators.DedupOps.dupSpans]] only profiles).
+    * `starts` is the ASCENDING list of duplicated window START
+    * positions (0-based token index, validated — a silent mis-sort
+    * would mis-keep tokens); adjacent/overlapping windows union into
+    * MAXIMAL covered runs via one two-pointer sweep, so the kept
+    * tokens are exactly the complement of the merged spans: O(tokens +
+    * spans) per row, never tokens × spans. A whole-doc fallback span
+    * (start 0 on a doc shorter than `window`) covers everything.
+    */
+  def dropSpans(toks: ArrayData, starts: ArrayData, window: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = starts.numElements()
+    if (m == 0) return toks
+    val out = new Array[Any](n)
+    var cnt = 0
+    var si = 0
+    var coveredUntil = -1L // exclusive
+    var prev = Long.MinValue
+    var i = 0
+    while (i < n) {
+      while (si < m && starts.getLong(si) <= i) {
+        val st = starts.getLong(si)
+        if (st < prev) throw new IllegalArgumentException(
+          s"graft_drop_spans: starts must be ascending (got $st after $prev)")
+        prev = st
+        val e = st + window
+        if (e > coveredUntil) coveredUntil = e
+        si += 1
+      }
+      if (i >= coveredUntil) { out(cnt) = toks.getUTF8String(i); cnt += 1 }
+      i += 1
+    }
+    if (cnt == n) new GenericArrayData(out)
+    else {
+      val trimmed = new Array[Any](cnt)
+      System.arraycopy(out, 0, trimmed, 0, cnt)
+      new GenericArrayData(trimmed)
+    }
+  }
+
   /** Shannon character entropy in bits/char — the JVM kernel behind
     * `graft_entropy`, bit-identical to the HOF formulation
     * ([[TextFunctions.charEntropyHof]]) it replaced: terms accumulate
@@ -304,6 +346,46 @@ case class ShinglesExpr(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
+}
+
+/** Native duplicated-span remover — the per-row rewrite kernel of
+  * exact-substring dedup: given the document's tokens and the sorted
+  * start positions of its duplicated `window`-token spans, returns the
+  * tokens OUTSIDE the merged maximal spans (one linear sweep; a
+  * HOF spelling would pay O(tokens × spans) interpreted lambda
+  * dispatches on exactly the boilerplate-heavy rows that matter).
+  * Registered as `graft_drop_spans(tokens, starts, window)` by
+  * [[graft.GraftExtensions]]; composed by
+  * [[graft.operators.DedupOps.dropDupSpans]].
+  */
+case class DropSpansExpr(left: Expression, right: Expression, window: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(window >= 1, s"graft_drop_spans: window=$window must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_drop_spans requires (array<string>, array<bigint>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_drop_spans"
+
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    PortableHash.dropSpans(t.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PortableHash.dropSpans($a, $b, $window)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropSpansExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native character-entropy — codegen replacement for the interpreted

@@ -138,17 +138,61 @@ object DedupOps {
       posexplode(bandKeys).as(Seq("__band", "__key")))
   }
 
+  /** Scale path: this spelling materializes EVERY banded collision —
+    * k identical documents share every band key, so a dup-heavy crawl
+    * makes k² candidates per dup group (the r18 sf100 vector-side
+    * receipt measured that shape at 52×/decade). At 100 TB compose
+    * [[lshCandidatePairsCapped]] instead; this uncapped form is the
+    * correctness baseline.
+    */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     val banded = bandedKeys(docs, idCol, textCol, numHashes, bands, n)
+    joinBanded(banded, numHashes)
+  }
+
+  /** [[lshCandidatePairs]] with a per-(band, band_key) candidate cap —
+    * the text twin of `VectorOps.annCosinePairsCapped` and the guard a
+    * boilerplate-heavy crawl needs at 100 TB: identical (or
+    * near-identical) documents share EVERY band key at any band count,
+    * so a k-dup group otherwise fans out k² candidate pairs. Each
+    * bucket keeps only its `bucketCap` lowest-ranked members under a
+    * DETERMINISTIC order (portable md5 hash of the id, then id —
+    * reproducible in the SQL oracle, stable across retries), bounding
+    * candidate work per bucket at bucketCap² regardless of corpus
+    * duplication. Recall loss is confined to over-full buckets —
+    * precisely the ones whose members are near-duplicates of each
+    * other, where any survivor still represents the group (and the
+    * component-merge downstream reunites survivors).
+    *
+    * The rank is a row_number window over (band, key) — the same key
+    * the self-join shuffles on, so the cap adds no extra shuffle.
+    */
+  def lshCandidatePairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                              bucketCap: Int, numHashes: Int = 16,
+                              bands: Int = 4, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band"), col("__key"))
+      .orderBy(graft.functions.TextFunctions.h7(col("__id").cast("string")).asc,
+        col("__id").asc)
+    val banded = bandedKeys(docs, idCol, textCol, numHashes, bands, n)
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= bucketCap)
+      .drop("__rnk")
+    joinBanded(banded, numHashes)
+  }
+
+  /** The shared candidate self-join over a (possibly capped) banding
+    * frame. The merge hint forces a sort-merge self-join: both sides
+    * then sit behind IDENTICAL shuffle subtrees, which ReuseExchange
+    * dedupes — signatures are computed once, not once per join side (a
+    * broadcast join would re-evaluate the whole signature pipeline for
+    * the broadcast copy).
+    */
+  private def joinBanded(banded: DataFrame, numHashes: Int): DataFrame = {
     val agree = aggregate(
       zip_with(col("a.__sig"), col("b.__sig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    // The merge hint forces a sort-merge self-join: both sides then sit
-    // behind IDENTICAL shuffle subtrees, which ReuseExchange dedupes —
-    // signatures are computed once, not once per join side (a broadcast
-    // join would re-evaluate the whole signature pipeline for the
-    // broadcast copy).
     banded.alias("a").hint("merge")
       .join(banded.alias("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
@@ -473,6 +517,53 @@ object DedupOps {
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("__df") >= minDocs, 1)).as("n_dup_spans"))
       .withColumn("dup_micro", expr("n_dup_spans * 1000000 div n_spans"))
+  }
+
+  /** X-D19: EXACT-SUBSTRING REWRITE — the removal half of Lee et al.
+    * ACL'22 that [[dupSpans]] only profiles: drop from every document
+    * the tokens covered by any cross-corpus duplicated `window`-token
+    * span, merging adjacent/overlapping duplicated windows into
+    * MAXIMAL spans (the fixed-window-anchored approximation of
+    * arbitrary-length duplicated-substring removal — every duplicated
+    * substring of length ≥ window is a union of duplicated windows,
+    * so it is removed in full).
+    *
+    * Plan shape — the [[dupSpans]] frame plus one rewrite join, still
+    * never a pair join: positions (doc, p, span-hash) explode once, df
+    * is a map-side-combined groupBy on the span hash (per-doc distinct
+    * first, so intra-doc repeats don't self-inflate), duplicated
+    * starts aggregate per doc on the doc id, and the rewrite itself is
+    * one native linear-sweep expression
+    * ([[graft.functions.DropSpansExpr]]) over (tokens, sorted starts).
+    * A boilerplate span in k docs costs k rows end to end — no
+    * candidate-pair quadratic at any duplication level.
+    *
+    * @return one row per input doc:
+    *         (idCol, text_clean, n_tokens, n_dropped)
+    */
+  def dropDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 8, minDocs: Int = 2): DataFrame = {
+    val sp = spread(docs).select(col(idCol),
+        posexplode(shingles(col(textCol), window)).as(Seq("__p", "__s")))
+      .select(col(idCol), col("__p").cast("long").as("__p"),
+        conv(substring(md5(col("__s")), 1, 14), 16, 10).cast("long").as("__h"))
+    // df over per-doc-distinct spans (the dupSpans contract: intra-doc
+    // repeats are not duplication); both join inputs hang off the span
+    // hash's own exchange
+    val dfCounts = sp.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val dupStarts = sp.hint("merge").join(dfCounts, Seq("__h"))
+      .filter(col("__df") >= minDocs)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__starts"))
+    val kept = call_function("graft_drop_spans", col("__toks"),
+      coalesce(col("__starts"), typedlit(Seq.empty[Long])), lit(window))
+    spread(docs).select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(kept, " ").as("text_clean"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(kept)).cast("long").as("n_dropped"))
   }
 
   /** Persistable SPAN-FREQUENCY index: (span_key, df) over the

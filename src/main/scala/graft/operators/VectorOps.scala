@@ -591,6 +591,12 @@ object VectorOps {
     * posexplode to `tables` rows → shuffle on (table, bucket) →
     * sort-merge self-join (merge hint ⇒ ReuseExchange computes the
     * projection pipeline once) → exact-cosine filter → distinct.
+    *
+    * Scale path: on a DUP-HEAVY corpus this uncapped spelling grows
+    * with the answer's own quadratic (identical vectors share every
+    * bucket — measured 52×/decade at sf100); compose
+    * [[annCosinePairsCapped]] there, which bounds every bucket at
+    * bucketCap² deterministically.
     */
   def annCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, tables: Int = 4, bitsPerTable: Int = 4,
@@ -649,6 +655,10 @@ object VectorOps {
     * probe, 2.7× faster at base scale). Use when index size / banding
     * throughput is the bottleneck; prefer [[annCosinePairs]] or the
     * capped variant when candidate volume is.
+    *
+    * Scale path: like every uncapped spelling this fans out k² pairs
+    * per k-dup bucket; pass `bucketCap` (the built-in cap parameter
+    * below) or see [[annCosinePairsCapped]] for the full-width twin.
     */
   /** Occupancy-adaptive band width: the smallest `bits >= minBits`
     * whose 2^bits-per-table bucket space keeps EXPECTED occupancy at

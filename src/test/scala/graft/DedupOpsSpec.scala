@@ -42,6 +42,44 @@ class DedupOpsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("lshCandidatePairsCapped: subset of uncapped, identical under-cap, " +
+       "bounded on a dup-heavy group, downstream prune still complete (r19)") {
+    // under the cap, the capped spelling IS the uncapped one
+    val capped = lshCandidatePairsCapped(corpus, "doc_id", "text", bucketCap = 32)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val uncapped = lshCandidatePairs(corpus, "doc_id", "text")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped, "no over-full bucket => no behavior change")
+    // dup-heavy group: 40 identical docs + 3 unique. Uncapped fans out
+    // 40·39/2 = 780 pairs for the group; cap 8 bounds candidates by
+    // bands·cap²/2 while the keep-one election still prunes EVERY
+    // duplicate (survivors of over-full buckets merge the component).
+    val heavy = ((1L to 40L).map(i => (i, "the same boilerplate header repeated " +
+        "across every crawled page of this site")) ++ Seq(
+        (100L, "completely different content about spark engines and scale"),
+        (101L, "another unique document with its own words entirely"),
+        (102L, "a third singleton nothing shares any shingle with"))).toDF("doc_id", "text")
+    val cappedHeavy = lshCandidatePairsCapped(heavy, "doc_id", "text", bucketCap = 8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(cappedHeavy === cappedHeavy.filter(p => p._1 <= 40L && p._2 <= 40L),
+      "singletons must stay out of the dup group's buckets")
+    assert(cappedHeavy.size === 8 * 7 / 2,
+      s"identical docs rank identically in every band: cap 8 keeps the same 8 " +
+        s"members, 28 pairs, got ${cappedHeavy.size}")
+    assert(lshCandidatePairs(heavy, "doc_id", "text").count() === 780L)
+    // RECALL NOTE (the documented cap trade, same as cur_embed_prune):
+    // pairs only form among in-cap members, so the keep-one election
+    // collapses those 8 to ONE survivor, while over-cap members carry
+    // no edge and escape the prune — recall loss is confined to
+    // over-full buckets, whose members are near-dups of each other;
+    // in-cap survivors still merge the component.
+    val clustered = graft.operators.GraphOps.dedupClusters(
+        lshCandidatePairsCapped(heavy, "doc_id", "text", bucketCap = 8))
+      .select(col("doc_id"), col("is_kept")).as[(Long, Boolean)].collect().toMap
+    assert(clustered.size === 8 && clustered.values.count(identity) === 1,
+      "the in-cap members elect exactly one survivor")
+  }
+
   test("incrementalDedup flags batch docs colliding with the corpus band index") {
     val existing = corpus // docs 1..5
     val batch = Seq(
@@ -195,6 +233,39 @@ class DedupOpsSpec extends SparkTestBase {
       .filter(col("doc_id") === 7L)
       .as[(Long, Long, Long, Long)].head()
     assert(repOut._3 === 0L, "self-repeated spans with no other doc stay non-dup")
+  }
+
+  test("dropDupSpans rewrites docs dropping maximal duplicated spans; " +
+       "re-profiling the rewritten corpus finds zero above-threshold spans (r19)") {
+    val docs = Seq(
+      (1L, "alpha beta x1 x2 x3 x4 gamma delta epsilon"),
+      (2L, "p q r x1 x2 x3 x4 s t u v"),       // shares the 4-token block with 1
+      (3L, "totally unique content with no duplication at all whatsoever"),
+      (4L, "same tiny"),                        // whole-doc dup of 5 (< window)
+      (5L, "same tiny")
+    ).toDF("doc_id", "text")
+    val out = dropDupSpans(docs, "doc_id", "text", window = 3, minDocs = 2)
+      .select("doc_id", "text_clean", "n_tokens", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // adjacent duplicated windows (p and p+1) merged into ONE maximal
+    // span covering all 4 shared tokens — the Lee et al. removal
+    assert(out(1L) === (("alpha beta gamma delta epsilon", 9L, 4L)))
+    assert(out(2L) === (("p q r s t u v", 11L, 4L)))
+    // untouched doc passes through verbatim
+    assert(out(3L)._1 === "totally unique content with no duplication at all whatsoever"
+      && out(3L)._3 === 0L)
+    // whole-doc fallback: a short doc duplicated verbatim empties
+    assert(out(4L) === (("", 2L, 2L)) && out(5L) === (("", 2L, 2L)))
+    // the done-criterion pin: re-profiling the rewritten (non-empty)
+    // corpus finds ZERO above-threshold duplicated spans
+    val rewritten = dropDupSpans(docs, "doc_id", "text", window = 3, minDocs = 2)
+      .filter(length(col("text_clean")) > 0)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val reprofile = dupSpans(rewritten, "doc_id", "text", window = 3, minDocs = 2)
+      .agg(max(col("n_dup_spans"))).head.getLong(0)
+    assert(reprofile === 0L,
+      "the rewritten corpus must profile clean at the same threshold")
   }
 
   test("decontaminateFuzzy drops estimated-similar docs, keeps disjoint ones; threshold bites") {

@@ -464,6 +464,49 @@ object ScaleProbe {
       }
     }
 
+    // Contended OCC commits (X-A97, r19): N writer threads race M
+    // commits each into ONE log. The filename-CAS serializes them —
+    // losers re-list the tail and retry — so the receipt is (a) every
+    // commit lands exactly once (versions = N·M, no gaps), and (b)
+    // per-commit wall under contention vs the single-writer baseline
+    // (the CAS retry cost, not a lock queue). `attempts` counts CAS
+    // losses observed from version numbering (committed serially ⇒
+    // each writer's versions interleave).
+    if (enabled("txn_commit_contended")) {
+      import graft.sources.TxnLog
+      Seq(1, 2, 4, 8).foreach { writers =>
+        val m = 64
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-txncc-$writers").toString
+        TxnLog.init(root)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+        val barrier = new java.util.concurrent.CyclicBarrier(writers)
+        val t0 = System.nanoTime()
+        val fs = (0 until writers).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+            override def call(): Seq[Long] = {
+              barrier.await()
+              (1 to m).map { i =>
+                TxnLog.commit(root, "append", Seq(s"/fake/w$w-f$i"), Nil,
+                  readVersion = 0L, txnId = s"w$w-t$i").version
+              }
+            }
+          })
+        }
+        val versions = fs.flatMap(_.get())
+        pool.shutdown()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        require(versions.sorted == (1L to (writers * m).toLong),
+          s"contended commits must land exactly once each, got ${versions.size}")
+        // interleave score: how often consecutive versions came from
+        // different writers (0 would mean the race never interleaved)
+        val byVersion = fs.zipWithIndex.flatMap { case (f, w) =>
+          f.get().map(v => v -> w) }.sortBy(_._1).map(_._2)
+        val interleaves = byVersion.sliding(2).count(p => p.head != p.last)
+        println(f"""{"op":"txn_commit_contended","writers":$writers,"commits":${writers * m},"sec":${wallMs / 1000}%.4f,"per_commit_ms":${wallMs / (writers * m)}%.3f,"interleaves":$interleaves}""")
+      }
+    }
+
     // Metadata-query ladder (X-A33/X-A34): statsAggregate over a
     // fully-statted table must cost METADATA (a local n-file fold +
     // one tiny Spark agg), independent of data volume — the fake

@@ -129,6 +129,58 @@ class GeneratedColumnsSpec extends SparkTestBase {
       "overwrite restarts the sequence at START WITH, stepping by 5")
   }
 
+  test("identity allocator under a forced two-writer race: no duplicate ids ever mint (r19)") {
+    warehouse
+    spark.sql("CREATE TABLE ggc.db.idr (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "v BIGINT)")
+    // two writers, barrier-synced per round so both statements span the
+    // same read-allocate-commit window — the r18 hwmReadV fix's
+    // conflict machinery must serialize them (losers re-read and
+    // re-mint above the winner's extreme)
+    val writers = 2
+    val rounds = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (0 until writers).map { w =>
+      scala.concurrent.Future {
+        (0 until rounds).foreach { r =>
+          barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          spark.sql("INSERT INTO ggc.db.idr (v) " +
+            s"SELECT id + ${w * 10000 + r * 100} FROM range(0, 10)")
+        }
+      }
+    }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(fs),
+      scala.concurrent.duration.Duration(300, "s"))
+    finally pool.shutdown()
+    val ids = spark.sql("SELECT id FROM ggc.db.idr").collect().map(_.getLong(0))
+    assert(ids.length === writers * rounds * 10)
+    assert(ids.distinct.length === ids.length,
+      "two racing identity writers must never mint the same id")
+    assert(ids.max === (writers * rounds * 10).toLong && ids.min === 1L,
+      "losers re-read the extreme: allocation stays dense under contention")
+
+    // deterministic LOSS: both writers pin the SAME readVersion with
+    // the append guard up — the CAS winner lands, the other MUST see
+    // ConflictException (the window insertWithIdentity closes by
+    // threading hwmReadV into the guarded commit)
+    import spark.implicits._
+    val r = root("idr")
+    val readV = TxnLog.currentVersion(r)
+    val fA = TxnLog.stage(Seq((900001L, 1L)).toDF("id", "v"), r, "rc-a")
+    val fB = TxnLog.stage(Seq((900001L, 2L)).toDF("id", "v"), r, "rc-b")
+    TxnLog.commit(r, "append", fA, Nil, readVersion = readV, txnId = "rc-a",
+      failOnConcurrentAppend = true)
+    val e = intercept[TxnLog.ConflictException](
+      TxnLog.commit(r, "append", fB, Nil, readVersion = readV, txnId = "rc-b",
+        failOnConcurrentAppend = true))
+    assert(e.getMessage.contains("appended"),
+      s"the guarded commit must lose to the interleaved append: ${e.getMessage}")
+  }
+
   test("identity tables refuse the mint-less ingest paths: streaming writes and COPY INTO") {
     warehouse
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -49,6 +49,15 @@ object ScaleProbe {
       println(f"""{"op":"$op","k":$k,"rows":$rows,"sec":$sec%.2f}""")
     }
 
+    // UNsalted replication: copy i re-ids but keeps the TEXT — every
+    // doc becomes a k-dup group (all copies share every band key at
+    // any band count), the adversarial load for uncapped LSH stages
+    def dupDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        Tables.documents(spark, sfDir).select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"))
+      }.reduce(_ union _)
+
     // Adversarial corpus for the DF cap: every doc gets the SAME
     // (unsalted) leading phrase, so its shingles sit in all n·k docs —
     // the textbook formulation would fan out (n·k)² pairs from them;
@@ -77,6 +86,17 @@ object ScaleProbe {
     ks.foreach { k =>
       if (enabled("dd_minhash_lsh")) time("dd_minhash_lsh", k)(
         DedupOps.lshCandidatePairs(replicateDocs(k), "doc_id", "text"))
+      // DUP-HEAVY text-LSH ladder (r19, the cur_neardup_prune guard):
+      // replication WITHOUT salting makes every doc a k-dup group, so
+      // every band bucket holds k near-identical members — the
+      // uncapped stage materializes ~k² pairs per group (the text twin
+      // of the r18 sf100 vector receipt), the capped stage is bounded
+      // at cap² per bucket and must stay ~linear in corpus size
+      if (enabled("dd_lsh_dup")) time("dd_lsh_dup", k)(
+        DedupOps.lshCandidatePairs(dupDocs(k), "doc_id", "text"))
+      if (enabled("dd_lsh_dup_capped")) time("dd_lsh_dup_capped", k)(
+        DedupOps.lshCandidatePairsCapped(dupDocs(k), "doc_id", "text",
+          bucketCap = 32))
       if (enabled("dd_ngram_jaccard")) time("dd_ngram_jaccard", k)(
         DedupOps.ngramJaccardPairs(replicateDocs(k), "doc_id", "text", 0.5))
       if (enabled("dd_ngram_capped_stop")) time("dd_ngram_capped_stop", k)(

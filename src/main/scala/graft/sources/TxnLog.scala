@@ -1455,11 +1455,17 @@ object TxnLog {
         failOnConcurrentAppend = true)
     }
     val affectedState = state.filter(f => affected(f._1))
-    val existing = applyDeletionVectors(
-      s.read.parquet(affectedState.map(_._1): _*), affectedState)
+    // X-A96 (r19): carried (unmatched) rows keep their ROW IDS through
+    // the merge rewrite — readForRewrite materializes `__graft_rid`
+    // like every other rewrite path; matched rows are replaced by
+    // source rows, which mint fresh ids off the staged files' bases
+    // (the null-materialized slot), the same delete+insert identity
+    // the COW DML path gives updated rows
+    val existing = readForRewrite(s, st0.schemaJson, affectedState)
     val out = existing.join(physSource.select(physKeys.map(col): _*),
         physKeys, "left_anti")
-      .unionByName(physSource)
+      .unionByName(physSource.withColumn(RowIdPhysCol,
+        org.apache.spark.sql.functions.lit(null).cast("long")))
     val (files, stats, blooms, bcol) = stageMergeOut(out)
     commit(root, "merge", files, removed = affectedState.map(_._1),
       readVersion = readV, txnId = txnId, multiStats = stats,

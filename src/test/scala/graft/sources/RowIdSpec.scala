@@ -144,6 +144,32 @@ class RowIdSpec extends SparkTestBase {
     assert((300L until 310L).forall(k => mainIds2(k) >= 70L))
   }
 
+  test("raw mergeInto: carried rows keep ids through the rewrite, matched rows mint fresh (r19)") {
+    warehouse
+    spark.sql("CREATE TABLE grid.db.r7 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grid.db.r7 SELECT id, id FROM range(0, 100)")
+    val before = idsOf("r7")
+    import spark.implicits._
+    val src = (0L until 100L by 10).map(k => (k, k * 100)).toDF("k", "v")
+    TxnLog.mergeInto(spark, root("r7"), src, "k", "rid-merge-1")
+    val after = idsOf("r7")
+    val untouched = (0L until 100L).filterNot(_ % 10 == 0)
+    assert(untouched.forall(k => after(k) == before(k)),
+      "the merge rewrite must not re-identify carried (unmatched) rows")
+    val changed = (0L until 100L).filter(_ % 10 == 0)
+    assert(changed.forall(k => after(k) >= 100L),
+      "matched rows are delete+insert pairs: fresh ids above the hwm")
+    assert(changed.map(after).toSet.intersect(before.values.toSet).isEmpty,
+      "a replaced id is never reused")
+    // pure-insert merge (no affected files) allocates like an append
+    TxnLog.mergeInto(spark, root("r7"), Seq((500L, 1L)).toDF("k", "v"),
+      "k", "rid-merge-2")
+    val after2 = idsOf("r7")
+    assert(after2.size === 101 && after2.values.toSeq.distinct.size === 101)
+    assert(after2(500L) > after.values.max,
+      "post-merge appends mint above everything the rewrite allocated")
+  }
+
   test("hwm folds through a checkpoint; stat-less raw files serve null") {
     warehouse
     spark.sql("CREATE TABLE grid.db.r4 (k BIGINT, v BIGINT)")

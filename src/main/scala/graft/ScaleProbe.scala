@@ -113,6 +113,29 @@ object ScaleProbe {
         DedupOps.dupSpans(replicateDocs(k).withColumn("text",
           concat(lit("one two three four five six seven eight nine ten eleven twelve "),
             col("text"))), "doc_id", "text"))
+      // Span REWRITE ladders (r19, X-D19): same frames as the profile
+      // plus the rewrite join — clean load, and the adversarial
+      // all-docs boilerplate header (every doc rewrites, the hot span
+      // reaches the df reducer as partial counts). Cost must track
+      // total tokens, never fan out on the hot span.
+      if (enabled("dd_span_rewrite")) time("dd_span_rewrite", k)(
+        DedupOps.dropDupSpans(replicateDocs(k), "doc_id", "text"))
+      if (enabled("dd_span_rw_boiler")) time("dd_span_rw_boiler", k)(
+        DedupOps.dropDupSpans(replicateDocs(k).withColumn("text",
+          concat(lit("one two three four five six seven eight nine ten eleven twelve "),
+            col("text"))), "doc_id", "text"))
+      // BPE train+encode ladder (r19, X-T14): salted replication grows
+      // the VOCABULARY k× (worst case for the word memo) — training
+      // stays bounded (top-2048 vocab to the driver), encode must
+      // stay ~linear in tokens
+      if (enabled("txt_bpe")) time("txt_bpe", k) {
+        val docs = replicateDocs(k)
+        val norm = DedupOps.normalizeText(col("text"))
+        val merges = graft.operators.BpeOps.trainMerges(
+          docs.select(norm.as("__nt")), col("__nt"))
+        docs.select(org.apache.spark.sql.functions.size(
+          graft.operators.BpeOps.bpeTokens(norm, merges)).as("n"))
+      }
       // DSIR estimate phase shuffles 1024 bucket keys regardless of
       // corpus size; scoring is a scan fold — cost must stay ~linear
       if (enabled("cur_dsir")) time("cur_dsir", k)(

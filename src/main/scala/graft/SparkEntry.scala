@@ -726,6 +726,52 @@ object SparkEntry {
     wh
   }
 
+  /** Maintained LSH postings indexes already built this JVM. */
+  private val materializedVecIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** X-S22 end-to-end fixture (r19): the vector twin of
+    * [[ensureDocIndex]] — a lakehouse `vecs` table seeded with the
+    * existing corpus (vec_id % 10 != 0), mutated by a COW embedding
+    * UPDATE (vec_id % 7 = 1 negates, a deterministic full-vector
+    * rewrite) and a DV DELETE (vec_id % 5 = 3), its LSH postings
+    * CDF-maintained into a sibling table. `sim_maintained_index`
+    * answers incremental ANN dedup through it.
+    */
+  private def ensureVecIndex(s: SparkSession, dir: String): String = {
+    import graft.sources.{TxnLog, TxnStream}
+    val tag = dirTag(dir)
+    val cat = s"gvix_$tag"
+    val wh = s"$jvmTmp/graft_vix_${tag}_${ordersFingerprint(dir)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    materializeOnce(materializedVecIndex, wh) {
+      val src = s"$wh/db/vecs"
+      val idx = s"$wh/db/vecsix"
+      if (TxnLog.currentVersion(src) != 4L ||
+          TxnStream.appliedVersion(idx, "annix") != 4L) {
+        TxnLog.deleteRecursively(java.nio.file.Paths.get(wh))
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .createOrReplaceTempView(s"vix_src_$tag")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.vecs " +
+          "(vec_id BIGINT, embedding ARRAY<FLOAT>)")                    // v1
+        s.sql(s"INSERT INTO $cat.db.vecs SELECT * FROM vix_src_$tag")   // v2
+        s.sql(s"UPDATE $cat.db.vecs SET embedding = " +
+          "transform(embedding, x -> -x) WHERE vec_id % 7 = 1")         // v3 (COW)
+        s.sql(s"DELETE FROM $cat.db.vecs WHERE vec_id % 5 = 3")         // v4 (DV)
+        TxnLog.init(idx)
+        TxnStream.maintainIndexInto(s, src, idx, "annix", "vec_id")(df =>
+          graft.operators.VectorOps.lshIndex(df, "vec_id", "embedding")
+            .withColumnRenamed("__id", "vec_id"))
+        ()
+      }
+    }
+    wh
+  }
+
   /** Range-clustered stats-bearing txn tables already built this JVM. */
   private val materializedTxnRangeTables =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -3054,6 +3100,20 @@ object SparkEntry {
         incrementalAnnDedup(lshIndex(ex, "vec_id", "embedding"), ex, nw,
           "vec_id", "embedding", minCosine = 0.45)
       }),
+      // X-S22 end to end (r19): the same incremental-ANN answer, but
+      // the postings index is the CDF-MAINTAINED lakehouse table after
+      // an insert, a COW embedding update (negation) and a DV delete
+      // on the source corpus — the vector twin of dd_maintained_index.
+      "sim_maintained_index" -> ((s, dir) => {
+        val wh = ensureVecIndex(s, dir)
+        val index = graft.sources.TxnLog.read(s, s"$wh/db/vecsix")
+          .withColumnRenamed("vec_id", "__id")
+        val corpus = graft.sources.TxnLog.read(s, s"$wh/db/vecs")
+        incrementalAnnDedup(index, corpus,
+          Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", minCosine = 0.45)
+      }),
       // per-label centroids: the shuffle carries (label, dim) partial
       // means, never the vectors
       "vec_centroids" -> ((s, dir) =>
@@ -3838,6 +3898,36 @@ object SparkEntry {
               sqrt(${duckDot("embedding", "embedding")}) AS nrm,
               $buckets AS buckets
             FROM embeddings),
+           e AS (SELECT vec_id, nrm,
+                   unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
+           cand AS (SELECT DISTINCT n.vec_id AS nid, x.vec_id AS xid
+                    FROM e n JOIN e x ON n.tbl = x.tbl AND n.bucket = x.bucket
+                    WHERE n.vec_id % 10 = 0 AND x.vec_id % 10 <> 0),
+           sc AS (SELECT c.nid, c.xid
+                  FROM cand c
+                  JOIN p a ON a.vec_id = c.nid
+                  JOIN p b ON b.vec_id = c.xid
+                  WHERE round(${duckDot("a.embedding", "b.embedding")}
+                              / (a.nrm * b.nrm), 6) >= 0.45),
+           m AS (SELECT nid, min(xid) AS dup_of FROM sc GROUP BY nid)
+           SELECT v.vec_id, m.dup_of, (m.dup_of IS NULL) AS is_kept
+           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) v
+           LEFT JOIN m ON v.vec_id = m.nid""",
+
+      // Maintained-postings ANN: the oracle replays the SOURCE
+      // MUTATIONS (negate embeddings of corpus vec_id % 7 = 1, drop
+      // % 5 = 3), then the sim_incremental structure over that state.
+      "sim_maintained_index" ->
+        s"""WITH base AS (SELECT vec_id,
+              CASE WHEN vec_id % 10 <> 0 AND vec_id % 7 = 1
+                   THEN list_transform(embedding, x -> -x)
+                   ELSE embedding END AS embedding
+            FROM embeddings
+            WHERE vec_id % 10 = 0 OR vec_id % 5 <> 3),
+           p AS (SELECT vec_id, embedding,
+              sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+              $buckets AS buckets
+            FROM base),
            e AS (SELECT vec_id, nrm,
                    unnest(buckets) AS bucket, unnest(range(0, 4)) AS tbl FROM p),
            cand AS (SELECT DISTINCT n.vec_id AS nid, x.vec_id AS xid

@@ -97,6 +97,11 @@ object ScaleProbe {
       if (enabled("dd_lsh_dup_capped")) time("dd_lsh_dup_capped", k)(
         DedupOps.lshCandidatePairsCapped(dupDocs(k), "doc_id", "text",
           bucketCap = 32))
+      // star: cap²/2 + (k − cap) per bucket — complete dup-group
+      // collapse at linear extra cost over the cap
+      if (enabled("dd_lsh_dup_star")) time("dd_lsh_dup_star", k)(
+        DedupOps.lshCandidatePairsCappedStar(dupDocs(k), "doc_id", "text",
+          bucketCap = 32))
       if (enabled("dd_ngram_jaccard")) time("dd_ngram_jaccard", k)(
         DedupOps.ngramJaccardPairs(replicateDocs(k), "doc_id", "text", 0.5))
       if (enabled("dd_ngram_capped_stop")) time("dd_ngram_capped_stop", k)(

@@ -4019,6 +4019,13 @@ object SparkEntry {
       "dd_lsh_capped" -> ((s, dir) =>
         lshCandidatePairsCapped(Tables.documents(s, dir), "doc_id", "text",
           bucketCap = 32)),
+      // Star twin (r19): cap + one edge from every over-cap member to
+      // its bucket's rank-1 member — bounded like the cap (cap²/2 +
+      // k−cap per bucket), but the keep-one election collapses the
+      // WHOLE dup group; output always ⊆ the uncapped candidates.
+      "dd_lsh_star" -> ((s, dir) =>
+        lshCandidatePairsCappedStar(Tables.documents(s, dir), "doc_id", "text",
+          bucketCap = 32)),
       "dd_simhash" -> ((s, dir) =>
         spread(Tables.documents(s, dir))
           .select(col("doc_id"), simhash(col("text")).as("simhash"))),
@@ -4125,8 +4132,12 @@ object SparkEntry {
       // merge reunites survivors.
       "cur_neardup_prune" -> ((s, dir) => {
         val docs = Tables.documents(s, dir)
+        // r19 (cont.): the STAR spelling — cap 32 bounds bucket work,
+        // the star edges keep the election COMPLETE (over-cap dup-
+        // group members still merge the component instead of escaping
+        // the prune); candidates remain ⊆ the uncapped spelling's
         val losers = graft.operators.GraphOps.dedupClusters(
-          lshCandidatePairsCapped(docs, "doc_id", "text", bucketCap = 32))
+          lshCandidatePairsCappedStar(docs, "doc_id", "text", bucketCap = 32))
           .filter(!col("is_kept")).select(col("doc_id"))
         docs.join(losers, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"))
@@ -4198,6 +4209,31 @@ object SparkEntry {
              AS sig_agree
          FROM k3 a JOIN k3 b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+
+    // Star twin: in-cap all-pairs UNION one pair per over-cap member
+    // to its bucket's rank-1 member (least/greatest normalizes order).
+    "dd_lsh_star" ->
+      s"""WITH $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, sig, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         kr AS (SELECT doc_id, sig, band, bkey,
+                  row_number() OVER (PARTITION BY band, bkey
+                    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                                  AS BIGINT) ASC,
+                             doc_id ASC) AS rnk
+                FROM k2),
+         agr AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+                        greatest(a.doc_id, b.doc_id) AS d2,
+                        round(CAST(list_sum(list_transform(range(1, 17),
+                          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                          AS DOUBLE) / 16, 4) AS sig_agree
+                 FROM kr a JOIN kr b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                  AND ((a.rnk <= 32 AND b.rnk <= 32 AND a.doc_id < b.doc_id)
+                       OR (a.rnk > 32 AND b.rnk = 1)))
+         SELECT DISTINCT d1, d2, sig_agree FROM agr""",
 
     // Incremental dedup: same banding as dd_minhash_lsh; incoming =
     // doc_id % 10 = 0, existing = the rest; dup_of = min colliding
@@ -4478,24 +4514,27 @@ object SparkEntry {
     // Near-dup prune: keep docs that are either untouched by any
     // candidate pair or the min-id survivor of their component.
     // r19: candidates come from the CAPPED banding (rank cap 32 per
-    // (band, bkey) under the portable md5-of-id order) — the oracle
-    // replays the cap exactly like the Spark composition.
+    // (band, bkey) under the portable md5-of-id order) PLUS star
+    // edges (over-cap member ↔ the bucket's rank-1 member) — the
+    // oracle replays both exactly like the Spark composition.
     "cur_neardup_prune" ->
       s"""WITH RECURSIVE $duckShingleCtes,
          keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
          k2 AS (SELECT doc_id, sig, band,
                   array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
                 FROM keys),
-         k3 AS (SELECT doc_id, band, bkey FROM (
-                  SELECT doc_id, band, bkey,
-                         row_number() OVER (PARTITION BY band, bkey
-                           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
-                                         AS BIGINT) ASC,
-                                    doc_id ASC) AS rnk
-                  FROM k2) WHERE rnk <= 32),
-         pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                   FROM k3 a JOIN k3 b
-                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         kr AS (SELECT doc_id, band, bkey,
+                  row_number() OVER (PARTITION BY band, bkey
+                    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                                  AS BIGINT) ASC,
+                             doc_id ASC) AS rnk
+                FROM k2),
+         pairs AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                          greatest(a.doc_id, b.doc_id) AS d2
+                   FROM kr a JOIN kr b
+                     ON a.band = b.band AND a.bkey = b.bkey
+                    AND ((a.rnk <= 32 AND b.rnk <= 32 AND a.doc_id < b.doc_id)
+                         OR (a.rnk > 32 AND b.rnk = 1))),
          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
                    UNION SELECT d2, d1 FROM pairs),
          nodes AS (SELECT DISTINCT a AS node FROM edges),

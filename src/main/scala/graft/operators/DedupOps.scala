@@ -182,6 +182,46 @@ object DedupOps {
     joinBanded(banded, numHashes)
   }
 
+  /** [[lshCandidatePairsCapped]] plus STAR EDGES: every over-cap
+    * bucket member emits ONE candidate pair to its bucket's rank-1
+    * member, so the keep-one election downstream collapses the WHOLE
+    * dup group — the cap alone leaves over-cap members edge-less (they
+    * escape the prune; the documented recall trade). Work stays
+    * bounded: cap²/2 + (k − cap) pairs per k-member bucket, and every
+    * emitted pair is a genuine banded collision (star pairs share the
+    * bucket), so the output is always a SUBSET of the uncapped
+    * spelling's — star never invents a candidate, it only keeps the
+    * linear ones the cap dropped. `cur_neardup_prune` composes this.
+    */
+  def lshCandidatePairsCappedStar(docs: DataFrame, idCol: String,
+                                  textCol: String, bucketCap: Int,
+                                  numHashes: Int = 16, bands: Int = 4,
+                                  n: Int = 3): DataFrame = {
+    require(bucketCap >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band"), col("__key"))
+      .orderBy(graft.functions.TextFunctions.h7(col("__id").cast("string")).asc,
+        col("__id").asc)
+    // the rank, the in-cap self-join and the star join all ride the
+    // banding's own (band, key) exchange — no extra shuffle
+    val ranked = bandedKeys(docs, idCol, textCol, numHashes, bands, n)
+      .withColumn("__rnk", row_number().over(w))
+    val allPairs = joinBanded(ranked.filter(col("__rnk") <= bucketCap)
+      .drop("__rnk"), numHashes)
+    val rank1 = ranked.filter(col("__rnk") === 1)
+      .select(col("__band"), col("__key"),
+        col("__id").as("__rid"), col("__sig").as("__rsig"))
+    val agree = aggregate(
+      zip_with(col("__sig"), col("__rsig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val star = ranked.filter(col("__rnk") > bucketCap)
+      .join(rank1, Seq("__band", "__key"))
+      .select(least(col("__id"), col("__rid")).as("d1"),
+        greatest(col("__id"), col("__rid")).as("d2"),
+        round(agree.cast("double") / numHashes, 4).as("sig_agree"))
+    allPairs.unionByName(star).distinct()
+  }
+
   /** The shared candidate self-join over a (possibly capped) banding
     * frame. The merge hint forces a sort-merge self-join: both sides
     * then sit behind IDENTICAL shuffle subtrees, which ReuseExchange

@@ -80,6 +80,35 @@ class DedupOpsSpec extends SparkTestBase {
       "the in-cap members elect exactly one survivor")
   }
 
+  test("lshCandidatePairsCappedStar: bounded like the cap, but the keep-one " +
+       "election collapses the WHOLE dup group (r19)") {
+    // under the cap, star == capped == uncapped
+    val star32 = lshCandidatePairsCappedStar(corpus, "doc_id", "text", bucketCap = 32)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(star32 === lshCandidatePairs(corpus, "doc_id", "text")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet)
+    // dup-heavy: 40 identical docs + 3 singletons, cap 8
+    val heavy = ((1L to 40L).map(i => (i, "the same boilerplate header repeated " +
+        "across every crawled page of this site")) ++ Seq(
+        (100L, "completely different content about spark engines and scale"),
+        (101L, "another unique document with its own words entirely"),
+        (102L, "a third singleton nothing shares any shingle with"))).toDF("doc_id", "text")
+    val starHeavy = lshCandidatePairsCappedStar(heavy, "doc_id", "text", bucketCap = 8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val uncapped = lshCandidatePairs(heavy, "doc_id", "text")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(starHeavy.subsetOf(uncapped),
+      "star never invents a candidate — every pair is a real banded collision")
+    assert(starHeavy.size === 8 * 7 / 2 + 32,
+      s"in-cap all-pairs (28) + one star edge per over-cap member (32), got ${starHeavy.size}")
+    // the property the cap alone cannot give: ALL 40 dups collapse
+    val clustered = graft.operators.GraphOps.dedupClusters(
+        lshCandidatePairsCappedStar(heavy, "doc_id", "text", bucketCap = 8))
+      .select(col("doc_id"), col("is_kept")).as[(Long, Boolean)].collect().toMap
+    assert(clustered.size === 40 && clustered.values.count(identity) === 1,
+      "every dup-group member carries an edge: the election keeps exactly one of 40")
+  }
+
   test("incrementalDedup flags batch docs colliding with the corpus band index") {
     val existing = corpus // docs 1..5
     val batch = Seq(

@@ -194,19 +194,29 @@ object PortableHash {
     val n = toks.numElements()
     val m = starts.numElements()
     if (m == 0) return toks
+    // validate the WHOLE array up front (O(spans)): the sweep below
+    // only reaches starts <= token count, so an in-sweep check would
+    // silently skip a mis-sorted early element that exceeds it —
+    // mis-keeping tokens a later (smaller) start should cover
+    var v = 0
+    var prev = Long.MinValue
+    while (v < m) {
+      val st = starts.getLong(v)
+      if (st < 0L) throw new IllegalArgumentException(
+        s"graft_drop_spans: starts must be non-negative (got $st)")
+      if (st < prev) throw new IllegalArgumentException(
+        s"graft_drop_spans: starts must be ascending (got $st after $prev)")
+      prev = st
+      v += 1
+    }
     val out = new Array[Any](n)
     var cnt = 0
     var si = 0
     var coveredUntil = -1L // exclusive
-    var prev = Long.MinValue
     var i = 0
     while (i < n) {
       while (si < m && starts.getLong(si) <= i) {
-        val st = starts.getLong(si)
-        if (st < prev) throw new IllegalArgumentException(
-          s"graft_drop_spans: starts must be ascending (got $st after $prev)")
-        prev = st
-        val e = st + window
+        val e = starts.getLong(si) + window
         if (e > coveredUntil) coveredUntil = e
         si += 1
       }

@@ -171,6 +171,9 @@ object DedupOps {
   def lshCandidatePairsCapped(docs: DataFrame, idCol: String, textCol: String,
                               bucketCap: Int, numHashes: Int = 16,
                               bands: Int = 4, n: Int = 3): DataFrame = {
+    // cap 0 would filter EVERY banded row and silently emit zero
+    // candidates — a downstream prune would then keep every duplicate
+    require(bucketCap >= 1, s"bucketCap must be >= 1 (got $bucketCap)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__band"), col("__key"))
       .orderBy(graft.functions.TextFunctions.h7(col("__id").cast("string")).asc,

@@ -311,6 +311,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val pcols = GraftTable.partitionTokens(partitions, schema)
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    // declared TBLPROPERTIES validate BEFORE anything lands: a CREATE
+    // with a malformed property fails cleanly with no table created
+    val policyProps = GraftTable.policyProps(properties).toSeq
+    policyProps.foreach { case (k, v) => TxnLog.validateProperty(k, v) }
     TxnLog.init(root)
     // generated columns enforce as CHECK constraints (null-safe
     // equality: never a NULL verdict), created atomically with the
@@ -328,14 +332,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schemaId = TxnLog.schemaFingerprint(schema),
       schemaJson = TxnLog.encodeSchema(schema),
       cadds = GraftTable.constraintProps(properties) ++ genChecks,
-      partitionBy = pcols)
-    // user TBLPROPERTIES persist too (r19): CREATE-declared policy
-    // (graft.autoCompact.*) must behave exactly like a post-create
-    // ALTER ... SET TBLPROPERTIES — the table is not yet visible to
-    // any other writer, so the extra commits are uncontended
-    GraftTable.policyProps(properties).foreach { case (k, v) =>
-      TxnLog.setTableProperty(root, k, v, s"create-prop-a$uuid12-$k")
-    }
+      partitionBy = pcols,
+      // user TBLPROPERTIES ride the SAME record (r20, the padds fold):
+      // declared policy (graft.autoCompact.*) is visible at the first
+      // version the table exists — a crash can never leave a visible
+      // table silently missing its declared configuration
+      padds = policyProps)
     new GraftTable(root, Long.MaxValue, timeTraveled = false)
   }
 
@@ -1493,6 +1495,11 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
                                policyProps: Seq[(String, String)] = Nil)
   extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
 
+  // validate at STAGE time (before any write work): a CTAS/RTAS with a
+  // malformed TBLPROPERTIES fails before it stages a byte, and the
+  // atomic commit below can never throw post-commit on a bad property
+  policyProps.foreach { case (k, v) => TxnLog.validateProperty(k, v) }
+
   private def spark: SparkSession = SparkSession.active
   private val txnId =
     s"sql-ctas-a${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
@@ -1547,21 +1554,26 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
         readVersion = 0L, txnId = txnId, multiStats = multi,
         schemaId = TxnLog.schemaFingerprint(sch),
         schemaJson = TxnLog.encodeSchema(sch), cadds = constraints,
-        partitionBy = partitionBy)
+        partitionBy = partitionBy,
+        // declared TBLPROPERTIES ride the create record (r20): the
+        // table is never visible without its declared policy
+        padds = policyProps)
     } else {
       // one schema-evolve commit: the live set swaps and the schema
-      // may change, under the standard conflict matrix
+      // may change, under the standard conflict matrix. propReset
+      // drops EVERY inherited property first (r20): REPLACE resets
+      // table configuration wholesale — stale policy from the
+      // replaced table (e.g. graft.autoCompact.*) never silently
+      // survives onto the 'new' table; only the newly declared
+      // properties are in effect, all in this one atomic record
       val readV = TxnLog.currentVersion(root)
       TxnLog.commit(root, "schema-evolve", added = files,
         removed = TxnLog.snapshotFiles(root, readV),
         readVersion = readV, txnId = txnId, multiStats = multi,
         schemaId = TxnLog.schemaFingerprint(sch),
         schemaJson = TxnLog.encodeSchema(sch), cadds = constraints,
-        partitionBy = partitionBy)
-    }
-    // CTAS/RTAS-declared TBLPROPERTIES persist like createTable's
-    policyProps.foreach { case (k, v) =>
-      TxnLog.setTableProperty(root, k, v, s"$txnId-prop-$k")
+        partitionBy = partitionBy,
+        padds = policyProps, propReset = true)
     }
     ()
   }

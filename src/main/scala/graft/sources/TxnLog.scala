@@ -187,7 +187,9 @@ object TxnLog {
                     ingests: Seq[String] = Nil,
                     radds: Seq[String] = Nil,
                     rbases: Seq[Long] = Nil,
-                    rowHwm: Long = -1L)
+                    rowHwm: Long = -1L,
+                    padds: Seq[String] = Nil,
+                    propReset: Boolean = false)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -374,9 +376,13 @@ object TxnLog {
       if (c.rbases.isEmpty) "" else s""","rbases":[${c.rbases.mkString(",")}]"""
     val rowHwmPart =
       if (c.rowHwm < 0L) "" else s""","rowHwm":${c.rowHwm}"""
+    val paddsPart = // base64("key value") per property born WITH the commit
+      if (c.padds.isEmpty) "" else s""","padds":${arr(c.padds)}"""
+    val propResetPart = // RTAS: clear inherited props before padds apply
+      if (!c.propReset) "" else s""","propReset":1"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart$raddsPart$rbasesPart$rowHwmPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart$raddsPart$rbasesPart$rowHwmPart$paddsPart$propResetPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -413,7 +419,9 @@ object TxnLog {
       arr("radds", required = false),
       arr("rbases", required = false).map(_.toLong),
       s""""rowHwm":(-?\\d+)""".r.findFirstMatchIn(line)
-        .map(_.group(1).toLong).getOrElse(-1L))
+        .map(_.group(1).toLong).getOrElse(-1L),
+      arr("padds", required = false),
+      numOpt("propReset") == 1L)
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -733,6 +741,19 @@ object TxnLog {
         props(c.constraint.take(cut)) = c.constraint.drop(cut + 1)
       }
       if (c.action == "drop-property") props.remove(c.constraint)
+      // properties born WITH a commit (r20, the atomic twin of cadds):
+      // CREATE/CTAS-declared TBLPROPERTIES land in the create record
+      // itself — no version at which the table is visible without its
+      // declared policy, and a crash mid-CREATE leaves no
+      // partially-configured table. propReset clears inherited
+      // properties FIRST (RTAS: replace resets configuration
+      // wholesale, it never inherits the replaced table's policy).
+      if (c.propReset) props.clear()
+      c.padds.foreach { b =>
+        val dec = new String(b64dec(b), java.nio.charset.StandardCharsets.UTF_8)
+        val cut = dec.indexOf(' ')
+        props(dec.take(cut)) = dec.drop(cut + 1)
+      }
       // constraints born WITH a commit (atomic CREATE TABLE: schema,
       // data and constraints in ONE record — no window where the
       // table is visible unconstrained)
@@ -1518,14 +1539,24 @@ object TxnLog {
     */
   def setTableProperty(root: String, key: String, value: String,
                        txnId: String): Commit = {
+    validateProperty(key, value)
+    commit(root, "set-property", Nil, Nil,
+      readVersion = currentVersion(root), txnId = txnId,
+      constraint = s"$key $value")
+  }
+
+  /** The one property-shape contract, shared by [[setTableProperty]]
+    * and the `padds` riding a CREATE/CTAS/RTAS commit — so a property
+    * that cannot land as a post-create ALTER cannot be DECLARED at
+    * CREATE either, and validation happens BEFORE any commit lands
+    * (a failed CREATE TABLE leaves no table behind).
+    */
+  def validateProperty(key: String, value: String): Unit = {
     require(key.nonEmpty && !key.contains(' ') && !key.contains('"'),
       s"bad property key: $key")
     require(value.nonEmpty && !value.contains('"') &&
         !value.exists(c => c == '\n' || c == '\r'),
-      "property values may not contain quotes or newlines")
-    commit(root, "set-property", Nil, Nil,
-      readVersion = currentVersion(root), txnId = txnId,
-      constraint = s"$key $value")
+      s"property values may not contain quotes or newlines (key $key)")
   }
 
   /** Unset a table property by key. */
@@ -2725,7 +2756,9 @@ object TxnLog {
              ingests: Seq[String] = Nil,
              radds: Seq[String] = Nil,
              rowBases: Seq[Long] = Nil,
-             rowHwmFloor: Long = -1L): Commit = {
+             rowHwmFloor: Long = -1L,
+             padds: Seq[(String, String)] = Nil,
+             propReset: Boolean = false): Commit = {
     validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
     require(radds.forall(added.contains),
       s"txn $txnId: radds must be a subset of added")
@@ -2762,6 +2795,9 @@ object TxnLog {
         s"txn $txnId: constraint expressions may not contain double quotes")
     }
     val caddsB64 = cadds.map { case (n, e) => b64enc(s"$n $e") }
+    // properties riding the commit: same validation as setTableProperty
+    padds.foreach { case (k, v) => validateProperty(k, v) }
+    val paddsB64 = padds.map { case (k, v) => b64enc(s"$k $v") }
     partitionBy.foreach { c =>
       validateToken("partition column", c)
       require(!c.exists(":|,".contains(_)),
@@ -2960,7 +2996,7 @@ object TxnLog {
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
         rename, sizes, caddsB64, partitionBy.mkString(","),
         restatFiles, restats.map(renderMultiStat), histsB64, ingests, radds,
-        rbases, newHwm)
+        rbases, newHwm, paddsB64, propReset)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {
@@ -3908,6 +3944,10 @@ object TxnLog {
         schemaJson = st.schemaJson,
         cadds = st.constraints.toSeq,
         hists = st.hists.toSeq,
+        // table properties travel WITH the clone (r20, Delta CLONE
+        // semantics: a clone copies source table configuration) —
+        // atomically, in the same record as the snapshot
+        padds = st.props.toSeq,
         partitionBy = if (st.partitionBy.isEmpty) Nil
                       else st.partitionBy.split(",").toSeq)
       st.renames.foreach { case (logical, physical) =>
@@ -3983,6 +4023,9 @@ object TxnLog {
           .asInstanceOf[StructType]),
       schemaJson = st.schemaJson,
       cadds = st.constraints.toSeq,
+      // a branch starts under main's operational policy (r20): props
+      // fork with the data, then evolve independently per side
+      padds = st.props.toSeq,
       partitionBy = if (st.partitionBy.isEmpty) Nil
                     else st.partitionBy.split(",").toSeq)
     // column mapping carries as the same rename records main holds

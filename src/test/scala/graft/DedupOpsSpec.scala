@@ -44,6 +44,11 @@ class DedupOpsSpec extends SparkTestBase {
 
   test("lshCandidatePairsCapped: subset of uncapped, identical under-cap, " +
        "bounded on a dup-heavy group, downstream prune still complete (r19)") {
+    // cap < 1 rejects loudly (r20): it would filter every banded row
+    // and silently emit zero candidates — the prune would keep all dups
+    intercept[IllegalArgumentException] {
+      lshCandidatePairsCapped(corpus, "doc_id", "text", bucketCap = 0)
+    }
     // under the cap, the capped spelling IS the uncapped one
     val capped = lshCandidatePairsCapped(corpus, "doc_id", "text", bucketCap = 32)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

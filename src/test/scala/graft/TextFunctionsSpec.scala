@@ -106,4 +106,26 @@ class TextFunctionsSpec extends SparkTestBase {
       graft.functions.TextFunctions.charEntropyHof(col("text")).as("spec"))
       .filter(col("native") =!= col("spec")).isEmpty)
   }
+
+  test("graft_drop_spans validates the WHOLE starts array up front (r20)") {
+    import spark.implicits._
+    // an unsorted array whose early element exceeds the token count
+    // used to slip past the in-sweep check (the sweep never reached
+    // it), mis-keeping tokens the later smaller start should cover
+    val bad = Seq(("a b c d", Seq(5L, 3L))).toDF("text", "starts")
+      .selectExpr("graft_drop_spans(split(text, ' '), starts, 2) AS kept")
+    val e = intercept[Exception] { bad.collect() }
+    assert((e +: Option(e.getCause).toSeq).exists(c =>
+      Option(c.getMessage).exists(_.contains("ascending"))), s"got: $e")
+    // negative starts reject too
+    val neg = Seq(("a b c d", Seq(-1L))).toDF("text", "starts")
+      .selectExpr("graft_drop_spans(split(text, ' '), starts, 2) AS kept")
+    val e2 = intercept[Exception] { neg.collect() }
+    assert((e2 +: Option(e2.getCause).toSeq).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-negative"))), s"got: $e2")
+    // a sorted out-of-range start is legal (covers nothing past n)
+    assert(Seq(("a b c d", Seq(3L, 9L))).toDF("text", "starts")
+      .selectExpr("graft_drop_spans(split(text, ' '), starts, 2) AS kept")
+      .as[Seq[String]].head === Seq("a", "b", "c"))
+  }
 }

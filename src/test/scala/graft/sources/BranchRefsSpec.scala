@@ -95,8 +95,17 @@ class BranchRefsSpec extends SparkTestBase {
       "TBLPROPERTIES ('graft.constraint.pos' = 'v >= 0')")
     spark.sql("INSERT INTO gbr.db.full SELECT id, id FROM range(0, 100)")
     spark.sql("DELETE FROM gbr.db.full WHERE k % 7 = 3") // DVs on main pre-fork
+    spark.sql("ALTER TABLE gbr.db.full SET TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '6')")
     spark.sql("CALL gbr.system.create_branch(table => 'db.full', branch => 'bx')")
     val broot = TxnLog.branchRoot(root("full"), "bx")
+    // ...the table properties fork with the data (r20), then evolve
+    // independently per side
+    assert(TxnLog.tableProperties(broot) ===
+      Map("graft.autoCompact.minFiles" -> "6"))
+    TxnLog.setTableProperty(broot, "owner.team", "audit", "t-brprop")
+    assert(!TxnLog.tableProperties(root("full")).contains("owner.team"),
+      "branch property changes stay on the branch")
     // the fork carried the DV'd live rows exactly
     assert(spark.sql("SELECT count(*) FROM gbr.db.full.branch_bx").head.getLong(0)
       === (0L until 100L).count(_ % 7 != 3).toLong)

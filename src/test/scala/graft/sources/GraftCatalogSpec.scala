@@ -1167,6 +1167,52 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gcat.db.ctp2").head.getLong(0) === 5L)
   }
 
+  test("TBLPROPERTIES are ATOMIC with CREATE and RESET by REPLACE (r20)") {
+    warehouse
+    // (1) CREATE with properties is ONE commit: the table's first
+    // visible version already carries its declared policy — no window
+    // where a crash leaves a visible table missing configuration
+    spark.sql("CREATE TABLE gcat.db.atp (k BIGINT) TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '4', 'owner.team' = 'ingest')")
+    assert(TxnLog.currentVersion(root("atp")) === 1L,
+      "CREATE + 2 properties must land as exactly one commit")
+    assert(TxnLog.tableProperties(root("atp"), version = 1L) ===
+      Map("graft.autoCompact.minFiles" -> "4", "owner.team" -> "ingest"),
+      "properties must be visible at the create version itself")
+    // (2) a property that fails validation fails the WHOLE create —
+    // no orphaned, partially-configured table left behind
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.atp_bad (k BIGINT) TBLPROPERTIES " +
+        "('bad key with spaces' = 'v')")
+    }
+    assert(!Files.isDirectory(Paths.get(root("atp_bad"), "_log")),
+      "a failed CREATE must leave no table")
+    // (3) REPLACE resets configuration wholesale: stale policy from
+    // the replaced table never survives onto the new one
+    spark.sql("CREATE TABLE gcat.db.rtp TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '4', 'stale.policy' = 'old') " +
+      "AS SELECT id AS k FROM range(0, 5)")
+    spark.sql("REPLACE TABLE gcat.db.rtp TBLPROPERTIES " +
+      "('owner.team' = 'core') AS SELECT id AS j FROM range(0, 3)")
+    assert(TxnLog.tableProperties(root("rtp")) === Map("owner.team" -> "core"),
+      "REPLACE must drop every inherited property and keep only the declared ones")
+    // a REPLACE declaring nothing leaves a property-free table
+    spark.sql("REPLACE TABLE gcat.db.rtp AS SELECT id AS m FROM range(0, 2)")
+    assert(TxnLog.tableProperties(root("rtp")) === Map.empty,
+      "REPLACE with no TBLPROPERTIES resets to none")
+    // (4) a malformed property fails RTAS BEFORE anything stages: the
+    // old table stays fully intact, data and properties both
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.db.atp TBLPROPERTIES " +
+        "('bad key 2' = 'v') AS SELECT id AS z FROM range(0, 1)")
+    }
+    assert(TxnLog.tableProperties(root("atp")) ===
+      Map("graft.autoCompact.minFiles" -> "4", "owner.team" -> "ingest"),
+      "a rejected REPLACE must leave the old configuration untouched")
+    assert(spark.sql("SELECT * FROM gcat.db.atp").columns.toSeq === Seq("k"),
+      "a rejected REPLACE must leave the old schema untouched")
+  }
+
   test("table properties (r18, X-A95): TBLPROPERTIES fold, checkpoint persistence, " +
        "and table-property-driven auto-compact") {
     warehouse

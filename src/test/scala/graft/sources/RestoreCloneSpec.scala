@@ -134,7 +134,17 @@ class RestoreCloneSpec extends SparkTestBase {
     spark.sql("CREATE TABLE grc.db.src (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO grc.db.src SELECT id, id * 3 FROM range(0, 50)")
     spark.sql("DELETE FROM grc.db.src WHERE k = 7") // a DV must carry
+    spark.sql("ALTER TABLE grc.db.src SET TBLPROPERTIES " +
+      "('graft.autoCompact.minFiles' = '9')") // policy must carry too
     spark.sql("CALL grc.system.clone(source => 'db.src', target => 'db.dst')")
+
+    // table properties travel with the clone (r20, Delta CLONE
+    // semantics), in the clone commit itself — then diverge freely
+    assert(TxnLog.tableProperties(root("dst")) ===
+      Map("graft.autoCompact.minFiles" -> "9"))
+    spark.sql("ALTER TABLE grc.db.dst SET TBLPROPERTIES ('owner.team' = 'b')")
+    assert(!TxnLog.tableProperties(root("src")).contains("owner.team"),
+      "clone-side property changes must not leak back to the source")
 
     // the clone READS the source's bytes: every live file of the clone
     // lives under the SOURCE root, none under the clone's

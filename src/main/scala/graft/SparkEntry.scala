@@ -297,6 +297,9 @@ object SparkEntry {
   private def embeddingsCount(s: SparkSession, dir: String): Long =
     corpusCounts.computeIfAbsent(s"emb:$dir",
       _ => Tables.embeddings(s, dir).count())
+  private def documentsCount(s: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(s"doc:$dir",
+      _ => Tables.documents(s, dir).count())
 
   /** The SQL-native lakehouse fixture ([[graft.sources.GraftCatalog]]):
     * a per-sf catalog `gcat_<tag>` whose warehouse holds one table
@@ -2938,8 +2941,58 @@ object SparkEntry {
         MultimodalOps.sampleFrames(
           MultimodalOps.documentsAsAssets(Tables.documents(s, dir)).as[RawAsset]
         ).toDF()
+      }),
+      // r20 (X-M3): image-level near-dup pairs by perceptual hash —
+      // REAL decodes (base PNGs + genuinely re-encoded brightness
+      // variants), 56-bit dHash from each decoded raster, then the
+      // COMPLETE Hamming-banded pigeonhole pair generator (one
+      // (band, chunk) shuffle of (id, fingerprint) rows — the scan
+      // and decode never reshuffle). The oracle replays the dHash
+      // over the synthesis closed form pixel for pixel, so a decoder
+      // or grid bug hash-mismatches.
+      "mm_phash_pairs" -> ((s, dir) => {
+        graft.operators.DedupOps.fingerprintPairs(
+          MultimodalOps.perceptualFeatures(mmAssets(s, dir)).toDF()
+            .select(col("asset_id"), col("dhash")),
+          "asset_id", "dhash", maxHamming = 3, bits = 56)
+          .select(col("d1").as("a1"), col("d2").as("a2"), col("hamming"))
+      }),
+      // r20 (X-M4): the embedding-space twin — 16-dim centered
+      // block-mean vectors from the SAME decode pass, routed through
+      // the engine's standard capped+adaptive ANN stack
+      // (annCosinePairsCapped at dim 16) and the connected-components
+      // keep-one election: the cross-modal analog of cur_embed_prune,
+      // one machinery for text, vectors and images. The synthetic
+      // image manifold is dense in near-dups (the closed form aliases
+      // translations), so the election collapses large components —
+      // the full (asset, kept_id, is_kept) decision is the result.
+      "mm_embed_prune" -> ((s, dir) => {
+        import graft.operators.VectorOps.annCosinePairsCapped
+        val emb = MultimodalOps.perceptualFeatures(mmAssets(s, dir)).toDF()
+          .select(col("asset_id"), col("embedding"))
+        val n = documentsCount(s, dir)
+        graft.operators.GraphOps.dedupClusters(
+          annCosinePairsCapped(emb, "asset_id", "embedding",
+            minCosine = 0.9, bucketCap = 32, dim = 16,
+            targetOccupancy = 16, knownCount = n + (n + 4) / 5),
+          "v1", "v2")
+          .select(col("doc_id").as("asset_id"), col("kept_id"), col("is_kept"))
       })
     )
+  }
+
+  /** The image-dedup asset frame: every document's synthesized PNG
+    * plus a clamped +24 brightness variant for each doc_id % 5 == 0
+    * (ids offset by 1e8) — planted near-duplicates with genuinely
+    * different bytes. Shared by `mm_phash_pairs` / `mm_embed_prune`.
+    */
+  private def mmAssets(s: SparkSession, dir: String)
+    : org.apache.spark.sql.Dataset[graft.multimodal.RawAsset] = {
+    import graft.multimodal.MultimodalOps
+    val docs = Tables.documents(s, dir)
+    MultimodalOps.syntheticPngAssets(docs).unionByName(
+      MultimodalOps.brightnessVariants(docs, every = 5, delta = 24,
+        idOffset = 100000000L))
   }
 
   private def multimodalOracle: Map[String, String] = Map(
@@ -2979,8 +3032,116 @@ object SparkEntry {
          SELECT asset_id, frame_idx,
                 frame_idx * (n_bytes // n_frames) AS byte_offset,
                 (h * 31 + frame_idx) % 2147483647 AS frame_hash
-         FROM u"""
+         FROM u""",
+
+    // r20: replay the synthesis closed form (base + clamped +24
+    // brightness variants), integer BT.601 luma, 9×7 block means via
+    // the pixel-assignment mapping (cx = x·9 // w), adjacent-column
+    // sign bits packed at cy·8 + cx, then ALL pairs within Hamming 3
+    // by brute force — the banding side must be complete, so the
+    // textbook cross-join is the oracle.
+    "mm_phash_pairs" ->
+      s"""WITH $mmLumaCtes,
+         cells AS (SELECT asset_id,
+                          CAST(x * 9 // w AS INT) AS cx,
+                          CAST(y * 7 // h AS INT) AS cy,
+                          SUM(l) // COUNT(*) AS m
+                   FROM lum GROUP BY 1, 2, 3),
+         bits AS (SELECT a.asset_id,
+                         CASE WHEN a.m < b.m
+                              THEN 1::BIGINT << (a.cy * 8 + a.cx)
+                              ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.asset_id = b.asset_id AND a.cy = b.cy
+                       AND b.cx = a.cx + 1),
+         fp AS (SELECT asset_id, SUM(bit)::BIGINT AS fp FROM bits GROUP BY 1)
+         SELECT a.asset_id AS a1, b.asset_id AS a2,
+                bit_count(xor(a.fp, b.fp)) AS hamming
+         FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+
+    // r20: same pixel replay down to 4×4 centered block means, the
+    // 16-dim twin of the cur_embed_prune oracle (md5 hyperplanes,
+    // occupancy-adaptive band width over the ASSET count, cap 32 per
+    // (table, bucket), exact cosine ≥ 0.9, recursive-CTE reachability
+    // min-id election).
+    "mm_embed_prune" ->
+      s"""WITH RECURSIVE
+         nb AS (SELECT count(*) + (count(*) + 4) // 5 AS n FROM documents),
+         bt AS (SELECT COALESCE(MIN(CAST(r.b AS INT)), 24) AS bits
+                FROM range(4, 25) r(b), nb
+                WHERE (nb.n >> CAST(r.b AS INT)) <= 16),
+         $mmLumaCtes,
+         cells AS (SELECT asset_id,
+                          CAST(y * 4 // h AS INT) * 4 + CAST(x * 4 // w AS INT) AS k,
+                          SUM(l) // COUNT(*) AS m
+                   FROM lum GROUP BY 1, 2),
+         emb0 AS (SELECT asset_id, list(m ORDER BY k) AS ml, SUM(m) AS tot
+                  FROM cells GROUP BY 1),
+         p AS (SELECT asset_id,
+                      list_transform(ml, x -> CAST(16 * x - tot AS DOUBLE)) AS e
+               FROM emb0),
+         pn AS (SELECT asset_id, e,
+                  sqrt(list_sum(list_transform(range(1, 17), i -> e[i] * e[i]))) AS nrm,
+                  list_transform(range(0, 4), t ->
+                    list_aggregate(list_transform(range(0, bt.bits), b ->
+                      CASE WHEN list_sum(list_transform(range(1, 17),
+                        i -> e[i] * (CASE WHEN CAST('0x' || substr(md5(
+                                  CAST(t AS VARCHAR) || '_' || CAST(b AS VARCHAR)
+                                  || '_' || CAST(i - 1 AS VARCHAR)), 1, 7)
+                              AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END))) >= 0
+                      THEN '1' ELSE '0' END), 'string_agg', '')) AS buckets
+                FROM p, bt),
+         ex AS (SELECT asset_id, e, nrm, unnest(buckets) AS bucket,
+                       unnest(range(0, 4)) AS tbl FROM pn),
+         ek AS (SELECT asset_id, e, nrm, bucket, tbl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY tbl, bucket
+                    ORDER BY CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 1, 7)
+                                  AS BIGINT) ASC, asset_id ASC) AS rnk
+                  FROM ex) WHERE rnk <= 32),
+         pairs AS (SELECT DISTINCT a.asset_id AS v1, b.asset_id AS v2
+                   FROM ek a JOIN ek b
+                     ON a.tbl = b.tbl AND a.bucket = b.bucket
+                        AND a.asset_id < b.asset_id
+                   WHERE round(list_sum(list_transform(range(1, 17),
+                               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) >= 0.9),
+         edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+                   UNION SELECT v2, v1 FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.node)
+         SELECT node AS asset_id, min(r) AS kept_id, (node = min(r)) AS is_kept
+         FROM reach GROUP BY node"""
   )
+
+  /** Shared oracle CTEs for the image-dedup rows: the asset frame
+    * (every doc's PNG + the doc_id % 5 brightness variants at id
+    * offset 1e8), the synthesis dimensions, the per-pixel grid and
+    * integer BT.601 luma with saturating `+delta` — one definition so
+    * the hash and embedding oracles replay identical pixels.
+    */
+  private val mmLumaCtes: String =
+    """base AS (SELECT doc_id AS asset_id, doc_id AS img_id, 0 AS delta
+               FROM documents),
+       variants AS (SELECT doc_id + 100000000 AS asset_id, doc_id AS img_id,
+                           24 AS delta
+                    FROM documents WHERE doc_id % 5 = 0),
+       assets AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+       dims AS (SELECT asset_id, img_id, delta,
+                       CAST(16 + img_id % 16 AS BIGINT) AS w,
+                       CAST(16 + (img_id // 16) % 16 AS BIGINT) AS h
+                FROM assets),
+       u1 AS (SELECT *, unnest(range(0, w)) AS x FROM dims),
+       px AS (SELECT asset_id, w, h, x, unnest(range(0, h)) AS y,
+                     img_id, delta FROM u1),
+       lum AS (SELECT asset_id, w, h, x, y,
+                 (299 * LEAST(255, (x*7 + y*13 + img_id) % 256 + delta)
+                + 587 * LEAST(255, (x*7 + y*13 + img_id + 85) % 256 + delta)
+                + 114 * LEAST(255, (x*7 + y*13 + img_id + 170) % 256 + delta))
+                // 1000 AS l
+               FROM px)"""
 
   /** Similarity-search extensions over `embeddings` (north star):
     * brute-force cosine pairs and top-k (correctness baseline), and

@@ -24,6 +24,15 @@ case class FrameSample(asset_id: Long, frame_idx: Int, byte_offset: Int,
 case class ImageFeatures(asset_id: Long, width: Int, height: Int,
                          channels: Int, pixel_sum: Long, mean_milli: Long)
 
+/** Perceptual features from one decoded raster (r20): `dhash` is the
+  * 56-bit difference hash (9×7 luma grid, adjacent-column sign bits),
+  * `embedding` the 16-dim centered block-mean luma vector — the two
+  * artifacts image-level dedup runs on. Both integer-exact from the
+  * decoded pixels, so the SQL oracle reproduces them bit for bit.
+  */
+case class ImagePerception(asset_id: Long, dhash: Long,
+                           embedding: Array[Double])
+
 /** Multimodal-column operators: binary assets in, typed features out.
   *
   * IMAGE DECODE IS REAL (r8): [[decodeImageFeatures]] parses PNG bytes
@@ -87,29 +96,56 @@ object MultimodalOps {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      it.map { id =>
-        val w = 16 + (id % 16).toInt
-        val h = 16 + ((id / 16) % 16).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val base = x * 7L + y * 13L + id
-            val r = (base % 256).toInt
-            val g = ((base + 85) % 256).toInt
-            val b = ((base + 170) % 256).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        RawAsset(id, "image/png", out.toByteArray)
-      }
+      it.map(id => RawAsset(id, "image/png", encodePng(id, delta = 0)))
     }
+  }
+
+  /** One synthesized PNG: the (x, y, id) closed form, optionally
+    * brightness-shifted by `delta` with saturating (clamped-at-255)
+    * arithmetic — the standard "same picture, brighter" edit that
+    * preserves most adjacent-luma differences, so a perceptual hash
+    * keeps the variant within a small Hamming distance of its base
+    * while genuinely re-encoding different bytes. delta = 0 is the
+    * identity (min(255, v % 256 + 0) = v % 256).
+    */
+  private def encodePng(id: Long, delta: Int): Array[Byte] = {
+    val w = 16 + (id % 16).toInt
+    val h = 16 + ((id / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = x * 7L + y * 13L + id
+        val r = math.min(255, (base % 256).toInt + delta)
+        val g = math.min(255, ((base + 85) % 256).toInt + delta)
+        val b = math.min(255, ((base + 170) % 256).toInt + delta)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Brightness-shifted duplicate assets (r20): one clamped `delta`
+    * variant per doc with `doc_id % every == 0`, ids offset by
+    * `idOffset` to stay clear of the base id space. These are the
+    * planted near-dups the image dedup rows must catch — genuinely
+    * different PNG bytes (different pixels, different compression)
+    * whose perceptual features stay close to the base image's.
+    */
+  def brightnessVariants(docs: DataFrame, every: Int, delta: Int,
+                         idOffset: Long): Dataset[RawAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id")).as[Long].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => RawAsset(id + idOffset, "image/png", encodePng(id, delta)))
+      }
   }
 
   /** REAL image decode: `javax.imageio` parses the PNG byte stream and
@@ -143,6 +179,87 @@ object MultimodalOps {
           y += 1
         }
         ImageFeatures(a.asset_id, w, h, c, sum, sum * 1000L / (w.toLong * h * c))
+      }
+    }
+  }
+
+  /** dHash grid: 9 columns × 7 rows → 8 adjacent-column comparisons
+    * per row = 56 sign bits. The classic difference hash (public
+    * knowledge: downscale to a coarse luma grid, bit = "right cell
+    * brighter than left") at 56 bits instead of 64 so the fingerprint
+    * and every oracle-side shift stay inside NON-NEGATIVE signed-64
+    * arithmetic (DuckDB rejects `1::BIGINT << 63`) — the same
+    * engine-portability parameterization as the 28-bit simhash.
+    */
+  val DhashGridW = 9
+  val DhashGridH = 7
+
+  /** Embedding grid: 4×4 block-mean luma, centered (×16 minus the
+    * grid total — integer-exact, scale-free under cosine). */
+  val EmbedGrid = 4
+
+  /** Perceptual features from REAL decodes (r20): one `javax.imageio`
+    * parse per asset yields BOTH dedup artifacts — the 56-bit dHash
+    * and the 16-dim centered block-mean embedding — in a single pixel
+    * pass (decoder and both accumulations amortized per partition;
+    * narrow, shuffle-free). Luma is integer ITU-R BT.601
+    * (`(299r + 587g + 114b) / 1000`), cells assign by
+    * `cx = x·gridW / w` (pixel-assignment form — the one spelling
+    * both engines share), cell value is the truncated mean, and the
+    * dHash bit for (cx, cy) is `cell(cx) < cell(cx+1)` packed at
+    * `cy·8 + cx`. All integer until the embedding's final cast, so a
+    * SQL oracle replays the closed-form pixels to the same bits.
+    */
+  def perceptualFeatures(assets: Dataset[RawAsset]): Dataset[ImagePerception] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+        require(img != null, s"asset ${a.asset_id}: bytes are not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w >= DhashGridW && h >= DhashGridH,
+          s"asset ${a.asset_id}: ${w}x$h below the ${DhashGridW}x$DhashGridH hash grid")
+        val dSum = new Array[Long](DhashGridH * DhashGridW)
+        val dCnt = new Array[Long](DhashGridH * DhashGridW)
+        val eSum = new Array[Long](EmbedGrid * EmbedGrid)
+        val eCnt = new Array[Long](EmbedGrid * EmbedGrid)
+        var y = 0
+        while (y < h) {
+          val dcy = y * DhashGridH / h
+          val ecy = y * EmbedGrid / h
+          var x = 0
+          while (x < w) {
+            // getRGB: exact 8-bit sRGB samples for an 8-bit RGB PNG,
+            // independent of the decoder's internal raster layout
+            val rgb = img.getRGB(x, y)
+            val l = (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            val dk = dcy * DhashGridW + x * DhashGridW / w
+            dSum(dk) += l; dCnt(dk) += 1
+            val ek = ecy * EmbedGrid + x * EmbedGrid / w
+            eSum(ek) += l; eCnt(ek) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var fp = 0L
+        var cy = 0
+        while (cy < DhashGridH) {
+          var cx = 0
+          while (cx < DhashGridW - 1) {
+            val left = dSum(cy * DhashGridW + cx) / dCnt(cy * DhashGridW + cx)
+            val right = dSum(cy * DhashGridW + cx + 1) / dCnt(cy * DhashGridW + cx + 1)
+            if (left < right) fp |= 1L << (cy * 8 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        val means = Array.tabulate(EmbedGrid * EmbedGrid)(k => eSum(k) / eCnt(k))
+        val tot = means.sum
+        ImagePerception(a.asset_id, fp,
+          means.map(m => (EmbedGrid * EmbedGrid * m - tot).toDouble))
       }
     }
   }

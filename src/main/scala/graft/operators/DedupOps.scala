@@ -378,15 +378,31 @@ object DedupOps {
     * (id, fingerprint) rows — nothing wider ever moves.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bits: Int = 28): DataFrame = {
+                   maxHamming: Int = 3, bits: Int = 28): DataFrame =
+    fingerprintPairs(RelationalOps.spread(docs)
+        .select(col(idCol), simhash(col(textCol)).as("__fp")),
+      idCol, "__fp", maxHamming, bits)
+
+  /** The Hamming-banded pigeonhole pair generator over ANY integer
+    * fingerprint column (r20, factored out of [[simhashPairs]] so the
+    * image dHash path — [[graft.multimodal.MultimodalOps
+    * .perceptualFeatures]] — reuses one machinery): split `bits` into
+    * `maxHamming + 1` chunks; a pair within the Hamming budget must
+    * agree on at least one whole chunk, so banding on chunks is a
+    * COMPLETE candidate generator and the final `bit_count(xor)`
+    * filter admits no false negatives. One (band, chunk) shuffle of
+    * (id, fingerprint) rows; the merge-hinted self-join shares its
+    * exchange via ReuseExchange.
+    */
+  def fingerprintPairs(f: DataFrame, idCol: String, fpCol: String,
+                       maxHamming: Int = 3, bits: Int = 28): DataFrame = {
     val bands = maxHamming + 1
     val chunk = bits / bands
     require(bands * chunk == bits, s"bits=$bits must split evenly into $bands bands")
-    val f = RelationalOps.spread(docs)
-      .select(col(idCol), simhash(col(textCol)).as("__sh"))
-    val banded = f.select(col(idCol), col("__sh"),
+    require(bits <= 62, s"bits=$bits: fingerprints must stay in non-negative long range")
+    val banded = f.select(col(idCol), col(fpCol).as("__fp"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))): _*))
+        shiftright(col(fpCol), b * chunk).bitwiseAND(lit((1L << chunk) - 1))): _*))
         .as(Seq("__band", "__chunk")))
     banded.alias("a").hint("merge")
       .join(banded.alias("b"),
@@ -394,7 +410,7 @@ object DedupOps {
           col("a.__chunk") === col("b.__chunk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).as("hamming"))
+        bit_count(col("a.__fp").bitwiseXOR(col("b.__fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

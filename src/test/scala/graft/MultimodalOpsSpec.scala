@@ -1,6 +1,7 @@
 package graft
 
 import graft.multimodal._
+import org.apache.spark.sql.functions.col
 
 class MultimodalOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -80,5 +81,111 @@ class MultimodalOpsSpec extends SparkTestBase {
     val doc = Tables.documents(spark, sfDir).limit(1).collect().head
     assert(row.getAs[Array[Byte]]("bytes").toSeq ===
       doc.getAs[String]("text").getBytes("UTF-8").toSeq)
+  }
+
+  /** JVM reference dHash from the closed form — the executable spec
+    * the decoded-raster path must reproduce.
+    */
+  private def refPerception(id: Long, delta: Int): (Long, Seq[Double]) = {
+    val w = 16 + (id % 16).toInt
+    val h = 16 + ((id / 16) % 16).toInt
+    def lumaAt(x: Int, y: Int): Long = {
+      val base = x * 7L + y * 13L + id
+      val r = math.min(255L, base % 256 + delta)
+      val g = math.min(255L, (base + 85) % 256 + delta)
+      val b = math.min(255L, (base + 170) % 256 + delta)
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    def grid(gw: Int, gh: Int): Array[Long] = {
+      val s = new Array[Long](gw * gh); val n = new Array[Long](gw * gh)
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y * gh / h) * gw + x * gw / w
+        s(k) += lumaAt(x, y); n(k) += 1
+      }
+      Array.tabulate(gw * gh)(k => s(k) / n(k))
+    }
+    val d = grid(9, 7)
+    var fp = 0L
+    for (cy <- 0 until 7; cx <- 0 until 8)
+      if (d(cy * 9 + cx) < d(cy * 9 + cx + 1)) fp |= 1L << (cy * 8 + cx)
+    val m = grid(4, 4); val tot = m.sum
+    (fp, m.map(v => (16 * v - tot).toDouble).toSeq)
+  }
+
+  test("perceptualFeatures: decoded-raster dHash + embedding match the " +
+       "closed-form executable spec bit for bit (r20)") {
+    import spark.implicits._
+    val docs = Seq(0L, 7L, 100L, 255L, 256L, 499L).toDF("doc_id")
+    val got = MultimodalOps.perceptualFeatures(
+        MultimodalOps.syntheticPngAssets(docs))
+      .collect().map(p => p.asset_id -> ((p.dhash, p.embedding.toSeq))).toMap
+    for (id <- Seq(0L, 7L, 100L, 255L, 256L, 499L)) {
+      val (fp, e) = refPerception(id, 0)
+      assert(got(id) === ((fp, e)), s"asset $id")
+    }
+    // variants decode to the clamped-shift reference
+    val vgot = MultimodalOps.perceptualFeatures(
+        MultimodalOps.brightnessVariants(docs, every = 5, delta = 24,
+          idOffset = 1000L))
+      .collect().map(p => p.asset_id -> p.dhash).toMap
+    for (id <- Seq(0L, 100L, 255L))
+      assert(vgot(id + 1000L) === refPerception(id, 24)._1)
+  }
+
+  test("dHash near-dup: a RE-ENCODED duplicate lands at Hamming 0, a " +
+       "brightness-shifted one within the budget, unrelated images far outside (r20)") {
+    import spark.implicits._
+    val one = Seq(42L).toDF("doc_id")
+    val base = MultimodalOps.perceptualFeatures(
+      MultimodalOps.syntheticPngAssets(one)).head()
+    // re-encode the same raster in a DIFFERENT lossless format (BMP):
+    // entirely new bytes, identical pixels — the classic
+    // exact-visual-dup a byte hash misses and a perceptual hash catches
+    val reenc = {
+      val bytes = MultimodalOps.syntheticPngAssets(one).head().bytes
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+    assert(!java.util.Arrays.equals(reenc,
+      MultimodalOps.syntheticPngAssets(one).head().bytes),
+      "the re-encode must produce different bytes")
+    val reencFp = MultimodalOps.perceptualFeatures(
+      Seq(RawAsset(9042L, "image/png", reenc)).toDS()).head()
+    assert(java.lang.Long.bitCount(base.dhash ^ reencFp.dhash) === 0,
+      "re-encoded duplicate must hash identically")
+    // brightness-shifted: different pixels, tiny Hamming distance
+    val shifted = MultimodalOps.perceptualFeatures(
+      MultimodalOps.brightnessVariants(one, every = 1, delta = 24,
+        idOffset = 1000L)).head()
+    assert(java.lang.Long.bitCount(base.dhash ^ shifted.dhash) <= 3,
+      "brightness-shifted duplicate must stay within the Hamming budget")
+    // unrelated image: far outside the budget
+    val other = MultimodalOps.perceptualFeatures(
+      MultimodalOps.syntheticPngAssets(Seq(143L).toDF("doc_id"))).head()
+    assert(java.lang.Long.bitCount(base.dhash ^ other.dhash) > 10,
+      "unrelated images must not collide")
+  }
+
+  test("fingerprintPairs over dHash is COMPLETE: equals brute force " +
+       "within the Hamming budget (r20)") {
+    import spark.implicits._
+    val docs = spark.range(0, 120).select(col("id").as("doc_id"))
+    val fps = MultimodalOps.perceptualFeatures(
+        MultimodalOps.syntheticPngAssets(docs).unionByName(
+          MultimodalOps.brightnessVariants(docs, every = 5, delta = 24,
+            idOffset = 100000000L)))
+      .toDF().select(col("asset_id"), col("dhash"))
+    val banded = graft.operators.DedupOps.fingerprintPairs(
+        fps, "asset_id", "dhash", maxHamming = 3, bits = 56)
+      .as[(Long, Long, Long)].collect().toSet
+    val all = fps.as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, f1) <- all; (i2, f2) <- all if i1 < i2
+      hm = java.lang.Long.bitCount(f1 ^ f2) if hm <= 3
+    } yield (i1, i2, hm.toLong)).toSet
+    assert(banded === brute, "pigeonhole banding must admit no false negatives")
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs")
   }
 }

@@ -2670,7 +2670,7 @@ object SparkEntry {
                   unnest(CASE WHEN len(toks) >= 2
                          THEN list_transform(range(1, len(toks)),
                                 i -> toks[i] || ' ' || toks[i+1])
-                         ELSE [array_to_string(toks, ' ')] END) AS bigram
+                         ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS bigram
                 FROM t),
          c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
          tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
@@ -2743,7 +2743,7 @@ object SparkEntry {
                   CASE WHEN len(toks) >= 3
                        THEN list_transform(range(1, len(toks) - 1),
                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
                 FROM t),
          ds AS (SELECT doc_id,
                   CAST('0x' || substr(md5(unnest(list_distinct(shingles))), 1, 14)
@@ -2767,7 +2767,7 @@ object SparkEntry {
                   CASE WHEN len(toks) >= 3
                        THEN list_transform(range(1, len(toks) - 1),
                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
                 FROM t),
          ds AS (SELECT doc_id,
                   CAST('0x' || substr(md5(unnest(list_distinct(shingles))), 1, 14)
@@ -2791,7 +2791,7 @@ object SparkEntry {
                   CASE WHEN len(toks) >= 3
                        THEN list_transform(range(1, len(toks) - 1),
                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
                 FROM t),
          ds AS (SELECT doc_id,
                   CAST('0x' || substr(md5(unnest(list_distinct(shingles))), 1, 14)
@@ -4317,7 +4317,7 @@ object SparkEntry {
                 CASE WHEN len(toks) >= 3
                      THEN list_transform(range(1, len(toks) - 1),
                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                     ELSE [array_to_string(toks, ' ')] END AS shingles
+                     ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
               FROM t),
        hs AS (SELECT doc_id,
                 list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
@@ -4493,7 +4493,7 @@ object SparkEntry {
                   CASE WHEN len(toks) >= 8
                        THEN list_transform(range(1, len(toks) - 6),
                               i -> array_to_string(list_slice(toks, i, i + 7), ' '))
-                       ELSE [array_to_string(toks, ' ')] END AS spans
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS spans
                 FROM t),
          ds AS (SELECT doc_id, unnest(list_distinct(spans)) AS s FROM sp),
          h AS (SELECT doc_id,
@@ -4526,7 +4526,7 @@ object SparkEntry {
                   CASE WHEN len(toks) >= 3
                        THEN list_transform(range(1, len(toks) - 1),
                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
                 FROM t),
          hs AS (SELECT doc_id, inc,
                   list_transform(shingles,
@@ -4561,7 +4561,7 @@ object SparkEntry {
                   CASE WHEN len(toks) >= 8
                        THEN list_transform(range(1, len(toks) - 6),
                               i -> array_to_string(list_slice(toks, i, i + 7), ' '))
-                       ELSE [array_to_string(toks, ' ')] END AS spans
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS spans
                 FROM t),
          pos AS (SELECT doc_id, unnest(spans) AS s,
                    generate_subscripts(spans, 1) - 1 AS p
@@ -4600,7 +4600,7 @@ object SparkEntry {
                   CASE WHEN len(toks) >= 8
                        THEN list_transform(range(1, len(toks) - 6),
                               i -> array_to_string(list_slice(toks, i, i + 7), ' '))
-                       ELSE [array_to_string(toks, ' ')] END AS spans
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS spans
                 FROM t),
          ds AS (SELECT doc_id,
                   CAST('0x' || substr(md5(unnest(list_distinct(spans))), 1, 14)
@@ -4960,11 +4960,11 @@ object SparkEntry {
                  CASE WHEN len(toks) >= 2
                       THEN list_transform(range(1, len(toks)),
                              i -> toks[i] || ' ' || toks[i+1])
-                      ELSE [array_to_string(toks, ' ')] END AS g2,
+                      ELSE [coalesce(array_to_string(toks, ' '), '')] END AS g2,
                  CASE WHEN len(toks) >= 3
                       THEN list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                      ELSE [array_to_string(toks, ' ')] END AS g3
+                      ELSE [coalesce(array_to_string(toks, ' '), '')] END AS g3
                FROM t)
          SELECT doc_id,
            round(CASE WHEN len(toks) < 2 THEN 0.0

@@ -464,4 +464,30 @@ class PlanShapeSpec extends SparkTestBase {
         s"the bloom screen must survive the broadcast threshold:\n$bloomed")
     }
   }
+
+  test("dd_lsh_star: ONE self-join — the banding pipeline appears exactly twice, " +
+       "the capped side prunes via WindowGroupLimit (r20)") {
+    import org.apache.spark.sql.functions.col
+    val plan = graft.operators.DedupOps.lshCandidatePairsCappedStar(
+        Tables.documents(spark, sfDir), "doc_id", "text", bucketCap = 32)
+      .queryExecution.executedPlan.toString
+    // r19 ran THREE consumers of the ranked banding (in-cap pairs,
+    // rank-1 frame, star side) = 3 scans + signature pipelines; the
+    // one-join spelling folds star edges into the pair join's filter,
+    // so the corpus scans exactly twice (once per join side — the
+    // sides differ by the pushed rank cap, which is the point: the
+    // capped side gets a WindowGroupLimit and never materializes
+    // over-cap rows into its sort)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected exactly 2 corpus scans, got $scans:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the in-cap side must prune via WindowGroupLimit:\n$plan")
+    val smjs = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smjs == 1, s"star + in-cap pairs must be ONE join, got $smjs:\n$plan")
+    // one distinct (the r19 spelling had an inner AND an outer one)
+    val aggExchanges =
+      plan.sliding("Exchange hashpartitioning(d1".length)
+        .count(_ == "Exchange hashpartitioning(d1")
+    assert(aggExchanges <= 1, s"at most one distinct exchange:\n$plan")
+  }
 }

@@ -141,6 +141,27 @@ object ScaleProbe {
         docs.select(org.apache.spark.sql.functions.size(
           graft.operators.BpeOps.bpeTokens(norm, merges)).as("n"))
       }
+      // BPE MERGE-COUNT ladder (r20): fixed salted ×4 corpus, merge
+      // table grows 64·k (k=1→64, 4→256, 16→1024 — production depth).
+      // Training runs OUTSIDE the timer; the timed encode's per-row
+      // cost must stay ~flat vs merge count (the Zipf word memo makes
+      // amortized cost O(new words × rules), and new words are a
+      // vanishing fraction of occurrences)
+      if (enabled("txt_bpe_merges")) {
+        val docs = (0 until 4).map { i =>
+          Tables.documents(spark, sfDir).select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit("x" + i))), " ").as("text"))
+        }.reduce(_ union _)
+        val norm = DedupOps.normalizeText(col("text"))
+        val merges = graft.operators.BpeOps.trainMerges(
+          docs.select(norm.as("__nt")), col("__nt"),
+          numMerges = 64 * k, vocabSize = 2048)
+        time("txt_bpe_merges", k)(
+          docs.select(org.apache.spark.sql.functions.size(
+            graft.operators.BpeOps.bpeTokens(norm, merges)).as("n")))
+      }
       // DSIR estimate phase shuffles 1024 bucket keys regardless of
       // corpus size; scoring is a scan fold — cost must stay ~linear
       if (enabled("cur_dsir")) time("cur_dsir", k)(
@@ -382,6 +403,43 @@ object ScaleProbe {
       require(applied == Seq(2L), s"expected delta version applied, got $applied")
       val deltaRows = TxnStream.readChanges(spark, tgt, 1L, 2L).count()
       println(f"""{"op":"ix_refresh","k":$k,"rows":$deltaRows,"sec":$sec%.2f}""")
+    }
+
+    // r20: refresh cost WITH index hygiene interleaved — the index is
+    // built over k batches, each followed by compaction (DV-dense +
+    // small-file) + checkpoint + vacuum on the TARGET; the timed
+    // refresh of one more FIXED batch must stay flat vs k (hygiene
+    // commits are row-preserving, so they never echo into the feed,
+    // and the compacted layout keeps the retraction deleteWhere from
+    // touching one file per historical refresh).
+    if (enabled("ix_refresh_hygiene")) ks.foreach { k =>
+      import graft.sources.{TxnLog, TxnStream}
+      val src = java.nio.file.Files.createTempDirectory(s"probe-ixhsrc-$k").toString
+      val tgt = java.nio.file.Files.createTempDirectory(s"probe-ixhtgt-$k").toString
+      TxnLog.init(src); TxnLog.init(tgt)
+      def indexOf(df: DataFrame) = DedupOps.bandIndex(df, "doc_id", "text")
+      (0 until k).foreach { i =>
+        val b = Tables.documents(spark, sfDir).select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("x" + i))), " ").as("text"))
+        TxnLog.commit(src, "append", TxnLog.stage(b, src, s"b$i"), Nil,
+          readVersion = 0L, txnId = s"b$i")
+        TxnStream.maintainIndexInto(spark, src, tgt, "ixh", "doc_id")(indexOf)
+        TxnLog.optimizeCompactDeletes(spark, tgt, 0.05, s"hyg-dv-$i")
+        TxnLog.compactSmallFiles(spark, tgt, 1L << 24, 1L << 27, s"hyg-cf-$i")
+        TxnLog.checkpoint(tgt)
+        TxnLog.vacuum(tgt, TxnLog.currentVersion(tgt))
+      }
+      val batch = Tables.documents(spark, sfDir)
+        .select((col("doc_id") + lit(990000000L)).as("doc_id"), col("text"))
+      TxnLog.commit(src, "append", TxnLog.stage(batch, src, "dx"), Nil,
+        readVersion = 0L, txnId = "dx")
+      val liveFiles = TxnLog.snapshotFiles(tgt).size
+      val t0 = System.nanoTime()
+      TxnStream.maintainIndexInto(spark, src, tgt, "ixh", "doc_id")(indexOf)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"ix_refresh_hygiene","k":$k,"rows":$liveFiles,"sec":$sec%.2f}""")
     }
 
     // Incremental MV maintenance A/B: FIXED delta (the base corpus's

@@ -14,11 +14,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Sessions.quietKnownBenignWarnings()
     new java.io.File(outDir).mkdirs()
+    val plans = scala.collection.mutable.TreeMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        plans(name) = fingerprint(df.queryExecution.executedPlan)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -41,6 +45,50 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // X-Q13 (r20): normalized physical-plan fingerprint per query —
+    // the plan-regression ledger. The ~30 curated PlanShapeSpec pins
+    // guard the queries whose shape IS the operator's contract; this
+    // ledger makes the other 200+ regression-proof at zero per-round
+    // effort: `tools/plancheck.py <outDir> [PLANS.json]` diffs a run
+    // against the committed canonical and fails on unacknowledged
+    // changes (the intentional-diff workflow: regenerate, read the
+    // diff, commit the new PLANS.json naming the change).
+    Files.writeString(Paths.get(s"$outDir/plans.json"),
+      plans.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",\n", "}"))
     spark.stop()
+  }
+
+  /** Normalized plan fingerprint: the operator tree's shape with join
+    * strategies/types and exchange partitioning kinds — no expression
+    * ids, no paths, no stats, no codegen framing — so the string is
+    * stable across runs/machines and diffs point at REAL plan changes
+    * (a join strategy flip, a lost pushdown, a new exchange), not at
+    * fixture temp dirs or id counters.
+    */
+  def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.execution._
+    def walk(p: SparkPlan): String = {
+      val kids = p.children.map(walk).filter(_.nonEmpty)
+      p match {
+        // transparent framing: codegen boundaries shift with codegen
+        // thresholds/flags, never with the plan's real shape
+        case _: WholeStageCodegenExec | _: InputAdapter =>
+          kids.mkString(",")
+        case j: joins.BaseJoinExec =>
+          s"${p.nodeName}[${j.joinType}](${kids.mkString(",")})"
+        case e: exchange.ShuffleExchangeExec =>
+          val kind = e.outputPartitioning.getClass.getSimpleName
+            .stripSuffix("$").stripSuffix("Partitioning")
+          s"Exchange[$kind](${kids.mkString(",")})"
+        case _: adaptive.AdaptiveSparkPlanExec =>
+          // fingerprint the INITIAL plan: deterministic pre-execution
+          val a = p.asInstanceOf[adaptive.AdaptiveSparkPlanExec]
+          walk(a.initialPlan)
+        case _ =>
+          if (kids.isEmpty) p.nodeName
+          else s"${p.nodeName}(${kids.mkString(",")})"
+      }
+    }
+    walk(plan)
   }
 }

@@ -135,4 +135,78 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(maintained === fresh,
       "the maintained postings index must equal a fresh full-corpus build")
   }
+
+  test("INDEX-table hygiene (r20): refresh cycles interleaved with compaction " +
+       "and vacuum keep answers identical, files and DV bytes bounded, " +
+       "exactly-once intact") {
+    warehouse
+    spark.sql("CREATE TABLE gix.db.hdocs (doc_id BIGINT, text STRING)")
+    val target = freshTarget()
+    def refresh(): Seq[Long] = TxnStream.maintainIndexInto(
+      spark, root("hdocs"), target, "hygix", "doc_id")(bandIndexOf)
+    def hygiene(tag: String): Unit = {
+      // the full maintenance battery ON THE INDEX: deletion-dense
+      // files rewritten, small refresh files compacted, history
+      // checkpointed, unreferenced bytes reclaimed
+      TxnLog.optimizeCompactDeletes(spark, target, 0.05, s"hyg-dv-$tag")
+      TxnLog.compactSmallFiles(spark, target,
+        smallBytes = 1L << 20, targetBytes = 8L << 20, txnId = s"hyg-cf-$tag")
+      TxnLog.checkpoint(target)
+      TxnLog.vacuum(target, TxnLog.currentVersion(target))
+    }
+    var maxFeedRows = 0L
+    (1 to 9).foreach { cycle =>
+      val lo = cycle * 100
+      spark.sql(s"INSERT INTO gix.db.hdocs SELECT id, " +
+        s"concat('alpha beta gamma delta ', id, ' epsilon zeta') " +
+        s"FROM range($lo, ${lo + 12})")
+      if (cycle % 2 == 0)
+        spark.sql(s"UPDATE gix.db.hdocs SET text = concat('omega psi chi ', doc_id) " +
+          s"WHERE doc_id % 17 = ${cycle % 17}")
+      if (cycle % 3 == 0)
+        spark.sql(s"DELETE FROM gix.db.hdocs WHERE doc_id % 23 = ${cycle % 23}")
+      val before = TxnLog.currentVersion(target)
+      refresh()
+      // per-refresh target work stays O(this cycle's changed rows) —
+      // hygiene commits are row-preserving and must NOT re-enter the
+      // feed (a compaction echoing the whole index into every refresh
+      // would be the O(index) regression the mirror rule closed)
+      maxFeedRows = math.max(maxFeedRows, TxnStream.readChanges(
+        spark, target, before, TxnLog.currentVersion(target)).count())
+      // answers stay EXACTLY a fresh build's after every cycle
+      assert(indexRows(target) === freshRows("hdocs"), s"cycle $cycle diverged")
+      if (cycle % 3 == 0) {
+        hygiene(cycle.toString)
+        assert(indexRows(target) === freshRows("hdocs"),
+          s"hygiene at cycle $cycle changed the index contents")
+        // exactly-once survives hygiene: a replay right after the
+        // compaction/vacuum applies nothing (the txn ledger rides the
+        // checkpoint, not the vacuumed history)
+        val v = TxnLog.currentVersion(target)
+        assert(refresh() === Seq.empty, "replay after hygiene must be a no-op")
+        assert(TxnLog.currentVersion(target) === v)
+      }
+    }
+    assert(maxFeedRows <= 200L,
+      s"per-refresh feed work must stay batch-sized, got $maxFeedRows")
+    // (b) the artifact stays BOUNDED: 9 refresh cycles landed ~14
+    // commits of small files + retraction DVs; hygiene holds the live
+    // inventory at a handful of files and near-zero DV bytes
+    val st = TxnLog.snapshotState(target)
+    assert(st.size <= 6,
+      s"live index files must stay bounded by compaction, got ${st.size}")
+    val dvBytes = st.flatMap { case (_, m) => m.dv }.map(_.length / 2).sum
+    assert(dvBytes <= 256,
+      s"post-hygiene DV payload must be near-zero, got $dvBytes bytes")
+    // and the index still answers identically through the dedup path
+    val incoming = spark.range(0, 8).selectExpr("id + 9000 AS doc_id",
+      "concat('alpha beta gamma delta ', id * 100, ' epsilon zeta') AS text")
+    val viaMaintained = DedupOps.incrementalDedup(
+        TxnLog.read(spark, target), incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val viaFresh = DedupOps.incrementalDedup(
+        bandIndexOf(spark.table("gix.db.hdocs")), incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(viaMaintained === viaFresh)
+  }
 }

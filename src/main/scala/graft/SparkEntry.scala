@@ -2977,6 +2977,22 @@ object SparkEntry {
             targetOccupancy = 16, knownCount = n + (n + 4) / 5),
           "v1", "v2")
           .select(col("doc_id").as("asset_id"), col("kept_id"), col("is_kept"))
+      }),
+      // r20 (X-M5): the end-to-end image near-dup PRUNE — the dHash
+      // pigeonhole pairs (X-M3) fed through the connected-components
+      // keep-one election, so the perceptual-hash path produces
+      // keep/drop decisions, not just candidate pairs: the exact
+      // multimodal twin of cur_neardup_prune. Pairs are COMPLETE at
+      // hamming ≤ 3 (pigeonhole over 4 bands), so the election sees
+      // every true near-dup edge; min-id keep-one matches the text
+      // and embedding prunes' survivor rule.
+      "mm_neardup_prune" -> ((s, dir) => {
+        val pairs = graft.operators.DedupOps.fingerprintPairs(
+          MultimodalOps.perceptualFeatures(mmAssets(s, dir)).toDF()
+            .select(col("asset_id"), col("dhash")),
+          "asset_id", "dhash", maxHamming = 3, bits = 56)
+        graft.operators.GraphOps.dedupClusters(pairs)
+          .select(col("doc_id").as("asset_id"), col("kept_id"), col("is_kept"))
       })
     )
   }
@@ -3107,6 +3123,39 @@ object SparkEntry {
                                i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) >= 0.9),
          edges AS (SELECT v1 AS a, v2 AS b FROM pairs
                    UNION SELECT v2, v1 FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.node)
+         SELECT node AS asset_id, min(r) AS kept_id, (node = min(r)) AS is_kept
+         FROM reach GROUP BY node""",
+
+    // r20 (X-M5): the dHash pair replay (same 9×7 luma-grid CTEs as
+    // mm_phash_pairs) feeding the recursive-CTE reachability min-id
+    // election (same as mm_embed_prune) — pairs at hamming ≤ 3 ARE
+    // the edge set, so Spark's pigeonhole banding must be complete or
+    // the component structure (and hash) diverges.
+    "mm_neardup_prune" ->
+      s"""WITH RECURSIVE $mmLumaCtes,
+         cells AS (SELECT asset_id,
+                          CAST(x * 9 // w AS INT) AS cx,
+                          CAST(y * 7 // h AS INT) AS cy,
+                          SUM(l) // COUNT(*) AS m
+                   FROM lum GROUP BY 1, 2, 3),
+         bits AS (SELECT a.asset_id,
+                         CASE WHEN a.m < b.m
+                              THEN 1::BIGINT << (a.cy * 8 + a.cx)
+                              ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.asset_id = b.asset_id AND a.cy = b.cy
+                       AND b.cx = a.cx + 1),
+         fp AS (SELECT asset_id, SUM(bit)::BIGINT AS fp FROM bits GROUP BY 1),
+         pairs AS (SELECT a.asset_id AS a1, b.asset_id AS a2
+                   FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+                   WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         edges AS (SELECT a1 AS a, a2 AS b FROM pairs
+                   UNION SELECT a2, a1 FROM pairs),
          nodes AS (SELECT DISTINCT a AS node FROM edges),
          reach(node, r) AS (
            SELECT node, node FROM nodes

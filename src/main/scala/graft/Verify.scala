@@ -67,6 +67,12 @@ object Verify {
     */
   def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): String = {
     import org.apache.spark.sql.execution._
+    // catalog BatchScan nodeNames embed the per-JVM warehouse root
+    // (graft:/tmp/graft-jvm-<pid>/graft_cat_.../db/t) — normalize the
+    // root away so the 38 catalog-table fingerprints are stable
+    // across JVMs (r20: a fresh pid used to flag every tx_cat row)
+    def norm(s: String): String =
+      s.replaceAll("graft:\\S*/db/", "graft:~wh~/db/")
     def walk(p: SparkPlan): String = {
       val kids = p.children.map(walk).filter(_.nonEmpty)
       p match {
@@ -85,8 +91,8 @@ object Verify {
           val a = p.asInstanceOf[adaptive.AdaptiveSparkPlanExec]
           walk(a.initialPlan)
         case _ =>
-          if (kids.isEmpty) p.nodeName
-          else s"${p.nodeName}(${kids.mkString(",")})"
+          if (kids.isEmpty) norm(p.nodeName)
+          else s"${norm(p.nodeName)}(${kids.mkString(",")})"
       }
     }
     walk(plan)

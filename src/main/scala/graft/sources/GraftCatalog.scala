@@ -1560,12 +1560,14 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
         padds = policyProps)
     } else {
       // one schema-evolve commit: the live set swaps and the schema
-      // may change, under the standard conflict matrix. propReset
-      // drops EVERY inherited property first (r20): REPLACE resets
-      // table configuration wholesale — stale policy from the
-      // replaced table (e.g. graft.autoCompact.*) never silently
-      // survives onto the 'new' table; only the newly declared
-      // properties are in effect, all in this one atomic record
+      // may change, under the standard conflict matrix. propReset /
+      // conReset drop EVERY inherited property and CHECK constraint
+      // first (r20): REPLACE resets table configuration wholesale —
+      // stale policy (e.g. graft.autoCompact.*) never silently
+      // survives onto the 'new' table, and a stale CHECK from the
+      // replaced table never keeps rejecting the new table's writes;
+      // only the newly declared set is in effect, all in this one
+      // atomic record
       val readV = TxnLog.currentVersion(root)
       TxnLog.commit(root, "schema-evolve", added = files,
         removed = TxnLog.snapshotFiles(root, readV),
@@ -1573,7 +1575,7 @@ private class StagedGraftTable(root: String, stagedSchema: StructType,
         schemaId = TxnLog.schemaFingerprint(sch),
         schemaJson = TxnLog.encodeSchema(sch), cadds = constraints,
         partitionBy = partitionBy,
-        padds = policyProps, propReset = true)
+        padds = policyProps, propReset = true, conReset = true)
     }
     ()
   }

@@ -189,7 +189,8 @@ object TxnLog {
                     rbases: Seq[Long] = Nil,
                     rowHwm: Long = -1L,
                     padds: Seq[String] = Nil,
-                    propReset: Boolean = false)
+                    propReset: Boolean = false,
+                    conReset: Boolean = false)
 
   /** A commit lost the optimistic-concurrency check: a concurrent
     * commit rewrote data this transaction also rewrites. The caller
@@ -380,9 +381,11 @@ object TxnLog {
       if (c.padds.isEmpty) "" else s""","padds":${arr(c.padds)}"""
     val propResetPart = // RTAS: clear inherited props before padds apply
       if (!c.propReset) "" else s""","propReset":1"""
+    val conResetPart = // RTAS: clear inherited constraints before cadds
+      if (!c.conReset) "" else s""","conReset":1"""
     s"""{"version":${c.version},"action":"${c.action}","txnId":"${c.txnId}",""" +
       s""""readVersion":${c.readVersion},"added":${arr(c.added)},""" +
-      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart$raddsPart$rbasesPart$rowHwmPart$paddsPart$propResetPart}"""
+      s""""removed":${arr(c.removed)}$statsPart$statsColPart$multiPart$bloomsPart$bloomColPart$dvPart$schemaPart$tsPart$constraintPart$schemaJsonPart$renamePart$sizesPart$caddsPart$partByPart$restatPart$histsPart$ingestsPart$raddsPart$rbasesPart$rowHwmPart$paddsPart$propResetPart$conResetPart}"""
   }
 
   private def parse(line: String): Commit = {
@@ -421,7 +424,8 @@ object TxnLog {
       s""""rowHwm":(-?\\d+)""".r.findFirstMatchIn(line)
         .map(_.group(1).toLong).getOrElse(-1L),
       arr("padds", required = false),
-      numOpt("propReset") == 1L)
+      numOpt("propReset") == 1L,
+      numOpt("conReset") == 1L)
   }
 
   private def readCommit(root: String, v: Long): Commit =
@@ -756,7 +760,11 @@ object TxnLog {
       }
       // constraints born WITH a commit (atomic CREATE TABLE: schema,
       // data and constraints in ONE record — no window where the
-      // table is visible unconstrained)
+      // table is visible unconstrained). conReset clears inherited
+      // constraints FIRST (r20, the propReset twin): REPLACE TABLE
+      // declares the new table's whole constraint set — a stale CHECK
+      // from the replaced table must not keep rejecting writes.
+      if (c.conReset) constraints.clear()
       c.cadds.foreach { b =>
         val dec = new String(b64dec(b), java.nio.charset.StandardCharsets.UTF_8)
         val cut = dec.indexOf(' ')
@@ -2758,7 +2766,8 @@ object TxnLog {
              rowBases: Seq[Long] = Nil,
              rowHwmFloor: Long = -1L,
              padds: Seq[(String, String)] = Nil,
-             propReset: Boolean = false): Commit = {
+             propReset: Boolean = false,
+             conReset: Boolean = false): Commit = {
     validatePaths(added ++ removed ++ dvFiles ++ restatFiles)
     require(radds.forall(added.contains),
       s"txn $txnId: radds must be a subset of added")
@@ -2996,7 +3005,7 @@ object TxnLog {
         commitTs, multiStats.map(renderMultiStat), constraint, schemaJson,
         rename, sizes, caddsB64, partitionBy.mkString(","),
         restatFiles, restats.map(renderMultiStat), histsB64, ingests, radds,
-        rbases, newHwm, paddsB64, propReset)
+        rbases, newHwm, paddsB64, propReset, conReset)
       val tmp = logDir(root).resolve(s".tmp-$txnId-${rec.version}")
       Files.writeString(tmp, render(rec))
       try {

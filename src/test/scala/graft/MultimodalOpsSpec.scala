@@ -188,4 +188,36 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(banded === brute, "pigeonhole banding must admit no false negatives")
     assert(brute.nonEmpty, "fixture must contain near-dup pairs")
   }
+
+  test("image near-dup PRUNE: brightness variants collapse onto their " +
+       "base and the min-id survivor is kept (r20, X-M5)") {
+    import spark.implicits._
+    val docs = spark.range(0, 60).select(col("id").as("doc_id"))
+    val pairs = graft.operators.DedupOps.fingerprintPairs(
+      MultimodalOps.perceptualFeatures(
+          MultimodalOps.syntheticPngAssets(docs).unionByName(
+            MultimodalOps.brightnessVariants(docs, every = 5, delta = 24,
+              idOffset = 100000000L)))
+        .toDF().select(col("asset_id"), col("dhash")),
+      "asset_id", "dhash", maxHamming = 3, bits = 56)
+    val decisions = graft.operators.GraphOps.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // every planted variant appears in a component, is NOT the
+    // survivor (its base has the smaller id), and its kept_id is a
+    // base-range id — the variant is the row a prune would drop
+    val planted = (0L until 60L by 5).map(_ + 100000000L)
+    assert(planted.forall(decisions.contains),
+      "every planted variant must be caught by the prune")
+    planted.foreach { v =>
+      val (kept, isKept) = decisions(v)
+      assert(!isKept && kept < 100000000L,
+        s"variant $v must lose the election to a base asset (kept=$kept)")
+    }
+    // survivors are exactly the component minima: is_kept ⇔ id == kept_id
+    decisions.foreach { case (id, (kept, isKept)) =>
+      assert(isKept === (id == kept), s"asset $id")
+      assert(kept <= id, s"kept_id must be the component min for $id")
+    }
+  }
 }

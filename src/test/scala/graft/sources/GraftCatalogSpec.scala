@@ -1200,6 +1200,20 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql("REPLACE TABLE gcat.db.rtp AS SELECT id AS m FROM range(0, 2)")
     assert(TxnLog.tableProperties(root("rtp")) === Map.empty,
       "REPLACE with no TBLPROPERTIES resets to none")
+    // CHECK constraints reset the same way (r20, conReset): a stale
+    // CHECK from the replaced table must not keep rejecting writes to
+    // the new one — REPLACE declares the whole constraint set
+    spark.sql("CREATE TABLE gcat.db.rtc TBLPROPERTIES " +
+      "('graft.constraint.pos' = 'k >= 0') AS SELECT id AS k FROM range(0, 3)")
+    assert(TxnLog.activeConstraints(root("rtc")).contains("pos"))
+    spark.sql("REPLACE TABLE gcat.db.rtc TBLPROPERTIES " +
+      "('graft.constraint.small' = 'j < 100') AS SELECT id AS j FROM range(0, 3)")
+    assert(TxnLog.activeConstraints(root("rtc")).keySet === Set("small"),
+      "REPLACE must drop inherited constraints and keep only the declared ones")
+    spark.sql("INSERT INTO gcat.db.rtc VALUES (-5)") // old CHECK is gone
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcat.db.rtc VALUES (500)") // new CHECK bites
+    }
     // (4) a malformed property fails RTAS BEFORE anything stages: the
     // old table stays fully intact, data and properties both
     intercept[Exception] {

@@ -2993,7 +2993,17 @@ object SparkEntry {
           "asset_id", "dhash", maxHamming = 3, bits = 56)
         graft.operators.GraphOps.dedupClusters(pairs)
           .select(col("doc_id").as("asset_id"), col("kept_id"), col("is_kept"))
-      })
+      }),
+      // r20 (X-M6): the AUDIO modality — real RIFF/WAVE synthesis per
+      // document, a REAL javax.sound.sampled decode (header parse +
+      // PCM frame read), and integer-exact waveform features (energy,
+      // peak, zero crossings) computed from the DECODED samples. The
+      // oracle replays the sawtooth closed form sample for sample, so
+      // a header, endianness or sample-layout bug hash-mismatches.
+      "mm_audio_features" -> ((s, dir) =>
+        MultimodalOps.decodeAudioFeatures(
+          MultimodalOps.syntheticWavAssets(Tables.documents(s, dir))
+        ).toDF())
     )
   }
 
@@ -3162,7 +3172,34 @@ object SparkEntry {
            UNION
            SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.node)
          SELECT node AS asset_id, min(r) AS kept_id, (node = min(r)) AS is_kept
-         FROM reach GROUP BY node"""
+         FROM reach GROUP BY node""",
+
+    // r20 (X-M6): sample-for-sample replay of the WAV synthesis
+    // closed form — the integer sawtooth s(i) = (2·A·j)//(p−1) − A,
+    // j = (i + id) mod p — then the same aggregate features the
+    // decoder computes from parsed PCM frames. Integer division on
+    // non-negative operands, so DuckDB's // and the JVM's / agree.
+    "mm_audio_features" ->
+      """WITH par AS (SELECT doc_id,
+                           16 + doc_id % 48 AS p,
+                           4000 + (doc_id % 9) * 1000 AS a,
+                           1600 + (doc_id % 8) * 100 AS n
+                    FROM documents),
+         s AS (SELECT doc_id, t.i,
+                      ((2 * a * ((t.i + doc_id) % p)) // (p - 1)) - a AS s
+               FROM par CROSS JOIN range(0, 2300) t(i) WHERE t.i < par.n),
+         c AS (SELECT doc_id, s,
+                      CASE WHEN (s < 0) <>
+                                (lag(s) OVER (PARTITION BY doc_id
+                                              ORDER BY i) < 0)
+                           THEN 1 ELSE 0 END AS cr
+               FROM s)
+         SELECT doc_id AS asset_id, CAST(8000 AS INT) AS sample_rate,
+                count(*) AS n_samples,
+                CAST(sum(s * s) AS BIGINT) AS energy,
+                CAST(max(abs(s)) AS BIGINT) AS peak,
+                CAST(sum(cr) AS BIGINT) AS crossings
+         FROM c GROUP BY doc_id"""
   )
 
   /** Shared oracle CTEs for the image-dedup rows: the asset frame

@@ -33,6 +33,16 @@ case class ImageFeatures(asset_id: Long, width: Int, height: Int,
 case class ImagePerception(asset_id: Long, dhash: Long,
                            embedding: Array[Double])
 
+/** Real-decode audio output (r20): every statistic comes from DECODED
+  * PCM samples — `sample_rate` from the parsed RIFF header, `energy`
+  * the exact Σ s², `peak` max |s|, `crossings` the count of sign-
+  * boundary flips (s crossing the < 0 / ≥ 0 line between adjacent
+  * samples). All integer arithmetic, so a SQL oracle replays the
+  * synthesis closed form sample for sample.
+  */
+case class AudioFeatures(asset_id: Long, sample_rate: Int, n_samples: Long,
+                         energy: Long, peak: Long, crossings: Long)
+
 /** Multimodal-column operators: binary assets in, typed features out.
   *
   * IMAGE DECODE IS REAL (r8): [[decodeImageFeatures]] parses PNG bytes
@@ -262,6 +272,92 @@ object MultimodalOps {
           means.map(m => (EmbedGrid * EmbedGrid * m - tot).toDouble))
       }
     }
+  }
+
+  /** Synthesize a REAL RIFF/WAVE file per document: 16-bit PCM mono at
+    * 8 kHz, 1600 + (id % 8)·100 samples, sample i the integer sawtooth
+    * s(i) = (2·A·j) / (p−1) − A with j = (i + id) mod p, period
+    * p = 16 + id mod 48, amplitude A = 4000 + (id mod 9)·1000 — all
+    * integer division on non-negative operands, so a SQL oracle
+    * reproduces every sample exactly. The bytes are a genuine
+    * 44-byte-header WAV that any decoder parses; one builder pass per
+    * partition, no shuffle.
+    */
+  def syntheticWavAssets(docs: DataFrame): Dataset[RawAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => RawAsset(id, "audio/wav", encodeWav(id))))
+  }
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    val n = 1600 + (id % 8).toInt * 100
+    val p = 16 + (id % 48).toInt
+    val a = 4000 + (id % 9).toInt * 1000
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val j = ((i + id) % p).toInt
+      val s = (2 * a * j) / (p - 1) - a
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + data.length)
+      .put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(8000).putInt(16000)         // sample rate, byte rate
+      .putShort(2).putShort(16)           // block align, bits/sample
+    bb.put("data".getBytes(ascii)).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the
+    * WAV byte stream (header validation, format negotiation) and the
+    * statistics come from the decoded little-endian PCM frames. A
+    * header or sample-layout bug surfaces as an oracle hash mismatch
+    * against the synthesis closed form. Narrow mapPartitions over the
+    * scan — the audio twin of [[decodeImageFeatures]]; fails loudly on
+    * undecodable bytes (same contract).
+    */
+  def decodeAudioFeatures(assets: Dataset[RawAsset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.bytes))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: undecodable audio payload", e)
+        }
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"asset ${a.asset_id}: unsupported wav format $fmt")
+        val raw = in.readAllBytes()
+        val n = raw.length / 2
+        var energy = 0L; var peak = 0L; var cross = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+          energy += s.toLong * s
+          val abs = math.abs(s).toLong
+          if (abs > peak) peak = abs
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) cross += 1
+          prevNeg = neg
+          i += 1
+        }
+        AudioFeatures(a.asset_id, fmt.getSampleRate.toInt, n.toLong,
+          energy, peak, cross)
+      } finally in.close()
+    })
   }
 
   /** Sample pseudo-frames: 1 + (h % 8) frames per asset, evenly spaced

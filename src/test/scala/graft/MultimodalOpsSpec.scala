@@ -220,4 +220,59 @@ class MultimodalOpsSpec extends SparkTestBase {
       assert(kept <= id, s"kept_id must be the component min for $id")
     }
   }
+
+  test("synthesized WAVs are REAL RIFF files (magic bytes + AudioSystem " +
+       "header parse) (r20, X-M6)") {
+    import spark.implicits._
+    val assets = MultimodalOps.syntheticWavAssets(
+      Seq(0L, 7L, 100L, 499L).toDF("doc_id")).collect()
+    assets.foreach { a =>
+      assert(new String(a.bytes.take(4), "US-ASCII") === "RIFF")
+      assert(new String(a.bytes.slice(8, 12), "US-ASCII") === "WAVE")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate === 8000f)
+      assert(fmt.getChannels === 1)
+      assert(fmt.getSampleSizeInBits === 16)
+      assert(!fmt.isBigEndian)
+      assert(in.getFrameLength === 1600 + (a.asset_id % 8) * 100,
+        s"asset ${a.asset_id}: header frame count")
+      in.close()
+    }
+  }
+
+  test("decodeAudioFeatures recovers the sawtooth closed form from " +
+       "decoded PCM frames (r20, X-M6)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 47L, 48L, 100L, 255L, 499L)
+    val got = MultimodalOps.decodeAudioFeatures(
+        MultimodalOps.syntheticWavAssets(ids.toDF("doc_id")))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (id <- ids) {
+      val n = 1600 + (id % 8).toInt * 100
+      val p = 16 + (id % 48).toInt
+      val a = 4000 + (id % 9).toInt * 1000
+      val samples = Array.tabulate(n) { i =>
+        (2 * a * ((i + id) % p).toInt) / (p - 1) - a
+      }
+      val f = got(id)
+      assert(f.sample_rate === 8000, s"id $id")
+      assert(f.n_samples === n.toLong, s"id $id")
+      assert(f.energy === samples.map(s => s.toLong * s).sum, s"id $id")
+      assert(f.peak === samples.map(s => math.abs(s).toLong).max, s"id $id")
+      val crossings = samples.sliding(2).count(w => (w(0) < 0) != (w(1) < 0))
+      assert(f.crossings === crossings.toLong, s"id $id")
+    }
+  }
+
+  test("decodeAudioFeatures fails loudly on undecodable bytes (r20)") {
+    import spark.implicits._
+    val bad = Seq(RawAsset(1L, "audio/wav", Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeAudioFeatures(bad).collect()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+  }
 }

@@ -3003,7 +3003,27 @@ object SparkEntry {
       "mm_audio_features" -> ((s, dir) =>
         MultimodalOps.decodeAudioFeatures(
           MultimodalOps.syntheticWavAssets(Tables.documents(s, dir))
-        ).toDF())
+        ).toDF()),
+      // r20 (X-M7): REAL multi-frame video decode — animated GIF89a
+      // synthesized per document (planted mid-sequence scene cut),
+      // decoded frame by frame through javax.imageio, per-frame pixel
+      // sums and exact inter-frame |Δ| sums from the DECODED rasters.
+      "mm_video_frames" -> ((s, dir) =>
+        MultimodalOps.decodeVideoFrames(
+          MultimodalOps.syntheticGifAssets(Tables.documents(s, dir))
+        ).toDF()),
+      // r20 (X-M7): scene-cut detection over the decoded frame diffs —
+      // threshold the per-frame |Δ| sum at 60·w·h (smooth frames sit
+      // near 11/px + wrap noise, the planted cut near 125/px). The
+      // detector must land on EXACTLY the planted middle frame per
+      // asset or the hash diverges.
+      "mm_scene_cuts" -> ((s, dir) =>
+        MultimodalOps.decodeVideoFrames(
+          MultimodalOps.syntheticGifAssets(Tables.documents(s, dir))
+        ).toDF()
+          .filter(col("frame_idx") > 0 &&
+            col("diff_sum") > lit(60L) * col("width") * col("height"))
+          .select(col("asset_id"), col("frame_idx").as("cut_frame")))
     )
   }
 
@@ -3199,8 +3219,61 @@ object SparkEntry {
                 CAST(sum(s * s) AS BIGINT) AS energy,
                 CAST(max(abs(s)) AS BIGINT) AS peak,
                 CAST(sum(cr) AS BIGINT) AS crossings
-         FROM c GROUP BY doc_id"""
+         FROM c GROUP BY doc_id""",
+
+    // r20 (X-M7): pixel-for-pixel replay of the GIF frame synthesis —
+    // g(x,y,f) = (3x + 5y + 11f + id + cut) mod 256, cut = 97 from the
+    // middle frame — then the same per-frame aggregates the decoder
+    // computes from decoded rasters, diffs via a self-join on the
+    // previous frame's pixel grid.
+    "mm_video_frames" -> s"$mmVideoFrameCtes\n$mmVideoFrameSelect",
+
+    // r20 (X-M7): the detector replay — frames whose decoded |Δ| sum
+    // clears 60·w·h. On the synthesis closed form that is exactly the
+    // planted middle frame of every asset.
+    "mm_scene_cuts" ->
+      s"""$mmVideoFrameCtes,
+         vf AS ($mmVideoFrameSelect)
+         SELECT asset_id, frame_idx AS cut_frame FROM vf
+         WHERE frame_idx > 0 AND diff_sum > 60 * width * height"""
   )
+
+  /** Shared oracle CTEs for the video rows: the GIF synthesis closed
+    * form per (asset, frame, x, y), per-frame pixel sums, and exact
+    * inter-frame absolute-difference sums via a previous-frame
+    * self-join — one definition so the frame table and the scene-cut
+    * detector replay identical pixels.
+    */
+  private val mmVideoFrameCtes: String =
+    """WITH par AS (SELECT doc_id,
+                        CAST(12 + doc_id % 8 AS INT) AS w,
+                        CAST(12 + (doc_id // 8) % 8 AS INT) AS h,
+                        4 + doc_id % 5 AS nf
+                 FROM documents),
+       px AS (SELECT doc_id, w, h, nf, f.f, x.x, y.y,
+                     (3 * x.x + 5 * y.y + 11 * f.f + doc_id
+                      + CASE WHEN f.f >= nf // 2 THEN 97 ELSE 0 END)
+                       % 256 AS g
+              FROM par
+              CROSS JOIN range(0, 9) f(f)
+              CROSS JOIN range(0, 20) x(x)
+              CROSS JOIN range(0, 20) y(y)
+              WHERE f.f < par.nf AND x.x < par.w AND y.y < par.h),
+       fr AS (SELECT doc_id, f, min(w) AS w, min(h) AS h,
+                     SUM(g) AS pixel_sum
+              FROM px GROUP BY 1, 2),
+       df AS (SELECT a.doc_id, a.f, SUM(abs(a.g - b.g)) AS diff_sum
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND a.x = b.x AND a.y = b.y
+                   AND b.f = a.f - 1
+              GROUP BY 1, 2)"""
+
+  private val mmVideoFrameSelect: String =
+    """SELECT fr.doc_id AS asset_id, CAST(fr.f AS INT) AS frame_idx,
+              fr.w AS width, fr.h AS height,
+              CAST(fr.pixel_sum AS BIGINT) AS pixel_sum,
+              CAST(COALESCE(df.diff_sum, 0) AS BIGINT) AS diff_sum
+       FROM fr LEFT JOIN df ON fr.doc_id = df.doc_id AND fr.f = df.f"""
 
   /** Shared oracle CTEs for the image-dedup rows: the asset frame
     * (every doc's PNG + the doc_id % 5 brightness variants at id

@@ -43,6 +43,14 @@ case class ImagePerception(asset_id: Long, dhash: Long,
 case class AudioFeatures(asset_id: Long, sample_rate: Int, n_samples: Long,
                          energy: Long, peak: Long, crossings: Long)
 
+/** One REAL decoded video frame (r20): `pixel_sum` over the decoded
+  * grayscale raster, `diff_sum` the exact Σ|g_f − g_{f−1}| against the
+  * previous decoded frame (0 for frame 0) — the per-frame signal a
+  * scene-cut detector thresholds. All integers from decoded samples.
+  */
+case class VideoFrame(asset_id: Long, frame_idx: Int, width: Int,
+                      height: Int, pixel_sum: Long, diff_sum: Long)
+
 /** Multimodal-column operators: binary assets in, typed features out.
   *
   * IMAGE DECODE IS REAL (r8): [[decodeImageFeatures]] parses PNG bytes
@@ -55,10 +63,16 @@ case class AudioFeatures(asset_id: Long, sample_rate: Int, n_samples: Long,
   * band order, or sample values would hash-mismatch. PNG is lossless —
   * the round trip is bit-exact by format contract.
   *
-  * Only VIDEO frame sampling still rides the deterministic md5 stub
-  * ([[stubDecode]]) — there is no pure-JVM video codec — and that stub
-  * is itself oracle-checked arithmetic. Everything else is the real
-  * production shape:
+  * AUDIO DECODE IS REAL (r20): [[decodeAudioFeatures]] parses WAV
+  * bytes with `javax.sound.sampled`. MULTI-FRAME VIDEO DECODE IS REAL
+  * (r20): [[decodeVideoFrames]] walks an animated GIF89a's frame
+  * sequence — the one motion format the JDK encodes AND decodes
+  * losslessly — so frame features and scene-cut detection run on
+  * decoded rasters. Only the byte-offset frame *sampler*
+  * ([[sampleFrames]]) still rides the deterministic md5 stub
+  * ([[stubDecode]]) — it models sampling an opaque container without
+  * decoding — and that stub is itself oracle-checked arithmetic.
+  * Everything here is the real production shape:
   *
   *  - assets flow as `binary` columns with typed metadata, not paths;
   *  - per-partition batch processing via `mapPartitions` with one
@@ -358,6 +372,111 @@ object MultimodalOps {
           energy, peak, cross)
       } finally in.close()
     })
+  }
+
+  /** Synthesize a REAL multi-frame motion asset per document: an
+    * animated GIF89a (the one multi-frame format the JDK both encodes
+    * and decodes losslessly — grayscale palettes round-trip exactly).
+    * 4 + (id % 5) frames of 12–19 × 12–19 gray pixels, frame f pixel
+    * (x, y) = (3x + 5y + 11f + id + cut) mod 256 where cut = 97 from
+    * the middle frame on — a planted SCENE CUT: consecutive smooth
+    * frames differ by 11 per pixel, the cut frame by 108, both exactly
+    * replayable in SQL. One encoder per partition, no shuffle.
+    */
+  def syntheticGifAssets(docs: DataFrame): Dataset[RawAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(id => RawAsset(id, "image/gif", encodeGif(id)))
+    }
+  }
+
+  private def encodeGif(id: Long): Array[Byte] = {
+    val w = 12 + (id % 8).toInt
+    val h = 12 + ((id / 8) % 8).toInt
+    val frames = 4 + (id % 5).toInt
+    val cutAt = frames / 2
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      val off = if (f >= cutAt) 97 else 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          r.setSample(x, y, 0,
+            ((3L * x + 5L * y + 11L * f + id + off) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    wr.endWriteSequence()
+    wr.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame video decode: `javax.imageio`'s GIF reader walks
+    * the frame sequence (`getNumImages(true)` forces a full stream
+    * scan), decodes every frame's raster, and emits one [[VideoFrame]]
+    * row per frame with the exact inter-frame absolute-difference sum
+    * — the signal scene-cut detection thresholds. The frame fan-out
+    * happens inside the partition iterator (the [[sampleFrames]]
+    * shape): one reader per asset, one decode pass, no shuffle. Fails
+    * loudly on undecodable bytes (the [[decodeAudioFeatures]]
+    * contract).
+    */
+  def decodeVideoFrames(assets: Dataset[RawAsset]): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: undecodable video payload")
+        val rd = readers.next()
+        try {
+          rd.setInput(iis)
+          val n = rd.getNumImages(true)
+          var prev: Array[Int] = null
+          (0 until n).map { f =>
+            val img = rd.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getData
+            val cur = new Array[Int](w * h)
+            var sum = 0L
+            var diff = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = raster.getSample(x, y, 0)
+                cur(y * w + x) = g
+                sum += g
+                if (prev != null) diff += math.abs(g - prev(y * w + x))
+                x += 1
+              }
+              y += 1
+            }
+            prev = cur
+            VideoFrame(a.asset_id, f, w, h, sum, diff)
+          }
+        } finally { rd.dispose(); iis.close() }
+      }
+    }
   }
 
   /** Sample pseudo-frames: 1 + (h % 8) frames per asset, evenly spaced

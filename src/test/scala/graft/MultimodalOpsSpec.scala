@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class MultimodalOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -263,6 +263,72 @@ class MultimodalOpsSpec extends SparkTestBase {
       assert(f.peak === samples.map(s => math.abs(s).toLong).max, s"id $id")
       val crossings = samples.sliding(2).count(w => (w(0) < 0) != (w(1) < 0))
       assert(f.crossings === crossings.toLong, s"id $id")
+    }
+  }
+
+  test("synthesized GIFs are REAL animated GIF89a files with the " +
+       "declared frame count (r20, X-M7)") {
+    import spark.implicits._
+    val assets = MultimodalOps.syntheticGifAssets(
+      Seq(0L, 7L, 100L, 499L).toDF("doc_id")).collect()
+    assets.foreach { a =>
+      assert(new String(a.bytes.take(6), "US-ASCII") === "GIF89a")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(a.bytes))
+      val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+      rd.setInput(iis)
+      assert(rd.getNumImages(true) === 4 + (a.asset_id % 5).toInt,
+        s"asset ${a.asset_id}: frame count")
+      rd.dispose(); iis.close()
+    }
+  }
+
+  test("decodeVideoFrames recovers the frame closed form (pixel sums, " +
+       "exact inter-frame diffs) from decoded rasters (r20, X-M7)") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 63L, 100L, 499L)
+    val got = MultimodalOps.decodeVideoFrames(
+        MultimodalOps.syntheticGifAssets(ids.toDF("doc_id")))
+      .collect().groupBy(_.asset_id)
+    for (id <- ids) {
+      val w = 12 + (id % 8).toInt
+      val h = 12 + ((id / 8) % 8).toInt
+      val nf = 4 + (id % 5).toInt
+      def px(x: Int, y: Int, f: Int): Int =
+        ((3L * x + 5L * y + 11L * f + id +
+          (if (f >= nf / 2) 97 else 0)) % 256).toInt
+      val frames = got(id).sortBy(_.frame_idx)
+      assert(frames.length === nf, s"id $id")
+      frames.foreach { vf =>
+        assert((vf.width, vf.height) === ((w, h)), s"id $id f ${vf.frame_idx}")
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield px(x, y, vf.frame_idx).toLong).sum
+        assert(vf.pixel_sum === want, s"id $id f ${vf.frame_idx} pixel_sum")
+        val wantDiff = if (vf.frame_idx == 0) 0L
+          else (for (y <- 0 until h; x <- 0 until w) yield
+            math.abs(px(x, y, vf.frame_idx) -
+              px(x, y, vf.frame_idx - 1)).toLong).sum
+        assert(vf.diff_sum === wantDiff, s"id $id f ${vf.frame_idx} diff_sum")
+      }
+    }
+  }
+
+  test("scene-cut detection lands on EXACTLY the planted middle frame " +
+       "per asset (r20, X-M7)") {
+    import spark.implicits._
+    val docs = spark.range(0, 80).select(col("id").as("doc_id"))
+    val cuts = MultimodalOps.decodeVideoFrames(
+        MultimodalOps.syntheticGifAssets(docs))
+      .toDF()
+      .filter(col("frame_idx") > 0 &&
+        col("diff_sum") > lit(60L) * col("width") * col("height"))
+      .select(col("asset_id"), col("frame_idx"))
+      .as[(Long, Int)].collect().groupBy(_._1)
+    assert(cuts.size === 80, "every asset has a detectable cut")
+    cuts.foreach { case (id, fs) =>
+      val nf = 4 + (id % 5).toInt
+      assert(fs.map(_._2).toSeq === Seq(nf / 2),
+        s"asset $id: exactly one cut at the planted middle frame")
     }
   }
 

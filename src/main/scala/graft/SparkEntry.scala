@@ -3023,7 +3023,28 @@ object SparkEntry {
         ).toDF()
           .filter(col("frame_idx") > 0 &&
             col("diff_sum") > lit(60L) * col("width") * col("height"))
-          .select(col("asset_id"), col("frame_idx").as("cut_frame")))
+          .select(col("asset_id"), col("frame_idx").as("cut_frame"))),
+      // r20 (X-M8): loudness-invariant audio dedup — ×2 re-masters
+      // (genuinely different PCM bytes) fingerprint identically to
+      // their base because positive gain never flips a sample's sign;
+      // exact-match election is ONE hash exchange (window min over
+      // the fingerprint), no pair generation — the right spelling for
+      // hamming-0 dedup at 100 TB. The oracle replays the sign bitmap
+      // from the gain-FREE closed form (s < 0 ⇔ 2j < p−1): if the
+      // decoder's signs depended on amplitude at all, every variant
+      // row would hash-mismatch.
+      "mm_audio_dedup" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fps = MultimodalOps.audioFingerprints(
+          MultimodalOps.syntheticWavAssets(docs).unionByName(
+            MultimodalOps.gainVariants(docs, every = 4, gain = 2,
+              idOffset = 100000000L))).toDF()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint"))
+        fps.withColumn("kept_id", min(col("asset_id")).over(w))
+          .select(col("asset_id"), col("kept_id"),
+            (col("asset_id") === col("kept_id")).as("is_kept"))
+      })
     )
   }
 
@@ -3235,7 +3256,30 @@ object SparkEntry {
       s"""$mmVideoFrameCtes,
          vf AS ($mmVideoFrameSelect)
          SELECT asset_id, frame_idx AS cut_frame FROM vf
-         WHERE frame_idx > 0 AND diff_sum > 60 * width * height"""
+         WHERE frame_idx > 0 AND diff_sum > 60 * width * height""",
+
+    // r20 (X-M8): the sign bitmap replayed from the gain-free
+    // inequality — s(i) < 0 ⇔ 2·((i + src) mod p) < p − 1, amplitude
+    // cancels under floor division — so base docs AND their ×2
+    // re-masters derive the identical fingerprint the decoder reads
+    // from actual PCM signs; exact-match min-id election per bitmap.
+    "mm_audio_dedup" ->
+      """WITH par AS (SELECT doc_id AS asset_id, doc_id AS src,
+                           16 + doc_id % 48 AS p
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000000, doc_id, 16 + doc_id % 48
+                    FROM documents WHERE doc_id % 4 = 0),
+         b AS (SELECT asset_id,
+                      CASE WHEN 2 * ((t.i + src) % p) < p - 1
+                           THEN 1::BIGINT << CAST(t.i AS INT)
+                           ELSE 0 END AS bit
+               FROM par CROSS JOIN range(0, 56) t(i)),
+         f AS (SELECT asset_id, SUM(bit)::BIGINT AS fp FROM b GROUP BY 1)
+         SELECT asset_id,
+                min(asset_id) OVER (PARTITION BY fp) AS kept_id,
+                asset_id = min(asset_id) OVER (PARTITION BY fp) AS is_kept
+         FROM f"""
   )
 
   /** Shared oracle CTEs for the video rows: the GIF synthesis closed

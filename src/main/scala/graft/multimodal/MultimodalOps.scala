@@ -51,6 +51,15 @@ case class AudioFeatures(asset_id: Long, sample_rate: Int, n_samples: Long,
 case class VideoFrame(asset_id: Long, frame_idx: Int, width: Int,
                       height: Int, pixel_sum: Long, diff_sum: Long)
 
+/** Loudness-invariant audio fingerprint (r20): the sign bitmap of the
+  * first 56 decoded samples (bit i set iff s_i < 0). Positive gain
+  * scaling never flips a sample's sign — for the integer sawtooth,
+  * s < 0 ⇔ 2·A·j < A·(p−1) ⇔ 2j < p−1, independent of A — so a
+  * re-mastered (amplitude-scaled) duplicate fingerprints IDENTICALLY
+  * while different waveforms diverge.
+  */
+case class AudioFingerprint(asset_id: Long, fingerprint: Long)
+
 /** Multimodal-column operators: binary assets in, typed features out.
   *
   * IMAGE DECODE IS REAL (r8): [[decodeImageFeatures]] parses PNG bytes
@@ -303,10 +312,26 @@ object MultimodalOps {
       .mapPartitions(_.map(id => RawAsset(id, "audio/wav", encodeWav(id))))
   }
 
-  private def encodeWav(id: Long): Array[Byte] = {
+  /** Amplitude-scaled duplicate assets (r20): one ×`gain` re-master per
+    * doc with `doc_id % every == 0`, ids offset by `idOffset` — the
+    * audio analog of [[brightnessVariants]]: genuinely different PCM
+    * bytes (every sample scaled) whose SIGN pattern — and therefore
+    * [[audioFingerprints]] — is identical to the base waveform's.
+    */
+  def gainVariants(docs: DataFrame, every: Int, gain: Int,
+                   idOffset: Long): Dataset[RawAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        RawAsset(id + idOffset, "audio/wav", encodeWav(id, gain))))
+  }
+
+  private def encodeWav(id: Long, gain: Int = 1): Array[Byte] = {
     val n = 1600 + (id % 8).toInt * 100
     val p = 16 + (id % 48).toInt
-    val a = 4000 + (id % 9).toInt * 1000
+    val a = (4000 + (id % 9).toInt * 1000) * gain
+    require(a <= 32767, s"gain $gain overflows 16-bit samples")
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
@@ -370,6 +395,37 @@ object MultimodalOps {
         }
         AudioFeatures(a.asset_id, fmt.getSampleRate.toInt, n.toLong,
           energy, peak, cross)
+      } finally in.close()
+    })
+  }
+
+  /** Loudness-invariant fingerprints from DECODED samples: parse the
+    * WAV, read the first 56 PCM frames, emit the sign bitmap (bit i
+    * set iff sample i < 0). 56 bits so the fingerprint composes with
+    * [[graft.operators.DedupOps.fingerprintPairs]]' banding budget and
+    * stays a non-negative long. Narrow, one parse per asset.
+    */
+  def audioFingerprints(assets: Dataset[RawAsset]): Dataset[AudioFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.bytes))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: undecodable audio payload", e)
+        }
+      try {
+        val raw = in.readNBytes(56 * 2)
+        var fp = 0L
+        var i = 0
+        val n = raw.length / 2
+        while (i < n) {
+          val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+          if (s < 0) fp |= 1L << i
+          i += 1
+        }
+        AudioFingerprint(a.asset_id, fp)
       } finally in.close()
     })
   }

@@ -332,6 +332,34 @@ class MultimodalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("audio fingerprint is loudness-invariant: a x2 re-master (different " +
+       "PCM bytes) fingerprints identically, different waveforms diverge (r20, X-M8)") {
+    import spark.implicits._
+    val docs = spark.range(0, 96).select(col("id").as("doc_id"))
+    val base = MultimodalOps.audioFingerprints(
+        MultimodalOps.syntheticWavAssets(docs))
+      .collect().map(f => f.asset_id -> f.fingerprint).toMap
+    val vars = MultimodalOps.audioFingerprints(
+        MultimodalOps.gainVariants(docs, every = 4, gain = 2,
+          idOffset = 100000000L))
+      .collect().map(f => f.asset_id -> f.fingerprint).toMap
+    assert(vars.size === 24)
+    // the re-master's bytes genuinely differ from the base's...
+    val baseBytes = MultimodalOps.syntheticWavAssets(
+      Seq(4L).toDF("doc_id")).head().bytes
+    val varBytes = MultimodalOps.gainVariants(
+      Seq(4L).toDF("doc_id"), every = 1, gain = 2, idOffset = 0L).head().bytes
+    assert(!java.util.Arrays.equals(baseBytes, varBytes))
+    // ...but every variant fingerprint equals its base's exactly
+    vars.foreach { case (vid, fp) =>
+      assert(fp === base(vid - 100000000L), s"variant $vid")
+    }
+    // waveforms with different periods diverge (doc 1 vs doc 2)
+    assert(base(1L) !== base(2L))
+    // sanity: fingerprints are non-trivial (some negative samples exist)
+    assert(base.values.count(_ != 0L) > 90)
+  }
+
   test("decodeAudioFeatures fails loudly on undecodable bytes (r20)") {
     import spark.implicits._
     val bad = Seq(RawAsset(1L, "audio/wav", Array[Byte](1, 2, 3, 4))).toDS()

@@ -36,6 +36,12 @@ object ScaleProbe {
             .as("text"))
       }.reduce(_ union _)
 
+    def replicateDocIds(k: Int): DataFrame =
+      (0 until k).map { i =>
+        Tables.documents(spark, sfDir).select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"))
+      }.reduce(_ union _)
+
     def replicateVecs(k: Int): DataFrame =
       (0 until k).map { i =>
         Tables.embeddings(spark, sfDir).select(
@@ -238,6 +244,20 @@ object ScaleProbe {
               col("event_id"), col("ts")).as[graft.streaming.TopKInput], 8)
             .toDF("grp", "item", "cnt_hi", "cnt_lo"))
       }
+      // Multimodal decode ladders (r20, X-M6/M7): synthesize + REAL
+      // platform-codec decode per asset is a narrow scan-fused pass —
+      // per-asset cost is constant (fixed sample/frame budgets), so
+      // wall must track asset count ~linearly with zero shuffles.
+      // Replication re-ids docs; asset content derives from the id,
+      // so every copy is a distinct encode+decode.
+      if (enabled("mm_audio_decode")) time("mm_audio_decode", k)(
+        graft.multimodal.MultimodalOps.decodeAudioFeatures(
+          graft.multimodal.MultimodalOps.syntheticWavAssets(
+            replicateDocIds(k))).toDF())
+      if (enabled("mm_video_decode")) time("mm_video_decode", k)(
+        graft.multimodal.MultimodalOps.decodeVideoFrames(
+          graft.multimodal.MultimodalOps.syntheticGifAssets(
+            replicateDocIds(k))).toDF())
       // Power iteration: per round = one scan + a (dim, Σ) aggregate —
       // cost must track corpus size linearly, never dim²
       if (enabled("vec_power_iter")) time("vec_power_iter", k)(

@@ -3044,6 +3044,49 @@ object SparkEntry {
         fps.withColumn("kept_id", min(col("asset_id")).over(w))
           .select(col("asset_id"), col("kept_id"),
             (col("asset_id") === col("kept_id")).as("is_kept"))
+      }),
+      // r20 (X-C20): CROSS-MODAL corpus curation — one decision table
+      // over the documents from all three modality prunes at once:
+      // text (star-capped LSH → CC election), image (dHash pigeonhole
+      // pairs over each doc's own PNG → CC election), audio (sign-
+      // bitmap exact-match election). A multimodal training pipeline's
+      // first gate is exactly this conjunction; every stage is the
+      // already-proven bounded machinery, composed. Losers frames are
+      // component non-minima — tiny next to the corpus — so the three
+      // left joins are broadcast-scale; the full frame is emitted
+      // (keep flags per modality + the conjunction) so the oracle
+      // checks every decision, not just the survivor list.
+      "cur_multimodal_prune" -> ((s, dir) => {
+        import graft.operators.{DedupOps, GraphOps}
+        val docs = Tables.documents(s, dir)
+        val imgLosers = GraphOps.dedupClusters(
+          DedupOps.fingerprintPairs(
+            MultimodalOps.perceptualFeatures(
+              MultimodalOps.syntheticPngAssets(docs)).toDF()
+              .select(col("asset_id"), col("dhash")),
+            "asset_id", "dhash", maxHamming = 3, bits = 56))
+          .filter(!col("is_kept")).select(col("doc_id"))
+        val aW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint"))
+        val audLosers = MultimodalOps.audioFingerprints(
+            MultimodalOps.syntheticWavAssets(docs)).toDF()
+          .withColumn("__kept", min(col("asset_id")).over(aW))
+          .filter(col("asset_id") =!= col("__kept"))
+          .select(col("asset_id").as("doc_id"))
+        val txtLosers = GraphOps.dedupClusters(
+            DedupOps.lshCandidatePairsCappedStar(docs, "doc_id", "text",
+              bucketCap = 32))
+          .filter(!col("is_kept")).select(col("doc_id"))
+        docs.select(col("doc_id"))
+          .join(imgLosers.withColumn("__li", lit(true)), Seq("doc_id"), "left")
+          .join(audLosers.withColumn("__la", lit(true)), Seq("doc_id"), "left")
+          .join(txtLosers.withColumn("__lt", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("__li").isNull.as("keep_image"),
+            col("__la").isNull.as("keep_audio"),
+            col("__lt").isNull.as("keep_text"),
+            (col("__li").isNull && col("__la").isNull && col("__lt").isNull)
+              .as("keep"))
       })
     )
   }
@@ -3279,7 +3322,89 @@ object SparkEntry {
          SELECT asset_id,
                 min(asset_id) OVER (PARTITION BY fp) AS kept_id,
                 asset_id = min(asset_id) OVER (PARTITION BY fp) AS is_kept
-         FROM f"""
+         FROM f""",
+
+    // r20 (X-C20): the cross-modal conjunction — replays all three
+    // modality elections (text minhash star-capped banding, image
+    // dHash over each doc's own PNG, audio sign bitmap) against the
+    // same documents and emits the full per-doc decision table. Two
+    // recursive reachability CTEs (text and image components) live in
+    // one WITH RECURSIVE; the image fingerprint frame is restricted
+    // to the base assets (no planted variants — the curation question
+    // is which DOCUMENTS survive).
+    "cur_multimodal_prune" ->
+      s"""WITH RECURSIVE $duckShingleCtes,
+         keys AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig),
+         k2 AS (SELECT doc_id, sig, band,
+                  array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',') AS bkey
+                FROM keys),
+         kr AS (SELECT doc_id, band, bkey,
+                  row_number() OVER (PARTITION BY band, bkey
+                    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                                  AS BIGINT) ASC,
+                             doc_id ASC) AS rnk
+                FROM k2),
+         tpairs AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                           greatest(a.doc_id, b.doc_id) AS d2
+                    FROM kr a JOIN kr b
+                      ON a.band = b.band AND a.bkey = b.bkey
+                     AND ((a.rnk <= 32 AND b.rnk <= 32 AND a.doc_id < b.doc_id)
+                          OR (a.rnk > 32 AND b.rnk = 1))),
+         tedges AS (SELECT d1 AS a, d2 AS b FROM tpairs
+                    UNION SELECT d2, d1 FROM tpairs),
+         tnodes AS (SELECT DISTINCT a AS node FROM tedges),
+         treach(node, r) AS (
+           SELECT node, node FROM tnodes
+           UNION
+           SELECT e.a, treach.r FROM tedges e JOIN treach ON e.b = treach.node),
+         tlosers AS (SELECT node AS doc_id FROM treach
+                     GROUP BY node HAVING node <> min(r)),
+         $mmLumaCtes,
+         cells AS (SELECT asset_id,
+                          CAST(x * 9 // w AS INT) AS cx,
+                          CAST(y * 7 // h AS INT) AS cy,
+                          SUM(l) // COUNT(*) AS m
+                   FROM lum GROUP BY 1, 2, 3),
+         dbits AS (SELECT a.asset_id,
+                          CASE WHEN a.m < b.m
+                               THEN 1::BIGINT << (a.cy * 8 + a.cx)
+                               ELSE 0 END AS bit
+                   FROM cells a JOIN cells b
+                     ON a.asset_id = b.asset_id AND a.cy = b.cy
+                        AND b.cx = a.cx + 1),
+         dfp AS (SELECT asset_id, SUM(bit)::BIGINT AS fp FROM dbits
+                 WHERE asset_id < 100000000 GROUP BY 1),
+         ipairs AS (SELECT a.asset_id AS d1, b.asset_id AS d2
+                    FROM dfp a JOIN dfp b ON a.asset_id < b.asset_id
+                    WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         iedges AS (SELECT d1 AS a, d2 AS b FROM ipairs
+                    UNION SELECT d2, d1 FROM ipairs),
+         inodes AS (SELECT DISTINCT a AS node FROM iedges),
+         ireach(node, r) AS (
+           SELECT node, node FROM inodes
+           UNION
+           SELECT e.a, ireach.r FROM iedges e JOIN ireach ON e.b = ireach.node),
+         ilosers AS (SELECT node AS doc_id FROM ireach
+                     GROUP BY node HAVING node <> min(r)),
+         apar AS (SELECT doc_id, 16 + doc_id % 48 AS p FROM documents),
+         ab AS (SELECT doc_id,
+                       CASE WHEN 2 * ((ti.i + doc_id) % p) < p - 1
+                            THEN 1::BIGINT << CAST(ti.i AS INT)
+                            ELSE 0 END AS bit
+                FROM apar CROSS JOIN range(0, 56) ti(i)),
+         af AS (SELECT doc_id, SUM(bit)::BIGINT AS fp FROM ab GROUP BY 1),
+         alosers AS (SELECT doc_id FROM (
+                       SELECT doc_id,
+                              min(doc_id) OVER (PARTITION BY fp) AS k
+                       FROM af) WHERE doc_id <> k)
+         SELECT d.doc_id,
+                d.doc_id NOT IN (SELECT doc_id FROM ilosers) AS keep_image,
+                d.doc_id NOT IN (SELECT doc_id FROM alosers) AS keep_audio,
+                d.doc_id NOT IN (SELECT doc_id FROM tlosers) AS keep_text,
+                (d.doc_id NOT IN (SELECT doc_id FROM ilosers)
+                 AND d.doc_id NOT IN (SELECT doc_id FROM alosers)
+                 AND d.doc_id NOT IN (SELECT doc_id FROM tlosers)) AS keep
+         FROM documents d"""
   )
 
   /** Shared oracle CTEs for the video rows: the GIF synthesis closed

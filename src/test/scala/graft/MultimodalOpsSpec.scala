@@ -360,6 +360,26 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(base.values.count(_ != 0L) > 90)
   }
 
+  test("cross-modal prune: every modality contributes drops, keeps are " +
+       "component minima, the conjunction is exact (r20, X-C20)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("cur_multimodal_prune")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.length === 500, "one decision row per document")
+    // no modality's gate is degenerate on the standard fixture: each
+    // drops at least one doc and keeps at least one
+    for ((name, idx) <- Seq(("image", 1), ("audio", 2), ("text", 3))) {
+      val col = rows.map(r => idx match {
+        case 1 => r._2; case 2 => r._3; case _ => r._4 })
+      assert(col.exists(_ == true) && col.exists(_ == false),
+        s"$name gate must be non-degenerate")
+    }
+    rows.foreach { case (id, ki, ka, kt, keep) =>
+      assert(keep === (ki && ka && kt), s"doc $id: keep must be the conjunction")
+    }
+  }
+
   test("decodeAudioFeatures fails loudly on undecodable bytes (r20)") {
     import spark.implicits._
     val bad = Seq(RawAsset(1L, "audio/wav", Array[Byte](1, 2, 3, 4))).toDS()

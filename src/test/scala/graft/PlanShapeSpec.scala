@@ -490,4 +490,25 @@ class PlanShapeSpec extends SparkTestBase {
         .count(_ == "Exchange hashpartitioning(d1")
     assert(aggExchanges <= 1, s"at most one distinct exchange:\n$plan")
   }
+
+  test("multimodal decode is narrow: the audio/video feature rows have " +
+       "ZERO exchanges (r20)") {
+    // synthesize + platform-codec decode + feature extraction must all
+    // ride the scan partitions — a shuffle here would serialize raw
+    // asset bytes across the wire at 100 TB
+    Seq("mm_audio_features", "mm_video_frames", "mm_scene_cuts").foreach { q =>
+      val plan = initialPlan(q)
+      assert(!plan.contains("Exchange"), s"$q must stay shuffle-free:\n$plan")
+    }
+  }
+
+  test("mm_audio_dedup: exactly ONE hash exchange (the fingerprint " +
+       "window), no join, no pair generation (r20)") {
+    val plan = initialPlan("mm_audio_dedup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"hamming-0 dedup is one fingerprint shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"),
+      s"exact-match election must not join or emit pairs:\n$plan")
+  }
 }

@@ -258,6 +258,43 @@ object ScaleProbe {
         graft.multimodal.MultimodalOps.decodeVideoFrames(
           graft.multimodal.MultimodalOps.syntheticGifAssets(
             replicateDocIds(k))).toDF())
+      // Cross-modal curation ladder (r20, X-C20): the full text ∧
+      // image ∧ audio conjunction over a k× corpus. Every stage is
+      // individually receipted (star-capped banding, pigeonhole
+      // pairs, hamming-0 window, decode ladders); this receipts the
+      // COMPOSITION — wall must stay ~linear in corpus size since no
+      // stage is pairwise-unbounded. Salted replication keeps text
+      // groups honest; image/audio stages derive from the fresh ids.
+      if (enabled("mm_xmodal_prune")) time("mm_xmodal_prune", k) {
+        import graft.multimodal.MultimodalOps
+        import graft.operators.{DedupOps, GraphOps}
+        val docs = replicateDocs(k)
+        val imgLosers = GraphOps.dedupClusters(
+          DedupOps.fingerprintPairs(
+            MultimodalOps.perceptualFeatures(
+              MultimodalOps.syntheticPngAssets(docs)).toDF()
+              .select(col("asset_id"), col("dhash")),
+            "asset_id", "dhash", maxHamming = 3, bits = 56))
+          .filter(!col("is_kept")).select(col("doc_id"))
+        val aW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint"))
+        val audLosers = MultimodalOps.audioFingerprints(
+            MultimodalOps.syntheticWavAssets(docs)).toDF()
+          .withColumn("__kept", min(col("asset_id")).over(aW))
+          .filter(col("asset_id") =!= col("__kept"))
+          .select(col("asset_id").as("doc_id"))
+        val txtLosers = GraphOps.dedupClusters(
+            DedupOps.lshCandidatePairsCappedStar(docs, "doc_id", "text",
+              bucketCap = 32))
+          .filter(!col("is_kept")).select(col("doc_id"))
+        docs.select(col("doc_id"))
+          .join(imgLosers.withColumn("__li", lit(true)), Seq("doc_id"), "left")
+          .join(audLosers.withColumn("__la", lit(true)), Seq("doc_id"), "left")
+          .join(txtLosers.withColumn("__lt", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("__li").isNull && col("__la").isNull && col("__lt").isNull)
+              .as("keep"))
+      }
       // Power iteration: per round = one scan + a (dim, Σ) aggregate —
       // cost must track corpus size linearly, never dim²
       if (enabled("vec_power_iter")) time("vec_power_iter", k)(

@@ -5126,6 +5126,27 @@ object SparkEntry {
         Tables.documents(s, dir).select(
           col("doc_id"), langId(col("text")).as("lang_pred"))
       }),
+      // r20 (X-T15): Coleman–Liau readability (Coleman & Liau 1975:
+      // CLI = 0.0588·L − 0.296·S − 15.8 over letters/sentences per
+      // 100 words) in EXACT milli-integer arithmetic — every division
+      // is a floor div on non-negative operands, so Spark and DuckDB
+      // agree bit for bit with no float rounding to paper over.
+      // Readability bands are a standard pretraining curation filter.
+      "txt_reading_level" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+            .cast("long").as("letters"),
+          size(filter(split(col("text"), " "), x => x =!= lit("")))
+            .cast("long").as("words"),
+          greatest(length(regexp_replace(col("text"), "[^.!?]", ""))
+            .cast("long"), lit(1L)).as("sentences"))
+          .withColumn("__w", greatest(col("words"), lit(1L)))
+          .select(col("doc_id"), col("letters"), col("words"),
+            col("sentences"),
+            (expr("588 * (letters * 100000 div __w) div 10000")
+              - expr("2960 * (sentences * 100000 div __w) div 10000")
+              - lit(15800L)).as("cli_milli"))),
       "txt_repetition" -> ((s, dir) => {
         Tables.documents(s, dir).select(
           col("doc_id"),
@@ -5270,6 +5291,21 @@ object SparkEntry {
                 round(pr, 6) AS punct_ratio,
                 round(lenscore * 0.4 + greatest(0.0, 1.0 - pr * 5) * 0.3 + least(sr * 4, 1.0) * 0.3, 6) AS quality_score
          FROM m""",
+
+    // r20 (X-T15): the same milli-integer Coleman–Liau — floor
+    // division on non-negative operands matches Spark's `div` exactly
+    "txt_reading_level" ->
+      """WITH b AS (SELECT doc_id,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS letters,
+                CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS words,
+                CAST(greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1) AS BIGINT) AS sentences
+              FROM documents),
+         c AS (SELECT *, greatest(words, 1) AS w FROM b)
+         SELECT doc_id, letters, words, sentences,
+                CAST(588 * (letters * 100000 // w) // 10000
+                     - 2960 * (sentences * 100000 // w) // 10000
+                     - 15800 AS BIGINT) AS cli_milli
+         FROM c""",
 
     "txt_langid" ->
       """SELECT doc_id, CASE

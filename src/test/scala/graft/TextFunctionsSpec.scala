@@ -67,6 +67,32 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"per-row features must not shuffle:\n$plan")
   }
 
+  test("txt_reading_level: milli-integer Coleman-Liau matches an " +
+       "independent scala replay on every document (r20, X-T15)") {
+    import spark.implicits._
+    val got = SparkEntry.queries("txt_reading_level")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val letters = text.count(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLong
+      val words = text.split(" ").count(_.nonEmpty).toLong
+      val sentences = math.max(
+        text.count(c => c == '.' || c == '!' || c == '?').toLong, 1L)
+      val w = math.max(words, 1L)
+      val cli = 588L * (letters * 100000L / w) / 10000L -
+        2960L * (sentences * 100000L / w) / 10000L - 15800L
+      assert(got(id) === ((id, letters, words, sentences, cli)), s"doc $id")
+    }
+    // no shuffle: the row is a per-document projection
+    val plan = SparkEntry.queries("txt_reading_level")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"reading level must not shuffle:\n$plan")
+  }
+
   test("charEntropy matches hand-computed Shannon entropy; degenerate inputs score 0") {
     import spark.implicits._
     val docs = Seq(

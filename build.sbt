@@ -44,3 +44,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 8g, and the box has 128 GiB (override via SPARK_DRIVER_MEM)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Diagnostic passthrough: extra JVM flags for the forked run JVM
+// (e.g. GC/code-cache logging while profiling a bench run) without
+// editing the build. Empty by default — the driver contract is
+// untouched.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

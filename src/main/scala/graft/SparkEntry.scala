@@ -2433,7 +2433,7 @@ object SparkEntry {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang"))
           .orderBy(col("quality_score").desc, col("doc_id").asc)
-        Tables.documents(s, dir)
+        spread(Tables.documents(s, dir))
           .select(col("doc_id"), col("lang"),
             round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
               .as("quality_score"))
@@ -4601,7 +4601,7 @@ object SparkEntry {
       // scalar stages into the scan projection.
       "cur_pipeline" -> ((s, dir) => {
         import graft.functions.TextFunctions.qualityScore
-        val scored = Tables.documents(s, dir).select(
+        val scored = spread(Tables.documents(s, dir)).select(
           col("doc_id"), col("lang"), col("text"),
           round(qualityScore(col("text")), 6).as("quality"))
         val filtered = scored.filter(col("lang") === "en" && col("quality") >= 0.4)
@@ -5078,7 +5078,7 @@ object SparkEntry {
     import graft.functions.TextFunctions._
     Map(
       "txt_token_stats" -> ((s, dir) => {
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"),
           nTokens(col("text")).as("n_tokens"),
           nBpeTokens(col("text")).as("n_bpe_tokens"),
@@ -5097,7 +5097,7 @@ object SparkEntry {
         val merges = graft.operators.BpeOps.trainMerges(
           docs.select(norm.as("__nt")), col("__nt"))
         val toks = graft.operators.BpeOps.bpeTokens(norm, merges)
-        docs.select(col("doc_id"),
+        spread(docs).select(col("doc_id"),
           array_join(toks, "|").as("bpe_tokens"),
           size(toks).cast("long").as("n_bpe"))
       }),
@@ -5109,13 +5109,13 @@ object SparkEntry {
         val enriched = concat(col("text"), lit(" contact voter"),
           col("doc_id").cast("string"), lit("@example.com or +44-7700-900"),
           (col("doc_id") % 1000).cast("string"))
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"),
           piiCount(enriched).as("n_pii"),
           redactPii(enriched).as("clean_text"))
       }),
       "txt_quality" -> ((s, dir) => {
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"),
           round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
           round(avgTokenLen(col("text")), 6).as("avg_token_len"),
@@ -5123,7 +5123,7 @@ object SparkEntry {
           round(qualityScore(col("text")), 6).as("quality_score"))
       }),
       "txt_langid" -> ((s, dir) => {
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"), langId(col("text")).as("lang_pred"))
       }),
       // r20 (X-T15): Coleman–Liau readability (Coleman & Liau 1975:
@@ -5133,7 +5133,7 @@ object SparkEntry {
       // agree bit for bit with no float rounding to paper over.
       // Readability bands are a standard pretraining curation filter.
       "txt_reading_level" -> ((s, dir) =>
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"),
           length(regexp_replace(col("text"), "[^A-Za-z]", ""))
             .cast("long").as("letters"),
@@ -5148,19 +5148,19 @@ object SparkEntry {
               - expr("2960 * (sentences * 100000 div __w) div 10000")
               - lit(15800L)).as("cli_milli"))),
       "txt_repetition" -> ((s, dir) => {
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"),
           round(repetitionRatio(col("text"), 2), 6).as("rep2"),
           round(repetitionRatio(col("text"), 3), 6).as("rep3"))
       }),
       "txt_fingerprint" -> ((s, dir) => {
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"), fingerprint(col("text")).as("fingerprint"))
       }),
       // character entropy (bits/char): gibberish/binary-junk detector;
       // sorted-distinct fold keeps the double bit-identical cross-engine
       "txt_entropy" -> ((s, dir) =>
-        Tables.documents(s, dir).select(
+        spread(Tables.documents(s, dir)).select(
           col("doc_id"), round(charEntropy(col("text")), 6).as("char_entropy")))
     )
   }

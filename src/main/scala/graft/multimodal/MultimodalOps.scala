@@ -5,6 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.operators.RelationalOps.spread
+
 /** Raw multimodal asset: opaque bytes plus a MIME-ish kind tag. At
   * 100 TB, image/audio/video payloads live exactly like this — a
   * `binary` column next to typed metadata, scanned from parquet — and
@@ -115,8 +117,8 @@ object MultimodalOps {
     * plays that role byte-for-byte.)
     */
   def documentsAsAssets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("asset_id"), lit("text/utf-8").as("kind"),
-      col("text").cast("binary").as("bytes"))
+    spread(docs.select(col("doc_id").as("asset_id"), lit("text/utf-8").as("kind"),
+      col("text").cast("binary").as("bytes")))
 
   /** Synthesize a REAL PNG per document: dimensions derive from the
     * id (width 16–31 × height 16–31), pixel (x, y) is the closed form
@@ -127,7 +129,10 @@ object MultimodalOps {
     */
   def syntheticPngAssets(docs: DataFrame): Dataset[RawAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // spread the 8-byte id column, not the docs: synthesis derives
+    // everything from doc_id, so the fan-out exchange (identity on
+    // multi-split inputs) moves keys, never payloads (guide §2.3)
+    spread(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map(id => RawAsset(id, "image/png", encodePng(id, delta = 0)))
     }
@@ -174,8 +179,8 @@ object MultimodalOps {
   def brightnessVariants(docs: DataFrame, every: Int, delta: Int,
                          idOffset: Long): Dataset[RawAsset] = {
     import docs.sparkSession.implicits._
-    docs.filter(col("doc_id") % every === 0)
-      .select(col("doc_id")).as[Long].mapPartitions { it =>
+    spread(docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id"))).as[Long].mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => RawAsset(id + idOffset, "image/png", encodePng(id, delta)))
       }
@@ -308,7 +313,7 @@ object MultimodalOps {
     */
   def syntheticWavAssets(docs: DataFrame): Dataset[RawAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => RawAsset(id, "audio/wav", encodeWav(id))))
   }
 
@@ -321,8 +326,8 @@ object MultimodalOps {
   def gainVariants(docs: DataFrame, every: Int, gain: Int,
                    idOffset: Long): Dataset[RawAsset] = {
     import docs.sparkSession.implicits._
-    docs.filter(col("doc_id") % every === 0)
-      .select(col("doc_id")).as[Long]
+    spread(docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id =>
         RawAsset(id + idOffset, "audio/wav", encodeWav(id, gain))))
   }
@@ -441,7 +446,7 @@ object MultimodalOps {
     */
   def syntheticGifAssets(docs: DataFrame): Dataset[RawAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    spread(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map(id => RawAsset(id, "image/gif", encodeGif(id)))
     }

@@ -31,7 +31,7 @@ object BpeOps {
   def trainMerges(docs: DataFrame, textCol: Column, numMerges: Int = 16,
                   vocabSize: Int = 2048): Seq[String] = {
     require(numMerges >= 1 && vocabSize >= 1)
-    val vocab: Array[(String, Long)] = docs
+    val vocab: Array[(String, Long)] = RelationalOps.spread(docs)
       .select(explode(split(textCol, " ")).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))

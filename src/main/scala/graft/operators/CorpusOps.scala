@@ -111,7 +111,10 @@ object CorpusOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard")).orderBy(h.asc, keyCol.asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs.select(keyCol, nTokensCol.as("n_tokens"),
+    // the token-count expression can be expensive (e.g. a full BPE
+    // encode per doc) — spread before evaluating it so an under-split
+    // scan doesn't run it on one task (identity on multi-split inputs)
+    spread(docs).select(keyCol, nTokensCol.as("n_tokens"),
         pmod(h, lit(shards)).as("__shard"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(keyCol, col("__shard").as("shard"),
@@ -229,7 +232,8 @@ object CorpusOps {
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
     def hashed(df: DataFrame): Column =
       explode(array_distinct(DedupOps.shingles(col(textCol), n)))
-    val docShingles = docs.select(col(idCol), hashed(docs).as("__s0"))
+    val docShingles = RelationalOps.spread(docs)
+      .select(col(idCol), hashed(docs).as("__s0"))
       .select(col(idCol), conv(substring(md5(col("__s0")), 1, 14), 16, 10)
         .cast("long").as("__sh"))
     val contamShingles = contamination
@@ -308,7 +312,10 @@ object CorpusOps {
         element_at(wordsLit, (p / 64).cast("int") + lit(1)),
         (p % 64).cast("int")) % 2 =!= 0) // & 1 via mod 2 of the shifted word
     }.reduce(_ && _)
-    val candidates = hashed(docs).filter(maybeContaminated)
+    // spread the corpus across the session's cores before the
+    // per-shingle md5 work — an under-split local scan otherwise runs
+    // this whole stage on one task (identity on multi-split inputs)
+    val candidates = hashed(RelationalOps.spread(docs)).filter(maybeContaminated)
     // exact confirmation against the ALREADY-COLLECTED key set (the
     // contamination shingling is computed once, not re-derived for
     // the join); localized to the driver it broadcasts as the build
@@ -351,7 +358,7 @@ object CorpusOps {
           .cast("long").as("__sh"))
     val contamShingles = hashed(contamination)
       .select(col("__sh")).distinct().withColumn("__hit", lit(1))
-    hashed(docs)
+    hashed(RelationalOps.spread(docs))
       .join(contamShingles, Seq("__sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

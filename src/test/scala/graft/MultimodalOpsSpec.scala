@@ -68,17 +68,25 @@ class MultimodalOpsSpec extends SparkTestBase {
 
   test("encode+decode is a narrow transform: no shuffle, partition count preserved") {
     val docs = Tables.documents(spark, sfDir)
-    val decoded = MultimodalOps.decodeImageFeatures(
-      MultimodalOps.syntheticPngAssets(docs))
-    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
-    assert(decoded.rdd.getNumPartitions ===
-      MultimodalOps.syntheticPngAssets(docs).rdd.getNumPartitions)
+    val synth = MultimodalOps.syntheticPngAssets(docs)
+    val decoded = MultimodalOps.decodeImageFeatures(synth)
+    // the synthesis stage carries ONE scale-adaptive fan-out exchange
+    // (r20: spread of the 8-byte id column before per-row encode; the
+    // identity on multi-split inputs) — the DECODE must add zero
+    // exchanges of its own and preserve the partition count
+    def exchanges(plan: String): Int = "Exchange".r.findAllIn(plan).length
+    assert(exchanges(decoded.queryExecution.executedPlan.toString) ===
+      exchanges(synth.queryExecution.executedPlan.toString))
+    assert(decoded.rdd.getNumPartitions === synth.rdd.getNumPartitions)
   }
 
   test("documentsAsAssets payload is the exact UTF-8 bytes of the text") {
-    val row = MultimodalOps.documentsAsAssets(Tables.documents(spark, sfDir))
-      .limit(1).collect().head
+    // key the comparison by id: the asset frame is spread (round-robin
+    // fan-out), so positional limit(1) picks different rows per side
     val doc = Tables.documents(spark, sfDir).limit(1).collect().head
+    val docId = doc.getAs[Long]("doc_id")
+    val row = MultimodalOps.documentsAsAssets(Tables.documents(spark, sfDir))
+      .filter(col("asset_id") === docId).collect().head
     assert(row.getAs[Array[Byte]]("bytes").toSeq ===
       doc.getAs[String]("text").getBytes("UTF-8").toSeq)
   }

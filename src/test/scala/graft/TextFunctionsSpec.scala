@@ -64,7 +64,12 @@ class TextFunctionsSpec extends SparkTestBase {
   test("text feature queries stay in whole-stage codegen (no shuffle)") {
     val plan = SparkEntry.queries("txt_quality")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"per-row features must not shuffle:\n$plan")
+    // r20: the one allowed exchange is the scale-adaptive round-robin
+    // fan-out (spread — identity on multi-split inputs); per-row
+    // features must never HASH-shuffle data
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"per-row features must not shuffle:\n$plan")
   }
 
   test("txt_reading_level: milli-integer Coleman-Liau matches an " +
@@ -87,10 +92,13 @@ class TextFunctionsSpec extends SparkTestBase {
         2960L * (sentences * 100000L / w) / 10000L - 15800L
       assert(got(id) === ((id, letters, words, sentences, cli)), s"doc $id")
     }
-    // no shuffle: the row is a per-document projection
+    // no data shuffle: the row is a per-document projection (the
+    // scale-adaptive round-robin fan-out is the one allowed exchange)
     val plan = SparkEntry.queries("txt_reading_level")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"reading level must not shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"reading level must not shuffle:\n$plan")
   }
 
   test("charEntropy matches hand-computed Shannon entropy; degenerate inputs score 0") {

@@ -19,12 +19,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: Profile <query> [sfDir] [reps]"))
+    val names = args.headOption.getOrElse(sys.error("usage: Profile <q1[,q2,...]> [sfDir] [reps]"))
+      .split(",").toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    names.foreach(runOne(spark, sfDir, reps, _))
+    spark.stop()
+  }
+
+  private def runOne(spark: SparkSession, sfDir: String, reps: Int, name: String): Unit = {
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query '$name'"))
 
     case class St(jobId: Int, stageId: Int, nameLine: String, wallMs: Long,
@@ -64,6 +70,5 @@ object Profile {
       println(f"[stage wall sum ${sumWall / 1000.0}%.2f s vs query wall $wall%.2f s — gap = driver/plan/collect time]")
       spark.catalog.clearCache()
     }
-    spark.stop()
   }
 }

@@ -697,13 +697,23 @@ object VectorOps {
       if (targetOccupancy <= 0) bitsPerTable
       else adaptiveBits(
         if (knownCount >= 0L) knownCount else vecs.count(), targetOccupancy)
-    val p = withNorm(vecs, idCol, vecCol)
     val projected = array((0 until rdim).map { j =>
       val plane = typedlit((0 until dim).map(i => planeSign(seed, j, i)))
       round(dot(col("__v"), plane), 6)
     }: _*)
+    // materialize the rdim projection ONCE per row in its own Project
+    // (r20): inlining `projected` into lshBuckets re-evaluates the
+    // full rdim×dim projection for EVERY band bit — tables·bits·rdim
+    // dot(dim)s per row instead of rdim (the r20 profile measured the
+    // inlined spelling at 508 graft_dot calls in the plan and 24 ms/row
+    // in the banding stage; values are identical either way, so the
+    // oracle hash cannot move). Catalyst keeps the split: CollapseProject
+    // refuses to duplicate non-cheap expressions into multiple
+    // consumers, and the banding sits in a Generate, not a Project.
+    val p = withNorm(vecs, idCol, vecCol)
+      .select(col("__id"), col("__v"), col("__nrm"), projected.as("__pv"))
     val banded0 = p.select(col("__id"), col("__v"), col("__nrm"),
-      posexplode(lshBuckets(projected, tables, bits, rdim))
+      posexplode(lshBuckets(col("__pv"), tables, bits, rdim))
         .as(Seq("__tbl", "__bucket")))
     // The coarser rdim-dim buckets make dup-heavy candidate blowup
     // MORE likely than in full-width banding (measured 3× at the 16×

@@ -6197,15 +6197,19 @@ object SparkEntry {
     }),
 
     "g19_cooccur" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
+      // r20: one shuffle on the (user, hour) group — collect_set
+      // dedupes and materializes each group's types, a < b pairs are
+      // enumerated locally (sorted array HOFs), replacing the former
+      // distinct + merge self-join (two exchanges + two sorts) with
+      // identical pairs; fan-out stays bounded by |types|² per group
+      Tables.events(s, dir)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("__hh"),
           col("event_type"))
-        .distinct()
-      e.alias("a").hint("merge")
-        .join(e.alias("b"),
-          col("a.user_id") === col("b.user_id") && col("a.__hh") === col("b.__hh") &&
-            col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .groupBy(col("user_id"), col("__hh"))
+        .agg(sort_array(collect_set(col("event_type"))).as("__types"))
+        .select(explode(graft.operators.RelationalOps
+          .orderedPairs(col("__types"), "type_a", "type_b")).as("__p"))
+        .groupBy(col("__p.type_a").as("type_a"), col("__p.type_b").as("type_b"))
         .agg(count(lit(1)).as("n_cooccur"))
     }),
 

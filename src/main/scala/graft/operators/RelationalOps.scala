@@ -602,19 +602,38 @@ object RelationalOps {
         (col("n_violations") === 0L).as("pass"))
   }
 
+  /** All ordered (a < b positional) element pairs of a SORTED array as
+    * an array of (aName, bName) structs — the local pair enumeration
+    * that replaces a per-group self-join: for a group's distinct items
+    * collected via `sort_array(collect_set(...))`, exploding this
+    * yields exactly the a < b pairs the equi-self-join + `<` filter
+    * would, with no second exchange and no sort-merge passes (r20).
+    * Fan-out is bounded by the array length² — the caller's per-group
+    * width bound — never by row volume.
+    */
+  def orderedPairs(arr: Column, aName: String, bName: String): Column =
+    flatten(transform(arr, (a, i) =>
+      transform(slice(arr, i + lit(2), greatest(size(arr) - i - lit(1), lit(0))),
+        b => struct(a.as(aName), b.as(bName)))))
+
   /** Market-basket association rules: support / confidence / lift for
-    * item pairs over (basket, item) memberships. Scale shape: DISTINCT
-    * items per basket FIRST, so the pair self-join fans out at most
-    * |items-per-basket|² rows per basket — bounded by basket width,
-    * never by row volume — and the (item_a, item_b) aggregate is
-    * bounded by the item vocabulary squared, map-side combined.
-    * Ratios are integer micro-units over truncating `div` (exact on
-    * both engines); the basket total enters as a broadcast scalar.
+    * item pairs over (basket, item) memberships. Scale shape (r20):
+    * ONE shuffle on the basket key collects each basket's DISTINCT
+    * items as a sorted array (collect_set — dedup and materialization
+    * in the same aggregate); a < b pairs are then enumerated LOCALLY
+    * by positional array HOFs, so the fan-out stays bounded by
+    * |items-per-basket|² per basket — never by row volume — with no
+    * pair self-join (the former join's second exchange and two sort
+    * passes profiled at 7 s task CPU at sf0.1) and the (item_a,
+    * item_b) aggregate bounded by the item vocabulary squared,
+    * map-side combined. Ratios are integer micro-units over truncating
+    * `div` (exact on both engines); the basket total enters as a
+    * broadcast scalar.
     *
-    * The deduplicated membership set feeds FOUR branches (basket
-    * total, item counts, both join sides) whose column pruning
-    * differs — exchange reuse can't fire (the rakeKeywords lesson; the
-    * r8 audit counted 10 scans) — so it is persisted before fan-out.
+    * The per-basket array set feeds THREE branches (basket total, item
+    * counts, pair enumeration) whose column pruning differs — exchange
+    * reuse can't fire (the rakeKeywords lesson) — so it is persisted
+    * before fan-out.
     *
     * Lifecycle (r9): the vocabulary²-bounded result is materialized
     * eagerly (`localCheckpoint`) so the membership pin is released
@@ -636,16 +655,26 @@ object RelationalOps {
     */
   private[graft] def basketRulesLazy(memberships: DataFrame, basketCol: String,
                   itemCol: String, minSupport: Long): (DataFrame, DataFrame) = {
+    // ONE shuffle on the basket key (r20): collect_set dedupes within
+    // the basket AND materializes it as a row, so the former
+    // distinct-(oid, item) exchange, the pair SELF-JOIN's second
+    // exchange + two sorts, and the four full passes over a persisted
+    // membership set (profiled at 4–8 s task CPU each at sf0.1) all
+    // collapse into one grouped aggregate whose sorted arrays serve
+    // every branch: basket total = row count, per-item document counts
+    // = exploded sets, a < b pairs = positional array HOFs. Fan-out
+    // stays bounded by basket width² exactly as before.
     val items = memberships
       .select(col(basketCol).as("__oid"), col(itemCol).as("__item"))
-      .distinct()
+      .groupBy(col("__oid"))
+      .agg(sort_array(collect_set(col("__item"))).as("__items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val baskets = items.select(col("__oid")).distinct()
-      .agg(count(lit(1)).as("__nb"))
-    val cnt = items.groupBy(col("__item")).agg(count(lit(1)).as("__ni"))
-    val pairs = items.select(col("__oid"), col("__item").as("item_a"))
-      .join(items.select(col("__oid"), col("__item").as("item_b")), Seq("__oid"))
-      .filter(col("item_a") < col("item_b"))
+    val baskets = items.agg(count(lit(1)).as("__nb"))
+    val cnt = items.select(explode(col("__items")).as("__item"))
+      .groupBy(col("__item")).agg(count(lit(1)).as("__ni"))
+    val pairs = items
+      .select(explode(orderedPairs(col("__items"), "item_a", "item_b")).as("__p"))
+      .select(col("__p.item_a"), col("__p.item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     (pairs

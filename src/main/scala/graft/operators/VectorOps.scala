@@ -861,10 +861,17 @@ object VectorOps {
         // (round() half-away-from-zero matches DuckDB's; the micro ints
         // are then exact on both engines, and micro/1e6 is the same IEEE
         // division everywhere)
+        // assignment computed BELOW the explode (r20): an expensive
+        // expression in the same select as posexplode lands in the
+        // Project ABOVE the Generate and is re-evaluated once per
+        // exploded dimension — dim× the nearest-cell scans (profiled
+        // at 9 s task CPU per Lloyd round at sf0.1, 0.6 s with the
+        // split). The extra Project stays below the Generate; values
+        // are identical.
         val micros = pt
           .select(element_at(cellTopN(col("__v"), col("__nrm"),
-              centsFlat, centNrms, 1), 1).as("__cell"),
-            posexplode(col("__v")).as(Seq("__pos", "__x")))
+              centsFlat, centNrms, 1), 1).as("__cell"), col("__v"))
+          .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
           .groupBy(col("__cell"), col("__pos"))
           .agg(round(avg(col("__x").cast("double")) * 1e6).cast("long").as("__micro"))
           .collect()
